@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory lives in `graft.queries.*` grouped by subsystem:
+  *  - [[TelematicsQueries]]  — reference-parity pipeline (ingest/score/serve/
+  *    upsert/retention), SURVEY.md §2.
+  *  - [[AnalyticsQueries]]   — relational extensions (joins/aggs/windows/
+  *    top-k/set ops) on the star schema.
+  *  - [[PipelineQueries]]    — LLM-data-pipeline operators (dedup, similarity,
+  *    text analysis, multimodal) on documents/embeddings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the daily risk-score pipeline end-to-end on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TelematicsQueries.defs("q_risk_score_daily")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs
+
+  def oracleSql: Map[String, String] =
+    TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
 }
