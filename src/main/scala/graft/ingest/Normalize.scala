@@ -131,10 +131,16 @@ object Normalize {
     * except we keep the failures instead of dropping them.
     */
   def dlqSplit(df: DataFrame, payloadCol: String, schema: StructType): (DataFrame, DataFrame) = {
-    val parsed = df.withColumn("_parsed", from_json(col(payloadCol), schema))
-    val good = parsed.filter(col("_parsed").isNotNull)
-      .select(col("*"), col("_parsed.*")).drop("_parsed")
-    val dlq = parsed.filter(col("_parsed").isNull).drop("_parsed")
+    // PERMISSIVE from_json yields an all-null struct (not a null struct) on
+    // malformed input, so corruption is detected via the dedicated
+    // corrupt-record field — the canonical Spark DLQ pattern.
+    val corrupt = "_corrupt_payload"
+    val full = schema.add(StructField(corrupt, StringType))
+    val parsed = df.withColumn("_parsed",
+      from_json(col(payloadCol), full, Map("columnNameOfCorruptRecord" -> corrupt)))
+    val good = parsed.filter(col(s"_parsed.$corrupt").isNull)
+      .select(col("*"), col("_parsed.*")).drop("_parsed", corrupt)
+    val dlq = parsed.filter(col(s"_parsed.$corrupt").isNotNull).drop("_parsed")
     (good, dlq)
   }
 }

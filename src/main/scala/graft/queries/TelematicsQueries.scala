@@ -62,13 +62,16 @@ object TelematicsQueries {
       |WHERE report_type IN ('STATUS','ALERT')
       |ORDER BY CAST(correlation_id AS BIGINT)""".stripMargin
 
-  /** DuckDB CTE reproducing the normalized fact's scoring-relevant columns. */
+  /** DuckDB CTE reproducing the normalized fact's query-relevant columns. */
   private val factCte: String =
     """fact AS (
       |  SELECT
+      |    CASE WHEN event_type = 'error' THEN 'ALERT' ELSE 'STATUS' END AS report_type,
       |    user_id::VARCHAR AS device_id,
       |    date_trunc('second', ts) AS gps_epoch,
-      |    value AS speed_kmh
+      |    value AS speed_kmh,
+      |    event_id::VARCHAR AS correlation_id,
+      |    CAST(date_trunc('second', ts) AS DATE) AS received_day
       |  FROM events
       |  WHERE event_type IN ('error', 'purchase')
       |)""".stripMargin
@@ -109,16 +112,195 @@ object TelematicsQueries {
       |FROM scored
       |ORDER BY device_id, report_date""".stripMargin
 
+  // ---- serving-layer queries (graft.serve.Api) --------------------------
+
+  private val lookupCols = Seq("device_id", "gps_epoch", "speed_kmh", "report_type", "correlation_id")
+
+  private def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.serve.Api
+    val filtered = Api.pointLookup(normalizedFact(s, dir), "7",
+      "2024-01-05 00:00:00", "2024-01-25 00:00:00", "2024-01-05", "2024-01-25")
+    Api.page(Api.project(filtered, lookupCols),
+      Seq(col("gps_epoch").desc, col("correlation_id").cast("long").desc),
+      offset = 5, limit = 100)
+  }
+
+  private val lookupWhere =
+    """device_id = '7'
+      |  AND gps_epoch BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+      |  AND received_day BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'""".stripMargin
+
+  private val pointLookupOracle =
+    s"""WITH $factCte
+      |SELECT device_id, gps_epoch, speed_kmh, report_type, correlation_id
+      |FROM fact
+      |WHERE $lookupWhere
+      |ORDER BY gps_epoch DESC, CAST(correlation_id AS BIGINT) DESC
+      |LIMIT 100 OFFSET 5""".stripMargin
+
+  private val pageCountOracle =
+    s"""WITH $factCte
+      |SELECT count(*) AS total FROM fact WHERE $lookupWhere""".stripMargin
+
+  private val latestOracle =
+    s"""WITH $factCte
+      |SELECT device_id, gps_epoch, speed_kmh, correlation_id
+      |FROM fact
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY device_id
+      |  ORDER BY gps_epoch DESC, CAST(correlation_id AS BIGINT) DESC) = 1
+      |ORDER BY device_id""".stripMargin
+
+  private val dynamicOracle =
+    s"""WITH $factCte
+      |SELECT device_id, count(*) AS n, min(gps_epoch) AS first_ts, max(gps_epoch) AS last_ts
+      |FROM fact
+      |WHERE device_id IN ('1','3','5') AND gps_epoch >= TIMESTAMP '2024-01-10 00:00:00'
+      |GROUP BY device_id ORDER BY device_id""".stripMargin
+
+  // ---- upsert / retention -----------------------------------------------
+
+  private def upsertQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Upsert
+    val scored = RiskScore.pipeline(normalizedFact(s, dir))
+      .select(col("device_id"), col("report_date"), col("total_reports"))
+    val existing = scored.withColumn("version", lit(1))
+    val incoming = scored.filter(col("device_id").cast("long") % 2 === 0)
+      .withColumn("total_reports", col("total_reports") + 1000L)
+      .withColumn("version", lit(2))
+    Upsert.upsert(existing, incoming, Seq("device_id", "report_date"),
+        precedence = col("version"), tieBreak = col("version"))
+      .orderBy(col("device_id"), col("report_date"))
+  }
+
+  private val upsertOracle =
+    s"""WITH $factCte,
+      |agg AS (
+      |  SELECT device_id,
+      |    CAST(gps_epoch - INTERVAL 6 HOUR AS DATE) AS report_date,
+      |    count(*) AS total_reports
+      |  FROM fact GROUP BY 1, 2
+      |)
+      |SELECT device_id, report_date,
+      |  CASE WHEN CAST(device_id AS BIGINT) % 2 = 0
+      |       THEN total_reports + 1000 ELSE total_reports END AS total_reports,
+      |  CASE WHEN CAST(device_id AS BIGINT) % 2 = 0 THEN 2 ELSE 1 END AS version
+      |FROM agg ORDER BY device_id, report_date""".stripMargin
+
+  private def retentionQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Maintenance
+    Maintenance.retain(normalizedFact(s, dir), "received_day", 10,
+        java.time.LocalDate.parse("2024-01-25"))
+      .groupBy(col("received_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("received_day"))
+  }
+
+  private val retentionOracle =
+    s"""WITH $factCte
+      |SELECT received_day, count(*) AS n
+      |FROM fact WHERE received_day >= DATE '2024-01-15'
+      |GROUP BY received_day ORDER BY received_day""".stripMargin
+
+  // ---- backfill coordinate parse (F14) ----------------------------------
+
+  private def coordParse(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // "(lon,lat)" point string, parsed per backfill_telematics.py:117,127-128
+    // (item 0 = longitude, item 1 = latitude)
+    val point = concat(lit("("), col("l_partkey").cast("string"), lit(","),
+      col("l_orderkey").cast("string"), lit(")"))
+    val parts = split(regexp_replace(point, "[()]", ""), ",")
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      parts.getItem(0).cast("double").as("longitude"),
+      parts.getItem(1).cast("double").as("latitude")
+    ).orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val coordParseOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(str_split(regexp_replace('(' || l_partkey::VARCHAR || ',' || l_orderkey::VARCHAR || ')', '[()]', '', 'g'), ',')[1] AS DOUBLE) AS longitude,
+      |  CAST(str_split(regexp_replace('(' || l_partkey::VARCHAR || ',' || l_orderkey::VARCHAR || ')', '[()]', '', 'g'), ',')[2] AS DOUBLE) AS latitude
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- DLQ split (F15) ---------------------------------------------------
+
+  private def dlqQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payload = when(col("event_id") % 7 === 0, substring(col("props"), 1, 3))
+      .otherwise(col("props"))
+    val withPayload = Tables.events(s, dir).withColumn("payload", payload)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val (good, dlq) = Normalize.dlqSplit(withPayload, "payload", schema)
+    val g = good.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_good"), sum(col("k")).as("sum_k"))
+    val d = dlq.groupBy(col("event_type")).agg(count(lit(1)).as("n_dlq"))
+    g.join(d, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_good"), lit(0L)).as("n_good"),
+        coalesce(col("n_dlq"), lit(0L)).as("n_dlq"),
+        coalesce(col("sum_k"), lit(0L)).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dlqOracle =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS payload
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  CAST(count(CASE WHEN json_valid(payload) THEN 1 END) AS BIGINT) AS n_good,
+      |  CAST(count(CASE WHEN NOT json_valid(payload) THEN 1 END) AS BIGINT) AS n_dlq,
+      |  CAST(coalesce(sum(CASE WHEN json_valid(payload)
+      |       THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END), 0) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_normalize" -> ((s, dir) =>
       normalizedFact(s, dir).orderBy(col("correlation_id").cast("long"))),
     "q_risk_score_daily" -> ((s, dir) =>
       RiskScore.pipeline(normalizedFact(s, dir))
-        .orderBy(col("device_id"), col("report_date")))
+        .orderBy(col("device_id"), col("report_date"))),
+    "q_point_lookup" -> (pointLookup _),
+    "q_page_count" -> ((s, dir) => {
+      import graft.serve.Api
+      val filtered = Api.pointLookup(normalizedFact(s, dir), "7",
+        "2024-01-05 00:00:00", "2024-01-25 00:00:00", "2024-01-05", "2024-01-25")
+      filtered.agg(count(lit(1)).as("total"))
+    }),
+    "q_latest_per_device" -> ((s, dir) => {
+      import graft.serve.Api
+      Api.latestPerDevice(normalizedFact(s, dir), col("correlation_id").cast("long"))
+        .select(lookupCols.filterNot(_ == "report_type").map(col): _*)
+        .orderBy(col("device_id"))
+    }),
+    "q_dynamic_pred" -> ((s, dir) => {
+      import graft.serve.Api
+      Api.dynamicFilter(normalizedFact(s, dir),
+          deviceIds = Some(Seq("1", "3", "5")), from = Some("2024-01-10 00:00:00"))
+        .groupBy(col("device_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gps_epoch")).as("first_ts"), max(col("gps_epoch")).as("last_ts"))
+        .orderBy(col("device_id"))
+    }),
+    "q_upsert" -> (upsertQuery _),
+    "q_retention" -> (retentionQuery _),
+    "q_coord_parse" -> (coordParse _),
+    "q_dlq_split" -> (dlqQuery _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_ingest_normalize" -> normalizeOracle,
-    "q_risk_score_daily" -> scoreOracle
+    "q_risk_score_daily" -> scoreOracle,
+    "q_point_lookup" -> pointLookupOracle,
+    "q_page_count" -> pageCountOracle,
+    "q_latest_per_device" -> latestOracle,
+    "q_dynamic_pred" -> dynamicOracle,
+    "q_upsert" -> upsertOracle,
+    "q_retention" -> retentionOracle,
+    "q_coord_parse" -> coordParseOracle,
+    "q_dlq_split" -> dlqOracle
   )
 }
