@@ -1,11 +1,128 @@
 package graft.queries
 
+import graft.analytics.StarQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Relational extension queries (joins/windows/top-k) on the star schema.
-  * Populated incrementally; see SURVEY.md §7 step 8.
+/** Relational extension queries (joins/windows/top-k/set ops/rollup) on the
+  * star schema, with DuckDB oracles. See [[StarQueries]] for the determinism
+  * discipline (exact DECIMAL sums; FP only in derived scalars).
   */
 object AnalyticsQueries {
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS sum_charge,
+      |  count(*) AS count_order,
+      |  round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val q3Oracle =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val q5Oracle =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val topkOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  private val setOpsOracle =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT 'union' AS op, count(*) AS n FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'intersect', count(*) FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'except', count(*) FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      |ORDER BY op""".stripMargin
+
+  private val sessionOracle =
+    """WITH g AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  max(gap_us) AS max_gap_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val rollupOracle =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  private val sqlSurfaceOracle =
+    """SELECT r_name, count(DISTINCT n_nationkey) AS n_nations, count(c_custkey) AS n_customers
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  private val statsOracle =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
+      |  CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sq,
+      |  round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_bal,
+      |  round(sqrt((CAST(CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+      |    - CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |      * CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*))
+      |    / (count(*) - 1)), 4) AS std_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (StarQueries.pricingSummary _),
+    "q3_shipping_priority" -> (StarQueries.shippingPriority _),
+    "q5_local_supplier" -> (StarQueries.localSupplierVolume _),
+    "q_topk_orders" -> ((s: SparkSession, d: String) => StarQueries.topOrders(s, d)),
+    "q_set_ops" -> (StarQueries.setOps _),
+    "q_session_stats" -> ((s: SparkSession, d: String) => StarQueries.sessionStats(s, d)),
+    "q_rollup" -> (StarQueries.rollupCounts _),
+    "q_sql_surface" -> (StarQueries.sqlSurface _),
+    "q_segment_stats" -> (StarQueries.segmentStats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q3_shipping_priority" -> q3Oracle,
+    "q5_local_supplier" -> q5Oracle,
+    "q_topk_orders" -> topkOracle,
+    "q_set_ops" -> setOpsOracle,
+    "q_session_stats" -> sessionOracle,
+    "q_rollup" -> rollupOracle,
+    "q_sql_surface" -> sqlSurfaceOracle,
+    "q_segment_stats" -> statsOracle
+  )
 }
