@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (Broder '97 resemblance
+  * sketches; LSH banding per Leskovec/Rajaraman/Ullman ch.3).
+  *
+  * Pipeline: shingle → per-shingle 64-bit hash → H permutations
+  * `(a·h + b) mod p` → signature minima → b bands of r rows → band-bucket
+  * equi-join for candidates → exact Jaccard verification.
+  *
+  * Everything is Catalyst higher-order functions over arrays (no UDFs — no
+  * serialization boundary, though HOF lambdas evaluate interpreted); a
+  * document's whole signature is one projection over a materialized shingle
+  * array. The only shuffles are the band-bucket join and the verification
+  * joins — candidate volume is O(collisions), never O(n²).
+  *
+  * Determinism: permutation params come from a seeded LCG, so signatures are
+  * stable across runs/partitionings.
+  */
+object MinHashLSH {
+
+  /** Mersenne prime 2^31 - 1: keeps `a*h + b` within 62 bits (ANSI-safe). */
+  val P: Long = 2147483647L
+
+  /** Seeded LCG-derived permutation params (a in [1,P), b in [0,P)). */
+  private[dedup] def params(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    (0 until numHashes).map(_ => (next() % (P - 1) + 1, next() % P))
+  }
+
+  /** Signatures from an already-shingled (id, sh) frame (see
+    * [[Dedup.withShingles]]). sig[i] = fold of `least` over shingle hashes —
+    * `aggregate` instead of `transform`+`array_min` avoids materializing a
+    * |shingles|-sized array per permutation (numHashes of them per document).
+    */
+  def signaturesFromShingles(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
+    val ps = params(numHashes, seed)
+    val paramArr = array(ps.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    sh.filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .withColumn("sig", transform(paramArr,
+        p => aggregate(col("hs"), lit(P),
+          (m, h) => least(m, pmod(p.getField("a") * h + p.getField("b"), lit(P))))))
+      .select(col("id"), col("sig"))
+  }
+
+  /** doc_id, signature array<long> of length `numHashes`. Empty-shingle docs
+    * (shorter than k tokens) are dropped — they have no resemblance sketch.
+    */
+  def signatures(docs: DataFrame, k: Int, numHashes: Int, seed: Long = 42L,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    signaturesFromShingles(Dedup.withShingles(docs, k, idCol, textCol), numHashes, seed)
+
+  /** Candidate pairs from banded LSH: docs colliding in ≥1 band. */
+  def candidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => hash(slice(col("sig"), j * size(col("sig")) / bands + 1,
+            size(col("sig")) / bands)))).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full pipeline: candidates verified with *exact* shingle Jaccard (the
+    * sketch only prunes; it never asserts).
+    */
+  def nearDuplicates(docs: DataFrame, k: Int = 5, numHashes: Int = 128,
+                     bands: Int = 32, threshold: Double = 0.8,
+                     seed: Long = 42L,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the shingle frame feeds three plan branches (signatures + both sides of
+    // the verification join); persist so shingling runs once, not three times
+    // — at cluster scale this is the sketch table you would checkpoint
+    val sh = Dedup.withShingles(docs, k, idCol, textCol)
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(signaturesFromShingles(sh, numHashes, seed), bands)
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

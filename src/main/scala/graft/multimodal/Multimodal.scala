@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` media payloads with typed
+  * metadata, batch-shaped decode/feature-extraction over `mapPartitions`.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] produces deterministic fake features derived
+  * from the bytes. Everything around it — schema, encoder-typed rows,
+  * per-partition batching, pushdown-friendly metadata columns — is the real
+  * Spark plumbing a decoder plugs into: replace `fakeDecode` with a JNI/FFM
+  * codec call and nothing else changes.
+  *
+  * Scale notes: media bytes are the widest column by orders of magnitude —
+  * keep metadata in separate columns so pruning/filtering never touches the
+  * blob (parquet column pruning skips it entirely when unreferenced), and
+  * decode via `mapPartitions` so any native codec amortizes init per
+  * partition, not per row.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
+                      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
+                           width: Int, height: Int, luma_mean: Double,
+                           n_frames: Int)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Build a deterministic media table from the documents table: the UTF-8
+    * bytes of the text stand in for an encoded payload; metadata derived from
+    * doc_id. (Testdata has no real media; the shapes are what matter.)
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      (col("doc_id") % 640 + 64).cast("int").as("width"),
+      (col("doc_id") % 480 + 48).cast("int").as("height"))
+
+  /** Deterministic fake decode: features any real codec would emit, computed
+    * from the payload bytes so tests can assert exact values.
+    */
+  private[multimodal] def fakeDecode(r: MediaRow): MediaFeatures = {
+    val bytes = if (r.media == null) Array.empty[Byte] else r.media
+    // exact integer sum / length: deterministic double, oracle-reproducible
+    val lumaMean =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    MediaFeatures(r.doc_id, bytes.length.toLong, r.format, r.width, r.height,
+      lumaMean, bytes.length / 100 + 1)
+  }
+
+  /** Batch decode via mapPartitions — the real plumbing; the codec is the
+    * stub above. Returns a typed Dataset.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init happens here in a real codec (native lib handles)
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Deterministic frame sampling for a time-dimension payload: n evenly
+    * spaced byte offsets standing in for frame indices.
+    */
+  def frameOffsets(nBytes: org.apache.spark.sql.Column,
+                   frames: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(frames - 1)),
+      i => (nBytes * i / frames).cast("long"))
+}

@@ -1,11 +1,283 @@
 package graft.queries
 
+import graft.Tables
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline operators (dedup / similarity / text / multimodal) on
-  * the documents + embeddings tables. Populated incrementally.
+/** LLM-data-pipeline operators on documents/embeddings, with DuckDB oracles
+  * where SQL-expressible. The testdata has no natural duplicates, so dedup
+  * queries run on a deterministically *augmented* corpus: exact copies of
+  * `doc_id % 10 == 0` (+1M ids) and one-token-prepended near-copies of
+  * `doc_id % 10 == 1` (+2M ids) — same construction on both engines.
+  *
+  * `q_minhash_lsh` / `q_simhash` / `q_ann_lsh` are approximate/sketch-based
+  * and not portably SQL-expressible → no oracle (driver rows-only check);
+  * their exactness properties are covered by `DedupSpec`/`SimilaritySpec`
+  * (planted duplicates, brute-force cross-check).
   */
 object PipelineQueries {
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Corpus with planted exact + near duplicates. */
+  def augmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("zqxnear "), col("text")).as("text")))
+
+  private val augCte =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, 'zqxnear ' || text FROM documents WHERE doc_id % 10 = 1
+      |)""".stripMargin
+
+  // ---- dedup -------------------------------------------------------------
+
+  private def dedupExactQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateGroups(augmented(Tables.documents(s, dir)))
+      .orderBy(col("content_hash"))
+
+  private val dedupExactOracle =
+    s"""WITH $augCte
+      |SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM aug GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY content_hash""".stripMargin
+
+  private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(augmented(Tables.documents(s, dir)), k = 5, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val ngramOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b,
+      |  intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE AS jaccard
+      |FROM cand
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- text analysis -----------------------------------------------------
+
+  private def qualityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "quality_score")
+      .orderBy(col("doc_id"))
+
+  private val qualityOracle = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |    length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
+      |    len(list_filter(string_split_regex(text, '\\s+'),
+      |        x -> list_contains($stop, x))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CASE WHEN n_tokens > 0 THEN non_space::DOUBLE / n_tokens ELSE 0.0 END AS avg_token_len,
+      |  CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+      |  CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+      |  round(least(n_tokens::DOUBLE / 50.0, 1.0)
+      |    * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+      |    * CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END)
+      |        BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END, 6) AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  private val langIdOracle = {
+    val markers = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val cnt = markers.map { case (lang, arr) =>
+      s"len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains($arr, x))) AS c_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH c AS (
+      |  SELECT lang,
+      |    $cnt
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang,
+      |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+      |         WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+      |         WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+      |         WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+      |         WHEN c_fr = greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+      |         ELSE 'unknown' END AS pred_lang
+      |  FROM c
+      |)
+      |SELECT lang, pred_lang, count(*) AS n FROM p
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"))
+      .orderBy(col("source"))
+
+  private val tokenCountOracle =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_re_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintOracle =
+    """WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INTEGER) AS fp
+      |FROM (
+      |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+      |      list_transform(range(1, length(s)+1), i -> ord(s[i])::HUGEINT)),
+      |    (a, b) -> (a*31 + b) % 4294967296) AS h
+      |  FROM n
+      |) ORDER BY doc_id""".stripMargin
+
+  // ---- similarity --------------------------------------------------------
+
+  private val dotSql = "list_reduce(list_transform(range(1, 65), i -> %s[i] * %s[i]), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql.format(a, b)} / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)}))"
+
+  private def annTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annTopkOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < 5),
+      |p AS (
+      |  SELECT query_id, v.vec_id AS nn_id, ${cosSql("q_vec", "vec")} AS cosine
+      |  FROM q CROSS JOIN v WHERE v.vec_id <> query_id
+      |)
+      |SELECT query_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      |  FROM p)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private def annThresholdQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.thresholdPairs(Tables.embeddings(s, dir), 0.40, col("id") < 100)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val annThresholdOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.vec", "b.vec")} AS cosine
+      |  FROM v a CROSS JOIN v b
+      |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.40
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def centroidsQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, dir))
+      .orderBy(col("label"), col("dim"))
+
+  private val centroidsOracle =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+      |  round(CAST(CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS DOUBLE) / count(*), 8) AS centroid
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  // ---- multimodal --------------------------------------------------------
+
+  private def multimodalQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private val multimodalOracle =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  (['jpeg', 'png', 'webp'])[doc_id % 3 + 1] AS format,
+      |  CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+      |  CAST(doc_id % 480 + 48 AS INTEGER) AS height,
+      |  CAST(list_sum(list_transform(range(1, strlen(text) + 1), i -> ord(text[i]))) AS DOUBLE)
+      |    / strlen(text) AS luma_mean,
+      |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExactQ _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_text_quality" -> (qualityQ _),
+    "q_lang_id" -> (langIdQ _),
+    "q_token_count" -> (tokenCountQ _),
+    "q_fingerprint" -> (fingerprintQ _),
+    "q_ann_topk" -> (annTopkQ _),
+    "q_ann_threshold" -> (annThresholdQ _),
+    "q_embed_centroids" -> (centroidsQ _),
+    "q_multimodal_decode" -> (multimodalQ _),
+    // sketch-based (no portable SQL oracle; covered by unit tests):
+    "q_minhash_lsh" -> ((s, dir) =>
+      MinHashLSH.nearDuplicates(augmented(Tables.documents(s, dir)))
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_simhash" -> ((s, dir) =>
+      SimHash.nearDuplicates(augmented(Tables.documents(s, dir)))
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactOracle,
+    "q_dedup_ngram_jaccard" -> ngramOracle,
+    "q_text_quality" -> qualityOracle,
+    "q_lang_id" -> langIdOracle,
+    "q_token_count" -> tokenCountOracle,
+    "q_fingerprint" -> fingerprintOracle,
+    "q_ann_topk" -> annTopkOracle,
+    "q_ann_threshold" -> annThresholdOracle,
+    "q_embed_centroids" -> centroidsOracle,
+    "q_multimodal_decode" -> multimodalOracle
+  )
 }

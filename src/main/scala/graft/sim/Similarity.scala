@@ -1,0 +1,127 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the (huge) corpus; one codegen'd projection per (query, doc) pair,
+  * ranked per query with a window. At 100 TB corpus scale the broadcast side
+  * stays tiny and the scan is embarrassingly parallel.
+  *
+  * Scale path: random-hyperplane LSH (Charikar '02 SRP) — bucket the corpus
+  * by sign-pattern of seeded hyperplane projections, probe only matching
+  * buckets, verify with exact cosine. Trades recall for a corpus-side
+  * equi-join instead of a full scan.
+  *
+  * Dot products are sequential left-folds (`aggregate`) over double-cast
+  * arrays — deterministic and oracle-reproducible, still codegen'd.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Repartition a vector table for CPU-bound scoring: embedding tables are
+    * tiny on disk vs their compute cost, so file-split parallelism
+    * under-parallelizes (same rule as [[graft.dedup.Dedup]]).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic rank: (cosine desc, id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = spread(corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "cosine")
+  }
+
+  /** All pairs (a<b) with cosine ≥ threshold, restricted to a candidate
+    * subset on the left for bounded work.
+    */
+  def thresholdPairs(corpus: DataFrame, threshold: Double, leftFilter: Column,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val left = v.filter(leftFilter)
+    left.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .crossJoin(spread(v.select(col("id").as("id_b"), col("vec").as("vec_b"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Seeded deterministic unit-free hyperplanes: values from an LCG, shaped
+    * [numPlanes][dim]. Sign pattern = SRP-LSH bucket.
+    */
+  private[sim] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** SRP-LSH bucket id (bit b = sign of projection onto plane b). */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: probe only the query's bucket, verify with exact
+    * cosine, rank per query. Approximate (recall < 1): vectors near a
+    * hyperplane may land in a different bucket than their neighbors.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = spread(corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec")))
+      .withColumn("bucket", srpBucket(col("nn_vec"), planes))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", srpBucket(col("q_vec"), planes))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "cosine")
+  }
+
+  /** Per-label centroids via exact decimal sums (order-independent): output
+    * (label, dim, n, centroid) with centroid = decimal-sum / n rounded.
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("sum_v"))
+      .withColumn("centroid", round(col("sum_v").cast("double") / col("n"), 8))
+      .select("label", "dim", "n", "centroid")
+}

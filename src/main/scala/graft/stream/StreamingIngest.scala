@@ -1,0 +1,101 @@
+package graft.stream
+
+import graft.ingest.Normalize
+import graft.ops.Upsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming wrappers of the batch pipeline — the Spark
+  * re-expression of the reference's 7 always-on Flink jobs (SURVEY.md §2.10).
+  *
+  * The transform logic is the *same function* the batch/oracle path uses
+  * (`Normalize.normalizeTelemetry`), applied to an unbounded DataFrame: the
+  * reference's streams are stateless project/filter/cast jobs, which is
+  * exactly the subset that is batch/stream agnostic. Exactly-once lands on
+  * checkpointing + idempotent file sinks, replacing Flink's aligned
+  * checkpoints (`sink_telematics_real_time.sql:8-12`).
+  *
+  * Scale notes: stateless streams scale by source partitions (Kafka
+  * partitions ↔ tasks); the partitioned file sink writes
+  * `(device_id_bucket, received_day)` directories exactly like the batch
+  * layout, so downstream scans are identical. The only stateful operator here
+  * (windowed counts) carries a watermark so state is bounded.
+  */
+object StreamingIngest {
+
+  /** Kafka JSON source (S1-S3) → edge-schema rows. Requires the Kafka
+    * connector on the classpath at runtime; the shape is what matters for the
+    * offline harness, where [[jsonFileSource]] / MemoryStream stand in.
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  schema: StructType = Normalize.kafkaEdgeSchema): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // ≈ 'scan.startup.mode' create.sql:103-104
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("j"))
+      .select(col("j.*"))
+
+  /** File-based streaming source with the same edge schema (offline stand-in
+    * for Kafka; also the production pattern for landing-zone ingest).
+    */
+  def jsonFileSource(spark: SparkSession, dir: String,
+                     schema: StructType = Normalize.kafkaEdgeSchema): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** The streaming ingest transform — literally the batch pipeline. */
+  def ingest(edgeStream: DataFrame, buckets: Int = 32): DataFrame =
+    Normalize.normalizeTelemetry(edgeStream, buckets)
+
+  /** Checkpointed, partitioned, exactly-once append sink (K1). */
+  def factSink(normalized: DataFrame, targetDir: String, checkpointDir: String,
+               triggerMs: Long = 1000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    normalized.writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("device_id_bucket", "received_day")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .outputMode("append")
+
+  /** Streaming upsert (K3) via foreachBatch: per micro-batch, merge into the
+    * keyed parquet table with the same `Upsert` used in batch — idempotent
+    * across replays because the key dedup keeps the highest precedence.
+    */
+  def upsertSink(scored: DataFrame, targetDir: String, checkpointDir: String,
+                 keys: Seq[String], precedenceCol: String)(
+      implicit spark: SparkSession): DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(targetDir)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = Upsert.upsert(existing, batch, keys,
+          col(precedenceCol), col(precedenceCol))
+        // write-then-swap so a mid-write crash never corrupts the table
+        val tmp = targetDir + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetDir))
+        ()
+      }
+
+  /** Event-time windowed device counts with a watermark — the bounded-state
+    * streaming aggregation surface (not in the reference, which stores event
+    * time but never aggregates it in-flight; north-star extension).
+    */
+  def windowedDeviceCounts(normalized: DataFrame, window_ : String = "5 minutes",
+                           watermark: String = "10 minutes"): DataFrame =
+    normalized
+      .withWatermark("gps_epoch", watermark)
+      .groupBy(window(col("gps_epoch"), window_), col("device_id"))
+      .agg(count(lit(1)).as("n"), max(col("speed_kmh")).as("max_speed"))
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.functions.JavaHash.javaHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * language ID, token counting, fingerprinting. Pure column expressions —
+  * fully codegen'd, embarrassingly parallel (no shuffle until the caller
+  * aggregates).
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Deterministic rule-based language ID: per-language marker-word
+    * occurrence counts, argmax with fixed tie order (en > es > de > fr >
+    * unknown). The n-gram-heuristic family of langid — profiles are
+    * swappable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"))
+
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Occurrences of any word from `words` among the tokens of `c`. */
+  def markerCount(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => t.isin(words.map(lit): _*)))
+
+  /** Quality-scoring feature columns + a composite [0,1] score.
+    * Degenerate inputs (empty text) produce 0-ratios, not nulls/NaN.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(toks(t))
+    val nChars = length(t)
+    val nonSpaceChars = length(regexp_replace(t, "\\s", ""))
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("avg_token_len",
+        when(nTokens > 0, nonSpaceChars.cast("double") / nTokens).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, markerCount(t, Stopwords).cast("double") / nTokens).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChars > 0,
+          (nChars - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double") / nChars)
+          .otherwise(0.0))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) *
+          (lit(1.0) - col("punct_ratio")) *
+          when(col("stopword_ratio").between(0.05, 0.6), 1.0).otherwise(0.5), 6))
+  }
+
+  /** Language prediction column (argmax of marker counts, fixed tie order). */
+  def langId(textCol: Column): Column = {
+    val counts = LangMarkers.map { case (lang, words) => lang -> markerCount(textCol, words) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldLeft(when(best === 0, "unknown")) { case (acc, (lang, c)) =>
+      acc.when(c === best, lang)
+    }.otherwise("unknown")
+  }
+
+  /** Whitespace token count and a BPE-ish subword-regex token count
+    * (word-chars runs | single non-space non-word chars), the standard cheap
+    * token estimator.
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(toks(col(textCol))).cast("long"))
+      .withColumn("re_tokens",
+        regexp_count(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+
+  /** 32-bit rolling-polynomial document fingerprint over normalized text
+    * (lowercase, collapsed whitespace) — Java-hashCode polynomial via the
+    * native [[graft.functions.JavaHashCode]] expression.
+    */
+  def fingerprint(textCol: Column): Column =
+    javaHash(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+}

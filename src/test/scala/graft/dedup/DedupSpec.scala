@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.Tables
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val aug = PipelineQueries.augmented(docs)
+
+  test("shingles: < k tokens yields empty, k tokens yields one, dups collapse") {
+    val out = Seq("a b c", "a b c d e", "x x x x x x")
+      .toDF("text").select(Dedup.shingles(col("text"), 5).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c d e"))
+    assert(out(2) == Seq("x x x x x")) // distinct collapses identical shingles
+  }
+
+  test("minhash LSH finds every planted exact and near duplicate") {
+    val found = MinHashLSH.nearDuplicates(aug, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactPlanted = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    val nearPlanted = docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", size(Dedup.shingles($"text", 5)))
+      .as[(Long, Int)].collect()
+      .filter(_._2 >= 20) // long docs: 1-token prepend keeps jaccard >= 0.8
+      .map { case (id, _) => (id, id + 2000000L) }.toSet
+    assert(exactPlanted.subsetOf(found),
+      s"missing exact pairs: ${exactPlanted -- found}")
+    assert(nearPlanted.subsetOf(found),
+      s"missing near pairs: ${nearPlanted -- found}")
+  }
+
+  test("minhash signature agreement approximates exact jaccard") {
+    val sigs = MinHashLSH.signatures(aug, k = 5, numHashes = 128)
+    val planted = sigs.filter($"id" === 1L || $"id" === 2000001L)
+      .select($"sig").as[Seq[Long]].collect()
+    val agree = planted(0).zip(planted(1)).count { case (a, b) => a == b }.toDouble / 128
+    val exact = Dedup.ngramJaccardPairs(
+      aug.filter($"doc_id" === 1L || $"doc_id" === 2000001L), 5, 0.0)
+      .select($"jaccard").as[Double].head()
+    assert(math.abs(agree - exact) < 0.15, s"sketch $agree vs exact $exact")
+  }
+
+  test("minhash LSH reports exact jaccard on its candidates (no sketch values)") {
+    val pairs = MinHashLSH.nearDuplicates(aug, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val exactPairs = Dedup.ngramJaccardPairs(aug, 5, 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    pairs.foreach { case (a, b, j) =>
+      assert(exactPairs.get((a, b)).contains(j), s"pair ($a,$b) jaccard $j not exact")
+    }
+  }
+
+  test("simhash: planted exact dups at hamming 0, near dups within 3") {
+    val found = SimHash.nearDuplicates(aug, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    docs.filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+      .foreach { id =>
+        assert(found.get((id, id + 1000000L)).contains(0), s"exact dup $id not at hamming 0")
+      }
+    // near dups: one token changed out of many — hamming stays small for most
+    val nearHits = docs.filter($"doc_id" % 10 === 1).select($"doc_id").as[Long].collect()
+      .count(id => found.contains((id, id + 2000000L)))
+    assert(nearHits > 0, "no near-dup survived simhash blocking")
+  }
+
+  test("exact dedup keeps one row per content hash") {
+    val deduped = Dedup.dedupExact(aug)
+    assert(deduped.count() == aug.select(md5($"text")).distinct().count())
+    // survivors are the minimum doc_id of each group
+    val survivors = deduped.filter($"doc_id" >= 1000000L).count()
+    assert(survivors == docs.filter($"doc_id" % 10 === 1).count()) // only near-copies survive (distinct text)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  test("dot/cosine on known vectors") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()
+    assert(d == 32.0)
+    val c = df.select(Similarity.cosine(col("a"), col("a"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranks ordered") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.length == 15)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+      assert(rows.forall(_._2 != q))
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a recall-limited subset with exact cosines") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), k = 50)
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Similarity.lshTopK(emb, emb.filter($"vec_id" < 20), k = 3)
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) =>
+      // every LSH hit carries the exact cosine (verification, not sketch)
+      brute.get((q, n)).foreach(exact => assert(exact == c))
+    }
+    // same-bucket implies identical sign pattern => generally close vectors;
+    // sanity: each reported neighbor list is rank-consistent
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      val cs = rows.map(_._3).toSeq.sorted.reverse
+      assert(cs == rows.map(_._3).toSeq.sorted.reverse)
+    }
+  }
+
+  test("label centroids: exact decimal sums, one row per (label, dim)") {
+    val out = Similarity.labelCentroids(emb)
+    assert(out.count() == 10 * 64)
+    val n0 = out.filter($"label" === 0 && $"dim" === 0).select($"n").as[Long].head()
+    assert(n0 == emb.filter($"label" === 0).count())
+  }
+
+  test("srp bucket is deterministic across evaluations") {
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val b1 = emb.limit(50).select(col("vec_id"),
+      Similarity.srpBucket(col("embedding").cast("array<double>"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = emb.limit(50).select(col("vec_id"),
+      Similarity.srpBucket(col("embedding").cast("array<double>"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+  }
+}
