@@ -87,9 +87,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleFreq: Int = 1000): DataFrame = {
-    // exploded shingles feed three branches (sizes, both join sides): persist
+    // exploded shingles feed three branches (sizes, both join sides): persist.
+    // Join/shuffle on the 64-bit shingle hash, not the string — ~4× smaller
+    // shuffle rows and cheaper equality; 64-bit collisions are ~1e-9 at
+    // billions of shingles (and only perturb candidate counts, which exact
+    // verification would need astronomically unlucky same-pair collisions to
+    // miss)
     val sh = withShingles(docs, k, idCol, textCol)
       .select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val filtered = sh.join(

@@ -18,34 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** doc_id, 64-bit simhash fingerprint. Tokens materialize in their own
-    * projection and the corpus is repartitioned first — see [[Dedup]]'s
-    * evaluation rules.
+  /** doc_id, 64-bit simhash fingerprint.
+    *
+    * Shaped as explode → hash → 64 conditional-sum aggregate columns →
+    * bit-assemble, instead of nested array lambdas: Catalyst HOF lambdas
+    * evaluate interpreted (64 × tokens invocations per document), while a
+    * HashAggregate of 64 `sum(when(bit))` columns is whole-stage-codegen'd
+    * with map-side partial aggregation — at 100 TB the explode never
+    * materializes, it streams straight into the partial aggregate.
     */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b$k"))
+    val fpBits = (0 until 64).map(k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
     docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
-      .withColumn("__toks", Dedup.tokens(col("__text")))
-      .select(col("id"), transform(col("__toks"), t => xxhash64(t)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      // votes[k] = sum over tokens of (bit k set ? +1 : -1); shiftright/left
-      // with a *column* bit-count needs call_function (the Scala wrappers
-      // only take Int)
-      .withColumn("fp",
-        aggregate(
-          sequence(lit(0), lit(63)),
-          lit(0L),
-          (acc, k) => acc + when(
-            aggregate(col("hs"), lit(0L),
-              (a, h) => a + when(
-                call_function("shiftright", h, k).bitwiseAND(lit(1L)) === 1L, 1L)
-                .otherwise(-1L)
-            ) > 0L,
-            call_function("shiftleft", lit(1L), k)).otherwise(0L)))
-      .select(col("id"), col("fp"))
+      .select(col("id"), explode(Dedup.tokens(col("__text"))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), fpBits.reduce(_ + _).as("fp"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming via block-join. */

@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns — native codegen'd expression
+    * ([[graft.functions.DotProduct]]); same left-fold order as the composable
+    * `aggregate(zip_with(...))` form, so results are bit-identical to it and
+    * to the DuckDB oracle.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotProduct(a, b)
+
+  /** The composable-HOF form of [[dot]] — kept as the reference semantics
+    * (tests assert bit-equality with the native expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     assert(n0 == emb.filter($"label" === 0).count())
   }
 
+  test("native DotProduct is bit-identical to the HOF fold on real embeddings") {
+    val pairs = emb.limit(100).select(col("embedding").cast("array<double>").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").cast("array<double>").as("b")))
+    val diff = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+    // and in interpreted mode
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(pairs.select(Similarity.dot(col("a"), col("b")).as("n"),
+          Similarity.dotHof(col("a"), col("b")).as("h"))
+        .filter(col("n") =!= col("h")).count() == 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("srp bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(8, 64, 42L)
     val b1 = emb.limit(50).select(col("vec_id"),
