@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * Determinism: permutation params come from a seeded LCG, so signatures are
   * stable across runs/partitionings.
   */
+/** Permutation parameters as a case class so the whole set can ship as one
+  * `typedLit` array<struct> literal.
+  */
+case class MinHashParam(a: Long, b: Long)
+
 object MinHashLSH {
 
   /** Mersenne prime 2^31 - 1: keeps `a*h + b` within 62 bits (ANSI-safe). */
@@ -38,8 +43,9 @@ object MinHashLSH {
     */
   def signaturesFromShingles(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
     val ps = params(numHashes, seed)
-    val paramArr = array(ps.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    // one array<struct> literal, not numHashes×struct(lit,lit) nodes: keeps
+    // the expression tree (and its analysis/codegen cost) O(1) in numHashes
+    val paramArr = typedLit(ps.map { case (a, b) => MinHashParam(a, b) })
     sh.filter(size(col("sh")) > 0)
       .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
       .withColumn("sig", transform(paramArr,

@@ -102,7 +102,31 @@ object AnalyticsQueries {
       |    / (count(*) - 1)), 4) AS std_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  private def skewJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SkewJoin
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey")
+    val o = graft.Tables.orders(s, dir).withColumnRenamed("o_orderkey", "okey")
+    SkewJoin.saltedJoin(li, o, "okey", saltFactor = 8, disambiguator = col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Oracle is the *unsalted* join: proves the salted rewrite is semantically
+    * identity.
+    */
+  private val skewJoinOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> (skewJoinQ _),
     "q1_pricing_summary" -> (StarQueries.pricingSummary _),
     "q3_shipping_priority" -> (StarQueries.shippingPriority _),
     "q5_local_supplier" -> (StarQueries.localSupplierVolume _),
@@ -115,6 +139,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" -> skewJoinOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier" -> q5Oracle,

@@ -288,7 +288,17 @@ object TelematicsQueries {
     "q_upsert" -> (upsertQuery _),
     "q_retention" -> (retentionQuery _),
     "q_coord_parse" -> (coordParse _),
-    "q_dlq_split" -> (dlqQuery _)
+    "q_dlq_split" -> (dlqQuery _),
+    "q_ts_format" -> ((s, dir) => {
+      // F17: API-layer timestamp presentation "…mmm -0600" (main.py:127-163)
+      val lt = RiskScore.localTs(col("ts"))
+      Tables.events(s, dir)
+        .filter(col("user_id") === 3)
+        .select(col("event_id"),
+          concat(date_format(lt, "yyyy-MM-dd HH:mm:ss.SSS"), lit(" -0600"))
+            .as("local_ts_fmt"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,6 +311,10 @@ object TelematicsQueries {
     "q_upsert" -> upsertOracle,
     "q_retention" -> retentionOracle,
     "q_coord_parse" -> coordParseOracle,
-    "q_dlq_split" -> dlqOracle
+    "q_dlq_split" -> dlqOracle,
+    "q_ts_format" ->
+      """SELECT event_id,
+        |  strftime(ts - INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%g') || ' -0600' AS local_ts_fmt
+        |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin
   )
 }

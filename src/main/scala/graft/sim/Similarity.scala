@@ -92,12 +92,16 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** SRP-LSH bucket id (bit b = sign of projection onto plane b). */
-  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
-      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+  /** SRP-LSH bucket id (bit b = sign of projection onto plane b). Planes ship
+    * as a single array<array<double>> literal (not numPlanes×dim `lit` nodes)
+    * and each projection is the native [[graft.functions.DotProduct]].
+    */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val planesLit = typedLit(planes)
+    planes.indices.map { i =>
+      when(dot(vec, element_at(planesLit, i + 1)) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: probe only the query's bucket, verify with exact
     * cosine, rank per query. Approximate (recall < 1): vectors near a

@@ -88,6 +88,28 @@ object StreamingIngest {
         ()
       }
 
+  /** Arbitrary-state streaming (`mapGroupsWithState`): running per-device
+    * totals that survive across micro-batches — the `GroupState` surface for
+    * custom state the reference's stateless jobs never needed (north-star
+    * extension; state is per-key and checkpointed with the query).
+    */
+  def runningDeviceTotals(events: org.apache.spark.sql.Dataset[(String, Double)])(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (device: String, rows: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          val (n0, max0) = state.getOption.getOrElse((0L, Double.MinValue))
+          val batch = rows.toSeq
+          val updated = (n0 + batch.size,
+            math.max(max0, if (batch.isEmpty) max0 else batch.map(_._2).max))
+          state.update(updated)
+          (device, updated._1, updated._2)
+      }
+  }
+
   /** Event-time windowed device counts with a watermark — the bounded-state
     * streaming aggregation surface (not in the reference, which stores event
     * time but never aggregates it in-flight; north-star extension).
