@@ -24,6 +24,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
+  // require array<double> at analysis time: without this, a float-array
+  // column fails deep inside the parquet reader at runtime instead of with a
+  // clear analysis error telling the user to cast
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"dot_product requires two array<double> arguments (cast float arrays " +
+          s"with CAST(x AS ARRAY<DOUBLE>)), got ${l.sql} and ${r.sql}")
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration of graft's native expressions, so SQL text
+  * can call them directly:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * spark.sql("SELECT java_hash(device_id), dot_product(a, b) FROM t")
+  * }}}
+  *
+  * (Also installable on a live session via [[GraftExtensions.register]] —
+  * handy when the session is built by a harness we don't control.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("java_hash",
+      info("java_hash", "java_hash(str) - bit-exact Java String.hashCode"),
+      (es: Seq[Expression]) => JavaHashCode(es.head)),
+    ("java_hash_bucket",
+      info("java_hash_bucket", "java_hash_bucket(str, n) - MOD(ABS(java_hash(str)), n)"),
+      (es: Seq[Expression]) => JavaHashBucket(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    ("dot_product",
+      info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
