@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.dedup.{Dedup, MinHashLSH, SimHash}
 import graft.multimodal.Multimodal
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -254,7 +254,35 @@ object PipelineQueries {
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
     "q_multimodal_decode" -> (multimodalQ _),
+    "q_dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup over documents: vec_id ↔ doc_id share ids
+      val pairs = Similarity.thresholdPairs(Tables.embeddings(s, dir), 0.40, col("id") < 100)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(docs.select(col("doc_id").as("id_a"), col("source").as("source_a"))), "id_a")
+        .join(broadcast(docs.select(col("doc_id").as("id_b"), col("source").as("source_b"))), "id_b")
+        .select("id_a", "id_b", "cosine", "source_a", "source_b")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL sketch vs exact: the oracle checks the exact count and that the
+      // sketch landed within 10% (approx_ok must come out true)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("__approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.1)
+            .as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
     // sketch-based (no portable SQL oracle; covered by unit tests):
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Ivf.build(emb, nlist = 16)
+      Ivf.topK(emb, emb.filter(col("vec_id") < 5), index, k = 3, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(augmented(Tables.documents(s, dir)))
         .orderBy(col("id_a"), col("id_b"))),
@@ -278,6 +306,22 @@ object PipelineQueries {
     "q_ann_topk" -> annTopkOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
-    "q_multimodal_decode" -> multimodalOracle
+    "q_multimodal_decode" -> multimodalOracle,
+    "q_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.vec", "b.vec")} AS cosine
+        |  FROM v a CROSS JOIN v b
+        |  WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cosine, da.source AS source_a, db.source AS source_b
+        |FROM p
+        |JOIN documents da ON da.doc_id = id_a
+        |JOIN documents db ON db.doc_id = id_b
+        |WHERE cosine >= 0.40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -76,8 +76,11 @@ object TelematicsQueries {
       |  WHERE event_type IN ('error', 'purchase')
       |)""".stripMargin
 
-  private val scoreOracle: String =
-    s"""WITH $factCte,
+  /** Score-pipeline CTE chain (through `scored`), shared by the score oracle
+    * and the as-of-join oracle.
+    */
+  private val scoreCtes: String =
+    s"""$factCte,
       |base AS (
       |  SELECT device_id,
       |    CAST(gps_epoch - INTERVAL 6 HOUR AS DATE) AS report_date,
@@ -100,7 +103,8 @@ object TelematicsQueries {
       |      + 0.15 * (overspeed_reports::DOUBLE / total_reports) * (night_reports::DOUBLE / total_reports)
       |      - 0.1155))) AS score_raw
       |  FROM agg
-      |)
+      |),
+      |final AS (
       |SELECT device_id, report_date,
       |  CASE WHEN total_reports < 10 THEN NULL
       |       ELSE least(greatest(round(score_raw), 0), 100)::DOUBLE END AS score,
@@ -110,7 +114,11 @@ object TelematicsQueries {
       |       ELSE 'Inseguro' END AS level,
       |  total_reports, overspeed_reports, night_reports
       |FROM scored
-      |ORDER BY device_id, report_date""".stripMargin
+      |)""".stripMargin
+
+  private val scoreOracle: String =
+    s"""WITH $scoreCtes
+      |SELECT * FROM final ORDER BY device_id, report_date""".stripMargin
 
   // ---- serving-layer queries (graft.serve.Api) --------------------------
 
@@ -289,6 +297,20 @@ object TelematicsQueries {
     "q_retention" -> (retentionQuery _),
     "q_coord_parse" -> (coordParse _),
     "q_dlq_split" -> (dlqQuery _),
+    "q_asof_join" -> ((s, dir) => {
+      import graft.analytics.AsOfJoin
+      val fact = normalizedFact(s, dir)
+      // score only the first two weeks so later events genuinely reach back
+      val scores = RiskScore.pipeline(fact)
+        .filter(col("report_date") <= lit("2024-01-14").cast("date"))
+        .select(col("device_id"), col("report_date"), col("level"))
+      val ev = fact.select(col("device_id"),
+        to_date(RiskScore.localTs(col("gps_epoch"))).as("event_date"))
+      AsOfJoin.asOfJoin(ev, scores, Seq("device_id"),
+          col("event_date"), col("report_date"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n"))
+        .orderBy(col("level").asc_nulls_first)
+    }),
     "q_ts_format" -> ((s, dir) => {
       // F17: API-layer timestamp presentation "…mmm -0600" (main.py:127-163)
       val lt = RiskScore.localTs(col("ts"))
@@ -312,6 +334,16 @@ object TelematicsQueries {
     "q_retention" -> retentionOracle,
     "q_coord_parse" -> coordParseOracle,
     "q_dlq_split" -> dlqOracle,
+    "q_asof_join" ->
+      s"""WITH $scoreCtes,
+        |scores AS (SELECT device_id, report_date, level FROM final
+        |           WHERE report_date <= DATE '2024-01-14'),
+        |ev AS (SELECT device_id, CAST(gps_epoch - INTERVAL 6 HOUR AS DATE) AS event_date
+        |       FROM fact)
+        |SELECT level, count(*) AS n
+        |FROM ev ASOF LEFT JOIN scores
+        |  ON ev.device_id = scores.device_id AND ev.event_date >= scores.report_date
+        |GROUP BY level ORDER BY level NULLS FIRST""".stripMargin,
     "q_ts_format" ->
       """SELECT event_id,
         |  strftime(ts - INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%g') || ' -0600' AS local_ts_fmt

@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path (same family as FAISS IVF-Flat): k-means centroids partition
+  * the corpus into `nlist` cells; a query probes only its `nprobe` nearest
+  * cells and scores those candidates exactly.
+  *
+  * Build: one MLlib KMeans fit (seeded → deterministic on fixed data) over a
+  * sample or the full corpus. Search: cell assignment is a pure codegen'able
+  * projection against the centroid literals (argmin over
+  * `-2·c·v + ||c||²`, the ||v||² term is constant per row), then an equi-join
+  * corpus-cell ↔ probed-cell, exact cosine on candidates, windowed top-k.
+  *
+  * At 100 TB: the corpus is written *partitioned by cell* once, so a query
+  * touches nprobe/nlist of the data — the join becomes partition pruning.
+  */
+object Ivf {
+
+  case class Index(centroids: Seq[Seq[Double]]) {
+    val norms2: Seq[Double] = centroids.map(c => c.map(x => x * x).sum)
+  }
+
+  /** Fit nlist centroids (deterministic for a fixed seed + input). */
+  def build(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+            vecCol: String = "embedding"): Index = {
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(feats)
+    Index(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  /** Nearest-cell id for a vector column: argmin over centroids of
+    * `-2·c·v + ||c||²` (expression-only, no shuffle).
+    */
+  def cellId(vec: Column, index: Index): Column = {
+    val scores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * Similarity.dot(vec, typedLit(c)) + lit(index.norms2(i))).as("d"),
+        lit(i).as("i"))
+    }
+    // array_min on struct(d, i) orders lexicographically: min distance, then
+    // lowest cell id — deterministic ties
+    array_min(array(scores: _*)).getField("i")
+  }
+
+  /** The query's nprobe nearest cells as an array column. */
+  def probeCells(vec: Column, index: Index, nprobe: Int): Column = {
+    val scores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * Similarity.dot(vec, typedLit(c)) + lit(index.norms2(i))).as("d"),
+        lit(i).as("i"))
+    }
+    transform(
+      slice(array_sort(array(scores: _*)), 1, nprobe),
+      s => s.getField("i"))
+  }
+
+  /** IVF search: top-k per query over candidates from the probed cells. */
+  def topK(corpus: DataFrame, queries: DataFrame, index: Index, k: Int,
+           nprobe: Int, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("nn_vec"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("cell", cellId(col("nn_vec"), index))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec"), index, nprobe)))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "cosine")
+  }
+}
