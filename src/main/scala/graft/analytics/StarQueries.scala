@@ -31,16 +31,16 @@ object StarQueries {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        dec(sum(dec(col("l_quantity")))).cast("double").as("sum_qty"),
+        dec(sum(dec(col("l_extendedprice")))).cast("double").as("sum_base_price"),
         dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         // second factor applied in exact decimal space: the 6-decimal true
         // product of three doubles ties at a 4-decimal cast ~1% of the time
         // and engines disagree on the tie direction
         sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) *
             dec(lit(1.0) + col("l_tax"), 2))
-          .cast(DecimalType(18, 6)).as("sum_charge"),
+          .cast(DecimalType(18, 6)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("count_order"), 4))
       .withColumn("avg_price", round(col("sum_base_price").cast("double") / col("count_order"), 4))
@@ -56,7 +56,8 @@ object StarQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"))
+      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -78,7 +79,8 @@ object StarQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"))
+      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -123,7 +125,7 @@ object StarQueries {
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dec(sum(dec(col("l_quantity")))).as("qty"))
+      .agg(count(lit(1)).as("n"), dec(sum(dec(col("l_quantity")))).cast("double").as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** SQL text surface (S6): same engine, `spark.sql` entry. */
@@ -149,8 +151,8 @@ object StarQueries {
         countDistinct(col("c_nationkey")).as("n_nations"),
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"),
-        dec(sum(dec(col("c_acctbal")))).as("sum_bal"),
-        dec(sum(dec(col("c_acctbal") * col("c_acctbal"), 4)), 4).as("sum_sq"))
+        dec(sum(dec(col("c_acctbal")))).cast("double").as("sum_bal"),
+        dec(sum(dec(col("c_acctbal") * col("c_acctbal"), 4)), 4).cast("double").as("sum_sq"))
       .withColumn("avg_bal", round(col("sum_bal").cast("double") / col("n"), 4))
       .withColumn("std_bal", round(
         sqrt((col("sum_sq").cast("double") -

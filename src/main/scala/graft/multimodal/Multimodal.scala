@@ -79,4 +79,23 @@ object Multimodal {
                    frames: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(frames - 1)),
       i => (nBytes * i / frames).cast("long"))
+
+  /** Resize stub: recomputes target dims preserving aspect ratio (the real
+    * math any resizer does) and fakes the payload as a truncation
+    * proportional to the pixel reduction — a real codec swaps only the byte
+    * transform, the column plumbing is identical.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val scale = math.min(1.0, maxDim.toDouble / math.max(r.width, r.height))
+        val (w2, h2) = (math.max(1, (r.width * scale).toInt),
+          math.max(1, (r.height * scale).toInt))
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val keep = math.max(1, (bytes.length * scale * scale).toInt)
+        r.copy(media = bytes.take(keep), width = w2, height = h2)
+      }
+    }
+  }
 }

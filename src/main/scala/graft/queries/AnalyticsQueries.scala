@@ -11,10 +11,10 @@ object AnalyticsQueries {
 
   private val q1Oracle =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order,
       |  round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
       |  round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_price
@@ -25,7 +25,7 @@ object AnalyticsQueries {
 
   private val q3Oracle =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -38,7 +38,7 @@ object AnalyticsQueries {
 
   private val q5Oracle =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -77,7 +77,7 @@ object AnalyticsQueries {
 
   private val rollupOracle =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -93,8 +93,8 @@ object AnalyticsQueries {
     """SELECT c_mktsegment, count(*) AS n,
       |  count(DISTINCT c_nationkey) AS n_nations,
       |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
-      |  CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sq,
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal,
+      |  CAST(CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_sq,
       |  round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_bal,
       |  round(sqrt((CAST(CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
       |    - CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
@@ -112,7 +112,7 @@ object AnalyticsQueries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("total_price"))
+          .cast(DecimalType(18, 2)).cast("double").as("total_price"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -121,11 +121,34 @@ object AnalyticsQueries {
     */
   private val skewJoinOracle =
     """SELECT o_orderpriority, count(*) AS n,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.RangeJoin
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val iv = graft.Tables.events(s, dir).filter(col("event_type") === "error")
+      .select(col("event_id").as("interval_id"), unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + 600L * 1000000L).as("hi"))
+    RangeJoin.pointInInterval(ev, iv, "pt", "lo", "hi", binWidth = 300L * 1000000L)
+      .groupBy(col("interval_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("interval_id"))
+  }
+
+  /** Oracle is the naive theta join — proves the binned rewrite is identity. */
+  private val rangeJoinOracle =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS pt FROM events),
+      |iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+      |       epoch_us(ts) + 600000000 AS hi FROM events WHERE event_type = 'error')
+      |SELECT interval_id, count(*) AS n
+      |FROM ev JOIN iv ON pt >= lo AND pt < hi
+      |GROUP BY interval_id ORDER BY interval_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
     "q1_pricing_summary" -> (StarQueries.pricingSummary _),
     "q3_shipping_priority" -> (StarQueries.shippingPriority _),
@@ -139,6 +162,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,

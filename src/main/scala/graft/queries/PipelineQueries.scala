@@ -142,6 +142,35 @@ object PipelineQueries {
       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
+  private def langIdNgramQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langIdNgram(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  private val langIdNgramOracle = {
+    val cnt = TextAnalysis.TrigramProfiles.map { case (lang, grams) =>
+      grams.map(g => s"CASE WHEN contains(text, '$g') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") AS c_$lang")
+    }.mkString(",\n      |    ")
+    s"""WITH c AS (
+      |  SELECT lang,
+      |    $cnt
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang,
+      |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+      |         WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+      |         WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+      |         WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+      |         WHEN c_fr = greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+      |         ELSE 'unknown' END AS pred_lang
+      |  FROM c
+      |)
+      |SELECT lang, pred_lang, count(*) AS n FROM p
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
   private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(s, dir))
       .groupBy(col("source"))
@@ -248,6 +277,7 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_text_quality" -> (qualityQ _),
     "q_lang_id" -> (langIdQ _),
+    "q_lang_id_ngram" -> (langIdNgramQ _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_ann_topk" -> (annTopkQ _),
@@ -301,6 +331,7 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_text_quality" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
+    "q_lang_id_ngram" -> langIdNgramOracle,
     "q_token_count" -> tokenCountOracle,
     "q_fingerprint" -> fingerprintOracle,
     "q_ann_topk" -> annTopkOracle,

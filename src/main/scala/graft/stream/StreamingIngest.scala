@@ -88,6 +88,18 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming dedup by id within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): the in-flight version of exact dedup
+    * — replayed/duplicated telemetry (at-least-once upstreams) collapses to
+    * one row, with state bounded by the watermark instead of growing forever.
+    */
+  def dedupStream(normalized: DataFrame, idCol: String = "correlation_id",
+                  eventTimeCol: String = "gps_epoch",
+                  watermark: String = "10 minutes"): DataFrame =
+    normalized
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Arbitrary-state streaming (`mapGroupsWithState`): running per-device
     * totals that survive across micro-batches — the `GroupState` surface for
     * custom state the reference's stateless jobs never needed (north-star

@@ -64,6 +64,30 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  /** Character-trigram profiles per language (toy profiles over the corpus
+    * vocabulary — swappable for real ones; the *mechanism* is the standard
+    * n-gram-overlap language detector, Cavnar-Trenkle style).
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", " th", "he ", "ing", "ed "),
+    "es" -> Seq("el ", " de", "la ", "que", "os ", "ión"),
+    "de" -> Seq("der", "die", "und", "ein", "ch ", "sch"),
+    "fr" -> Seq("le ", " le", "es ", "ent", "une", "eur"))
+
+  /** N-gram-heuristic language ID: argmax over per-language counts of profile
+    * trigrams present in the text (fixed tie order en>es>de>fr).
+    */
+  def langIdNgram(textCol: Column): Column = {
+    def overlap(profile: Seq[String]): Column =
+      profile.map(g => when(contains(textCol, lit(g)), 1).otherwise(0))
+        .reduce(_ + _)
+    val counts = TrigramProfiles.map { case (lang, grams) => lang -> overlap(grams) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldLeft(when(best === 0, "unknown")) { case (acc, (lang, c)) =>
+      acc.when(c === best, lang)
+    }.otherwise("unknown")
+  }
+
   /** Whitespace token count and a BPE-ish subword-regex token count
     * (word-chars runs | single non-space non-word chars), the standard cheap
     * token estimator.

@@ -64,6 +64,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses replayed ids across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val q = StreamingIngest.dedupStream(StreamingIngest.ingest(mem.toDF()))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Edge.mk("7", 1704067200L), Edge.mk("7", 1704067200L)) // dup in batch
+      q.processAllAvailable()
+      mem.addData(Edge.mk("7", 1704067200L)) // replay in next batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("file ingest with checkpointed sink is exactly-once across restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")

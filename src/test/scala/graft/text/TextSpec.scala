@@ -44,6 +44,28 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == "hello world".hashCode)
   }
 
+  test("ngram langId: profile trigram overlap with fixed tie order") {
+    val out = Seq(
+      "the thing and the king",  // en trigrams
+      "el de la que casa",       // es
+      "der die und einmal",      // de
+      "zzzz qqqq",               // none -> unknown
+      ""                         // empty -> unknown
+    ).toDF("text").select(TextAnalysis.langIdNgram(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "de", "unknown", "unknown"))
+  }
+
+  test("resize stub preserves aspect ratio and shrinks payload") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((100L, "x" * 1000, "en", "s", 1000L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // doc 100: width 100%640+64=164, height 100%480+48=148
+    val out = Multimodal.resizeStub(spark, media, maxDim = 82).collect().head
+    assert(out.width == 82 && out.height == 74) // scale 0.5 exactly
+    assert(out.media.length == 250) // 1000 * 0.25
+    val noop = Multimodal.resizeStub(spark, media, maxDim = 2000).collect().head
+    assert(noop.width == 164 && noop.media.length == 1000) // no upscale
+  }
+
   test("multimodal decode stub: exact features from known bytes") {
     val media = Multimodal.mediaFromDocuments(
       Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
