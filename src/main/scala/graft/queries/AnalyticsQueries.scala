@@ -147,7 +147,62 @@ object AnalyticsQueries {
       |FROM ev JOIN iv ON pt >= lo AND pt < hi
       |GROUP BY interval_id ORDER BY interval_id""".stripMargin
 
+  private def pivotQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("user_id") +: Seq("click", "error", "purchase", "signup", "view")
+        .map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  private val pivotOracle =
+    """SELECT user_id,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private def tumblingQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    graft.Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+  }
+
+  private val tumblingOracle =
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  private def quantilesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
+  private val quantilesOracle =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (pivotQ _),
+    "q_tumbling_window" -> (tumblingQ _),
+    "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
     "q1_pricing_summary" -> (StarQueries.pricingSummary _),
@@ -162,6 +217,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" -> pivotOracle,
+    "q_tumbling_window" -> tumblingOracle,
+    "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,
     "q1_pricing_summary" -> q1Oracle,

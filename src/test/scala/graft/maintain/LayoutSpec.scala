@@ -1,0 +1,69 @@
+package graft.maintain
+
+import graft.SparkSpec
+import graft.queries.TelematicsQueries
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/fact"
+    Layout.writeFact(TelematicsQueries.normalizedFact(spark, sf()), d)
+    d
+  }
+
+  test("fact layout: partition dirs, zstd files, sorted within files") {
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("device_id_bucket=")).map(_.getName)
+    assert(buckets.nonEmpty)
+    val days = new java.io.File(s"$dir/${buckets.head}").listFiles()
+      .filter(_.getName.startsWith("received_day=")).map(_.getName)
+    assert(days.nonEmpty)
+    val files = new java.io.File(s"$dir/${buckets.head}/${days.head}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains(".zstd.")))
+    // sorted within each file: per-partition rows are non-decreasing
+    val sortedOk = spark.read.parquet(s"$dir/${buckets.head}/${days.head}")
+      .select($"device_id", unix_micros($"gps_epoch").as("t"))
+      .as[(String, Long)].collect()
+    assert(sortedOk.sliding(2).forall {
+      case Array((d1, t1), (d2, t2)) => d1 < d2 || (d1 == d2 && t1 <= t2)
+      case _ => true
+    })
+  }
+
+  test("point lookup on the layout prunes partitions in the scan") {
+    val df = spark.read.parquet(dir)
+      .filter($"received_day" === lit("2024-01-10").cast("date") &&
+        $"device_id_bucket" === math.abs("7".hashCode) % 32 &&
+        $"device_id" === "7")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val pruned = scan.toString
+    assert(pruned.contains("received_day") && pruned.contains("device_id_bucket"),
+      s"partition filters missing from scan: $pruned")
+    // pushed data filter on device_id reaches the parquet reader
+    assert(pruned.contains("PushedFilters") && pruned.contains("EqualTo(device_id,7)"),
+      pruned)
+    assert(df.count() > 0)
+  }
+
+  test("as-of and range joins avoid nested-loop plans") {
+    import graft.analytics.{AsOfJoin, RangeJoin}
+    val scores = graft.score.RiskScore.pipeline(TelematicsQueries.normalizedFact(spark, sf()))
+      .select($"device_id", $"report_date", $"level")
+    val ev = TelematicsQueries.normalizedFact(spark, sf())
+      .select($"device_id", to_date($"gps_epoch").as("event_date"))
+    val asof = AsOfJoin.asOfJoin(ev, scores, Seq("device_id"),
+      col("event_date"), col("report_date"))
+    assert(!asof.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "as-of join planned as nested loop")
+    val pts = Seq((1L, 5L)).toDF("event_id", "pt")
+    val ivs = Seq((1L, 0L, 10L)).toDF("interval_id", "lo", "hi")
+    val rj = RangeJoin.pointInInterval(pts, ivs, "pt", "lo", "hi", 4L)
+    assert(!rj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "range join planned as nested loop")
+  }
+}
