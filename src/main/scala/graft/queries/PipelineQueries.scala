@@ -270,10 +270,76 @@ object PipelineQueries {
       |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- end-to-end curation pipeline --------------------------------------
+
+  /** The composed curation flow a training-data pipeline runs: exact-dedup
+    * the (augmented) corpus → quality-score → drop low-quality docs →
+    * language-ID the survivors → per-language document/token budget.
+    */
+  private def curationQ(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.dedupExact(augmented(Tables.documents(s, dir)))
+    val scored = TextAnalysis.qualityFeatures(deduped)
+      .filter(col("quality_score") >= 0.5)
+    scored
+      .select(TextAnalysis.langId(col("text")).as("pred_lang"), col("n_tokens"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("pred_lang"))
+  }
+
+  private val curationOracle = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val cnt = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS c_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH $augCte,
+      |dedup AS (
+      |  SELECT doc_id, text FROM aug
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |),
+      |f AS (
+      |  SELECT text, string_split_regex(text, '\\s+') AS toks,
+      |    length(text) AS n_chars,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |    len(list_filter(string_split_regex(text, '\\s+'),
+      |        x -> list_contains($stop, x))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      |  FROM dedup
+      |),
+      |q AS (
+      |  SELECT *,
+      |    round(least(n_tokens::DOUBLE / 50.0, 1.0)
+      |      * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+      |      * CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END)
+      |          BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END, 6) AS quality_score
+      |  FROM f
+      |),
+      |l AS (
+      |  SELECT n_tokens,
+      |    $cnt
+      |  FROM q WHERE quality_score >= 0.5
+      |),
+      |p AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+      |         WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+      |         WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+      |         WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+      |         WHEN c_fr = greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+      |         ELSE 'unknown' END AS pred_lang
+      |  FROM l
+      |)
+      |SELECT pred_lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExactQ _),
+    "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_text_quality" -> (qualityQ _),
     "q_lang_id" -> (langIdQ _),
@@ -328,6 +394,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactOracle,
+    "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_text_quality" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
