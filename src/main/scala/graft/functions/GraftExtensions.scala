@@ -16,10 +16,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * handy when the session is built by a harness we don't control.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // automate the reference's manual received_day partition guards
+    e.injectOptimizerRule(_ => graft.plans.InjectPartitionGuard())
+  }
 }
 
 object GraftExtensions {

@@ -4,13 +4,16 @@ import graft.functions.GraftExtensions
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: run one SQL statement on a graft-extended session (native
-  * functions registered). Usage: runMain graft.tools.SqlShell "<sql>" [sfDir]
-  * — testdata tables are registered as temp views.
+  * functions + optimizer rules registered).
+  * Usage: runMain graft.tools.SqlShell "<sql>" [sfDir] [factDir]
+  * — testdata tables are temp views; if `factDir` is given, the partitioned
+  * fact layout there is registered as view `fact`.
   */
 object SqlShell {
   def main(args: Array[String]): Unit = {
     val sql = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val factDir = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -25,6 +28,7 @@ object SqlShell {
       try spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       catch { case _: Exception => () }
     }
+    factDir.foreach(f => spark.read.parquet(f).createOrReplaceTempView("fact"))
     spark.sql(sql).show(50, truncate = false)
     spark.stop()
   }

@@ -51,6 +51,23 @@ class RiskScoreSpec extends SparkSpec {
     assert(out._3.asInstanceOf[Double] <= 20.0 && out._4 == "Seguro")
   }
 
+  test("score is null xor in [0,100]; level always consistent (SURVEY §5.3)") {
+    val out = RiskScore.pipeline(
+      graft.queries.TelematicsQueries.normalizedFact(spark, sf())).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val total = r.getLong(4)
+      val level = r.getString(3)
+      if (r.isNullAt(2)) {
+        assert(total < 10 && level == "Sin evidencia")
+      } else {
+        val s = r.getDouble(2)
+        assert(total >= 10 && s >= 0.0 && s <= 100.0 && s == math.rint(s))
+        assert(level == (if (s <= 20) "Seguro" else if (s <= 60) "Menos seguro" else "Inseguro"))
+      }
+    }
+  }
+
   test("local-midnight straddle splits device-days correctly") {
     // UTC 2024-01-11 05:59 → local Jan 10 23:59; UTC 06:01 → local Jan 11 00:01
     val rows = (0 until 10).map(i => ("d", f"2024-01-11 05:55:$i%02d.0", 20.0)) ++
