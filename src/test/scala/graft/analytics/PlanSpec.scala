@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("risk-score pipeline plans exactly one shuffle (the device-day agg)") {
+    import graft.queries.TelematicsQueries
+    import graft.score.RiskScore
+    val df = RiskScore.pipeline(TelematicsQueries.normalizedFact(spark, sf()))
+    val exchanges = "Exchange".r.findAllIn(plan(df)).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan(df)}")
+    assert(plan(df).contains("partial_count") || plan(df).contains("HashAggregate"))
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(
