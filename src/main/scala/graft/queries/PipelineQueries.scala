@@ -380,7 +380,11 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_minhash_lsh" -> ((s, dir) =>
-      MinHashLSH.nearDuplicates(augmented(Tables.documents(s, dir)))
+      // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
+      // 1-(1-0.8^4)^16 ≈ 0.9998) at half the signature cost; exact
+      // verification makes precision independent of the sketch size
+      MinHashLSH.nearDuplicates(augmented(Tables.documents(s, dir)),
+          numHashes = 64, bands = 16)
         .orderBy(col("id_a"), col("id_b"))),
     "q_simhash" -> ((s, dir) =>
       SimHash.nearDuplicates(augmented(Tables.documents(s, dir)))
