@@ -86,14 +86,23 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxShingleFreq: Int = 1000): DataFrame = {
+                        maxShingleFreq: Int = 1000): DataFrame =
+    jaccardPairsFromShingles(withShingles(docs, k, idCol, textCol),
+      threshold, maxShingleFreq)
+
+  /** Same pipeline from an already-shingled (id, sh) frame — lets callers
+    * (e.g. the minhash self-verification query) share one shingle frame
+    * between the sketch and the exact baseline.
+    */
+  def jaccardPairsFromShingles(shArr: DataFrame, threshold: Double,
+                               maxShingleFreq: Int = 1000): DataFrame = {
     // exploded shingles feed three branches (sizes, both join sides): persist.
     // Join/shuffle on the 64-bit shingle hash, not the string — ~4× smaller
     // shuffle rows and cheaper equality; 64-bit collisions are ~1e-9 at
     // billions of shingles (and only perturb candidate counts, which exact
     // verification would need astronomically unlucky same-pair collisions to
     // miss)
-    val sh = withShingles(docs, k, idCol, textCol)
+    val sh = shArr
       .select(col("id"), explode(col("sh")).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

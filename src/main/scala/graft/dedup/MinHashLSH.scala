@@ -87,6 +87,16 @@ object MinHashLSH {
     val sh = Dedup.withShingles(docs, k, idCol, textCol)
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDuplicatesFromShingles(sh, numHashes, bands, threshold, seed)
+  }
+
+  /** [[nearDuplicates]] from an already-shingled, nonempty-filtered (id, sh)
+    * frame (caller owns persistence — pass a persisted frame so shingling
+    * runs once across the sketch and any exact baseline sharing it).
+    */
+  def nearDuplicatesFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
+                                 threshold: Double = 0.8,
+                                 seed: Long = 42L): DataFrame = {
     val cands = candidatePairs(signaturesFromShingles(sh, numHashes, seed), bands)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   * `doc_id % 10 == 0` (+1M ids) and one-token-prepended near-copies of
   * `doc_id % 10 == 1` (+2M ids) — same construction on both engines.
   *
-  * `q_minhash_lsh` / `q_simhash` / `q_ann_lsh` are approximate/sketch-based
-  * and not portably SQL-expressible → no oracle (driver rows-only check);
-  * their exactness properties are covered by `DedupSpec`/`SimilaritySpec`
-  * (planted duplicates, brute-force cross-check).
+  * Sketch-based operators get *self-verifying* oracle queries: the Spark side
+  * recomputes the exact baseline in-plan and emits deterministic invariant
+  * columns (sketch ⊆ exact, planted duplicates captured, recall ≥ bound) next
+  * to exact counts DuckDB can re-derive — so even approximate operators get a
+  * full rows+schema+hash CORRECTNESS row. `q_ann_lsh` goes further: seeded
+  * SRP hyperplanes are pure data, so the oracle embeds them as literals and
+  * replicates the whole bucket→cosine→rank pipeline bit-exactly in SQL.
   */
 object PipelineQueries {
+
+  import org.apache.spark.storage.StorageLevel
 
   /** Corpus with planted exact + near duplicates. */
   def augmented(docs: DataFrame): DataFrame =
@@ -335,6 +340,153 @@ object PipelineQueries {
       |FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
 
+  // ---- self-verifying sketch queries -------------------------------------
+
+  /** MinHash/LSH vs the exact shingle-Jaccard baseline over one shared
+    * persisted shingle frame. Output is a single summary row whose counts
+    * DuckDB re-derives exactly and whose booleans are real Spark-side checks
+    * (they flip to false if the sketch breaks — the oracle pins them true).
+    */
+  private def minhashLshQ(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
+    // 1-(1-0.8^4)^16 ≈ 0.9998 per pair) at half the 128-hash signature cost
+    val lsh = MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
+      .select("id_a", "id_b")
+    // exact baseline from the same shingles, frequency cut disabled so the
+    // subset check can't be confounded by dropped hot shingles
+    val exact = Dedup.jaccardPairsFromShingles(sh, threshold = 0.8,
+        maxShingleFreq = Int.MaxValue)
+      .select("id_a", "id_b")
+    val cmp = exact.withColumn("in_e", lit(1L))
+      .join(lsh.withColumn("in_l", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+    val stats = cmp.agg(
+      coalesce(sum(col("in_e")), lit(0L)).as("n_exact_pairs"),
+      (coalesce(sum(when(col("in_e").isNull, 1L)), lit(0L)) === 0L).as("lsh_subset_ok"),
+      (coalesce(sum(when(col("in_l").isNull, 1L)), lit(0L)).cast("double")
+        <= lit(0.05) * coalesce(sum(col("in_e")), lit(0L)).cast("double")).as("recall_ok"))
+    // planted exact copies (doc_id%10==0 → +1M): Jaccard 1.0, so banded LSH
+    // must capture every one — a hard guarantee, not a probabilistic bound
+    val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
+      .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val plantedOk = planted.join(lsh, Seq("id_a", "id_b"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("planted_captured"))
+    stats.crossJoin(nPlanted).crossJoin(plantedOk)
+      .select("n_exact_pairs", "n_planted", "lsh_subset_ok",
+        "planted_captured", "recall_ok")
+  }
+
+  private val minhashLshOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT count(*) AS n FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.8),
+      |pl AS (
+      |  SELECT count(*) AS n FROM documents
+      |  WHERE doc_id % 10 = 0 AND len(string_split_regex(text, '\\s+')) >= 5)
+      |SELECT CAST(ex.n AS BIGINT) AS n_exact_pairs, CAST(pl.n AS BIGINT) AS n_planted,
+      |  true AS lsh_subset_ok, true AS planted_captured, true AS recall_ok
+      |FROM ex, pl""".stripMargin
+
+  /** SimHash near-dup detection, summarized against the exact-duplicate pair
+    * set (md5 groups): identical text ⇒ identical fingerprint ⇒ Hamming 0 ⇒
+    * the Manku block join captures the pair — so `exact_dups_captured` is a
+    * theorem the run re-proves; `n_exact_dup_pairs` is the DuckDB cross-check.
+    */
+  private def simhashQ(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+    val pairs = SimHash.nearDuplicates(aug)
+    val h = aug.select(col("doc_id").as("id"), md5(col("text")).as("h"))
+    val dupPairs = h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val nDup = dupPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
+    val captured = dupPairs
+      .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("exact_dups_captured"))
+    val bound = pairs.agg(
+      (coalesce(max(col("hamming")), lit(0)) <= 3).as("hamming_bound_ok"))
+    nDup.crossJoin(captured).crossJoin(bound)
+  }
+
+  private val simhashOracle =
+    s"""WITH $augCte,
+      |g AS (SELECT md5(text) AS h, count(*) AS n FROM aug GROUP BY 1 HAVING count(*) > 1)
+      |SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+      |  true AS exact_dups_captured, true AS hamming_bound_ok
+      |FROM g""".stripMargin
+
+  /** DuckDB SQL for the SRP bucket of `vec`: the seeded hyperplanes are pure
+    * data, embedded as double literals (Double.toString round-trips exactly),
+    * with the same left-fold dot order as [[graft.functions.DotProduct]] — so
+    * the bucket, and hence the whole LSH result, is bit-identical.
+    */
+  private def srpBucketSql(vec: String): String = {
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql.format(vec, s"($arr)")} >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", "\n      |   + ", ")")
+  }
+
+  private val annLshOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec, ${srpBucketSql("vec")} AS bucket FROM v),
+      |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM b WHERE vec_id < 5),
+      |p AS (
+      |  SELECT query_id, c.vec_id AS nn_id, ${cosSql("q_vec", "c.vec")} AS cosine
+      |  FROM q JOIN b c USING (bucket)
+      |  WHERE c.vec_id <> query_id
+      |)
+      |SELECT query_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      |  FROM p)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF ANN summarized against global brute force: result cardinalities are
+    * DuckDB-derivable (3 per query), and `recall_ok` asserts recall@3 ≥ 0.5
+    * with nprobe=4 of nlist=16 — holds for any reasonable k-means outcome on
+    * this data, and flips false if cell assignment or probing breaks.
+    */
+  private def annIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ivf.build(emb, nlist = 16)
+    val ivf = Ivf.topK(emb, queries, index, k = 3, nprobe = 4)
+      .select("query_id", "nn_id")
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "nn_id").withColumn("in_bf", lit(1L))
+    ivf.join(bf, Seq("query_id", "nn_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_results"),
+        (coalesce(sum(col("in_bf")), lit(0L)).cast("double")
+          / count(lit(1)).cast("double") >= 0.5).as("recall_ok"))
+  }
+
+  private val annIvfOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 3 AS BIGINT) AS n_results, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,23 +524,10 @@ object PipelineQueries {
             .as("approx_ok"))
         .orderBy(col("event_type"))
     }),
-    // sketch-based (no portable SQL oracle; covered by unit tests):
-    "q_ann_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val index = Ivf.build(emb, nlist = 16)
-      Ivf.topK(emb, emb.filter(col("vec_id") < 5), index, k = 3, nprobe = 4)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-    "q_minhash_lsh" -> ((s, dir) =>
-      // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
-      // 1-(1-0.8^4)^16 ≈ 0.9998) at half the signature cost; exact
-      // verification makes precision independent of the sketch size
-      MinHashLSH.nearDuplicates(augmented(Tables.documents(s, dir)),
-          numHashes = 64, bands = 16)
-        .orderBy(col("id_a"), col("id_b"))),
-    "q_simhash" -> ((s, dir) =>
-      SimHash.nearDuplicates(augmented(Tables.documents(s, dir)))
-        .orderBy(col("id_a"), col("id_b"))),
+    // sketch-based, with self-verifying oracles (see section above):
+    "q_ann_ivf" -> (annIvfQ _),
+    "q_minhash_lsh" -> (minhashLshQ _),
+    "q_simhash" -> (simhashQ _),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
@@ -424,6 +563,10 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_minhash_lsh" -> minhashLshOracle,
+    "q_simhash" -> simhashOracle,
+    "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle
   )
 }

@@ -83,7 +83,7 @@ object Similarity {
   /** Seeded deterministic unit-free hyperplanes: values from an LCG, shaped
     * [numPlanes][dim]. Sign pattern = SRP-LSH bucket.
     */
-  private[sim] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var x = seed
     def next(): Double = {
       x = x * 6364136223846793005L + 1442695040888963407L
