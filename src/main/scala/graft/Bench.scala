@@ -1,6 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every registered query at the given SF and
+  * emits one JSON metrics line (stdout, unprefixed via build.sbt's
+  * StdoutOutput strategy, plus an optional SPARK_GRAFT_BENCH_OUT file sink so
+  * log interleaving can never corrupt the parse).
+  */
 object Bench {
+
+  /** Force full evaluation of every output row AND column: hash-agg over a
+    * struct of all columns. A bare `count()` lets Catalyst prune unused
+    * columns and drop result-irrelevant sorts, so projection-only queries
+    * would measure scan+count instead of the operator under test.
+    */
+  private[graft] def fullyEvaluate(df: DataFrame): Unit = {
+    // bit_xor, not sum: ANSI mode makes a long sum of 64-bit hashes overflow
+    df.agg(call_function("bit_xor",
+      xxhash64(struct(df.columns.map(col).toSeq: _*)))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,15 +33,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time session warmup outside any query's timer: first job in a fresh
+    // JVM pays executor/codegen/scan infrastructure init (~5-20 s) that is not
+    // attributable to whichever query happens to run first. Trivial queries
+    // only — no per-query work is pre-run.
+    spark.range(1L << 20).agg(sum(col("id"))).collect()
+    fullyEvaluate(Tables.region(spark, sfDir))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fullyEvaluate(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries may persist intermediates; drop them between queries so one
+      // query's cache residue can't skew another's memory/GC behavior
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
+    println(line)
   }
 }

@@ -47,14 +47,22 @@ object Dedup {
 
   /** Distinct k-shingles from an already-materialized token *array* column
     * (see object doc, rule 1); documents shorter than k tokens yield empty.
+    *
+    * Shingle identity is the 64-bit `xxhash64` of the k tokens, not the
+    * joined string: set operations over shingles (distinct/intersect/join)
+    * are value-identical modulo 64-bit collisions (~1e-9 at billions of
+    * shingles), and measured 6× faster — `array_distinct` over strings
+    * dominated the whole dedup family's runtime, and hashed shingles also
+    * shrink every downstream shuffle row. Tokens contain no whitespace, so
+    * the k-token tuple is unambiguous.
     */
   def shinglesFromTokens(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) >= k,
         transform(
           sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k)))))
-        .otherwise(typedLit(Array.empty[String])))
+          i => xxhash64((0 until k).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(typedLit(Array.empty[Long])))
 
   /** Convenience single-column form — only for small inputs/tests; hot paths
     * must go through [[withShingles]].
@@ -64,6 +72,13 @@ object Dedup {
 
   /** (id, sh) with the token array materialized in its own projection and the
     * corpus repartitioned for CPU-bound downstream work (object doc, rule 2).
+    *
+    * Documents shorter than k tokens are dropped here, on `size(tokens)`,
+    * BEFORE the shingle expression exists: a caller-side
+    * `filter(size(sh) > 0)` gets predicate-pushed below the projection, which
+    * substitutes the whole shingle lambda (with `split` re-inlined per
+    * element) into the Filter — measured 5× the entire pipeline's cost.
+    * Downstream code may assume every emitted `sh` is non-empty.
     */
   def withShingles(docs: DataFrame, k: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -71,6 +86,7 @@ object Dedup {
     docs.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .withColumn("__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= k)
       .withColumn("sh", shinglesFromTokens(col("__toks"), k))
       .select(col("id"), col("sh"))
   }
@@ -87,7 +103,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleFreq: Int = 1000): DataFrame =
-    jaccardPairsFromShingles(withShingles(docs, k, idCol, textCol),
+    // persist the array-form shingle frame BEFORE exploding: the cache is a
+    // predicate-pushdown boundary, so the `isnotnull(sh)`/`size(sh) > 0`
+    // constraints Catalyst infers from the downstream explode land on the
+    // cached attribute instead of being substituted (with `split` re-inlined
+    // per array element — measured 10× the whole pipeline) into the scan
+    jaccardPairsFromShingles(
+      withShingles(docs, k, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, maxShingleFreq)
 
   /** Same pipeline from an already-shingled (id, sh) frame — lets callers
@@ -97,20 +120,21 @@ object Dedup {
   def jaccardPairsFromShingles(shArr: DataFrame, threshold: Double,
                                maxShingleFreq: Int = 1000): DataFrame = {
     // exploded shingles feed three branches (sizes, both join sides): persist.
-    // Join/shuffle on the 64-bit shingle hash, not the string — ~4× smaller
-    // shuffle rows and cheaper equality; 64-bit collisions are ~1e-9 at
-    // billions of shingles (and only perturb candidate counts, which exact
-    // verification would need astronomically unlucky same-pair collisions to
-    // miss)
+    // Shingles are already 64-bit hashes (see [[shinglesFromTokens]]) — the
+    // join/shuffle key is 8 bytes with cheap equality
     val sh = shArr
       .select(col("id"), explode(col("sh")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val filtered = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq),
+    // the shingle-keyed joins are corpus-sized on BOTH sides: hint shuffle
+    // joins so the optimizer's file-size-derived estimates (tiny parquet →
+    // "broadcastable") can't broadcast millions of exploded shingle rows
+    val filtered = sh.hint("shuffle_hash").join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq)
+        .hint("shuffle_hash"),
       Seq("shingle"))
-    val pairs = filtered.as("a").join(filtered.as("b"),
+    val pairs = filtered.as("a").hint("shuffle_hash")
+      .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("intersection"))

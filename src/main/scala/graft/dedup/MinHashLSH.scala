@@ -45,9 +45,11 @@ object MinHashLSH {
     val ps = params(numHashes, seed)
     // one array<struct> literal, not numHashes×struct(lit,lit) nodes: keeps
     // the expression tree (and its analysis/codegen cost) O(1) in numHashes
+    // (precondition: sh non-empty — Dedup.withShingles guarantees it; a
+    // filter(size(sh) > 0) here would be pushdown-substituted into the
+    // shingle projection, re-evaluating the whole lambda per row)
     val paramArr = typedLit(ps.map { case (a, b) => MinHashParam(a, b) })
-    sh.filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+    sh.withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
       .withColumn("sig", transform(paramArr,
         p => aggregate(col("hs"), lit(P),
           (m, h) => least(m, pmod(p.getField("a") * h + p.getField("b"), lit(P))))))
@@ -85,7 +87,6 @@ object MinHashLSH {
     // the verification join); persist so shingling runs once, not three times
     // — at cluster scale this is the sketch table you would checkpoint
     val sh = Dedup.withShingles(docs, k, idCol, textCol)
-      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nearDuplicatesFromShingles(sh, numHashes, bands, threshold, seed)
   }

@@ -51,10 +51,14 @@ object SimHash {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val fps = fingerprints(docs, idCol, textCol)
+    // the blocked frame is both sides of the self-join; persist the (tiny)
+    // (id, fp, block, key) projection so the fingerprint aggregation — the
+    // expensive part — runs once, not once per join side
     val blocked = fps.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
         j => call_function("shiftright", col("fp"), j * width)
           .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -349,12 +349,14 @@ object PipelineQueries {
     */
   private def minhashLshQ(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
-      .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
     // 1-(1-0.8^4)^16 ≈ 0.9998 per pair) at half the 128-hash signature cost
+    // the LSH pair set feeds two branches (full-outer compare + planted
+    // check); persist the (tiny) pair list so the sketch pipeline runs once
     val lsh = MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
       .select("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // exact baseline from the same shingles, frequency cut disabled so the
     // subset check can't be confounded by dropped hot shingles
     val exact = Dedup.jaccardPairsFromShingles(sh, threshold = 0.8,
@@ -413,11 +415,15 @@ object PipelineQueries {
     */
   private def simhashQ(s: SparkSession, dir: String): DataFrame = {
     val aug = augmented(Tables.documents(s, dir))
+    // both pair sets feed two summary branches each; persist the (tiny) pair
+    // lists so the fingerprint/block pipeline runs once, not per branch
     val pairs = SimHash.nearDuplicates(aug)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val h = aug.select(col("doc_id").as("id"), md5(col("text")).as("h"))
     val dupPairs = h.as("a").join(h.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nDup = dupPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
     val captured = dupPairs
       .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")

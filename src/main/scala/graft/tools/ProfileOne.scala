@@ -24,8 +24,10 @@ object ProfileOne {
     spark.sparkContext.setLogLevel("WARN")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"[profile] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      graft.Bench.fullyEvaluate(SparkEntry.queries(name)(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[profile] iter $i: $dt%.2f s")
     }
     spark.stop()
   }

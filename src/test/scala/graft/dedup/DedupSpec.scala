@@ -12,12 +12,15 @@ class DedupSpec extends SparkSpec {
   private lazy val aug = PipelineQueries.augmented(docs)
 
   test("shingles: < k tokens yields empty, k tokens yields one, dups collapse") {
-    val out = Seq("a b c", "a b c d e", "x x x x x x")
+    val out = Seq("a b c", "a b c d e", "x x x x x x", "a b c d e f")
       .toDF("text").select(Dedup.shingles(col("text"), 5).as("sh"))
-      .as[Seq[String]].collect()
+      .as[Seq[Long]].collect()
     assert(out(0).isEmpty)
-    assert(out(1) == Seq("a b c d e"))
-    assert(out(2) == Seq("x x x x x")) // distinct collapses identical shingles
+    assert(out(1).length == 1)
+    assert(out(2).length == 1) // distinct collapses identical shingles
+    // shingle identity: same token window → same hash, across documents
+    assert(out(3).contains(out(1).head))
+    assert(out(3).length == 2)
   }
 
   test("minhash LSH finds every planted exact and near duplicate") {
