@@ -445,13 +445,14 @@ object PipelineQueries {
     * with the same left-fold dot order as [[graft.functions.DotProduct]] — so
     * the bucket, and hence the whole LSH result, is bit-identical.
     */
-  private def srpBucketSql(vec: String): String = {
-    val planes = Similarity.hyperplanes(8, 64, 42L)
+  private def srpBucketSqlFor(vec: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
       val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
       s"CASE WHEN ${dotSql.format(vec, s"($arr)")} >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", "\n      |   + ", ")")
-  }
+
+  private def srpBucketSql(vec: String): String =
+    srpBucketSqlFor(vec, Similarity.hyperplanes(8, 64, 42L))
 
   private val annLshOracle =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -466,6 +467,38 @@ object PipelineQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
       |  FROM p)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Full-corpus embedding near-dup via banded SRP-LSH — the scale path
+    * (candidates from a (band, bucket) equi-join, never all-pairs). The
+    * oracle replicates the entire pipeline exactly: band buckets from the
+    * embedded plane literals, OR-of-bands candidate join, exact cosine.
+    */
+  private def dedupEmbeddingLshQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.bucketedThresholdPairs(Tables.embeddings(s, dir), 0.4,
+        bands = 4, planesPerBand = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dedupEmbeddingLshOracle = {
+    val planes = Similarity.hyperplanes(16, 64, 42L)
+    val ks = (0 until 4).map(b =>
+      s"${srpBucketSqlFor("vec", planes.slice(b * 4, (b + 1) * 4))} AS k$b")
+      .mkString(",\n      |  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec,
+      |  $ks
+      |FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+      |    AND (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+      |)
+      |SELECT id_a, id_b, cosine FROM (
+      |  SELECT id_a, id_b, ${cosSql("va.vec", "vb.vec")} AS cosine
+      |  FROM cand
+      |  JOIN v va ON va.vec_id = id_a
+      |  JOIN v vb ON vb.vec_id = id_b)
+      |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** IVF ANN summarized against global brute force: result cardinalities are
     * DuckDB-derivable (3 per query), and `recall_ok` asserts recall@3 ≥ 0.5
@@ -530,6 +563,7 @@ object PipelineQueries {
             .as("approx_ok"))
         .orderBy(col("event_type"))
     }),
+    "q_dedup_embedding_lsh" -> (dedupEmbeddingLshQ _),
     // sketch-based, with self-verifying oracles (see section above):
     "q_ann_ivf" -> (annIvfQ _),
     "q_minhash_lsh" -> (minhashLshQ _),
@@ -570,6 +604,7 @@ object PipelineQueries {
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "q_minhash_lsh" -> minhashLshOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,

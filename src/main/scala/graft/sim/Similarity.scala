@@ -67,6 +67,11 @@ object Similarity {
 
   /** All pairs (a<b) with cosine ≥ threshold, restricted to a candidate
     * subset on the left for bounded work.
+    *
+    * This is the *bounded-subset* tool (ground-truth checks, "compare these
+    * N docs against the corpus"): work is O(|subset|·N). For full-corpus
+    * near-duplicate detection use [[bucketedThresholdPairs]] — an unbounded
+    * left side here is the classic O(N²) scale killer.
     */
   def thresholdPairs(corpus: DataFrame, threshold: Double, leftFilter: Column,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -75,6 +80,43 @@ object Similarity {
     left.select(col("id").as("id_a"), col("vec").as("vec_a"))
       .crossJoin(spread(v.select(col("id").as("id_b"), col("vec").as("vec_b"))))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Full-corpus near-duplicate pairs at cosine ≥ threshold via banded
+    * SRP-LSH: `bands` independent bucket keys of `planesPerBand` sign bits
+    * each; a pair is a candidate iff it collides in ≥1 band (same banding
+    * scheme as minhash LSH), then every candidate is verified with the exact
+    * cosine. Work is O(collisions) — a (band, bucket) equi-join — never the
+    * all-pairs cross product. Recall at cosine c is
+    * 1-(1-(1-acos(c)/π)^planesPerBand)^bands: more bands → higher recall,
+    * more planes per band → smaller buckets (tune planesPerBand up for
+    * corpus sizes where 2^r buckets per band must keep bucket×bucket
+    * verification bounded).
+    */
+  def bucketedThresholdPairs(corpus: DataFrame, threshold: Double,
+                             bands: Int = 4, planesPerBand: Int = 4,
+                             dim: Int = 64, seed: Long = 42L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val v = spread(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      srpBucket(col("vec"), planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    val banded = v.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("partial_count") || plan(df).contains("HashAggregate"))
   }
 
+  test("bucketed embedding dedup never plans a nested-loop join") {
+    import graft.sim.Similarity
+    val df = Similarity.bucketedThresholdPairs(
+      graft.Tables.embeddings(spark, sf()), 0.6, bands = 4, planesPerBand = 4)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"full-corpus dedup must be a bucketed equi-join, got:\n$p")
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(

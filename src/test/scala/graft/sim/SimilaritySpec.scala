@@ -48,6 +48,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bucketed threshold pairs: subset of exact pairs with exact cosines") {
+    val small = emb.filter($"vec_id" < 200)
+    val bucketed = Similarity.bucketedThresholdPairs(small, 0.4, bands = 4, planesPerBand = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(bucketed.nonEmpty, "no candidate survived banded SRP")
+    val exact = Similarity.thresholdPairs(small, 0.4, lit(true))
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    bucketed.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"pair ($a,$b) not exact or wrong cosine")
+    }
+    // banded capture: with 4 bands of 4 planes, near-identical directions
+    // (cosine >= 0.95) collide in at least one band with high probability;
+    // require most of them captured
+    val hot = exact.filter { case (_, c) => c >= 0.95 }
+    if (hot.nonEmpty) {
+      val captured = hot.keys.count(k => bucketed.exists(p => (p._1, p._2) == k))
+      assert(captured.toDouble / hot.size >= 0.8,
+        s"captured $captured of ${hot.size} near-identical pairs")
+    }
+  }
+
   test("label centroids: exact decimal sums, one row per (label, dim)") {
     val out = Similarity.labelCentroids(emb)
     assert(out.count() == 10 * 64)
