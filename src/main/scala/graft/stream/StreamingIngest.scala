@@ -65,28 +65,87 @@ object StreamingIngest {
   /** Streaming upsert (K3) via foreachBatch: per micro-batch, merge into the
     * keyed parquet table with the same `Upsert` used in batch — idempotent
     * across replays because the key dedup keeps the highest precedence.
+    *
+    * With `partitionCols` set (the 100 TB path), each micro-batch reads and
+    * rewrites ONLY the partitions present in the batch — O(batch), not
+    * O(table) — via partition-pruned read + dynamic partition overwrite
+    * ([[graft.maintain.Maintenance.overwritePartitions]]). Assumes a key's
+    * partition values never change across updates (partitionCols ⊆ keys or
+    * derived from them), else the stale copy in the old partition survives.
+    *
+    * Without `partitionCols` the whole table is merged and swapped — only for
+    * small dimension-style tables. The swap renames the live directory aside
+    * before promoting the new one (backup-swap): a crash at any point leaves
+    * at least one complete copy on disk, and the next batch self-recovers.
     */
   def upsertSink(scored: DataFrame, targetDir: String, checkpointDir: String,
-                 keys: Seq[String], precedenceCol: String)(
+                 keys: Seq[String], precedenceCol: String,
+                 partitionCols: Seq[String] = Nil)(
       implicit spark: SparkSession): DataStreamWriter[org.apache.spark.sql.Row] =
     scored.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try spark.read.parquet(targetDir)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val merged = Upsert.upsert(existing, batch, keys,
-          col(precedenceCol), col(precedenceCol))
-        // write-then-swap so a mid-write crash never corrupts the table
-        val tmp = targetDir + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(targetDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(targetDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(targetDir))
-        ()
+        if (partitionCols.nonEmpty) upsertPartitions(batch, targetDir, keys, precedenceCol, partitionCols)
+        else upsertFullSwap(batch, targetDir, keys, precedenceCol)
       }
+
+  private def emptyLike(batch: DataFrame): DataFrame =
+    batch.sparkSession.createDataFrame(
+      batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+
+  /** Partition-restricted merge: prune the read and the rewrite to the
+    * partitions the micro-batch touches.
+    */
+  private def upsertPartitions(batch: DataFrame, targetDir: String,
+                               keys: Seq[String], precedenceCol: String,
+                               partitionCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      // the batch's partition set is small by construction (a micro-batch
+      // touches few day/bucket partitions); collecting it drives pruning
+      val parts = cached.select(partitionCols.map(col): _*).distinct().collect()
+      if (parts.isEmpty) return
+      val touched = parts.map(r =>
+          partitionCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _))
+        .reduce(_ || _)
+      val existing =
+        try spark.read.parquet(targetDir).filter(touched)
+        catch { case _: Exception => emptyLike(cached) }
+      val merged = Upsert.upsert(existing, cached, keys,
+        col(precedenceCol), col(precedenceCol))
+      graft.maintain.Maintenance.overwritePartitions(merged, targetDir, partitionCols)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Whole-table merge with a crash-safe backup-swap promote. */
+  private def upsertFullSwap(batch: DataFrame, targetDir: String,
+                             keys: Seq[String], precedenceCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "__tmp")
+    val backup = new org.apache.hadoop.fs.Path(targetDir + "__backup")
+    // recovery from a crash between the two renames below: the backup is the
+    // last complete table — restore it before merging
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Exception => emptyLike(batch) }
+    val merged = Upsert.upsert(existing, batch, keys,
+      col(precedenceCol), col(precedenceCol))
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // backup-swap: live data is never deleted before its replacement is
+    // promoted; every crash point leaves >= 1 complete copy on disk
+    fs.delete(backup, true)
+    if (fs.exists(target)) fs.rename(target, backup)
+    fs.rename(tmp, target)
+    fs.delete(backup, true)
+    ()
+  }
 
   /** Streaming dedup by id within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): the in-flight version of exact dedup
