@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,14 +26,20 @@ object Ivf {
     val norms2: Seq[Double] = centroids.map(c => c.map(x => x * x).sum)
   }
 
-  /** Fit nlist centroids (deterministic for a fixed seed + input). */
+  /** Fit nlist centroids (deterministic for a fixed seed + input).
+    *
+    * `sampleFraction` < 1 fits k-means on a seeded sample — the corpus-scale
+    * path: centroid *quality* only shifts the recall/cost balance, never
+    * correctness (candidates are always verified with exact cosine), so a
+    * fraction that yields ~100×nlist sampled vectors is plenty. Random init
+    * (not kmeans||) halves the job count for the same reason.
+    */
   def build(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-            vecCol: String = "embedding"): Index = {
-    val feats = corpus.select(
+            vecCol: String = "embedding", sampleFraction: Double = 1.0): Index = {
+    val base = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+    val feats = base.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // random init (not kmeans||) halves the job count: centroid *quality*
-    // only shifts recall/cost balance, never correctness (cells are always
-    // verified with exact cosine); at corpus scale you would fit on a sample
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setInitMode("random")
       .fit(feats)
@@ -64,6 +70,43 @@ object Ivf {
     transform(
       slice(array_sort(array(scores: _*)), 1, nprobe),
       s => s.getField("i"))
+  }
+
+  /** Write the corpus partitioned by IVF cell — the physical layout that
+    * turns probing into partition pruning: a query's scan then touches only
+    * nprobe/nlist of the files, no join needed.
+    */
+  def writeCellPartitioned(corpus: DataFrame, index: Index, path: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Unit =
+    corpus
+      .withColumn("cell", cellId(col(vecCol).cast("array<double>"), index))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN top-k over a cell-partitioned corpus ([[writeCellPartitioned]]):
+    * the probed-cell set (≤ queries×nprobe values, collected driver-side like
+    * any partition predicate) becomes an `IN` filter the scan prunes on —
+    * IvfSpec asserts `PartitionFilters` carries it.
+    */
+  def topKPruned(spark: SparkSession, path: String, queries: DataFrame,
+                 index: Index, k: Int, nprobe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec"), index, nprobe)))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("nn_vec"),
+        col("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "cosine")
   }
 
   /** IVF search: top-k per query over candidates from the probed cells. */

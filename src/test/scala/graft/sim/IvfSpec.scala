@@ -18,6 +18,37 @@ class IvfSpec extends SparkSpec {
     assert(cells.distinct.length > 4, "clustering collapsed to too few cells")
   }
 
+  test("sampled build still yields a usable index") {
+    val sampled = Ivf.build(emb, nlist = 16, sampleFraction = 0.5)
+    assert(sampled.centroids.length == 16)
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Ivf.topK(emb, queries, sampled, k = 3, nprobe = 4)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect()
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(brute).toDouble / brute.size
+    assert(recall >= 0.4, s"sampled-index recall@3 = $recall")
+  }
+
+  test("cell-partitioned layout prunes the scan to probed cells") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    Ivf.writeCellPartitioned(emb, index, base)
+    // layout: one directory per cell
+    val dirs = new java.io.File(base).listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= 16)
+    val queries = emb.filter($"vec_id" < 5)
+    val pruned = Ivf.topKPruned(spark, base, queries, index, k = 3, nprobe = 4)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"probed cells not pushed as partition filters:\n$plan")
+    // and the pruned path returns exactly what the join path returns
+    val joined = Ivf.topK(emb, queries, index, k = 3, nprobe = 4)
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val got = pruned
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(got == joined)
+  }
+
   test("IVF top-k: exact cosines, reasonable recall vs brute force") {
     val queries = emb.filter($"vec_id" < 20)
     val ivf = Ivf.topK(emb, queries, index, k = 3, nprobe = 4)
