@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Backfill {
 
+  /** SQL string literal with embedded quotes doubled — the reference's
+    * `sql_str_list` escaping (`backfill_telematics.py`); without it a value
+    * containing `'` breaks, or injects into, the source database's query.
+    */
+  private def sqlStr(v: String): String = "'" + v.replace("'", "''") + "'"
+
   /** The pushdown subquery (`backfill_telematics.py:100-103` shape). */
   def pushdownSubquery(table: String, reportTypes: Seq[String],
                        epochFrom: Long, epochTo: Long,
                        deviceIds: Seq[String]): String = {
-    val types = reportTypes.map(t => s"'$t'").mkString(", ")
-    val ids = deviceIds.map(d => s"'$d'").mkString(", ")
+    val types = reportTypes.map(sqlStr).mkString(", ")
+    val ids = deviceIds.map(sqlStr).mkString(", ")
     s"""(SELECT * FROM $table
        | WHERE report_type IN ($types)
        |   AND received_epoch >= $epochFrom AND received_epoch < $epochTo

@@ -1,7 +1,7 @@
 package graft.maintain
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
 
 /** Physical layout writer for the fact table — the Spark rendering of the
   * reference's Iceberg table properties (`config/flink/create.sql:46-64`):
@@ -18,9 +18,27 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
+  /** Writes the fact table and **enforces the partition-guard skew
+    * contract**: every row must satisfy
+    * `|received_day − date(gps_epoch)| ≤ skewGuardDays`, the bound
+    * [[graft.plans.InjectPartitionGuard]] relies on to prune partitions
+    * without dropping late data. The check is an [[Observation]] riding on
+    * the write job itself — no second pass over the data — and the write
+    * fails (after materializing, like any constraint violation) if the
+    * contract is broken rather than letting guarded reads silently lose
+    * rows. Pass `skewGuardDays = -1` to skip (table then must not be
+    * opted into guard injection).
+    */
   def writeFact(fact: DataFrame, path: String,
-                targetFileBytes: Long = 256L << 20): Unit =
-    fact
+                targetFileBytes: Long = 256L << 20,
+                skewGuardDays: Int = 1): Unit = {
+    val obs = Observation()
+    val validated =
+      if (skewGuardDays < 0) fact
+      else fact.observe(obs, sum(when(
+        abs(datediff(col("received_day"), to_date(col("gps_epoch")))) >
+          skewGuardDays, 1L).otherwise(0L)).as("skew_violations"))
+    validated
       .repartition(col("device_id_bucket"), col("received_day"))
       .sortWithinPartitions(col("device_id"), col("gps_epoch"))
       .write
@@ -31,4 +49,14 @@ object Layout {
       .option("parquet.bloom.filter.enabled#device_id", "true")
       .option("parquet.bloom.filter.enabled#correlation_id", "true")
       .parquet(path)
+    if (skewGuardDays >= 0) {
+      val violations = obs.get.get("skew_violations").collect {
+        case n: java.lang.Long => n.longValue
+      }.getOrElse(0L)
+      require(violations == 0L,
+        s"$violations rows violate |received_day - date(gps_epoch)| <= " +
+          s"$skewGuardDays; table at $path must not be opted into " +
+          "partition-guard injection")
+    }
+  }
 }

@@ -1,8 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Optimizer rule that automates the reference's *manual* partition-pruning
@@ -28,6 +30,17 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   * Injected via [[graft.functions.GraftExtensions]]
   * (`injectOptimizerRule`); idempotent (fixed-point safe) because it skips
   * filters that already constrain `received_day`.
+  *
+  * **Scoped to opted-in tables.** The skew bound is a *data contract*, not a
+  * fact Catalyst can check: a table holding rows received more than
+  * `skewDays` after event time (offline-device uploads, backfills) would
+  * silently lose them from event-time range queries if the guard applied.
+  * The rule therefore only rewrites scans whose location is under a path
+  * listed in `spark.graft.partitionGuard.paths` (comma-separated prefixes;
+  * empty ⇒ rule is a no-op). Opt a table in with
+  * [[InjectPartitionGuard.optIn]] *after* writing it through
+  * [[graft.maintain.Layout.writeFact]], which enforces the bound at write
+  * time — together they make the contract checked end-to-end.
   */
 case class InjectPartitionGuard(skewDays: Int = 1,
                                 eventCol: String = "gps_epoch",
@@ -56,8 +69,26 @@ case class InjectPartitionGuard(skewDays: Int = 1,
       case other => Seq(other)
     }
 
+  /** True iff every file-source leaf under `plan` reads from an opted-in
+    * location (see class doc). Non-file leaves never opt in.
+    */
+  private def optedIn(plan: LogicalPlan): Boolean = {
+    val prefixes = conf.getConfString(InjectPartitionGuard.PathsConfKey, "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    prefixes.nonEmpty && {
+      val leaves = plan.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.forall(rp =>
+            prefixes.exists(rp.toUri.getPath.startsWith))
+        case _ => false
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
+    case f @ Filter(cond, child) if optedIn(child) =>
       val ev = child.output.find(a => a.name == eventCol && a.dataType == TimestampType)
       val day = child.output.find(a => a.name == dayCol && a.dataType == DateType)
       (ev, day) match {
@@ -77,5 +108,20 @@ case class InjectPartitionGuard(skewDays: Int = 1,
           else Filter(guards.foldLeft(cond)(And), child)
         case _ => f
       }
+  }
+}
+
+object InjectPartitionGuard {
+  /** Comma-separated path prefixes whose tables have the write-time-checked
+    * skew contract and may receive injected `received_day` guards.
+    */
+  val PathsConfKey = "spark.graft.partitionGuard.paths"
+
+  /** Opt a table location into guard injection for this session. */
+  def optIn(spark: SparkSession, path: String): Unit = {
+    val cur = spark.conf.getOption(PathsConfKey).getOrElse("")
+    val parts = cur.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (!parts.contains(path))
+      spark.conf.set(PathsConfKey, (parts :+ path).mkString(","))
   }
 }

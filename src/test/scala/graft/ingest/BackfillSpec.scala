@@ -16,6 +16,13 @@ class BackfillSpec extends SparkSpec {
     assert(q.trim.startsWith("(SELECT") && q.trim.endsWith("AS src"))
   }
 
+  test("pushdown subquery escapes embedded quotes (sql_str_list parity)") {
+    val q = Backfill.pushdownSubquery("telematics", Seq("O'NEIL"),
+      0L, 1L, Seq("d'; DROP TABLE telematics; --"))
+    assert(q.contains("report_type IN ('O''NEIL')"))
+    assert(q.contains("device_id IN ('d''; DROP TABLE telematics; --')"))
+  }
+
   test("chunk loop isolates per-chunk failures and reports counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bf").toString + "/out"
     def source(chunk: Seq[String]): DataFrame = {

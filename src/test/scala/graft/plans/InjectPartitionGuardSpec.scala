@@ -14,18 +14,20 @@ class InjectPartitionGuardSpec extends SparkSpec {
     d
   }
 
-  private def withRule[T](f: => T): T = {
+  private def withRule[T](optIn: Boolean = true)(f: => T): T = {
     val rule = InjectPartitionGuard()
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ rule
+    if (optIn) InjectPartitionGuard.optIn(spark, factDir)
     try f finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == rule)
+      spark.conf.unset(InjectPartitionGuard.PathsConfKey)
     }
   }
 
   test("gps_epoch range filter gains a received_day partition guard") {
-    withRule {
+    withRule() {
       val df = spark.read.parquet(factDir)
         .filter($"gps_epoch" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           $"gps_epoch" < lit("2024-01-12 00:00:00").cast("timestamp"))
@@ -42,7 +44,7 @@ class InjectPartitionGuardSpec extends SparkSpec {
       ($"gps_epoch" < lit("2024-01-12 00:00:00").cast("timestamp"))
     val base = spark.read.parquet(factDir).filter(pred)
       .select("correlation_id").as[String].collect().sorted.toSeq
-    val guarded = withRule {
+    val guarded = withRule() {
       spark.read.parquet(factDir).filter(pred)
         .select("correlation_id").as[String].collect().sorted.toSeq
     }
@@ -50,7 +52,7 @@ class InjectPartitionGuardSpec extends SparkSpec {
   }
 
   test("rule is idempotent and skips filters already constraining the day") {
-    withRule {
+    withRule() {
       val df = spark.read.parquet(factDir)
         .filter($"gps_epoch" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           $"received_day" === lit("2024-01-10").cast("date"))
@@ -59,5 +61,33 @@ class InjectPartitionGuardSpec extends SparkSpec {
       // must not stack another guard on top
       assert(!optimized.contains("date_add"), optimized)
     }
+  }
+
+  test("rule is a no-op for tables that did not opt in (late-data safety)") {
+    withRule(optIn = false) {
+      val df = spark.read.parquet(factDir)
+        .filter($"gps_epoch" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          $"gps_epoch" < lit("2024-01-12 00:00:00").cast("timestamp"))
+      val cond = df.queryExecution.optimizedPlan.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c.toString
+      }.getOrElse("")
+      assert(!cond.contains("received_day"), cond)
+    }
+  }
+
+  test("writeFact rejects tables violating the skew contract the guard assumes") {
+    val fact = TelematicsQueries.normalizedFact(spark, sf())
+    // a device that uploaded 10 days late — exactly the row the guard would
+    // silently drop if the contract were not enforced at write time
+    val late = fact.limit(1)
+      .withColumn("received_day", date_add($"received_day", 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipg_bad").toString
+    val err = intercept[IllegalArgumentException] {
+      Layout.writeFact(fact.unionByName(late), dir + "/bad")
+    }
+    assert(err.getMessage.contains("violate"))
+    // opt-out path still writes
+    Layout.writeFact(fact.unionByName(late), dir + "/ok", skewGuardDays = -1)
+    assert(spark.read.parquet(dir + "/ok").count() == fact.count() + 1)
   }
 }
