@@ -41,9 +41,17 @@ case class JavaHashCode(child: Expression) extends UnaryExpression {
   * checking cannot fire on the `Int.MinValue` hash edge: Java's
   * `Math.abs(Int.MinValue)` stays negative but `% 32 == 0` either way, and the
   * reference relies on exactly that JVM behavior.
+  *
+  * Bucket count is restricted to powers of two: `Int.MinValue` divides every
+  * `2^k`, so `abs(h) % buckets` is then never negative — whereas e.g.
+  * `buckets = 7` would map the `Int.MinValue` hash to bucket −2. The
+  * reference only ever uses 32.
   */
 case class JavaHashBucket(child: Expression, buckets: Int) extends UnaryExpression {
-  require(buckets > 0, "bucket count must be positive")
+  require(buckets > 0 && Integer.bitCount(buckets) == 1,
+    s"bucket count must be a positive power of two (got $buckets): " +
+      "abs(Int.MinValue) stays negative and would yield a negative bucket " +
+      "for non-power-of-two counts")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "java_hash_bucket"

@@ -196,16 +196,14 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private val fingerprintOracle =
-    """WITH n AS (
-      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+    s"""WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
       |  FROM documents
       |)
       |SELECT doc_id,
       |  CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INTEGER) AS fp
       |FROM (
-      |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
-      |      list_transform(range(1, length(s)+1), i -> ord(s[i])::HUGEINT)),
-      |    (a, b) -> (a*31 + b) % 4294967296) AS h
+      |  SELECT doc_id, ${OracleSql.javaHashSql("s")} AS h
       |  FROM n
       |) ORDER BY doc_id""".stripMargin
 

@@ -24,7 +24,7 @@ object TelematicsQueries {
 
   /** DuckDB SQL producing the same normalized fact rows from `events`. */
   private val normalizeOracle: String =
-    """WITH edge AS (
+    s"""WITH edge AS (
       |  SELECT
       |    CASE WHEN event_type = 'error' THEN 'ALERT'
       |         WHEN event_type = 'purchase' THEN 'STATUS'
@@ -48,10 +48,7 @@ object TelematicsQueries {
       |    date_trunc('second', ts) AS received_epoch,
       |    date_trunc('second', ts) AS decoded_epoch,
       |    event_id::VARCHAR AS correlation_id,
-      |    list_reduce(list_prepend(0::HUGEINT,
-      |        list_transform(range(1, length(user_id::VARCHAR)+1),
-      |                       i -> ord((user_id::VARCHAR)[i])::HUGEINT)),
-      |      (a, b) -> (a*31 + b) % 4294967296) AS __h
+      |    ${OracleSql.javaHashSql("user_id::VARCHAR")} AS __h
       |  FROM events
       |)
       |SELECT * EXCLUDE (__h),

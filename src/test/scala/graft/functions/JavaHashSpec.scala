@@ -36,6 +36,18 @@ class JavaHashSpec extends SparkSpec {
     assert(buckets.toSeq == values.map(s => math.abs(s.hashCode) % 32))
   }
 
+  test("deviceBucket rejects non-power-of-two counts (negative-bucket edge)") {
+    // abs(Int.MinValue) % 7 == -2 — the construction must refuse, not emit it
+    val err = intercept[IllegalArgumentException] {
+      Seq("x").toDF("s").select(deviceBucket(col("s"), 7)).collect()
+    }
+    assert(err.getMessage.contains("power of two"))
+    // powers of two stay fine on the Int.MinValue hash
+    val b16 = Seq("polygenelubricants").toDF("s")
+      .select(deviceBucket(col("s"), 16)).as[Int].head()
+    assert(b16 == 0)
+  }
+
   test("null input yields null, not a crash") {
     val out = Seq[String]("x", null).toDF("s")
       .select(javaHash(col("s")).as("h")).collect()
