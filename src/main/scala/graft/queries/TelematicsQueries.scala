@@ -303,10 +303,22 @@ object TelematicsQueries {
         .select(col("device_id"), col("report_date"), col("level"))
       val ev = fact.select(col("device_id"),
         to_date(RiskScore.localTs(col("gps_epoch"))).as("event_date"))
+      // per event-day × matched level: regressions in the as-of matching
+      // show up as shifted day rows, not a single absorbed count
       AsOfJoin.asOfJoin(ev, scores, Seq("device_id"),
           col("event_date"), col("report_date"))
-        .groupBy(col("level")).agg(count(lit(1)).as("n"))
-        .orderBy(col("level").asc_nulls_first)
+        .groupBy(col("event_date"), col("level"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("device_id")).as("n_devices"))
+        .orderBy(col("event_date"), col("level").asc_nulls_first)
+    }),
+    "q_keyset_page" -> ((s, dir) => {
+      import graft.serve.Api
+      // deep-pagination scale path for O1: O(page), not O(offset)
+      val df = normalizedFact(s, dir)
+        .withColumn("ck", col("correlation_id").cast("long"))
+      Api.keysetPage(df, col("ck"), after = Some(lit(1000L)), limit = 25)
+        .select(col("ck"), col("device_id"), col("gps_epoch"), col("speed_kmh"))
     }),
     "q_ts_format" -> ((s, dir) => {
       // F17: API-layer timestamp presentation "…mmm -0600" (main.py:127-163)
@@ -337,10 +349,16 @@ object TelematicsQueries {
         |           WHERE report_date <= DATE '2024-01-14'),
         |ev AS (SELECT device_id, CAST(gps_epoch - INTERVAL 6 HOUR AS DATE) AS event_date
         |       FROM fact)
-        |SELECT level, count(*) AS n
+        |SELECT event_date, level, count(*) AS n,
+        |  CAST(count(DISTINCT ev.device_id) AS BIGINT) AS n_devices
         |FROM ev ASOF LEFT JOIN scores
         |  ON ev.device_id = scores.device_id AND ev.event_date >= scores.report_date
-        |GROUP BY level ORDER BY level NULLS FIRST""".stripMargin,
+        |GROUP BY event_date, level ORDER BY event_date, level NULLS FIRST""".stripMargin,
+    "q_keyset_page" ->
+      s"""WITH $factCte
+        |SELECT CAST(correlation_id AS BIGINT) AS ck, device_id, gps_epoch, speed_kmh
+        |FROM fact WHERE CAST(correlation_id AS BIGINT) > 1000
+        |ORDER BY ck LIMIT 25""".stripMargin,
     "q_ts_format" ->
       """SELECT event_id,
         |  strftime(ts - INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%g') || ' -0600' AS local_ts_fmt
