@@ -29,6 +29,31 @@ class SkewAndTypedSpec extends SparkSpec {
     assert(distinctSalts > 4, s"hot key only used $distinctSalts salts")
   }
 
+  test("salting spreads hot-key rows across shuffle partitions (100k-row hot key)") {
+    // one key carrying half of all rows — the pathological case the salt
+    // exists for; measured on the actual hash-partitioned layout the join
+    // would shuffle into, not on salt values alone
+    val n = 100000L
+    val hot = spark.range(n).select(lit(42L).as("okey"), col("id").as("payload"))
+    val cold = spark.range(n).select((col("id") % 1000 + 100L).as("okey"), col("id").as("payload"))
+    val big = hot.unionAll(cold)
+
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame,
+                         keys: org.apache.spark.sql.Column*): Long =
+      df.repartition(32, keys: _*)
+        .groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).head.getLong(0)
+
+    val maxUnsalted = maxPartitionRows(big, col("okey"))
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col("okey"), col("payload")), lit(8L)).cast("int"))
+    val maxSalted = maxPartitionRows(salted, col("okey"), col("__salt"))
+
+    assert(maxUnsalted >= n, s"hot key not concentrated without salt: $maxUnsalted")
+    assert(maxSalted <= n / 3,
+      s"salt failed to spread the hot key: max partition holds $maxSalted of ${2 * n} rows")
+  }
+
   test("typed Aggregator pipeline equals untyped risk aggregation") {
     val fact = graft.queries.TelematicsQueries.normalizedFact(spark, sf())
     val typed = TypedRiskScore.aggregate(spark, fact)
