@@ -10,20 +10,15 @@ import org.apache.spark.sql.functions._
   * `(a·h + b) mod p` → signature minima → b bands of r rows → band-bucket
   * equi-join for candidates → exact Jaccard verification.
   *
-  * Everything is Catalyst higher-order functions over arrays (no UDFs — no
-  * serialization boundary, though HOF lambdas evaluate interpreted); a
-  * document's whole signature is one projection over a materialized shingle
-  * array. The only shuffles are the band-bucket join and the verification
-  * joins — candidate volume is O(collisions), never O(n²).
+  * Signatures come from a typed imperative aggregate over exploded shingles
+  * ([[graft.functions.MinHashAggregate]] — no UDF serialization boundary, no
+  * interpreted HOF lambdas); banding stays declarative Catalyst. The only
+  * shuffles are the signature aggregation, the band-bucket join and the
+  * verification joins — candidate volume is O(collisions), never O(n²).
   *
   * Determinism: permutation params come from a seeded LCG, so signatures are
   * stable across runs/partitionings.
   */
-/** Permutation parameters as a case class so the whole set can ship as one
-  * `typedLit` array<struct> literal.
-  */
-case class MinHashParam(a: Long, b: Long)
-
 object MinHashLSH {
 
   /** Mersenne prime 2^31 - 1: keeps `a*h + b` within 62 bits (ANSI-safe). */
@@ -37,23 +32,19 @@ object MinHashLSH {
   }
 
   /** Signatures from an already-shingled (id, sh) frame (see
-    * [[Dedup.withShingles]]). sig[i] = fold of `least` over shingle hashes —
-    * `aggregate` instead of `transform`+`array_min` avoids materializing a
-    * |shingles|-sized array per permutation (numHashes of them per document).
+    * [[Dedup.withShingles]]). sig[i] = min over shingle hashes of
+    * `(a_i·h + b_i) mod P`, computed by exploding the shingle array into
+    * [[graft.functions.MinHashAggregate]] — one tight JVM loop per shingle
+    * instead of numHashes × |shingles| interpreted HOF lambda evaluations
+    * (the previous `transform`+`aggregate` shape; same values, order
+    * independent either way since min commutes).
     */
   def signaturesFromShingles(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
     val ps = params(numHashes, seed)
-    // one array<struct> literal, not numHashes×struct(lit,lit) nodes: keeps
-    // the expression tree (and its analysis/codegen cost) O(1) in numHashes
-    // (precondition: sh non-empty — Dedup.withShingles guarantees it; a
-    // filter(size(sh) > 0) here would be pushdown-substituted into the
-    // shingle projection, re-evaluating the whole lambda per row)
-    val paramArr = typedLit(ps.map { case (a, b) => MinHashParam(a, b) })
-    sh.withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
-      .withColumn("sig", transform(paramArr,
-        p => aggregate(col("hs"), lit(P),
-          (m, h) => least(m, pmod(p.getField("a") * h + p.getField("b"), lit(P))))))
-      .select(col("id"), col("sig"))
+    sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg
+        .minhashAgg(pmod(xxhash64(col("s")), lit(P)), ps, P).as("sig"))
   }
 
   /** doc_id, signature array<long> of length `numHashes`. Empty-shingle docs

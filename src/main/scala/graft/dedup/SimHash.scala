@@ -20,29 +20,25 @@ object SimHash {
 
   /** doc_id, 64-bit simhash fingerprint.
     *
-    * Shaped as explode → hash → 64 conditional-sum aggregate columns →
-    * bit-assemble, instead of nested array lambdas: Catalyst HOF lambdas
-    * evaluate interpreted (64 × tokens invocations per document), while a
-    * HashAggregate of 64 `sum(when(bit))` columns is whole-stage-codegen'd
-    * with map-side partial aggregation — at 100 TB the explode never
-    * materializes, it streams straight into the partial aggregate.
+    * Shaped as explode → hash → [[graft.functions.SimHashAggregate]] (a
+    * single typed imperative aggregate holding all 64 vote counters),
+    * instead of nested array lambdas or 64 separate `sum(when(bit))`
+    * columns: Catalyst HOF lambdas evaluate interpreted (64 × tokens
+    * invocations per document), and the 64-column aggregate generated a
+    * janino class so large that cold JIT dominated the query. The explode
+    * still never materializes — it streams straight into the partial
+    * object-hash aggregate, and map-side combine ships one 512-byte buffer
+    * per document at 100 TB fan-in.
     */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val votes = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"b$k"))
-    val fpBits = (0 until 64).map(k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
     docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .select(col("id"), explode(Dedup.tokens(col("__text"))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), fpBits.reduce(_ + _).as("fp"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("fp"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming via block-join. */
