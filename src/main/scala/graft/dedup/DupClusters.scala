@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a near-duplicate
+  * pair set, so a corpus dedup can keep one canonical document per *group*
+  * (pairs alone under-delete: a≈b, b≈c must collapse to one survivor even
+  * when a≉c directly).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log n) rounds on any graph, each round two shuffles (a groupBy-min and
+  * an equi-join), no driver-side adjacency and no `collect()`. This is the
+  * shape that survives 100 TB: label-propagation needs O(diameter) rounds
+  * (a duplicate *chain* of near-identical crawl snapshots makes diameter
+  * O(n)), while star contraction is logarithmic regardless of topology.
+  *
+  * Each round materializes once (the convergence check is an aggregate over
+  * the new edge set) and truncates lineage via `localCheckpoint` — iterative
+  * plans otherwise stack one optimizer pass per round. On a real cluster
+  * prefer a reliable checkpoint dir (`sparkContext.setCheckpointDir` +
+  * `checkpoint()`) for fault tolerance; local checkpointing trades that for
+  * not re-running the whole loop on executor loss.
+  */
+object DupClusters {
+
+  /** (id, component) for every node of the undirected edge set
+    * `pairs(idA, idB)`; `component` is the smallest node id reachable from
+    * `id` (so planted-duplicate groups get their original doc as canon).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIterations: Int = 30): DataFrame = {
+    // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+    // Emitted edges always point child → strictly-smaller parent.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+    }
+
+    // small-star on child→parent edges (v < u): u and all its parents link
+    // to the smallest parent.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("mn"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionAll(mins.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+
+    // (count, hash-xor) fingerprint: equal fingerprints ⇒ same edge set
+    // (order-independent; xor, not sum — ANSI mode overflows a long sum of
+    // 64-bit hashes), so the loop detects the fixpoint with one aggregate
+    // instead of a full except() comparison
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIterations rounds")
+    // fixpoint is a star forest child→root; roots carry themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+}

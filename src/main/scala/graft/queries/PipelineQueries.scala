@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.dedup.{Dedup, DupClusters, MinHashLSH, SimHash}
 import graft.multimodal.Multimodal
 import graft.sim.{Ivf, Similarity}
 import graft.text.TextAnalysis
@@ -82,6 +82,51 @@ object PipelineQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup pairs → canonical duplicate groups: the step a corpus dedup
+    * actually needs after pair generation (pairs under-delete across chains).
+    * Distributed connected components, verified against DuckDB's recursive
+    * min-reachable-id closure over the identical pair set.
+    */
+  private def dupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      augmented(Tables.documents(s, dir)), k = 5, threshold = 0.5)
+    DupClusters.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupClustersOracle =
+    s"""WITH RECURSIVE $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u
+      |)
+      |SELECT u AS doc_id, min(c) AS component
+      |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ---- text analysis -----------------------------------------------------
 
@@ -530,6 +575,7 @@ object PipelineQueries {
     "q_dedup_exact" -> (dedupExactQ _),
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_dup_clusters" -> (dupClustersQ _),
     "q_text_quality" -> (qualityQ _),
     "q_lang_id" -> (langIdQ _),
     "q_lang_id_ngram" -> (langIdNgramQ _),
@@ -577,6 +623,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactOracle,
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
+    "q_dup_clusters" -> dupClustersOracle,
     "q_text_quality" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_id_ngram" -> langIdNgramOracle,
