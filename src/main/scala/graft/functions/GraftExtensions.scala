@@ -39,7 +39,10 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("normalize_unicode",
+      info("normalize_unicode", "normalize_unicode(str, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
+      (es: Seq[Expression]) => NormalizeUnicode(es.head, es(1).eval().toString)))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

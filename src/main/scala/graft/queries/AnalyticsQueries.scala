@@ -199,7 +199,24 @@ object AnalyticsQueries {
       |  round(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
+        groupCols = Seq(col("o_orderpriority")),
+        orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  private val topkPerGroupOracle =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
     "q_quantiles" -> (quantilesQ _),
@@ -217,6 +234,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
     "q_quantiles" -> quantilesOracle,

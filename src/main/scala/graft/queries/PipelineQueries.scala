@@ -128,6 +128,50 @@ object PipelineQueries {
       |SELECT u AS doc_id, min(c) AS component
       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** NFC canonicalization ahead of hashing/dedup: a decomposed suffix
+    * (e + COMBINING ACUTE) is appended on both engines, so the oracle proves
+    * composition actually happened (`n_raw = n_norm + 1` per row), not just
+    * that ASCII passed through.
+    */
+  private def unicodeNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NormalizeUnicode.normalizeUnicode
+    // suffix is decomposed: 'e' + U+0301 combining acute — NFC composes it
+    val raw = concat(col("text"), lit(" café"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      normalizeUnicode(raw).as("norm"),
+      length(raw).as("n_raw"),
+      length(normalizeUnicode(raw)).as("n_norm")
+    ).orderBy(col("doc_id"))
+  }
+
+  private val unicodeNormalizeOracle =
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769)) AS norm,
+      |  CAST(length(text || ' cafe' || chr(769)) AS INTEGER) AS n_raw,
+      |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INTEGER) AS n_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sample — exactly 5 docs per `doc_id % 7`
+    * stratum, hash-selected, reproducible across partitionings.
+    */
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val docs = Tables.documents(s, dir)
+    Sampling.stratifiedSample(docs, col("doc_id") % 7, n = 5, id = col("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 7).as("stratum"),
+        substring(col("text"), 1, 20).as("head"))
+      .orderBy(col("stratum"), col("doc_id"))
+  }
+
+  private val stratifiedSampleOracle =
+    """SELECT doc_id, doc_id % 7 AS stratum, substr(text, 1, 20) AS head
+      |FROM (
+      |  SELECT doc_id, text, row_number() OVER (
+      |    PARTITION BY doc_id % 7 ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY stratum, doc_id""".stripMargin
+
   // ---- text analysis -----------------------------------------------------
 
   private def qualityQ(s: SparkSession, dir: String): DataFrame =
@@ -576,6 +620,8 @@ object PipelineQueries {
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_dup_clusters" -> (dupClustersQ _),
+    "q_unicode_normalize" -> (unicodeNormalizeQ _),
+    "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_text_quality" -> (qualityQ _),
     "q_lang_id" -> (langIdQ _),
     "q_lang_id_ngram" -> (langIdNgramQ _),
@@ -624,6 +670,8 @@ object PipelineQueries {
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_unicode_normalize" -> unicodeNormalizeOracle,
+    "q_stratified_sample" -> stratifiedSampleOracle,
     "q_text_quality" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_id_ngram" -> langIdNgramOracle,
