@@ -20,8 +20,10 @@ object SparkEntry {
     TelematicsQueries.defs("q_risk_score_daily")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs
+    TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs ++
+      CurationQueries.defs
 
   def oracleSql: Map[String, String] =
-    TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
+    TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -199,6 +199,113 @@ object AnalyticsQueries {
       |  round(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bloom-prefiltered fact→dim join; the oracle is the plain join, proving
+    * the bloom rewrite is semantically identity (BloomPrefilterSpec proves
+    * the fact side actually shrinks before the shuffle).
+    */
+  private def bloomJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.BloomPrefilter
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dim = graft.Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    BloomPrefilter.prefilteredJoin(graft.Tables.orders(s, dir), dim,
+        factKey = "o_custkey", dimKey = "c_custkey", expectedItems = 200000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bloomJoinOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** t-digest-style approximate quantiles, self-verified: exact discrete
+    * quantiles (rank-selected, integer arithmetic → bit-identical across
+    * engines) are emitted for DuckDB to re-derive, and `approx_ok` checks the
+    * sketch's rank error in-plan (count of values ≤ sketch result vs the
+    * target rank) — it flips false if `percentile_approx` breaks.
+    */
+  private def approxQuantilesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("double").as("qty"))
+    val ranked = li
+      .withColumn("rn", row_number().over(Window.partitionBy("flag").orderBy("qty")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+    val exact = ranked.groupBy(col("flag")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === ceil(col("n") * 0.5), col("qty"))).as("p50_exact"),
+      max(when(col("rn") === ceil(col("n") * 0.9), col("qty"))).as("p90_exact"))
+    val approx = li.groupBy(col("flag")).agg(
+      percentile_approx(col("qty"), lit(0.5), lit(1000)).as("a50"),
+      percentile_approx(col("qty"), lit(0.9), lit(1000)).as("a90"))
+    // rank of each sketch result; tolerance covers sketch error (n/1000)
+    // plus tie mass (l_quantity is heavily tied), well under the 0.1 the
+    // uniform 1..50 distribution implies
+    val ranks = li.join(broadcast(approx), "flag").groupBy(col("flag")).agg(
+      sum(when(col("qty") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+      sum(when(col("qty") <= col("a90"), 1L).otherwise(0L)).as("r90"))
+    exact.join(ranks, "flag")
+      .select(col("flag"), col("n"), col("p50_exact"), col("p90_exact"),
+        (abs(col("r50") - ceil(col("n") * 0.5)) <= col("n") * 0.05 + 1 &&
+          abs(col("r90") - ceil(col("n") * 0.9)) <= col("n") * 0.05 + 1).as("approx_ok"))
+      .orderBy(col("flag"))
+  }
+
+  private val approxQuantilesOracle =
+    """WITH s AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS qty FROM lineitem
+      |), r AS (
+      |  SELECT flag, qty, row_number() OVER (PARTITION BY flag ORDER BY qty) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS n
+      |  FROM s
+      |)
+      |SELECT flag, CAST(max(n) AS BIGINT) AS n,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN qty END) AS p50_exact,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN qty END) AS p90_exact,
+      |  true AS approx_ok
+      |FROM r GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Native `session_window` (the Structured-Streaming-compatible session
+    * operator, here in batch mode); the oracle re-derives sessions with the
+    * gap-and-islands window idiom. Session end = last event + gap, and
+    * events merge while consecutive gaps are *strictly* under the gap.
+    */
+  private def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val sessionWindowOracle =
+    """WITH l AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |         >= 1800 * 1000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -216,6 +323,9 @@ object AnalyticsQueries {
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (bloomJoinQ _),
+    "q_approx_quantiles" -> (approxQuantilesQ _),
+    "q_session_window" -> (sessionWindowQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -234,6 +344,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" -> bloomJoinOracle,
+    "q_approx_quantiles" -> approxQuantilesOracle,
+    "q_session_window" -> sessionWindowOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation-operator queries (sequence packing, decontamination, repetition,
+  * PII redaction) with DuckDB oracles. Where the raw testdata would make an
+  * operator trivially vacuous (no PII, no repetition, no eval leaks in
+  * synthetic documents), the corpus is deterministically augmented the same
+  * way on both engines — the [[PipelineQueries.augmented]] pattern.
+  */
+object CurationQueries {
+
+  // ---- sequence packing ----------------------------------------------------
+
+  private def packQ(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(s, dir), seqLen = 512, numShards = 8)
+      .orderBy(col("shard"), col("doc_id"))
+
+  private val packOracle =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM t
+      |)
+      |SELECT doc_id, shard, n_tokens, start_offset,
+      |  CAST(start_offset // 512 AS BIGINT) AS seq_first,
+      |  CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+      |FROM o ORDER BY shard, doc_id""".stripMargin
+
+  // ---- decontamination -----------------------------------------------------
+
+  /** Benchmark set = `doc_id % 97 == 3`; corpus = the rest plus planted leaks
+    * (benchmark text with a prefix, +3M ids) so the flag provably fires.
+    */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 3)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("xleak "), col("text")).as("text")))
+    Curation.decontaminate(corpus, bench, k = 5, minOverlap = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateOracle =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'xleak ' || text FROM documents WHERE doc_id % 97 = 3
+      |),
+      |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+      |ctok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+      |csh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM ctok)
+      |),
+      |btok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM bdocs),
+      |bsh AS (
+      |  SELECT DISTINCT shingle FROM (
+      |    SELECT unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM btok)
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+      |  count(*) >= 3 AS contaminated
+      |FROM csh JOIN bsh USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- repetition features -------------------------------------------------
+
+  private val spam = " spam spam spam spam spam spam spam spam"
+
+  /** Docs with `doc_id % 11 == 0` get a repeated-token suffix so the
+    * repetition signals (and the flag) actually vary across the corpus.
+    */
+  private def repetitionQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(spam)))
+        .otherwise(col("text")).as("text"))
+    Curation.repetitionFeatures(docs).orderBy(col("doc_id"))
+  }
+
+  private val repetitionOracle =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || '$spam' ELSE text END AS text
+      |  FROM documents
+      |),
+      |t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM d),
+      |f AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    len(list_distinct(CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE [] END)) AS n_db
+      |  FROM t
+      |),
+      |tf AS (
+      |  SELECT doc_id, max(c) AS top_freq FROM (
+      |    SELECT doc_id, tok, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id
+      |)
+      |SELECT f.doc_id, n_tokens,
+      |  (n_tokens - n_distinct)::DOUBLE / n_tokens AS dup_token_frac,
+      |  top_freq::DOUBLE / n_tokens AS top_token_frac,
+      |  CASE WHEN n_tokens > 1
+      |    THEN (n_tokens - 1 - n_db)::DOUBLE / (n_tokens - 1)::DOUBLE
+      |    ELSE 0.0 END AS dup_bigram_frac,
+      |  (top_freq::DOUBLE / n_tokens > 0.2)
+      |    OR ((n_tokens - n_distinct)::DOUBLE / n_tokens > 0.6) AS repetitive
+      |FROM f JOIN tf ON f.doc_id = tf.doc_id ORDER BY f.doc_id""".stripMargin
+
+  // ---- PII redaction -------------------------------------------------------
+
+  private val pii =
+    " Contact alice.smith@example.com call 555-123-4567 ip 192.168.1.77 done"
+
+  private def piiQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(pii)))
+        .otherwise(col("text")).as("text"))
+    Curation.piiRedact(docs)
+      .select(col("doc_id"), col("redacted"), col("n_email"), col("n_phone"), col("n_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiOracle = {
+    // DuckDB single-quoted literals keep backslashes as-is, so the runtime
+    // pattern strings (single backslashes) drop straight in
+    val email = Curation.EmailRe
+    val phone = Curation.PhoneRe
+    val ip = Curation.IpRe
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || '$pii' ELSE text END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '$email', '[EMAIL]', 'g'),
+      |      '$ip', '[IP]', 'g'),
+      |    '$phone', '[PHONE]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip
+      |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- registry ------------------------------------------------------------
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (packQ _),
+    "q_decontaminate" -> (decontaminateQ _),
+    "q_repetition" -> (repetitionQ _),
+    "q_pii_redact" -> (piiQ _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_sequences" -> packOracle,
+    "q_decontaminate" -> decontaminateOracle,
+    "q_repetition" -> repetitionOracle,
+    "q_pii_redact" -> piiOracle
+  )
+}

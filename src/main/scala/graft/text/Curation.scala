@@ -1,0 +1,123 @@
+package graft.text
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond per-document scoring: sequence
+  * packing, benchmark decontamination, repetition filtering, PII redaction.
+  *
+  * Scale discipline shared by the whole module:
+  *  - token/shingle arrays are materialized in their own projection before
+  *    any lambda or explode consumes them ([[Dedup]] object doc, rule 1);
+  *  - per-document work is embarrassingly parallel; the only shuffles are the
+  *    ones the semantics force (a window within a shard, a groupBy on doc id,
+  *    an equi-join against the — broadcast — benchmark shingle set).
+  */
+object Curation {
+
+  /** Greedy sequence packing: documents are laid end-to-end in token space
+    * within a shard (deterministic order: doc id) and chunked into
+    * fixed-`seqLen` training sequences. Emits, per document, its shard, token
+    * count, start offset in the shard's token stream, and the first/last
+    * sequence index it lands in — everything a writer needs to emit packed
+    * sequences without materializing them row-per-sequence.
+    *
+    * Scale shape: packing is *per shard* (`id % numShards`), not global — a
+    * global token order would serialize the corpus through one partition. One
+    * shuffle on the shard key; the running offset is a window cumsum within
+    * the shard. At 100 TB, shards ≫ executors keeps every partition bounded.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, numShards: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), (col(idCol) % numShards).as("shard"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"start_offset div $seqLen"))
+      .withColumn("seq_last", expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minOverlap`
+    * distinct k-token shingles with any benchmark document (the standard
+    * n-gram-overlap eval-leak check). Returns (doc_id, n_overlap,
+    * contaminated) for documents with any overlap.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so the
+    * distinct benchmark shingle set is broadcast — the corpus never shuffles;
+    * candidate matching is a map-side hash probe per corpus shingle, then one
+    * groupBy on doc id over only the *matching* shingles.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
+                    minOverlap: Long = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusSh = Dedup.withShingles(corpus, k, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val benchSh = Dedup.withShingles(benchmark, k, idCol, textCol)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  /** Gopher-style repetition features: duplicate-token fraction, top-token
+    * fraction, duplicate-bigram fraction, and a `repetitive` flag. Distinct
+    * counts run as narrow array ops; only the top-token frequency needs an
+    * explode + two aggs (both shuffles keyed on doc id).
+    */
+  def repetitionFeatures(docs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", Dedup.tokens(col("__text")))
+    val narrow = base.select(col("id"),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
+      // distinct bigrams as 64-bit hashes (same identity trick as shingles)
+      size(Dedup.shinglesFromTokens(col("__toks"), 2)).cast("long").as("n_distinct_bigrams"))
+    val top = base.select(col("id"), explode(col("__toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top_freq"))
+    narrow.join(top, "id")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_freq").cast("double") / col("n_tokens")).as("top_token_frac"),
+        when(col("n_tokens") > 1,
+          (col("n_tokens") - 1 - col("n_distinct_bigrams")).cast("double")
+            / (col("n_tokens") - 1).cast("double"))
+          .otherwise(0.0).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("dup_token_frac") > 0.6)
+  }
+
+  /** PII patterns. Deliberately plain (ASCII classes, bounded quantifiers):
+    * they mean the same thing to Java regex and RE2, so the DuckDB oracle can
+    * replicate redaction exactly.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Regex PII scrub: counts per category (on the original text) + the
+    * redacted text (email → IP → phone, fixed order so results are
+    * deterministic). Pure codegen'd projection — no shuffle, no UDF.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_email", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(t, lit(IpRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            IpRe, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: offsets are contiguous per shard and chunk math holds") {
+    // one shard (numShards=1), 3 docs of 3/4/5 tokens, seqLen 4
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l")
+    ).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, seqLen = 4, numShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 0L),   // tokens 0-2   -> seq 0
+      (2L, 4L, 3L, 0L, 1L),   // tokens 3-6   -> spans seqs 0..1
+      (3L, 5L, 7L, 1L, 2L)))  // tokens 7-11  -> spans seqs 1..2
+  }
+
+  test("packSequences: sharding partitions the stream, offsets restart per shard") {
+    val docs = (0L until 10L).map(i => (i, "t t t")).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, seqLen = 100, numShards = 2)
+      .groupBy("shard").agg(max("start_offset").as("mx"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 5 docs x 3 tokens per shard -> last doc starts at 12 in BOTH shards
+    assert(out == Seq((0L, 12L, 5L), (1L, 12L, 5L)))
+  }
+
+  test("decontaminate flags planted leaks and nothing else") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-grams
+      (11L, "totally unrelated words with nothing shared here at all"),
+      (12L, "alpha beta gamma unrelated tail words")    // < 5-gram overlap
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, k = 5, minOverlap = 2)
+      .as[(Long, Long, Boolean)].collect().toMap2
+    assert(out.keySet == Set(10L))
+    assert(out(10L)._2) // contaminated
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("repetitionFeatures: exact fractions on a known document") {
+    val docs = Seq((1L, "spam spam spam eggs")).toDF("doc_id", "text")
+    val r = Curation.repetitionFeatures(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Double]("dup_token_frac") == 2.0 / 4.0)  // 4 tokens, 2 distinct
+    assert(r.getAs[Double]("top_token_frac") == 3.0 / 4.0)  // 'spam' x3
+    // bigrams: (spam,spam)x2 (spam,eggs) -> 3 total, 2 distinct
+    assert(r.getAs[Double]("dup_bigram_frac") == 1.0 / 3.0)
+    assert(r.getAs[Boolean]("repetitive"))
+  }
+
+  test("repetitionFeatures: single-token and clean docs are not repetitive") {
+    val docs = Seq((1L, "word"), (2L, "all tokens here are unique ones"))
+      .toDF("doc_id", "text")
+    val rows = Curation.repetitionFeatures(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("dup_bigram_frac") == 0.0) // n=1: no bigrams
+    assert(!rows(1).getAs[Boolean]("repetitive"))
+    assert(rows(1).getAs[Double]("dup_token_frac") == 0.0)
+  }
+
+  test("piiRedact: counts and redaction for each category") {
+    val docs = Seq(
+      (1L, "mail a.b@x.org and c@y.io, call 555-123-4567, host 10.0.0.1 ok"),
+      (2L, "no pii here, just 3.5 and v1.2 fragments")
+    ).toDF("doc_id", "text")
+    val rows = Curation.piiRedact(docs).orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_email") == 2L)
+    assert(r1.getAs[Long]("n_phone") == 1L)
+    assert(r1.getAs[Long]("n_ip") == 1L)
+    val red = r1.getAs[String]("redacted")
+    assert(red == "mail [EMAIL] and [EMAIL], call [PHONE], host [IP] ok")
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_email") + r2.getAs[Long]("n_phone") + r2.getAs[Long]("n_ip") == 0L)
+    assert(r2.getAs[String]("redacted") == "no pii here, just 3.5 and v1.2 fragments")
+  }
+}
