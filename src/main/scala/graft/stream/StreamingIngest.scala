@@ -191,4 +191,40 @@ object StreamingIngest {
       .withWatermark("gps_epoch", watermark)
       .groupBy(window(col("gps_epoch"), window_), col("device_id"))
       .agg(count(lit(1)).as("n"), max(col("speed_kmh")).as("max_speed"))
+
+  /** Event-time *session* windows per device (`session_window` — the same
+    * operator `q_session_window` runs in batch, here in-flight). State is one
+    * open session per active device, closed and emitted once the watermark
+    * passes the gap — bounded regardless of stream length.
+    */
+  def sessionizedDeviceCounts(normalized: DataFrame, gap: String = "30 minutes",
+                              watermark: String = "10 minutes"): DataFrame =
+    normalized
+      .withWatermark("gps_epoch", watermark)
+      .groupBy(session_window(col("gps_epoch"), gap).as("w"), col("device_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("speed_kmh")).as("max_speed"))
+      .select(col("device_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("max_speed"))
+
+  /** Stream-stream interval join: each alert enriched with the same device's
+    * status reports from the preceding `lookback`. Watermarks on both inputs
+    * plus the event-time bound let Spark evict join state — without the
+    * interval condition a stream-stream join buffers forever.
+    */
+  def alertEnrichmentJoin(alerts: DataFrame, statuses: DataFrame,
+                          lookback: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val a = alerts.withWatermark("gps_epoch", watermark).alias("a")
+    val st = statuses.withWatermark("gps_epoch", watermark).alias("s")
+    a.join(st,
+        col("a.device_id") === col("s.device_id") &&
+          col("s.gps_epoch") >= col("a.gps_epoch") - expr(s"INTERVAL $lookback") &&
+          col("s.gps_epoch") <= col("a.gps_epoch"))
+      .select(col("a.device_id").as("device_id"),
+        col("a.correlation_id").as("alert_id"),
+        col("a.gps_epoch").as("alert_time"),
+        col("s.correlation_id").as("status_id"),
+        col("s.gps_epoch").as("status_time"),
+        col("s.speed_kmh").as("status_speed"))
+  }
 }

@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
     assert(parts.nonEmpty)
   }
 
+  test("session windows merge while gaps stay under the gap, split otherwise") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val sessions = StreamingIngest.sessionizedDeviceCounts(
+      StreamingIngest.ingest(mem.toDF()), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // 00:00, 00:01 -> one session; 01:00 -> a second (gap 59 min >= 30)
+      mem.addData(Edge.mk("7", 1704067200L), Edge.mk("7", 1704067260L),
+        Edge.mk("7", 1704070800L))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select(col("session_start").cast("long"), col("session_end").cast("long"),
+          col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1704067200L, 1704067260L + 1800L, 2L),  // end = last event + gap
+        (1704070800L, 1704070800L + 1800L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join enriches alerts with recent same-device statuses") {
+    implicit val sql = spark.sqlContext
+    val alertMem = MemoryStream[Edge]
+    val statusMem = MemoryStream[Edge]
+    val joined = StreamingIngest.alertEnrichmentJoin(
+      StreamingIngest.ingest(alertMem.toDF()),
+      StreamingIngest.ingest(statusMem.toDF()), lookback = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try {
+      statusMem.addData(
+        Edge.mk("7", 1704067000L),              // 200 s before the alert: match
+        Edge.mk("7", 1704066000L),              // 20 min before: outside lookback
+        Edge.mk("8", 1704067100L))              // other device: no match
+      alertMem.addData(Edge.mk("7", 1704067200L, rt = "ALERT"))
+      q.processAllAvailable()
+      val out = spark.table("join_out")
+        .select("device_id", "status_id").as[(String, String)].collect().toSeq
+      assert(out == Seq(("7", "7-1704067000")))
+    } finally q.stop()
+  }
+
   test("windowed device counts aggregate event time") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Edge]
