@@ -161,19 +161,134 @@ object CurationQueries {
       |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // ---- token budgeting -----------------------------------------------------
+
+  /** Budget 700 ≈ half a source's token mass at sf0.01, so the greedy cut
+    * provably selects (and rejects) on every source at every SF.
+    */
+  private def tokenBudgetQ(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudget(Tables.documents(s, dir), budget = 700L)
+      .orderBy(col("source"), col("doc_id"))
+
+  private val tokenBudgetOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, tokens_before
+      |FROM o WHERE tokens_before < 700
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ---- sliding chunks ------------------------------------------------------
+
+  private def chunksQ(s: SparkSession, dir: String): DataFrame =
+    Curation.slidingChunks(Tables.documents(s, dir), window = 64, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunksOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CAST(s // 32 AS BIGINT) AS chunk_idx,
+      |  CAST(s AS BIGINT) AS chunk_start,
+      |  CAST(least(64, n_tokens - s) AS BIGINT) AS chunk_len
+      |FROM t, unnest(range(0, n_tokens, 32)) u(s)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- int8 embedding quantization ----------------------------------------
+
+  /** Quantize, then self-verify in-plan: code sums/extremes are exact
+    * integers DuckDB re-derives, and `err_ok` asserts the reconstruction
+    * error bound scale/2 per vector.
+    */
+  private def quantizeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Similarity
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("codes")).as("q_min"),
+        array_max(col("codes")).as("q_max"),
+        (aggregate(
+          zip_with(col("vec"), col("codes"),
+            (x, q) => abs(x - (col("mn") + q * col("scale")))),
+          lit(0.0), (acc, e) => greatest(acc, e)) <= col("scale") * 0.5000001)
+          .as("err_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeOracle =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, vec, list_min(vec) AS mn,
+      |    (list_max(vec) - list_min(vec)) / 255.0 AS scale
+      |  FROM v
+      |), q AS (
+      |  SELECT vec_id, vec, mn, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(vec, x -> CAST(round((x - mn) / scale) AS BIGINT))
+      |    END AS codes
+      |  FROM m
+      |)
+      |SELECT vec_id,
+      |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+      |  CAST(list_min(codes) AS BIGINT) AS q_min,
+      |  CAST(list_max(codes) AS BIGINT) AS q_max,
+      |  list_max(list_transform(range(1, 65),
+      |    i -> abs(vec[i] - (mn + codes[i] * scale)))) <= scale * 0.5000001 AS err_ok
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ---- tf-idf top terms ----------------------------------------------------
+
+  private def tfidfQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.topTermsByTfIdf(Tables.documents(s, dir), k = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  private val tfidfOracle =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |)
+      |SELECT doc_id, term, tf, df, tf::DOUBLE / df AS score
+      |FROM tf JOIN df USING (term)
+      |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (packQ _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_repetition" -> (repetitionQ _),
-    "q_pii_redact" -> (piiQ _)
+    "q_pii_redact" -> (piiQ _),
+    "q_token_budget" -> (tokenBudgetQ _),
+    "q_sliding_chunks" -> (chunksQ _),
+    "q_embed_quantize" -> (quantizeQ _),
+    "q_tfidf_terms" -> (tfidfQ _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_pack_sequences" -> packOracle,
     "q_decontaminate" -> decontaminateOracle,
     "q_repetition" -> repetitionOracle,
-    "q_pii_redact" -> piiOracle
+    "q_pii_redact" -> piiOracle,
+    "q_token_budget" -> tokenBudgetOracle,
+    "q_sliding_chunks" -> chunksOracle,
+    "q_embed_quantize" -> quantizeOracle,
+    "q_tfidf_terms" -> tfidfOracle
   )
 }

@@ -167,6 +167,24 @@ object Similarity {
       .select("query_id", "nn_id", "rank", "cosine")
   }
 
+  /** Scalar int8 quantization (per-vector min/max affine): code[i] =
+    * round((v[i]−mn)/scale) ∈ [0,255] with scale = (mx−mn)/255 — the
+    * compression step that makes a 100 TB embedding corpus index-resident
+    * (4 B float → 1 B code, reconstruction error ≤ scale/2). Constant
+    * vectors (scale 0) code to all-zeros. Narrow codegen'd projection; the
+    * min/max are materialized in their own projection so the transform
+    * lambda doesn't re-reduce the array per element.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+      .withColumn("mn", array_min(col("vec")))
+      .withColumn("scale", (array_max(col("vec")) - col("mn")) / 255.0)
+      .withColumn("codes",
+        when(col("scale") === 0.0, transform(col("vec"), _ => lit(0L)))
+          .otherwise(transform(col("vec"),
+            x => round((x - col("mn")) / col("scale"), 0).cast("long"))))
+
   /** Per-label centroids via exact decimal sums (order-independent): output
     * (label, dim, n, centroid) with centroid = decimal-sum / n rounded.
     */

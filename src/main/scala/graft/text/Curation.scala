@@ -104,6 +104,43 @@ object Curation {
         col("top_token_frac") > 0.2 || col("dup_token_frac") > 0.6)
   }
 
+  /** Per-source token budgeting for training-mix construction: within each
+    * source, documents are permuted by `md5(id)` (deterministic, cluster-
+    * independent — same discipline as [[graft.ops.Sampling]]) and taken
+    * greedily while the running token total before the document is under
+    * `budget`. The last taken document may overshoot, as greedy packing does.
+    *
+    * One shuffle on the source; cumsum is a window within it.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
+  /** Overlapping sliding-window chunking (context windows for embedding /
+    * retrieval pipelines): one row per `(doc, chunk)` with chunk starts at
+    * `0, stride, 2·stride, …  < n_tokens` and `len = min(window, n - start)`.
+    * Narrow explode — no shuffle; chunk count per doc is O(n/stride).
+    */
+  def slidingChunks(docs: DataFrame, window: Int, stride: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong))))
+      .select(col(idCol), col("n_tokens"),
+        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(window.toLong), col("n_tokens") - col("chunk_start")).as("chunk_len"))
+
   /** PII patterns. Deliberately plain (ASCII classes, bounded quantifiers):
     * they mean the same thing to Java regex and RE2, so the DuckDB oracle can
     * replicate redaction exactly.

@@ -97,6 +97,34 @@ object TextAnalysis {
       .withColumn("re_tokens",
         regexp_count(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
+  /** Top-k salient terms per document by tf·idf — with the idf kept as the
+    * exact rational `tf/df` (same ordering as `tf·ln(N/df)` per document,
+    * since ln is monotone and N is constant): no transcendentals, so the
+    * DuckDB oracle is bit-identical. Ties break on the term string.
+    *
+    * Scale shape: shuffles on (doc, term) then term (the document-frequency
+    * agg — partial map-side combine applies), a term-keyed join, and one
+    * window per doc whose `row_number ≤ k` triggers the WindowGroupLimit
+    * rewrite (top-k forwarded per map task, never a full per-doc sort).
+    */
+  def topTermsByTfIdf(docs: DataFrame, k: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tf = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** 32-bit rolling-polynomial document fingerprint over normalized text
     * (lowercase, collapsed whitespace) — Java-hashCode polynomial via the
     * native [[graft.functions.JavaHashCode]] expression.

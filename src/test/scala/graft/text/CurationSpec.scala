@@ -67,6 +67,66 @@ class CurationSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("dup_token_frac") == 0.0)
   }
 
+  test("tokenBudget: greedy per-source cut is deterministic and bounded") {
+    val docs = (0L until 20L).map(i =>
+      (i, ("w " * 10).trim, if (i < 10) "a" else "b")).toDF("doc_id", "text", "source")
+    // budget 1: exactly the hash-first doc per source (tokens_before = 0 < 1)
+    val one = Curation.tokenBudget(docs, budget = 1L)
+    assert(one.groupBy("source").count().as[(String, Long)].collect().toMap
+      == Map("a" -> 1L, "b" -> 1L))
+    // budget 35: 10-token docs -> first 4 docs per source (0,10,20,30 < 35)
+    val some = Curation.tokenBudget(docs, budget = 35L)
+    assert(some.groupBy("source").count().as[(String, Long)].collect().toMap
+      == Map("a" -> 4L, "b" -> 4L))
+    // monotone: a smaller budget selects a subset of a larger one
+    val small = one.select("doc_id").as[Long].collect().toSet
+    val large = some.select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("slidingChunks: stride-overlapping windows cover every token") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val out = Curation.slidingChunks(docs, window = 4, stride = 2)
+      .select("chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((0L, 0L, 4L), (1L, 2L, 3L), (2L, 4L, 1L)))
+  }
+
+  test("quantizeInt8: codes span [0,255], reconstruction within scale/2") {
+    import graft.sim.Similarity
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f)),
+      (2L, Array(3.0f, 3.0f, 3.0f))   // constant -> scale 0 -> all zero codes
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(vecs).orderBy("vec_id").collect()
+    val codes1 = rows(0).getAs[scala.collection.Seq[Long]]("codes").toSeq
+    assert(codes1 == Seq(0L, 128L, 255L)) // 1.0/(2/255) = 127.5 rounds up
+    val scale1 = rows(0).getAs[Double]("scale")
+    val vec1 = rows(0).getAs[scala.collection.Seq[Double]]("vec").toSeq
+    val mn1 = rows(0).getAs[Double]("mn")
+    codes1.zip(vec1).foreach { case (q, v) =>
+      assert(math.abs(v - (mn1 + q * scale1)) <= scale1 / 2 + 1e-12)
+    }
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("codes").toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("topTermsByTfIdf ranks rare high-tf terms first, ties on term") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTermsByTfIdf(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, -r._5, r._2))
+    assert(out == Seq(
+      (1L, "apple", 2L, 1L, 2.0),     // rare + frequent -> top
+      (1L, "banana", 1L, 2L, 0.5),
+      (2L, "cherry", 1L, 1L, 1.0),
+      (2L, "banana", 1L, 2L, 0.5)))
+  }
+
   test("piiRedact: counts and redaction for each category") {
     val docs = Seq(
       (1L, "mail a.b@x.org and c@y.io, call 555-123-4567, host 10.0.0.1 ok"),
