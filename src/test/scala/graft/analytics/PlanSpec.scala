@@ -54,6 +54,43 @@ class PlanSpec extends SparkSpec {
       s"full-corpus dedup must be a bucketed equi-join, got:\n$p")
   }
 
+  test("sliding chunks plan is narrow: no shuffle at all") {
+    import graft.text.Curation
+    val df = Curation.slidingChunks(graft.Tables.documents(spark, sf()), 64, 32)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("tf-idf top-k window triggers the WindowGroupLimit rewrite") {
+    import graft.text.TextAnalysis
+    val df = TextAnalysis.topTermsByTfIdf(graft.Tables.documents(spark, sf()), 3)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set, never the corpus") {
+    import graft.text.Curation
+    val docs = graft.Tables.documents(spark, sf())
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 3)
+    val df = Curation.decontaminate(docs, bench)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom prefilter keeps the fact filter in the scan stage (no early shuffle)") {
+    import graft.ops.BloomPrefilter
+    import org.apache.spark.sql.functions.col
+    val dim = graft.Tables.customer(spark, sf())
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = BloomPrefilter.build(dim, col("c_custkey"), expectedItems = 10000L)
+    val pre = BloomPrefilter.prefilter(graft.Tables.orders(spark, sf()), col("o_custkey"), bloom)
+    val p = plan(pre)
+    // the bloom probe is a plain Filter over the scan — nothing exchanged
+    assert(p.contains("might_contain"), s"expected bloom probe in plan:\n$p")
+    assert(!p.contains("Exchange"), s"prefilter must precede any shuffle:\n$p")
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(
