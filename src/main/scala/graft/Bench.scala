@@ -39,6 +39,32 @@ object Bench {
     // only — no per-query work is pre-run.
     spark.range(1L << 20).agg(sum(col("id"))).collect()
     fullyEvaluate(Tables.region(spark, sfDir))
+    // generic operator-infra warmup (tiny data): exercises the codegen/JIT
+    // paths shared by most queries — split/explode/HOF, hash agg, window,
+    // shuffle + broadcast joins, regex — so their one-time compile cost
+    // doesn't land on whichever query the Map happens to order first
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.range(1000).toDF("id")
+        .withColumn("s", concat(lit("a b "), col("id").cast("string")))
+        .withColumn("toks", split(col("s"), "\\s+"))
+      val agg = t.select(col("id"), explode(col("toks")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+        .withColumn("m", regexp_count(col("tok"), lit("[a-z]+")))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"),
+          call_function("bit_xor", col("h")).as("sh"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("n")).orderBy(col("tok"))))
+      val joined = agg.hint("shuffle_hash").join(agg.select(col("tok")).hint("shuffle_hash"), "tok")
+        .join(broadcast(agg.select(col("tok").as("t2"))), col("tok") === col("t2"))
+      fullyEvaluate(joined)
+      fullyEvaluate(t.withColumn("arr",
+        transform(col("toks"), x => length(x))).select(col("id"),
+          aggregate(col("arr"), lit(0), (a, b) => a + b).as("s")))
+      // JSON decode infra (Jackson + from_json codegen)
+      fullyEvaluate(t.select(from_json(
+        concat(lit("{\"a\": "), col("id").cast("string"), lit("}")),
+        new org.apache.spark.sql.types.StructType().add("a", "long")).as("j")))
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fullyEvaluate(fn(spark, sfDir))
