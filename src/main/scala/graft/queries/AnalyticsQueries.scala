@@ -306,6 +306,109 @@ object AnalyticsQueries {
       |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
       |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** CUBE over (event_type, day): all four grouping-set combinations in one
+    * pass (map-side partial aggs per grouping set — the Spark expansion is
+    * the same multi-set hash agg DuckDB runs).
+    */
+  private def cubeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    graft.Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast("double").as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+  }
+
+  private val cubeOracle =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
+  /** Frequent-items sketch (`stat.freqItems`, Karp et al. streaming
+    * heavy-hitters) self-verified in-plan: the exact top-10 terms are the
+    * compared payload, and `all_heavy_captured` re-proves the sketch's
+    * no-false-negative guarantee (every term with freq > support·n is in the
+    * sketch result) — flips false if the sketch breaks.
+    */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val terms = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(explode(col("toks")).as("term"))
+    val support = 0.005
+    val sketch = terms.stat.freqItems(Array("term"), support)
+      .head.getSeq[String](0)
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+    val total = counts.agg(sum(col("n_term")).as("n_total"))
+    val flag = counts.crossJoin(total)
+      .filter(col("n_term") > col("n_total") * support)
+      .agg(coalesce(
+        min(array_contains(typedLit(sketch), col("term"))), lit(true))
+        .as("all_heavy_captured"))
+    counts.orderBy(col("n_term").desc, col("term")).limit(10)
+      .crossJoin(flag)
+      .select(col("term"), col("n_term"), col("all_heavy_captured"))
+      .orderBy(col("n_term").desc, col("term"))
+  }
+
+  private val heavyHittersOracle =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents
+      |), c AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM t GROUP BY term
+      |)
+      |SELECT term, n_term, true AS all_heavy_captured
+      |FROM c ORDER BY n_term DESC, term LIMIT 10""".stripMargin
+
+  /** The window-function family in one query: running totals, lag deltas,
+    * dense ranks, frame-bounded moving averages — all per customer, one
+    * shuffle. Money stays in exact DECIMAL inside every frame (running and
+    * moving sums are order-sensitive in FP; decimal makes them exact).
+    */
+  private def windowFuncsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val o = graft.Tables.orders(s, dir).filter(col("o_custkey") < 200)
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        sum(price).over(byTime.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DecimalType(18, 2)).cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(byTime).as("prev_price"),
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+        avg(price).over(byTime.rowsBetween(-2, 0))
+          .cast(DecimalType(18, 6)).cast("double").as("moving_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowFuncsOracle =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS running_total,
+      |  lag(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  CAST(dense_rank() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+      |    AS price_rank,
+      |  CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS DOUBLE)
+      |    AS moving_avg3
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -326,6 +429,9 @@ object AnalyticsQueries {
     "q_bloom_join" -> (bloomJoinQ _),
     "q_approx_quantiles" -> (approxQuantilesQ _),
     "q_session_window" -> (sessionWindowQ _),
+    "q_cube" -> (cubeQ _),
+    "q_heavy_hitters" -> (heavyHittersQ _),
+    "q_window_funcs" -> (windowFuncsQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -347,6 +453,9 @@ object AnalyticsQueries {
     "q_bloom_join" -> bloomJoinOracle,
     "q_approx_quantiles" -> approxQuantilesOracle,
     "q_session_window" -> sessionWindowOracle,
+    "q_cube" -> cubeOracle,
+    "q_heavy_hitters" -> heavyHittersOracle,
+    "q_window_funcs" -> windowFuncsOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
