@@ -113,6 +113,70 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, maxShingleFreq)
 
+  /** Incremental dedup: drop new documents whose content hash already exists
+    * in `existing` — the production shape for deduping a fresh crawl against
+    * the accumulated corpus without re-deduping the corpus itself. Hash-first:
+    * the anti-join shuffles 16-byte hashes, never documents.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, existing: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("__seen_hash")).distinct()
+    newDocs.withColumn("__h", md5(col(textCol)))
+      .join(seen, col("__h") === col("__seen_hash"), "left_anti")
+      .drop("__h")
+  }
+
+  /** C4-style line-level dedup: split documents into lines, keep only each
+    * line's globally-first occurrence (ordered by (doc, position)), and
+    * reassemble documents from their surviving lines. Near-duplicate
+    * documents collapse to their novel lines; boilerplate (headers, license
+    * blocks) survives exactly once, in its earliest document.
+    *
+    * Scale shape: one shuffle partitioned by the line (the winner-per-line
+    * window), one groupBy doc to reassemble. At 100 TB partition by a line
+    * *hash* instead of the string to shrink the shuffle key — kept as the raw
+    * line here so the DuckDB oracle is collision-proof-identical.
+    */
+  def lineDedup(docs: DataFrame, sep: String = "\\. ", joinSep: String = ". ",
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+    val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val clean = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(joinSep,
+        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    perDoc.join(clean, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-document novelty: the fraction of a document's distinct k-shingles
+    * that occur nowhere else in the corpus. Planted duplicates score 0;
+    * boilerplate-heavy documents score low — the inverse signal of
+    * [[graft.text.Curation.decontaminate]], over the corpus itself.
+    */
+  def noveltyScores(docs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = withShingles(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+    sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Same pipeline from an already-shingled (id, sh) frame — lets callers
     * (e.g. the minhash self-verification query) share one shingle frame
     * between the sketch and the exact baseline.

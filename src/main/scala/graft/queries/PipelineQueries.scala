@@ -172,6 +172,81 @@ object PipelineQueries {
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY stratum, doc_id""".stripMargin
 
+  /** Line-level (C4-style) dedup on the augmented corpus: every line of a
+    * planted exact copy is a global duplicate, so copies collapse to empty
+    * while originals survive intact.
+    */
+  private def lineDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(augmented(Tables.documents(s, dir)))
+      .orderBy(col("doc_id"))
+
+  private val lineDedupOracle =
+    s"""WITH $augCte,
+      |l AS (
+      |  SELECT doc_id, i - 1 AS pos, ls[i] AS line
+      |  FROM (
+      |    SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+      |    FROM (SELECT doc_id, string_split(text, '. ') AS ls FROM aug))
+      |),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM l
+      |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+      |),
+      |c AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(line, '. ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT pd.doc_id, n_lines,
+      |  coalesce(n_kept, 0) AS n_kept,
+      |  coalesce(clean_text, '') AS clean_text
+      |FROM pd LEFT JOIN c ON pd.doc_id = c.doc_id
+      |ORDER BY pd.doc_id""".stripMargin
+
+  /** Incremental dedup: the fresh "crawl" is the full corpus; the existing
+    * corpus already holds every doc_id % 10 == 0 text (under other ids), so
+    * exactly those are dropped.
+    */
+  private def incrementalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val existing = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    Dedup.dedupAgainstCorpus(docs.select(col("doc_id"), col("text")), existing)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupOracle =
+    """SELECT doc_id FROM documents
+      |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Novelty over the augmented corpus: planted copies (and their originals)
+    * share every shingle, so both score 0; untouched docs score near 1.
+    */
+  private def noveltyQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScores(augmented(Tables.documents(s, dir)))
+      .orderBy(col("doc_id"))
+
+  private val noveltyOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |f AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
+      |FROM sh JOIN f USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- text analysis -----------------------------------------------------
 
   private def qualityQ(s: SparkSession, dir: String): DataFrame =
@@ -617,6 +692,9 @@ object PipelineQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExactQ _),
+    "q_line_dedup" -> (lineDedupQ _),
+    "q_incremental_dedup" -> (incrementalDedupQ _),
+    "q_novelty" -> (noveltyQ _),
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_dup_clusters" -> (dupClustersQ _),
@@ -667,6 +745,9 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactOracle,
+    "q_line_dedup" -> lineDedupOracle,
+    "q_incremental_dedup" -> incrementalDedupOracle,
+    "q_novelty" -> noveltyOracle,
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_dup_clusters" -> dupClustersOracle,

@@ -76,6 +76,38 @@ class DedupSpec extends SparkSpec {
     assert(nearHits > 0, "no near-dup survived simhash blocking")
   }
 
+  test("lineDedup keeps each line's first (doc, pos) occurrence only") {
+    val d = Seq(
+      (1L, "a b. c d. a b"),  // internal dup: pos 2 repeats pos 0
+      (2L, "a b. x y")        // cross-doc dup: "a b" already owned by doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d)
+      .select($"doc_id", $"n_lines", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b. c d"),
+      (2L, 2L, 1L, "x y")))
+  }
+
+  test("dedupAgainstCorpus drops exactly the already-seen texts") {
+    val fresh = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val corpus = Seq((100L, "beta"), (101L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(fresh, corpus)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("noveltyScores: duplicated docs score 0, unique docs score 1") {
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),       // exact copy of 1
+      (3L, "seven eight nine ten eleven twelve") // fully novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(d)
+      .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 1.0)
+  }
+
   test("exact dedup keeps one row per content hash") {
     val deduped = Dedup.dedupExact(aug)
     assert(deduped.count() == aug.select(md5($"text")).distinct().count())
