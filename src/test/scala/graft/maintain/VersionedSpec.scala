@@ -1,0 +1,67 @@
+package graft.maintain
+
+import graft.SparkSpec
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_versioned").toString + "/t"
+
+  test("append commits accumulate; every snapshot stays readable (time travel)") {
+    val dir = freshTable()
+    val v1 = Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    val v2 = Versioned.commit(Seq((2L, "b")).toDF("id", "s"), dir)
+    assert((v1, v2) == ((1, 2)))
+    assert(Versioned.read(spark, dir).count() == 2)                  // latest
+    assert(Versioned.read(spark, dir, Some(1)).as[(Long, String)].collect().toSeq
+      == Seq((1L, "a")))                                             // time travel
+  }
+
+  test("overwrite commit replaces content logically, old snapshot readable") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, append = false)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(Versioned.read(spark, dir, Some(1)).as[(Long, String)].collect().toSeq
+      == Seq((1L, "a")))
+  }
+
+  test("expire + orphan removal: old files deleted, current snapshot intact") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, append = false) // v1 files now v1-only
+    val expired = Versioned.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired == Seq(1))
+    val gone = Versioned.removeOrphanFiles(spark, dir)
+    assert(gone.nonEmpty && gone.forall(_.startsWith("data/v1/")))
+    // current snapshot unaffected by the cleanup
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1)))
+  }
+
+  test("orphan removal keeps shared files still referenced by a retained snapshot") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.commit(Seq((2L, "b")).toDF("id", "s"), dir) // append: v2 references v1 files
+    Versioned.expireSnapshots(spark, dir, keepLast = 1)   // drop v1 manifest
+    val gone = Versioned.removeOrphanFiles(spark, dir)
+    assert(gone.isEmpty, s"shared v1 data files wrongly deleted: $gone")
+    assert(Versioned.read(spark, dir).count() == 2)
+  }
+
+  test("crash debris (data without manifest) is invisible and cleaned as orphans") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    // simulate a crash mid-commit: data written, manifest never landed
+    Seq((666L, "crash")).toDF("id", "s")
+      .write.parquet(s"$dir/data/v2")
+    assert(Versioned.versions(spark, dir) == Seq(1))       // v2 invisible
+    assert(Versioned.read(spark, dir).count() == 1)
+    val gone = Versioned.removeOrphanFiles(spark, dir)
+    assert(gone.nonEmpty && gone.forall(_.startsWith("data/v2/")))
+    // age guard: freshly-written unreferenced files survive a guarded sweep
+    Seq((7L, "inflight")).toDF("id", "s").write.parquet(s"$dir/data/v3")
+    assert(Versioned.removeOrphanFiles(spark, dir, minAgeMs = 3600000L).isEmpty)
+  }
+}
