@@ -111,6 +111,25 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** MERGE INTO as a snapshot commit: read the current snapshot, apply the
+    * key-dedup merge ([[graft.ops.Upsert]]), commit as a logical overwrite.
+    * The manifest rename makes the merge atomic — readers see the old or the
+    * new table, never a partial rewrite (strictly stronger than the
+    * backup-swap file dance in `StreamingIngest.upsertFullSwap`) — and the
+    * pre-merge snapshot stays time-travelable until expired. New data files
+    * land in a fresh `data/v<N>` directory, so the merge never overwrites
+    * files it is still reading.
+    */
+  def upsert(incoming: DataFrame, tableDir: String, keys: Seq[String],
+             precedence: org.apache.spark.sql.Column): Int = {
+    val spark = incoming.sparkSession
+    val existing =
+      if (versions(spark, tableDir).isEmpty) incoming.limit(0)
+      else read(spark, tableDir)
+    val merged = graft.ops.Upsert.upsert(existing, incoming, keys, precedence, precedence)
+    commit(merged, tableDir, append = false)
+  }
+
   /** M3 `expire_snapshots`: drop all but the newest `keepLast` manifests.
     * Data files shared with retained snapshots stay; newly-unreferenced files
     * become orphans for [[removeOrphanFiles]]. Metadata-only — O(#snapshots).

@@ -50,6 +50,21 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 2)
   }
 
+  test("versioned upsert merges by key atomically; pre-merge snapshot time-travels") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshTable()
+    Versioned.upsert(Seq(("d1", 5L, 1), ("d2", 7L, 1)).toDF("k", "total", "ver"),
+      dir, Seq("k"), col("ver"))
+    Versioned.upsert(Seq(("d1", 9L, 2)).toDF("k", "total", "ver"),
+      dir, Seq("k"), col("ver"))
+    val now = Versioned.read(spark, dir)
+      .select("k", "total", "ver").as[(String, Long, Int)].collect().toSet
+    assert(now == Set(("d1", 9L, 2), ("d2", 7L, 1)))
+    val before = Versioned.read(spark, dir, Some(1))
+      .select("k", "total", "ver").as[(String, Long, Int)].collect().toSet
+    assert(before == Set(("d1", 5L, 1), ("d2", 7L, 1)))
+  }
+
   test("crash debris (data without manifest) is invisible and cleaned as orphans") {
     val dir = freshTable()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
