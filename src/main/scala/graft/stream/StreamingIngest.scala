@@ -89,6 +89,23 @@ object StreamingIngest {
         else upsertFullSwap(batch, targetDir, keys, precedenceCol)
       }
 
+  /** Streaming upsert onto a [[graft.maintain.Versioned]] table: each
+    * micro-batch is one atomic MERGE snapshot (manifest-rename commit — a
+    * crash at any point leaves the previous snapshot fully readable), and
+    * every batch's pre-state stays time-travelable until
+    * `Versioned.expireSnapshots` retires it. The transaction-log answer to
+    * the same K3 contract [[upsertSink]] meets with swap/partition tricks.
+    */
+  def versionedUpsertSink(scored: DataFrame, tableDir: String, checkpointDir: String,
+                          keys: Seq[String], precedenceCol: String)(
+      implicit spark: SparkSession): DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.maintain.Versioned.upsert(batch, tableDir, keys, col(precedenceCol))
+        ()
+      }
+
   private def emptyLike(batch: DataFrame): DataFrame =
     batch.sparkSession.createDataFrame(
       batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)

@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versioned streaming upsert: atomic per-batch merges with time travel") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vups").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vups_ckpt").toString
+    val mem = MemoryStream[(String, String, Long, Int)]
+    val scored = mem.toDF().toDF("device_id", "report_date", "total", "version")
+    val q = StreamingIngest.versionedUpsertSink(scored, dir, ckpt,
+      Seq("device_id", "report_date"), "version").start()
+    try {
+      mem.addData(("d1", "2024-01-01", 5L, 1), ("d2", "2024-01-01", 7L, 1))
+      q.processAllAvailable()
+      mem.addData(("d1", "2024-01-01", 9L, 2))
+      q.processAllAvailable()
+      import graft.maintain.Versioned
+      val now = Versioned.read(spark, dir)
+        .select("device_id", "total", "version").as[(String, Long, Int)].collect().toSet
+      assert(now == Set(("d1", 9L, 2), ("d2", 7L, 1)))
+      // batch 1's state is still readable (snapshot v1)
+      val v1 = Versioned.read(spark, dir, Some(1))
+        .select("device_id", "total", "version").as[(String, Long, Int)].collect().toSet
+      assert(v1 == Set(("d1", 5L, 1), ("d2", 7L, 1)))
+    } finally q.stop()
+  }
+
   test("full-swap streaming upsert self-recovers from a missing live dir") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
