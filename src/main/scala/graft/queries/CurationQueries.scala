@@ -268,6 +268,35 @@ object CurationQueries {
       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
       |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  // ---- fuzzy (edit-distance) matching -------------------------------------
+
+  /** Title dedup: 30-char heads of every 10th doc, plus planted one-edit
+    * variants (+4M ids), paired within 2 edits.
+    */
+  private def fuzzyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 === 0)
+    val titles = base.select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      .unionByName(base.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(lit("x"), substring(col("text"), 2, 29)).as("title")))
+    Curation.fuzzyPairs(titles, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val fuzzyOracle =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 30) AS title
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, 'x' || substr(text, 2, 29)
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +307,8 @@ object CurationQueries {
     "q_token_budget" -> (tokenBudgetQ _),
     "q_sliding_chunks" -> (chunksQ _),
     "q_embed_quantize" -> (quantizeQ _),
-    "q_tfidf_terms" -> (tfidfQ _)
+    "q_tfidf_terms" -> (tfidfQ _),
+    "q_fuzzy_match" -> (fuzzyQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,6 +319,7 @@ object CurationQueries {
     "q_token_budget" -> tokenBudgetOracle,
     "q_sliding_chunks" -> chunksOracle,
     "q_embed_quantize" -> quantizeOracle,
-    "q_tfidf_terms" -> tfidfOracle
+    "q_tfidf_terms" -> tfidfOracle,
+    "q_fuzzy_match" -> fuzzyOracle
   )
 }

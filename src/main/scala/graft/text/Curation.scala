@@ -141,6 +141,26 @@ object Curation {
         col("chunk_start"),
         least(lit(window.toLong), col("n_tokens") - col("chunk_start")).as("chunk_len"))
 
+  /** Edit-distance fuzzy pairs over short strings (titles, headers): all
+    * (a < b) pairs within `maxDist` Levenshtein edits, using Spark's
+    * *bounded* `levenshtein(l, r, threshold)` so the quadratic DP early-exits
+    * once the distance provably exceeds the threshold.
+    *
+    * Like [[graft.sim.Similarity.thresholdPairs]] this is the bounded-subset
+    * tool — quadratic in |items| by construction. For corpus-scale fuzzy
+    * dedup, block first (n-gram buckets via [[Dedup.ngramJaccardPairs]]'s
+    * candidate join) and reserve edit distance for verification.
+    */
+  def fuzzyPairs(items: DataFrame, maxDist: Int,
+                 idCol: String = "doc_id", strCol: String = "title"): DataFrame = {
+    val a = items.select(col(idCol).as("id_a"), col(strCol).as("s_a"))
+    val b = items.select(col(idCol).as("id_b"), col(strCol).as("s_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0) // bounded form returns -1 above threshold
+      .select("id_a", "id_b", "dist")
+  }
+
   /** PII patterns. Deliberately plain (ASCII classes, bounded quantifiers):
     * they mean the same thing to Java regex and RE2, so the DuckDB oracle can
     * replicate redaction exactly.

@@ -127,6 +127,17 @@ class CurationSpec extends SparkSpec {
       (2L, "banana", 1L, 2L, 0.5)))
   }
 
+  test("fuzzyPairs: within-threshold pairs only, bounded distance reported") {
+    val t = Seq(
+      (1L, "kitten"), (2L, "sitten"),   // dist 1
+      (3L, "sitting"),                  // dist 2 from sitten, 3 from kitten
+      (4L, "zzzzzz")                    // far from all
+    ).toDF("doc_id", "title")
+    val out = Curation.fuzzyPairs(t, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1), (2L, 3L, 2)))
+  }
+
   test("piiRedact: counts and redaction for each category") {
     val docs = Seq(
       (1L, "mail a.b@x.org and c@y.io, call 555-123-4567, host 10.0.0.1 ok"),
