@@ -268,6 +268,29 @@ object CurationQueries {
       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
       |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  // ---- weighted mixture interleave ----------------------------------------
+
+  /** First 100 docs of a 3:1 mixture favoring src0/src1 — the prefix's source
+    * composition proves the stride weighting.
+    */
+  private def mixtureQ(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureInterleave(Tables.documents(s, dir),
+        weights = Seq("src0" -> 3.0, "src1" -> 3.0))
+      .orderBy(col("ord"), col("source"), col("doc_id"))
+      .limit(100)
+
+  private val mixtureOracle =
+    """WITH r AS (
+      |  SELECT doc_id, source, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rn
+      |  FROM documents
+      |), w AS (
+      |  SELECT *, CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END AS wt
+      |  FROM r
+      |)
+      |SELECT doc_id, source, rn, rn / wt AS ord
+      |FROM w ORDER BY ord, source, doc_id LIMIT 100""".stripMargin
+
   // ---- fuzzy (edit-distance) matching -------------------------------------
 
   /** Title dedup: 30-char heads of every 10th doc, plus planted one-edit
@@ -308,7 +331,8 @@ object CurationQueries {
     "q_sliding_chunks" -> (chunksQ _),
     "q_embed_quantize" -> (quantizeQ _),
     "q_tfidf_terms" -> (tfidfQ _),
-    "q_fuzzy_match" -> (fuzzyQ _)
+    "q_fuzzy_match" -> (fuzzyQ _),
+    "q_mixture" -> (mixtureQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,6 +344,7 @@ object CurationQueries {
     "q_sliding_chunks" -> chunksOracle,
     "q_embed_quantize" -> quantizeOracle,
     "q_tfidf_terms" -> tfidfOracle,
-    "q_fuzzy_match" -> fuzzyOracle
+    "q_fuzzy_match" -> fuzzyOracle,
+    "q_mixture" -> mixtureOracle
   )
 }

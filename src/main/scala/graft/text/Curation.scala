@@ -141,6 +141,31 @@ object Curation {
         col("chunk_start"),
         least(lit(window.toLong), col("n_tokens") - col("chunk_start")).as("chunk_len"))
 
+  /** Deterministic weighted mixture interleave (stride scheduling): documents
+    * are permuted within each source by `md5(id)` and globally ordered by
+    * `rank / weight`, so a source with weight 3 contributes 3× the documents
+    * of a weight-1 source in any prefix — "mix 70/30" for training without
+    * randomness, reproducible on any cluster. Take the first `n` of the
+    * returned order (or stream the whole ordering into a writer).
+    *
+    * One shuffle for the per-source window, one global sort for the
+    * interleave order (Spark range-partitions the sort — no single-reducer
+    * bottleneck; a `limit(n)` on top plans as TakeOrdered).
+    */
+  def mixtureInterleave(docs: DataFrame, weights: Seq[(String, Double)],
+                        defaultWeight: Double = 1.0,
+                        idCol: String = "doc_id",
+                        sourceCol: String = "source"): DataFrame = {
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, x)) =>
+      when(col(sourceCol) === s, lit(x)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ord", col("rn") / wt)
+  }
+
   /** Edit-distance fuzzy pairs over short strings (titles, headers): all
     * (a < b) pairs within `maxDist` Levenshtein edits, using Spark's
     * *bounded* `levenshtein(l, r, threshold)` so the quadratic DP early-exits

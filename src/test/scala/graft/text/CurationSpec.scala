@@ -127,6 +127,17 @@ class CurationSpec extends SparkSpec {
       (2L, "banana", 1L, 2L, 0.5)))
   }
 
+  test("mixtureInterleave: a 3:1 weighting yields exactly 3:1 in any prefix") {
+    val docs = ((0L until 20L).map(i => (i, "t", "a")) ++
+        (100L until 120L).map(i => (i, "t", "b")))
+      .toDF("doc_id", "text", "source")
+    val first20 = Curation.mixtureInterleave(docs, Seq("a" -> 3.0))
+      .orderBy(col("ord"), col("source"), col("doc_id")).limit(20)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // per unit stride: three a's (ord k/3) then one b (ord m) -> 15:5
+    assert(first20 == Map("a" -> 15L, "b" -> 5L))
+  }
+
   test("fuzzyPairs: within-threshold pairs only, bounded distance reported") {
     val t = Seq(
       (1L, "kitten"), (2L, "sitten"),   // dist 1
