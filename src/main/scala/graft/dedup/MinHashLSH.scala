@@ -54,6 +54,28 @@ object MinHashLSH {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     signaturesFromShingles(Dedup.withShingles(docs, k, idCol, textCol), numHashes, seed)
 
+  /** One-permutation signatures ([[graft.functions.OnePermMinHashAggregate]]):
+    * one hash evaluation per shingle instead of `numHashes` — the shape that
+    * holds when corpus shingle volume dwarfs signature width. Same banded-LSH
+    * downstream; identical shingle sets still give identical signatures
+    * (densification is deterministic), so exact-duplicate capture remains a
+    * hard guarantee.
+    */
+  def signaturesOPH(sh: DataFrame, buckets: Int, seed: Long = 42L): DataFrame = {
+    val Seq((a, b)) = params(1, seed)
+    sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg
+        .ophAgg(pmod(xxhash64(col("s")), lit(P)), a, b, P, buckets).as("sig"))
+  }
+
+  /** [[nearDuplicatesFromShingles]] with one-permutation signatures. */
+  def nearDuplicatesOPH(sh: DataFrame, buckets: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val cands = candidatePairs(signaturesOPH(sh, buckets, seed), bands)
+    verifyExact(cands, sh, threshold)
+  }
+
   /** Candidate pairs from banded LSH: docs colliding in ≥1 band. */
   def candidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
     val banded = sigs.select(col("id"),
@@ -90,6 +112,14 @@ object MinHashLSH {
                                  threshold: Double = 0.8,
                                  seed: Long = 42L): DataFrame = {
     val cands = candidatePairs(signaturesFromShingles(sh, numHashes, seed), bands)
+    verifyExact(cands, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the shingle
+    * frame: the sketch only prunes; this asserts.
+    */
+  private def verifyExact(cands: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame =
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -98,5 +128,4 @@ object MinHashLSH {
         (size(col("sh_a")) + size(col("sh_b")) - col("intersection")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 }

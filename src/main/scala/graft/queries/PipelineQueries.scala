@@ -570,6 +570,32 @@ object PipelineQueries {
       |  true AS lsh_subset_ok, true AS planted_captured, true AS recall_ok
       |FROM ex, pl""".stripMargin
 
+  /** One-permutation minhash, self-verified on its hard guarantee: every
+    * planted exact copy (Jaccard 1 ⇒ identical OPH signature ⇒ all bands
+    * collide) must be captured, and all emitted pairs are exact-verified at
+    * 0.8 in-plan. Deliberately cheaper than `q_minhash_lsh`'s full
+    * exact-baseline compare — the sketch differs, the verification harness
+    * need not be duplicated.
+    */
+  private def minhashOphQ(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
+      .select("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
+      .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val plantedOk = planted.join(pairs, Seq("id_a", "id_b"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("planted_captured"))
+    nPlanted.crossJoin(plantedOk)
+  }
+
+  private val minhashOphOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured
+      |FROM documents
+      |WHERE doc_id % 10 = 0 AND len(string_split_regex(text, '\s+')) >= 5""".stripMargin
+
   /** SimHash near-dup detection, summarized against the exact-duplicate pair
     * set (md5 groups): identical text ⇒ identical fingerprint ⇒ Hamming 0 ⇒
     * the Manku block join captures the pair — so `exact_dups_captured` is a
@@ -735,6 +761,7 @@ object PipelineQueries {
     // sketch-based, with self-verifying oracles (see section above):
     "q_ann_ivf" -> (annIvfQ _),
     "q_minhash_lsh" -> (minhashLshQ _),
+    "q_minhash_oph" -> (minhashOphQ _),
     "q_simhash" -> (simhashQ _),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -780,6 +807,7 @@ object PipelineQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "q_minhash_lsh" -> minhashLshOracle,
+    "q_minhash_oph" -> minhashOphOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle

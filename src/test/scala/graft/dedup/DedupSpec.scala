@@ -76,6 +76,22 @@ class DedupSpec extends SparkSpec {
     assert(nearHits > 0, "no near-dup survived simhash blocking")
   }
 
+  test("OPH minhash: planted dups captured, output subset of exact pairs") {
+    import graft.dedup.{Dedup => D}
+    val sh = D.withShingles(aug, 5)
+    val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    // hard guarantee: every planted exact copy with >= 5 tokens is captured
+    val plantedIds = D.withShingles(
+        docs.filter($"doc_id" % 10 === 0), 5).select($"id").as[Long].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    plantedIds.foreach { id =>
+      assert(found.contains((id, id + 1000000L)), s"planted dup $id missed by OPH")
+    }
+    // soundness: emitted pairs are exact-verified at 0.8
+    assert(pairs.forall(_._3 >= 0.8))
+  }
+
   test("lineDedup keeps each line's first (doc, pos) occurrence only") {
     val d = Seq(
       (1L, "a b. c d. a b"),  // internal dup: pos 2 repeats pos 0
