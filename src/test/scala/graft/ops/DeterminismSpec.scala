@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.text.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioning-invariance properties: on a real cluster the input arrives in
+  * arbitrary splits, so every operator must produce identical results for
+  * identical *data* regardless of how it is partitioned. Each test runs the
+  * operator on a 1-partition and a shuffled 7-partition copy of the same
+  * input and asserts byte-identical results.
+  */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 60L)
+    .map(i => (i, s"alpha b$i gamma d${i % 7} epsilon z${i % 3} eta theta", s"src${i % 4}"))
+    .toDF("doc_id", "text", "source")
+
+  private def variants(df: DataFrame): (DataFrame, DataFrame) =
+    (df.repartition(1), df.repartition(7, col("doc_id")))
+
+  test("minhash + OPH signatures are partitioning-invariant") {
+    val (a, b) = variants(docs)
+    def sigs(d: DataFrame, oph: Boolean) = {
+      val sh = Dedup.withShingles(d, 3)
+      val s = if (oph) MinHashLSH.signaturesOPH(sh, buckets = 16)
+        else MinHashLSH.signaturesFromShingles(sh, numHashes = 16)
+      s.select($"id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    }
+    assert(sigs(a, oph = false) == sigs(b, oph = false))
+    assert(sigs(a, oph = true) == sigs(b, oph = true))
+  }
+
+  test("lineDedup output is partitioning-invariant") {
+    val (a, b) = variants(docs)
+    def run(d: DataFrame) = Dedup.lineDedup(d, sep = " ", joinSep = " ")
+      .select($"doc_id", $"n_kept", $"clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(run(a) == run(b))
+  }
+
+  test("packSequences offsets are partitioning-invariant") {
+    val (a, b) = variants(docs)
+    def run(d: DataFrame) = Curation.packSequences(d, seqLen = 16, numShards = 4)
+      .select($"doc_id", $"start_offset", $"seq_first", $"seq_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(a) == run(b))
+  }
+
+  test("mixtureInterleave order and tokenBudget selection are partitioning-invariant") {
+    val (a, b) = variants(docs)
+    def mix(d: DataFrame) = Curation.mixtureInterleave(d, Seq("src0" -> 2.0))
+      .orderBy($"ord", $"source", $"doc_id").limit(20)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(mix(a) == mix(b))
+    def budget(d: DataFrame) = Curation.tokenBudget(d, budget = 30L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(budget(a) == budget(b))
+  }
+
+  test("exact and n-gram dedup pair sets are partitioning-invariant") {
+    val dup = docs.unionByName(
+      docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text", $"source"))
+    val (a, b) = variants(dup)
+    def pairs(d: DataFrame) = Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(a) == pairs(b))
+    def groups(d: DataFrame) = Dedup.exactDuplicateGroups(d)
+      .select($"content_hash", $"keep_id").as[(String, Long)].collect().toSet
+    assert(groups(a) == groups(b))
+  }
+}
