@@ -130,6 +130,21 @@ object Versioned {
     commit(merged, tableDir, append = false)
   }
 
+  /** Change feed between two snapshots: rows only in `to` tagged `insert`,
+    * rows only in `from` tagged `delete` (an update under [[upsert]] shows as
+    * delete+insert of the key). `exceptAll` is bag semantics — duplicate rows
+    * diff by multiplicity — and plans as a hash anti-join per side, so the
+    * diff shuffles once per direction and never collects.
+    */
+  def snapshotDiff(spark: SparkSession, tableDir: String,
+                   from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(spark, tableDir, Some(from))
+    val b = read(spark, tableDir, Some(to))
+    b.exceptAll(a).withColumn("__change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("__change", lit("delete")))
+  }
+
   /** M3 `expire_snapshots`: drop all but the newest `keepLast` manifests.
     * Data files shared with retained snapshots stay; newly-unreferenced files
     * become orphans for [[removeOrphanFiles]]. Metadata-only — O(#snapshots).

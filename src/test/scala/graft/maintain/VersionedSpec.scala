@@ -65,6 +65,20 @@ class VersionedSpec extends SparkSpec {
     assert(before == Set(("d1", 5L, 1), ("d2", 7L, 1)))
   }
 
+  test("snapshotDiff: upserts surface as delete+insert of the changed key") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshTable()
+    Versioned.upsert(Seq(("d1", 5L, 1), ("d2", 7L, 1)).toDF("k", "total", "ver"),
+      dir, Seq("k"), col("ver"))
+    Versioned.upsert(Seq(("d1", 9L, 2), ("d3", 4L, 1)).toDF("k", "total", "ver"),
+      dir, Seq("k"), col("ver"))
+    val diff = Versioned.snapshotDiff(spark, dir, from = 1, to = 2)
+      .select("__change", "k", "total").as[(String, String, Long)].collect().toSet
+    assert(diff == Set(
+      ("insert", "d1", 9L), ("delete", "d1", 5L),  // updated key
+      ("insert", "d3", 4L)))                       // new key; d2 unchanged
+  }
+
   test("crash debris (data without manifest) is invisible and cleaned as orphans") {
     val dir = freshTable()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
