@@ -198,6 +198,31 @@ object StreamingIngest {
       }
   }
 
+  /** CEP-style pattern detection with `flatMapGroupsWithState`: emit an alert
+    * row whenever a device reports `runLength` *consecutive* over-threshold
+    * speeds (zero or many outputs per group per batch — the shape
+    * `mapGroupsWithState` can't express). State is one counter per device;
+    * a processing-time timeout would retire idle devices at fleet scale.
+    */
+  def consecutiveSpeedAlerts(events: org.apache.spark.sql.Dataset[(String, Double)],
+                             threshold: Double = 110.0, runLength: Int = 3)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[(String, Int)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (device: String, rows: Iterator[(String, Double)], state: GroupState[Int]) =>
+          var run = state.getOption.getOrElse(0)
+          val alerts = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+          rows.foreach { case (_, speed) =>
+            run = if (speed > threshold) run + 1 else 0
+            if (run >= runLength) alerts += ((device, run))
+          }
+          state.update(run)
+          alerts.iterator
+      }
+  }
+
   /** Event-time windowed device counts with a watermark — the bounded-state
     * streaming aggregation surface (not in the reference, which stores event
     * time but never aggregates it in-flight; north-star extension).

@@ -240,6 +240,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: consecutive-overspeed runs alert across batches") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = StreamingIngest.consecutiveSpeedAlerts(mem.toDS(), threshold = 100.0, runLength = 3)
+      .toDF("device_id", "run")
+      .writeStream.format("memory").queryName("cep_out").outputMode("append").start()
+    try {
+      mem.addData(("d1", 120.0), ("d1", 130.0))          // run of 2: no alert yet
+      q.processAllAvailable()
+      assert(spark.table("cep_out").count() == 0)
+      mem.addData(("d1", 125.0), ("d1", 50.0), ("d1", 140.0)) // 3rd consecutive, then reset
+      q.processAllAvailable()
+      val out = spark.table("cep_out").as[(String, Int)].collect().toSeq
+      assert(out == Seq(("d1", 3)))                      // state carried across batches
+    } finally q.stop()
+  }
+
   test("windowed device counts aggregate event time") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Edge]
