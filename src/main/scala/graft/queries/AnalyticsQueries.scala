@@ -409,6 +409,71 @@ object AnalyticsQueries {
       |FROM orders WHERE o_custkey < 200
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Explicit LEFT SEMI / LEFT ANTI joins (the relational "has any match /
+    * has no match" surface; both broadcast the key set).
+    */
+  private def semiAntiQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.customer(s, dir)
+    // big-ticket orders only, so both the semi and the anti side select rows
+    val keys = graft.Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    def side(tpe: String, tag: String) =
+      c.join(keys, col("c_custkey") === col("o_custkey"), tpe)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit(tag))
+    side("left_semi", "with_orders")
+      .unionByName(side("left_anti", "no_orders"))
+      .select("op", "c_mktsegment", "n")
+      .orderBy(col("op"), col("c_mktsegment"))
+  }
+
+  private val semiAntiOracle =
+    """SELECT op, c_mktsegment, n FROM (
+      |  SELECT 'with_orders' AS op, c_mktsegment, count(*) AS n FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'no_orders', c_mktsegment, count(*) FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  GROUP BY c_mktsegment
+      |)
+      |ORDER BY op, c_mktsegment""".stripMargin
+
+  /** Scalar + correlated subqueries through the SQL surface — identical SQL
+    * text runs on both engines (the scalar average is an exact-decimal
+    * derivation so the comparison boundary is deterministic).
+    */
+  private val subqueriesSql =
+    """SELECT op, grp, n FROM (
+      |  SELECT 'rich_customers' AS op, c_mktsegment AS grp, count(*) AS n
+      |  FROM %CUST%
+      |  WHERE c_acctbal > (
+      |    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |      / count(*) FROM %CUST%)
+      |  GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'heavy_orders', o_orderpriority, count(*)
+      |  FROM %ORD% o
+      |  WHERE EXISTS (SELECT 1 FROM %LI% l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |  GROUP BY o_orderpriority
+      |)
+      |ORDER BY op, grp""".stripMargin
+
+  private def subqueriesQ(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.customer(s, dir).createOrReplaceTempView("v_sq_customer")
+    graft.Tables.orders(s, dir).createOrReplaceTempView("v_sq_orders")
+    graft.Tables.lineitem(s, dir).createOrReplaceTempView("v_sq_lineitem")
+    s.sql(subqueriesSql.replace("%CUST%", "v_sq_customer")
+      .replace("%ORD%", "v_sq_orders").replace("%LI%", "v_sq_lineitem"))
+  }
+
+  private val subqueriesOracle = subqueriesSql
+    .replace("%CUST%", "customer").replace("%ORD%", "orders").replace("%LI%", "lineitem")
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -432,6 +497,8 @@ object AnalyticsQueries {
     "q_cube" -> (cubeQ _),
     "q_heavy_hitters" -> (heavyHittersQ _),
     "q_window_funcs" -> (windowFuncsQ _),
+    "q_semi_anti" -> (semiAntiQ _),
+    "q_subqueries" -> (subqueriesQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -456,6 +523,8 @@ object AnalyticsQueries {
     "q_cube" -> cubeOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_window_funcs" -> windowFuncsOracle,
+    "q_semi_anti" -> semiAntiOracle,
+    "q_subqueries" -> subqueriesOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
