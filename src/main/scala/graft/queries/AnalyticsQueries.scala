@@ -474,6 +474,36 @@ object AnalyticsQueries {
   private val subqueriesOracle = subqueriesSql
     .replace("%CUST%", "customer").replace("%ORD%", "orders").replace("%LI%", "lineitem")
 
+  /** Semi-structured surface: encode rows to JSON (`to_json`), decode with a
+    * schema (`from_json`) and with path extraction (`get_json_object`), and
+    * emit the recovered values. The oracle computes the same values directly
+    * from the columns — hash equality proves the JSON round trip is lossless
+    * (including shortest-roundtrip double formatting).
+    */
+  private def jsonRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("id", LongType).add("u", LongType)
+      .add("meta", new StructType().add("t", StringType).add("v", DoubleType))
+    graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .withColumn("j", to_json(struct(
+        col("event_id").as("id"), col("user_id").as("u"),
+        struct(col("event_type").as("t"), col("value").as("v")).as("meta"))))
+      .select(
+        from_json(col("j"), schema).as("d"),
+        get_json_object(col("j"), "$.meta.t").as("path_t"))
+      .select(col("d.id").as("event_id"), col("d.u").as("user_id"),
+        col("path_t"), col("d.meta.v").as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val jsonRoundtripOracle =
+    """SELECT event_id, user_id, event_type AS path_t, value
+      |FROM events WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -499,6 +529,7 @@ object AnalyticsQueries {
     "q_window_funcs" -> (windowFuncsQ _),
     "q_semi_anti" -> (semiAntiQ _),
     "q_subqueries" -> (subqueriesQ _),
+    "q_json_roundtrip" -> (jsonRoundtripQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -525,6 +556,7 @@ object AnalyticsQueries {
     "q_window_funcs" -> windowFuncsOracle,
     "q_semi_anti" -> semiAntiOracle,
     "q_subqueries" -> subqueriesOracle,
+    "q_json_roundtrip" -> jsonRoundtripOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
