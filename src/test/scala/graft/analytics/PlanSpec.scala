@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"prefilter must precede any shuffle:\n$p")
   }
 
+  test("semi/anti joins and correlated subqueries plan as hash joins, no nested loops") {
+    val semiAnti = plan(graft.SparkEntry.queries("q_semi_anti")(spark, sf()))
+    assert(semiAnti.contains("LeftSemi") && semiAnti.contains("LeftAnti"), semiAnti)
+    assert(!semiAnti.contains("BroadcastNestedLoopJoin") && !semiAnti.contains("CartesianProduct"))
+    val sub = plan(graft.SparkEntry.queries("q_subqueries")(spark, sf()))
+    assert(!sub.contains("BroadcastNestedLoopJoin") && !sub.contains("CartesianProduct"),
+      s"correlated EXISTS must decorrelate to a join:\n$sub")
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(
