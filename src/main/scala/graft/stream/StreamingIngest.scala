@@ -51,6 +51,19 @@ object StreamingIngest {
   def ingest(edgeStream: DataFrame, buckets: Int = 32): DataFrame =
     Normalize.normalizeTelemetry(edgeStream, buckets)
 
+  /** [[ingest]] with an [[org.apache.spark.sql.Observation]]-style `observe`
+    * node: per-micro-batch row/alert/overspeed counters ride the existing job
+    * (no second pass, no extra action) and surface in every
+    * `StreamingQueryProgress.observedMetrics` — the ops dashboard the
+    * reference gets from Flink's metric reporters, for free in-plan.
+    */
+  def ingestWithMetrics(edgeStream: DataFrame, buckets: Int = 32,
+                        name: String = "graft_ingest"): DataFrame =
+    ingest(edgeStream, buckets).observe(name,
+      count(lit(1)).as("rows_out"),
+      sum(when(col("report_type") === "ALERT", 1L).otherwise(0L)).as("alerts"),
+      sum(when(col("speed_kmh") > 110.0, 1L).otherwise(0L)).as("overspeed"))
+
   /** Checkpointed, partitioned, exactly-once append sink (K1). */
   def factSink(normalized: DataFrame, targetDir: String, checkpointDir: String,
                triggerMs: Long = 1000L): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -240,6 +240,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe() metrics ride the ingest stream into query progress") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val q = StreamingIngest.ingestWithMetrics(mem.toDF())
+      .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Edge.mk("7", 1704067200L, speed = "120.5"),          // overspeed
+        Edge.mk("7", 1704067260L, rt = "ALERT", speed = "80.0"),
+        Edge.mk("9", 1704067300L, rt = "PING"))              // filtered out
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_ingest"))).last
+      assert(m.getAs[Long]("rows_out") == 2L)
+      assert(m.getAs[Long]("alerts") == 1L)
+      assert(m.getAs[Long]("overspeed") == 1L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: consecutive-overspeed runs alert across batches") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
