@@ -504,6 +504,73 @@ object AnalyticsQueries {
       |FROM events WHERE event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** Array-function surface over token arrays: distinct/sort/slice/set ops,
+    * reduced to scalars (sizes + joined heads) so the compare stays
+    * list-free. Narrow projection, no shuffle.
+    */
+  private def arrayFuncsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .withColumn("u", split(upper(concat_ws(" ", col("t"))), " "))
+    d.select(col("doc_id"),
+        size(col("t")).as("n"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        concat_ws(",", slice(sort_array(col("t")), 1, 3)).as("sorted_head"),
+        size(array_intersect(col("t"), col("u"))).as("n_self_upper"),
+        size(array_union(col("t"), col("u"))).as("n_union"),
+        size(array_except(col("t"), col("u"))).as("n_except"),
+        concat_ws(",", array_remove(slice(col("t"), 1, 5), element_at(col("t"), 1)))
+          .as("head_wo_first"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val arrayFuncsOracle =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t,
+      |    string_split(upper(array_to_string(string_split_regex(text, '\s+'), ' ')), ' ') AS u
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(t) AS INTEGER) AS n,
+      |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+      |  array_to_string(list_sort(t)[1:3], ',') AS sorted_head,
+      |  CAST(len(list_intersect(list_distinct(t), list_distinct(u))) AS INTEGER) AS n_self_upper,
+      |  CAST(len(list_distinct(list_concat(t, u))) AS INTEGER) AS n_union,
+      |  CAST(len(list_filter(list_distinct(t), x -> NOT list_contains(u, x))) AS INTEGER) AS n_except,
+      |  array_to_string(list_filter(t[1:5], x -> x <> t[1]), ',') AS head_wo_first
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** String-function surface (the Java-/DuckDB-identical subset): pad, trim,
+    * slice, search, repeat, reverse, case. One codegen'd projection.
+    */
+  private def stringFuncsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("h"))
+      .select(col("doc_id"),
+        upper(col("h")).as("up"),
+        lpad(col("h"), 16, "*").as("padded"),
+        reverse(col("h")).as("rev"),
+        repeat(substring(col("h"), 1, 2), 3).as("rep"),
+        instr(col("h"), "e").cast("long").as("first_e"),
+        translate(col("h"), "aeiou", "AEIOU").as("vowels_up"),
+        length(trim(col("h"))).cast("long").as("trimmed_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stringFuncsOracle =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 12) AS h FROM documents)
+      |SELECT doc_id,
+      |  upper(h) AS up,
+      |  lpad(h, 16, '*') AS padded,
+      |  reverse(h) AS rev,
+      |  repeat(substr(h, 1, 2), 3) AS rep,
+      |  CAST(coalesce(strpos(h, 'e'), 0) AS BIGINT) AS first_e,
+      |  translate(h, 'aeiou', 'AEIOU') AS vowels_up,
+      |  CAST(length(trim(h)) AS BIGINT) AS trimmed_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -530,6 +597,8 @@ object AnalyticsQueries {
     "q_semi_anti" -> (semiAntiQ _),
     "q_subqueries" -> (subqueriesQ _),
     "q_json_roundtrip" -> (jsonRoundtripQ _),
+    "q_array_funcs" -> (arrayFuncsQ _),
+    "q_string_funcs" -> (stringFuncsQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -557,6 +626,8 @@ object AnalyticsQueries {
     "q_semi_anti" -> semiAntiOracle,
     "q_subqueries" -> subqueriesOracle,
     "q_json_roundtrip" -> jsonRoundtripOracle,
+    "q_array_funcs" -> arrayFuncsOracle,
+    "q_string_funcs" -> stringFuncsOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
