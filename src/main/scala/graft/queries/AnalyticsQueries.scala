@@ -571,6 +571,47 @@ object AnalyticsQueries {
       |  CAST(length(trim(h)) AS BIGINT) AS trimmed_len
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Date/time + conditional scalar surface: truncation, calendar fields,
+    * day arithmetic, month rollovers, null-gating — the F5-F9 families
+    * widened to their full built-in breadth. (Spark `dayofweek` is 1-based
+    * Sunday-first; DuckDB's is 0-based — the oracle offsets.)
+    */
+  private def dateFuncsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"),
+        col("d"),
+        date_trunc("month", col("d")).cast("date").as("month_start"),
+        dayofweek(col("d")).as("dow"),
+        dayofmonth(col("d")).cast("int").as("dom"),
+        quarter(col("d")).as("q"),
+        last_day(col("d")).as("month_end"),
+        add_months(col("d"), 2).as("plus_2m"),
+        datediff(lit(java.sql.Date.valueOf("1999-01-01")), col("d")).as("days_to_99"),
+        nullif(col("o_totalprice"), col("o_totalprice")).as("always_null"),
+        coalesce(nullif(lit("x"), lit("x")), lit("fallback")).as("fallback"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val dateFuncsOracle =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+      |  CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom,
+      |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS q,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+      |    AS days_to_99,
+      |  nullif(o_totalprice, o_totalprice) AS always_null,
+      |  coalesce(nullif('x', 'x'), 'fallback') AS fallback
+      |FROM orders WHERE o_orderkey < 3000
+      |ORDER BY o_orderkey""".stripMargin
+
   private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.analytics.GroupedTopK.topKPerGroup(graft.Tables.orders(s, dir),
@@ -599,6 +640,7 @@ object AnalyticsQueries {
     "q_json_roundtrip" -> (jsonRoundtripQ _),
     "q_array_funcs" -> (arrayFuncsQ _),
     "q_string_funcs" -> (stringFuncsQ _),
+    "q_date_funcs" -> (dateFuncsQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
@@ -628,6 +670,7 @@ object AnalyticsQueries {
     "q_json_roundtrip" -> jsonRoundtripOracle,
     "q_array_funcs" -> arrayFuncsOracle,
     "q_string_funcs" -> stringFuncsOracle,
+    "q_date_funcs" -> dateFuncsOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
     "q_tumbling_window" -> tumblingOracle,
