@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Entries that time a verification harness or an amortized index build
+    * rather than an operator: `q_minhash_recall` re-derives the exact
+    * no-frequency-cut Jaccard baseline to audit the sketch's recall, and
+    * `q_ann_ivf_build` is the offline k-means fit a production deployment
+    * amortizes over thousands of searches. They stay inside `value` (the
+    * driver's headline) but are broken out as `verification_total` so
+    * operator cost is legible (VERDICT r2 item 2).
+    */
+  val VerificationQueries: Set[String] = Set("q_minhash_recall", "q_ann_ivf_build")
+
   /** Force full evaluation of every output row AND column: hash-agg over a
     * struct of all columns. A bare `count()` lets Catalyst prune unused
     * columns and drop result-irrelevant sorts, so projection-only queries
@@ -65,6 +75,10 @@ object Bench {
         concat(lit("{\"a\": "), col("id").cast("string"), lit("}")),
         new org.apache.spark.sql.types.StructType().add("a", "long")).as("j")))
     }
+    // amortized index builds (IVF k-means) happen outside any search query's
+    // timer — the build cost is its own entry (q_ann_ivf_build)
+    try graft.queries.PipelineQueries.prebuildIndexes(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prebuild failed: $e") }
     // Two timed runs per query, reporting the min (steady state): a fresh JVM
     // charges each query's one-time codegen/JIT compile (1-4 s each — a
     // profiling artifact local[32] can't amortize but any long-running
@@ -91,12 +105,25 @@ object Bench {
       timed.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = timed.values.map(_._1).sum
     val coldTotal = timed.values.map(_._2).sum
+    val verifTotal = timed.collect {
+      case (k, v) if VerificationQueries(k) => v._1 }.sum
+    val operTotal = total - verifTotal
+    val breakdown = s""""operator_total":$operTotal,"verification_total":$verifTotal,""" +
+      s""""verification_queries":${VerificationQueries.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
-      s""""cold_total":$coldTotal,"cold_queries":${obj(_._2)},"sf":"$sfDir"}"""
+      s""""cold_total":$coldTotal,"cold_queries":${obj(_._2)},$breakdown,"sf":"$sfDir"}"""
+    // compact totals-only summary printed LAST: the driver captures a bounded
+    // stdout *tail*, so the single giant per-query line can get clipped from
+    // the front (BENCH_r02 lost its headline total that way) — a short final
+    // line always survives and parses on its own
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n":${timed.size},"cold_total":$coldTotal,$breakdown,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n" + summary + "\n")
     }
     spark.stop()
     println(line)
+    println(summary)
   }
 }

@@ -504,18 +504,52 @@ object PipelineQueries {
 
   // ---- self-verifying sketch queries -------------------------------------
 
-  /** MinHash/LSH vs the exact shingle-Jaccard baseline over one shared
-    * persisted shingle frame. Output is a single summary row whose counts
-    * DuckDB re-derives exactly and whose booleans are real Spark-side checks
-    * (they flip to false if the sketch breaks — the oracle pins them true).
+  /** The MinHash+LSH *operator* alone (VERDICT r2 item 2 split the old
+    * combined query): sketch → banded candidates → exact-verify, summarized
+    * by its hard guarantee — planted exact copies (Jaccard 1 ⇒ identical
+    * signatures ⇒ every band collides) must all be captured, and every
+    * emitted pair carries an exact Jaccard ≥ 0.8 recomputed in-plan. The
+    * expensive no-frequency-cut exact-baseline recall audit lives in
+    * [[minhashRecallQ]] (`q_minhash_recall`) so its cost is charged to the
+    * verification harness, not the operator.
     */
   private def minhashLshQ(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
     // 1-(1-0.8^4)^16 ≈ 0.9998 per pair) at half the 128-hash signature cost
-    // the LSH pair set feeds two branches (full-outer compare + planted
-    // check); persist the (tiny) pair list so the sketch pipeline runs once
+    // the LSH pair set feeds three summary branches; persist the (tiny) pair
+    // list so the sketch pipeline runs once
+    val lsh = MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // planted exact copies (doc_id%10==0 → +1M): Jaccard 1.0, so banded LSH
+    // must capture every one — a hard guarantee, not a probabilistic bound
+    val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
+      .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val plantedOk = planted.join(lsh.select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("planted_captured"))
+    val verified = lsh.agg(
+      (coalesce(min(col("jaccard")), lit(1.0)) >= 0.8).as("pairs_verified"))
+    nPlanted.crossJoin(plantedOk).crossJoin(verified)
+  }
+
+  private val minhashLshOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured,
+      |  true AS pairs_verified
+      |FROM documents
+      |WHERE doc_id % 10 = 0 AND len(string_split_regex(text, '\s+')) >= 5""".stripMargin
+
+  /** Verification *harness* for the MinHash sketch (its cost is reported
+    * under `verification_total` in Bench, separate from the operator): the
+    * LSH pair set against the exact shingle-Jaccard baseline with the
+    * frequency cut disabled — subset and ≥95% recall booleans plus the exact
+    * pair count DuckDB re-derives.
+    */
+  private def minhashRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val lsh = MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
       .select("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -526,24 +560,14 @@ object PipelineQueries {
       .select("id_a", "id_b")
     val cmp = exact.withColumn("in_e", lit(1L))
       .join(lsh.withColumn("in_l", lit(1L)), Seq("id_a", "id_b"), "full_outer")
-    val stats = cmp.agg(
+    cmp.agg(
       coalesce(sum(col("in_e")), lit(0L)).as("n_exact_pairs"),
       (coalesce(sum(when(col("in_e").isNull, 1L)), lit(0L)) === 0L).as("lsh_subset_ok"),
       (coalesce(sum(when(col("in_l").isNull, 1L)), lit(0L)).cast("double")
         <= lit(0.05) * coalesce(sum(col("in_e")), lit(0L)).cast("double")).as("recall_ok"))
-    // planted exact copies (doc_id%10==0 → +1M): Jaccard 1.0, so banded LSH
-    // must capture every one — a hard guarantee, not a probabilistic bound
-    val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
-      .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
-    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
-    val plantedOk = planted.join(lsh, Seq("id_a", "id_b"), "left_anti")
-      .agg((count(lit(1)) === 0L).as("planted_captured"))
-    stats.crossJoin(nPlanted).crossJoin(plantedOk)
-      .select("n_exact_pairs", "n_planted", "lsh_subset_ok",
-        "planted_captured", "recall_ok")
   }
 
-  private val minhashLshOracle =
+  private val minhashRecallOracle =
     s"""WITH $augCte,
       |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
       |sh AS (
@@ -562,13 +586,10 @@ object PipelineQueries {
       |  SELECT count(*) AS n FROM cand
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.8),
-      |pl AS (
-      |  SELECT count(*) AS n FROM documents
-      |  WHERE doc_id % 10 = 0 AND len(string_split_regex(text, '\\s+')) >= 5)
-      |SELECT CAST(ex.n AS BIGINT) AS n_exact_pairs, CAST(pl.n AS BIGINT) AS n_planted,
-      |  true AS lsh_subset_ok, true AS planted_captured, true AS recall_ok
-      |FROM ex, pl""".stripMargin
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.8)
+      |SELECT CAST(ex.n AS BIGINT) AS n_exact_pairs,
+      |  true AS lsh_subset_ok, true AS recall_ok
+      |FROM ex""".stripMargin
 
   /** One-permutation minhash, self-verified on its hard guarantee: every
     * planted exact copy (Jaccard 1 ⇒ identical OPH signature ⇒ all bands
@@ -696,7 +717,10 @@ object PipelineQueries {
   private def annIvfQ(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    val index = Ivf.build(emb, nlist = 16)
+    // amortized build: in production the index is built once offline and
+    // served to thousands of queries — the search query's timer measures
+    // search ([[annIvfBuildQ]] times the build; Bench pre-warms the cache)
+    val index = Ivf.cachedBuild(emb, dir, nlist = 16)
     val ivf = Ivf.topK(emb, queries, index, k = 3, nprobe = 4)
       .select("query_id", "nn_id")
     val bf = Similarity.bruteForceTopK(emb, queries, k = 3)
@@ -713,6 +737,31 @@ object PipelineQueries {
     """SELECT CAST(count(*) AS BIGINT) AS n_queries,
       |  CAST(count(*) * 3 AS BIGINT) AS n_results, true AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
+
+  /** The IVF *index build* as its own timed entry (an offline, amortized job
+    * in production — VERDICT r2 item 2): a fresh un-cached k-means fit, with
+    * shape/finiteness invariants the oracle pins.
+    */
+  private def annIvfBuildQ(s: SparkSession, dir: String): DataFrame = {
+    val index = Ivf.build(Tables.embeddings(s, dir), nlist = 16)
+    val flat = index.centroids.flatten
+    val finite = flat.nonEmpty && flat.forall(d => !d.isNaN && !d.isInfinite)
+    import s.implicits._
+    Seq((index.centroids.size, index.centroids.head.size, finite))
+      .toDF("n_centroids", "dim", "centroids_finite")
+  }
+
+  private val annIvfBuildOracle =
+    """SELECT CAST(16 AS INTEGER) AS n_centroids, CAST(64 AS INTEGER) AS dim,
+      |  true AS centroids_finite""".stripMargin
+
+  /** Pre-build amortizable indexes so Bench timers measure search, not build
+    * (the build has its own entry, `q_ann_ivf_build`).
+    */
+  def prebuildIndexes(s: SparkSession, dir: String): Unit = {
+    Ivf.cachedBuild(Tables.embeddings(s, dir), dir, nlist = 16)
+    ()
+  }
 
   // ---- registry ----------------------------------------------------------
 
@@ -760,7 +809,9 @@ object PipelineQueries {
     "q_dedup_embedding_lsh" -> (dedupEmbeddingLshQ _),
     // sketch-based, with self-verifying oracles (see section above):
     "q_ann_ivf" -> (annIvfQ _),
+    "q_ann_ivf_build" -> (annIvfBuildQ _),
     "q_minhash_lsh" -> (minhashLshQ _),
+    "q_minhash_recall" -> (minhashRecallQ _),
     "q_minhash_oph" -> (minhashOphQ _),
     "q_simhash" -> (simhashQ _),
     "q_ann_lsh" -> ((s, dir) => {
@@ -807,9 +858,11 @@ object PipelineQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "q_minhash_lsh" -> minhashLshOracle,
+    "q_minhash_recall" -> minhashRecallOracle,
     "q_minhash_oph" -> minhashOphOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
-    "q_ann_ivf" -> annIvfOracle
+    "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_build" -> annIvfBuildOracle
   )
 }

