@@ -166,21 +166,85 @@ object Curation {
       .withColumn("ord", col("rn") / wt)
   }
 
-  /** Edit-distance fuzzy pairs over short strings (titles, headers): all
-    * (a < b) pairs within `maxDist` Levenshtein edits, using Spark's
-    * *bounded* `levenshtein(l, r, threshold)` so the quadratic DP early-exits
-    * once the distance provably exceeds the threshold.
+  /** Edit-distance fuzzy pairs: all (a < b) pairs within `maxDist`
+    * Levenshtein edits, with *equi-join* candidate generation (segment
+    * partitioning, the PassJoin scheme of Li/Deng/Feng 2011) — never
+    * all-pairs, so the full-set path survives corpus scale.
     *
-    * Like [[graft.sim.Similarity.thresholdPairs]] this is the bounded-subset
-    * tool — quadratic in |items| by construction. For corpus-scale fuzzy
-    * dedup, block first (n-gram buckets via [[Dedup.ngramJaccardPairs]]'s
-    * candidate join) and reserve edit distance for verification.
+    * Candidate completeness argument: partition string `a` into `maxDist+1`
+    * contiguous segments. Any `b` within `maxDist` edits of `a` leaves at
+    * least one segment untouched (each edit touches ≤ 1 segment), and that
+    * segment appears *verbatim* in `b`, start-shifted by at most `maxDist`
+    * (indels before it). So `b`'s enumerated substrings — every segment
+    * shape of every compatible source length `L ∈ [len(b)−t, len(b)+t]` at
+    * every shift in `[−t, t]` — must collide with one of `a`'s segments on
+    * the equi-key `(L, segIdx, segText)`. The enumeration is a constant
+    * ≤ (2t+1)²·(t+1) substrings per string (75 at t=2): a narrow explode,
+    * then one shuffle equi-join; candidates are O(collisions).
+    * Strings shorter than `maxDist+1` chars (degenerate empty segments) go
+    * through a tiny length-band equi-join instead. Every candidate is then
+    * verified with Spark's *bounded* `levenshtein(l, r, threshold)`, which
+    * early-exits once the distance provably exceeds the threshold — so the
+    * output is exact, identical to the all-pairs formulation.
     */
   def fuzzyPairs(items: DataFrame, maxDist: Int,
                  idCol: String = "doc_id", strCol: String = "title"): DataFrame = {
-    val a = items.select(col(idCol).as("id_a"), col(strCol).as("s_a"))
-    val b = items.select(col(idCol).as("id_b"), col(strCol).as("s_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val t = maxDist
+    val tp1 = t + 1
+    val base = items.select(col(idCol).as("id"), col(strCol).as("s"),
+      length(col(strCol)).as("len"))
+    // persist: the frame feeds both join sides of candidate generation plus
+    // the verification lookups ([[Dedup]] object doc, rule 1)
+    val withLen = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def segStart(lenC: Column, i: Int): Column =
+      floor(lenC * i / tp1).cast("int")
+    // index side: the t+1 segments of each string of length >= t+1
+    val segs = withLen.filter(col("len") >= tp1)
+      .select(col("id"), col("s"), col("len"),
+        explode(array((0 until tp1).map { i =>
+          struct(lit(i).as("i"), segStart(col("len"), i).as("p"),
+            (segStart(col("len"), i + 1) - segStart(col("len"), i)).as("l"))
+        }: _*)).as("g"))
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("g.i").as("i"),
+        col("s").substr(col("g.p") + 1, col("g.l")).as("seg"))
+    // probe side: every segment-shaped substring of b for every compatible
+    // source length and shift — a constant-factor explode, no shuffle
+    val combos = for { dL <- -t to t; i <- 0 until tp1; sh <- -t to t }
+      yield (dL, i, sh)
+    val probe = withLen
+      .select(col("id"), col("s"), col("len"),
+        explode(array(combos.map { case (dL, i, sh) =>
+          struct(lit(dL).as("dL"), lit(i).as("i"), lit(sh).as("sh"))
+        }: _*)).as("c"))
+      .withColumn("len_a", col("len") + col("c.dL"))
+      .withColumn("p", floor(col("len_a") * col("c.i") / tp1).cast("int"))
+      .withColumn("l",
+        floor(col("len_a") * (col("c.i") + 1) / tp1).cast("int") - col("p"))
+      .withColumn("start", col("p") + col("c.sh"))
+      .filter(col("len_a") >= tp1 && col("start") >= 0 &&
+        col("start") + col("l") <= col("len"))
+      .select(col("id").as("id_b"), col("len_a"), col("c.i").as("i"),
+        col("s").substr(col("start") + 1, col("l")).as("seg"))
+    val candLong = segs.join(probe, Seq("len_a", "i", "seg"))
+      .filter(col("id_a") =!= col("id_b"))
+    // degenerate short strings (len <= t): length-band equi-join — edit
+    // distance <= t forces |len(a) - len(b)| <= t, and the partner is itself
+    // <= 2t chars, so both sides are tiny slices of the corpus
+    val shortsA = withLen.filter(col("len") <= t)
+      .select(col("id").as("id_a"), col("len").as("len_a"))
+    val shortsB = withLen.filter(col("len") <= 2 * t)
+      .select(col("id").as("id_b"),
+        explode(sequence(col("len") - t, col("len") + t)).as("len_a"))
+    val candShort = shortsA.join(shortsB, Seq("len_a"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cands = candLong.select("id_a", "id_b")
+      .unionByName(candShort.select("id_a", "id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    cands
+      .join(withLen.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(withLen.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0) // bounded form returns -1 above threshold
       .select("id_a", "id_b", "dist")

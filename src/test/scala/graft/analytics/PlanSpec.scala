@@ -100,6 +100,19 @@ class PlanSpec extends SparkSpec {
       s"correlated EXISTS must decorrelate to a join:\n$sub")
   }
 
+  test("fuzzy matching full-set path: equi-join candidates, no nested loop / cartesian") {
+    import graft.text.Curation
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf())
+    val base = docs.filter(col("doc_id") % 10 === 0)
+    val titles = base.select(col("doc_id"), substring(col("text"), 1, 30).as("title"))
+      .unionByName(base.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(lit("x"), substring(col("text"), 2, 29)).as("title")))
+    val p = plan(Curation.fuzzyPairs(titles, maxDist = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy candidate generation must be equi-joins:\n$p")
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(
