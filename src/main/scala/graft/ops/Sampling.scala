@@ -28,4 +28,50 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** The Efraimidis–Spirakis (A-ES) sampling key `u^(1/w)`: the `n` largest
+    * keys are an exact weighted-without-replacement sample (a row's inclusion
+    * probability is proportional to its weight at every step). The uniform
+    * `u ∈ (0,1)` is *deterministic*: the first 8 hex chars of
+    * `md5(seed || id)` as a 32-bit integer, then `(h + 0.5) / 2^32` — same
+    * md5-permutation discipline as [[stratifiedSample]], same sample on any
+    * cluster/partitioning/rerun; varying `seed` redraws. (Java
+    * `String.hashCode` is NOT usable here: it is monotonic in trailing
+    * digits of equal-length keys, which would silently turn the draw into
+    * "highest ids win".) Weights must be strictly positive.
+    */
+  private def aesKey(id: Column, weight: Column, seed: String): Column = {
+    val h = conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    // (h + 0.5) / 2^32 is exact in double (division by a power of two), so
+    // the key is bit-reproducible across engines up to `pow` ulp noise
+    pow((h.cast("double") + 0.5) / 4294967296.0, lit(1.0) / weight.cast("double"))
+  }
+
+  /** Weighted reservoir sample (A-ES): the global top-`n` rows by sampling
+    * key. Plans as `TakeOrderedAndProject` — each partition forwards only its
+    * local top-n, no global sort, no single-reducer window — so the draw
+    * scales to any corpus size.
+    */
+  def weightedSample(df: DataFrame, weight: Column, n: Int, id: Column,
+                     seed: String = "aes"): DataFrame =
+    df.withColumn("__aes", aesKey(id, weight, seed))
+      .orderBy(col("__aes").desc, id)
+      .limit(n)
+      .drop("__aes")
+
+  /** Per-stratum A-ES: exactly `min(n, |stratum|)` rows per stratum, drawn
+    * with probability proportional to `weight`. The `row_number <= n` filter
+    * takes Spark's `WindowGroupLimit` rewrite, same scale shape as
+    * [[stratifiedSample]].
+    */
+  def weightedStratifiedSample(df: DataFrame, stratum: Column, weight: Column,
+                               n: Int, id: Column,
+                               seed: String = "aes"): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(col("__aes").desc, id)
+    df.withColumn("__aes", aesKey(id, weight, seed))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__aes", "__rn")
+  }
 }

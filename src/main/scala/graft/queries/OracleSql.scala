@@ -16,6 +16,19 @@ private[queries] object OracleSql {
     * input. The fold runs mod 2^64-truncation-free HUGEINT with a manual
     * `% 2^32` per step; callers map the unsigned result back to INT range.
     */
+  /** DuckDB emulation of Spark `conv(substring(md5(expr), 1, 8), 16, 10)`:
+    * the first 8 hex chars of the md5 digest folded to a BIGINT in
+    * [0, 2^32) — the deterministic uniform behind A-ES weighted sampling
+    * ([[graft.ops.Sampling.weightedSample]]). Both engines print md5 as
+    * lowercase hex, so a per-char `strpos` fold reproduces the value
+    * bit-exactly.
+    */
+  def md5U32Sql(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, 9), i ->
+       |      CAST(strpos('0123456789abcdef', md5($expr)[i]) - 1 AS BIGINT))),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
   def javaHashSql(expr: String): String =
     s"""list_reduce(list_prepend(0::HUGEINT,
        |    flatten(list_transform(range(1, length($expr)+1), i ->

@@ -172,6 +172,62 @@ object PipelineQueries {
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY stratum, doc_id""".stripMargin
 
+  /** Weighted reservoir (A-ES) draw of 50 docs, weight ∝ `doc_id % 5 + 1`:
+    * the deterministic hash-uniform makes the exact sample reproducible in
+    * DuckDB (same Java-hash fold, same `u^(1/w)` keys) — a full-rows oracle
+    * for a *sampling* operator.
+    */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val docs = Tables.documents(s, dir)
+    Sampling.weightedSample(docs, (col("doc_id") % 5 + 1).cast("double"),
+        n = 50, id = col("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 5 + 1).cast("double").as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val weightedSampleOracle =
+    s"""WITH n AS (
+      |  SELECT doc_id, 'aes' || doc_id::VARCHAR AS s FROM documents
+      |), w AS (
+      |  SELECT doc_id, CAST(doc_id % 5 + 1 AS DOUBLE) AS weight,
+      |    ${OracleSql.md5U32Sql("s")} AS h
+      |  FROM n
+      |), k AS (
+      |  SELECT doc_id, weight,
+      |    pow((h::DOUBLE + 0.5) / 4294967296.0, 1.0 / weight) AS key
+      |  FROM w
+      |)
+      |SELECT doc_id, weight FROM (
+      |  SELECT doc_id, weight FROM k ORDER BY key DESC, doc_id LIMIT 50)
+      |ORDER BY doc_id""".stripMargin
+
+  private def weightedStratifiedQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val docs = Tables.documents(s, dir)
+    Sampling.weightedStratifiedSample(docs, col("doc_id") % 7,
+        (col("doc_id") % 5 + 1).cast("double"), n = 5, id = col("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 7).as("stratum"),
+        (col("doc_id") % 5 + 1).cast("double").as("weight"))
+      .orderBy(col("stratum"), col("doc_id"))
+  }
+
+  private val weightedStratifiedOracle =
+    s"""WITH n AS (
+      |  SELECT doc_id, 'aes' || doc_id::VARCHAR AS s FROM documents
+      |), w AS (
+      |  SELECT doc_id, doc_id % 7 AS stratum,
+      |    CAST(doc_id % 5 + 1 AS DOUBLE) AS weight,
+      |    ${OracleSql.md5U32Sql("s")} AS h
+      |  FROM n
+      |)
+      |SELECT doc_id, stratum, weight FROM (
+      |  SELECT doc_id, stratum, weight,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY
+      |      pow((h::DOUBLE + 0.5) / 4294967296.0, 1.0 / weight) DESC, doc_id) AS rn
+      |  FROM w)
+      |WHERE rn <= 5 ORDER BY stratum, doc_id""".stripMargin
+
   /** Line-level (C4-style) dedup on the augmented corpus: every line of a
     * planted exact copy is a global duplicate, so copies collapse to empty
     * while originals survive intact.
@@ -775,6 +831,8 @@ object PipelineQueries {
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
+    "q_weighted_sample" -> (weightedSampleQ _),
+    "q_weighted_stratified" -> (weightedStratifiedQ _),
     "q_text_quality" -> (qualityQ _),
     "q_lang_id" -> (langIdQ _),
     "q_lang_id_ngram" -> (langIdNgramQ _),
@@ -831,6 +889,8 @@ object PipelineQueries {
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
+    "q_weighted_sample" -> weightedSampleOracle,
+    "q_weighted_stratified" -> weightedStratifiedOracle,
     "q_text_quality" -> qualityOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_id_ngram" -> langIdNgramOracle,

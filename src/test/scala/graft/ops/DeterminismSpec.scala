@@ -61,6 +61,31 @@ class DeterminismSpec extends SparkSpec {
     assert(budget(a) == budget(b))
   }
 
+  test("weighted (A-ES) sampling is partitioning-invariant and weight-sensitive") {
+    val (a, b) = variants(docs)
+    def draw(d: DataFrame) = Sampling.weightedSample(
+        d, ($"doc_id" % 5 + 1).cast("double"), n = 20, id = $"doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(draw(a) == draw(b))
+    def strat(d: DataFrame) = Sampling.weightedStratifiedSample(
+        d, $"doc_id" % 3, ($"doc_id" % 5 + 1).cast("double"), n = 4, id = $"doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(strat(a) == strat(b))
+    // different seeds redraw; the draw is not a fixed prefix of ids
+    def seeded(seed: String) = Sampling.weightedSample(
+        docs, lit(1.0), n = 20, id = $"doc_id", seed = seed)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(seeded("s1") != seeded("s2"))
+    // weight sensitivity: weight-10 rows must beat weight-0.1 rows in
+    // expectation — with 30 of each and n=20, a correct A-ES draw picks
+    // far more heavy rows (probability of the reverse is astronomically
+    // small for any seed; this is deterministic given the fixed seed)
+    val skewed = Sampling.weightedSample(docs,
+        when($"doc_id" < 30, lit(10.0)).otherwise(lit(0.1)), n = 20, id = $"doc_id")
+      .select($"doc_id").as[Long].collect()
+    assert(skewed.count(_ < 30) >= 15, s"heavy rows under-drawn: ${skewed.toSeq}")
+  }
+
   test("exact and n-gram dedup pair sets are partitioning-invariant") {
     val dup = docs.unionByName(
       docs.filter($"doc_id" % 5 === 0)

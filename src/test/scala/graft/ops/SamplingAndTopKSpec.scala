@@ -20,6 +20,18 @@ class SamplingAndTopKSpec extends SparkSpec {
     assert(perStratum.size == 7 && perStratum.values.forall(_ == 5L))
   }
 
+  test("weighted A-ES sample plans as TakeOrderedAndProject; stratified as WindowGroupLimit") {
+    val docs = Tables.documents(spark, sf())
+    val drawn = Sampling.weightedSample(docs, (col("doc_id") % 5 + 1).cast("double"),
+      n = 50, id = col("doc_id"))
+    assert(drawn.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      drawn.queryExecution.executedPlan.toString)
+    val strat = Sampling.weightedStratifiedSample(docs, col("doc_id") % 7,
+      (col("doc_id") % 5 + 1).cast("double"), n = 5, id = col("doc_id"))
+    assert(strat.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      strat.queryExecution.executedPlan.toString)
+  }
+
   test("row_number<=k plans as WindowGroupLimit (map-side top-k per group)") {
     val sampled = Sampling.stratifiedSample(
       Tables.documents(spark, sf()), col("doc_id") % 7, 5, col("doc_id"))
