@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ VersionedQueries.defs
 
   def oracleSql: Map[String, String] =
     TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ VersionedQueries.oracles
 }

