@@ -205,6 +205,41 @@ object CurationQueries {
       |FROM t, unnest(range(0, n_tokens, 32)) u(s)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Sliding chunks with the *materialized* token arrays — an array-valued
+    * oracle row (VERDICT r2 item 5): both the string-array slice and its
+    * per-token length array are compared element-by-element against DuckDB
+    * list slicing, not a scalar summary of them.
+    */
+  private def chunkArraysQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(32L))))
+      .select(col("doc_id"),
+        (col("chunk_start") / 32).cast("long").as("chunk_idx"),
+        slice(col("toks"), (col("chunk_start") + 1).cast("int"),
+          least(lit(64L), col("n_tokens") - col("chunk_start")).cast("int"))
+          .as("chunk_tokens"))
+      .withColumn("chunk_token_lens",
+        transform(col("chunk_tokens"), t => length(t)))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkArraysOracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_idx,
+      |  toks[s + 1 : s + least(64, n_tokens - s)] AS chunk_tokens,
+      |  list_transform(toks[s + 1 : s + least(64, n_tokens - s)],
+      |    x -> CAST(length(x) AS INTEGER)) AS chunk_token_lens
+      |FROM t, unnest(range(0, n_tokens, 32)) u(s)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- int8 embedding quantization ----------------------------------------
 
   /** Quantize, then self-verify in-plan: code sums/extremes are exact
@@ -329,6 +364,7 @@ object CurationQueries {
     "q_pii_redact" -> (piiQ _),
     "q_token_budget" -> (tokenBudgetQ _),
     "q_sliding_chunks" -> (chunksQ _),
+    "q_chunk_arrays" -> (chunkArraysQ _),
     "q_embed_quantize" -> (quantizeQ _),
     "q_tfidf_terms" -> (tfidfQ _),
     "q_fuzzy_match" -> (fuzzyQ _),
@@ -342,6 +378,7 @@ object CurationQueries {
     "q_pii_redact" -> piiOracle,
     "q_token_budget" -> tokenBudgetOracle,
     "q_sliding_chunks" -> chunksOracle,
+    "q_chunk_arrays" -> chunkArraysOracle,
     "q_embed_quantize" -> quantizeOracle,
     "q_tfidf_terms" -> tfidfOracle,
     "q_fuzzy_match" -> fuzzyOracle,

@@ -15,13 +15,28 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def to_tuple(v):
+    """Array cells (Spark array<...> / DuckDB LIST) arrive as numpy arrays or
+    lists; canonicalize to nested tuples so they sort and compare by value."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(to_tuple(x) for x in v)
+    return v
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+            df[c] = df[c].map(to_tuple)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
