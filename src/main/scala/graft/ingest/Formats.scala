@@ -1,0 +1,33 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Text/columnar format source-sink round-trips beyond parquet (the
+  * reference's lake is parquet-only, `config/flink/create.sql:52`; real
+  * ingest surfaces also land CSV/ORC drops — this is that surface).
+  *
+  * Discipline for scale: **explicit schemas only** — `inferSchema` runs an
+  * extra full scan of the input and guesses types per-file; at 100 TB that is
+  * both a second read of the lake and a correctness hazard. CSV uses RFC
+  * doubled-quote escaping on both write and read so embedded quotes,
+  * separators, and newlines survive the trip.
+  */
+object Formats {
+
+  private val csvOpts = Map(
+    "header" -> "true",
+    "escape" -> "\"") // RFC 4180 doubled quotes, not backslash
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").options(csvOpts).csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.options(csvOpts).schema(schema).csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}

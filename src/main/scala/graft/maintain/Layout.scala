@@ -59,4 +59,21 @@ object Layout {
           "partition-guard injection")
     }
   }
+
+  /** Bucketed table write (`bucketBy` + catalog table): pre-shuffles rows
+    * into a fixed bucket count on `key`, so equi-joins and aggregations on
+    * that key between co-bucketed tables plan with **zero Exchange** — each
+    * task reads matching buckets from both sides directly. This is the
+    * "co-locate big joins" lever: at 100 TB the fact-table re-shuffle per
+    * join dwarfs everything else, so you pay the shuffle once at write time
+    * and never again (LayoutSpec asserts the exchange-free join plan).
+    * `sortCols` additionally orders within buckets (`sortBy`), letting a
+    * sort-merge join skip its sort when both sides declare the same order.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

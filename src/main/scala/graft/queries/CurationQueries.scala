@@ -355,6 +355,32 @@ object CurationQueries {
       |WHERE levenshtein(a.title, b.title) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- format round-trips --------------------------------------------------
+
+  /** CSV sink→source round-trip with explicit schema: every documents row
+    * must survive RFC quoting byte-identically; the oracle is the original
+    * table, so any quoting/escaping/type loss shows as a hash mismatch.
+    */
+  private def csvRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Formats
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt_").toString
+    Formats.writeCsv(docs, tmp)
+    Formats.readCsv(s, tmp, docs.schema).orderBy(col("doc_id"))
+  }
+
+  private def orcRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Formats
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt_").toString
+    Formats.writeOrc(docs, tmp)
+    Formats.readOrc(s, tmp).orderBy(col("doc_id"))
+  }
+
+  private val roundtripOracle =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -368,7 +394,9 @@ object CurationQueries {
     "q_embed_quantize" -> (quantizeQ _),
     "q_tfidf_terms" -> (tfidfQ _),
     "q_fuzzy_match" -> (fuzzyQ _),
-    "q_mixture" -> (mixtureQ _)
+    "q_mixture" -> (mixtureQ _),
+    "q_csv_roundtrip" -> (csvRoundtripQ _),
+    "q_orc_roundtrip" -> (orcRoundtripQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +410,8 @@ object CurationQueries {
     "q_embed_quantize" -> quantizeOracle,
     "q_tfidf_terms" -> tfidfOracle,
     "q_fuzzy_match" -> fuzzyOracle,
-    "q_mixture" -> mixtureOracle
+    "q_mixture" -> mixtureOracle,
+    "q_csv_roundtrip" -> roundtripOracle,
+    "q_orc_roundtrip" -> roundtripOracle
   )
 }

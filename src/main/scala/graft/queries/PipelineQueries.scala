@@ -410,6 +410,55 @@ object PipelineQueries {
       |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_re_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  private def corpusFreqQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusFreqScores(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val corpusFreqOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents
+      |), freq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cf) AS BIGINT) AS sum_cf,
+      |  CAST(min(cf) AS BIGINT) AS min_cf,
+      |  CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax_tokens,
+      |  CAST(sum(cf) AS BIGINT)::DOUBLE / count(*) AS avg_cf
+      |FROM tok JOIN freq USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(Tables.documents(s, dir))
+      .orderBy(col("source"))
+
+  private val vocabStatsOracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents
+      |), pt AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      |  FROM tok GROUP BY source, term
+      |)
+      |SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab_size,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(sum(f) AS BIGINT) AS type_token_ratio
+      |FROM pt GROUP BY source ORDER BY source""".stripMargin
+
+  private def keywordSearchQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.searchAll(Tables.documents(s, dir), Seq("data", "query", "table"))
+      .orderBy(col("doc_id"))
+
+  private val keywordSearchOracle =
+    """SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched FROM (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents)
+      |WHERE term IN ('data', 'query', 'table')
+      |GROUP BY doc_id HAVING count(DISTINCT term) = 3
+      |ORDER BY doc_id""".stripMargin
+
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -838,6 +887,9 @@ object PipelineQueries {
     "q_lang_id_ngram" -> (langIdNgramQ _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
+    "q_corpus_freq" -> (corpusFreqQ _),
+    "q_vocab_stats" -> (vocabStatsQ _),
+    "q_keyword_search" -> (keywordSearchQ _),
     "q_ann_topk" -> (annTopkQ _),
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
@@ -896,6 +948,9 @@ object PipelineQueries {
     "q_lang_id_ngram" -> langIdNgramOracle,
     "q_token_count" -> tokenCountOracle,
     "q_fingerprint" -> fingerprintOracle,
+    "q_corpus_freq" -> corpusFreqOracle,
+    "q_vocab_stats" -> vocabStatsOracle,
+    "q_keyword_search" -> keywordSearchOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,

@@ -131,4 +131,75 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     javaHash(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+
+  /** Unigram corpus-likelihood features — the transcendental-free core of
+    * perplexity-style filtering (a doc of corpus-typical tokens scores high,
+    * one full of rare tokens low): per document, exact-integer sums over the
+    * corpus-wide token frequency table. `avg_cf = sum_cf / n_tokens` is the
+    * only ratio, derived from exact BIGINTs so the oracle is bit-identical;
+    * rank-ordering by it matches ordering by mean log-frequency surprisal
+    * direction for the common monotone use ("drop the bottom quantile").
+    *
+    * Scale shape: one (doc,term)-explode, a term-keyed frequency aggregate
+    * (map-side partial combine), a term-keyed shuffle join back, one doc
+    * aggregate. The frequency table is the only state — at 100 TB it is
+    * vocabulary-sized, so it shuffles rather than broadcasts; a frequency
+    * cut (keep top-K terms, default-weight the tail) is the standard memory
+    * valve if vocabulary explodes.
+    */
+  def corpusFreqScores(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col("id"), explode(col("__toks")).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    tok.join(freq, "term")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cf")).as("sum_cf"),
+        min(col("cf")).as("min_cf"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax_tokens"))
+      .withColumn("avg_cf", col("sum_cf").cast("double") / col("n_tokens"))
+  }
+
+  /** Per-group vocabulary statistics (corpus monitoring: vocabulary growth,
+    * hapax mass, type-token ratio). Two aggregates — (group, term) then
+    * group — both with map-side combine; no joins.
+    */
+  def vocabStats(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val perTerm = docs.select(col(groupCol), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col(groupCol), explode(col("__toks")).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("f"))
+    perTerm.groupBy(col(groupCol))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("type_token_ratio",
+        col("vocab_size").cast("double") / col("n_tokens"))
+  }
+
+  /** Conjunctive keyword search over the implicit inverted index: documents
+    * containing ALL of `terms` (exact whitespace-token match). The `isin`
+    * prefilter runs *before* the distinct/aggregate, so only postings of the
+    * queried terms ever shuffle — the scan side is a codegen'd filter, the
+    * state is O(matching postings), never corpus-sized. (A 100 TB serving
+    * deployment materializes [[corpusFreqScores]]-style term → posting-list
+    * tables once and probes them; this operator is that probe expressed
+    * against the raw corpus.)
+    */
+  def searchAll(docs: DataFrame, terms: Seq[String],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as(idCol), col(textCol).as("__text"))
+      .withColumn("__toks", toks(col("__text")))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
 }

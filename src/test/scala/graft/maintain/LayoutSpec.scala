@@ -50,6 +50,42 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("co-bucketed tables join and aggregate with zero Exchange") {
+    val o = graft.Tables.orders(spark, sf()).select($"o_orderkey", $"o_totalprice")
+    val l = graft.Tables.lineitem(spark, sf())
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    // the in-memory catalog is fresh per JVM but the warehouse dir persists:
+    // clear stale locations from prior runs before CTAS
+    Seq("bkt_orders", "bkt_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Layout.writeBucketed(o, "bkt_orders", "o_orderkey", buckets = 8,
+      sortCols = Seq("o_orderkey"))
+    Layout.writeBucketed(l, "bkt_lineitem", "o_orderkey", buckets = 8,
+      sortCols = Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "o_orderkey")
+        .groupBy($"o_orderkey").agg(sum($"l_quantity").as("qty"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join + agg must not shuffle:\n$p")
+      // and it computes the same result as the un-bucketed join
+      val expected = o.join(l, "o_orderkey").groupBy($"o_orderkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .as[(Long, Double)].collect().toMap
+      assert(j.as[(Long, Double)].collect().toMap == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of and range joins avoid nested-loop plans") {
     import graft.analytics.{AsOfJoin, RangeJoin}
     val scores = graft.score.RiskScore.pipeline(TelematicsQueries.normalizedFact(spark, sf()))
