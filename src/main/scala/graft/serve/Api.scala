@@ -68,7 +68,13 @@ object Api {
                  limit: Int): DataFrame =
     after.fold(df)(a => df.filter(orderCol > a)).orderBy(orderCol).limit(limit)
 
-  /** Count for the `{items, page{total}}` envelope (A2). */
+  /** Count for the `{items, page{total}}` envelope (A2). Note this is a
+    * second scan per page request on top of [[page]] — exactly the
+    * reference's contract (`main.py:281` count + `:286` data query). At
+    * corpus scale, serve [[keysetPage]] without a total (or a cached /
+    * approximate one) instead; both paths ship and are oracle-checked
+    * (`q_point_lookup`, `q_keyset_page`).
+    */
   def total(df: DataFrame): Long = df.count()
 
   /** "Latest row per device" (README.md:194's upsert-view capability):
