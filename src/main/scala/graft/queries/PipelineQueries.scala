@@ -459,6 +459,25 @@ object PipelineQueries {
       |GROUP BY doc_id HAVING count(DISTINCT term) = 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Posting lists for the search terms — an array-valued oracle row: the
+    * sorted posting arrays themselves are compared against DuckDB
+    * `list(... ORDER BY ...)`, not just their lengths.
+    */
+  private def postingListsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildPostings(Tables.documents(s, dir))
+      .filter(col("term").isin("data", "query", "table", "spark"))
+      .orderBy(col("term"))
+
+  private val postingListsOracle =
+    """SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  list(doc_id ORDER BY doc_id) AS postings
+      |FROM (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |    FROM documents))
+      |WHERE term IN ('data', 'query', 'table', 'spark')
+      |GROUP BY term ORDER BY term""".stripMargin
+
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -843,6 +862,43 @@ object PipelineQueries {
       |  CAST(count(*) * 3 AS BIGINT) AS n_results, true AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** PQ/ADC ANN, self-verified on its hard guarantee. The synthetic
+    * embeddings are near-isotropic (measured ~54% relative reconstruction
+    * error at m=8,k=16), so recall-vs-exact is not a stable invariant for a
+    * *compressed-domain* ranker — instead exact twins are planted
+    * (vec_id % 10 == 0 duplicated at +1M) and queried: an identical vector
+    * encodes to identical codes, whose ADC distance is the *minimum
+    * achievable over all code vectors* (encoding argmin ≡ ADC argmin), so
+    * every twin must appear in its query's top-3 (top-1 up to full 8-way
+    * code collisions). `codes_in_range` pins the structural contract.
+    */
+  private def annPqQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Pq
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val index = Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
+    val queries = aug.filter(col("vec_id") >= 1000000L)
+    val pq = Pq.topK(aug, queries, index, k = 3)
+      .select("query_id", "nn_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("vec_id").as("nn_id"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val plantedOk = planted.join(pq, Seq("query_id", "nn_id"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("planted_captured"))
+    val codesOk = aug
+      .select(Pq.codes(col("embedding").cast("array<double>"), index).as("codes"))
+      .agg((min(array_min(col("codes"))) >= 0 &&
+        max(array_max(col("codes"))) < 16).as("codes_in_range"))
+    nPlanted.crossJoin(plantedOk).crossJoin(codesOk)
+  }
+
+  private val annPqOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured,
+      |  true AS codes_in_range
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   /** The IVF *index build* as its own timed entry (an offline, amortized job
     * in production — VERDICT r2 item 2): a fresh un-cached k-means fit, with
     * shape/finiteness invariants the oracle pins.
@@ -865,6 +921,10 @@ object PipelineQueries {
     */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     Ivf.cachedBuild(Tables.embeddings(s, dir), dir, nlist = 16)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    graft.sim.Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
     ()
   }
 
@@ -890,6 +950,7 @@ object PipelineQueries {
     "q_corpus_freq" -> (corpusFreqQ _),
     "q_vocab_stats" -> (vocabStatsQ _),
     "q_keyword_search" -> (keywordSearchQ _),
+    "q_posting_lists" -> (postingListsQ _),
     "q_ann_topk" -> (annTopkQ _),
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
@@ -920,6 +981,7 @@ object PipelineQueries {
     // sketch-based, with self-verifying oracles (see section above):
     "q_ann_ivf" -> (annIvfQ _),
     "q_ann_ivf_build" -> (annIvfBuildQ _),
+    "q_ann_pq" -> (annPqQ _),
     "q_minhash_lsh" -> (minhashLshQ _),
     "q_minhash_recall" -> (minhashRecallQ _),
     "q_minhash_oph" -> (minhashOphQ _),
@@ -951,6 +1013,7 @@ object PipelineQueries {
     "q_corpus_freq" -> corpusFreqOracle,
     "q_vocab_stats" -> vocabStatsOracle,
     "q_keyword_search" -> keywordSearchOracle,
+    "q_posting_lists" -> postingListsOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
@@ -978,6 +1041,7 @@ object PipelineQueries {
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
-    "q_ann_ivf_build" -> annIvfBuildOracle
+    "q_ann_ivf_build" -> annIvfBuildOracle,
+    "q_ann_pq" -> annPqOracle
   )
 }

@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each vector into `m` subvectors,
+  * k-means each subspace independently, store a vector as its `m` centroid
+  * ids — 64 float dims become `m` small ints. Search is ADC (asymmetric
+  * distance computation): the query stays exact; a candidate's distance is
+  * the sum of per-subspace `||q_sub − C_sub[code]||²` terms, computed from
+  * the codebook literals without ever touching the original vectors.
+  *
+  * Scale shape: encoding is a pure codegen'd projection against codebook
+  * literals (no shuffle — the corpus streams through once and writes its
+  * codes next to the ids); the ADC scan reads the *codes* table (m bytes per
+  * vector rather than 4·dim), broadcasts the query block, and ranks with one
+  * per-query window. At 100 TB the codes table is what makes exhaustive
+  * rescoring affordable, and composes with [[Ivf]] (probe cells, then ADC
+  * within them) exactly as in FAISS IVF-PQ.
+  *
+  * Like [[Ivf]], codebook *quality* only moves the recall/cost balance —
+  * sampled fits are fine; the builder seeds per subspace so the index is
+  * deterministic on fixed data.
+  */
+object Pq {
+
+  case class Index(codebooks: Seq[Seq[Seq[Double]]]) { // m × k × dsub
+    val m: Int = codebooks.size
+    val k: Int = codebooks.head.size
+    val dsub: Int = codebooks.head.head.size
+    /** ||centroid||² per (subspace, code). */
+    val norms2: Seq[Seq[Double]] =
+      codebooks.map(_.map(c => c.map(x => x * x).sum))
+  }
+
+  /** Fit `m` per-subspace codebooks of `k` centroids over `dim`-dimensional
+    * vectors (`dim` must divide evenly into `m` subspaces).
+    */
+  def build(corpus: DataFrame, dim: Int, m: Int, k: Int, seed: Long = 42L,
+            vecCol: String = "embedding", sampleFraction: Double = 1.0): Index = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val base = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+    val v = base.select(col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = (0 until m).map { sub =>
+        val feats = v.select(
+          array_to_vector(slice(col("v"), sub * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(k).setSeed(seed + sub).setMaxIter(10)
+          .setInitMode("random").fit(feats)
+        model.clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+      Index(books)
+    } finally { v.unpersist(); () }
+  }
+
+  /** Process-wide index cache — the build is offline/amortized, same
+    * rationale as [[Ivf.cachedBuild]].
+    */
+  private val indexCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Index]()
+
+  def cachedBuild(corpus: => DataFrame, corpusKey: String, dim: Int, m: Int,
+                  k: Int, seed: Long = 42L): Index =
+    indexCache.getOrElseUpdate((corpusKey, m, k, seed),
+      build(corpus, dim, m, k, seed))
+
+  /** PQ codes for a vector column: per subspace, the argmin centroid of
+    * `−2·c·v_sub + ||c||²` (ties to the lowest code, [[Ivf.cellId]] trick).
+    * Pure expression over codebook literals — codegen, no shuffle.
+    */
+  def codes(vec: Column, index: Index): Column =
+    array((0 until index.m).map { sub =>
+      val sb = slice(vec, sub * index.dsub + 1, index.dsub)
+      val scores = index.codebooks(sub).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(-2.0) * Similarity.dot(sb, typedLit(c)) +
+            lit(index.norms2(sub)(i))).as("d"),
+          lit(i).as("i"))
+      }
+      array_min(array(scores: _*)).getField("i")
+    }: _*)
+
+  /** ADC approximate distance (squared L2, up to the per-query constant
+    * `||q||²` which cancels in ranking): Σ_sub ||C[code]||² − 2·q_sub·C[code],
+    * with codebook and norm tables as array literals indexed by the code.
+    */
+  private def adcDist(qVec: Column, codesCol: Column, index: Index): Column =
+    (0 until index.m).map { sub =>
+      val sb = slice(qVec, sub * index.dsub + 1, index.dsub)
+      val cents = typedLit(index.codebooks(sub)) // array<array<double>>
+      val n2 = typedLit(index.norms2(sub)) // array<double>
+      val code = element_at(codesCol, sub + 1)
+      element_at(n2, code + 1) - lit(2.0) * Similarity.dot(sb, element_at(cents, code + 1))
+    }.reduce(_ + _)
+
+  /** Encode the corpus once, then ADC top-k per query (smallest approximate
+    * L2). In production the codes frame is the materialized index table;
+    * pass it via `precomputedCodes` to search without re-encoding.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, index: Index, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val c = precomputedCodes.getOrElse(
+      corpus.select(col(idCol).as("nn_id"),
+        codes(col(vecCol).cast("array<double>"), index).as("codes")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("nn_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("approx_dist", adcDist(col("q_vec"), col("codes"), index))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "approx_dist")
+  }
+}

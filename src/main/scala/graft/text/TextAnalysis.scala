@@ -184,6 +184,27 @@ object TextAnalysis {
         col("vocab_size").cast("double") / col("n_tokens"))
   }
 
+  /** Inverted-index posting lists: one row per term with its document
+    * frequency and the sorted posting array. At 100 TB this is materialized
+    * once as a term-bucketed table ([[graft.maintain.Layout.writeBucketed]])
+    * so searches probe buckets instead of scanning the corpus; a single hot
+    * term's posting list can be long, but it stays one row — list *chunking*
+    * (posting_part arrays of bounded length) is the standard follow-up if a
+    * term's postings outgrow a task.
+    */
+  def buildPostings(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("id"))).as("postings"))
+  }
+
   /** Conjunctive keyword search over the implicit inverted index: documents
     * containing ALL of `terms` (exact whitespace-token match). The `isin`
     * prefilter runs *before* the distinct/aggregate, so only postings of the
