@@ -261,6 +261,18 @@ object StreamingIngest {
       .select(col("device_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("max_speed"))
 
+  /** Late-data accounting for a watermarked streaming query: total rows the
+    * state store dropped because they arrived behind the watermark, summed
+    * across stateful operators from the last `StreamingQueryProgress`. The
+    * pipeline-health counter every production stream watches (a rising value
+    * means the watermark is too tight for upstream skew) — exposed here so
+    * callers alert on it instead of silently losing late events.
+    */
+  def lateRowsDropped(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      .getOrElse(0L)
+
   /** Stream-stream interval join: each alert enriched with the same device's
     * status reports from the preceding `lookback`. Watermarks on both inputs
     * plus the event-time bound let Spark evict join state — without the

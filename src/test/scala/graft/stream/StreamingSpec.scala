@@ -240,6 +240,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rows behind the watermark are dropped and surfaced via lateRowsDropped") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val counts = StreamingIngest.windowedDeviceCounts(
+      StreamingIngest.ingest(mem.toDF()), window_ = "5 minutes", watermark = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("late_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Edge.mk("7", 1704070800L))
+      q.processAllAvailable() // watermark advances to 1704070800 - 600
+      assert(StreamingIngest.lateRowsDropped(q) == 0L)
+      // 3 hours behind the watermark: its window closed long ago -> dropped
+      mem.addData(Edge.mk("7", 1704060000L))
+      q.processAllAvailable()
+      assert(StreamingIngest.lateRowsDropped(q) >= 1L,
+        "late row was not counted by numRowsDroppedByWatermark")
+    } finally q.stop()
+  }
+
   test("observe() metrics ride the ingest stream into query progress") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Edge]
