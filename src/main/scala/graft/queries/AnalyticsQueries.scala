@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.analytics.StarQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Relational extension queries (joins/windows/top-k/set ops/rollup) on the
   * star schema, with DuckDB oracles. See [[StarQueries]] for the determinism
@@ -628,7 +629,59 @@ object AnalyticsQueries {
       |  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Forward fill (time-series gap fill): carry the last observed value
+    * down each user's event timeline — `last(col, ignoreNulls)` over a
+    * running row frame, one shuffle on the partition key. The standard
+    * sensor/telemetry repair for sparse readings.
+    */
+  private def gapFillQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_id") % 3 === 0, col("value")).as("v"))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "v", "filled")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val gapFillOracle =
+    """SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_id % 3 = 0 THEN value END AS v
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Schema evolution on read (`mergeSchema`): files written before a column
+    * existed read back with nulls — the add-a-column path every long-lived
+    * lake table hits; explicit so the contract is driver-checked.
+    */
+  private def schemaMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schema_rt_").toString
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      .write.parquet(s"$tmp/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .orderBy(col("doc_id"))
+  }
+
+  private val schemaMergeOracle =
+    """SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (gapFillQ _),
+    "q_schema_merge" -> (schemaMergeQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_approx_quantiles" -> (approxQuantilesQ _),
     "q_session_window" -> (sessionWindowQ _),
@@ -659,6 +712,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" -> gapFillOracle,
+    "q_schema_merge" -> schemaMergeOracle,
     "q_bloom_join" -> bloomJoinOracle,
     "q_approx_quantiles" -> approxQuantilesOracle,
     "q_session_window" -> sessionWindowOracle,

@@ -879,7 +879,13 @@ object PipelineQueries {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     val index = Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
     val queries = aug.filter(col("vec_id") >= 1000000L)
-    val pq = Pq.topK(aug, queries, index, k = 3)
+    // encode once; the codes table feeds both the ADC search and the
+    // range check (in production it IS the materialized index table)
+    val codesDf = aug.select(col("vec_id").as("nn_id"),
+        Pq.codes(col("embedding").cast("array<double>"), index).as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pq = Pq.topK(aug, queries, index, k = 3,
+        precomputedCodes = Some(codesDf))
       .select("query_id", "nn_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val planted = emb.filter(col("vec_id") % 10 === 0)
@@ -887,8 +893,7 @@ object PipelineQueries {
     val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
     val plantedOk = planted.join(pq, Seq("query_id", "nn_id"), "left_anti")
       .agg((count(lit(1)) === 0L).as("planted_captured"))
-    val codesOk = aug
-      .select(Pq.codes(col("embedding").cast("array<double>"), index).as("codes"))
+    val codesOk = codesDf
       .agg((min(array_min(col("codes"))) >= 0 &&
         max(array_max(col("codes"))) < 16).as("codes_in_range"))
     nPlanted.crossJoin(plantedOk).crossJoin(codesOk)
@@ -897,6 +902,33 @@ object PipelineQueries {
   private val annPqOracle =
     """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured,
       |  true AS codes_in_range
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
+  /** IVF-PQ composition, same planted-twin hard guarantee: the twin shares
+    * the query's nearest cell (identical vector ⇒ identical coarse cell, the
+    * first probe) and its identical codes minimize ADC among candidates.
+    */
+  private def annIvfPqQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Pq
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val ivf = Ivf.cachedBuild(aug, dir + "#aug", nlist = 16)
+    val pq = Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
+    val queries = aug.filter(col("vec_id") >= 1000000L)
+    val res = Pq.ivfPqTopK(aug, queries, ivf, pq, k = 3, nprobe = 4)
+      .select("query_id", "nn_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("vec_id").as("nn_id"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    val plantedOk = planted.join(res, Seq("query_id", "nn_id"), "left_anti")
+      .agg((count(lit(1)) === 0L).as("planted_captured"))
+    nPlanted.crossJoin(plantedOk)
+  }
+
+  private val annIvfPqOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   /** The IVF *index build* as its own timed entry (an offline, amortized job
@@ -925,6 +957,7 @@ object PipelineQueries {
     val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     graft.sim.Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
+    Ivf.cachedBuild(aug, dir + "#aug", nlist = 16)
     ()
   }
 
@@ -982,6 +1015,7 @@ object PipelineQueries {
     "q_ann_ivf" -> (annIvfQ _),
     "q_ann_ivf_build" -> (annIvfBuildQ _),
     "q_ann_pq" -> (annPqQ _),
+    "q_ann_ivfpq" -> (annIvfPqQ _),
     "q_minhash_lsh" -> (minhashLshQ _),
     "q_minhash_recall" -> (minhashRecallQ _),
     "q_minhash_oph" -> (minhashOphQ _),
@@ -1042,6 +1076,7 @@ object PipelineQueries {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_build" -> annIvfBuildOracle,
-    "q_ann_pq" -> annPqOracle
+    "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle
   )
 }

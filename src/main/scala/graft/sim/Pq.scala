@@ -91,7 +91,7 @@ object Pq {
     * `||q||²` which cancels in ranking): Σ_sub ||C[code]||² − 2·q_sub·C[code],
     * with codebook and norm tables as array literals indexed by the code.
     */
-  private def adcDist(qVec: Column, codesCol: Column, index: Index): Column =
+  private[sim] def adcDist(qVec: Column, codesCol: Column, index: Index): Column =
     (0 until index.m).map { sub =>
       val sb = slice(qVec, sub * index.dsub + 1, index.dsub)
       val cents = typedLit(index.codebooks(sub)) // array<array<double>>
@@ -117,6 +117,37 @@ object Pq {
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("approx_dist", adcDist(col("q_vec"), col("codes"), index))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "approx_dist")
+  }
+
+  /** IVF-PQ (the full FAISS composition): the coarse quantizer prunes to
+    * `nprobe` of `nlist` cells, PQ/ADC ranks only the surviving candidates —
+    * candidate volume drops from N to ~N·nprobe/nlist *and* each candidate
+    * costs m code lookups instead of a full-vector dot. At 100 TB the
+    * corpus is stored cell-partitioned ([[Ivf.writeCellPartitioned]]) with
+    * its codes column alongside, so the cell join becomes partition pruning
+    * over the codes table. An exact twin of a query lands in the query's own
+    * nearest cell with identical codes, so twin retrieval stays a hard
+    * guarantee for any `nprobe ≥ 1`.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, ivf: Ivf.Index,
+                pq: Index, k: Int, nprobe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("nn_id"), Ivf.cellId(col("v"), ivf).as("cell"),
+        codes(col("v"), pq).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cell", explode(Ivf.probeCells(col("q_vec"), ivf, nprobe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("nn_id"))
+    c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("approx_dist", adcDist(col("q_vec"), col("codes"), pq))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nn_id", "rank", "approx_dist")
