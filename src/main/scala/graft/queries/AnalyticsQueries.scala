@@ -679,9 +679,144 @@ object AnalyticsQueries {
       |SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts): consecutive
+    * pairs down each user's timeline via `lead`, then one aggregate — the
+    * standard product-analytics "what happens after X" table.
+    */
+  private def eventTransitionsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  private val eventTransitionsOracle =
+    """SELECT event_type, next_type, count(*) AS n FROM (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY event_type, next_type""".stripMargin
+
+  /** Ordered-sequence funnel: users whose full event-type sequence contains
+    * each stage in order (not necessarily adjacent) — sequence assembled
+    * per user with an ordered collect, stages matched by position.
+    */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val stages = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(2)
+      .collect().map(_.getString(0)) // deterministic: 2 lexicographically-first types
+    val seqs = ev
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("event_type")).as("seq"))
+    val pos1 = array_position(col("seq"), stages(0)).cast("int")
+    // stage 2 must appear after the first stage-1 occurrence
+    val rest = slice(col("seq"), pos1 + 1,
+      greatest(size(col("seq")) - pos1, lit(0)))
+    seqs
+      .select(col("user_id"),
+        (pos1 > 0).as("reached_s1"),
+        (pos1 > 0 && array_position(rest, stages(1)) > 0).as("reached_s2"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("reached_s1"), 1L).otherwise(0L)).as("n_s1"),
+        sum(when(col("reached_s1") && col("reached_s2"), 1L).otherwise(0L)).as("n_s2"))
+  }
+
+  private val funnelOracle =
+    """WITH st AS (
+      |  SELECT list(event_type ORDER BY event_type)[1:2] AS ss
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |), seq AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s FROM events
+      |  GROUP BY user_id
+      |), f AS (
+      |  SELECT user_id, list_position(s, ss[1]) AS p1,
+      |    CASE WHEN list_position(s, ss[1]) > 0
+      |      THEN list_position(s[list_position(s, ss[1]) + 1:], ss[2])
+      |      ELSE 0 END AS p2
+      |  FROM seq, st
+      |)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN p1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
+      |  CAST(sum(CASE WHEN p1 > 0 AND p2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2
+      |FROM f""".stripMargin
+
+  /** Fixed-width histogram of event values per type: bin ids from pure
+    * integer-producing float arithmetic (`floor((v - lo) / w)`), identical
+    * on both engines.
+    */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_type"),
+        least(floor((col("value") - lit(0.0)) / 10.0).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  private val histogramOracle =
+    """SELECT event_type,
+      |  CAST(least(floor((value - 0.0) / 10.0), 9) AS BIGINT) AS bin,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  /** Outlier counts per event type at mean ± 2σ, with mean/variance derived
+    * from *exact DECIMAL* sums (population σ; the only FP ops — divide,
+    * sqrt — are correctly-rounded IEEE on identical inputs, so thresholds
+    * match DuckDB bit-for-bit).
+    */
+  private def outliersQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") / col("n")) -
+          (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n")))
+          .as("sd"))
+    ev.join(stats, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("mean")) > lit(2.0) * col("sd"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val outliersOracle =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean,
+      |    sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+      |      - (CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*))
+      |        * (CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*))) AS sd
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN abs(e.value - st.mean) > 2.0 * st.sd
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (gapFillQ _),
     "q_schema_merge" -> (schemaMergeQ _),
+    "q_event_transitions" -> (eventTransitionsQ _),
+    "q_funnel" -> (funnelQ _),
+    "q_histogram" -> (histogramQ _),
+    "q_outliers" -> (outliersQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_approx_quantiles" -> (approxQuantilesQ _),
     "q_session_window" -> (sessionWindowQ _),
@@ -714,6 +849,10 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_gap_fill" -> gapFillOracle,
     "q_schema_merge" -> schemaMergeOracle,
+    "q_event_transitions" -> eventTransitionsOracle,
+    "q_funnel" -> funnelOracle,
+    "q_histogram" -> histogramOracle,
+    "q_outliers" -> outliersOracle,
     "q_bloom_join" -> bloomJoinOracle,
     "q_approx_quantiles" -> approxQuantilesOracle,
     "q_session_window" -> sessionWindowOracle,
