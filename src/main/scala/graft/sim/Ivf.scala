@@ -24,6 +24,12 @@ object Ivf {
 
   case class Index(centroids: Seq[Seq[Double]]) {
     val norms2: Seq[Double] = centroids.map(c => c.map(x => x * x).sum)
+    /** Single-subspace kernel (m=1, dsub=dim) backing the native cell/probe
+      * expressions — see [[graft.functions.PqKernel]] for why literals are
+      * shipped as a reference object instead of inlined source.
+      */
+    lazy val kernel: graft.functions.PqKernel =
+      new graft.functions.PqKernel(Array(centroids.map(_.toArray).toArray))
   }
 
   /** Fit nlist centroids (deterministic for a fixed seed + input).
@@ -62,30 +68,18 @@ object Ivf {
       build(corpus, nlist, seed, sampleFraction = sampleFraction))
 
   /** Nearest-cell id for a vector column: argmin over centroids of
-    * `-2·c·v + ||c||²` (expression-only, no shuffle).
+    * `||c||² − 2·c·v` (native [[graft.functions.IvfCell]] expression — no
+    * shuffle, codebook shipped as a reference object; ties to the lowest
+    * cell id).
     */
-  def cellId(vec: Column, index: Index): Column = {
-    val scores = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        (lit(-2.0) * Similarity.dot(vec, typedLit(c)) + lit(index.norms2(i))).as("d"),
-        lit(i).as("i"))
-    }
-    // array_min on struct(d, i) orders lexicographically: min distance, then
-    // lowest cell id — deterministic ties
-    array_min(array(scores: _*)).getField("i")
-  }
+  def cellId(vec: Column, index: Index): Column =
+    graft.functions.PqOps.ivfCell(vec, index.kernel)
 
-  /** The query's nprobe nearest cells as an array column. */
-  def probeCells(vec: Column, index: Index, nprobe: Int): Column = {
-    val scores = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        (lit(-2.0) * Similarity.dot(vec, typedLit(c)) + lit(index.norms2(i))).as("d"),
-        lit(i).as("i"))
-    }
-    transform(
-      slice(array_sort(array(scores: _*)), 1, nprobe),
-      s => s.getField("i"))
-  }
+  /** The query's nprobe nearest cells as an array column (ordered by
+    * distance, ties to the lowest cell id).
+    */
+  def probeCells(vec: Column, index: Index, nprobe: Int): Column =
+    graft.functions.PqOps.ivfProbeCells(vec, index.kernel, nprobe)
 
   /** Write the corpus partitioned by IVF cell — the physical layout that
     * turns probing into partition pruning: a query's scan then touches only

@@ -35,6 +35,9 @@ object Pq {
     /** ||centroid||² per (subspace, code). */
     val norms2: Seq[Seq[Double]] =
       codebooks.map(_.map(c => c.map(x => x * x).sum))
+    /** Native-expression kernel — see [[graft.functions.PqKernel]]. */
+    lazy val kernel: graft.functions.PqKernel =
+      new graft.functions.PqKernel(codebooks.map(_.map(_.toArray).toArray).toArray)
   }
 
   /** Fit `m` per-subspace codebooks of `k` centroids over `dim`-dimensional
@@ -72,32 +75,28 @@ object Pq {
       build(corpus, dim, m, k, seed))
 
   /** PQ codes for a vector column: per subspace, the argmin centroid of
-    * `−2·c·v_sub + ||c||²` (ties to the lowest code, [[Ivf.cellId]] trick).
-    * Pure expression over codebook literals — codegen, no shuffle.
+    * `||c||² − 2·c·v_sub`, ties to the lowest code — the native
+    * [[graft.functions.PqEncode]] expression (tight loop, codebooks as a
+    * reference object; the literal-inlining formulation generated
+    * megabyte-scale Java source whose ~9 s janino compile dwarfed the
+    * actual work). No shuffle.
     */
   def codes(vec: Column, index: Index): Column =
-    array((0 until index.m).map { sub =>
-      val sb = slice(vec, sub * index.dsub + 1, index.dsub)
-      val scores = index.codebooks(sub).zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(-2.0) * Similarity.dot(sb, typedLit(c)) +
-            lit(index.norms2(sub)(i))).as("d"),
-          lit(i).as("i"))
-      }
-      array_min(array(scores: _*)).getField("i")
-    }: _*)
+    graft.functions.PqOps.pqEncode(vec, index.kernel)
 
-  /** ADC approximate distance (squared L2, up to the per-query constant
-    * `||q||²` which cancels in ranking): Σ_sub ||C[code]||² − 2·q_sub·C[code],
-    * with codebook and norm tables as array literals indexed by the code.
+  /** Per-query ADC lookup table — the heart of real ADC: for each query,
+    * precompute `tab[sub][code] = ||C[code]||² − 2·q_sub·C[code]` ONCE
+    * (m·k dot products per *query*), so each of the millions of candidates
+    * costs only `m` array lookups instead of `m` dot products — how FAISS
+    * implements ADC. Native [[graft.functions.PqAdcTable]] expression.
     */
-  private[sim] def adcDist(qVec: Column, codesCol: Column, index: Index): Column =
+  def adcTable(qVec: Column, index: Index): Column =
+    graft.functions.PqOps.pqAdcTable(qVec, index.kernel)
+
+  /** Candidate-side ADC distance: m nested lookups into the query's table. */
+  def adcFromTable(tabCol: Column, codesCol: Column, index: Index): Column =
     (0 until index.m).map { sub =>
-      val sb = slice(qVec, sub * index.dsub + 1, index.dsub)
-      val cents = typedLit(index.codebooks(sub)) // array<array<double>>
-      val n2 = typedLit(index.norms2(sub)) // array<double>
-      val code = element_at(codesCol, sub + 1)
-      element_at(n2, code + 1) - lit(2.0) * Similarity.dot(sb, element_at(cents, code + 1))
+      element_at(element_at(tabCol, sub + 1), element_at(codesCol, sub + 1) + 1)
     }.reduce(_ + _)
 
   /** Encode the corpus once, then ADC top-k per query (smallest approximate
@@ -110,13 +109,14 @@ object Pq {
     val c = precomputedCodes.getOrElse(
       corpus.select(col(idCol).as("nn_id"),
         codes(col(vecCol).cast("array<double>"), index).as("codes")))
+    // the lookup table is computed once per query row, before the broadcast
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("q_vec"))
+        adcTable(col(vecCol).cast("array<double>"), index).as("adc_tab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("nn_id"))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("approx_dist", adcDist(col("q_vec"), col("codes"), index))
+      .withColumn("approx_dist", adcFromTable(col("adc_tab"), col("codes"), index))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nn_id", "rank", "approx_dist")
@@ -143,11 +143,13 @@ object Pq {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("cell", explode(Ivf.probeCells(col("q_vec"), ivf, nprobe)))
+      .select(col("query_id"), col("cell"),
+        adcTable(col("q_vec"), pq).as("adc_tab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("nn_id"))
     c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("approx_dist", adcDist(col("q_vec"), col("codes"), pq))
+      .withColumn("approx_dist", adcFromTable(col("adc_tab"), col("codes"), pq))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nn_id", "rank", "approx_dist")
