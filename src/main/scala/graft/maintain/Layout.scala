@@ -1,6 +1,6 @@
 package graft.maintain
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Physical layout writer for the fact table — the Spark rendering of the
@@ -59,6 +59,27 @@ object Layout {
           "partition-guard injection")
     }
   }
+
+  /** Z-order (Morton) interleave of two bounded non-negative ints: bit b of
+    * `x` lands at position 2b, of `y` at 2b+1. Sorting by the z-value keeps
+    * *both* dimensions' neighborhoods together in the same files, so
+    * parquet min/max stats prune on either column — the plain-parquet analog
+    * of `OPTIMIZE ZORDER BY (x, y)`. Disjoint bit positions make `+`
+    * equivalent to `|`, and the math is identical integer ops in any engine.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** Rewrite a table clustered by the z-order of two columns. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(x, y, bits))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Bucketed table write (`bucketBy` + catalog table): pre-shuffles rows
     * into a fixed bucket count on `key`, so equi-joins and aggregations on

@@ -80,6 +80,26 @@ object Multimodal {
     transform(sequence(lit(0), lit(frames - 1)),
       i => (nBytes * i / frames).cast("long"))
 
+  /** ViT-style patch grid: one row per (image, patch) with pixel
+    * coordinates; edge patches are clipped to the image. Pure narrow double
+    * explode over the *metadata* columns — the blob is never touched, no
+    * shuffle, O(w·h/p²) rows per image. The coordinate table is what a
+    * vision-preprocessing stage feeds to the (per-partition-initialized)
+    * decoder to crop patches.
+    */
+  def patchGrid(media: DataFrame, patch: Int): DataFrame = {
+    val nx = (((col("width") - 1) / patch).cast("int") + 1)
+    media.select(col("doc_id"), col("width"), col("height"))
+      .withColumn("py",
+        explode(sequence(lit(0), ((col("height") - 1) / patch).cast("int"))))
+      .withColumn("px", explode(sequence(lit(0), nx - 1)))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("py") * nx + col("px")).as("patch_idx"),
+        (col("px") * patch).as("x"), (col("py") * patch).as("y"),
+        least(lit(patch), col("width") - col("px") * patch).as("pw"),
+        least(lit(patch), col("height") - col("py") * patch).as("ph"))
+  }
+
   /** Resize stub: recomputes target dims preserving aspect ratio (the real
     * math any resizer does) and fakes the payload as a truncation
     * proportional to the pixel reduction — a real codec swaps only the byte

@@ -561,6 +561,97 @@ object PipelineQueries {
       |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Patch-grid coordinates over the media metadata — blob untouched; the
+    * oracle re-derives every clipped patch rectangle from the same
+    * metadata arithmetic.
+    */
+  private def imagePatchesQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.patchGrid(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), patch = 32)
+      .orderBy(col("doc_id"), col("patch_idx"))
+
+  private val imagePatchesOracle =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+      |    CAST(doc_id % 480 + 48 AS INTEGER) AS height,
+      |    CAST((doc_id % 640 + 64 - 1) // 32 + 1 AS INTEGER) AS nx,
+      |    CAST((doc_id % 480 + 48 - 1) // 32 + 1 AS INTEGER) AS ny
+      |  FROM documents
+      |)
+      |SELECT doc_id, width, height,
+      |  CAST(py * nx + px AS INTEGER) AS patch_idx,
+      |  CAST(px * 32 AS INTEGER) AS x, CAST(py * 32 AS INTEGER) AS y,
+      |  CAST(least(32, width - px * 32) AS INTEGER) AS pw,
+      |  CAST(least(32, height - py * 32) AS INTEGER) AS ph
+      |FROM m, unnest(range(0, ny)) r1(py), unnest(range(0, nx)) r2(px)
+      |ORDER BY doc_id, patch_idx""".stripMargin
+
+  /** Z-order values over a 2-D key, bit-for-bit against the oracle's
+    * identical integer ops — the clustering key behind
+    * [[graft.maintain.Layout.writeZOrdered]].
+    */
+  private def zorderQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Layout
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        (col("doc_id") % 256).cast("int").as("x"),
+        (floor(col("doc_id") / 256) % 256).cast("int").as("y"))
+      .withColumn("z", Layout.zValue(col("x"), col("y"), bits = 8))
+      .orderBy(col("doc_id"))
+  }
+
+  private val zorderOracle = {
+    val terms = (0 until 8).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    s"""WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 256 AS INTEGER) AS x,
+      |    CAST((doc_id // 256) % 256 AS INTEGER) AS y
+      |  FROM documents
+      |)
+      |SELECT doc_id, x, y, CAST($terms AS INTEGER) AS z
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Metadata-only statistics: with parquet aggregate pushdown (DSv2 scan),
+    * `min/max/count` come straight from footer statistics — zero data pages
+    * read, the plan shows `PushedAggregation` (asserted in PlanSpec). The
+    * confs are scoped here: evaluation happens eagerly inside this builder,
+    * then settings are restored so no other query's plan changes.
+    */
+  private def statsPushdownQ(s: SparkSession, dir: String): DataFrame = {
+    val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = s.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    val row = try {
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
+        // dates → ISO strings above the (already-pushed) aggregate: the v2
+        // pushed-agg row surfaces raw footer values, so typed getters vary
+        .select(col("n_rows"), col("min_qty"), col("max_qty"),
+          col("min_ship").cast("string"), col("max_ship").cast("string"))
+        .collect()(0)
+    } finally {
+      s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      s.conf.set("spark.sql.parquet.aggregatePushDown", prevAgg)
+    }
+    import s.implicits._
+    Seq((row.getLong(0), row.getDouble(1), row.getDouble(2),
+      row.getString(3), row.getString(4)))
+      .toDF("n_rows", "min_qty", "max_qty", "min_ship", "max_ship")
+  }
+
+  private val statsPushdownOracle =
+    """SELECT count(*) AS n_rows,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+      |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem""".stripMargin
+
   // ---- end-to-end curation pipeline --------------------------------------
 
   /** The composed curation flow a training-data pipeline runs: exact-dedup
@@ -988,6 +1079,9 @@ object PipelineQueries {
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
     "q_multimodal_decode" -> (multimodalQ _),
+    "q_image_patches" -> (imagePatchesQ _),
+    "q_stats_pushdown" -> (statsPushdownQ _),
+    "q_zorder" -> (zorderQ _),
     "q_dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup over documents: vec_id ↔ doc_id share ids
       val pairs = Similarity.thresholdPairs(Tables.embeddings(s, dir), 0.40, col("id") < 100)
@@ -1052,6 +1146,9 @@ object PipelineQueries {
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
     "q_multimodal_decode" -> multimodalOracle,
+    "q_image_patches" -> imagePatchesOracle,
+    "q_stats_pushdown" -> statsPushdownOracle,
+    "q_zorder" -> zorderOracle,
     "q_dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |p AS (

@@ -113,6 +113,37 @@ class PlanSpec extends SparkSpec {
       s"fuzzy candidate generation must be equi-joins:\n$p")
   }
 
+  test("parquet aggregate pushdown: min/max/count served from footer statistics") {
+    import org.apache.spark.sql.functions._
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+      val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .agg(count(lit(1)), min(col("l_quantity")), max(col("l_shipdate")))
+      val p = plan(df)
+      assert(p.contains("PushedAggregation"),
+        s"expected footer-statistics aggregation pushdown:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushDown", prevAgg)
+    }
+  }
+
+  test("IVF-PQ candidates come from an equi-join on cell, never a cartesian") {
+    import graft.sim.{Ivf, Pq}
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf())
+    val ivf = Ivf.cachedBuild(emb, sf() + "#planspec", nlist = 4)
+    val pq = Pq.cachedBuild(emb, sf() + "#planspec", dim = 64, m = 4, k = 4)
+    val p = plan(Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), ivf, pq,
+      k = 3, nprobe = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ must join candidates on the cell key:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must take WindowGroupLimit:\n$p")
+  }
+
   test("latest-per-device plans a single shuffle on device_id") {
     import graft.queries.TelematicsQueries
     val df = graft.serve.Api.latestPerDevice(
