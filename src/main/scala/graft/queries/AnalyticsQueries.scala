@@ -810,7 +810,39 @@ object AnalyticsQueries {
       |FROM events e JOIN st USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Count-min sketch vs exact counts: the sketch never undercounts
+    * (structural guarantee) and lands within `eps·N` of truth on this data —
+    * the booleans recompute both facts from the materialized sketch, the
+    * oracle pins them true next to DuckDB-derived exact counts. Mergeable
+    * across partitions/streams like the HLL and freq-items sketches.
+    */
+  private def countMinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).select(col("event_type"))
+    val bytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val total = cms.totalCount()
+    val slack = math.ceil(0.001 * total).toLong
+    val rows = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val (et, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(et)
+        (et, n, est >= n, est <= n + slack)
+      }.toSeq.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("event_type", "n_true", "never_undercounts", "within_eps")
+  }
+
+  private val countMinOracle =
+    """SELECT event_type, count(*) AS n_true,
+      |  true AS never_undercounts, true AS within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_min" -> (countMinQ _),
     "q_gap_fill" -> (gapFillQ _),
     "q_schema_merge" -> (schemaMergeQ _),
     "q_event_transitions" -> (eventTransitionsQ _),
@@ -847,6 +879,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_count_min" -> countMinOracle,
     "q_gap_fill" -> gapFillOracle,
     "q_schema_merge" -> schemaMergeOracle,
     "q_event_transitions" -> eventTransitionsOracle,

@@ -381,6 +381,40 @@ object CurationQueries {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CSV DLQ split (the F15 tolerant-decode pattern for delimited drops):
+    * planted type-error lines land in the corrupt-record column under
+    * PERMISSIVE parse, clean rows pass through — same contract as the JSON
+    * DLQ split, driver-checked end to end.
+    */
+  private def csvDlqQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_dlq_").toString
+    import s.implicits._
+    val bad = Seq("notanumber|srcX|12", "12abc|srcY|5").toDF("value")
+    docs.select(concat_ws("|", col("doc_id"), col("source"), col("n_chars")).as("value"))
+      .unionByName(bad)
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("_raw", StringType)))
+    s.read.option("sep", "|").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_raw")
+      .schema(schema).csv(tmp)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("_raw").isNotNull.as("is_dlq"),
+        coalesce(col("_raw"), lit("")).as("raw"))
+      .orderBy(col("is_dlq"), col("raw"), col("doc_id"))
+  }
+
+  private val csvDlqOracle =
+    """SELECT doc_id, source, n_chars, false AS is_dlq, '' AS raw FROM documents
+      |UNION ALL
+      |SELECT NULL, 'srcX', 12, true, 'notanumber|srcX|12'
+      |UNION ALL
+      |SELECT NULL, 'srcY', 5, true, '12abc|srcY|5'
+      |ORDER BY is_dlq, raw, doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,7 +430,8 @@ object CurationQueries {
     "q_fuzzy_match" -> (fuzzyQ _),
     "q_mixture" -> (mixtureQ _),
     "q_csv_roundtrip" -> (csvRoundtripQ _),
-    "q_orc_roundtrip" -> (orcRoundtripQ _)
+    "q_orc_roundtrip" -> (orcRoundtripQ _),
+    "q_csv_dlq" -> (csvDlqQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,6 +447,7 @@ object CurationQueries {
     "q_fuzzy_match" -> fuzzyOracle,
     "q_mixture" -> mixtureOracle,
     "q_csv_roundtrip" -> roundtripOracle,
-    "q_orc_roundtrip" -> roundtripOracle
+    "q_orc_roundtrip" -> roundtripOracle,
+    "q_csv_dlq" -> csvDlqOracle
   )
 }
