@@ -12,6 +12,9 @@ import graft.queries._
   *    top-k/set ops) on the star schema.
   *  - [[PipelineQueries]]    — LLM-data-pipeline operators (dedup, similarity,
   *    text analysis, multimodal) on documents/embeddings.
+  *  - [[CurationQueries]]    — curation operators (packing, decontamination,
+  *    PII, budgets, fuzzy matching, format round-trips).
+  *  - [[VersionedQueries]]   — snapshot versioning surface (time travel, CDC).
   */
 object SparkEntry {
 

@@ -841,7 +841,31 @@ object AnalyticsQueries {
       |  true AS never_undercounts, true AS within_eps
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Explicit GROUPING SETS with `grouping_id` disambiguation — the
+    * remaining member of the cube/rollup family, same SQL text on both
+    * engines.
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(s, dir).createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, user_id % 10 AS cohort,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        |ORDER BY gid, event_type, cohort""".stripMargin)
+  }
+
+  private val groupingSetsOracle =
+    """SELECT event_type, user_id % 10 AS cohort,
+      |  CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+      |ORDER BY gid, event_type, cohort""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSetsQ _),
     "q_count_min" -> (countMinQ _),
     "q_gap_fill" -> (gapFillQ _),
     "q_schema_merge" -> (schemaMergeQ _),
@@ -879,6 +903,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" -> groupingSetsOracle,
     "q_count_min" -> countMinOracle,
     "q_gap_fill" -> gapFillOracle,
     "q_schema_merge" -> schemaMergeOracle,
