@@ -23,7 +23,12 @@ object Formats {
     df.write.mode("overwrite").options(csvOpts).csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.options(csvOpts).schema(schema).csv(path)
+    // multiLine: without it, quoted embedded newlines split records on read
+    // and PERMISSIVE mode turns the halves into corrupt rows silently. Cost:
+    // multiLine files are not line-splittable, so one task per file — keep
+    // individual CSV files bounded (they're an ingest edge, not a lake format)
+    spark.read.options(csvOpts).option("multiLine", "true")
+      .schema(schema).csv(path)
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)

@@ -66,12 +66,20 @@ object Layout {
     * parquet min/max stats prune on either column — the plain-parquet analog
     * of `OPTIMIZE ZORDER BY (x, y)`. Disjoint bit positions make `+`
     * equivalent to `|`, and the math is identical integer ops in any engine.
+    *
+    * Inputs are widened to long before shifting: at the default `bits = 16`,
+    * y's top bit lands at position 31, which wraps negative in 32-bit
+    * arithmetic and silently corrupts the sort order (and max z = 2³²−1
+    * doesn't fit an int at all). Long shifts are exact up to `bits = 31`.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column =
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
-        shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)
+      shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1)
     }.reduce(_ + _)
+  }
 
   /** Rewrite a table clustered by the z-order of two columns. */
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, batch-shaped decode/feature-extraction over `mapPartitions`.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] produces deterministic fake features derived
-  * from the bytes. Everything around it — schema, encoder-typed rows,
+  * Images use a REAL codec: `javax.imageio` ships in the JDK, so
+  * [[pngMedia]]/[[decodeImage]] encode and decode genuine PNG bytes on the
+  * executors (exercised end-to-end by the `q_image_decode` oracle). Audio and
+  * video codecs remain STUBBED (no such libraries in this environment):
+  * [[decodeStub]] produces deterministic fake features derived from the
+  * bytes, and [[decodeImage]] falls back to it for payloads ImageIO cannot
+  * parse. Everything around the codec — schema, encoder-typed rows,
   * per-partition batching, pushdown-friendly metadata columns — is the real
-  * Spark plumbing a decoder plugs into: replace `fakeDecode` with a JNI/FFM
-  * codec call and nothing else changes.
+  * Spark plumbing any decoder plugs into.
   *
   * Scale notes: media bytes are the widest column by orders of magnitude —
   * keep metadata in separate columns so pruning/filtering never touches the
@@ -69,6 +72,73 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init happens here in a real codec (native lib handles)
       rows.map(fakeDecode)
+    }
+  }
+
+  /** Deterministic real PNGs, one per document: a w×h gray gradient with
+    * `gray(x,y) = (doc_id + 7x + 13y) mod 256`, encoded with the JDK's
+    * `javax.imageio` PNG writer on the executors. PNG is lossless, so every
+    * pixel statistic of the decoded image is exactly predictable from doc_id
+    * — which is what lets a SQL oracle check a real encode→decode round trip.
+    */
+  def pngMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id % 12 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id + 7L * x + 13L * y) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "png", w, h)
+      }
+    }
+  }
+
+  /** Real image decode over `mapPartitions`: `javax.imageio.ImageIO.read`
+    * on each payload, features from the decoded pixels (dimensions from the
+    * image itself, `luma_mean` = mean of all RGB channel samples). Payloads
+    * ImageIO cannot parse (the non-image stand-ins, truncated bytes) fall
+    * back to [[fakeDecode]] rather than failing the batch — DLQ-style
+    * tolerance at the codec layer.
+    */
+  def decodeImage(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) fakeDecode(r)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.doc_id, bytes.length.toLong, r.format, w, h,
+            sum.toDouble / (3.0 * w * h), 1)
+        }
+      }
     }
   }
 

@@ -43,9 +43,14 @@ object Sampling {
   private def aesKey(id: Column, weight: Column, seed: String): Column = {
     val h = conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 8),
       16, 10).cast("long")
-    // (h + 0.5) / 2^32 is exact in double (division by a power of two), so
-    // the key is bit-reproducible across engines up to `pow` ulp noise
-    pow((h.cast("double") + 0.5) / 4294967296.0, lit(1.0) / weight.cast("double"))
+    // (h + 0.5) / 2^32 is exact in double (division by a power of two). The
+    // A-ES key u^(1/w) is ranked in the log domain — ln(u)/w orders
+    // identically (ln is monotone, w > 0) but needs ONE transcendental where
+    // pow = exp(ln(u)/w) needs two, halving the cross-engine ulp surface (no
+    // transcendental-free formulation of weighted A-ES exists). The oracle
+    // computes the same ln(u)/w expression; a set flip would still need two
+    // rows' keys within an ulp of each other exactly at the top-n cutoff.
+    log((h.cast("double") + 0.5) / 4294967296.0) / weight.cast("double")
   }
 
   /** Weighted reservoir sample (A-ES): the global top-`n` rows by sampling

@@ -818,22 +818,24 @@ object AnalyticsQueries {
     */
   private def countMinQ(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir).select(col("event_type"))
+    // Only the sketch itself comes to the driver — one bounded row (the whole
+    // point of a CMS is that it's small). The exact per-key counts stay
+    // distributed: the sketch (java-serializable) ships in the task closure
+    // and `estimateCount` is probed as a mapped column next to each group's
+    // exact count, so the comparison scales with key cardinality.
     val bytes = ev
       .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
       .collect()(0).getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val total = cms.totalCount()
-    val slack = math.ceil(0.001 * total).toLong
-    val rows = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .collect()
-      .map { r =>
-        val (et, n) = (r.getString(0), r.getLong(1))
-        val est = cms.estimateCount(et)
-        (et, n, est >= n, est <= n + slack)
-      }.toSeq.sortBy(_._1)
-    import s.implicits._
-    rows.toDF("event_type", "n_true", "never_undercounts", "within_eps")
+    val slack = math.ceil(0.001 * cms.totalCount()).toLong
+    val est = udf((et: String) => cms.estimateCount(et))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .withColumn("__est", est(col("event_type")))
+      .select(col("event_type"), col("n_true"),
+        (col("__est") >= col("n_true")).as("never_undercounts"),
+        (col("__est") <= col("n_true") + slack).as("within_eps"))
+      .orderBy(col("event_type"))
   }
 
   private val countMinOracle =

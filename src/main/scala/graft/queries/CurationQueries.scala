@@ -221,9 +221,16 @@ object CurationQueries {
         (col("chunk_start") / 32).cast("long").as("chunk_idx"),
         slice(col("toks"), (col("chunk_start") + 1).cast("int"),
           least(lit(64L), col("n_tokens") - col("chunk_start")).cast("int"))
-          .as("chunk_tokens"))
-      .withColumn("chunk_token_lens",
-        transform(col("chunk_tokens"), t => length(t)))
+          .as("__chunk_tokens"))
+      // Arrays are rendered to deterministic strings (tokens are \s+-split so
+      // the ' ' join is injective): the harness sorts result rows with pandas,
+      // which cannot order raw array columns. Element-by-element content stays
+      // fully under test — the oracle renders the identical strings.
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("__chunk_tokens"), " ").as("chunk_text"),
+        array_join(
+          transform(col("__chunk_tokens"), t => length(t).cast("string")), ",")
+          .as("chunk_token_lens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
@@ -234,9 +241,10 @@ object CurationQueries {
       |  FROM documents
       |)
       |SELECT doc_id, CAST(s // 32 AS BIGINT) AS chunk_idx,
-      |  toks[s + 1 : s + least(64, n_tokens - s)] AS chunk_tokens,
-      |  list_transform(toks[s + 1 : s + least(64, n_tokens - s)],
-      |    x -> CAST(length(x) AS INTEGER)) AS chunk_token_lens
+      |  array_to_string(toks[s + 1 : s + least(64, n_tokens - s)], ' ')
+      |    AS chunk_text,
+      |  array_to_string(list_transform(toks[s + 1 : s + least(64, n_tokens - s)],
+      |    x -> CAST(length(x) AS VARCHAR)), ',') AS chunk_token_lens
       |FROM t, unnest(range(0, n_tokens, 32)) u(s)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 

@@ -195,7 +195,7 @@ object PipelineQueries {
       |  FROM n
       |), k AS (
       |  SELECT doc_id, weight,
-      |    pow((h::DOUBLE + 0.5) / 4294967296.0, 1.0 / weight) AS key
+      |    ln((h::DOUBLE + 0.5) / 4294967296.0) / weight AS key
       |  FROM w
       |)
       |SELECT doc_id, weight FROM (
@@ -224,7 +224,7 @@ object PipelineQueries {
       |SELECT doc_id, stratum, weight FROM (
       |  SELECT doc_id, stratum, weight,
       |    row_number() OVER (PARTITION BY stratum ORDER BY
-      |      pow((h::DOUBLE + 0.5) / 4294967296.0, 1.0 / weight) DESC, doc_id) AS rn
+      |      ln((h::DOUBLE + 0.5) / 4294967296.0) / weight DESC, doc_id) AS rn
       |  FROM w)
       |WHERE rn <= 5 ORDER BY stratum, doc_id""".stripMargin
 
@@ -463,20 +463,58 @@ object PipelineQueries {
     * sorted posting arrays themselves are compared against DuckDB
     * `list(... ORDER BY ...)`, not just their lengths.
     */
+  // Postings rendered to a comma-joined string: the harness sorts rows with
+  // pandas, which cannot order raw array columns. The join is injective for
+  // bigint ids, so element order and content stay fully under test.
   private def postingListsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.buildPostings(Tables.documents(s, dir))
       .filter(col("term").isin("data", "query", "table", "spark"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings"))
       .orderBy(col("term"))
 
   private val postingListsOracle =
     """SELECT term, CAST(count(*) AS BIGINT) AS df,
-      |  list(doc_id ORDER BY doc_id) AS postings
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       |FROM (
       |  SELECT DISTINCT doc_id, term FROM (
       |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
       |    FROM documents))
       |WHERE term IN ('data', 'query', 'table', 'spark')
       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** Chunked posting lists ([[TextAnalysis.buildPostingsChunked]]): a small
+    * chunk size (8) forces the common terms to split into multiple
+    * `posting_part` rows, so the sharding path itself is oracle-checked —
+    * part assignment, per-part array content, and the per-term `df` carried
+    * on every part.
+    */
+  private def postingPartsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8)
+      .filter(col("term").isin("data", "query", "table", "spark"))
+      .select(col("term"), col("posting_part"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings"))
+      .orderBy(col("term"), col("posting_part"))
+
+  private val postingPartsOracle =
+    """WITH p AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |    FROM documents)
+      |  WHERE term IN ('data', 'query', 'table', 'spark')
+      |), r AS (
+      |  SELECT term, doc_id,
+      |    CAST((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 8
+      |      AS BIGINT) AS posting_part,
+      |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      |  FROM p
+      |)
+      |SELECT term, posting_part, df,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |FROM r GROUP BY term, posting_part, df
+      |ORDER BY term, posting_part""".stripMargin
 
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -561,6 +599,35 @@ object PipelineQueries {
       |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL codec round trip ([[Multimodal.pngMedia]] → ImageIO decode): every
+    * document becomes a genuine PNG on the executors, is decoded back with
+    * `javax.imageio`, and the oracle re-derives width/height/luma from the
+    * deterministic gradient formula — so a decode that read even one pixel
+    * wrong hash-mismatches. `n_bytes` is excluded (compressed size is
+    * encoder-internal); `decoded` pins that no row fell back to the stub.
+    */
+  private def imageDecodeQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImage(s, Multimodal.pngMedia(s, Tables.documents(s, dir)).toDF())
+      .toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("luma_mean"), (col("n_frames") === 1).as("decoded"))
+      .orderBy(col("doc_id"))
+
+  private val imageDecodeOracle =
+    """WITH px AS (
+      |  SELECT doc_id, CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+      |    CAST(doc_id % 12 + 1 AS INTEGER) AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, h,
+      |    sum(3 * ((doc_id + 7 * x + 13 * y) % 256)) AS rgbsum
+      |  FROM px, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y)
+      |  GROUP BY doc_id, w, h
+      |)
+      |SELECT doc_id, 'png' AS format, w AS width, h AS height,
+      |  CAST(rgbsum AS DOUBLE) / (3.0 * w * h) AS luma_mean, true AS decoded
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Patch-grid coordinates over the media metadata — blob untouched; the
     * oracle re-derives every clipped patch rectangle from the same
     * metadata arithmetic.
@@ -610,7 +677,7 @@ object PipelineQueries {
       |    CAST((doc_id // 256) % 256 AS INTEGER) AS y
       |  FROM documents
       |)
-      |SELECT doc_id, x, y, CAST($terms AS INTEGER) AS z
+      |SELECT doc_id, x, y, CAST($terms AS BIGINT) AS z
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -1075,10 +1142,12 @@ object PipelineQueries {
     "q_vocab_stats" -> (vocabStatsQ _),
     "q_keyword_search" -> (keywordSearchQ _),
     "q_posting_lists" -> (postingListsQ _),
+    "q_posting_parts" -> (postingPartsQ _),
     "q_ann_topk" -> (annTopkQ _),
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
     "q_multimodal_decode" -> (multimodalQ _),
+    "q_image_decode" -> (imageDecodeQ _),
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
     "q_zorder" -> (zorderQ _),
@@ -1142,10 +1211,12 @@ object PipelineQueries {
     "q_vocab_stats" -> vocabStatsOracle,
     "q_keyword_search" -> keywordSearchOracle,
     "q_posting_lists" -> postingListsOracle,
+    "q_posting_parts" -> postingPartsOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
     "q_multimodal_decode" -> multimodalOracle,
+    "q_image_decode" -> imageDecodeOracle,
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,
     "q_zorder" -> zorderOracle,

@@ -52,7 +52,8 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
-  /** Process-wide index cache keyed by (corpus key, nlist, seed): an IVF
+  /** Process-wide index cache keyed by (corpus key, nlist, seed,
+    * sampleFraction): an IVF
     * index is built once and amortized across every query that probes it — in
     * production the build is a separate offline job, so charging it to a
     * search query's timer misstates both costs (VERDICT r2 item 2). The
@@ -60,11 +61,11 @@ object Ivf {
     * available for explicit/un-amortized builds.
     */
   private val indexCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Long), Index]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Long, Double), Index]()
 
   def cachedBuild(corpus: => DataFrame, corpusKey: String, nlist: Int,
                   seed: Long = 42L, sampleFraction: Double = 1.0): Index =
-    indexCache.getOrElseUpdate((corpusKey, nlist, seed),
+    indexCache.getOrElseUpdate((corpusKey, nlist, seed, sampleFraction),
       build(corpus, nlist, seed, sampleFraction = sampleFraction))
 
   /** Nearest-cell id for a vector column: argmin over centroids of

@@ -67,11 +67,11 @@ object Pq {
     * rationale as [[Ivf.cachedBuild]].
     */
   private val indexCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Index]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Long), Index]()
 
   def cachedBuild(corpus: => DataFrame, corpusKey: String, dim: Int, m: Int,
                   k: Int, seed: Long = 42L): Index =
-    indexCache.getOrElseUpdate((corpusKey, m, k, seed),
+    indexCache.getOrElseUpdate((corpusKey, dim, m, k, seed),
       build(corpus, dim, m, k, seed))
 
   /** PQ codes for a vector column: per subspace, the argmin centroid of

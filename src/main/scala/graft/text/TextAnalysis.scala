@@ -2,6 +2,7 @@ package graft.text
 
 import graft.functions.JavaHash.javaHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: quality scoring,
@@ -204,6 +205,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("id"))).as("postings"))
   }
+
+  /** [[buildPostings]] with the posting-list chunking its scaladoc names:
+    * each term's sorted postings are sharded into `posting_part` rows of at
+    * most `chunkSize` ids, so a hot term (a stopword over a 100 TB corpus can
+    * match billions of documents) never materializes as one unbounded
+    * collect_list row — every row the aggregate state ever holds is bounded
+    * by `chunkSize`. `df` (the term's total document frequency) is carried on
+    * every part so consumers can rank without reassembling.
+    *
+    * Shape: rank ids per term with a window (one shuffle on term — same key
+    * the final aggregate needs, so the partitioning is reused), derive
+    * `posting_part = rank / chunkSize`, then aggregate on (term, part).
+    */
+  def buildPostingsChunked(docs: DataFrame, chunkSize: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy(col("term")).orderBy(col("id"))
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col("id"), explode(col("__toks")).as("term"))
+      .distinct()
+      .withColumn("__rank", row_number().over(w) - 1)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("posting_part", (col("__rank") / chunkSize).cast("long"))
+      .groupBy(col("term"), col("posting_part"))
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("id"))).as("postings"))
+  }
+
+  /** Reassemble [[buildPostingsChunked]] output back to one row per term
+    * (the [[buildPostings]] shape). Intended for bounded slices — e.g. the
+    * terms of one query — not the whole index, where the parts exist
+    * precisely so this row never materializes.
+    */
+  def reassemblePostings(parts: DataFrame): DataFrame =
+    parts.groupBy(col("term"))
+      .agg(first(col("df")).as("df"),
+        flatten(sort_array(collect_list(
+          struct(col("posting_part"), col("postings")))).getField("postings"))
+          .as("postings"))
 
   /** Conjunctive keyword search over the implicit inverted index: documents
     * containing ALL of `terms` (exact whitespace-token match). The `isin`

@@ -80,4 +80,56 @@ class TextSpec extends SparkSpec {
       .select(Multimodal.frameOffsets(col("n"), 4)).as[Seq[Long]].head()
     assert(offs == Seq(0L, 250L, 500L, 750L))
   }
+
+  test("real PNG round trip: ImageIO decode recovers exact dimensions and pixel stats") {
+    val docs = Seq((5L, "x", "en", "s", 1L), (17L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeImage(spark, Multimodal.pngMedia(spark, docs).toDF())
+      .collect().sortBy(_.doc_id)
+    // doc 5: 6x6 gradient; doc 17: 2x6
+    val expected = Seq((5L, 6, 6), (17L, 2, 6))
+    out.zip(expected).foreach { case (f, (id, w, h)) =>
+      assert(f.doc_id == id && f.width == w && f.height == h && f.n_frames == 1)
+      val gsum = (for { x <- 0 until w; y <- 0 until h }
+        yield (id + 7 * x + 13 * y) % 256).sum
+      assert(f.luma_mean == 3.0 * gsum / (3.0 * w * h))
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("decodeImage falls back to the stub on non-image payloads") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.decodeImage(spark, media).collect().head
+    // "abc" is not a PNG — identical result to the declared stub path
+    val stub = Multimodal.decodeStub(spark, media).collect().head
+    assert(f == stub)
+  }
+
+  test("buildPostingsChunked: hot term splits into bounded parts; reassembly round-trips") {
+    // 'hot' appears in 10 docs, 'cold' in 2 — chunkSize 4 must shard 'hot'
+    // into parts [4,4,2] and leave 'cold' as one part.
+    val docs = (0L until 10L).map(i => (i, if (i < 2) "hot cold" else "hot"))
+      .toDF("doc_id", "text")
+    val parts = TextAnalysis.buildPostingsChunked(docs, chunkSize = 4)
+      .select("term", "posting_part", "df", "postings")
+      .as[(String, Long, Long, Seq[Long])].collect().toSeq
+      .sortBy(p => (p._1, p._2))
+    val hot = parts.filter(_._1 == "hot")
+    assert(hot.map(_._2) == Seq(0L, 1L, 2L))           // 3 parts
+    assert(hot.map(_._4.size) == Seq(4, 4, 2))         // bounded by chunkSize
+    assert(hot.forall(_._3 == 10L))                    // df carried on each part
+    assert(hot.flatMap(_._4) == (0L until 10L))        // global order preserved
+    assert(parts.filter(_._1 == "cold") ==
+      Seq(("cold", 0L, 2L, Seq(0L, 1L))))
+    // reassembly == unchunked buildPostings
+    val whole = TextAnalysis.reassemblePostings(
+        TextAnalysis.buildPostingsChunked(docs, chunkSize = 4))
+      .select("term", "df", "postings")
+      .as[(String, Long, Seq[Long])].collect().toSet
+    val ref = TextAnalysis.buildPostings(docs)
+      .select("term", "df", "postings")
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(whole == ref)
+  }
 }
