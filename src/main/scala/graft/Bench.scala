@@ -113,17 +113,36 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
       s""""cold_total":$coldTotal,"cold_queries":${obj(_._2)},$breakdown,"sf":"$sfDir"}"""
-    // compact totals-only summary printed LAST: the driver captures a bounded
-    // stdout *tail*, so the single giant per-query line can get clipped from
-    // the front (BENCH_r02 lost its headline total that way) — a short final
-    // line always survives and parses on its own
+    // compact totals-only summary: the driver captures a bounded stdout
+    // *tail* (~2000 chars), so the single giant per-query line can get
+    // clipped from the front (BENCH_r02 lost its headline total that way) —
+    // a short line near the end always survives and parses on its own
     val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n":${timed.size},"cold_total":$coldTotal,$breakdown,"sf":"$sfDir"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n" + summary + "\n")
+    // steady per-query times in compact self-contained chunks (ms precision),
+    // sorted ascending by time so the *slowest* queries — the ones a
+    // regression gate cares about most — sit closest to the end and survive
+    // the tail clipping; `metric":"steady_part"` so any totals-seeking parser
+    // skips them. tools/bench_diff.py merges every surviving part.
+    val steadyParts = {
+      val entries = timed.toSeq.sortBy(_._2._1)
+      val chunks = entries.grouped(15).toSeq
+      chunks.zipWithIndex.map { case (c, i) =>
+        val qs = c.map { case (k, v) =>
+          "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v._1)
+        }.mkString(",")
+        s"""{"metric":"steady_part","part":${i + 1},"of":${chunks.size},"q":{$qs}}"""
+      }
     }
+    val out = (line +: summary +: steadyParts) :+ summary
+    // full artifact always lands on disk too — default into the working
+    // directory so the complete per-query map survives the round even when
+    // stdout is clipped (the env var still overrides the location)
+    val sink = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sink), out.mkString("", "\n", "\n"))
+    catch { case e: Exception => System.err.println(s"[bench] sink $sink: $e") }
     spark.stop()
-    println(line)
-    println(summary)
+    out.foreach(println)
   }
 }

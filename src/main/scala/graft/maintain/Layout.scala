@@ -99,6 +99,19 @@ object Layout {
     * `sortCols` additionally orders within buckets (`sortBy`), letting a
     * sort-merge join skip its sort when both sides declare the same order.
     */
+  /** Drop a catalog table AND its warehouse directory: the in-memory catalog
+    * is fresh per JVM but `spark-warehouse/` persists, so a stale location
+    * would break the next `saveAsTable`.
+    */
+  def resetTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(s"spark-warehouse/$table")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sortCols: Seq[String] = Seq.empty): Unit = {
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)

@@ -249,6 +249,46 @@ object TextAnalysis {
           struct(col("posting_part"), col("postings")))).getField("postings"))
           .as("postings"))
 
+  /** Materialize the chunked posting index as a term-bucketed catalog table
+    * — the SCALE.md §Curation serving layout: searches probe term buckets
+    * instead of re-tokenizing the corpus. Built once per `key` per process
+    * (the build is an offline indexing job, same amortization rationale as
+    * [[graft.sim.Ivf.cachedBuild]]); returns the table name. Bucketing +
+    * within-bucket sort on `term` means a term-filtered probe scans only
+    * `SelectedBucketsCount` buckets with zero Exchange on the scan side, and
+    * [[buildPostingsChunked]] bounds every row even for hot terms.
+    */
+  def materializePostings(docs: DataFrame, key: String, buckets: Int = 8,
+                          chunkSize: Int = 1024): String = {
+    val table = "graft_postings_" + key.replaceAll("[^A-Za-z0-9]", "_")
+    postingTables.getOrElseUpdate((key, buckets, chunkSize), {
+      graft.maintain.Layout.resetTable(docs.sparkSession, table)
+      graft.maintain.Layout.writeBucketed(
+        buildPostingsChunked(docs, chunkSize), table, "term", buckets,
+        sortCols = Seq("term", "posting_part"))
+      table
+    })
+  }
+
+  private val postingTables =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
+
+  /** Conjunctive keyword search probing a [[materializePostings]] table:
+    * the `isin` filter on the bucketing column prunes to the terms' buckets
+    * (no shuffle, no corpus scan — the probe side reads a few bucket files),
+    * then only the matched postings explode into the one small aggregation
+    * on doc_id. Chunked parts need no reassembly: distinct-term counting is
+    * part-agnostic. Same result as [[searchAll]] over the raw corpus.
+    */
+  def searchPostings(spark: org.apache.spark.sql.SparkSession, table: String,
+                     terms: Seq[String]): DataFrame =
+    spark.table(table)
+      .filter(col("term").isin(terms.map(lit(_)): _*))
+      .select(col("term"), explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
+
   /** Conjunctive keyword search over the implicit inverted index: documents
     * containing ALL of `terms` (exact whitespace-token match). The `isin`
     * prefilter runs *before* the distinct/aggregate, so only postings of the

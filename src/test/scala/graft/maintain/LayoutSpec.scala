@@ -86,6 +86,28 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("materialized posting probe: bucket-pruned scan, one Exchange, matches corpus search") {
+    import graft.text.TextAnalysis
+    val docs = graft.Tables.documents(spark, sf())
+    val table = TextAnalysis.materializePostings(docs, key = sf() + "#spec",
+      buckets = 8, chunkSize = 64)
+    val probe = TextAnalysis.searchPostings(spark, table, Seq("data", "query", "table"))
+    val p = probe.queryExecution.executedPlan.toString
+    // the isin on the bucketing column prunes to the queried terms' buckets
+    assert(p.contains("SelectedBucketsCount"), s"no bucket pruning:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+    assert(sel.findFirstMatchIn(p).exists(_.group(1).toInt < 8),
+      s"probe read all buckets:\n$p")
+    // probe side shuffle-free: the only Exchange is the post-probe agg on
+    // doc_id (matched postings only, never corpus-sized)
+    assert("Exchange".r.findAllIn(p).size <= 2, s"probe plan over-shuffles:\n$p")
+    // identical result to the raw-corpus search
+    val got = probe.as[(Long, Long)].collect().toSet
+    val ref = TextAnalysis.searchAll(docs, Seq("data", "query", "table"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("as-of and range joins avoid nested-loop plans") {
     import graft.analytics.{AsOfJoin, RangeJoin}
     val scores = graft.score.RiskScore.pipeline(TelematicsQueries.normalizedFact(spark, sf()))

@@ -19,45 +19,16 @@ import re
 import sys
 
 
-def extract(path: str) -> dict:
-    """Return {"queries": {name: steady_sec}, "total": float|None, ...}."""
-    raw = open(path).read()
-    try:
-        doc = json.loads(raw)
-    except json.JSONDecodeError:
-        doc = None
-    # raw Bench line(s): last parseable metric object wins (the compact
-    # summary is printed last but carries no per-query map — merge instead)
-    if doc is not None and doc.get("metric") == "total":
-        return {"queries": doc.get("queries", {}), "total": doc.get("value")}
-    if doc is not None and ("tail" in doc or "parsed" in doc):
-        parsed = doc.get("parsed")
-        if isinstance(parsed, dict) and parsed.get("queries"):
-            return {"queries": parsed["queries"], "total": parsed.get("value")}
-        tail = doc.get("tail", "") or ""
-        best: dict = {"queries": {}, "total": None}
-        for m in re.finditer(r'\{"metric":"total".*?\}(?=\n|$)', tail):
-            try:
-                cand = json.loads(m.group(0))
-            except json.JSONDecodeError:
-                continue
-            best["total"] = cand.get("value", best["total"])
-            if cand.get("queries"):
-                best["queries"] = cand["queries"]
-        if best["queries"] or best["total"] is not None:
-            return best
-        # truncated tail: scrape surviving "q_name":secs pairs from the
-        # steady-state map only (everything before "cold_queries")
-        head = tail.split('"cold_queries"')[0]
-        qs = {k: float(v) for k, v in
-              re.findall(r'"(q[0-9a-z_]+)":([0-9.]+)', head)}
-        return {"queries": qs, "total": None}
-    # multi-line file of raw Bench output: scan line by line
-    best = {"queries": {}, "total": None}
-    for line in raw.splitlines():
-        line = line.strip()
-        if '"metric"' not in line:
-            continue
+def harvest(text: str) -> dict:
+    """Merge every metric line found in `text`: the full `queries{...}` map
+    (highest fidelity) wins per query, then surviving `steady_part` chunks,
+    then — only if neither produced anything — raw `"name":secs` pair
+    scraping of a clipped tail (pre-r4 artifacts, where the survivors are
+    cold times: a usable, if conservative, baseline)."""
+    full: dict = {}
+    parts: dict = {}
+    total = None
+    for line in text.splitlines():
         start = line.find('{"metric"')
         if start < 0:
             continue
@@ -65,10 +36,42 @@ def extract(path: str) -> dict:
             cand = json.loads(line[start:])
         except json.JSONDecodeError:
             continue
-        best["total"] = cand.get("value", best["total"])
-        if cand.get("queries"):
-            best["queries"] = cand["queries"]
-    return best
+        if cand.get("metric") == "total":
+            total = cand.get("value", total)
+            if cand.get("queries"):
+                full = cand["queries"]
+        elif cand.get("metric") == "steady_part":
+            parts.update(cand.get("q", {}))
+    queries = {**parts, **full}
+    if not queries:
+        # truncated tail: scrape surviving "q_name":secs pairs from the
+        # steady-state map only (everything before "cold_queries")
+        head = text.split('"cold_queries"')[0]
+        queries = {k: float(v) for k, v in
+                   re.findall(r'"(q[0-9a-z_]+)":([0-9.]+)', head)}
+    return {"queries": queries, "total": total}
+
+
+def extract(path: str) -> dict:
+    """Return {"queries": {name: steady_sec}, "total": float|None, ...}."""
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = None
+    # raw Bench line(s): full map + steady parts merged
+    if doc is not None and doc.get("metric") == "total":
+        return {"queries": doc.get("queries", {}), "total": doc.get("value")}
+    if doc is not None and ("tail" in doc or "parsed" in doc):
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return {"queries": parsed["queries"], "total": parsed.get("value")}
+        got = harvest(doc.get("tail", "") or "")
+        if got["total"] is None and isinstance(parsed, dict):
+            got["total"] = parsed.get("value")
+        return got
+    # multi-line file of raw Bench output (e.g. BENCH_LOCAL.json)
+    return harvest(raw)
 
 
 def main(argv: list) -> int:
