@@ -498,13 +498,16 @@ object PipelineQueries {
       |GROUP BY term ORDER BY term""".stripMargin
 
   /** Chunked posting lists ([[TextAnalysis.buildPostingsChunked]]): a small
-    * chunk size (8) forces the common terms to split into multiple
-    * `posting_part` rows, so the sharding path itself is oracle-checked —
-    * part assignment, per-part array content, and the per-term `df` carried
-    * on every part.
+    * chunk size (8) with 4 salts forces the common terms to split into
+    * multiple `posting_part` rows ACROSS salts and multiple local parts
+    * WITHIN a salt, so the skew-free two-level sharding path itself is
+    * oracle-checked — salted part assignment
+    * (`part = (local_rank / 8) * 4 + id mod 4`), per-part array content,
+    * and the per-term `df` carried on every part.
     */
   private def postingPartsQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8)
+    TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8,
+        salts = 4)
       .filter(col("term").isin("data", "query", "table", "spark"))
       .select(col("term"), col("posting_part"), col("df"),
         array_join(transform(col("postings"), _.cast("string")), ",")
@@ -519,7 +522,8 @@ object PipelineQueries {
       |  WHERE term IN ('data', 'query', 'table', 'spark')
       |), r AS (
       |  SELECT term, doc_id,
-      |    CAST((row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // 8
+      |    CAST(((row_number() OVER (PARTITION BY term, doc_id % 4 ORDER BY doc_id)
+      |        - 1) // 8) * 4 + doc_id % 4
       |      AS BIGINT) AS posting_part,
       |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
       |  FROM p

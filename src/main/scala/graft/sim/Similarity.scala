@@ -134,11 +134,18 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** SRP-LSH bucket id (bit b = sign of projection onto plane b). Planes ship
-    * as a single array<array<double>> literal (not numPlanes×dim `lit` nodes)
-    * and each projection is the native [[graft.functions.DotProduct]].
+  /** SRP-LSH bucket id (bit b = sign of projection onto plane b) — native
+    * [[graft.functions.SrpBucket]]: planes ship as a reference object, not
+    * literals in the generated source, so codegen compile time is constant in
+    * plane count (the `q_ann_lsh` regression root cause — see SrpOps).
     */
-  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.SrpOps.srpBucket(vec, planes)
+
+  /** The composable form of [[srpBucket]] — kept as the reference semantics
+    * (tests assert bit-equality with the native expression).
+    */
+  def srpBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val planesLit = typedLit(planes)
     planes.indices.map { i =>
       when(dot(vec, element_at(planesLit, i + 1)) >= 0, lit(1L << i)).otherwise(0L)

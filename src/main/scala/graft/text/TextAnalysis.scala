@@ -207,31 +207,55 @@ object TextAnalysis {
   }
 
   /** [[buildPostings]] with the posting-list chunking its scaladoc names:
-    * each term's sorted postings are sharded into `posting_part` rows of at
-    * most `chunkSize` ids, so a hot term (a stopword over a 100 TB corpus can
+    * each term's postings are sharded into `posting_part` rows of at most
+    * `chunkSize` ids, so a hot term (a stopword over a 100 TB corpus can
     * match billions of documents) never materializes as one unbounded
     * collect_list row — every row the aggregate state ever holds is bounded
     * by `chunkSize`. `df` (the term's total document frequency) is carried on
     * every part so consumers can rank without reassembling.
     *
-    * Shape: rank ids per term with a window (one shuffle on term — same key
-    * the final aggregate needs, so the partitioning is reused), derive
-    * `posting_part = rank / chunkSize`, then aggregate on (term, part).
+    * Skew: ranking within one `Window.partitionBy(term)` would serialize a
+    * Zipfian hot term's postings through a single task, so ids are salted
+    * first — `salt = pmod(id, salts)` (deterministic, oracle-expressible),
+    * local rank within `(term, salt)`, and
+    * `posting_part = (local_rank / chunkSize) * salts + salt`. Part ids stay
+    * deterministic (a pure function of the id set), every part is still
+    * bounded by `chunkSize`, and the hot term's rank work spreads over
+    * `salts` tasks. Parts are no longer contiguous ranges of the sorted
+    * order — each holds the salt's residue class — which no consumer relies
+    * on ([[searchPostings]] is part-agnostic; [[reassemblePostings]] sorts).
+    *
+    * `df` is aggregated skew-free too: per-(term, salt) counts ride the same
+    * window partition as the rank (no extra exchange), are reduced to one
+    * row per (term, salt), summed per term on that metadata-sized table, and
+    * joined back on (term, salt) — every shuffle key includes the salt.
+    *
+    * Requires a numeric id column (the salt is `id mod salts`).
     */
   def buildPostingsChunked(docs: DataFrame, chunkSize: Int,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           salts: Int = 32): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(salts > 0, s"salts must be positive, got $salts")
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val w = Window.partitionBy(col("term")).orderBy(col("id"))
-    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val wSalted = Window.partitionBy(col("term"), col("__salt")).orderBy(col("id"))
+    val ranked = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .withColumn("__toks", toks(col("__text")))
       .select(col("id"), explode(col("__toks")).as("term"))
       .distinct()
-      .withColumn("__rank", row_number().over(w) - 1)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .withColumn("posting_part", (col("__rank") / chunkSize).cast("long"))
+      .withColumn("__salt", pmod(col("id").cast("long"), lit(salts.toLong)))
+      .withColumn("__lrank", row_number().over(wSalted) - 1)
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("term"), col("__salt"))))
+    val dfPerSalt = ranked.select(col("term"), col("__salt"), col("__cnt"))
+      .distinct()
+      .withColumn("df", sum(col("__cnt")).over(Window.partitionBy(col("term"))))
+      .select(col("term"), col("__salt"), col("df"))
+    ranked.join(dfPerSalt, Seq("term", "__salt"))
+      .withColumn("posting_part",
+        (col("__lrank") / chunkSize).cast("long") * salts + col("__salt"))
       .groupBy(col("term"), col("posting_part"))
       .agg(first(col("df")).as("df"),
         sort_array(collect_list(col("id"))).as("postings"))
@@ -240,14 +264,13 @@ object TextAnalysis {
   /** Reassemble [[buildPostingsChunked]] output back to one row per term
     * (the [[buildPostings]] shape). Intended for bounded slices — e.g. the
     * terms of one query — not the whole index, where the parts exist
-    * precisely so this row never materializes.
+    * precisely so this row never materializes. Salted parts interleave the
+    * id space, so the flattened list is re-sorted.
     */
   def reassemblePostings(parts: DataFrame): DataFrame =
     parts.groupBy(col("term"))
       .agg(first(col("df")).as("df"),
-        flatten(sort_array(collect_list(
-          struct(col("posting_part"), col("postings")))).getField("postings"))
-          .as("postings"))
+        array_sort(flatten(collect_list(col("postings")))).as("postings"))
 
   /** Materialize the chunked posting index as a term-bucketed catalog table
     * — the SCALE.md §Curation serving layout: searches probe term buckets

@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native SrpBucket is bit-identical to the HOF when-chain") {
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val vecs = emb.limit(300).select(col("embedding").cast("array<double>").as("v"))
+    def mismatches() = vecs.select(
+        Similarity.srpBucket(col("v"), planes).as("native"),
+        Similarity.srpBucketHof(col("v"), planes).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches() == 0)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(mismatches() == 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("srp bucket is deterministic across evaluations") {
     val planes = Similarity.hyperplanes(8, 64, 42L)
     val b1 = emb.limit(50).select(col("vec_id"),

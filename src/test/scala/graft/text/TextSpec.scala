@@ -106,30 +106,46 @@ class TextSpec extends SparkSpec {
     assert(f == stub)
   }
 
-  test("buildPostingsChunked: hot term splits into bounded parts; reassembly round-trips") {
-    // 'hot' appears in 10 docs, 'cold' in 2 — chunkSize 4 must shard 'hot'
-    // into parts [4,4,2] and leave 'cold' as one part.
+  test("buildPostingsChunked: hot term splits into bounded salted parts; reassembly round-trips") {
+    // 'hot' appears in 10 docs, 'cold' in 2 — with 2 salts and chunkSize 4,
+    // 'hot' shards by residue class (salt 0: ids 0,2,4,6,8; salt 1: ids
+    // 1,3,5,7,9) and each salt overflows into a second local part:
+    // part = local_part * salts + salt.
     val docs = (0L until 10L).map(i => (i, if (i < 2) "hot cold" else "hot"))
       .toDF("doc_id", "text")
-    val parts = TextAnalysis.buildPostingsChunked(docs, chunkSize = 4)
+    val parts = TextAnalysis.buildPostingsChunked(docs, chunkSize = 4, salts = 2)
       .select("term", "posting_part", "df", "postings")
       .as[(String, Long, Long, Seq[Long])].collect().toSeq
       .sortBy(p => (p._1, p._2))
     val hot = parts.filter(_._1 == "hot")
-    assert(hot.map(_._2) == Seq(0L, 1L, 2L))           // 3 parts
-    assert(hot.map(_._4.size) == Seq(4, 4, 2))         // bounded by chunkSize
+    assert(hot.map(_._2) == Seq(0L, 1L, 2L, 3L))       // 2 salts × 2 local parts
+    assert(hot.map(_._4) == Seq(Seq(0L, 2L, 4L, 6L), Seq(1L, 3L, 5L, 7L),
+      Seq(8L), Seq(9L)))                               // bounded by chunkSize
     assert(hot.forall(_._3 == 10L))                    // df carried on each part
-    assert(hot.flatMap(_._4) == (0L until 10L))        // global order preserved
     assert(parts.filter(_._1 == "cold") ==
-      Seq(("cold", 0L, 2L, Seq(0L, 1L))))
+      Seq(("cold", 0L, 2L, Seq(0L)), ("cold", 1L, 2L, Seq(1L))))
     // reassembly == unchunked buildPostings
     val whole = TextAnalysis.reassemblePostings(
-        TextAnalysis.buildPostingsChunked(docs, chunkSize = 4))
+        TextAnalysis.buildPostingsChunked(docs, chunkSize = 4, salts = 2))
       .select("term", "df", "postings")
       .as[(String, Long, Seq[Long])].collect().toSet
     val ref = TextAnalysis.buildPostings(docs)
       .select("term", "df", "postings")
       .as[(String, Long, Seq[Long])].collect().toSet
     assert(whole == ref)
+  }
+
+  test("buildPostingsChunked rank stage shuffles on (term, salt), never term alone") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.buildPostingsChunked(docs, chunkSize = 4)
+      .queryExecution.executedPlan.toString
+    // the row_number rank over the full posting stream must be salted — a
+    // term-only partition spec would serialize a Zipfian hot term's postings
+    // through one task
+    val rankSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(rankSpecs.nonEmpty, s"no row_number window found in plan:\n$plan")
+    rankSpecs.foreach(spec => assert(spec.contains("__salt"),
+      s"rank window not salted: $spec"))
   }
 }
