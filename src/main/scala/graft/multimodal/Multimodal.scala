@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * metadata, batch-shaped decode/feature-extraction over `mapPartitions`.
   *
   * Images use a REAL codec: `javax.imageio` ships in the JDK, so
-  * [[pngMedia]]/[[decodeImage]] encode and decode genuine PNG bytes on the
-  * executors (exercised end-to-end by the `q_image_decode` oracle). Audio and
+  * [[pngMedia]]/[[decodeImage]]/[[resizeImage]] encode, decode, and resize
+  * genuine PNG bytes on the executors (exercised end-to-end by the
+  * `q_image_decode` / `q_image_resize` oracles). Audio and
   * video codecs remain STUBBED (no such libraries in this environment):
   * [[decodeStub]] produces deterministic fake features derived from the
   * bytes, and [[decodeImage]] falls back to it for payloads ImageIO cannot
@@ -185,6 +186,62 @@ object Multimodal {
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
         val keep = math.max(1, (bytes.length * scale * scale).toInt)
         r.copy(media = bytes.take(keep), width = w2, height = h2)
+      }
+    }
+  }
+
+  /** Aspect-preserving downscale dims in pure integer math —
+    * `w2 = max(1, w·maxDim / max(w,h))` (no-op when already within bounds).
+    * Integer division, not a floating `scale` factor: `floor(w * 8/15.0)`
+    * rounds differently across engines at representation boundaries, while
+    * `w * 8 / 15` is the same integer everywhere — what lets the resize
+    * oracle re-derive every output pixel exactly.
+    */
+  private[multimodal] def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val mx = math.max(w, h)
+    if (mx <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+  }
+
+  /** REAL image resize over `mapPartitions`: decode with `javax.imageio`,
+    * nearest-neighbor downscale (`src = dst · srcDim / dstDim`, integer
+    * math — deterministic and oracle-reproducible, unlike interpolating
+    * `Graphics2D` filters whose rounding is implementation-defined), then
+    * re-encode PNG. Payloads ImageIO cannot parse fall back to the
+    * [[resizeStub]] byte-truncation shape with the same [[fitDims]] metadata
+    * math — DLQ-style tolerance, matching [[decodeImage]].
+    */
+  def resizeImage(spark: SparkSession, media: DataFrame, maxDim: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) {
+          val (w2, h2) = fitDims(r.width, r.height, maxDim)
+          val keep = math.max(1, (bytes.length.toLong * w2 * h2 /
+            math.max(1L, r.width.toLong * r.height)).toInt)
+          r.copy(media = bytes.take(keep), width = w2, height = h2)
+        } else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val (w2, h2) = fitDims(sw, sh, maxDim)
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              out.setRGB(x, y, img.getRGB(x * sw / w2, y * sh / h2) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(r.doc_id, bos.toByteArray, "png", w2, h2)
+        }
       }
     }
   }

@@ -97,6 +97,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("resizeImage: nearest-neighbor downscale matches closed-form pixels; identity within bounds") {
+    // doc 15: 16x4 -> fit 8 -> 8x2; doc 3: 4x4 already fits -> identity
+    val docs = Seq((15L, "x", "en", "s", 1L), (3L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resizeImage(
+      spark, Multimodal.pngMedia(spark, docs).toDF(), maxDim = 8)
+    val out = Multimodal.decodeImage(spark, resized.toDF()).collect().sortBy(_.doc_id)
+
+    val f3 = out(0) // identity: same dims, same pixels as the original
+    assert(f3.width == 4 && f3.height == 4 && f3.n_frames == 1)
+    val orig3 = Multimodal.decodeImage(spark, Multimodal.pngMedia(spark,
+      docs.filter(col("doc_id") === 3L)).toDF()).collect().head
+    assert(f3.luma_mean == orig3.luma_mean)
+
+    val f15 = out(1) // 16x4 -> 8x2, srcX = x2*16/8 = 2*x2, srcY = y2*4/2 = 2*y2
+    assert(f15.width == 8 && f15.height == 2 && f15.n_frames == 1)
+    val gsum = (for { x2 <- 0 until 8; y2 <- 0 until 2 }
+      yield (15L + 7 * (2 * x2) + 13 * (2 * y2)) % 256).sum
+    assert(f15.luma_mean == gsum.toDouble / (8 * 2))
+  }
+
   test("decodeImage falls back to the stub on non-image payloads") {
     val media = Multimodal.mediaFromDocuments(
       Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
