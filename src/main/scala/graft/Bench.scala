@@ -137,8 +137,14 @@ object Bench {
     val out = (line +: summary +: steadyParts) :+ summary
     // full artifact always lands on disk too — default into the working
     // directory so the complete per-query map survives the round even when
-    // stdout is clipped (the env var still overrides the location)
-    val sink = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // stdout is clipped (the env var still overrides the location). Non-sf0.1
+    // runs get an sf-tagged name so a quick local sf0.01 check can never
+    // clobber the committed sf0.1 round artifact (that burned the r5→r6
+    // steady-vs-steady baseline once).
+    val defaultSink =
+      if (sfDir.endsWith("sf0.1")) "BENCH_LOCAL.json"
+      else s"BENCH_LOCAL_${new java.io.File(sfDir).getName}.json"
+    val sink = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultSink)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sink), out.mkString("", "\n", "\n"))
     catch { case e: Exception => System.err.println(s"[bench] sink $sink: $e") }
