@@ -336,6 +336,45 @@ object PipelineQueries {
       |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Markup strip over deterministically-wrapped documents (the corpus has
+    * no HTML, so the query wraps each text in a fixed tag structure with an
+    * escaped entity — both engines build the identical input): the full
+    * stripped string, tag count, and markup-density ratio are all under the
+    * hash, so a single tag or entity handled differently mismatches.
+    */
+  private def htmlStripQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.markupStats(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("<html><body><p class=\"main\">"), col("text"),
+            lit("</p><br/><div id=\"footer\">(c) 2024 &amp; example</div></body></html>"))
+            .as("text")))
+      .select(col("doc_id"), col("n_tags"), col("markup_ratio"), col("stripped"))
+      .orderBy(col("doc_id"))
+
+  private val htmlStripOracle =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><body><p class="main">' || text ||
+      |    '</p><br/><div id="footer">(c) 2024 &amp; example</div></body></html>' AS t
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, t,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(t, '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |        '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS stripped
+      |  FROM h
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |  CASE WHEN length(t) > 0
+      |    THEN (length(t) - length(stripped))::DOUBLE / length(t)
+      |    ELSE 0.0 END AS markup_ratio,
+      |  stripped
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -1037,6 +1076,35 @@ object PipelineQueries {
       |  FROM p)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Multiprobe LSH ANN ([[Similarity.lshTopKMultiprobe]]): query bucket +
+    * every Hamming-1 neighbor bucket probed through the same corpus-side
+    * equi-join. The oracle replicates probe generation (`xor(bucket, 1<<i)`),
+    * the join, and the exact-cosine re-rank — full row/hash compare.
+    */
+  private def annLshMultiprobeQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopKMultiprobe(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annLshMultiprobeOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec, ${srpBucketSql("vec")} AS bucket FROM v),
+      |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM b WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, q_vec, xor(bucket, m) AS bucket
+      |  FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(m)
+      |),
+      |p AS (
+      |  SELECT query_id, c.vec_id AS nn_id, ${cosSql("q_vec", "c.vec")} AS cosine
+      |  FROM probes JOIN b c USING (bucket)
+      |  WHERE c.vec_id <> query_id
+      |)
+      |SELECT query_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      |  FROM p)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Full-corpus embedding near-dup via banded SRP-LSH — the scale path
     * (candidates from a (band, bucket) equi-join, never all-pairs). The
     * oracle replicates the entire pipeline exactly: band buckets from the
@@ -1214,6 +1282,7 @@ object PipelineQueries {
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_weighted_stratified" -> (weightedStratifiedQ _),
     "q_text_quality" -> (qualityQ _),
+    "q_html_strip" -> (htmlStripQ _),
     "q_lang_id" -> (langIdQ _),
     "q_lang_id_ngram" -> (langIdNgramQ _),
     "q_token_count" -> (tokenCountQ _),
@@ -1269,7 +1338,8 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+    "q_ann_lsh_multiprobe" -> (annLshMultiprobeQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1285,6 +1355,7 @@ object PipelineQueries {
     "q_weighted_sample" -> weightedSampleOracle,
     "q_weighted_stratified" -> weightedStratifiedOracle,
     "q_text_quality" -> qualityOracle,
+    "q_html_strip" -> htmlStripOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_id_ngram" -> langIdNgramOracle,
     "q_token_count" -> tokenCountOracle,
@@ -1326,6 +1397,7 @@ object PipelineQueries {
     "q_minhash_oph" -> minhashOphOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_lsh_multiprobe" -> annLshMultiprobeOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_build" -> annIvfBuildOracle,
     "q_ann_pq" -> annPqOracle,

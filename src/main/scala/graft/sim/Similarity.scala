@@ -174,6 +174,40 @@ object Similarity {
       .select("query_id", "nn_id", "rank", "cosine")
   }
 
+  /** Multiprobe SRP-LSH ANN: probe the query's bucket AND every bucket at
+    * Hamming distance 1 (one sign bit flipped — the buckets a near-boundary
+    * neighbor most likely fell into). Recall approaches multi-table LSH at
+    * the cost of `numPlanes` extra *probe keys* per query instead of
+    * `numPlanes` extra copies of the corpus index — the standard trade
+    * (Lv et al., VLDB '07) when the index is 100 TB and queries are not.
+    * Probe expansion happens on the tiny broadcast query side; the corpus
+    * side stays a single equi-join on its one bucket column, and a corpus
+    * vector can match at most one probe of a query (probe buckets are
+    * pairwise distinct), so no dedup pass is needed.
+    */
+  def lshTopKMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = spread(corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("nn_vec")))
+      .withColumn("bucket", srpBucket(col("nn_vec"), planes))
+    val masks = 0L +: (0 until numPlanes).map(i => 1L << i)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("__b0", srpBucket(col("q_vec"), planes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "rank", "cosine")
+  }
+
   /** Scalar int8 quantization (per-vector min/max affine): code[i] =
     * round((v[i]−mn)/scale) ∈ [0,255] with scale = (mx−mn)/255 — the
     * compression step that makes a 100 TB embedding corpus index-resident

@@ -89,6 +89,35 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  /** Markup stripping for web-scraped corpora: drop tags, unescape the five
+    * predefined XML entities (`&amp;` last, so `&amp;lt;` correctly yields
+    * the literal `&lt;`), collapse whitespace. A pure codegen'd regex chain
+    * — the deterministic column-level core of boilerplate removal (a real
+    * pipeline layers DOM-tree heuristics on top; every step here is
+    * engine-portable so the result is oracle-exact).
+    */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** [[stripMarkup]] plus the markup-density features a curation filter
+    * cuts on: tag count and the fraction of characters the strip removed
+    * (markup-heavy pages score high and get dropped before tokenization).
+    */
+  def markupStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("stripped", stripMarkup(t))
+      .withColumn("n_tags", regexp_count(t, lit("<[^>]*>")).cast("long"))
+      .withColumn("markup_ratio",
+        when(length(t) > 0,
+          (length(t) - length(col("stripped"))).cast("double") / length(t))
+          .otherwise(0.0))
+  }
+
   /** Whitespace token count and a BPE-ish subword-regex token count
     * (word-chars runs | single non-space non-word chars), the standard cheap
     * token estimator.

@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe LSH: recall@k vs brute force >= single-bucket LSH, exact cosines") {
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.select($"query_id", $"nn_id").as[(Long, Long)].collect().toSet
+      (hits & brute).size.toDouble / brute.size
+    }
+    val single = recall(Similarity.lshTopK(emb, queries, k = 3))
+    val multi = recall(Similarity.lshTopKMultiprobe(emb, queries, k = 3))
+    assert(multi >= single, s"multiprobe recall $multi < single-bucket $single")
+    // every multiprobe hit carries the exact cosine
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 2000)
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    Similarity.lshTopKMultiprobe(emb, queries, k = 3)
+      .select($"query_id", $"nn_id", $"cosine").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        exact.get((q, n)).foreach(e => assert(e == c))
+      }
+  }
+
   test("label centroids: exact decimal sums, one row per (label, dim)") {
     val out = Similarity.labelCentroids(emb)
     assert(out.count() == 10 * 64)

@@ -127,6 +127,25 @@ class TextSpec extends SparkSpec {
     assert(f == stub)
   }
 
+  test("stripMarkup: tags dropped, entities unescaped in safe order, whitespace collapsed") {
+    val df = Seq(
+      (1L, "<p>hello   <b>world</b></p>"),
+      (2L, "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; done"),
+      (3L, "plain text"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.markupStats(df)
+      .select("doc_id", "stripped", "n_tags", "markup_ratio")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == "hello world" && out(0)._3 == 4L)
+    // tags strip BEFORE unescaping, so escaped markup survives as text:
+    // &lt;tag&gt; -> literal <tag> (0 raw tags), and &amp;lt; is the
+    // *escaped* text "&lt;" — must NOT double-unescape to "<"
+    assert(out(1)._2 == "a &lt; b <tag> \"q\" 's' & done" && out(1)._3 == 0L)
+    assert(out(2)._2 == "plain text" && out(2)._3 == 0L && out(2)._4 == 0.0)
+    assert(out(3)._2 == "" && out(3)._4 == 0.0)
+    assert(out(0)._4 > 0.0)
+  }
+
   test("buildPostingsChunked: hot term splits into bounded salted parts; reassembly round-trips") {
     // 'hot' appears in 10 docs, 'cold' in 2 — with 2 salts and chunkSize 4,
     // 'hot' shards by residue class (salt 0: ids 0,2,4,6,8; salt 1: ids
