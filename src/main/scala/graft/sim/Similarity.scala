@@ -208,6 +208,31 @@ object Similarity {
       .select("query_id", "nn_id", "rank", "cosine")
   }
 
+  /** Online near-duplicate filter: each incoming vector is checked against
+    * the corpus vectors in its SRP bucket; pairs at cosine ≥ threshold come
+    * back as (in_id, dup_of, cosine) flags. Stateless select/join/filter, so
+    * the SAME code runs on a *streaming* `incoming` as a stream-static join
+    * — each micro-batch probes the static corpus index (at 100 TB the
+    * corpus side is the bucketed lake table, so the probe prunes to
+    * matching buckets instead of scanning) — which is how an ingest
+    * pipeline drops near-dups before they ever land. StreamingSpec runs it
+    * live over MemoryStream.
+    */
+  def nearDupFlags(incoming: DataFrame, corpus: DataFrame, threshold: Double,
+                   numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("dup_of"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("bucket", srpBucket(col("c_vec"), planes))
+    val in = incoming.select(col(idCol).as("in_id"), asDouble(col(vecCol)).as("in_vec"))
+      .withColumn("bucket", srpBucket(col("in_vec"), planes))
+    in.join(c, "bucket")
+      .filter(col("in_id") =!= col("dup_of"))
+      .withColumn("cosine", cosine(col("in_vec"), col("c_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("in_id", "dup_of", "cosine")
+  }
+
   /** Scalar int8 quantization (per-vector min/max affine): code[i] =
     * round((v[i]−mn)/scale) ∈ [0,255] with scale = (mx−mn)/255 — the
     * compression step that makes a 100 TB embedding corpus index-resident

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan shape assertions: the plans we want at 100 TB, not just the
   * first ones that pass (builder prompt: explain-and-iterate).
@@ -52,6 +53,17 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"full-corpus dedup must be a bucketed equi-join, got:\n$p")
+  }
+
+  test("multiprobe LSH: broadcast equi-join on bucket, never a nested loop") {
+    import graft.sim.Similarity
+    val emb = graft.Tables.embeddings(spark, sf())
+    val df = Similarity.lshTopKMultiprobe(emb, emb.filter(col("vec_id") < 5), k = 3)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"probe must stay an equi-join:\n$p")
   }
 
   test("sliding chunks plan is narrow: no shuffle at all") {

@@ -259,6 +259,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter flags planted dups against a static corpus") {
+    implicit val sql = spark.sqlContext
+    import graft.sim.Similarity
+    val base = Seq(1.0, 2.0, 3.0, 4.0)
+    val ortho = Seq(-2.0, 1.0, -4.0, 3.0) // exactly orthogonal to base
+    val corpus = Seq((100L, base)).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val flags = Similarity.nearDupFlags(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, threshold = 0.9, dim = 4)
+    val q = flags.writeStream.format("memory").queryName("dup_flags")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, base.map(_ * 2.0)), (2L, ortho))
+      q.processAllAvailable()
+      val out = spark.table("dup_flags")
+        .select($"in_id", $"dup_of", $"cosine").as[(Long, Long, Double)].collect()
+      // the scaled copy collides with the corpus vector's bucket (same
+      // direction -> same sign pattern) and passes the exact-cosine verify
+      assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 100L)),
+        s"expected only the planted dup flagged, got ${out.toSeq}")
+      assert(math.abs(out.head._3 - 1.0) < 1e-12)
+    } finally q.stop()
+  }
+
   test("observe() metrics ride the ingest stream into query progress") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Edge]
