@@ -168,6 +168,33 @@ object AnalyticsQueries {
       |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `unpivot` (wide → long, the inverse of [[pivotQ]]): the per-type count
+    * columns melt back into (user_id, event_type, n) rows. Narrow operator —
+    * one Expand node, no shuffle beyond the feeding aggregate.
+    */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    pivotQ(s, dir).unpivot(
+        Array(col("user_id")),
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(c => col(s"n_$c").as(c)).toArray,
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val unpivotOracle =
+    """WITH p AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id, event_type
+      |), grid AS (
+      |  SELECT user_id, et AS event_type
+      |  FROM (SELECT DISTINCT user_id FROM events),
+      |    unnest(['click', 'error', 'purchase', 'signup', 'view']) t(et)
+      |)
+      |SELECT g.user_id, g.event_type, coalesce(p.n, 0) AS n
+      |FROM grid g LEFT JOIN p USING (user_id, event_type)
+      |ORDER BY user_id, event_type""".stripMargin
+
   private def tumblingQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
@@ -889,6 +916,7 @@ object AnalyticsQueries {
     "q_date_funcs" -> (dateFuncsQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_pivot" -> (pivotQ _),
+    "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
@@ -927,6 +955,7 @@ object AnalyticsQueries {
     "q_date_funcs" -> dateFuncsOracle,
     "q_topk_per_group" -> topkPerGroupOracle,
     "q_pivot" -> pivotOracle,
+    "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
