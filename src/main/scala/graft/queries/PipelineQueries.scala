@@ -1105,6 +1105,28 @@ object PipelineQueries {
       |  FROM p)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Online near-dup filter ([[Similarity.nearDupFlags]]) exercised in
+    * batch: a 40-vector "incoming" slice probed against the full corpus at cosine ≥ 0.15 —
+    * the same stateless plan StreamingSpec runs as a stream-static join.
+    * Oracle replicates bucket assignment, the probe join, and the
+    * threshold verify.
+    */
+  private def nearDupFlagsQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.nearDupFlags(emb.filter(col("vec_id") < 40), emb, threshold = 0.15)
+      .orderBy(col("in_id"), col("dup_of"))
+  }
+
+  private val nearDupFlagsOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec, ${srpBucketSql("vec")} AS bucket FROM v),
+      |i AS (SELECT vec_id AS in_id, vec AS in_vec, bucket FROM b WHERE vec_id < 40)
+      |SELECT in_id, dup_of, cosine FROM (
+      |  SELECT in_id, c.vec_id AS dup_of, ${cosSql("in_vec", "c.vec")} AS cosine
+      |  FROM i JOIN b c USING (bucket)
+      |  WHERE c.vec_id <> in_id)
+      |WHERE cosine >= 0.15 ORDER BY in_id, dup_of""".stripMargin
+
   /** Full-corpus embedding near-dup via banded SRP-LSH — the scale path
     * (candidates from a (band, bucket) equi-join, never all-pairs). The
     * oracle replicates the entire pipeline exactly: band buckets from the
@@ -1339,7 +1361,8 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
-    "q_ann_lsh_multiprobe" -> (annLshMultiprobeQ _)
+    "q_ann_lsh_multiprobe" -> (annLshMultiprobeQ _),
+    "q_near_dup_flags" -> (nearDupFlagsQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1398,6 +1421,7 @@ object PipelineQueries {
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_lsh_multiprobe" -> annLshMultiprobeOracle,
+    "q_near_dup_flags" -> nearDupFlagsOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_build" -> annIvfBuildOracle,
     "q_ann_pq" -> annPqOracle,
