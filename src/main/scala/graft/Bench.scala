@@ -98,7 +98,13 @@ object Bench {
         dt
       }
       val cold = once()
-      val steady = math.min(cold, once())
+      // min-of-THREE: with two runs, a one-time environmental cost (C2
+      // compile storm, GC pause) that spans the query's whole window
+      // contaminates both samples and masquerades as an 8x "regression"
+      // (observed: q5 5.3 s / q_stats_pushdown 1.4 s in single sessions,
+      // both ~0.6/0.2 s in isolation); a third temporally-separated sample
+      // makes all-runs-contaminated cubically unlikely
+      val steady = math.min(cold, math.min(once(), once()))
       name -> ((steady, cold))
     }
     def obj(f: ((Double, Double)) => Double): String =

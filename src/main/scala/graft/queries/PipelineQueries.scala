@@ -572,6 +572,21 @@ object PipelineQueries {
       |FROM r GROUP BY term, posting_part, df
       |ORDER BY term, posting_part""".stripMargin
 
+  /** Chunk → reassemble round trip under the driver gate: salted parts
+    * ([[TextAnalysis.buildPostingsChunked]]) flattened and re-sorted back to
+    * one row per term must equal the unchunked [[TextAnalysis.buildPostings]]
+    * — so it shares `postingListsOracle` verbatim.
+    */
+  private def postingRoundtripQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.reassemblePostings(
+        TextAnalysis.buildPostingsChunked(Tables.documents(s, dir),
+          chunkSize = 8, salts = 4))
+      .filter(col("term").isin("data", "query", "table", "spark"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings"))
+      .orderBy(col("term"))
+
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1315,6 +1330,7 @@ object PipelineQueries {
     "q_search_postings" -> (searchPostingsQ _),
     "q_posting_lists" -> (postingListsQ _),
     "q_posting_parts" -> (postingPartsQ _),
+    "q_posting_roundtrip" -> (postingRoundtripQ _),
     "q_ann_topk" -> (annTopkQ _),
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
@@ -1389,6 +1405,7 @@ object PipelineQueries {
     "q_search_postings" -> keywordSearchOracle,
     "q_posting_lists" -> postingListsOracle,
     "q_posting_parts" -> postingPartsOracle,
+    "q_posting_roundtrip" -> postingListsOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
