@@ -70,6 +70,82 @@ object Dedup {
   def shingles(textCol: Column, k: Int): Column =
     shinglesFromTokens(tokens(textCol), k)
 
+  /** Positional k-shingle hashes: one entry per starting position, NOT
+    * deduplicated — element i is the hash of tokens [i, i+k). The positional
+    * variant of [[shinglesFromTokens]], for operators that need to know
+    * *where* a shingle occurs ([[sharedTokenRuns]]).
+    */
+  def positionalShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => xxhash64((0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(typedLit(Array.empty[Long]))
+
+  /** Verbatim shared-token-run detection — the exact-substring dedup signal
+    * (the "long common substring" criterion of train-set deduplication, cf.
+    * suffix-array dedup): for every document pair sharing at least one
+    * maximal run of `minRunTokens`+ identical consecutive tokens, emit the
+    * number of such runs and the longest run's token length.
+    *
+    * Mechanism: positional k-shingles; pairs of positions with equal shingles
+    * lie on a diagonal `diag = pos_a - pos_b`, and a shared run of R tokens is
+    * exactly a maximal stretch of R-k+1 consecutive matches on one diagonal —
+    * recovered with a gaps-and-islands window (`pos_a - row_number`), no
+    * per-character work. Candidate generation is the same shared-shingle
+    * equi-join as [[ngramJaccardPairs]] (never all-pairs), with the same
+    * hot-shingle frequency cut: a boilerplate shingle shared by more than
+    * `maxShingleFreq` docs generates candidates, not long runs, so the cut
+    * bounds join fan-out at 100 TB while leaving genuine long overlaps (which
+    * consist of rarer shingles too) intact.
+    *
+    * Scale shape: explode is positional (O(tokens) rows), the join key is an
+    * 8-byte shingle hash, the islands window partitions by (pair, diag) —
+    * granular keys bounded by document length, so no reducer ever sees more
+    * than one pair-diagonal. Skew valve = the frequency cut.
+    */
+  def sharedTokenRuns(docs: DataFrame, k: Int, minRunTokens: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxShingleFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // token array materialized in its own projection + persist before the
+    // posexplode: same rules 1/2 as the object doc (the cache is the
+    // pushdown boundary that keeps `split` from re-inlining per element)
+    val ps = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__sh", positionalShingles(col("__toks"), k))
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-shingle cut counts DISTINCT docs (positional shingles repeat
+    // within a doc); corpus-sized on both sides -> shuffle joins, never
+    // a size-estimate-driven broadcast of exploded shingles
+    val rare = ps.select(col("id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxShingleFreq)
+      .select(col("shingle"))
+    val m = ps.hint("shuffle_hash").join(rare.hint("shuffle_hash"), Seq("shingle"))
+    val matches = m.as("a").hint("shuffle_hash")
+      .join(m.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    // gaps-and-islands: (pos_a, diag) is unique within a pair, so row_number
+    // is deterministic and consecutive matches share (pos_a - rank)
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("__island", col("pos_a") - (row_number().over(w) - lit(1)))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__island"))
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
+  }
+
   /** (id, sh) with the token array materialized in its own projection and the
     * corpus repartitioned for CPU-bound downstream work (object doc, rule 2).
     *

@@ -83,6 +83,52 @@ object PipelineQueries {
       |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Verbatim shared-run detection ([[Dedup.sharedTokenRuns]]) on the
+    * augmented corpus: planted exact copies share their full text (one
+    * doc-length run); near copies share everything past the prepended token.
+    * The oracle replicates positional shingles, the frequency cut, the
+    * diagonal gaps-and-islands, and the per-pair aggregate — all
+    * integer/string work, so the comparison is exact.
+    */
+  private def sharedRunsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedTokenRuns(augmented(Tables.documents(s, dir)), k = 5,
+        minRunTokens = 15)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val sharedRunsOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |ps AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(t) - 4)) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      |  FROM tok WHERE len(t) >= 5
+      |),
+      |rare AS (
+      |  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM ps)
+      |  GROUP BY shingle HAVING count(*) <= 1000
+      |),
+      |psf AS (SELECT ps.* FROM ps JOIN rare USING (shingle)),
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+      |    a.pos - b.pos AS diag
+      |  FROM psf a JOIN psf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |),
+      |runs AS (
+      |  SELECT id_a, id_b, diag,
+      |    pos_a - (row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) - 1) AS island
+      |  FROM m
+      |),
+      |agg AS (
+      |  SELECT id_a, id_b, diag, island,
+      |    CAST(count(*) + 4 AS BIGINT) AS run_tokens
+      |  FROM runs GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+      |FROM agg WHERE run_tokens >= 15
+      |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
   /** Near-dup pairs → canonical duplicate groups: the step a corpus dedup
     * actually needs after pair generation (pairs under-delete across chains).
     * Distributed connected components, verified against DuckDB's recursive
@@ -1313,6 +1359,7 @@ object PipelineQueries {
     "q_novelty" -> (noveltyQ _),
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_shared_runs" -> (sharedRunsQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -1388,6 +1435,7 @@ object PipelineQueries {
     "q_novelty" -> noveltyOracle,
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
+    "q_shared_runs" -> sharedRunsOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,

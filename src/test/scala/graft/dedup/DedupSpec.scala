@@ -40,6 +40,24 @@ class DedupSpec extends SparkSpec {
       s"missing near pairs: ${nearPlanted -- found}")
   }
 
+  test("sharedTokenRuns: exact run lengths, run counts, sub-threshold runs dropped") {
+    def toks(prefix: String, n: Int): Seq[String] = (0 until n).map(prefix + _)
+    val runR = toks("R", 20)  // shared 20-token run
+    val runS = toks("S", 16)  // shared 16-token run
+    val docA = (toks("fa", 10) ++ runR ++ toks("ga", 10) ++ runS).mkString(" ")
+    val docB = (toks("fb", 7) ++ runR ++ toks("gb", 5)).mkString(" ")
+    val docC = (runS ++ toks("fc", 9) ++ runR).mkString(" ")
+    val docD = (toks("fd", 12) ++ runR.take(14)).mkString(" ") // 14 < minRun
+    val df = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedTokenRuns(df, k = 5, minRunTokens = 15)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (A,B): run R only; (A,C): R and S; (B,C): R only; doc 4's 14-token
+    // overlap is below the threshold so no pair with id 4 survives
+    assert(out == Seq((1L, 2L, 1L, 20L), (1L, 3L, 2L, 20L), (2L, 3L, 1L, 20L)))
+  }
+
   test("minhash signature agreement approximates exact jaccard") {
     val sigs = MinHashLSH.signatures(aug, k = 5, numHashes = 128)
     val planted = sigs.filter($"id" === 1L || $"id" === 2000001L)
