@@ -334,6 +334,31 @@ object CurationQueries {
       |SELECT doc_id, source, rn, rn / wt AS ord
       |FROM w ORDER BY ord, source, doc_id LIMIT 100""".stripMargin
 
+  /** Largest-remainder quotas for a 137-doc draw ([[Curation.mixtureQuotas]]):
+    * the odd total forces non-zero remainders, so the tie-broken +1
+    * distribution itself is under the hash, and the quotas must sum to
+    * exactly 137 on both engines — pure BIGINT arithmetic.
+    */
+  private def mixtureQuotaQ(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureQuotas(Tables.documents(s, dir), total = 137L)
+      .orderBy(col("source"))
+
+  private val mixtureQuotaOracle =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source
+      |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus FROM c),
+      |q AS (
+      |  SELECT source, n_docs,
+      |    CAST((n_docs * 137) // corpus AS BIGINT) AS fq,
+      |    CAST((n_docs * 137) % corpus AS BIGINT) AS rem
+      |  FROM c, t
+      |), d AS (SELECT CAST(137 - sum(fq) AS BIGINT) AS deficit FROM q)
+      |SELECT source, n_docs,
+      |  CAST(fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= deficit
+      |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM q, d ORDER BY source""".stripMargin
+
   // ---- fuzzy (edit-distance) matching -------------------------------------
 
   /** Title dedup: 30-char heads of every 10th doc, plus planted one-edit
@@ -437,6 +462,7 @@ object CurationQueries {
     "q_tfidf_terms" -> (tfidfQ _),
     "q_fuzzy_match" -> (fuzzyQ _),
     "q_mixture" -> (mixtureQ _),
+    "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_csv_roundtrip" -> (csvRoundtripQ _),
     "q_orc_roundtrip" -> (orcRoundtripQ _),
     "q_csv_dlq" -> (csvDlqQ _)
@@ -454,6 +480,7 @@ object CurationQueries {
     "q_tfidf_terms" -> tfidfOracle,
     "q_fuzzy_match" -> fuzzyOracle,
     "q_mixture" -> mixtureOracle,
+    "q_mixture_quota" -> mixtureQuotaOracle,
     "q_csv_roundtrip" -> roundtripOracle,
     "q_orc_roundtrip" -> roundtripOracle,
     "q_csv_dlq" -> csvDlqOracle

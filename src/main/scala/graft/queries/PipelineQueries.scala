@@ -582,6 +582,112 @@ object PipelineQueries {
       |WHERE term IN ('data', 'query', 'table', 'spark')
       |GROUP BY term ORDER BY term""".stripMargin
 
+  /** BM25 ranking ([[TextAnalysis.bm25TopK]]): the score's `ln` keeps it in
+    * ORDER BY only (A-ES precedent); compared columns are the exact BIGINTs
+    * and the integer rank. Constants are interpolated from the same Scala
+    * doubles the operator uses (shortest round-trip repr), so both engines
+    * parse bit-identical values.
+    */
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        Seq("data", "query", "table"), k = 20)
+      .orderBy(col("rank"))
+
+  private val bm25Oracle = {
+    val k1 = 1.2; val b = 0.75
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM dl
+      |),
+      |st2 AS (SELECT *, sum_dl::DOUBLE / n_docs AS avgdl FROM st),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS term FROM tok)
+      |  WHERE term IN ('data', 'query', 'table') GROUP BY doc_id, term
+      |),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf::DOUBLE * ${k1 + 1}) /
+      |      (tf::DOUBLE + $k1 * (${1.0 - b} + $b * (dl::DOUBLE / avgdl))) AS score
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st2
+      |),
+      |ag AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |    CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |    sum(CASE WHEN term = 'data' THEN score END) AS s0,
+      |    sum(CASE WHEN term = 'query' THEN score END) AS s1,
+      |    sum(CASE WHEN term = 'table' THEN score END) AS s2
+      |  FROM sc GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, n_matched, sum_tf FROM (
+      |  SELECT *, row_number() OVER (ORDER BY
+      |    coalesce(s0, 0.0::DOUBLE) + coalesce(s1, 0.0::DOUBLE) + coalesce(s2, 0.0::DOUBLE) DESC,
+      |    doc_id) AS rank
+      |  FROM ag)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** Hybrid search: exact-integer keyword rank ⊕ brute-force cosine rank,
+    * fused with reciprocal-rank fusion ([[TextAnalysis.rrfFuse]]). Ranks are
+    * integers, so the fused score is two exact IEEE divisions plus one
+    * addition — unlike BM25 it sits UNDER the oracle hash. The cosine ranks
+    * reuse the bit-exact dot-product construction `q_ann_topk` already pins.
+    */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kw = TextAnalysis.keywordRank(docs, Seq("data", "query", "table"), k = 30)
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 30)
+      .select(col("nn_id").as("doc_id"), col("rank"))
+    TextAnalysis.rrfFuse(kw, vec, k = 15)
+      .orderBy(col("fused_rank"))
+  }
+
+  // lazy: refers to cosSql, which is defined further down the object body
+  private lazy val hybridRrfOracle =
+    s"""WITH kw0 AS (
+      |  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+      |    CAST(count(*) AS BIGINT) AS sum_tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('data', 'query', 'table') GROUP BY doc_id
+      |),
+      |kw AS (
+      |  SELECT doc_id, kr FROM (
+      |    SELECT doc_id, CAST(row_number() OVER (
+      |      ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS BIGINT) AS kr
+      |    FROM kw0)
+      |  WHERE kr <= 30
+      |),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |q AS (SELECT vec AS q_vec FROM v WHERE vec_id = 0),
+      |vr AS (
+      |  SELECT doc_id, vr FROM (
+      |    SELECT v.vec_id AS doc_id, CAST(row_number() OVER (
+      |      ORDER BY ${cosSql("q_vec", "vec")} DESC, v.vec_id) AS BIGINT) AS vr
+      |    FROM v, q WHERE v.vec_id <> 0)
+      |  WHERE vr <= 30
+      |),
+      |f AS (
+      |  SELECT coalesce(kw.doc_id, vr.doc_id) AS doc_id, kw.kr, vr.vr
+      |  FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    coalesce(1.0 / (60 + kr), 0.0::DOUBLE) + coalesce(1.0 / (60 + vr), 0.0::DOUBLE) AS rrf,
+      |    coalesce(kr, 0) AS left_rank, coalesce(vr, 0) AS right_rank
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(left_rank AS BIGINT) AS left_rank,
+      |  CAST(right_rank AS BIGINT) AS right_rank, rrf,
+      |  CAST(fused_rank AS INTEGER) AS fused_rank
+      |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank FROM g)
+      |WHERE fused_rank <= 15 ORDER BY fused_rank""".stripMargin
+
   /** Chunked posting lists ([[TextAnalysis.buildPostingsChunked]]): a small
     * chunk size (8) with 4 salts forces the common terms to split into
     * multiple `posting_part` rows ACROSS salts and multiple local parts
@@ -1374,6 +1480,8 @@ object PipelineQueries {
     "q_corpus_freq" -> (corpusFreqQ _),
     "q_vocab_stats" -> (vocabStatsQ _),
     "q_keyword_search" -> (keywordSearchQ _),
+    "q_bm25" -> (bm25Q _),
+    "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_search_postings" -> (searchPostingsQ _),
     "q_posting_lists" -> (postingListsQ _),
     "q_posting_parts" -> (postingPartsQ _),
@@ -1450,6 +1558,8 @@ object PipelineQueries {
     "q_corpus_freq" -> corpusFreqOracle,
     "q_vocab_stats" -> vocabStatsOracle,
     "q_keyword_search" -> keywordSearchOracle,
+    "q_bm25" -> bm25Oracle,
+    "q_hybrid_rrf" -> hybridRrfOracle,
     "q_search_postings" -> keywordSearchOracle,
     "q_posting_lists" -> postingListsOracle,
     "q_posting_parts" -> postingPartsOracle,

@@ -166,6 +166,37 @@ object Curation {
       .withColumn("ord", col("rn") / wt)
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer sampling
+    * budget across sources: `quota = floor(n·T/C)` plus one extra for the
+    * `T − Σfloor` largest remainders (ties broken by source name), so the
+    * quotas always sum to exactly `T` — the "how many docs from each source"
+    * step of mixture construction, which proportional rounding gets wrong
+    * (rounded quotas drift off the total; at 100 TB a 0.1% drift is a
+    * billion tokens). All BIGINT arithmetic — exact on both engines.
+    *
+    * Scale shape: one corpus-sized groupBy(source) aggregate with map-side
+    * combine; everything after (totals cross-join, remainder rank) runs on
+    * the #sources-sized table — metadata-scale by construction, so the
+    * single-partition rank window is a bounded driver-free reduction, not a
+    * data-path bottleneck. The deficit is provably < #sources.
+    */
+  def mixtureQuotas(docs: DataFrame, total: Long,
+                    sourceCol: String = "source"): DataFrame = {
+    require(total >= 0, s"total must be non-negative, got $total")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val corpus = counts.agg(sum(col("n_docs")).as("__corpus"))
+    val q = counts.crossJoin(corpus)
+      .withColumn("__fq", expr(s"(n_docs * ${total}L) div __corpus"))
+      .withColumn("__rem", (col("n_docs") * lit(total)) % col("__corpus"))
+    val deficit = q.agg((lit(total) - sum(col("__fq"))).as("__deficit"))
+    val w = Window.orderBy(col("__rem").desc, col(sourceCol))
+    q.crossJoin(deficit)
+      .withColumn("quota",
+        col("__fq") + when(row_number().over(w) <= col("__deficit"), 1L)
+          .otherwise(0L))
+      .select(col(sourceCol), col("n_docs"), col("quota"))
+  }
+
   /** Edit-distance fuzzy pairs: all (a < b) pairs within `maxDist`
     * Levenshtein edits, with *equi-join* candidate generation (segment
     * partitioning, the PassJoin scheme of Li/Deng/Feng 2011) — never

@@ -341,6 +341,109 @@ object TextAnalysis {
       .agg(countDistinct(col("term")).as("n_matched"))
       .filter(col("n_matched") === terms.size)
 
+  /** BM25-ranked disjunctive search: documents matching ANY of `terms`,
+    * ranked by the Okapi BM25 score (`idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * summed over matched terms, idf = ln((N−df+0.5)/(df+0.5)+1)).
+    *
+    * Oracle discipline: the score contains `ln`, so — same rationale as the
+    * A-ES sampling key ([[graft.ops.Sampling]]) — it appears ONLY in the
+    * rank's ORDER BY, never as an output column; emitted columns are the
+    * exact BIGINTs (`n_matched`, `sum_tf`) plus the integer rank. The
+    * per-document sum is a fixed-order chain of per-term conditional
+    * aggregates (term₀ + term₁ + …), so both engines add the same doubles in
+    * the same order and a rank flip would need two documents' scores within
+    * ~1 ulp of each other.
+    *
+    * Scale shape: the `isin` prefilter keeps state O(postings of the query
+    * terms); `df` is a ≤|terms|-row broadcast; `dl` joins on the id key. The
+    * final rank window is global but runs over the matched set only — for a
+    * serving deployment the same scoring runs on a [[materializePostings]]
+    * probe instead of the corpus scan.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+    val dl = base.select(col("id"), size(col("__toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val tf = base.select(col("id"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__score",
+        col("__idf") * (col("tf").cast("double") * (k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("__score"))).as(s"__s$i")
+    }
+    val aggCols = Seq(count(lit(1)).as("n_matched"), sum(col("tf")).as("sum_tf")) ++ perTerm
+    val total = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(total.desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("n_matched"), col("sum_tf"))
+  }
+
+  /** Exact-integer keyword relevance rank: documents matching ANY of `terms`
+    * ranked by (#distinct matched terms desc, total tf desc, id asc) — the
+    * transcendental-free keyword side for [[rrfFuse]], where fusion itself
+    * must stay bit-exact across engines.
+    */
+  def keywordRank(docs: DataFrame, terms: Seq[String], k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as(idCol), col(textCol).as("__text"))
+      .withColumn("__toks", toks(col("__text")))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("n_matched"), count(lit(1)).as("sum_tf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_matched").desc, col("sum_tf").desc, col(idCol))))
+      .filter(col("rank") <= k)
+
+  /** Reciprocal-rank fusion of two ranked lists (keyword ⊕ vector — the
+    * standard hybrid-search combiner): `rrf = Σ 1/(kRrf + rank)`, taking each
+    * side's contribution as 0 where the document is absent. Ranks are
+    * integers, so the two divisions and one addition are IEEE-exact and
+    * cross-engine reproducible — the fused score itself sits under the
+    * oracle hash, unlike the transcendental BM25 score. Missing ranks are
+    * emitted as 0 (never null) so the output is dtype-stable.
+    *
+    * Both inputs are top-k lists (bounded); the fusion is a full outer join
+    * on the id plus one global top-k window over ≤ 2k rows.
+    */
+  def rrfFuse(left: DataFrame, right: DataFrame, k: Int, kRrf: Int = 60,
+              idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    val l = left.select(col(idCol), col(rankCol).cast("long").as("__lr"))
+    val r = right.select(col(idCol), col(rankCol).cast("long").as("__rr"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(kRrf.toLong) + col("__lr")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("__rr")), lit(0.0))
+    l.join(r, Seq(idCol), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("fused_rank") <= k)
+      .select(col(idCol), coalesce(col("__lr"), lit(0L)).as("left_rank"),
+        coalesce(col("__rr"), lit(0L)).as("right_rank"), col("rrf"),
+        col("fused_rank"))
+  }
+
   /** Conjunctive keyword search over the implicit inverted index: documents
     * containing ALL of `terms` (exact whitespace-token match). The `isin`
     * prefilter runs *before* the distinct/aggregate, so only postings of the

@@ -84,6 +84,21 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("mixtureQuotas: largest-remainder apportionment, quotas sum to total") {
+    // counts A:5 B:3 C:2, T=7: floors 3/2/1 (remainders 5/1/4), deficit 1
+    // -> A (largest remainder) gets the +1: quotas 4/2/1
+    val docs = (1 to 5).map(i => (i.toLong, "A")) ++
+      (6 to 8).map(i => (i.toLong, "B")) ++ (9 to 10).map(i => (i.toLong, "C"))
+    val out = Curation.mixtureQuotas(docs.toDF("doc_id", "source"), total = 7L)
+      .orderBy($"source")
+      .select($"source", $"quota").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("A", 4L), ("B", 2L), ("C", 1L)))
+    // exact-total property at an awkward T on the real corpus
+    val q = Curation.mixtureQuotas(
+      graft.Tables.documents(spark, sf()), total = 137L)
+    assert(q.agg(sum($"quota")).as[Long].head() == 137L)
+  }
+
   test("slidingChunks: stride-overlapping windows cover every token") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
     val out = Curation.slidingChunks(docs, window = 4, stride = 2)

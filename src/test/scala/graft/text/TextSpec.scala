@@ -146,6 +146,41 @@ class TextSpec extends SparkSpec {
     assert(out(0)._4 > 0.0)
   }
 
+  test("bm25TopK: rare-term matches outrank common-term matches; tf breaks ties upward") {
+    // 'rare' appears in 1 of 4 docs, 'common' in 3: BM25's idf must rank the
+    // rare-term doc above any common-term doc at equal tf and length
+    val docs = Seq(
+      (1L, "rare w1 w2 w3 w4"),
+      (2L, "common w1 w2 w3 w4"),
+      (3L, "common common w1 w2 w3"),
+      (4L, "common w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("rare", "common"), k = 4)
+      .orderBy($"rank")
+      .select($"doc_id", $"rank", $"n_matched", $"sum_tf")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.head._1 == 1L)                   // rare-term doc first
+    assert(out(1)._1 == 3L && out(1)._4 == 2L)  // then tf=2 'common' doc
+    assert(out.map(_._2) == Seq(1, 2, 3, 4))
+    // docs 2 and 4 tie exactly (same tf, same dl): id breaks the tie
+    assert(out.drop(2).map(_._1) == Seq(2L, 4L))
+  }
+
+  test("rrfFuse: hand-computed fused scores, absent side contributes zero") {
+    val left = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val right = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(left, right, k = 4)
+      .orderBy($"fused_rank")
+      .select($"doc_id", $"left_rank", $"right_rank", $"rrf")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 20: 1/62 + 1/61 tops; 10: 1/61; 40: 1/62; 30: 1/63
+    assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    assert(out.head._4 == 1.0 / 62 + 1.0 / 61)
+    assert(out(1) == ((10L, 1L, 0L, 1.0 / 61)))
+    assert(out(2) == ((40L, 0L, 2L, 1.0 / 62)))
+    assert(out(3) == ((30L, 3L, 0L, 1.0 / 63)))
+  }
+
   test("buildPostingsChunked: hot term splits into bounded salted parts; reassembly round-trips") {
     // 'hot' appears in 10 docs, 'cold' in 2 — with 2 salts and chunkSize 4,
     // 'hot' shards by residue class (salt 0: ids 0,2,4,6,8; salt 1: ids
