@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, batch-shaped decode/feature-extraction over `mapPartitions`.
   *
-  * Images use a REAL codec: `javax.imageio` ships in the JDK, so
-  * [[pngMedia]]/[[decodeImage]]/[[resizeImage]] encode, decode, and resize
-  * genuine PNG bytes on the executors (exercised end-to-end by the
-  * `q_image_decode` / `q_image_resize` oracles). Audio and
-  * video codecs remain STUBBED (no such libraries in this environment):
-  * [[decodeStub]] produces deterministic fake features derived from the
-  * bytes, and [[decodeImage]] falls back to it for payloads ImageIO cannot
-  * parse. Everything around the codec — schema, encoder-typed rows,
+  * Images and audio use REAL codecs from the JDK: `javax.imageio` PNG in
+  * [[pngMedia]]/[[decodeImage]]/[[resizeImage]] and `javax.sound.sampled`
+  * WAVE in [[wavMedia]]/[[decodeAudio]] — genuine encode→decode round trips
+  * on the executors, exercised end-to-end by the `q_image_decode` /
+  * `q_image_resize` / `q_audio_decode` oracles. Video codecs remain STUBBED
+  * (no such library in this environment): [[decodeStub]] produces
+  * deterministic fake features derived from the bytes, and the real
+  * decoders fall back to it (or emit `decoded = false`) for payloads they
+  * cannot parse. Everything around the codec — schema, encoder-typed rows,
   * per-partition batching, pushdown-friendly metadata columns — is the real
   * Spark plumbing any decoder plugs into.
   *
@@ -138,6 +139,98 @@ object Multimodal {
           }
           MediaFeatures(r.doc_id, bytes.length.toLong, r.format, w, h,
             sum.toDouble / (3.0 * w * h), 1)
+        }
+      }
+    }
+  }
+
+  case class AudioRow(doc_id: Long, media: Array[Byte], sample_rate: Int,
+                      n_samples: Int)
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                           n_samples: Int, peak: Int, mean_abs: Double,
+                           zero_crossings: Long, decoded: Boolean)
+
+  /** Deterministic sample value — pure integer math so a SQL oracle can
+    * re-derive every decoded sample: `s(i) = (id·31 + i·17) mod 4001 − 2000`,
+    * a pseudo-noise waveform spanning [−2000, 2000].
+    */
+  @inline private[graft] def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 17) % 4001) - 2000).toInt
+
+  /** Deterministic real WAVs, one per document: 16-bit mono little-endian
+    * PCM of [[wavSample]] values, containerized with the JDK's
+    * `javax.sound.sampled` WAVE writer on the executors (the audio analog of
+    * [[pngMedia]]). PCM is lossless, so every decoded-sample statistic is
+    * exactly predictable from doc_id — what lets a SQL oracle check a real
+    * encode→decode round trip.
+    */
+  def wavMedia(spark: SparkSession, docs: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 500 + 100).toInt
+        val rate = 8000
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = wavSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioRow(id, bos.toByteArray, rate, n)
+      }
+    }
+  }
+
+  /** Real audio decode over `mapPartitions`: `AudioSystem.getAudioInputStream`
+    * parses the WAVE container, samples are reassembled from the PCM frames,
+    * and the features are exact integer statistics (peak amplitude, mean
+    * absolute amplitude, zero crossings — the standard cheap audio-quality
+    * screens). Unparseable payloads degrade to byte-derived stub features
+    * with `decoded = false` — DLQ-style tolerance, matching [[decodeImage]].
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[AudioRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (ais == null)
+          AudioFeatures(r.doc_id, bytes.length.toLong, r.sample_rate,
+            r.n_samples, 0, 0.0, 0L, decoded = false)
+        else {
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var i = 0
+          var peak = 0
+          var sumAbs = 0L
+          var zc = 0L
+          var prev = 0
+          while (i < n) {
+            // 16-bit little-endian signed PCM
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            if (i > 0 && prev.toLong * s < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          AudioFeatures(r.doc_id, bytes.length.toLong,
+            math.round(fmt.getSampleRate).toInt, n, peak,
+            if (n == 0) 0.0 else sumAbs.toDouble / n, zc, decoded = true)
         }
       }
     }

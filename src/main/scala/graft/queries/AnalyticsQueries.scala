@@ -212,6 +212,34 @@ object AnalyticsQueries {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** Sliding (hopping) windows: 6-hour windows hopping every 2 hours, so
+    * each event belongs to exactly 3 overlapping windows. The oracle
+    * replicates Spark's epoch-aligned slot assignment by unnesting the three
+    * slide-aligned starts per event; sums stay in exact DECIMAL.
+    */
+  private def slidingWindowQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    graft.Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+  }
+
+  private val slidingWindowOracle =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 2 HOUR, ts) - unnest([0, 1, 2]) * INTERVAL 2 HOUR
+      |      AS window_start,
+      |    value
+      |  FROM events
+      |)
+      |SELECT window_start, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin
+
   private def quantilesQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.Tables.events(s, dir)
@@ -918,6 +946,7 @@ object AnalyticsQueries {
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
+    "q_sliding_window" -> (slidingWindowQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
@@ -957,6 +986,7 @@ object AnalyticsQueries {
     "q_pivot" -> pivotOracle,
     "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
+    "q_sliding_window" -> slidingWindowOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,

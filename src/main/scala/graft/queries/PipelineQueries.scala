@@ -382,6 +382,47 @@ object PipelineQueries {
       |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality quartiles per source ([[TextAnalysis.qualityBands]]): the
+    * oracle re-derives the score formula AND the ntile band assignment
+    * (deterministic order: score desc, id asc), so both the stratification
+    * boundaries and the per-band aggregates are under the hash.
+    */
+  private def qualityBandsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityBands(Tables.documents(s, dir), nBands = 4)
+      .orderBy(col("source"), col("band"))
+
+  private val qualityBandsOracle = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+      |  SELECT doc_id, source,
+      |    length(text) AS n_chars,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |    len(list_filter(string_split_regex(text, '\\s+'),
+      |        x -> list_contains($stop, x))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      |  FROM documents
+      |),
+      |q AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    round(least(n_tokens::DOUBLE / 50.0, 1.0)
+      |      * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+      |      * CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END)
+      |          BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END, 6) AS quality_score
+      |  FROM f
+      |),
+      |t AS (
+      |  SELECT source, n_tokens, quality_score,
+      |    ntile(4) OVER (PARTITION BY source
+      |      ORDER BY quality_score DESC, doc_id) AS band
+      |  FROM q
+      |)
+      |SELECT source, CAST(band AS INTEGER) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(quality_score) AS min_quality, max(quality_score) AS max_quality
+      |FROM t GROUP BY source, band ORDER BY source, band""".stripMargin
+  }
+
   /** Markup strip over deterministically-wrapped documents (the corpus has
     * no HTML, so the query wraps each text in a fixed tag structure with an
     * escaped entity — both engines build the identical input): the full
@@ -840,6 +881,54 @@ object PipelineQueries {
 
   private val pngMediaPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
+
+  private[graft] def wavMediaParquet(s: SparkSession, dir: String): String =
+    wavMediaPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_wav_media").toString
+      Multimodal.wavMedia(s, Tables.documents(s, dir)).write
+        .mode("overwrite").parquet(p)
+      p
+    })
+
+  private val wavMediaPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** REAL audio codec round trip ([[Multimodal.wavMedia]] →
+    * `javax.sound.sampled` decode): every document becomes a genuine 16-bit
+    * PCM WAVE (prebuilt fixture like the PNGs), is parsed back through the
+    * JDK's audio stack, and the oracle re-derives peak / mean-abs / zero
+    * crossings from the closed-form sample formula — a byte-order or header
+    * error in the round trip shifts every sample and hash-mismatches.
+    * `n_bytes` is excluded (container size is encoder-internal); `decoded`
+    * pins that no row fell back to the stub.
+    */
+  private def audioDecodeQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(s, s.read.parquet(wavMediaParquet(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("peak"),
+        col("mean_abs"), col("zero_crossings"), col("decoded"))
+      .orderBy(col("doc_id"))
+
+  private val audioDecodeOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n FROM documents
+      |),
+      |v AS (
+      |  SELECT doc_id, n, i, (doc_id * 31 + i * 17) % 4001 - 2000 AS s FROM (
+      |    SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+      |),
+      |z AS (
+      |  SELECT doc_id, n, i, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp
+      |  FROM v
+      |)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(max(n) AS INTEGER) AS n_samples,
+      |  CAST(max(abs(s)) AS INTEGER) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT)::DOUBLE / max(n) AS mean_abs,
+      |  CAST(sum(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  true AS decoded
+      |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** REAL codec round trip ([[Multimodal.pngMedia]] → ImageIO decode): every
     * document becomes a genuine PNG (prebuilt fixture, see
@@ -1326,6 +1415,43 @@ object PipelineQueries {
       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SemDeDup-style survivor filter ([[Similarity.semDedupSurvivors]]): the
+    * oracle replicates the banded buckets (embedded plane literals), the
+    * cosine verify, the keep-first drop rule, and the anti-join — the full
+    * decision, not just the pair set.
+    */
+  private def semDedupQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupSurvivors(Tables.embeddings(s, dir), 0.4)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  private lazy val semDedupOracle = {
+    val planes = Similarity.hyperplanes(16, 64, 42L)
+    val ks = (0 until 4).map(b =>
+      s"${srpBucketSqlFor("vec", planes.slice(b * 4, (b + 1) * 4))} AS k$b")
+      .mkString(",\n      |  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec,
+      |  $ks
+      |FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+      |    AND (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+      |),
+      |dropped AS (
+      |  SELECT DISTINCT id_b FROM (
+      |    SELECT id_b, ${cosSql("va.vec", "vb.vec")} AS cosine
+      |    FROM cand
+      |    JOIN v va ON va.vec_id = id_a
+      |    JOIN v vb ON vb.vec_id = id_b)
+      |  WHERE cosine >= 0.4
+      |)
+      |SELECT e.vec_id, e.label FROM embeddings e
+      |LEFT JOIN dropped ON dropped.id_b = e.vec_id
+      |WHERE dropped.id_b IS NULL ORDER BY e.vec_id""".stripMargin
+  }
+
   /** IVF ANN summarized against global brute force: result cardinalities are
     * DuckDB-derivable (3 per query), and `recall_ok` asserts recall@3 ≥ 0.5
     * with nprobe=4 of nlist=16 — holds for any reasonable k-means outcome on
@@ -1453,6 +1579,7 @@ object PipelineQueries {
     Ivf.cachedBuild(aug, dir + "#aug", nlist = 16)
     TextAnalysis.materializePostings(Tables.documents(s, dir), key = dir)
     pngMediaParquet(s, dir)
+    wavMediaParquet(s, dir)
     ()
   }
 
@@ -1472,6 +1599,7 @@ object PipelineQueries {
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_weighted_stratified" -> (weightedStratifiedQ _),
     "q_text_quality" -> (qualityQ _),
+    "q_quality_bands" -> (qualityBandsQ _),
     "q_html_strip" -> (htmlStripQ _),
     "q_lang_id" -> (langIdQ _),
     "q_lang_id_ngram" -> (langIdNgramQ _),
@@ -1492,6 +1620,7 @@ object PipelineQueries {
     "q_multimodal_decode" -> (multimodalQ _),
     "q_image_decode" -> (imageDecodeQ _),
     "q_image_resize" -> (imageResizeQ _),
+    "q_audio_decode" -> (audioDecodeQ _),
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
     "q_zorder" -> (zorderQ _),
@@ -1518,6 +1647,7 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
     "q_dedup_embedding_lsh" -> (dedupEmbeddingLshQ _),
+    "q_semdedup" -> (semDedupQ _),
     // sketch-based, with self-verifying oracles (see section above):
     "q_ann_ivf" -> (annIvfQ _),
     "q_ann_ivf_build" -> (annIvfBuildQ _),
@@ -1550,6 +1680,7 @@ object PipelineQueries {
     "q_weighted_sample" -> weightedSampleOracle,
     "q_weighted_stratified" -> weightedStratifiedOracle,
     "q_text_quality" -> qualityOracle,
+    "q_quality_bands" -> qualityBandsOracle,
     "q_html_strip" -> htmlStripOracle,
     "q_lang_id" -> langIdOracle,
     "q_lang_id_ngram" -> langIdNgramOracle,
@@ -1570,6 +1701,7 @@ object PipelineQueries {
     "q_multimodal_decode" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
     "q_image_resize" -> imageResizeOracle,
+    "q_audio_decode" -> audioDecodeOracle,
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,
     "q_zorder" -> zorderOracle,
@@ -1590,6 +1722,7 @@ object PipelineQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
+    "q_semdedup" -> semDedupOracle,
     "q_minhash_lsh" -> minhashLshOracle,
     "q_minhash_recall" -> minhashRecallOracle,
     "q_minhash_oph" -> minhashOphOracle,

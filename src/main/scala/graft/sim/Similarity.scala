@@ -122,6 +122,29 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style semantic dedup filter: survivors are the vectors with no
+    * near-duplicate (cosine ≥ threshold) at a LOWER id — keep-first greedy,
+    * evaluated in one parallel pass over the [[bucketedThresholdPairs]]
+    * candidate pairs (no iteration: a vector is dropped when *any* lower-id
+    * near-dup exists, whether or not that one survives — the standard
+    * deterministic approximation of one-representative-per-cluster; chase
+    * [[graft.dedup.DupClusters.connectedComponents]] over the pairs when
+    * exact cluster representatives are required).
+    *
+    * Scale shape: candidates from the banded (band, bucket) equi-join, drop
+    * set is id-distinct, survivors via a hash anti-join on the id — every
+    * stage O(collisions), never all-pairs.
+    */
+  def semDedupSurvivors(corpus: DataFrame, threshold: Double, bands: Int = 4,
+                        planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val dropped = bucketedThresholdPairs(corpus, threshold, bands,
+        planesPerBand, dim, seed, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Seeded deterministic unit-free hyperplanes: values from an LCG, shaped
     * [numPlanes][dim]. Sign pattern = SRP-LSH bucket.
     */

@@ -56,6 +56,34 @@ object TextAnalysis {
           when(col("stopword_ratio").between(0.05, 0.6), 1.0).otherwise(0.5), 6))
   }
 
+  /** Quality-stratified corpus bands: ntile over [[qualityFeatures]]'
+    * composite score within each source (deterministic total order: score
+    * desc, id asc), aggregated to per-(source, band) statistics — the
+    * "keep the top quality quartile per source" curation step, as an
+    * auditable summary. Only exact columns are aggregated (counts, BIGINT
+    * token sums, min/max of the rounded score) — no double summation, so the
+    * oracle compares bit-exactly.
+    *
+    * Scale shape: the scoring is a codegen'd projection; the ntile window
+    * shuffles once on the source key. A single gigantic source serializes
+    * its band assignment through one task — if sources are that skewed,
+    * pre-split them ([[graft.ops.SkewJoin]]-style salting changes band
+    * boundaries, so the valve here is splitting the source label upstream).
+    */
+  def qualityBands(docs: DataFrame, nBands: Int,
+                   groupCol: String = "source", idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    qualityFeatures(docs, textCol)
+      .withColumn("band", ntile(nBands).over(w))
+      .groupBy(col(groupCol), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+  }
+
   /** Language prediction column (argmax of marker counts, fixed tie order). */
   def langId(textCol: Column): Column = {
     val counts = LangMarkers.map { case (lang, words) => lang -> markerCount(textCol, words) }

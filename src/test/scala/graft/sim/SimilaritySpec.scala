@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupSurvivors: planted scaled dup dropped, lowest id kept, others survive") {
+    // a scaled copy has cosine exactly 1 with its source and lands in the
+    // same SRP buckets (signs are scale-invariant) — must be dropped
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.filter($"vec_id" === 7)
+        .select(($"vec_id" + 5000L).as("vec_id"),
+          transform($"embedding", x => x * 2.0f).as("embedding")))
+    val survivors = Similarity.semDedupSurvivors(planted, 0.999)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors.contains(7L) && !survivors.contains(5007L))
+    // survivors = all ids minus those with a lower-id near dup; at 0.999 on
+    // this corpus only the planted copy can be that similar
+    assert(survivors.size == planted.count() - 1)
+  }
+
   test("multiprobe LSH: recall@k vs brute force >= single-bucket LSH, exact cosines") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, k = 3)

@@ -118,6 +118,27 @@ class TextSpec extends SparkSpec {
     assert(f15.luma_mean == gsum.toDouble / (8 * 2))
   }
 
+  test("real WAV round trip: decode recovers exact samples; junk payload flagged") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(3L, 42L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(spark, Multimodal.wavMedia(spark, docs).toDF())
+      .collect().sortBy(_.doc_id)
+    out.zip(Seq(3L, 42L)).foreach { case (f, id) =>
+      val n = (id % 500 + 100).toInt
+      val samples = (0 until n).map(i => Multimodal.wavSample(id, i))
+      assert(f.decoded && f.sample_rate == 8000 && f.n_samples == n)
+      assert(f.peak == samples.map(math.abs).max)
+      assert(f.mean_abs == samples.map(s => math.abs(s).toLong).sum.toDouble / n)
+      assert(f.zero_crossings ==
+        samples.sliding(2).count(p => p.head.toLong * p(1) < 0))
+    }
+    // junk bytes: decoded=false, zeroed features, batch survives
+    val junk = Seq((9L, Array[Byte](1, 2, 3), 8000, 10)).toDF(
+      "doc_id", "media", "sample_rate", "n_samples")
+    val fb = Multimodal.decodeAudio(spark, junk).collect().head
+    assert(!fb.decoded && fb.peak == 0 && fb.n_samples == 10)
+  }
+
   test("decodeImage falls back to the stub on non-image payloads") {
     val media = Multimodal.mediaFromDocuments(
       Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
