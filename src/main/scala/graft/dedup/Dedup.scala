@@ -110,14 +110,20 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // token array materialized in its own projection + persist before the
-    // posexplode: same rules 1/2 as the object doc (the cache is the
-    // pushdown boundary that keeps `split` from re-inlining per element)
-    val ps = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // persist the ARRAY frame before exploding (object doc rule 1 — the
+    // cache is the pushdown boundary; without it the posexplode's inferred
+    // constraints substitute the shingle lambda, with `split` re-inlined
+    // per element, into the scan: measured 22 s → 1 s on this operator),
+    // then persist the exploded frame too (it feeds the frequency cut and
+    // both join sides, like noveltyScores)
+    val arr = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .withColumn("__toks", tokens(col("__text")))
       .filter(size(col("__toks")) >= k)
       .withColumn("__sh", positionalShingles(col("__toks"), k))
+      .select(col("id"), col("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ps = arr
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-shingle cut counts DISTINCT docs (positional shingles repeat
