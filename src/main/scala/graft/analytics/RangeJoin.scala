@@ -36,4 +36,31 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs of half-open intervals `[loA, hiA) ×
+    * [loB, hiB)` with non-empty intersection — the two-sided generalization
+    * of [[pointInInterval]] (session × outage, trip × weather-window).
+    * Both sides replicate into the bins they span and the join is an
+    * equi-join on bin + the residual overlap predicate. A pair overlapping
+    * several shared bins would match repeatedly, so each pair is counted
+    * only in the bin where its intersection STARTS (`floor(max(loA, loB) /
+    * binWidth)`) — duplicate-free without a distinct, keeping the operator
+    * a pure join + filter (exactly-once by construction).
+    *
+    * Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loA: String, hiA: String, loB: String, hiB: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor((col(hi) - 1) / binWidth).cast("long"))))
+    binned(left, loA, hiA).join(binned(right, loB, hiB), Seq("__bin"))
+      .filter(col(loA) < col(hiB) && col(loB) < col(hiA) &&
+        col("__bin") === floor(greatest(col(loA), col(loB)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -259,6 +259,40 @@ object Dedup {
         col("n_unique").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of distinct k-shingles they share, with each source's distinct
+    * shingle count and the overlap coefficient
+    * `shared / min(|A|, |B|)` (exact rational — integer operands, one IEEE
+    * division). The corpus-governance view of [[graft.text.Curation
+    * .decontaminate]]: which sources bleed into which (mirrors, scrapes of
+    * scrapes, shared boilerplate) before any pairwise doc work is spent.
+    *
+    * Scale shape: distinct (source, shingle) is one shuffle; the self-join
+    * keys on the 8-byte shingle hash and its fan-out per shingle is bounded
+    * by #sources² (not docs²) — the output is #sources² rows, metadata-sized.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int,
+                    sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val sh = withShingles(docs, k, idCol = sourceCol, textCol = textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id").as("src"), explode(col("sh")).as("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
+    val shared = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("n_shingles").as("size_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_shingles").as("size_b")), "src_b")
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("size_a"), col("size_b")))
+      .select("src_a", "src_b", "shared", "size_a", "size_b", "overlap")
+  }
+
   /** Same pipeline from an already-shingled (id, sh) frame — lets callers
     * (e.g. the minhash self-verification query) share one shingle frame
     * between the sketch and the exact baseline.

@@ -212,6 +212,75 @@ object AnalyticsQueries {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** Interval-overlap join ([[graft.analytics.RangeJoin.intervalOverlap]]):
+    * click-derived windows × error-derived windows, with id-derived integer
+    * lengths. The oracle is the naive theta join — identity proof that the
+    * binned rewrite is exact AND duplicate-free (a distinct-free bin join
+    * emitting each pair once). Epochs are floored seconds on both engines.
+    */
+  private def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(s, dir)
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("ts").cast("long").as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + lit(600L) + pmod(col("a_id"), lit(600L)))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("b_id"), col("ts").cast("long").as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + lit(900L) + pmod(col("b_id"), lit(300L)))
+    graft.analytics.RangeJoin.intervalOverlap(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 512L)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+          .as("overlap_sec"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val intervalOverlapOracle =
+    """WITH a AS (
+      |  SELECT event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS a_lo,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 600 + event_id % 600 AS a_hi
+      |  FROM events WHERE event_type = 'click'
+      |),
+      |b AS (
+      |  SELECT event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS b_lo,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 900 + event_id % 300 AS b_hi
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT a_id, b_id,
+      |  CAST(least(a_hi, b_hi) - greatest(a_lo, b_lo) AS BIGINT) AS overlap_sec
+      |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Mergeable-sketch lifecycle: per-day HLL sketches of user_id
+    * (`hll_sketch_agg`) are UNIONED per event type (`hll_union_agg`) and only
+    * then estimated — the incremental-analytics pattern where daily partials
+    * are stored and a month's distinct count never rescans raw data. The
+    * oracle checks the exact count, the day count, and that the merged
+    * estimate landed within 10% (`merged_ok` must come out true).
+    */
+  private def hllMergeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(s, dir)
+    val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")).cast("double") / col("n_exact") <= 0.1)
+          .as("merged_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hllMergeOracle =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS merged_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Sliding (hopping) windows: 6-hour windows hopping every 2 hours, so
     * each event belongs to exactly 3 overlapping windows. The oracle
     * replicates Spark's epoch-aligned slot assignment by unnesting the three
@@ -947,6 +1016,8 @@ object AnalyticsQueries {
     "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
     "q_sliding_window" -> (slidingWindowQ _),
+    "q_interval_overlap" -> (intervalOverlapQ _),
+    "q_hll_merge" -> (hllMergeQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
@@ -987,6 +1058,8 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
     "q_sliding_window" -> slidingWindowOracle,
+    "q_interval_overlap" -> intervalOverlapOracle,
+    "q_hll_merge" -> hllMergeOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,

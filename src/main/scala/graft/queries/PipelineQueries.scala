@@ -129,6 +129,35 @@ object PipelineQueries {
       |FROM agg WHERE run_tokens >= 15
       |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]): shared
+    * distinct 5-shingles per source pair plus the exact overlap coefficient.
+    */
+  private def sourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir), k = 5)
+      .orderBy(col("src_a"), col("src_b"))
+
+  private val sourceOverlapOracle =
+    """WITH tok AS (SELECT source, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source AS src, shingle FROM (
+      |    SELECT source, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY src),
+      |shared AS (
+      |  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, shared, sa.n AS size_a, sb.n AS size_b,
+      |  shared::DOUBLE / least(sa.n, sb.n) AS overlap
+      |FROM shared
+      |JOIN sizes sa ON sa.src = src_a
+      |JOIN sizes sb ON sb.src = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Near-dup pairs → canonical duplicate groups: the step a corpus dedup
     * actually needs after pair generation (pairs under-delete across chains).
     * Distributed connected components, verified against DuckDB's recursive
@@ -779,6 +808,34 @@ object PipelineQueries {
         array_join(transform(col("postings"), _.cast("string")), ",")
           .as("postings"))
       .orderBy(col("term"))
+
+  /** Top bigram collocations by exact lift ([[TextAnalysis.collocations]]):
+    * no transcendentals, so the lift score itself is hash-compared.
+    */
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, dir), minCount = 5, k = 50)
+      .orderBy(col("rank"))
+
+  private val collocationsOracle =
+    """WITH tok AS (SELECT string_split_regex(text, '\s+') AS t FROM documents),
+      |uni AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(t) AS term FROM tok) GROUP BY term
+      |),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+      |bi AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+      |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |    FROM tok WHERE len(t) >= 2)
+      |  GROUP BY w1, w2 HAVING count(*) >= 5
+      |)
+      |SELECT CAST(rank AS INTEGER) AS rank, w1, w2, c12, c1, c2, lift FROM (
+      |  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank FROM (
+      |    SELECT bi.w1, bi.w2, c12, u1.c AS c1, u2.c AS c2,
+      |      (c12 * n_tokens)::DOUBLE / (u1.c * u2.c) AS lift
+      |    FROM bi JOIN uni u1 ON u1.term = bi.w1
+      |            JOIN uni u2 ON u2.term = bi.w2, nt))
+      |WHERE rank <= 50 ORDER BY rank""".stripMargin
 
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1593,6 +1650,7 @@ object PipelineQueries {
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_shared_runs" -> (sharedRunsQ _),
+    "q_source_overlap" -> (sourceOverlapQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -1606,6 +1664,7 @@ object PipelineQueries {
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_corpus_freq" -> (corpusFreqQ _),
+    "q_collocations" -> (collocationsQ _),
     "q_vocab_stats" -> (vocabStatsQ _),
     "q_keyword_search" -> (keywordSearchQ _),
     "q_bm25" -> (bm25Q _),
@@ -1674,6 +1733,7 @@ object PipelineQueries {
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_shared_runs" -> sharedRunsOracle,
+    "q_source_overlap" -> sourceOverlapOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
@@ -1687,6 +1747,7 @@ object PipelineQueries {
     "q_token_count" -> tokenCountOracle,
     "q_fingerprint" -> fingerprintOracle,
     "q_corpus_freq" -> corpusFreqOracle,
+    "q_collocations" -> collocationsOracle,
     "q_vocab_stats" -> vocabStatsOracle,
     "q_keyword_search" -> keywordSearchOracle,
     "q_bm25" -> bm25Oracle,

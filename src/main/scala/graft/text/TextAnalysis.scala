@@ -242,6 +242,55 @@ object TextAnalysis {
         col("vocab_size").cast("double") / col("n_tokens"))
   }
 
+  /** Bigram collocations by exact lift (PMI without the log): for adjacent
+    * token pairs with corpus count ≥ `minCount`,
+    * `lift = N · c(w1w2) / (c(w1) · c(w2))` — the same ranking as pointwise
+    * mutual information (ln is monotone, N constant) with NO transcendentals:
+    * both factors are exact BIGINT products, the one division is IEEE-exact,
+    * so the score itself sits under the oracle hash. The standard
+    * collocation/multi-word-expression miner for tokenizer vocab curation.
+    *
+    * Scale shape: bigram and unigram counts are term-keyed aggregates with
+    * map-side combine; the two count joins key on single terms (frequency
+    * skew bounded by the `minCount` cut happening BEFORE the joins). The
+    * top-k window runs over surviving collocations only. The BIGINT products
+    * hold to ~4·10⁹ count×corpus scale; beyond that swap DECIMAL(38,0) in
+    * both engines.
+    */
+  def collocations(docs: DataFrame, minCount: Long, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val arr = docs.select(col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(col("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = arr.select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = arr
+      .filter(size(col("__toks")) >= 2)
+      .withColumn("__pairs",
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + 1).as("w2"))))
+      .select(explode(col("__pairs")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bi
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift",
+        (col("c12") * col("n_tokens")).cast("double") / (col("c1") * col("c2")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("lift"))
+  }
+
   /** Inverted-index posting lists: one row per term with its document
     * frequency and the sorted posting array. At 100 TB this is materialized
     * once as a term-bucketed table ([[graft.maintain.Layout.writeBucketed]])
