@@ -66,6 +66,31 @@ class PlanSpec extends SparkSpec {
       s"probe must stay an equi-join:\n$p")
   }
 
+  test("interval-overlap join plans as an equi-join on bin, no nested loop / cartesian") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, sf())
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("ts").cast("long").as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + lit(600L))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("b_id"), col("ts").cast("long").as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + lit(900L))
+    val p = plan(RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 512L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("__bin"), p)
+  }
+
+  test("bm25 prefilters to query-term postings before any aggregate; no cartesian") {
+    val p = plan(graft.text.TextAnalysis.bm25TopK(
+      graft.Tables.documents(spark, sf()), Seq("data", "query"), k = 10))
+    // the only nested-loop is the deliberate 1-row corpus-stats broadcast;
+    // a CartesianProduct (non-broadcast cross) must never appear
+    assert(!p.contains("CartesianProduct"), p)
+    // isin prefilter runs on the exploded terms BEFORE the (id, term) agg,
+    // so only the query terms' postings ever shuffle
+    assert(p.contains("IN (data,query)") || p.contains("INSET"), p)
+  }
+
   test("sliding chunks plan is narrow: no shuffle at all") {
     import graft.text.Curation
     val df = Curation.slidingChunks(graft.Tables.documents(spark, sf()), 64, 32)
