@@ -35,4 +35,18 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Avro: the row-oriented edge format (Kafka payloads, log shippers land
+    * Avro; the lake stays columnar). Schema travels in the file, so the read
+    * side needs no explicit schema — unlike CSV there is nothing to infer.
+    * The provider is addressed by class: this Spark build bundles the Avro
+    * classes but not the `avro` short-name service registration.
+    */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroProvider).save(path)
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
 }

@@ -410,6 +410,14 @@ object CurationQueries {
     Formats.readOrc(s, tmp).orderBy(col("doc_id"))
   }
 
+  private def avroRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Formats
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_rt_").toString
+    Formats.writeAvro(docs, tmp)
+    Formats.readAvro(s, tmp).orderBy(col("doc_id"))
+  }
+
   private val roundtripOracle =
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -465,6 +473,7 @@ object CurationQueries {
     "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_csv_roundtrip" -> (csvRoundtripQ _),
     "q_orc_roundtrip" -> (orcRoundtripQ _),
+    "q_avro_roundtrip" -> (avroRoundtripQ _),
     "q_csv_dlq" -> (csvDlqQ _)
   )
 
@@ -483,6 +492,7 @@ object CurationQueries {
     "q_mixture_quota" -> mixtureQuotaOracle,
     "q_csv_roundtrip" -> roundtripOracle,
     "q_orc_roundtrip" -> roundtripOracle,
+    "q_avro_roundtrip" -> roundtripOracle,
     "q_csv_dlq" -> csvDlqOracle
   )
 }

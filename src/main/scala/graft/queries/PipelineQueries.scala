@@ -129,6 +129,59 @@ object PipelineQueries {
       |FROM agg WHERE run_tokens >= 15
       |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-node triangle counts over the near-dup graph
+    * ([[DupClusters.triangleCounts]]) — the corpus augmented with a SECOND
+    * exact copy of every doc_id % 20 == 0 doc (+3M), so each such doc forms
+    * a guaranteed 3-clique with its two copies. The Spark side enumerates
+    * with skew-safe degree-ordered compact-forward; the oracle uses the
+    * naive id-ordered formulation — the triangle set is
+    * orientation-independent, so they must agree exactly.
+    */
+  private def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val aug2 = augmented(docs).unionByName(docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    DupClusters.triangleCounts(Dedup.ngramJaccardPairs(aug2, k = 5, threshold = 0.5))
+      .orderBy(col("doc_id"))
+  }
+
+  private val trianglesOracle =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, 'zqxnear ' || text FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 0
+      |),
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |tri AS (
+      |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.id_a = e1.id_b
+      |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+      |),
+      |n AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]): shared
     * distinct 5-shingles per source pair plus the exact overlap coefficient.
     */
@@ -1651,6 +1704,7 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_shared_runs" -> (sharedRunsQ _),
     "q_source_overlap" -> (sourceOverlapQ _),
+    "q_triangles" -> (trianglesQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -1734,6 +1788,7 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_shared_runs" -> sharedRunsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
+    "q_triangles" -> trianglesOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,

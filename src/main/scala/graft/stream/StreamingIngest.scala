@@ -211,6 +211,47 @@ object StreamingIngest {
       }
   }
 
+  /** [[runningDeviceTotals]] on the arbitrary-state v2 API
+    * (`transformWithState`): a named `ValueState` per device inside a
+    * `StatefulProcessor` — the surface that adds per-state TTL, timers, and
+    * multiple independent state variables per key, with state-store schema
+    * evolution. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); behavior is identical
+    * to the v1 operator, asserted cross-batch in the spec.
+    */
+  class DeviceTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(device: String, rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[(String, Long, Double)] = {
+      val (n0, max0) = if (totals.exists()) totals.get() else (0L, Double.MinValue)
+      val batch = rows.toSeq
+      val updated = (n0 + batch.size,
+        math.max(max0, if (batch.isEmpty) max0 else batch.map(_._2).max))
+      totals.update(updated)
+      Iterator.single((device, updated._1, updated._2))
+    }
+  }
+
+  def runningDeviceTotalsV2(events: org.apache.spark.sql.Dataset[(String, Double)])(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_._1)
+      .transformWithState(new DeviceTotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** CEP-style pattern detection with `flatMapGroupsWithState`: emit an alert
     * row whenever a device reports `runLength` *consecutive* over-threshold
     * speeds (zero or many outputs per group per batch — the shape

@@ -48,6 +48,29 @@ class DupClustersSpec extends SparkSpec {
     assert(components(edges) == unionFind(edges))
   }
 
+  test("triangleCounts: hand-counted graph; matches naive enumeration on a random graph") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge 4-5
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val out = DupClusters.triangleCounts((k4 :+ ((4L, 5L))).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // random graph: degree-ordered compact-forward == naive a<b<c enumeration
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val fast = DupClusters.triangleCounts(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val eSet = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && eSet((a, b))
+      c <- nodes if b < c && eSet((b, c)) && eSet((a, c))
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    assert(fast == naive.toMap)
+  }
+
   test("empty pair set yields empty assignment") {
     assert(components(Seq.empty) == Map.empty)
   }
