@@ -76,6 +76,46 @@ object DupClusters {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-point PageRank over the undirected pair graph: probabilities are
+    * scaled integers (`scale` = 1.0) and every division is a floor — so the
+    * result is bit-reproducible on any engine, cluster, or partitioning,
+    * unlike floating PageRank whose per-node neighbor sums depend on
+    * reduction order. Per iteration:
+    * `pr'(v) = (15·scale) div 100 + (85 · Σ_{u~v} pr(u) div deg(u)) div 100`.
+    * The floor drift vs exact PageRank is < deg(v) parts in `scale` per
+    * iteration — ranking-irrelevant at scale = 10¹².
+    *
+    * Scale shape: one degree aggregate up front; each iteration is one
+    * id-keyed join (contributions) and one aggregate (neighbor sum) — the
+    * classic message-passing round, lineage-truncated like
+    * [[connectedComponents]]. Overflow bound: 85 · deg(v) · scale must fit
+    * int64, i.e. max degree ≲ 10⁵ at the default scale — lower `scale` for
+    * denser graphs.
+    */
+  def pageRankFixedPoint(pairs: DataFrame, iterations: Int = 2,
+                         scale: Long = 1000000000000L,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val edges = sym.join(deg, "u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = 15L * scale / 100L
+    var pr = deg.select(col("u").as("id"), lit(scale).as("pr"))
+    (1 to iterations).foreach { _ =>
+      pr = edges.join(pr, edges("u") === pr("id"))
+        .select(col("v"), expr("pr div du").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("v").as("id"),
+          (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    pr
+  }
+
   /** (id, component) for every node of the undirected edge set
     * `pairs(idA, idB)`; `component` is the smallest node id reachable from
     * `id` (so planted-duplicate groups get their original doc as canon).

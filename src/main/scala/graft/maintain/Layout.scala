@@ -81,6 +81,72 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Standard geohash of (lat, lon) at `precision` base32 characters — the
+    * geospatial clustering / prefix-range-pruning key for telemetry layout
+    * (neighboring devices share prefixes, so sorting or partitioning by
+    * geohash co-locates spatially-close rows; a bounding-box probe becomes a
+    * handful of prefix range predicates the parquet min/max stats prune).
+    *
+    * Exactly the published algorithm: quantize lon/lat by binary subdivision
+    * (`floor((lon+180)/360 · 2ⁿ)`), interleave MSB-first starting with
+    * longitude, emit 5-bit groups through the geohash base32 alphabet. Every
+    * step is a fixed-order IEEE op or integer math — bit-identical on any
+    * engine, which the DuckDB oracle checks character-for-character.
+    */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"precision must be in [1, 12], got $precision")
+    val bits = 5 * precision
+    val nlon = (bits + 1) / 2
+    val nlat = bits / 2
+    val lonI = least(
+      floor((lon + 180.0) / 360.0 * (1L << nlon).toDouble).cast("long"),
+      lit((1L << nlon) - 1))
+    val latI = least(
+      floor((lat + 90.0) / 180.0 * (1L << nlat).toDouble).cast("long"),
+      lit((1L << nlat) - 1))
+    val z = (0 until bits).map { k =>
+      val (src, pos) =
+        if (k % 2 == 0) (lonI, nlon - 1 - k / 2) else (latI, nlat - 1 - (k - 1) / 2)
+      shiftleft(shiftright(src, pos).bitwiseAND(lit(1L)), bits - 1 - k)
+    }.reduce(_ + _)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    concat((0 until precision).map { i =>
+      val idx = shiftright(z, 5 * (precision - 1 - i)).bitwiseAND(lit(31L))
+      lit(alphabet).substr(idx.cast("int") + 1, lit(1))
+    }: _*)
+  }
+
+  /** DuckDB-SQL replicas of [[geohash]]'s three stages, generated from the
+    * same constants so the oracle is the same function character for
+    * character. `geohashIntsSql` → (lonI expr, latI expr) over lat/lon SQL;
+    * `geohashZSql` → the interleaved z over columns named lonI/latI;
+    * `geohashCharsSql` → the base32 string over a column named z.
+    */
+  def geohashIntsSql(latSql: String, lonSql: String, precision: Int): (String, String) = {
+    val bits = 5 * precision
+    val nlon = (bits + 1) / 2
+    val nlat = bits / 2
+    (s"least(CAST(floor(($lonSql + 180.0) / 360.0 * ${(1L << nlon).toDouble}) AS BIGINT), ${(1L << nlon) - 1})",
+      s"least(CAST(floor(($latSql + 90.0) / 180.0 * ${(1L << nlat).toDouble}) AS BIGINT), ${(1L << nlat) - 1})")
+  }
+
+  def geohashZSql(precision: Int): String = {
+    val bits = 5 * precision
+    val nlon = (bits + 1) / 2
+    val nlat = bits / 2
+    (0 until bits).map { k =>
+      val (src, pos) =
+        if (k % 2 == 0) ("lonI", nlon - 1 - k / 2) else ("latI", nlat - 1 - (k - 1) / 2)
+      s"((($src >> $pos) & 1) << ${bits - 1 - k})"
+    }.mkString(" + ")
+  }
+
+  def geohashCharsSql(precision: Int): String =
+    (0 until precision).map { i =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((z >> ${5 * (precision - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+    }.mkString(" || ")
+
   /** Rewrite a table clustered by the z-order of two columns. */
   def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
                     bits: Int = 16): Unit =

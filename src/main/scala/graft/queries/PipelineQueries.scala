@@ -182,6 +182,59 @@ object PipelineQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Fixed-point PageRank over the near-dup graph
+    * ([[DupClusters.pageRankFixedPoint]]): scaled-integer probabilities with
+    * floor divisions make the iteration bit-reproducible, so BOTH 2-iteration
+    * unrollings (Spark message passing, DuckDB CTE chain) must agree on every
+    * node's exact rank value — an iterative graph oracle, not a smoke check.
+    */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame =
+    DupClusters.pageRankFixedPoint(
+        Dedup.ngramJaccardPairs(augmented(Tables.documents(s, dir)), k = 5,
+          threshold = 0.5))
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy(col("doc_id"))
+
+  private val pageRankOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du FROM e GROUP BY u),
+      |pr0 AS (SELECT u AS id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+      |it1 AS (
+      |  SELECT e.v AS id,
+      |    CAST(150000000000 + (85 * sum(pr // du)) // 100 AS BIGINT) AS pr
+      |  FROM e JOIN deg USING (u) JOIN pr0 ON pr0.id = e.u
+      |  GROUP BY e.v
+      |),
+      |it2 AS (
+      |  SELECT e.v AS id,
+      |    CAST(150000000000 + (85 * sum(pr // du)) // 100 AS BIGINT) AS pr
+      |  FROM e JOIN deg USING (u) JOIN it1 ON it1.id = e.u
+      |  GROUP BY e.v
+      |)
+      |SELECT id AS doc_id, pr FROM it2 ORDER BY doc_id""".stripMargin
+
   /** Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]): shared
     * distinct 5-shingles per source pair plus the exact overlap coefficient.
     */
@@ -1562,6 +1615,40 @@ object PipelineQueries {
       |WHERE dropped.id_b IS NULL ORDER BY e.vec_id""".stripMargin
   }
 
+  /** Geohash clustering key ([[graft.maintain.Layout.geohash]]) over
+    * deterministic event-derived coordinates: quantization, MSB interleave,
+    * and base32 rendering are replicated from the same constants on both
+    * engines, so every 6-character hash is compared character for character.
+    * Aggregated to prefix-4 cells (the layout clustering granularity) with
+    * full-hash min/max inside each cell under the hash too.
+    */
+  private def geohashQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("lat", (col("event_id") % 17000).cast("double") / 100.0 - 85.0)
+      .withColumn("lon", (col("event_id") % 35000).cast("double") / 100.0 - 175.0)
+    e.withColumn("gh", graft.maintain.Layout.geohash(col("lat"), col("lon"), 6))
+      .groupBy(substring(col("gh"), 1, 4).as("cell"))
+      .agg(count(lit(1)).as("n"), min(col("gh")).as("min_gh"),
+        max(col("gh")).as("max_gh"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val geohashOracle = {
+    import graft.maintain.Layout
+    val (lonI, latI) = Layout.geohashIntsSql("lat", "lon", 6)
+    s"""WITH c AS (
+      |  SELECT (event_id % 17000)::DOUBLE / 100.0 - 85.0 AS lat,
+      |    (event_id % 35000)::DOUBLE / 100.0 - 175.0 AS lon
+      |  FROM events
+      |),
+      |ints AS (SELECT $lonI AS lonI, $latI AS latI FROM c),
+      |zs AS (SELECT ${Layout.geohashZSql(6)} AS z FROM ints),
+      |gh AS (SELECT ${Layout.geohashCharsSql(6)} AS gh FROM zs)
+      |SELECT substr(gh, 1, 4) AS cell, CAST(count(*) AS BIGINT) AS n,
+      |  min(gh) AS min_gh, max(gh) AS max_gh
+      |FROM gh GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   /** IVF ANN summarized against global brute force: result cardinalities are
     * DuckDB-derivable (3 per query), and `recall_ok` asserts recall@3 ≥ 0.5
     * with nprobe=4 of nlist=16 — holds for any reasonable k-means outcome on
@@ -1705,6 +1792,7 @@ object PipelineQueries {
     "q_shared_runs" -> (sharedRunsQ _),
     "q_source_overlap" -> (sourceOverlapQ _),
     "q_triangles" -> (trianglesQ _),
+    "q_pagerank" -> (pageRankQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -1737,6 +1825,7 @@ object PipelineQueries {
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
     "q_zorder" -> (zorderQ _),
+    "q_geohash" -> (geohashQ _),
     "q_dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup over documents: vec_id ↔ doc_id share ids
       val pairs = Similarity.thresholdPairs(Tables.embeddings(s, dir), 0.40, col("id") < 100)
@@ -1789,6 +1878,7 @@ object PipelineQueries {
     "q_shared_runs" -> sharedRunsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_triangles" -> trianglesOracle,
+    "q_pagerank" -> pageRankOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
@@ -1821,6 +1911,7 @@ object PipelineQueries {
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,
     "q_zorder" -> zorderOracle,
+    "q_geohash" -> geohashOracle,
     "q_dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |p AS (

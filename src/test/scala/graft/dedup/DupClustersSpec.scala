@@ -71,6 +71,22 @@ class DupClustersSpec extends SparkSpec {
     assert(fast == naive.toMap)
   }
 
+  test("pageRankFixedPoint: hand-computed values on a path; center of a star dominates") {
+    // path 1-2-3, one iteration, scale 1000: base = 150
+    // contrib: 1 -> 1000/1 = 1000; 2 -> 1000/2 = 500; 3 -> 1000
+    // pr1(1) = 150 + 85*500/100 = 575; pr1(2) = 150 + 85*2000/100 = 1850; pr1(3) = 575
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val it1 = DupClusters.pageRankFixedPoint(path, iterations = 1, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(it1 == Map(1L -> 575L, 2L -> 1850L, 3L -> 575L))
+    // star K1,4: the hub must outrank every leaf after two iterations
+    val star = (2L to 5L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val pr = DupClusters.pageRankFixedPoint(star, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 5L).forall(l => pr(1L) > pr(l)))
+    assert((2L to 5L).map(pr).toSet.size == 1) // leaves identical by symmetry
+  }
+
   test("empty pair set yields empty assignment") {
     assert(components(Seq.empty) == Map.empty)
   }

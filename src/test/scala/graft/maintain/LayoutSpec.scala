@@ -108,6 +108,23 @@ class LayoutSpec extends SparkSpec {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("geohash matches published reference hashes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // well-known reference values (geohash.org): Jutland peninsula point,
+    // White House, Sydney Opera House, null island, and the lower corner
+    val pts = Seq(
+      (57.64911, 10.40744, "u4pruy"),
+      (38.89770, -77.03653, "dqcjqc"),
+      (-33.85678, 151.21528, "r3gx2u"),
+      (0.0, 0.0, "s00000"),
+      (-90.0, -180.0, "000000"))
+    val out = pts.toDF("lat", "lon", "expected")
+      .withColumn("gh", Layout.geohash(col("lat"), col("lon"), 6))
+      .select($"gh", $"expected").as[(String, String)].collect()
+    out.foreach { case (gh, exp) => assert(gh == exp, s"got $gh want $exp") }
+  }
+
   test("as-of and range joins avoid nested-loop plans") {
     import graft.analytics.{AsOfJoin, RangeJoin}
     val scores = graft.score.RiskScore.pipeline(TelematicsQueries.normalizedFact(spark, sf()))
