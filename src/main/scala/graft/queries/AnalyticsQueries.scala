@@ -899,6 +899,80 @@ object AnalyticsQueries {
     * sqrt — are correctly-rounded IEEE on identical inputs, so thresholds
     * match DuckDB bit-for-bit).
     */
+  /** Robust (median/MAD) outlier counts per event type — the heavy-tail-safe
+    * sibling of `q_outliers`' μ±2σ: median and MAD come from exact
+    * interpolated percentiles, ROUNDED to 6 dp on both engines before the
+    * flag comparison so a sub-ulp interpolation difference can't flip a
+    * boundary row (`q_quantiles` pins 6 dp agreement of `percentile` ↔
+    * `quantile_cont`).
+    */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = ev.join(med, "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+    ev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madOutliersOracle =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY event_type
+      |),
+      |mad AS (
+      |  SELECT e.event_type, any_value(med) AS med,
+      |    round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+      |  FROM events e JOIN med USING (event_type)
+      |  GROUP BY e.event_type
+      |)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  any_value(mad.med) AS med, any_value(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN abs(value - mad.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM events e JOIN mad USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  /** Cohort retention: users cohorted by the ISO week of their first event;
+    * per (cohort week, week offset), the distinct users still active — the
+    * standard product-analytics retention triangle, all integer/date math.
+    */
+  private def cohortRetentionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("day"))).cast("date").as("cohort_week"))
+    e.distinct().join(first, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val cohortRetentionOracle =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+      |  FROM d GROUP BY user_id
+      |)
+      |SELECT cohort_week,
+      |  CAST(datediff('day', cohort_week, day) // 7 AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+      |FROM d JOIN first USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   private def outliersQ(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir)
       .select(col("event_type"), col("value"))
@@ -999,6 +1073,8 @@ object AnalyticsQueries {
     "q_funnel" -> (funnelQ _),
     "q_histogram" -> (histogramQ _),
     "q_outliers" -> (outliersQ _),
+    "q_mad_outliers" -> (madOutliersQ _),
+    "q_cohort_retention" -> (cohortRetentionQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_approx_quantiles" -> (approxQuantilesQ _),
     "q_session_window" -> (sessionWindowQ _),
@@ -1041,6 +1117,8 @@ object AnalyticsQueries {
     "q_funnel" -> funnelOracle,
     "q_histogram" -> histogramOracle,
     "q_outliers" -> outliersOracle,
+    "q_mad_outliers" -> madOutliersOracle,
+    "q_cohort_retention" -> cohortRetentionOracle,
     "q_bloom_join" -> bloomJoinOracle,
     "q_approx_quantiles" -> approxQuantilesOracle,
     "q_session_window" -> sessionWindowOracle,

@@ -359,6 +359,40 @@ object CurationQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM q, d ORDER BY source""".stripMargin
 
+  /** Quota draw ([[Curation.quotaSample]]): the apportionment oracle chained
+    * with the md5-rank selection — every drawn row and its rank are under the
+    * hash, and the draw must total exactly 137.
+    */
+  private def quotaSampleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.quotaSample(Tables.documents(s, dir), total = 137L)
+      .orderBy(col("source"), col("rn"))
+
+  private val quotaSampleOracle =
+    s"""WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source
+      |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus FROM c),
+      |q AS (
+      |  SELECT source, n_docs,
+      |    CAST((n_docs * 137) // corpus AS BIGINT) AS fq,
+      |    CAST((n_docs * 137) % corpus AS BIGINT) AS rem
+      |  FROM c, t
+      |), d AS (SELECT CAST(137 - sum(fq) AS BIGINT) AS deficit FROM q),
+      |quotas AS (
+      |  SELECT source,
+      |    CAST(fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= deficit
+      |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM q, d
+      |),
+      |ranked AS (
+      |  SELECT doc_id, source, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, ranked.source, rn
+      |FROM ranked JOIN quotas ON quotas.source = ranked.source
+      |WHERE rn <= quota ORDER BY ranked.source, rn""".stripMargin
+
   // ---- fuzzy (edit-distance) matching -------------------------------------
 
   /** Title dedup: 30-char heads of every 10th doc, plus planted one-edit
@@ -471,6 +505,7 @@ object CurationQueries {
     "q_fuzzy_match" -> (fuzzyQ _),
     "q_mixture" -> (mixtureQ _),
     "q_mixture_quota" -> (mixtureQuotaQ _),
+    "q_quota_sample" -> (quotaSampleQ _),
     "q_csv_roundtrip" -> (csvRoundtripQ _),
     "q_orc_roundtrip" -> (orcRoundtripQ _),
     "q_avro_roundtrip" -> (avroRoundtripQ _),
@@ -490,6 +525,7 @@ object CurationQueries {
     "q_fuzzy_match" -> fuzzyOracle,
     "q_mixture" -> mixtureOracle,
     "q_mixture_quota" -> mixtureQuotaOracle,
+    "q_quota_sample" -> quotaSampleOracle,
     "q_csv_roundtrip" -> roundtripOracle,
     "q_orc_roundtrip" -> roundtripOracle,
     "q_avro_roundtrip" -> roundtripOracle,

@@ -197,6 +197,32 @@ object Curation {
       .select(col(sourceCol), col("n_docs"), col("quota"))
   }
 
+  /** Execute a [[mixtureQuotas]] apportionment: draw exactly `quota` docs
+    * from each source, selected by the deterministic md5-uniform rank (the
+    * same permutation [[mixtureInterleave]] and [[tokenBudget]] use) — so the
+    * drawn set is a pure function of the data, identical on any cluster, and
+    * sums to exactly `total`. This is the whole "build the mixture" step:
+    * apportion, then draw.
+    *
+    * Scale shape: quotas reduce to a #sources-row broadcast; the draw is one
+    * per-source rank window with the `rn <= quota` cut — WindowGroupLimit
+    * forwards only candidate rows per task once the per-source cap is a
+    * constant; with per-source quotas it stays a single window pass.
+    */
+  def quotaSample(docs: DataFrame, total: Long,
+                  sourceCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    val quotas = mixtureQuotas(docs, total, sourceCol)
+      .select(col(sourceCol), col("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("rn"))
+  }
+
   /** Edit-distance fuzzy pairs: all (a < b) pairs within `maxDist`
     * Levenshtein edits, with *equi-join* candidate generation (segment
     * partitioning, the PassJoin scheme of Li/Deng/Feng 2011) — never
