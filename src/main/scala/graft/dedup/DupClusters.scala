@@ -76,6 +76,28 @@ object DupClusters {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Canonical representative per duplicate cluster: the highest-quality
+    * member (ties → lowest id) of each [[connectedComponents]] component —
+    * the decision a real dedup ships (keep the best copy, not the
+    * first-crawled one). One window top-1 per component (WindowGroupLimit:
+    * only per-task winners shuffle) plus a metadata-sized count join.
+    */
+  def canonicalPerCluster(components: DataFrame, scores: DataFrame,
+                          idCol: String = "doc_id",
+                          scoreCol: String = "quality_score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = components.select(col("id").as(idCol), col("component"))
+      .join(scores.select(col(idCol), col(scoreCol)), idCol)
+    val counts = joined.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(counts, "component")
+      .select(col("component"), col(idCol).as("canon_id"),
+        col(scoreCol).as("canon_score"), col("n_members"))
+  }
+
   /** Fixed-point PageRank over the undirected pair graph: probabilities are
     * scaled integers (`scale` = 1.0) and every division is a floor — so the
     * result is bit-reproducible on any engine, cluster, or partitioning,

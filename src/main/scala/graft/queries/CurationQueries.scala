@@ -393,6 +393,65 @@ object CurationQueries {
       |FROM ranked JOIN quotas ON quotas.source = ranked.source
       |WHERE rn <= quota ORDER BY ranked.source, rn""".stripMargin
 
+  /** Deterministic 80/10/10 split ([[Curation.datasetSplit]]): per
+    * (source, split) doc and token counts — the md5-threshold assignment is
+    * replicated exactly (same `conv`-fold uniform as the A-ES oracle).
+    */
+  private def datasetSplitQ(s: SparkSession, dir: String): DataFrame =
+    Curation.datasetSplit(Tables.documents(s, dir))
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"), col("split"))
+
+  private val datasetSplitOracle = {
+    val trainMax = (1L << 32) * 80 / 100
+    val valMax = (1L << 32) * 90 / 100
+    s"""WITH u AS (
+      |  SELECT source, text,
+      |    ${graft.queries.OracleSql.md5U32Sql("doc_id::VARCHAR")} AS u32
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  CASE WHEN u32 < $trainMax THEN 'train'
+      |       WHEN u32 < $valMax THEN 'val' ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens
+      |FROM u GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
+  /** Length-bucketed batch planning ([[Curation.lengthBuckets]]): bucket
+    * boundaries, deterministic batch assignment, and the exact padding-waste
+    * integers all under the hash.
+    */
+  private def lengthBucketsQ(s: SparkSession, dir: String): DataFrame =
+    Curation.lengthBuckets(Tables.documents(s, dir), batchSize = 8)
+      .orderBy(col("bucket"), col("batch_idx"))
+
+  private val lengthBucketsOracle =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |b AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket,
+      |    CAST((row_number() OVER (PARTITION BY (CASE WHEN n_tokens <= 16 THEN 16
+      |         WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+      |         WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+      |         ELSE 512 END)
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) // 8 AS BIGINT) AS batch_idx
+      |  FROM t
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, batch_idx,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(max(n_tokens) AS BIGINT) AS batch_max,
+      |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padding_waste
+      |FROM b GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx""".stripMargin
+
   // ---- fuzzy (edit-distance) matching -------------------------------------
 
   /** Title dedup: 30-char heads of every 10th doc, plus planted one-edit
@@ -506,6 +565,8 @@ object CurationQueries {
     "q_mixture" -> (mixtureQ _),
     "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_quota_sample" -> (quotaSampleQ _),
+    "q_dataset_split" -> (datasetSplitQ _),
+    "q_length_buckets" -> (lengthBucketsQ _),
     "q_csv_roundtrip" -> (csvRoundtripQ _),
     "q_orc_roundtrip" -> (orcRoundtripQ _),
     "q_avro_roundtrip" -> (avroRoundtripQ _),
@@ -526,6 +587,8 @@ object CurationQueries {
     "q_mixture" -> mixtureOracle,
     "q_mixture_quota" -> mixtureQuotaOracle,
     "q_quota_sample" -> quotaSampleOracle,
+    "q_dataset_split" -> datasetSplitOracle,
+    "q_length_buckets" -> lengthBucketsOracle,
     "q_csv_roundtrip" -> roundtripOracle,
     "q_orc_roundtrip" -> roundtripOracle,
     "q_avro_roundtrip" -> roundtripOracle,

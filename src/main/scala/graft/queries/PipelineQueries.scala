@@ -182,6 +182,80 @@ object PipelineQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Canonical-per-cluster dedup decision
+    * ([[DupClusters.canonicalPerCluster]]): connected components over the
+    * near-dup pairs, then keep each cluster's highest-quality member — the
+    * full "which copy survives" pipeline. The oracle chains the recursive CC
+    * closure with the quality formula and the same top-1 rule.
+    */
+  private def clusterCanonQ(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+    val comps = DupClusters.connectedComponents(
+      Dedup.ngramJaccardPairs(aug, k = 5, threshold = 0.5))
+    val scores = TextAnalysis.qualityFeatures(aug)
+      .select(col("doc_id"), col("quality_score"))
+    DupClusters.canonicalPerCluster(comps, scores)
+      .orderBy(col("component"))
+  }
+
+  private val clusterCanonOracle =
+    s"""WITH RECURSIVE $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u
+      |),
+      |comp AS (SELECT u AS doc_id, min(c) AS component FROM walk GROUP BY u),
+      |qf AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |    length(text) AS n_chars,
+      |    len(list_filter(string_split_regex(text, '\\s+'),
+      |        x -> list_contains(${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      |  FROM aug
+      |),
+      |qs AS (
+      |  SELECT doc_id,
+      |    round(least(n_tokens::DOUBLE / 50.0, 1.0)
+      |      * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+      |      * CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END)
+      |          BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END, 6) AS quality_score
+      |  FROM qf
+      |),
+      |j AS (
+      |  SELECT comp.component, comp.doc_id, qs.quality_score,
+      |    count(*) OVER (PARTITION BY comp.component) AS n_members,
+      |    row_number() OVER (PARTITION BY comp.component
+      |      ORDER BY qs.quality_score DESC, comp.doc_id) AS rn
+      |  FROM comp JOIN qs USING (doc_id)
+      |)
+      |SELECT component, doc_id AS canon_id, quality_score AS canon_score,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM j WHERE rn = 1 ORDER BY component""".stripMargin
+
   /** Fixed-point PageRank over the near-dup graph
     * ([[DupClusters.pageRankFixedPoint]]): scaled-integer probabilities with
     * floor divisions make the iteration bit-reproducible, so BOTH 2-iteration
@@ -1793,6 +1867,7 @@ object PipelineQueries {
     "q_source_overlap" -> (sourceOverlapQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pagerank" -> (pageRankQ _),
+    "q_cluster_canon" -> (clusterCanonQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -1879,6 +1954,7 @@ object PipelineQueries {
     "q_source_overlap" -> sourceOverlapOracle,
     "q_triangles" -> trianglesOracle,
     "q_pagerank" -> pageRankOracle,
+    "q_cluster_canon" -> clusterCanonOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,

@@ -166,6 +166,55 @@ object Curation {
       .withColumn("ord", col("rn") / wt)
   }
 
+  /** Deterministic train/val/test split: each doc's md5-derived uniform in
+    * [0, 2³²) lands it in train/val/test by fixed thresholds — a pure
+    * function of the id, so the split is reproducible on any cluster, stable
+    * under corpus growth (existing docs never move between splits when new
+    * ones arrive), and leakage-free by construction. Fractions are expressed
+    * as integer thresholds to keep the comparison exact.
+    */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    // md5-derived 32-bit uniform, same construction as the A-ES sampler
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val trainMax = (1L << 32) * trainPct / 100
+    val valMax = (1L << 32) * (trainPct + valPct) / 100
+    docs.withColumn("split",
+      when(u < trainMax, "train").when(u < valMax, "val").otherwise("test"))
+  }
+
+  /** Length-bucketed batching accounting: bucket docs by token count
+    * (power-of-two-ish fixed boundaries), assign batch slots of `batchSize`
+    * within each bucket by the deterministic md5 order, and compute the
+    * padding waste (`Σ batch_max − len`) a padded-batch trainer would pay —
+    * the planning stage of length-bucketed inference/training, all integer
+    * math. One window per bucket; buckets are few and balanced by
+    * construction, so no skewed reducer.
+    */
+  def lengthBuckets(docs: DataFrame, batchSize: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(batchSize > 0)
+    val len = size(split(col(textCol), "\\s+")).cast("long")
+    val nt = col("n_tokens")
+    val bucket = when(nt <= 16, 16L).when(nt <= 32, 32L)
+      .when(nt <= 64, 64L).when(nt <= 128, 128L).when(nt <= 256, 256L)
+      .otherwise(512L)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), len.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("batch_max"))
+      .withColumn("padding_waste",
+        col("batch_max") * col("n_docs") - col("total_tokens"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment of an integer sampling
     * budget across sources: `quota = floor(n·T/C)` plus one extra for the
     * `T − Σfloor` largest remainders (ties broken by source name), so the
