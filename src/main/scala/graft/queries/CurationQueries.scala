@@ -549,6 +549,116 @@ object CurationQueries {
       |SELECT NULL, 'srcY', 5, true, '12abc|srcY|5'
       |ORDER BY is_dlq, raw, doc_id""".stripMargin
 
+  // ---- corpus filtering (C4 / Gopher rules) --------------------------------
+
+  /** The raw synthetic docs would make most cleaning rules vacuous (no
+    * punctuation, no braces, no boilerplate), so filter queries run on a
+    * deterministically modified corpus: each `doc_id % 13` residue plants one
+    * specific violation or pass (brace, lorem-ipsum, over-long word,
+    * blocklist word, terminal punctuation, symbol spam, numeric salad) —
+    * same single-branch CASE on both engines.
+    */
+  private def filterAugmented(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 13
+    docs.select(col("doc_id"),
+      when(m === 0, concat(col("text"), lit(" {x}")))
+        .when(m === 1, concat(lit("lorem ipsum "), col("text"), lit(".")))
+        .when(m === 2, concat(col("text"), lit(" " + "z" * 40)))
+        .when(m === 3, concat(col("text"), lit(" zqxbadword")))
+        .when(m === 4, concat(col("text"), lit(".")))
+        .when(m === 5, concat(col("text"), lit(" # # # # # # # # # #")))
+        .when(m === 6, lit("9 8 7 6 5 4 3 2 1 0 9 8 7 6 5 4 3 2 1 0 x y"))
+        .otherwise(col("text")).as("text"))
+  }
+
+  private val filterCte =
+    """fdocs AS (
+      |  SELECT doc_id, CASE doc_id % 13
+      |    WHEN 0 THEN text || ' {x}'
+      |    WHEN 1 THEN 'lorem ipsum ' || text || '.'
+      |    WHEN 2 THEN text || ' zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz'
+      |    WHEN 3 THEN text || ' zqxbadword'
+      |    WHEN 4 THEN text || '.'
+      |    WHEN 5 THEN text || ' # # # # # # # # # #'
+      |    WHEN 6 THEN '9 8 7 6 5 4 3 2 1 0 9 8 7 6 5 4 3 2 1 0 x y'
+      |    ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  private def c4FiltersQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusFilters.c4Summary(filterAugmented(Tables.documents(s, dir)))
+      .orderBy(col("rule"))
+
+  private val c4FiltersOracle =
+    s"""WITH $filterCte,
+      |t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM fdocs),
+      |r AS (SELECT
+      |  regexp_matches(text, '[.!?"]$$') AS r_terminal_punct,
+      |  NOT (contains(text, '{') OR contains(text, '}')) AS r_no_brace,
+      |  NOT contains(text, 'lorem ipsum') AS r_no_lorem,
+      |  NOT contains(text, 'zqxbadword') AS r_no_badword,
+      |  list_max(list_transform(w, x -> len(x))) <= 30 AS r_word_len_ok,
+      |  len(w) >= 20 AS r_min_words
+      |FROM t),
+      |a AS (SELECT count(*) AS n_total,
+      |  sum(CASE WHEN r_terminal_punct THEN 1 ELSE 0 END) AS p1,
+      |  sum(CASE WHEN r_no_brace THEN 1 ELSE 0 END) AS p2,
+      |  sum(CASE WHEN r_no_lorem THEN 1 ELSE 0 END) AS p3,
+      |  sum(CASE WHEN r_no_badword THEN 1 ELSE 0 END) AS p4,
+      |  sum(CASE WHEN r_word_len_ok THEN 1 ELSE 0 END) AS p5,
+      |  sum(CASE WHEN r_min_words THEN 1 ELSE 0 END) AS p6,
+      |  sum(CASE WHEN r_terminal_punct AND r_no_brace AND r_no_lorem
+      |        AND r_no_badword AND r_word_len_ok AND r_min_words
+      |      THEN 1 ELSE 0 END) AS pk
+      |FROM r)
+      |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+      |  CAST(n_total - n_pass AS BIGINT) AS n_fail
+      |FROM (
+      |  SELECT 'terminal_punct' AS rule, p1 AS n_pass, n_total FROM a
+      |  UNION ALL SELECT 'no_brace', p2, n_total FROM a
+      |  UNION ALL SELECT 'no_lorem', p3, n_total FROM a
+      |  UNION ALL SELECT 'no_badword', p4, n_total FROM a
+      |  UNION ALL SELECT 'word_len_ok', p5, n_total FROM a
+      |  UNION ALL SELECT 'min_words', p6, n_total FROM a
+      |  UNION ALL SELECT 'zz_keep_all', pk, n_total FROM a)
+      |ORDER BY rule""".stripMargin
+
+  private def gopherQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusFilters.gopherFlags(filterAugmented(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stopwords"),
+        col("g_words"), col("g_mean_len"), col("g_symbol"), col("g_alpha"),
+        col("g_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  private val gopherOracle =
+    s"""WITH $filterCte,
+      |t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM fdocs),
+      |m AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace,
+      |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hashes,
+      |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+      |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','to',
+      |    'in','is','it','for','on','with'))) AS BIGINT) AS n_stopwords
+      |FROM t),
+      |x AS (SELECT doc_id, n_words,
+      |  nonspace::DOUBLE / n_words AS mean_word_len,
+      |  (hashes + ellipses)::DOUBLE / n_words AS symbol_ratio,
+      |  n_alpha::DOUBLE / n_words AS alpha_frac,
+      |  n_stopwords FROM m)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+      |  n_stopwords,
+      |  n_words BETWEEN 20 AND 10000 AS g_words,
+      |  mean_word_len BETWEEN 3.0 AND 10.0 AS g_mean_len,
+      |  symbol_ratio <= 0.05 AS g_symbol,
+      |  alpha_frac >= 0.8 AS g_alpha,
+      |  n_stopwords >= 2 AS g_stop,
+      |  (n_words BETWEEN 20 AND 10000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND symbol_ratio <= 0.05 AND alpha_frac >= 0.8 AND n_stopwords >= 2
+      |    AS keep
+      |FROM x ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -570,7 +680,9 @@ object CurationQueries {
     "q_csv_roundtrip" -> (csvRoundtripQ _),
     "q_orc_roundtrip" -> (orcRoundtripQ _),
     "q_avro_roundtrip" -> (avroRoundtripQ _),
-    "q_csv_dlq" -> (csvDlqQ _)
+    "q_csv_dlq" -> (csvDlqQ _),
+    "q_c4_filters" -> (c4FiltersQ _),
+    "q_gopher_rules" -> (gopherQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -592,6 +704,8 @@ object CurationQueries {
     "q_csv_roundtrip" -> roundtripOracle,
     "q_orc_roundtrip" -> roundtripOracle,
     "q_avro_roundtrip" -> roundtripOracle,
-    "q_csv_dlq" -> csvDlqOracle
+    "q_csv_dlq" -> csvDlqOracle,
+    "q_c4_filters" -> c4FiltersOracle,
+    "q_gopher_rules" -> gopherOracle
   )
 }
