@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining (pair level) over basket-shaped data — "parts
+  * that ship together" on the star schema, or any (basket, item) table.
+  *
+  * The classic apriori observation does the scale work: a pair can only be
+  * frequent if BOTH items are frequent, so the item table is pruned to
+  * frequent items BEFORE the pair-generating self-join. At 100 TB the
+  * self-join on the basket key is the one real shuffle; its fan-out is
+  * bounded by (frequent items per basket)², and the frequency cut is the
+  * valve — exactly the shared-shingle frequency-cut pattern in
+  * [[graft.dedup.Dedup.ngramJaccardPairs]]. A skewed mega-basket would
+  * square inside one task; cap basket size upstream if baskets are
+  * user-generated (retail baskets and order lines are naturally bounded).
+  *
+  * `lift` is derived from exact BIGINT supports with one IEEE
+  * multiplication tree fixed by the column order below — bit-stable
+  * cross-engine.
+  */
+object Itemsets {
+
+  /** Frequent co-occurring item pairs with support counts and lift.
+    *
+    * @param items      (basketCol, itemCol) rows; duplicates within a basket
+    *                   are collapsed (set semantics, standard for itemsets).
+    * @param minSupport minimum number of baskets containing the pair (and,
+    *                   by apriori, each item).
+    */
+  def frequentPairs(items: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    val baskets = items.select(col(basketCol).as("basket"),
+      col(itemCol).as("item")).distinct()
+    val nBaskets = baskets.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemSupport = baskets.groupBy(col("item"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    // apriori prune: only frequent items enter the pair join
+    val frequent = baskets.join(itemSupport, "item")
+      .select(col("basket"), col("item"), col("support"))
+    val pairs = frequent.as("a").join(frequent.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support_ab"),
+        first(col("a.support")).as("support_a"),
+        first(col("b.support")).as("support_b"))
+      .filter(col("support_ab") >= minSupport)
+    pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("support_ab"),
+        col("support_a"), col("support_b"),
+        ((col("support_ab") * col("n_baskets")).cast("double") /
+          (col("support_a") * col("support_b")).cast("double")).as("lift"))
+  }
+}

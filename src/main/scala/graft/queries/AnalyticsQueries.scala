@@ -1064,7 +1064,69 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
       |ORDER BY gid, event_type, cohort""".stripMargin
 
+  /** Frequent part pairs ("ship together") over order baskets —
+    * [[graft.analytics.Itemsets.frequentPairs]] with the apriori prune.
+    */
+  private def frequentPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Itemsets.frequentPairs(
+        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(desc("support_ab"), col("item_a"), col("item_b"))
+
+  private val frequentPairsOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+      |s AS (SELECT item, count(*) AS support FROM b GROUP BY item HAVING count(*) >= 2),
+      |f AS (SELECT b.basket, b.item, s.support FROM b JOIN s USING (item)),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |    count(*) AS support_ab, min(a.support) AS support_a,
+      |    min(c.support) AS support_b
+      |  FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, CAST(support_ab AS BIGINT) AS support_ab,
+      |  CAST(support_a AS BIGINT) AS support_a,
+      |  CAST(support_b AS BIGINT) AS support_b,
+      |  (support_ab * n_baskets)::DOUBLE / (support_a * support_b)::DOUBLE AS lift
+      |FROM p, n ORDER BY support_ab DESC, item_a, item_b""".stripMargin
+
+  /** Exact per-column dataset profile ([[graft.maintain.Profile]]) over six
+    * representative lineitem columns (int, double, string, timestamp→date).
+    */
+  private def columnProfileQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Profile
+    Profile.columnProfile(graft.Tables.lineitem(s, dir), Seq(
+        "l_orderkey" -> Profile.AsString,
+        "l_linenumber" -> Profile.AsString,
+        "l_quantity" -> Profile.AsDecimal2,
+        "l_extendedprice" -> Profile.AsDecimal2,
+        "l_returnflag" -> Profile.AsString,
+        "l_shipdate" -> Profile.AsDate))
+      .withColumnRenamed("column", "col_name")
+      .orderBy(col("col_name"))
+  }
+
+  private val columnProfileOracle = {
+    def branch(c: String, render: String) = {
+      val mn = render match {
+        case "dec"  => s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)"
+        case "date" => s"CAST(CAST(min($c) AS DATE) AS VARCHAR)"
+        case _      => s"CAST(min($c) AS VARCHAR)"
+      }
+      val mx = mn.replace("min(", "max(")
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  $mn AS min_val, $mx AS max_val FROM lineitem""".stripMargin
+    }
+    Seq(branch("l_orderkey", "str"), branch("l_linenumber", "str"),
+      branch("l_quantity", "dec"), branch("l_extendedprice", "dec"),
+      branch("l_returnflag", "str"), branch("l_shipdate", "date"))
+      .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frequent_pairs" -> (frequentPairsQ _),
+    "q_column_profile" -> (columnProfileQ _),
     "q_grouping_sets" -> (groupingSetsQ _),
     "q_count_min" -> (countMinQ _),
     "q_gap_fill" -> (gapFillQ _),
@@ -1109,6 +1171,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_frequent_pairs" -> frequentPairsOracle,
+    "q_column_profile" -> columnProfileOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_count_min" -> countMinOracle,
     "q_gap_fill" -> gapFillOracle,

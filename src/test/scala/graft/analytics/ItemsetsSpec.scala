@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.maintain.Profile
+import org.apache.spark.sql.functions._
+
+class ItemsetsSpec extends SparkSpec {
+
+  test("frequentPairs counts planted co-occurrences with apriori prune") {
+    import spark.implicits._
+    // baskets: {1,2,3} x3, {1,2} x1, {9,10} x1  (9,10 infrequent at minSupport=2...
+    // item 9 and 10 appear once -> pruned before the join)
+    val items = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (102L, 1L), (102L, 2L), (102L, 3L),
+      (103L, 1L), (103L, 2L), (103L, 2L), // dup within basket collapses
+      (104L, 9L), (104L, 10L)
+    ).toDF("basket", "item")
+    val res = Itemsets.frequentPairs(items, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(res.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val (sAb, sA, sB, lift) = res((1L, 2L))
+    assert(sAb === 4L && sA === 4L && sB === 4L)
+    assert(lift === (4.0 * 5.0) / (4.0 * 4.0)) // 5 baskets total
+    assert(res((1L, 3L))._1 === 3L)
+  }
+
+  test("frequentPairs plan: equi-join on basket, no cartesian") {
+    val li = graft.Tables.lineitem(spark, sf())
+      .select(col("l_orderkey"), col("l_partkey"))
+    val plan = Itemsets.frequentPairs(li, "l_orderkey", "l_partkey", 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is the 1-row n_baskets envelope cross
+    assert(plan.split("BroadcastNestedLoopJoin").length <= 2, plan)
+    // the pair-generating join must be a hash equi-join on the basket key
+    assert(plan.contains("HashJoin [basket"), plan)
+  }
+
+  test("columnProfile: nulls, exact distinct, canonical rendering") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 2.5, "a"), (2L, null, "b"), (null, 4.0, "b"))
+      .toDF("k", "v", "s")
+    val rows = Profile.columnProfile(df, Seq(
+        "k" -> Profile.AsString, "v" -> Profile.AsDecimal2,
+        "s" -> Profile.AsString))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("k").getAs[Long]("n_nulls") === 1L)
+    assert(rows("k").getAs[Long]("n_distinct") === 2L)
+    assert(rows("v").getAs[String]("min_val") === "2.50")
+    assert(rows("v").getAs[String]("max_val") === "4.00")
+    assert(rows("s").getAs[Long]("n_distinct") === 2L)
+    assert(rows("s").getAs[Long]("n_rows") === 3L)
+  }
+}
