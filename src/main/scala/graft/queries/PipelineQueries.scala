@@ -1889,7 +1889,63 @@ object PipelineQueries {
 
   // ---- registry ----------------------------------------------------------
 
+  /** One BPE merge round over the corpus ([[TextAnalysis.bpePairs]]). */
+  private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairs(Tables.documents(s, dir), k = 30)
+      .orderBy(col("n").desc, col("pair"))
+
+  private val bpePairsOracle =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+      |w2 AS (SELECT word FROM w WHERE len(word) >= 2),
+      |p AS (SELECT unnest(list_transform(range(1, len(word)),
+      |        i -> word[i:i+1])) AS pair FROM w2)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
+  /** Approximate k-NN graph over all embeddings ([[Similarity.knnGraph]]):
+    * banded SRP candidates both directions, exact-cosine top-3 per source,
+    * mutual-edge flag. The oracle replicates band keys (embedded plane
+    * literals), the OR-of-bands candidate join, the per-source rank, and
+    * the reverse-edge self-join — full rows+hash compare.
+    */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, dir), k = 3)
+      .orderBy(col("src"), col("rank"))
+
+  private val knnGraphOracle = {
+    val planes = Similarity.hyperplanes(16, 64, 42L)
+    val ks = (0 until 4).map(b =>
+      s"${srpBucketSqlFor("vec", planes.slice(b * 4, (b + 1) * 4))} AS k$b")
+      .mkString(",\n      |  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec,
+      |  $ks
+      |FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+      |  FROM b a JOIN b c ON a.vec_id <> c.vec_id
+      |    AND (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+      |),
+      |s AS (
+      |  SELECT src, dst, ${cosSql("va.vec", "vb.vec")} AS cosine
+      |  FROM cand
+      |  JOIN v va ON va.vec_id = src
+      |  JOIN v vb ON vb.vec_id = dst
+      |),
+      |r AS (SELECT src, dst, cosine,
+      |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      |  FROM s),
+      |e AS (SELECT src, dst, rk, cosine FROM r WHERE rk <= 3)
+      |SELECT e.src, e.dst, CAST(e.rk AS INTEGER) AS rank, e.cosine,
+      |  m.src IS NOT NULL AS mutual
+      |FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
+      |ORDER BY e.src, e.rk""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (bpePairsQ _),
+    "q_knn_graph" -> (knnGraphQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
@@ -1977,6 +2033,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" -> bpePairsOracle,
+    "q_knn_graph" -> knnGraphOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

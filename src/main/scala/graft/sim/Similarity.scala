@@ -231,6 +231,51 @@ object Similarity {
       .select("query_id", "nn_id", "rank", "cosine")
   }
 
+  /** Approximate k-NN *graph* over the whole corpus (every vector's top-k
+    * neighbors, not a query set): candidates from the banded SRP
+    * (band, bucket) equi-join in both directions, exact-cosine re-rank per
+    * source, `mutual` marking edges whose reverse edge also survived its
+    * source's top-k — the backbone for graph-based diversity sampling and
+    * cluster seeding (mutual-kNN edges are the standard density signal).
+    *
+    * Scale shape: candidate generation is O(bucket collisions), never
+    * all-pairs; the per-source window is bounded by that vector's candidate
+    * count; the mutual check is a self equi-join of the (already small)
+    * edge set on (src, dst). Vectors whose buckets are singletons in every
+    * band produce no rows — at 100 TB you'd widen recall with more bands or
+    * Hamming-1 multiprobe ([[lshTopKMultiprobe]]'s expansion applied to the
+    * banded keys), not by densifying buckets.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bands: Int = 4,
+               planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val v = spread(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      srpBucket(col("vec"), planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    val banded = v.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val edges = cands
+      .join(v.select(col("id").as("src"), col("vec").as("vec_a")), "src")
+      .join(v.select(col("id").as("dst"), col("vec").as("vec_b")), "dst")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"), col("cosine"))
+    val reverse = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("mutual"))
+    edges.join(reverse, Seq("src", "dst"), "left")
+      .withColumn("mutual", coalesce(col("mutual"), lit(false)))
+  }
+
   /** Online near-duplicate filter: each incoming vector is checked against
     * the corpus vectors in its SRP bucket; pairs at cosine ≥ threshold come
     * back as (in_id, dup_of, cosine) flags. Stateless select/join/filter, so

@@ -291,6 +291,37 @@ object TextAnalysis {
         col("c2"), col("lift"))
   }
 
+  /** One BPE-training round: corpus-wide counts of adjacent character pairs
+    * within words — the merge-candidate statistic a byte-pair-encoding
+    * tokenizer trainer computes each iteration (the top pair becomes the
+    * next merge). Every occurrence counts (not per-word distinct), matching
+    * the BPE objective. Top-k by (count desc, pair asc) — fully
+    * deterministic, integer-only.
+    *
+    * Scale shape: two narrow explodes (token, then ≤len-1 pairs per token)
+    * feed ONE aggregate on the pair key with map-side combine — the reduce
+    * side sees at most |alphabet|² keys regardless of corpus size, so the
+    * shuffle is metadata-sized. The top-k is a TakeOrderedAndProject.
+    * An iterated trainer would re-run this per merge round over the
+    * re-paired corpus; each round is this same plan.
+    */
+  def bpePairs(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val words = docs.select(col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", toks(col("__text")))
+      .select(explode(col("__toks")).as("word"))
+      .filter(length(col("word")) >= 2)
+    words
+      .withColumn("__pairs",
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+      .select(explode(col("__pairs")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Inverted-index posting lists: one row per term with its document
     * frequency and the sorted posting array. At 100 TB this is materialized
     * once as a term-bucketed table ([[graft.maintain.Layout.writeBucketed]])

@@ -157,4 +157,30 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < 256))
   }
+  test("knnGraph: ranks per source, mutual flag symmetric, no cartesian") {
+    val g = Similarity.knnGraph(emb, k = 3).cache()
+    val rows = g.as[(Long, Long, Int, Double, Boolean)].collect()
+    // ranks within each source are 1..n without gaps, n <= k
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._3).sorted.toSeq == (1 to es.length).toSeq && es.length <= 3)
+    }
+    // mutual is true exactly when the reverse edge is present
+    val edgeSet = rows.map(r => (r._1, r._2)).toSet
+    rows.foreach { r =>
+      assert(r._5 == edgeSet.contains((r._2, r._1)), s"mutual mismatch on $r")
+    }
+    // cosine ordering within a source is non-increasing by rank
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    g.unpersist()
+    ()
+  }
 }

@@ -244,4 +244,14 @@ class TextSpec extends SparkSpec {
     rankSpecs.foreach(spec => assert(spec.contains("__salt"),
       s"rank window not salted: $spec"))
   }
+  test("bpePairs counts every adjacent char-pair occurrence, top-k ordered") {
+    val docs = Seq("abab ab", "x abab").toDF("text")
+    // "abab" x2 -> pairs ab,ba,ab each; "ab" x1 -> ab; "x" filtered (len 1)
+    val out = TextAnalysis.bpePairs(docs, k = 10).as[(String, Long)].collect()
+    val m = out.toMap
+    assert(m("ab") == 5L) // 2 per "abab" occurrence (x2) + 1 from "ab"
+    assert(m("ba") == 2L)
+    assert(out.head._1 == "ab") // count-desc order
+    assert(m.size == 2)
+  }
 }
