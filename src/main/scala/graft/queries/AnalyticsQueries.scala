@@ -1124,9 +1124,48 @@ object AnalyticsQueries {
       .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
   }
 
+  /** Data-contract validation ([[graft.maintain.Expectations]]) over
+    * lineitem: six named rules, thresholds chosen so several genuinely
+    * fire on the data (quantity cap, discount cap, shipdate horizon,
+    * returnflag domain) alongside clean ones — violation counts, not just
+    * pass/fail.
+    */
+  private def expectationsQ(s: SparkSession, dir: String): DataFrame =
+    graft.maintain.Expectations.validate(graft.Tables.lineitem(s, dir), Seq(
+        "discount_le_008" -> (col("l_discount") <= 0.08),
+        "orderkey_not_null" -> col("l_orderkey").isNotNull,
+        "price_ge_1000" -> (col("l_extendedprice") >= 1000.0),
+        "quantity_le_45" -> (col("l_quantity") <= 45.0),
+        "returnflag_a_n" -> col("l_returnflag").isin("A", "N"),
+        "shipdate_lt_2001" ->
+          (col("l_shipdate") < lit("2001-01-01").cast("timestamp"))))
+      .orderBy(col("rule"))
+
+  private val expectationsOracle =
+    """WITH a AS (SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN NOT coalesce(l_discount <= 0.08, false) THEN 1 ELSE 0 END) AS v1,
+      |  sum(CASE WHEN NOT coalesce(l_orderkey IS NOT NULL, false) THEN 1 ELSE 0 END) AS v2,
+      |  sum(CASE WHEN NOT coalesce(l_extendedprice >= 1000.0, false) THEN 1 ELSE 0 END) AS v3,
+      |  sum(CASE WHEN NOT coalesce(l_quantity <= 45.0, false) THEN 1 ELSE 0 END) AS v4,
+      |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N'), false) THEN 1 ELSE 0 END) AS v5,
+      |  sum(CASE WHEN NOT coalesce(l_shipdate < TIMESTAMP '2001-01-01', false) THEN 1 ELSE 0 END) AS v6
+      |FROM lineitem)
+      |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(v AS BIGINT) AS n_violations,
+      |  v::DOUBLE / n_rows AS violation_rate
+      |FROM (
+      |  SELECT 'discount_le_008' AS rule, v1 AS v, n_rows FROM a
+      |  UNION ALL SELECT 'orderkey_not_null', v2, n_rows FROM a
+      |  UNION ALL SELECT 'price_ge_1000', v3, n_rows FROM a
+      |  UNION ALL SELECT 'quantity_le_45', v4, n_rows FROM a
+      |  UNION ALL SELECT 'returnflag_a_n', v5, n_rows FROM a
+      |  UNION ALL SELECT 'shipdate_lt_2001', v6, n_rows FROM a)
+      |ORDER BY rule""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frequent_pairs" -> (frequentPairsQ _),
     "q_column_profile" -> (columnProfileQ _),
+    "q_expectations" -> (expectationsQ _),
     "q_grouping_sets" -> (groupingSetsQ _),
     "q_count_min" -> (countMinQ _),
     "q_gap_fill" -> (gapFillQ _),
@@ -1173,6 +1212,7 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_frequent_pairs" -> frequentPairsOracle,
     "q_column_profile" -> columnProfileOracle,
+    "q_expectations" -> expectationsOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_count_min" -> countMinOracle,
     "q_gap_fill" -> gapFillOracle,

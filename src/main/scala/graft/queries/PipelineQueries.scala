@@ -1943,9 +1943,81 @@ object PipelineQueries {
       |ORDER BY e.src, e.rk""".stripMargin
   }
 
+  /** Embedding hygiene audit ([[Similarity.vectorHygiene]]) on a corpus
+    * with planted corruption: all-zero vectors (+10000 ids), all-NaN
+    * vectors (+20000), truncated 32-dim vectors (+30000) — same
+    * construction in the oracle, counts compared exactly.
+    */
+  private def vectorHygieneQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val aug = emb
+      .unionByName(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          array_repeat(lit(0.0f), 64).as("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 50 === 1)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(col("embedding"), _ => lit(Float.NaN)).as("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 50 === 2)
+        .select((col("vec_id") + 30000L).as("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding")))
+    Similarity.vectorHygiene(aug)
+  }
+
+  private val vectorHygieneOracle =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000, list_transform(range(1, 65), i -> 0.0)
+      |    FROM embeddings WHERE vec_id % 50 = 0
+      |  UNION ALL SELECT vec_id + 20000,
+      |      list_transform(embedding::DOUBLE[], x -> 'NaN'::DOUBLE)
+      |    FROM embeddings WHERE vec_id % 50 = 1
+      |  UNION ALL SELECT vec_id + 30000, (embedding::DOUBLE[])[1:32]
+      |    FROM embeddings WHERE vec_id % 50 = 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(sum(CASE WHEN len(v) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+      |  CAST(sum(CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+      |  CAST(sum(CASE WHEN len(list_filter(v, x -> x <> 0)) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(CASE WHEN len(v) = 64
+      |      AND len(list_filter(v, x -> isnan(x))) = 0
+      |      AND len(list_filter(v, x -> x <> 0)) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      |FROM aug""".stripMargin
+
+  /** Contrastive pos/hard-negative mining ([[Similarity.hardNegatives]]):
+    * nearest same-label and nearest different-label bucket mate per anchor.
+    * Oracle replicates bucket assignment, the label split, and the rank-1
+    * window.
+    */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 50))
+      .orderBy(col("anchor"), col("kind"))
+  }
+
+  private val hardNegativesOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+      |b AS (SELECT vec_id, vec, label, ${srpBucketSql("vec")} AS bucket FROM v),
+      |a AS (SELECT vec_id AS anchor, vec AS a_vec, label AS a_label, bucket
+      |  FROM b WHERE vec_id < 50),
+      |p AS (
+      |  SELECT anchor,
+      |    CASE WHEN a_label = c.label THEN 'pos' ELSE 'neg' END AS kind,
+      |    c.vec_id AS nn_id, a_label, c.label AS nn_label,
+      |    ${cosSql("a_vec", "c.vec")} AS cosine
+      |  FROM a JOIN b c USING (bucket)
+      |  WHERE c.vec_id <> anchor)
+      |SELECT anchor, kind, nn_id, a_label, nn_label, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY anchor, kind
+      |    ORDER BY cosine DESC, nn_id) AS rk FROM p)
+      |WHERE rk = 1 ORDER BY anchor, kind""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> (bpePairsQ _),
     "q_knn_graph" -> (knnGraphQ _),
+    "q_vector_hygiene" -> (vectorHygieneQ _),
+    "q_hard_negatives" -> (hardNegativesQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
@@ -2035,6 +2107,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_bpe_pairs" -> bpePairsOracle,
     "q_knn_graph" -> knnGraphOracle,
+    "q_vector_hygiene" -> vectorHygieneOracle,
+    "q_hard_negatives" -> hardNegativesOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

@@ -276,6 +276,62 @@ object Similarity {
       .withColumn("mutual", coalesce(col("mutual"), lit(false)))
   }
 
+  /** Embedding-table hygiene audit: counts of wrong-dimension, NaN-bearing,
+    * and all-zero vectors (the three corruption classes an embedding
+    * ingest job produces — truncated writes, failed model calls, padding
+    * rows) plus the clean count. One map-side partial aggregate over a
+    * codegen'd projection; the reduce ships five longs. Run it as the
+    * admission gate before an embedding table feeds ANN/dedup — a single
+    * zero vector silently poisons cosine top-k (division by zero norm).
+    */
+  def vectorHygiene(corpus: DataFrame, dim: Int = 64,
+                    vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val wrongDim = size(v) =!= dim
+    val withNan = exists(v, x => isnan(x))
+    val allZero = forall(v, x => x === 0.0)
+    corpus.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(wrongDim, 1L).otherwise(0L)).as("n_wrong_dim"),
+      sum(when(withNan, 1L).otherwise(0L)).as("n_with_nan"),
+      sum(when(allZero, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(!wrongDim && !withNan && !allZero, 1L).otherwise(0L)).as("n_ok"))
+  }
+
+  /** Contrastive-pair mining: for each anchor, the nearest same-label
+    * vector (`kind = "pos"`) and the nearest different-label vector
+    * (`kind = "neg"` — the *hard negative*) among its SRP bucket mates.
+    * The standard training-pair generator for contrastive/metric learning
+    * over a labeled corpus.
+    *
+    * Scale shape: identical to [[lshTopK]] — anchors broadcast, corpus
+    * side one bucket equi-join, rank-1 window per (anchor, kind). The
+    * label join rides the same rows; no extra shuffle.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = spread(corpus.select(col(idCol).as("nn_id"),
+        asDouble(col(vecCol)).as("nn_vec"), col(labelCol).as("nn_label")))
+      .withColumn("bucket", srpBucket(col("nn_vec"), planes))
+    val a = anchors.select(col(idCol).as("anchor"),
+        asDouble(col(vecCol)).as("a_vec"), col(labelCol).as("a_label"))
+      .withColumn("bucket", srpBucket(col("a_vec"), planes))
+    val scored = c.join(broadcast(a), "bucket")
+      .filter(col("anchor") =!= col("nn_id"))
+      .withColumn("kind",
+        when(col("a_label") === col("nn_label"), "pos").otherwise("neg"))
+      .withColumn("cosine", cosine(col("a_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("anchor"), col("kind"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("anchor"), col("kind"), col("nn_id"), col("a_label"),
+        col("nn_label"), col("cosine"))
+  }
+
   /** Online near-duplicate filter: each incoming vector is checked against
     * the corpus vectors in its SRP bucket; pairs at cosine ≥ threshold come
     * back as (in_id, dup_of, cosine) flags. Stateless select/join/filter, so

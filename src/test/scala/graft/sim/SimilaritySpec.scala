@@ -183,4 +183,31 @@ class SimilaritySpec extends SparkSpec {
     g.unpersist()
     ()
   }
+  test("vectorHygiene flags planted corruption classes") {
+    val base = emb.limit(20).select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val bad = Seq(
+      (9001L, Seq.fill(64)(0.0)),                       // zero
+      (9002L, Seq.fill(64)(Double.NaN)),                // nan
+      (9003L, Seq.fill(32)(1.0))                        // wrong dim
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.vectorHygiene(base.unionByName(bad)).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 23L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("n_with_nan") == 1L)
+    assert(r.getAs[Long]("n_wrong_dim") == 1L)
+    assert(r.getAs[Long]("n_ok") == 20L)
+  }
+
+  test("hardNegatives: rank-1 per (anchor, kind), labels split correctly") {
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" < 30))
+      .as[(Long, String, Long, Int, Int, Double)].collect()
+    // at most one pos and one neg per anchor
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rs) => assert(rs.length == 1) }
+    out.foreach { r =>
+      if (r._2 == "pos") assert(r._4 == r._5, s"pos pair with different labels: $r")
+      else assert(r._4 != r._5, s"neg pair with same label: $r")
+      assert(r._1 != r._3)
+    }
+    assert(out.nonEmpty)
+  }
 }
