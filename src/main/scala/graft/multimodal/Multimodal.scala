@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * [[pngMedia]]/[[decodeImage]]/[[resizeImage]] and `javax.sound.sampled`
   * WAVE in [[wavMedia]]/[[decodeAudio]] — genuine encode→decode round trips
   * on the executors, exercised end-to-end by the `q_image_decode` /
-  * `q_image_resize` / `q_audio_decode` oracles. Video codecs remain STUBBED
-  * (no such library in this environment): [[decodeStub]] produces
-  * deterministic fake features derived from the bytes, and the real
-  * decoders fall back to it (or emit `decoded = false`) for payloads they
-  * cannot parse. Everything around the codec — schema, encoder-typed rows,
-  * per-partition batching, pushdown-friendly metadata columns — is the real
-  * Spark plumbing any decoder plugs into.
+  * `q_image_resize` / `q_audio_decode` oracles. Video has no JDK codec, so
+  * [[videoMedia]]/[[sampleFrames]] use a trivial length-prefixed frame
+  * container (the one STUBBED layer, disclosed there) around genuinely
+  * PNG-encoded frames — the per-frame decode is real ImageIO. The generic
+  * [[decodeStub]] produces deterministic fake features derived from the
+  * bytes, and the real decoders fall back to it (or emit `decoded = false`)
+  * for payloads they cannot parse. Everything around the codec — schema,
+  * encoder-typed rows, per-partition batching, pushdown-friendly metadata
+  * columns — is the real Spark plumbing any decoder plugs into.
   *
   * Scale notes: media bytes are the widest column by orders of magnitude —
   * keep metadata in separate columns so pruning/filtering never touches the
@@ -334,6 +336,121 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
           MediaRow(r.doc_id, bos.toByteArray, "png", w2, h2)
+        }
+      }
+    }
+  }
+
+  // ---- video: frame container + frame sampling -----------------------------
+
+  case class VideoRow(doc_id: Long, media: Array[Byte], n_frames: Int)
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                           width: Int, height: Int, luma_mean: Double,
+                           decoded: Boolean)
+
+  private val GVID_MAGIC = 0x47564944 // "GVID"
+
+  /** Deterministic "videos": a GVID container — magic, frame count, then
+    * length-prefixed REAL PNG frames (the [[pngMedia]] gradient
+    * phase-shifted by 29·frame_idx, so every frame's pixels have a closed
+    * form an oracle can re-derive). The JDK has no video codec, so the
+    * *container* is this repo's own trivial format — but each frame inside
+    * it is a genuine PNG encode, and [[sampleFrames]] runs a genuine PNG
+    * decode per sampled frame. Production swap: container parse → MP4
+    * demux, ImageIO → the real frame decoder; the Spark plumbing (binary
+    * column, per-partition batching, frame explode) is unchanged.
+    */
+  def videoMedia(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 8 + 1).toInt
+        val h = (id % 6 + 1).toInt
+        val nf = (id % 4 + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(bos)
+        dos.writeInt(GVID_MAGIC)
+        dos.writeInt(nf)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id + 7L * x + 13L * y + 29L * f) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val fb = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", fb)
+          dos.writeInt(fb.size())
+          fb.writeTo(dos)
+          f += 1
+        }
+        dos.flush()
+        VideoRow(id, bos.toByteArray, nf)
+      }
+    }
+  }
+
+  /** Frame sampling + REAL per-frame decode: parse the GVID container,
+    * keep every `step`-th frame, `ImageIO.read` each kept frame, features
+    * from the decoded pixels (same luma formula as [[decodeImage]]). One
+    * output row per sampled frame — the "explode video into training
+    * frames" pipeline stage. Unparseable containers produce a single
+    * `decoded = false` row (frame_idx −1) instead of failing the batch.
+    *
+    * Scale shape: `mapPartitions` flatMap — decode cost scales with
+    * *sampled* frames only (the container is seeked frame-by-frame, skipped
+    * frames are never decoded); the blob column is read once per row and
+    * never shuffled.
+    */
+  def sampleFrames(spark: SparkSession, videos: DataFrame,
+                   step: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    videos.as[VideoRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          require(dis.readInt() == GVID_MAGIC, "bad magic")
+          val nf = dis.readInt()
+          val out = scala.collection.mutable.ArrayBuffer[FrameFeatures]()
+          var f = 0
+          while (f < nf) {
+            val len = dis.readInt()
+            if (f % step == 0) {
+              val b = new Array[Byte](len)
+              dis.readFully(b)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b))
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              out += FrameFeatures(r.doc_id, f, nf, w, h,
+                sum.toDouble / (3.0 * w * h), decoded = true)
+            } else {
+              dis.skipBytes(len) // sampled-out frames are never decoded
+            }
+            f += 1
+          }
+          out.iterator
+        } catch {
+          case _: Exception =>
+            Iterator(FrameFeatures(r.doc_id, -1, 0, 0, 0, 0.0, decoded = false))
         }
       }
     }

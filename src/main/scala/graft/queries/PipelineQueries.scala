@@ -1119,6 +1119,17 @@ object PipelineQueries {
   private val wavMediaPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  private[graft] def videoMediaParquet(s: SparkSession, dir: String): String =
+    videoMediaPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_video_media").toString
+      Multimodal.videoMedia(s, Tables.documents(s, dir)).write
+        .mode("overwrite").parquet(p)
+      p
+    })
+
+  private val videoMediaPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   /** Near-dup pair table over the augmented corpus, materialized once per
     * process per sf dir — the artifact every graph consumer (connected
     * components, triangles, PageRank, canonical selection) reads in
@@ -1881,6 +1892,7 @@ object PipelineQueries {
     TextAnalysis.materializePostings(Tables.documents(s, dir), key = dir)
     pngMediaParquet(s, dir)
     wavMediaParquet(s, dir)
+    videoMediaParquet(s, dir)
     dupPairsParquet(s, dir)
     dupPairsParquet(s, dir, "#tri")
     componentsParquet(s, dir)
@@ -2013,11 +2025,44 @@ object PipelineQueries {
       |    ORDER BY cosine DESC, nn_id) AS rk FROM p)
       |WHERE rk = 1 ORDER BY anchor, kind""".stripMargin
 
+  /** Video frame sampling ([[Multimodal.sampleFrames]]): GVID containers
+    * (prebuilt fixture, [[videoMediaParquet]]) parsed on executors, every
+    * 2nd frame REAL-PNG-decoded, per-frame pixel stats. The oracle
+    * re-derives every sampled frame's luma from the closed-form gradient —
+    * a one-pixel decode error hash-mismatches.
+    */
+  private def videoFramesQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, s.read.parquet(videoMediaParquet(s, dir)), step = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("width"),
+        col("height"), col("luma_mean"), col("decoded"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val videoFramesOracle =
+    """WITH px AS (
+      |  SELECT doc_id, CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+      |    CAST(doc_id % 6 + 1 AS INTEGER) AS h,
+      |    CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, w, h, nf, CAST(f AS INTEGER) AS frame_idx
+      |  FROM px, unnest(range(0, nf)) rf(f) WHERE f % 2 = 0
+      |), s AS (
+      |  SELECT doc_id, frame_idx, nf, w, h,
+      |    sum(3 * ((doc_id + 7 * x + 13 * y + 29 * frame_idx) % 256)) AS rgbsum
+      |  FROM fr, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y)
+      |  GROUP BY doc_id, frame_idx, nf, w, h
+      |)
+      |SELECT doc_id, frame_idx, nf AS n_frames, w AS width, h AS height,
+      |  CAST(rgbsum AS DOUBLE) / (3.0 * w * h) AS luma_mean, true AS decoded
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> (bpePairsQ _),
     "q_knn_graph" -> (knnGraphQ _),
     "q_vector_hygiene" -> (vectorHygieneQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
+    "q_video_frames" -> (videoFramesQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
@@ -2109,6 +2154,7 @@ object PipelineQueries {
     "q_knn_graph" -> knnGraphOracle,
     "q_vector_hygiene" -> vectorHygieneOracle,
     "q_hard_negatives" -> hardNegativesOracle,
+    "q_video_frames" -> videoFramesOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

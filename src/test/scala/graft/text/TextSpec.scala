@@ -254,4 +254,29 @@ class TextSpec extends SparkSpec {
     assert(out.head._1 == "ab") // count-desc order
     assert(m.size == 2)
   }
+  test("video frames: container round-trip, sampling, corrupt fallback") {
+    val vids = Multimodal.videoMedia(spark,
+      Seq(3L, 10L).toDF("doc_id")).toDF()
+    val frames = Multimodal.sampleFrames(spark, vids, step = 2).collect()
+    // doc 3: nf = 3%4+2 = 5 -> sampled frames 0,2,4; doc 10: nf = 4 -> 0,2
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(3L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(byDoc(10L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    frames.foreach { f =>
+      assert(f.decoded && f.width == (f.doc_id % 8 + 1).toInt &&
+        f.height == (f.doc_id % 6 + 1).toInt)
+      // closed-form luma for a 1-pixel-wide gradient checks the decode math
+      val exp = (0 until f.width).flatMap(x => (0 until f.height).map(y =>
+        ((f.doc_id + 7L * x + 13L * y + 29L * f.frame_idx) % 256).toDouble))
+        .sum / (f.width * f.height)
+      assert(math.abs(f.luma_mean - exp) < 1e-9, s"luma mismatch: $f")
+    }
+    // corrupted container -> one decoded=false row, batch survives
+    val bad = vids.withColumn("media",
+      when($"doc_id" === 3L, lit(Array[Byte](1, 2, 3))).otherwise($"media"))
+    val out = Multimodal.sampleFrames(spark, bad, step = 2).collect()
+    val badRows = out.filter(_.doc_id == 3L)
+    assert(badRows.length == 1 && !badRows.head.decoded)
+    assert(out.count(_.doc_id == 10L) == 2)
+  }
 }
