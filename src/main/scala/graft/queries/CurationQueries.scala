@@ -659,6 +659,54 @@ object CurationQueries {
       |    AS keep
       |FROM x ORDER BY doc_id""".stripMargin
 
+  // ---- URL extraction / normalization --------------------------------------
+
+  /** Corpus with planted URLs (the raw docs contain none): three `doc_id % 7`
+    * residues append, respectively, a mixed-case host + `utm_` tracking
+    * param, a fragment-bearing URL, and a multi-param URL with `utm_` in the
+    * middle — exercising every normalization rule. Same CASE in the oracle.
+    */
+  private def urlNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 7
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(m === 0, concat(col("text"),
+          lit(" https://WWW.Example.COM/path/p"), col("doc_id") % 5,
+          lit("?utm_source=feed&id="), col("doc_id")))
+        .when(m === 1, concat(col("text"),
+          lit(" http://Blog.Example.org/a/"), col("doc_id") % 3, lit("#frag")))
+        .when(m === 2, concat(col("text"),
+          lit(" https://cdn.example.net/img?x=1&utm_campaign=z&y=2")))
+        .otherwise(col("text")).as("text"))
+    graft.text.Urls.urlStats(docs).orderBy(col("domain"), col("url_norm"))
+  }
+
+  private val urlNormalizeOracle =
+    """WITH udocs AS (
+      |  SELECT doc_id, CASE doc_id % 7
+      |    WHEN 0 THEN text || ' https://WWW.Example.COM/path/p' || (doc_id % 5)
+      |      || '?utm_source=feed&id=' || doc_id
+      |    WHEN 1 THEN text || ' http://Blog.Example.org/a/' || (doc_id % 3) || '#frag'
+      |    WHEN 2 THEN text || ' https://cdn.example.net/img?x=1&utm_campaign=z&y=2'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |u AS (SELECT unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+      |  FROM udocs),
+      |n AS (SELECT
+      |  regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+      |    '^www\.', '') AS domain,
+      |  regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |m AS (SELECT domain,
+      |  lower(regexp_extract(nofrag, '^(https?)', 1)) AS scheme,
+      |  regexp_extract(nofrag, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+      |  FROM n),
+      |f AS (SELECT domain, scheme || '://' || domain || path ||
+      |    CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS url_norm
+      |  FROM (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+      |      p -> NOT starts_with(p, 'utm_')), '&') AS kept FROM m))
+      |SELECT domain, url_norm, CAST(count(*) AS BIGINT) AS n
+      |FROM f GROUP BY 1, 2 ORDER BY domain, url_norm""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -682,7 +730,8 @@ object CurationQueries {
     "q_avro_roundtrip" -> (avroRoundtripQ _),
     "q_csv_dlq" -> (csvDlqQ _),
     "q_c4_filters" -> (c4FiltersQ _),
-    "q_gopher_rules" -> (gopherQ _)
+    "q_gopher_rules" -> (gopherQ _),
+    "q_url_normalize" -> (urlNormalizeQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -706,6 +755,7 @@ object CurationQueries {
     "q_avro_roundtrip" -> roundtripOracle,
     "q_csv_dlq" -> csvDlqOracle,
     "q_c4_filters" -> c4FiltersOracle,
-    "q_gopher_rules" -> gopherOracle
+    "q_gopher_rules" -> gopherOracle,
+    "q_url_normalize" -> urlNormalizeOracle
   )
 }

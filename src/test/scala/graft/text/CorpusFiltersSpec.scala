@@ -70,4 +70,16 @@ class CorpusFiltersSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+  test("url normalization: case, www, fragment, utm params, survivor order") {
+    import spark.implicits._
+    val df = Seq(
+      "see https://WWW.Example.COM/Path?utm_source=x&a=1&utm_b=2&b=2#frag end",
+      "plain http://site.org/p",
+      "no urls here").toDF("text")
+    val out = graft.text.Urls.urlStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("example.com", "https://example.com/Path?a=1&b=2", 1L),
+      ("site.org", "http://site.org/p", 1L)))
+  }
 }
