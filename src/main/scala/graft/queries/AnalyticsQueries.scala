@@ -1162,7 +1162,25 @@ object AnalyticsQueries {
       |  UNION ALL SELECT 'shipdate_lt_2001', v6, n_rows FROM a)
       |ORDER BY rule""".stripMargin
 
+  /** Scale-safe contiguous global ids ([[graft.ops.StableIds]]): range
+    * partition + partition sort + zipWithIndex — no single-task global
+    * window. The oracle is the naive `row_number() OVER (ORDER BY ...)`;
+    * matching it exactly proves the distributed numbering equals the total
+    * order.
+    */
+  private def stableIdsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StableIds.withStableIds(
+        graft.Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("source", "doc_id"))
+      .orderBy(col("stable_id"))
+
+  private val stableIdsOracle =
+    """SELECT doc_id, source,
+      |  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS stable_id
+      |FROM documents ORDER BY stable_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
     "q_column_profile" -> (columnProfileQ _),
     "q_expectations" -> (expectationsQ _),
@@ -1210,6 +1228,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
     "q_column_profile" -> columnProfileOracle,
     "q_expectations" -> expectationsOracle,

@@ -2057,7 +2057,43 @@ object PipelineQueries {
       |  CAST(rgbsum AS DOUBLE) / (3.0 * w * h) AS luma_mean, true AS decoded
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Sentence stats ([[TextAnalysis.sentenceStats]]) on a corpus with
+    * planted punctuation (the raw docs have none): two `doc_id % 3`
+    * residues turn a frequent word into a sentence boundary — plain-string
+    * replace, identical on both engines.
+    */
+  private def sentencesQ(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 3
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(m === 0, replace(col("text"), lit(" table "), lit(". ")))
+        .when(m === 1, replace(col("text"), lit(" data "), lit("! ")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.sentenceStats(docs).orderBy(col("doc_id"))
+  }
+
+  private val sentencesOracle =
+    """WITH sdocs AS (
+      |  SELECT doc_id, CASE doc_id % 3
+      |    WHEN 0 THEN replace(text, ' table ', '. ')
+      |    WHEN 1 THEN replace(text, ' data ', '! ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '[.!?]+\s*'), s -> s <> '') AS sents
+      |  FROM sdocs),
+      |m AS (SELECT doc_id,
+      |  CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(list_sum(list_transform(sents,
+      |    s -> len(string_split_regex(s, '\s+')))) AS BIGINT) AS n_words,
+      |  CAST(list_max(list_transform(sents,
+      |    s -> len(string_split_regex(s, '\s+')))) AS BIGINT) AS max_sentence_words
+      |FROM t)
+      |SELECT doc_id, n_sentences, n_words, max_sentence_words,
+      |  n_words::DOUBLE / n_sentences AS avg_sentence_words
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sentences" -> (sentencesQ _),
     "q_bpe_pairs" -> (bpePairsQ _),
     "q_knn_graph" -> (knnGraphQ _),
     "q_vector_hygiene" -> (vectorHygieneQ _),
@@ -2150,6 +2186,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sentences" -> sentencesOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_knn_graph" -> knnGraphOracle,
     "q_vector_hygiene" -> vectorHygieneOracle,

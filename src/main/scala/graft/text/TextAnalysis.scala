@@ -291,6 +291,29 @@ object TextAnalysis {
         col("c2"), col("lift"))
   }
 
+  /** Sentence segmentation + per-document sentence statistics: split on
+    * terminal-punctuation runs, drop empties, report sentence count, word
+    * totals, and the mean/max sentence length — the doc-structure features
+    * quality classifiers and packing policies consume (C4's "≥3 sentences"
+    * class of rules needs exactly this). Pure projection (the sentence
+    * array is materialized in its own projection per the object rules);
+    * no shuffle.
+    */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__sents",
+        filter(split(col(textCol), "[.!?]+\\s*"), s => s =!= ""))
+      .select(col(idCol), col("__sents"))
+      .withColumn("__lens", transform(col("__sents"), s => size(toks(s))))
+      .select(
+        col(idCol),
+        size(col("__sents")).cast("long").as("n_sentences"),
+        aggregate(col("__lens"), lit(0L), (acc, x) => acc + x).as("n_words"),
+        array_max(col("__lens")).cast("long").as("max_sentence_words"))
+      .withColumn("avg_sentence_words",
+        col("n_words").cast("double") / col("n_sentences"))
+
   /** One BPE-training round: corpus-wide counts of adjacent character pairs
     * within words — the merge-candidate statistic a byte-pair-encoding
     * tokenizer trainer computes each iteration (the top pair becomes the

@@ -98,4 +98,28 @@ class DeterminismSpec extends SparkSpec {
       .select($"content_hash", $"keep_id").as[(String, Long)].collect().toSet
     assert(groups(a) == groups(b))
   }
+  test("stableIds equal the total-order position under any partitioning") {
+    val (a, b) = variants(docs)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      StableIds.withStableIds(d, Seq("source", "doc_id"))
+        .select($"doc_id", $"stable_id").as[(Long, Long)].collect().toMap
+    val ia = ids(a)
+    assert(ia == ids(b))
+    // contiguous 0..n-1, and ordered like (source, doc_id)
+    assert(ia.values.toSeq.sorted == (0L until 60L).toSeq)
+    val bySort = docs.select($"doc_id", $"source").as[(Long, String)].collect()
+      .sortBy { case (id, src) => (src, id) }.map(_._1)
+    bySort.zipWithIndex.foreach { case (id, i) => assert(ia(id) == i.toLong) }
+  }
+
+  test("sentenceStats: crafted sentences, empties dropped") {
+    val out = graft.text.TextAnalysis.sentenceStats(
+        Seq((1L, "a b c. d e! f g h?"), (2L, "no punct here")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_sentences") == 3L)
+    assert(out(1L).getAs[Long]("n_words") == 8L)
+    assert(out(1L).getAs[Long]("max_sentence_words") == 3L)
+    assert(out(2L).getAs[Long]("n_sentences") == 1L)
+    assert(out(2L).getAs[Double]("avg_sentence_words") == 3.0)
+  }
 }
