@@ -17,7 +17,8 @@ object Bench {
     * driver's headline) but are broken out as `verification_total` so
     * operator cost is legible (VERDICT r2 item 2).
     */
-  val VerificationQueries: Set[String] = Set("q_minhash_recall", "q_ann_ivf_build")
+  val VerificationQueries: Set[String] =
+    Set("q_minhash_recall", "q_ann_ivf_build", "q_ann_recall")
 
   /** Force full evaluation of every output row AND column: hash-agg over a
     * struct of all columns. A bare `count()` lets Catalyst prune unused

@@ -29,6 +29,23 @@ object Profile {
   case object AsDecimal2 extends Render
   case object AsDate extends Render
 
+  /** Order-independent per-group content checksum: row count plus the sum
+    * of an md5-derived 32-bit value over a canonical `|`-joined rendering
+    * of `cols` — the anti-entropy check for comparing two copies of a
+    * table (replication, backfill vs streaming, pre/post-migration)
+    * without moving either. Sum, not xor-fold, so the checksum is
+    * partition-order-independent; one shuffle on the group key with
+    * map-side combine. Columns must be non-null (render with coalesce
+    * upstream if not) — a null poisons the whole row's rendering.
+    */
+  def tableChecksum(df: DataFrame, groupCol: String,
+                    cols: Seq[String]): DataFrame = {
+    val rendered = concat_ws("|", cols.map(col): _*)
+    val u32 = conv(substring(md5(rendered), 1, 8), 16, 10).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(u32).as("checksum"))
+  }
+
   /** Per-column profile rows for `columns` of `df`. */
   def columnProfile(df: DataFrame, columns: Seq[(String, Render)]): DataFrame =
     columns.map { case (name, render) =>

@@ -1179,7 +1179,25 @@ object AnalyticsQueries {
       |  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS stable_id
       |FROM documents ORDER BY stable_id""".stripMargin
 
+  /** Anti-entropy table checksum ([[graft.maintain.Profile.tableChecksum]])
+    * over documents per source — both engines fold the same md5-u32 per
+    * row, so the sums match exactly.
+    */
+  private def tableChecksumQ(s: SparkSession, dir: String): DataFrame =
+    graft.maintain.Profile.tableChecksum(graft.Tables.documents(s, dir),
+        "source", Seq("doc_id", "text", "lang", "n_chars"))
+      .orderBy(col("source"))
+
+  private val tableChecksumOracle = {
+    val u32 = OracleSql.md5U32Sql(
+      "doc_id::VARCHAR || '|' || text || '|' || lang || '|' || n_chars::VARCHAR")
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum($u32) AS BIGINT) AS checksum
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum" -> (tableChecksumQ _),
     "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
     "q_column_profile" -> (columnProfileQ _),
@@ -1228,6 +1246,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_table_checksum" -> tableChecksumOracle,
     "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
     "q_column_profile" -> columnProfileOracle,

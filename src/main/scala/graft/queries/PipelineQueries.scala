@@ -2092,7 +2092,71 @@ object PipelineQueries {
       |  n_words::DOUBLE / n_sentences AS avg_sentence_words
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Measured recall@3 of the SRP-LSH ANN paths against the exact
+    * brute-force top-3 over 50 queries — the "recall is measured, not
+    * assumed" audit for the ANN stack (reported under `verification_total`
+    * in Bench, like `q_minhash_recall`). Everything is deterministic, so
+    * the oracle replicates the entire computation — bucket assignment,
+    * both probe sets, the exact re-ranks, and the recall arithmetic — and
+    * the recall VALUES sit under the hash.
+    *
+    * Expect LOW absolute recall here: uniform-random synthetic embeddings
+    * are SRP-LSH's worst case (no cluster structure, so bucket mates are
+    * rarely true neighbors — sf0.01 measures 0.013 single-probe vs 0.080
+    * multiprobe, the expected ~6× Hamming-1 lift). Real embedding corpora
+    * cluster; the *measurement machinery* is the deliverable, and it is
+    * exactly what you rerun to size bands/probes on production vectors.
+    */
+  private def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select(col("query_id"), col("nn_id"))
+    def hits(method: String, res: DataFrame) =
+      res.select(col("query_id"), col("nn_id"))
+        .join(bf, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(150.0)).as("recall"))
+    hits("lsh", Similarity.lshTopK(emb, queries, k = 3))
+      .unionByName(hits("multiprobe",
+        Similarity.lshTopKMultiprobe(emb, queries, k = 3)))
+      .orderBy(col("method"))
+  }
+
+  private val annRecallOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (SELECT vec_id, vec, ${srpBucketSql("vec")} AS bucket FROM v),
+      |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM b WHERE vec_id < 50),
+      |bf AS (SELECT query_id, nn_id FROM (
+      |  SELECT query_id, c.vec_id AS nn_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${cosSql("q_vec", "c.vec")} DESC, c.vec_id) AS rk
+      |  FROM q, v c WHERE c.vec_id <> query_id) WHERE rk <= 3),
+      |lsh AS (SELECT query_id, nn_id FROM (
+      |  SELECT query_id, c.vec_id AS nn_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${cosSql("q_vec", "c.vec")} DESC, c.vec_id) AS rk
+      |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id) WHERE rk <= 3),
+      |probes AS (SELECT query_id, q_vec, xor(bucket, m) AS bucket
+      |  FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(m)),
+      |mp AS (SELECT query_id, nn_id FROM (
+      |  SELECT query_id, c.vec_id AS nn_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${cosSql("q_vec", "c.vec")} DESC, c.vec_id) AS rk
+      |  FROM probes JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+      |  WHERE rk <= 3)
+      |SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_hits,
+      |  count(*)::DOUBLE / 150.0 AS recall
+      |FROM lsh JOIN bf USING (query_id, nn_id)
+      |UNION ALL
+      |SELECT 'multiprobe', CAST(count(*) AS BIGINT),
+      |  count(*)::DOUBLE / 150.0
+      |FROM mp JOIN bf USING (query_id, nn_id)
+      |ORDER BY method""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (annRecallQ _),
     "q_sentences" -> (sentencesQ _),
     "q_bpe_pairs" -> (bpePairsQ _),
     "q_knn_graph" -> (knnGraphQ _),
@@ -2186,6 +2250,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallOracle,
     "q_sentences" -> sentencesOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_knn_graph" -> knnGraphOracle,
