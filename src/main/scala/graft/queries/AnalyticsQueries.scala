@@ -1196,7 +1196,78 @@ object AnalyticsQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** SCD2 validity-interval construction: each event becomes a version of
+    * its user's state with `[valid_from, valid_to)` from `lead()` over the
+    * (ts, event_id) total order — the standard slowly-changing-dimension
+    * build that [[graft.analytics.AsOfJoin]] then probes. One window
+    * shuffle on the entity key; timestamps compared as epoch micros.
+    */
+  private def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us",
+        coalesce(unix_micros(lead(col("ts"), 1).over(w)), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col("user_id"), col("version"), col("valid_from_us"),
+        col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Oracle =
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  epoch_us(ts) AS valid_from_us,
+      |  coalesce(lead(epoch_us(ts)) OVER w, -1) AS valid_to_us,
+      |  (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Per-group closed-form OLS trend (drift monitoring): slope/intercept of
+    * n_chars over doc_id per source. All moment sums are exact BIGINT (the
+    * inputs are integers), so the two final divisions are the only FP ops —
+    * bit-stable cross-engine, slope itself under the hash.
+    */
+  private def groupTrendQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sx"),
+        sum(col("n_chars")).as("sy"),
+        sum(col("doc_id") * col("n_chars")).as("sxy"),
+        sum(col("doc_id") * col("doc_id")).as("sxx"))
+    agg
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col("source"), col("n"), col("slope"), col("intercept"))
+      .orderBy(col("source"))
+  }
+
+  private val groupTrendOracle =
+    """WITH a AS (SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS sx,
+      |  CAST(sum(n_chars) AS BIGINT) AS sy,
+      |  CAST(sum(doc_id * n_chars) AS BIGINT) AS sxy,
+      |  CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx
+      |FROM documents GROUP BY source)
+      |SELECT source, n,
+      |  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+      |  (sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+      |    * sx::DOUBLE) / n::DOUBLE AS intercept
+      |FROM a ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2Q _),
+    "q_group_trend" -> (groupTrendQ _),
     "q_table_checksum" -> (tableChecksumQ _),
     "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
@@ -1246,6 +1317,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> scd2Oracle,
+    "q_group_trend" -> groupTrendOracle,
     "q_table_checksum" -> tableChecksumOracle,
     "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
