@@ -707,6 +707,37 @@ object CurationQueries {
       |SELECT domain, url_norm, CAST(count(*) AS BIGINT) AS n
       |FROM f GROUP BY 1, 2 ORDER BY domain, url_norm""".stripMargin
 
+  // ---- partition layout evolution ------------------------------------------
+
+  /** Partition-spec evolution, plain-parquet style: old files live under a
+    * `lang=` layout, new files under `lang=/source=` — the reader unions
+    * both generations and a `lang` predicate prunes DIRECTORIES in each
+    * (the pre-Iceberg reality of evolving a table's partitioning without
+    * rewriting history; Iceberg's spec-evolution serves the same query
+    * shape from metadata). Written to fresh temp dirs in-query (rerun-safe,
+    * same pattern as the snapshot queries); `LayoutSpec` pins the partition
+    * filters in both scans.
+    */
+  private def partitionEvolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part_evo_").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.partitionBy("lang").parquet(s"$tmp/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.partitionBy("lang", "source").parquet(s"$tmp/v2")
+    val v1 = s.read.parquet(s"$tmp/v1").filter(col("lang") === "en")
+    val v2 = s.read.parquet(s"$tmp/v2").filter(col("lang") === "en")
+    v1.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .unionByName(v2.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val partitionEvolutionOracle =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -731,7 +762,8 @@ object CurationQueries {
     "q_csv_dlq" -> (csvDlqQ _),
     "q_c4_filters" -> (c4FiltersQ _),
     "q_gopher_rules" -> (gopherQ _),
-    "q_url_normalize" -> (urlNormalizeQ _)
+    "q_url_normalize" -> (urlNormalizeQ _),
+    "q_partition_evolution" -> (partitionEvolutionQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -756,6 +788,7 @@ object CurationQueries {
     "q_csv_dlq" -> csvDlqOracle,
     "q_c4_filters" -> c4FiltersOracle,
     "q_gopher_rules" -> gopherOracle,
-    "q_url_normalize" -> urlNormalizeOracle
+    "q_url_normalize" -> urlNormalizeOracle,
+    "q_partition_evolution" -> partitionEvolutionOracle
   )
 }

@@ -141,4 +141,24 @@ class LayoutSpec extends SparkSpec {
     assert(!rj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
       "range join planned as nested loop")
   }
+  test("evolved partition layouts both prune on the lang predicate") {
+    val docs = graft.Tables.documents(spark, sf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_spec_").toString
+    docs.filter($"doc_id" % 2 === 0).write.partitionBy("lang").parquet(s"$tmp/v1")
+    docs.filter($"doc_id" % 2 === 1)
+      .write.partitionBy("lang", "source").parquet(s"$tmp/v2")
+    def partFilters(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), plan)
+      plan.split("PartitionFilters: \\[")(1).split("]")(0)
+    }
+    val v1 = spark.read.parquet(s"$tmp/v1").filter($"lang" === "en")
+    val v2 = spark.read.parquet(s"$tmp/v2").filter($"lang" === "en")
+    // the lang predicate must reach the partition filter (directory pruning),
+    // not the data filter, in BOTH layout generations
+    assert(partFilters(v1).contains("lang"), "v1 scan does not prune on lang")
+    assert(partFilters(v2).contains("lang"), "v2 scan does not prune on lang")
+    val n = v1.count() + v2.count()
+    assert(n == docs.filter($"lang" === "en").count())
+  }
 }
