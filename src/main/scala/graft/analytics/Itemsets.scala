@@ -38,16 +38,21 @@ object Itemsets {
     val itemSupport = baskets.groupBy(col("item"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    // apriori prune: only frequent items enter the pair join
-    val frequent = baskets.join(itemSupport, "item")
-      .select(col("basket"), col("item"), col("support"))
+    // apriori prune: only frequent items enter the pair join. Supports are
+    // NOT carried through the pair shuffle — they join onto the (far
+    // smaller) surviving pair set afterwards, so the big shuffle rows stay
+    // (basket, item) and nothing wider.
+    val frequent = baskets.join(itemSupport.select(col("item")), "item")
+      .select(col("basket"), col("item"))
     val pairs = frequent.as("a").join(frequent.as("b"),
         col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .agg(count(lit(1)).as("support_ab"),
-        first(col("a.support")).as("support_a"),
-        first(col("b.support")).as("support_b"))
+      .agg(count(lit(1)).as("support_ab"))
       .filter(col("support_ab") >= minSupport)
+      .join(itemSupport.select(col("item").as("item_a"),
+        col("support").as("support_a")), "item_a")
+      .join(itemSupport.select(col("item").as("item_b"),
+        col("support").as("support_b")), "item_b")
     pairs.crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("support_ab"),
         col("support_a"), col("support_b"),
