@@ -55,4 +55,17 @@ class ItemsetsSpec extends SparkSpec {
     assert(rows("s").getAs[Long]("n_distinct") === 2L)
     assert(rows("s").getAs[Long]("n_rows") === 3L)
   }
+  test("columnProfile branches scan exactly one column each") {
+    val li = graft.Tables.lineitem(spark, sf())
+    val plan = Profile.columnProfile(li, Seq(
+        "l_orderkey" -> Profile.AsString,
+        "l_quantity" -> Profile.AsDecimal2))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, plan)
+    schemas.foreach { rs =>
+      assert(!rs.contains(","), s"profile branch scans more than one column: $rs")
+    }
+  }
 }
