@@ -1265,7 +1265,67 @@ object AnalyticsQueries {
       |    * sx::DOUBLE) / n::DOUBLE AS intercept
       |FROM a ORDER BY source""".stripMargin
 
+  /** Structural integrity audit ([[graft.maintain.Integrity]]): an FD check
+    * that genuinely fires (source → lang does NOT hold), a referential
+    * check against a parent with a planted missing slice (orders with
+    * `o_orderkey % 100 = 7` dropped — the "lost dimension partition"
+    * scenario), and a pk-uniqueness check on an augmented corpus with
+    * planted duplicate ids. Three rows: check name, violations, checked.
+    */
+  private def integrityQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Integrity
+    val docs = graft.Tables.documents(s, dir)
+    val li = graft.Tables.lineitem(s, dir)
+    val ordersKept = graft.Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 100 =!= 7)
+    val dupDocs = docs.select(col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0).select(col("doc_id")))
+    val fd = Integrity.fdViolatingGroups(docs, "source", "lang")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(docs.select(countDistinct(col("source")).as("n_checked")))
+      .select(lit("fd_source_to_lang").as("check_name"), col("n_violations"),
+        col("n_checked"))
+    val orph = Integrity.orphans(li.select(col("l_orderkey")), "l_orderkey",
+        ordersKept, "o_orderkey")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.select(count(lit(1)).as("n_checked")))
+      .select(lit("orphans_lineitem_orders").as("check_name"), col("n_violations"),
+        col("n_checked"))
+    val dup = Integrity.duplicateKeys(dupDocs, "doc_id")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(dupDocs.select(count(lit(1)).as("n_checked")))
+      .select(lit("duplicate_doc_ids").as("check_name"), col("n_violations"),
+        col("n_checked"))
+    fd.unionByName(orph).unionByName(dup).orderBy(col("check_name"))
+  }
+
+  private val integrityOracle =
+    """SELECT 'duplicate_doc_ids' AS check_name,
+      |  CAST((SELECT count(*) FROM (
+      |    SELECT doc_id FROM (
+      |      SELECT doc_id FROM documents
+      |      UNION ALL SELECT doc_id FROM documents WHERE doc_id % 25 = 0)
+      |    GROUP BY doc_id HAVING count(*) > 1)) AS BIGINT) AS n_violations,
+      |  CAST((SELECT count(*) FROM (
+      |    SELECT doc_id FROM documents
+      |    UNION ALL SELECT doc_id FROM documents WHERE doc_id % 25 = 0))
+      |    AS BIGINT) AS n_checked
+      |UNION ALL
+      |SELECT 'fd_source_to_lang',
+      |  CAST((SELECT count(*) FROM (
+      |    SELECT source FROM documents GROUP BY source
+      |    HAVING count(DISTINCT lang) > 1)) AS BIGINT),
+      |  CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orphans_lineitem_orders',
+      |  CAST((SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |      WHERE o_orderkey % 100 <> 7)) AS BIGINT),
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+      |ORDER BY check_name""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_integrity_checks" -> (integrityQ _),
     "q_scd2" -> (scd2Q _),
     "q_group_trend" -> (groupTrendQ _),
     "q_table_checksum" -> (tableChecksumQ _),
@@ -1317,6 +1377,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_integrity_checks" -> integrityOracle,
     "q_scd2" -> scd2Oracle,
     "q_group_trend" -> groupTrendOracle,
     "q_table_checksum" -> tableChecksumOracle,

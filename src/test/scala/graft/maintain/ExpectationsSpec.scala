@@ -23,4 +23,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(plan.split("Exchange").length <= 2, plan)
     assert(!plan.contains("Join"), plan)
   }
+  test("integrity: fd violations, orphans, duplicate keys on crafted data") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "x")).toDF("k", "v")
+    val parent = Seq(1L, 2L).toDF("k")
+    assert(Integrity.orphans(child, "k", parent, "k")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "x")))
+    val fd = Seq(("s1", "en"), ("s1", "es"), ("s2", "en")).toDF("src", "lang")
+    val viol = Integrity.fdViolatingGroups(fd, "src", "lang").collect()
+    assert(viol.length == 1 && viol.head.getString(0) == "s1" &&
+      viol.head.getLong(1) == 2L)
+    val dup = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("k")
+    val d = Integrity.duplicateKeys(dup, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(2L -> 2L, 3L -> 3L))
+  }
 }
