@@ -1324,7 +1324,64 @@ object AnalyticsQueries {
       |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
       |ORDER BY check_name""".stripMargin
 
+  /** Keyed pseudonymization ([[graft.ops.Privacy.pseudonym]]): per
+    * event_type, distinct users must equal distinct pseudonyms (injective
+    * mapping — joins still work), plus the full-table check. The oracle
+    * recomputes the same md5 pseudonyms, so the counts (and the injectivity
+    * they prove) are replicated, not assumed.
+    */
+  private def pseudonymizeQ(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .withColumn("pseudo", graft.ops.Privacy.pseudonym(col("user_id"), "s3cr3t"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("pseudo")).as("n_pseudonyms"))
+      .withColumn("injective", col("n_users") === col("n_pseudonyms"))
+      .orderBy(col("event_type"))
+
+  private val pseudonymizeOracle =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(DISTINCT md5('s3cr3t' || '|' || user_id::VARCHAR))
+      |    AS BIGINT) AS n_pseudonyms,
+      |  count(DISTINCT user_id) = count(DISTINCT md5('s3cr3t' || '|' ||
+      |    user_id::VARCHAR)) AS injective
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** k-anonymity audit ([[graft.ops.Privacy.kAnonymityRisk]]) over a
+    * deliberately sparse quasi-identifier (event_type × day × user bucket):
+    * groups seen fewer than 5 times re-identify their members.
+    */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame = {
+    val quasi = graft.Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("user_id") % 97).as("bucket"))
+    val risky = graft.ops.Privacy.kAnonymityRisk(quasi,
+      Seq("event_type", "day", "bucket"), k = 5)
+    risky.agg(count(lit(1)).as("n_risky_groups"),
+        sum(col("group_size")).as("n_risky_rows"))
+      .crossJoin(broadcast(quasi.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type"), col("day"), col("bucket"))
+          .as("n_groups"))))
+      .select(col("n_groups"), col("n_risky_groups"), col("n_risky_rows"),
+        col("n_rows"))
+  }
+
+  private val kAnonymityOracle =
+    """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    user_id % 97 AS bucket FROM events),
+      |g AS (SELECT event_type, day, bucket, count(*) AS group_size
+      |  FROM q GROUP BY 1, 2, 3),
+      |r AS (SELECT * FROM g WHERE group_size < 5)
+      |SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_groups,
+      |  CAST((SELECT count(*) FROM r) AS BIGINT) AS n_risky_groups,
+      |  CAST((SELECT coalesce(sum(group_size), 0) FROM r) AS BIGINT)
+      |    AS n_risky_rows,
+      |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_rows""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> (pseudonymizeQ _),
+    "q_k_anonymity" -> (kAnonymityQ _),
     "q_integrity_checks" -> (integrityQ _),
     "q_scd2" -> (scd2Q _),
     "q_group_trend" -> (groupTrendQ _),
@@ -1377,6 +1434,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pseudonymize" -> pseudonymizeOracle,
+    "q_k_anonymity" -> kAnonymityOracle,
     "q_integrity_checks" -> integrityOracle,
     "q_scd2" -> scd2Oracle,
     "q_group_trend" -> groupTrendOracle,
