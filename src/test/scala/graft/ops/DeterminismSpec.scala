@@ -122,4 +122,13 @@ class DeterminismSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_sentences") == 1L)
     assert(out(2L).getAs[Double]("avg_sentence_words") == 3.0)
   }
+  test("knnGraph edges are partitioning-invariant") {
+    val emb = graft.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.sim.Similarity.knnGraph(d, k = 2)
+        .select($"src", $"dst", $"rank", $"mutual")
+        .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(run(emb.repartition(1)) == run(emb.repartition(7, $"vec_id")))
+  }
 }
