@@ -81,6 +81,22 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Three-dimensional Morton interleave — bit b of x/y/z lands at
+    * 3b/3b+1/3b+2 — for clustering on three predicate columns at once
+    * (device × region × day class layouts). Long shifts are exact up to
+    * `bits = 21` (top bit position 62). Same cross-engine-integer-exact
+    * contract as [[zValue]].
+    */
+  def zValue3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 21, s"bits must be in [1, 21], got $bits")
+    val (xl, yl, zl) = (x.cast("long"), y.cast("long"), z.cast("long"))
+    (0 until bits).flatMap { b =>
+      Seq(shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 3 * b),
+        shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 3 * b + 1),
+        shiftleft(shiftright(zl, b).bitwiseAND(lit(1L)), 3 * b + 2))
+    }.reduce(_ + _)
+  }
+
   /** Standard geohash of (lat, lon) at `precision` base32 characters — the
     * geospatial clustering / prefix-range-pruning key for telemetry layout
     * (neighboring devices share prefixes, so sorting or partitioning by

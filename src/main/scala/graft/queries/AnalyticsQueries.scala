@@ -1379,7 +1379,57 @@ object AnalyticsQueries {
       |    AS n_risky_rows,
       |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_rows""".stripMargin
 
+  /** Winsorization bounds from EXACT order statistics (the rank-`ceil(qn)`
+    * value per group — a real data value, no interpolation, so it crosses
+    * engines bit-exactly where interpolated percentiles would not), plus
+    * clip counts. The robust-stats preprocessing step next to
+    * `q_mad_outliers`. One window shuffle on the group key; the bound
+    * tables are #groups-row broadcasts.
+    */
+  private def winsorizeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def bound(q: Double, name: String) =
+      ranked.filter(col("rk") === ceil(col("n") * lit(q)))
+        .select(col("event_type"), col("value").as(name))
+    ev.join(broadcast(bound(0.05, "lo")), "event_type")
+      .join(broadcast(bound(0.95, "hi")), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val winsorizeOracle =
+    """WITH r AS (SELECT event_type, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS BIGINT) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |lo AS (SELECT event_type, value AS lo FROM r
+      |  WHERE rk = CAST(ceil(n * 0.05) AS BIGINT)),
+      |hi AS (SELECT event_type, value AS hi FROM r
+      |  WHERE rk = CAST(ceil(n * 0.95) AS BIGINT))
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(lo) AS lo, min(hi) AS hi,
+      |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi
+      |FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (winsorizeQ _),
     "q_pseudonymize" -> (pseudonymizeQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
     "q_integrity_checks" -> (integrityQ _),
@@ -1434,6 +1484,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" -> winsorizeOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_integrity_checks" -> integrityOracle,

@@ -2155,7 +2155,37 @@ object PipelineQueries {
       |FROM mp JOIN bf USING (query_id, nn_id)
       |ORDER BY method""".stripMargin
 
+  /** 3-D Morton interleave ([[graft.maintain.Layout.zValue3]]), bit-exact
+    * vs the oracle's integer replica — the 3-predicate clustering key.
+    */
+  private def zorder3Q(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir).select(col("doc_id"),
+      (col("doc_id") % 64).cast("int").as("x"),
+      (expr("doc_id div 64") % 64).cast("int").as("y"),
+      (expr("doc_id div 4096") % 64).cast("int").as("z"))
+    m.select(col("doc_id"), col("x"), col("y"), col("z"),
+        graft.maintain.Layout.zValue3(col("x"), col("y"), col("z"), bits = 6)
+          .as("zv"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val zorder3Oracle = {
+    val terms = (0 until 6).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${3 * b})",
+      s"(((y >> $b) & 1) << ${3 * b + 1})",
+      s"(((z >> $b) & 1) << ${3 * b + 2})")).mkString(" + ")
+    s"""WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 64 AS INTEGER) AS x,
+      |    CAST((doc_id // 64) % 64 AS INTEGER) AS y,
+      |    CAST((doc_id // 4096) % 64 AS INTEGER) AS z
+      |  FROM documents
+      |)
+      |SELECT doc_id, x, y, z, CAST($terms AS BIGINT) AS zv
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder3" -> (zorder3Q _),
     "q_ann_recall" -> (annRecallQ _),
     "q_sentences" -> (sentencesQ _),
     "q_bpe_pairs" -> (bpePairsQ _),
@@ -2250,6 +2280,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder3" -> zorder3Oracle,
     "q_ann_recall" -> annRecallOracle,
     "q_sentences" -> sentencesOracle,
     "q_bpe_pairs" -> bpePairsOracle,

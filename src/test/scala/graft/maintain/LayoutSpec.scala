@@ -161,4 +161,15 @@ class LayoutSpec extends SparkSpec {
     val n = v1.count() + v2.count()
     assert(n == docs.filter($"lang" === "en").count())
   }
+  test("zValue3 interleaves disjoint bit positions; bits bound enforced") {
+    import graft.maintain.Layout
+    val df = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 3, 3)).toDF("x", "y", "z")
+    val out = df.select(Layout.zValue3($"x", $"y", $"z", bits = 4).as("v"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 4L, 7L * 8 + 7L)) // (3,3,3) -> 0b111111 = 63
+    intercept[IllegalArgumentException] {
+      Layout.zValue3($"x", $"y", $"z", bits = 22)
+    }
+    ()
+  }
 }
