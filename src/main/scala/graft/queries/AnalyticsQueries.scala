@@ -1428,7 +1428,46 @@ object AnalyticsQueries {
       |FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Join-size estimation from per-key count products:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), computed from two metadata-sized per-key
+    * count tables — the statistic a planner (or a human sizing a shuffle)
+    * uses WITHOUT running the join. The query also runs the actual join
+    * count; the oracle recomputes both, and the `estimate_exact` flag
+    * (estimate == actual, an identity) is demonstrated under the hash.
+    * Self-join size (F2 moment, Σ c²) reported alongside for lineitem.
+    */
+  private def joinCardinalityQ(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    val ord = graft.Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val ca = li.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = ord.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val est = ca.join(cb, "k")
+      .agg(sum(col("ca") * col("cb")).as("estimated_join_rows"))
+    val actual = li.join(ord, "k").agg(count(lit(1)).as("actual_join_rows"))
+    val f2 = ca.agg(sum(col("ca") * col("ca")).as("lineitem_self_join_rows"))
+    est.crossJoin(actual).crossJoin(f2)
+      .select(col("estimated_join_rows"), col("actual_join_rows"),
+        (col("estimated_join_rows") === col("actual_join_rows"))
+          .as("estimate_exact"),
+        col("lineitem_self_join_rows"))
+  }
+
+  private val joinCardinalityOracle =
+    """WITH ca AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |cb AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1)
+      |SELECT
+      |  CAST((SELECT sum(ca.c * cb.c) FROM ca JOIN cb USING (k)) AS BIGINT)
+      |    AS estimated_join_rows,
+      |  CAST((SELECT count(*) FROM lineitem JOIN orders
+      |    ON l_orderkey = o_orderkey) AS BIGINT) AS actual_join_rows,
+      |  (SELECT sum(ca.c * cb.c) FROM ca JOIN cb USING (k)) =
+      |    (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |    AS estimate_exact,
+      |  CAST((SELECT sum(c * c) FROM ca) AS BIGINT)
+      |    AS lineitem_self_join_rows""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_cardinality" -> (joinCardinalityQ _),
     "q_winsorize" -> (winsorizeQ _),
     "q_pseudonymize" -> (pseudonymizeQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
@@ -1484,6 +1523,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_cardinality" -> joinCardinalityOracle,
     "q_winsorize" -> winsorizeOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_k_anonymity" -> kAnonymityOracle,
