@@ -1466,7 +1466,72 @@ object AnalyticsQueries {
       |  CAST((SELECT sum(c * c) FROM ca) AS BIGINT)
       |    AS lineitem_self_join_rows""".stripMargin
 
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * prior click (`last(_, ignoreNulls)` over an unbounded-preceding
+    * frame). One window shuffle on the user key; purchases with no prior
+    * click attribute to nothing (counted separately).
+    */
+  private def attributionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("last_click_id").isNull, 1L).otherwise(0L))
+          .as("n_unattributed"),
+        countDistinct(col("last_click_id")).as("n_credited_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  private val attributionOracle =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN last_click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unattributed,
+      |  CAST(count(DISTINCT last_click_id) AS BIGINT) AS n_credited_clicks
+      |FROM ev WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Rolling 7-day distinct users per day — exact, via a bounded day-range
+    * self-join (the #days table is metadata-sized, so the "window with
+    * DISTINCT" Spark windows can't express becomes a small range join +
+    * distinct count; the sketch path for unbounded cardinalities is
+    * `q_hll_merge`).
+    */
+  private def rollingDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select(col("day")).distinct()
+    days.as("d").join(daily.as("u"),
+        col("u.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("u.user_id")).as("users_7d"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingDistinctOracle =
+    """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM daily)
+      |SELECT d.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+      |FROM days d JOIN daily u
+      |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |GROUP BY d.day ORDER BY day""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attributionQ _),
+    "q_rolling_distinct" -> (rollingDistinctQ _),
     "q_join_cardinality" -> (joinCardinalityQ _),
     "q_winsorize" -> (winsorizeQ _),
     "q_pseudonymize" -> (pseudonymizeQ _),
@@ -1523,6 +1588,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionOracle,
+    "q_rolling_distinct" -> rollingDistinctOracle,
     "q_join_cardinality" -> joinCardinalityOracle,
     "q_winsorize" -> winsorizeOracle,
     "q_pseudonymize" -> pseudonymizeOracle,

@@ -2184,7 +2184,39 @@ object PipelineQueries {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Readability ([[TextAnalysis.readability]]) on the sentence-planted
+    * corpus — counts and the Flesch score itself under the hash.
+    */
+  private def readabilityQ(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 3
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(m === 0, replace(col("text"), lit(" table "), lit(". ")))
+        .when(m === 1, replace(col("text"), lit(" data "), lit("! ")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.readability(docs).orderBy(col("doc_id"))
+  }
+
+  private val readabilityOracle =
+    """WITH sdocs AS (
+      |  SELECT doc_id, CASE doc_id % 3
+      |    WHEN 0 THEN replace(text, ' table ', '. ')
+      |    WHEN 1 THEN replace(text, ' data ', '! ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(list_filter(string_split_regex(text, '[.!?]+\s*'),
+      |    s -> s <> '')) AS BIGINT), 1) AS n_sentences,
+      |  greatest(CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT), 1)
+      |    AS n_syllables
+      |FROM sdocs)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+      |    - 84.6 * (n_syllables::DOUBLE / n_words) AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readabilityQ _),
     "q_zorder3" -> (zorder3Q _),
     "q_ann_recall" -> (annRecallQ _),
     "q_sentences" -> (sentencesQ _),
@@ -2280,6 +2312,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_readability" -> readabilityOracle,
     "q_zorder3" -> zorder3Oracle,
     "q_ann_recall" -> annRecallOracle,
     "q_sentences" -> sentencesOracle,

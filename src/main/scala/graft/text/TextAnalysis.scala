@@ -314,6 +314,28 @@ object TextAnalysis {
       .withColumn("avg_sentence_words",
         col("n_words").cast("double") / col("n_sentences"))
 
+  /** Flesch-style readability: words/sentence and (vowel-group) syllables
+    * /word feed the published formula. Syllables are approximated as
+    * maximal vowel runs — the standard dictionary-free heuristic, and an
+    * exact integer count both engines reproduce. The two ratios are each
+    * one IEEE division and the formula's constants multiply in fixed
+    * order, so the score itself is hash-comparable. Pure projection.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(toks(t)).cast("long")
+    val nSents = greatest(
+      size(filter(split(t, "[.!?]+\\s*"), s => s =!= "")).cast("long"), lit(1L))
+    val nSyll = greatest(regexp_count(t, lit("[aeiou]+")).cast("long"), lit(1L))
+    docs.select(col(idCol), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+  }
+
   /** One BPE-training round: corpus-wide counts of adjacent character pairs
     * within words — the merge-candidate statistic a byte-pair-encoding
     * tokenizer trainer computes each iteration (the top pair becomes the
