@@ -327,4 +327,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
   }
+
+  /** Shingle-containment pairs: `containment_a = |A∩B| / |A|` (how much of
+    * A lies inside B) and symmetrically for B, keeping pairs where either
+    * exceeds the threshold. Containment is the asymmetric dedup signal
+    * symmetric Jaccard misses: a short document fully embedded in a long
+    * one has high containment but low Jaccard (the union is dominated by
+    * the long doc). Same candidate machinery and frequency-cut valve as
+    * [[ngramJaccardPairs]] — O(collisions), never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = withShingles(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val filtered = sh.hint("shuffle_hash").join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= maxShingleFreq).hint("shuffle_hash"),
+      Seq("shingle"))
+    val pairs = filtered.as("a").hint("shuffle_hash")
+      .join(filtered.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("containment_a",
+        col("intersection").cast("double") / col("size_a").cast("double"))
+      .withColumn("containment_b",
+        col("intersection").cast("double") / col("size_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("id_a", "id_b", "intersection", "size_a", "size_b",
+        "containment_a", "containment_b")
+  }
 }

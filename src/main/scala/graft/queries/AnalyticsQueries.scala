@@ -1529,7 +1529,44 @@ object AnalyticsQueries {
       |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
       |GROUP BY d.day ORDER BY day""".stripMargin
 
+  /** First-touch attribution: each purchase credits the user's FIRST click
+    * ever (running `first(_, ignoreNulls)`) — the other end of the
+    * attribution-model spectrum from [[attributionQ]]'s last-touch.
+    */
+  private def firstTouchQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("first_click_id",
+        first(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("first_click_id").isNull, 1L).otherwise(0L))
+          .as("n_unattributed"),
+        countDistinct(col("first_click_id")).as("n_credited_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  private val firstTouchOracle =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_id
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN first_click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unattributed,
+      |  CAST(count(DISTINCT first_click_id) AS BIGINT) AS n_credited_clicks
+      |FROM ev WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_first_touch" -> (firstTouchQ _),
     "q_attribution" -> (attributionQ _),
     "q_rolling_distinct" -> (rollingDistinctQ _),
     "q_join_cardinality" -> (joinCardinalityQ _),
@@ -1588,6 +1625,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_first_touch" -> firstTouchOracle,
     "q_attribution" -> attributionOracle,
     "q_rolling_distinct" -> rollingDistinctOracle,
     "q_join_cardinality" -> joinCardinalityOracle,

@@ -2215,7 +2215,44 @@ object PipelineQueries {
       |    - 84.6 * (n_syllables::DOUBLE / n_words) AS flesch
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Shingle-containment near-dup pairs ([[Dedup.containmentPairs]]) on the
+    * augmented corpus — catches the planted prefixed near-copies whose
+    * symmetric Jaccard is diluted by the length difference.
+    */
+  private def containmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(augmented(Tables.documents(s, dir)), k = 5,
+        threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val containmentOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b,
+      |  intersection::DOUBLE / sa.n::DOUBLE AS containment_a,
+      |  intersection::DOUBLE / sb.n::DOUBLE AS containment_b
+      |FROM cand
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE greatest(intersection::DOUBLE / sa.n::DOUBLE,
+      |  intersection::DOUBLE / sb.n::DOUBLE) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> (containmentQ _),
     "q_readability" -> (readabilityQ _),
     "q_zorder3" -> (zorder3Q _),
     "q_ann_recall" -> (annRecallQ _),
@@ -2312,6 +2349,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_containment" -> containmentOracle,
     "q_readability" -> readabilityOracle,
     "q_zorder3" -> zorder3Oracle,
     "q_ann_recall" -> annRecallOracle,

@@ -149,4 +149,19 @@ class DedupSpec extends SparkSpec {
     val survivors = deduped.filter($"doc_id" >= 1000000L).count()
     assert(survivors == docs.filter($"doc_id" % 10 === 1).count()) // only near-copies survive (distinct text)
   }
+  test("containmentPairs catches a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, k = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (a, b, inter, sa, _, ca, cb) = cont.head
+    assert((a, b) == ((1L, 2L)))
+    assert(inter == sa && ca == 1.0 && cb < 0.5) // A fully inside B
+    // symmetric Jaccard at the same strength misses it
+    val jac = Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
 }
