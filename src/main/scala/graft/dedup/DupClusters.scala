@@ -45,7 +45,12 @@ object DupClusters {
     */
   def triangleCounts(pairs: DataFrame, idA: String = "id_a",
                      idB: String = "id_b"): DataFrame = {
-    val e0 = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+    // normalize to (least, greatest) BEFORE distinct: an edge list carrying
+    // both orientations (a,b) and (b,a) would otherwise survive as two rows,
+    // doubling degrees and multiply-counting every triangle
+    val e0 = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

@@ -24,6 +24,9 @@ object Expectations {
     * a contract a row can't be shown to satisfy is a violation).
     */
   def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // an empty rule list would generate stack(0, ) — an opaque SQL parse
+    // error at execution time; fail clearly at call time instead
+    require(rules.nonEmpty, "Expectations.validate requires at least one rule")
     val aggs = rules.map { case (name, cond) =>
       sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as(s"v_$name")
     } :+ count(lit(1)).as("n_rows")

@@ -208,7 +208,17 @@ object Multimodal {
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
-        if (ais == null)
+        // Sample reassembly below assumes 16-bit little-endian signed PCM;
+        // any other encoding (8/24-bit, big-endian, compressed) would decode
+        // to silently-wrong statistics, which breaks the DLQ-tolerance
+        // contract (unparseable → flagged; never wrong-with-decoded=true).
+        // Such payloads degrade to decoded=false like unparseable ones.
+        val fmtOk = ais != null && {
+          val f = ais.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian
+        }
+        if (!fmtOk)
           AudioFeatures(r.doc_id, bytes.length.toLong, r.sample_rate,
             r.n_samples, 0, 0.0, 0L, decoded = false)
         else {

@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   *
   *  - [[pseudonym]]: deterministic keyed pseudonymization — the same id
   *    maps to the same opaque token everywhere (joins and aggregates still
-  *    work across tables), while nothing recovers the id without the
-  *    secret. md5(secret ‖ id): collision-safe at any realistic id
-  *    cardinality, and a pure codegen projection.
+  *    work across tables). sha256(secret ‖ id ‖ secret): the keyed-envelope
+  *    ("sandwich") construction closes the length-extension hole of a bare
+  *    prefix key while staying a pure codegen projection that any SQL
+  *    engine with sha256 can replicate. The privacy guarantee is only as
+  *    strong as the secret: a low-entropy secret is brute-forceable offline
+  *    from a single known (id, pseudonym) pair, so issue a long random key
+  *    (and use HMAC-SHA256 via a crypto library where cross-engine SQL
+  *    replication of the pseudonym is not required).
   *  - [[kAnonymityRisk]]: the k-anonymity audit — quasi-identifier
   *    combinations observed fewer than k times re-identify their members;
   *    the audit counts risky groups and rows. One aggregate on the
@@ -20,7 +25,7 @@ object Privacy {
 
   /** Keyed pseudonym for `id` (any type; canonicalized via cast to string). */
   def pseudonym(id: Column, secret: String): Column =
-    md5(concat(lit(secret), lit("|"), id.cast("string")))
+    sha2(concat(lit(secret), lit("|"), id.cast("string"), lit("|"), lit(secret)), 256)
 
   /** Quasi-identifier groups smaller than `k`, with their sizes. */
   def kAnonymityRisk(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =

@@ -1327,8 +1327,8 @@ object AnalyticsQueries {
   /** Keyed pseudonymization ([[graft.ops.Privacy.pseudonym]]): per
     * event_type, distinct users must equal distinct pseudonyms (injective
     * mapping — joins still work), plus the full-table check. The oracle
-    * recomputes the same md5 pseudonyms, so the counts (and the injectivity
-    * they prove) are replicated, not assumed.
+    * recomputes the same sha256 envelope pseudonyms, so the counts (and the
+    * injectivity they prove) are replicated, not assumed.
     */
   private def pseudonymizeQ(s: SparkSession, dir: String): DataFrame =
     graft.Tables.events(s, dir)
@@ -1342,10 +1342,10 @@ object AnalyticsQueries {
   private val pseudonymizeOracle =
     """SELECT event_type,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-      |  CAST(count(DISTINCT md5('s3cr3t' || '|' || user_id::VARCHAR))
+      |  CAST(count(DISTINCT sha256('s3cr3t' || '|' || user_id::VARCHAR || '|' || 's3cr3t'))
       |    AS BIGINT) AS n_pseudonyms,
-      |  count(DISTINCT user_id) = count(DISTINCT md5('s3cr3t' || '|' ||
-      |    user_id::VARCHAR)) AS injective
+      |  count(DISTINCT user_id) = count(DISTINCT sha256('s3cr3t' || '|' ||
+      |    user_id::VARCHAR || '|' || 's3cr3t')) AS injective
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** k-anonymity audit ([[graft.ops.Privacy.kAnonymityRisk]]) over a

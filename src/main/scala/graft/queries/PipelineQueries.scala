@@ -2085,11 +2085,12 @@ object PipelineQueries {
       |  CAST(len(sents) AS BIGINT) AS n_sentences,
       |  CAST(list_sum(list_transform(sents,
       |    s -> len(string_split_regex(s, '\s+')))) AS BIGINT) AS n_words,
-      |  CAST(list_max(list_transform(sents,
-      |    s -> len(string_split_regex(s, '\s+')))) AS BIGINT) AS max_sentence_words
+      |  CAST(coalesce(list_max(list_transform(sents,
+      |    s -> len(string_split_regex(s, '\s+')))), 0) AS BIGINT)
+      |    AS max_sentence_words
       |FROM t)
       |SELECT doc_id, n_sentences, n_words, max_sentence_words,
-      |  n_words::DOUBLE / n_sentences AS avg_sentence_words
+      |  n_words::DOUBLE / greatest(n_sentences, 1) AS avg_sentence_words
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** Measured recall@3 of the SRP-LSH ANN paths against the exact

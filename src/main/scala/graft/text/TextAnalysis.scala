@@ -310,9 +310,12 @@ object TextAnalysis {
         col(idCol),
         size(col("__sents")).cast("long").as("n_sentences"),
         aggregate(col("__lens"), lit(0L), (acc, x) => acc + x).as("n_words"),
-        array_max(col("__lens")).cast("long").as("max_sentence_words"))
+        // empty/whitespace-only doc: array_max of [] is null and 0/0 would
+        // be an engine-dependent NaN — guard like readability does
+        coalesce(array_max(col("__lens")).cast("long"), lit(0L))
+          .as("max_sentence_words"))
       .withColumn("avg_sentence_words",
-        col("n_words").cast("double") / col("n_sentences"))
+        col("n_words").cast("double") / greatest(col("n_sentences"), lit(1L)))
 
   /** Flesch-style readability: words/sentence and (vowel-group) syllables
     * /word feed the published formula. Syllables are approximated as

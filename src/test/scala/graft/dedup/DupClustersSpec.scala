@@ -69,6 +69,12 @@ class DupClustersSpec extends SparkSpec {
       c <- nodes if b < c && eSet((b, c)) && eSet((a, c))
     } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
     assert(fast == naive.toMap)
+    // an edge list carrying BOTH orientations must not double-count: same
+    // K4 with every edge duplicated reversed yields identical counts
+    val bothWays = k4 ++ k4.map { case (a, b) => (b, a) }
+    val out2 = DupClusters.triangleCounts(bothWays.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
   test("pageRankFixedPoint: hand-computed values on a path; center of a star dominates") {

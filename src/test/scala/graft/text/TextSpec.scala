@@ -137,6 +137,19 @@ class TextSpec extends SparkSpec {
       "doc_id", "media", "sample_rate", "n_samples")
     val fb = Multimodal.decodeAudio(spark, junk).collect().head
     assert(!fb.decoded && fb.peak == 0 && fb.n_samples == 10)
+    // parseable WAV in a format the sample reassembly does NOT handle
+    // (8-bit PCM): must flag decoded=false, never emit garbage statistics
+    val pcm8 = Array.tabulate[Byte](50)(i => (i * 3).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 50L)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val w8 = Seq((11L, bos8.toByteArray, 8000, 50)).toDF(
+      "doc_id", "media", "sample_rate", "n_samples")
+    val f8 = Multimodal.decodeAudio(spark, w8).collect().head
+    assert(!f8.decoded && f8.peak == 0)
   }
 
   test("decodeImage falls back to the stub on non-image payloads") {
