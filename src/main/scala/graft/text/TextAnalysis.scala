@@ -370,6 +370,80 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterative BPE trainer: `rounds` merge rounds, each one distributed
+    * pair-count → argmax → corpus-wide re-segmentation; returns the merge
+    * table (round, lhs, rhs, merged, n) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE, collapsing to the distinct-
+    * word frequency table (vocabulary-bounded — tens of millions of rows at
+    * 100 TB, not trillions of tokens); every round then runs on that
+    * persisted table: one pair aggregate with map-side combine (reduce keys
+    * ≤ observed adjacent pairs), one single-row argmax to the driver (the
+    * merge table is driver-side BY DESIGN — it is the trainer's output,
+    * bounded by `rounds`), one codegen'd `replace` projection. Lineage is
+    * truncated every `checkpointEvery` rounds (`localCheckpoint`, the
+    * [[graft.dedup.DupClusters]] fixed-point convention) so a vocab-budget
+    * training run doesn't stack thousands of optimizer passes.
+    *
+    * Merge semantics: symbols are joined into a `\u001f\u001f`-delimited
+    * string (`␟␟s1␟␟s2␟␟…`) and a round's merge is ONE plain-string
+    * `replace(s, ␟+lhs+␟␟+rhs+␟, ␟+lhs·rhs+␟)` — non-overlapping
+    * left-to-right, the original Sennrich re.sub behavior ("aaaa" + (a,a) →
+    * "aa aa", and a symbol minted this round never re-merges this round;
+    * the single flanking separator each side keeps the double-separator
+    * invariant so adjacent occurrences both match). The same literal
+    * replace exists in every SQL engine, which is what makes an exact
+    * cross-engine oracle of an ITERATIVE trainer possible. Ties break by
+    * (count desc, lhs, rhs) — fully deterministic. Stops early if no pair
+    * is left to merge.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int, textCol: String = "text",
+               checkpointEvery: Int = 8): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val spark = docs.sparkSession
+    val sep = "\u001f"
+    val parallelism = spark.sessionState.conf.numShufflePartitions
+    val words = docs.select(col(textCol).as("__text"))
+      .repartition(parallelism)
+      .select(explode(toks(col("__text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(sep + sep),
+          array_join(filter(split(col("word"), ""), x => x =!= ""), sep + sep),
+          lit(sep + sep)).as("s"),
+        col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val syms = filter(split(col("s"), sep + sep), x => x =!= "")
+      val top = cur
+        .select(col("cnt"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, n))
+        cur = cur.withColumn("s",
+          call_function("replace", col("s"),
+            lit(sep + l + sep + sep + rr + sep), lit(sep + l + rr + sep)))
+        if (r % checkpointEvery == 0) cur = cur.localCheckpoint()
+        r += 1
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n")
+  }
+
   /** Inverted-index posting lists: one row per term with its document
     * frequency and the sorted posting array. At 100 TB this is materialized
     * once as a term-bucketed table ([[graft.maintain.Layout.writeBucketed]])
