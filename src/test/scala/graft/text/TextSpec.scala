@@ -267,6 +267,29 @@ class TextSpec extends SparkSpec {
     assert(out.head._1 == "ab") // count-desc order
     assert(m.size == 2)
   }
+  test("bpeTrain: hand-computed merge table; Sennrich overlap semantics") {
+    // corpus: low x2, lower x1, newest x2
+    // r1: (l,o)=3 ties (o,w),(w,e) -> lex lowest (l,o) -> lo
+    // r2: (lo,w)=3 ties (w,e) -> lo < w -> low
+    // r3: n=2 ties (e,s),(e,w),(n,e),(s,t) -> (e,s) -> es
+    // r4: (e,w) -> ew   r5: (es,t) -> est
+    val docs = Seq("low low lower", "newest newest").toDF("text")
+    val out = TextAnalysis.bpeTrain(docs, rounds = 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "l", "o", "lo", 3L), (2, "lo", "w", "low", 3L),
+      (3, "e", "s", "es", 2L), (4, "e", "w", "ew", 2L),
+      (5, "es", "t", "est", 2L)))
+    // overlap pin: "aaaa" + merge (a,a) -> "aa aa" (non-overlapping
+    // left-to-right; a symbol minted this round never re-merges this round)
+    val aa = TextAnalysis.bpeTrain(Seq("aaaa").toDF("text"), rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(aa.toSeq == Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)))
+    // early stop: all words single-symbol after enough rounds
+    val tiny = TextAnalysis.bpeTrain(Seq("ab ab").toDF("text"), rounds = 10)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(tiny.toSeq == Seq((1, "a", "b", "ab", 2L)))
+  }
   test("video frames: container round-trip, sampling, corrupt fallback") {
     val vids = Multimodal.videoMedia(spark,
       Seq(3L, 10L).toDF("doc_id")).toDF()
