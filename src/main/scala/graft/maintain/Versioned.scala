@@ -145,6 +145,202 @@ object Versioned {
       .unionByName(a.exceptAll(b).withColumn("__change", lit("delete")))
   }
 
+  // ---- named branches (the Nessie-catalog analog: reference
+  // `config/flink/create.sql:1-13` pins a Nessie `main` ref; this is the
+  // same named-ref surface over the manifest store) ---------------------
+
+  /** Branch commits live beside main's: manifests as
+    * `_manifests/<branch>.v<K>.json` (the dot keeps them invisible to
+    * [[versions]]' `v\d+.json` match), data under `data/<branch>/v<K>`,
+    * and the branch ref itself as `_branches/<branch>` recording the main
+    * snapshot it forked from. All paths in every manifest are
+    * tableDir-relative, so a fast-forward merge is ONE atomic manifest
+    * rename on main that adopts the branch head's file list — zero data
+    * movement, exactly the metadata-pointer semantics of a catalog ref
+    * update. Same single-writer assumption as [[commit]].
+    */
+  private def branchDir(tableDir: String) = new Path(tableDir, "_branches")
+
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  private def atomicWrite(f: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"ref update of ${p.getName} lost a rename race")
+  }
+
+  /** Branch names with a committed ref file. */
+  def branches(spark: SparkSession, tableDir: String): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val bd = branchDir(tableDir)
+    if (!f.exists(bd)) Seq.empty
+    else f.listStatus(bd).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  /** The main snapshot version a branch forked from. */
+  def branchBase(spark: SparkSession, tableDir: String, name: String): Int = {
+    val f = fs(spark, tableDir)
+    val p = new Path(branchDir(tableDir), name)
+    require(f.exists(p), s"branch $name does not exist")
+    readLines(f, p).collectFirst { case s if s.startsWith("base=") =>
+      s.stripPrefix("base=").toInt }.get
+  }
+
+  /** Local commit numbers on a branch (empty until the first branch commit). */
+  def branchVersions(spark: SparkSession, tableDir: String, name: String): Seq[Int] = {
+    val f = fs(spark, tableDir)
+    val md = manifestDir(tableDir)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches(java.util.regex.Pattern.quote(name) + "\\.v\\d+\\.json") =>
+        s.stripPrefix(name + ".v").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  /** Create `name` from a main snapshot (default: current head). Metadata
+    * only — the branch starts reading the fork point's files.
+    */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+                   fromVersion: Option[Int] = None): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"illegal branch name: $name")
+    val f = fs(spark, tableDir)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed snapshots under $tableDir to branch from")
+    val base = fromVersion.getOrElse(vs.last)
+    require(vs.contains(base), s"snapshot v$base does not exist (have: $vs)")
+    val p = new Path(branchDir(tableDir), name)
+    require(!f.exists(p), s"branch $name already exists")
+    atomicWrite(f, p, Seq(s"branch=$name", s"base=$base"))
+  }
+
+  /** Commit `df` to a branch. `append = true` carries the branch head's
+    * files forward. Returns the branch-local commit number.
+    */
+  def commitToBranch(df: DataFrame, tableDir: String, name: String,
+                     append: Boolean = true): Int = {
+    val spark = df.sparkSession
+    val base = branchBase(spark, tableDir, name) // asserts the branch exists
+    val prev = branchVersions(spark, tableDir, name)
+    val k = prev.lastOption.getOrElse(0) + 1
+    val dataDir = new Path(tableDir, s"data/$name/v$k")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = listDataFiles(spark, tableDir, dataDir)
+    val carried =
+      if (!append) Seq.empty
+      else if (prev.nonEmpty) readBranchManifest(spark, tableDir, name, prev.last)
+      else readManifest(spark, tableDir, base)
+    val f = fs(spark, tableDir)
+    f.mkdirs(manifestDir(tableDir))
+    atomicWrite(f, new Path(manifestDir(tableDir), s"$name.v$k.json"),
+      s"version=$k" +: (carried ++ newFiles))
+    k
+  }
+
+  private def readBranchManifest(spark: SparkSession, tableDir: String,
+                                 name: String, k: Int): Seq[String] = {
+    val f = fs(spark, tableDir)
+    readLines(f, new Path(manifestDir(tableDir), s"$name.v$k.json")).drop(1)
+  }
+
+  /** Read a branch head (or an earlier branch-local commit). A branch with
+    * no local commits reads its fork point.
+    */
+  def readBranch(spark: SparkSession, tableDir: String, name: String,
+                 version: Option[Int] = None): DataFrame = {
+    val base = branchBase(spark, tableDir, name)
+    val ks = branchVersions(spark, tableDir, name)
+    val files = version match {
+      case Some(k) =>
+        require(ks.contains(k), s"branch $name has no commit v$k (have: $ks)")
+        readBranchManifest(spark, tableDir, name, k)
+      case None =>
+        if (ks.isEmpty) readManifest(spark, tableDir, base)
+        else readBranchManifest(spark, tableDir, name, ks.last)
+    }
+    spark.read.parquet(files.map(p => s"$tableDir/$p"): _*)
+  }
+
+  /** Keys whose rows changed (insert, update, or delete) between two table
+    * states — bag-semantics diff per side, keys deduped. Hash anti-joins,
+    * one shuffle per direction, never collects.
+    */
+  private def changedKeys(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    b.exceptAll(a).select(keys.map(col): _*)
+      .union(a.exceptAll(b).select(keys.map(col): _*)).distinct()
+  }
+
+  /** Keys both main and `name` modified since the fork — the merge
+    * conflicts. Empty ⇒ [[mergeBranch]] will succeed.
+    */
+  def branchConflicts(spark: SparkSession, tableDir: String, name: String,
+                      keys: Seq[String]): DataFrame = {
+    val base = read(spark, tableDir, Some(branchBase(spark, tableDir, name)))
+    val mainChanged = changedKeys(base, read(spark, tableDir), keys)
+    val branchChanged = changedKeys(base, readBranch(spark, tableDir, name), keys)
+    mainChanged.join(branchChanged, keys, "inner")
+  }
+
+  /** Merge a branch into main. Fast-forward when main has not advanced past
+    * the fork point: the new main manifest simply adopts the branch head's
+    * file list (metadata-only, no data IO — the catalog-ref-update fast
+    * path). Diverged: key-level three-way merge — main rows keep every key
+    * the branch didn't touch, branch rows win for keys it did (inserts and
+    * updates carry over; branch deletes drop the key) — REFUSED with the
+    * offending keys if both sides modified the same key. Returns the new
+    * main version. The pre-merge main head stays time-travelable.
+    */
+  def mergeBranch(spark: SparkSession, tableDir: String, name: String,
+                  keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val base = branchBase(spark, tableDir, name)
+    val mainHead = versions(spark, tableDir).last
+    val ks = branchVersions(spark, tableDir, name)
+    if (mainHead == base) {
+      // fast-forward: adopt the branch head's manifest as the next main
+      // snapshot (a branch with no commits merges to a no-op new snapshot)
+      val files =
+        if (ks.isEmpty) readManifest(spark, tableDir, base)
+        else readBranchManifest(spark, tableDir, name, ks.last)
+      val v = mainHead + 1
+      writeManifest(spark, tableDir, v, files)
+      v
+    } else {
+      val conflicts = branchConflicts(spark, tableDir, name, keys)
+      val sample = conflicts.limit(5).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"merge of branch $name conflicts on keys: " +
+            sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
+      val baseDf = read(spark, tableDir, Some(base))
+      val branchHead = readBranch(spark, tableDir, name)
+      val branchTouched = changedKeys(baseDf, branchHead, keys)
+      val main = read(spark, tableDir)
+      val untouched = main.join(branchTouched, keys, "left_anti")
+      val fromBranch = branchHead.join(branchTouched, keys, "left_semi")
+      commit(untouched.unionByName(fromBranch), tableDir, append = false)
+    }
+  }
+
+  /** Delete a branch ref and its manifests; its data files become orphans
+    * for [[removeOrphanFiles]].
+    */
+  def dropBranch(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val f = fs(spark, tableDir)
+    branchVersions(spark, tableDir, name).foreach(k =>
+      f.delete(new Path(manifestDir(tableDir), s"$name.v$k.json"), false))
+    f.delete(new Path(branchDir(tableDir), name), false)
+    ()
+  }
+
   /** M3 `expire_snapshots`: drop all but the newest `keepLast` manifests.
     * Data files shared with retained snapshots stay; newly-unreferenced files
     * become orphans for [[removeOrphanFiles]]. Metadata-only — O(#snapshots).
@@ -153,7 +349,12 @@ object Versioned {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val f = fs(spark, tableDir)
     val vs = versions(spark, tableDir)
-    val expired = vs.dropRight(keepLast)
+    // a live branch's fork point must stay readable (its merge base and the
+    // head of a commit-less branch) — the ref pins the snapshot, as in any
+    // catalog with named refs
+    val pinned = branches(spark, tableDir)
+      .map(b => branchBase(spark, tableDir, b)).toSet
+    val expired = vs.dropRight(keepLast).filterNot(pinned)
     expired.foreach(v => f.delete(new Path(manifestDir(tableDir), s"v$v.json"), false))
     expired
   }
@@ -166,8 +367,11 @@ object Versioned {
   def removeOrphanFiles(spark: SparkSession, tableDir: String,
                         minAgeMs: Long = 0L): Seq[String] = {
     val f = fs(spark, tableDir)
-    val referenced = versions(spark, tableDir)
-      .flatMap(v => readManifest(spark, tableDir, v)).toSet
+    val referenced = (versions(spark, tableDir)
+        .flatMap(v => readManifest(spark, tableDir, v)) ++
+      branches(spark, tableDir).flatMap(b =>
+        branchVersions(spark, tableDir, b)
+          .flatMap(k => readBranchManifest(spark, tableDir, b, k)))).toSet
     val dataRoot = new Path(tableDir, "data")
     if (!f.exists(dataRoot)) return Seq.empty
     val base = new Path(tableDir).toUri.getPath

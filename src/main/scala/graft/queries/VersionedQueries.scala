@@ -93,13 +93,91 @@ object VersionedQueries {
       |FROM documents WHERE doc_id % 20 = 0
       |ORDER BY __change, doc_id""".stripMargin
 
+  /** Named-branch lifecycle under the driver gate ([[Versioned]] branches —
+    * the Nessie named-ref analog): fork `dev` from a base snapshot, advance
+    * MAIN (v+1 on one residue class) and the BRANCH (v+2 on a disjoint
+    * class, plus inserted keys) independently, then key-level three-way
+    * merge. The four audited stages pin, in one hash-compared result:
+    * branch isolation (`main_pre_merge` lacks every branch edit), empty
+    * conflict set on disjoint keys (`conflicts`), and both sides' edits
+    * surviving the merge (`merged` sums carry main's +1s AND the branch's
+    * +2s and inserts). All sums are exact BIGINTs.
+    */
+  private def branchMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_branch_q_").toString
+    val base = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("v"))
+    Versioned.commit(base, tmp)
+    Versioned.createBranch(s, tmp, "dev")
+    val mainHead = base.withColumn("v",
+      when(col("k") % 40 === 0, col("v") + 1).otherwise(col("v")))
+    Versioned.commit(mainHead, tmp, append = false)
+    val branchHead = base.withColumn("v",
+        when(col("k") % 40 === 10, col("v") + 2).otherwise(col("v")))
+      .unionByName(docs.filter(col("doc_id") % 40 === 20)
+        .select((col("doc_id") + 5000000L).as("k"), lit(7L).as("v")))
+    Versioned.commitToBranch(branchHead, tmp, "dev", append = false)
+    def stats(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_key"),
+          coalesce(sum(col("v")), lit(0L)).as("sum_val"))
+        .withColumn("stage", lit(stage))
+    // file lists resolve at read()/branchConflicts() call time, so these
+    // DataFrames pin the PRE-merge state even though they evaluate after it
+    val conflicts = Versioned.branchConflicts(s, tmp, "dev", Seq("k"))
+      .select(col("k"), lit(0L).as("v"))
+    val preMain = Versioned.read(s, tmp)
+    val branchDf = Versioned.readBranch(s, tmp, "dev")
+    Versioned.mergeBranch(s, tmp, "dev", Seq("k"))
+    val merged = Versioned.read(s, tmp)
+    stats(branchDf, "branch_head")
+      .unionByName(stats(conflicts, "conflicts"))
+      .unionByName(stats(preMain, "main_pre_merge"))
+      .unionByName(stats(merged, "merged"))
+      .select(col("stage"), col("n_rows"), col("sum_key"), col("sum_val"))
+      .orderBy(col("stage"))
+  }
+
+  private val branchMergeOracle =
+    """WITH base AS (
+      |  SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS v FROM documents
+      |  WHERE doc_id % 10 = 0
+      |), mainh AS (
+      |  SELECT k, CASE WHEN k % 40 = 0 THEN v + 1 ELSE v END AS v FROM base
+      |), branchh AS (
+      |  SELECT k, CASE WHEN k % 40 = 10 THEN v + 2 ELSE v END AS v FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 5000000 AS k, CAST(7 AS BIGINT) AS v FROM documents
+      |  WHERE doc_id % 40 = 20
+      |), merged AS (
+      |  SELECT * FROM mainh WHERE k % 40 <> 10
+      |  UNION ALL
+      |  SELECT * FROM branchh WHERE (k % 40 = 10 AND k < 5000000)
+      |    OR k >= 5000000
+      |)
+      |SELECT 'branch_head' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_key, CAST(sum(v) AS BIGINT) AS sum_val
+      |FROM branchh
+      |UNION ALL
+      |SELECT 'conflicts', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'main_pre_merge', CAST(count(*) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT), CAST(sum(v) AS BIGINT) FROM mainh
+      |UNION ALL
+      |SELECT 'merged', CAST(count(*) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT), CAST(sum(v) AS BIGINT) FROM merged
+      |ORDER BY stage""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravelQ _),
-    "q_snapshot_cdc" -> (snapshotCdcQ _)
+    "q_snapshot_cdc" -> (snapshotCdcQ _),
+    "q_branch_merge" -> (branchMergeQ _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" -> timeTravelOracle,
-    "q_snapshot_cdc" -> snapshotCdcOracle
+    "q_snapshot_cdc" -> snapshotCdcOracle,
+    "q_branch_merge" -> branchMergeOracle
   )
 }

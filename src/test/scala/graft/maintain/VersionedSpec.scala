@@ -79,6 +79,63 @@ class VersionedSpec extends SparkSpec {
       ("insert", "d3", 4L)))                       // new key; d2 unchanged
   }
 
+  test("branches: isolation, fast-forward merge is metadata-only, drop cleans up") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    Versioned.createBranch(spark, dir, "dev")
+    assert(Versioned.branches(spark, dir) == Seq("dev"))
+    // commit-less branch reads its fork point
+    assert(Versioned.readBranch(spark, dir, "dev").count() == 2)
+    Versioned.commitToBranch(Seq((3L, "c")).toDF("id", "s"), dir, "dev")
+    // isolation: main unchanged, branch sees the append
+    assert(Versioned.read(spark, dir).count() == 2)
+    assert(Versioned.readBranch(spark, dir, "dev").count() == 3)
+    // main has not advanced -> fast-forward; no new data files under data/v*
+    val before = Versioned.versions(spark, dir)
+    val v = Versioned.mergeBranch(spark, dir, "dev", Seq("id"))
+    assert(v == before.last + 1)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/v$v")),
+      "fast-forward merge wrote data files; it must be metadata-only")
+    // drop: branch data becomes orphaned and removable; merged main intact
+    Versioned.dropBranch(spark, dir, "dev")
+    assert(Versioned.branches(spark, dir).isEmpty)
+    val gone = Versioned.removeOrphanFiles(spark, dir)
+    assert(gone.isEmpty, s"merged-in branch files wrongly deleted: $gone")
+    assert(Versioned.read(spark, dir).count() == 3)
+  }
+
+  test("branches: diverged merge is key-level three-way; conflicts refuse") {
+    val dir = freshTable()
+    Versioned.commit(Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "n"), dir)
+    Versioned.createBranch(spark, dir, "dev")
+    // main updates a; branch updates b, deletes c, inserts d
+    Versioned.commit(Seq(("a", 10L), ("b", 1L), ("c", 1L)).toDF("k", "n"),
+      dir, append = false)
+    Versioned.commitToBranch(Seq(("a", 1L), ("b", 20L), ("d", 30L)).toDF("k", "n"),
+      dir, "dev", append = false)
+    assert(Versioned.branchConflicts(spark, dir, "dev", Seq("k")).count() == 0)
+    Versioned.mergeBranch(spark, dir, "dev", Seq("k"))
+    assert(Versioned.read(spark, dir).as[(String, Long)].collect().toSet ==
+      Set(("a", 10L), ("b", 20L), ("d", 30L))) // both edits + delete + insert
+    // conflicting branch: both sides touch the same key
+    Versioned.createBranch(spark, dir, "clash")
+    Versioned.commit(Seq(("a", 11L), ("b", 20L), ("d", 30L)).toDF("k", "n"),
+      dir, append = false)
+    Versioned.commitToBranch(Seq(("a", 99L), ("b", 20L), ("d", 30L)).toDF("k", "n"),
+      dir, "clash", append = false)
+    val e = intercept[IllegalStateException](
+      Versioned.mergeBranch(spark, dir, "clash", Seq("k")))
+    assert(e.getMessage.contains("a"))
+    // expire never drops a live branch's fork point
+    val base = Versioned.branchBase(spark, dir, "clash")
+    Versioned.expireSnapshots(spark, dir, keepLast = 1)
+    assert(Versioned.versions(spark, dir).contains(base))
+  }
+
   test("crash debris (data without manifest) is invisible and cleaned as orphans") {
     val dir = freshTable()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
