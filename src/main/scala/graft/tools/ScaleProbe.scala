@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the hot dedup operators: build a corpus N× the base sf
+  * and measure whether time / shuffle bytes / output rows grow near-linearly
+  * (i.e. the hot-shingle frequency cut keeps the candidate join bounded).
+  *
+  * Corpus construction — vocab-partitioned replicas: replica `r` of the
+  * base corpus gets `~r` appended to EVERY token and ids shifted by
+  * r·10M. Within a replica the token/shingle/duplicate structure of the
+  * base corpus (including planted near-dups) is preserved EXACTLY; across
+  * replicas the vocabularies are disjoint, so inter-replica shingle
+  * collisions are zero by construction. The N× output must therefore be
+  * EXACTLY N× the 1× output's rows — measured, so the probe doubles as a
+  * correctness check at scale, and any super-linear row growth would
+  * expose accidental cross-replica collisions rather than hide them.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [workDir] [replicas]
+  * Prints one table row per (operator, corpus) with min-of-3 time, shuffle
+  * write/read bytes of the timed pass, and output rows.
+  */
+object ScaleProbe {
+
+  private class ShuffleListener extends SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { write.set(0L); read.set(0L) }
+  }
+
+  /** Base corpus + planted near-dups (1-in-10 docs copied, first token
+    * dropped, id +5M) — so the pair joins have real work at every scale.
+    */
+  private def planted(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+
+  private def replicate(docs: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { r =>
+      docs.select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1~$r").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val base = planted(spark.read.parquet(s"$baseDir/documents.parquet"))
+    Seq(1, replicas).foreach { n =>
+      val p = s"$workDir/x$n"
+      if (!new java.io.File(p).exists())
+        replicate(base, n).write.mode("overwrite").parquet(p)
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "ngramJaccardPairs" -> (d =>
+        graft.dedup.Dedup.ngramJaccardPairs(d, k = 5, threshold = 0.5)),
+      "sharedTokenRuns" -> (d =>
+        graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)))
+
+    println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
+      f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
+    val rows = for ((opName, op) <- ops; n <- Seq(1, replicas)) yield {
+      val docs = spark.read.parquet(s"$workDir/x$n")
+      val nDocs = docs.count()
+      var bestT = Double.MaxValue
+      var bw = 0L; var br = 0L
+      (1 to 3).foreach { _ =>
+        listener.reset()
+        val t0 = System.nanoTime()
+        graft.Bench.fullyEvaluate(op(docs))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        if (dt < bestT) { bestT = dt; bw = listener.write.get; br = listener.read.get }
+      }
+      val out = op(docs).count()
+      spark.sharedState.cacheManager.clearCache()
+      println(f"$opName%-20s x$n%-5s $nDocs%8d $bestT%8.2f " +
+        f"${bw / 1e6}%9.1f ${br / 1e6}%9.1f $out%9d")
+      (opName, n, nDocs, bestT, bw, br, out)
+    }
+    // linearity summary: Nx vs 1x ratios per operator
+    rows.groupBy(_._1).foreach { case (opName, rs) =>
+      val one = rs.find(_._2 == 1).get
+      val big = rs.find(_._2 == replicas).get
+      println(f"[scale] $opName: time x${big._4 / one._4}%.2f, " +
+        f"shufW x${big._5.toDouble / one._5}%.2f, " +
+        f"rows x${big._7.toDouble / one._7}%.2f (expect ${replicas}.00)")
+    }
+    spark.stop()
+  }
+}
