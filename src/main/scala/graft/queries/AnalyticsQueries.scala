@@ -1565,7 +1565,68 @@ object AnalyticsQueries {
       |FROM ev WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Spatial radius self-join ([[graft.ops.GeoJoin.radiusJoin]]) on
+    * deterministic integer points derived from doc ids: grid-binned 3×3
+    * neighborhood equi-join, exact squared-distance predicate. The oracle is
+    * the brute-force O(n²) join — tractable at oracle scale, which is
+    * precisely why the binned plan exists for every other scale.
+    */
+  private def geoRadiusQ(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.Tables.documents(s, dir).select(col("doc_id").as("id"),
+      (col("doc_id") * 37 % 1000).as("x"), (col("doc_id") * 61 % 1000).as("y"))
+    graft.ops.GeoJoin.radiusJoin(pts, radius = 25)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val geoRadiusOracle =
+    """WITH p AS (
+      |  SELECT doc_id AS id, (doc_id * 37) % 1000 AS x,
+      |    (doc_id * 61) % 1000 AS y
+      |  FROM documents)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-source Spearman rank correlation
+    * ([[graft.analytics.Correlation.spearman]]) of document length vs word
+    * count: exact integer ranks (row_number, doc_id tie-break), exact Σd²,
+    * and the classic ρ as one fixed-operand-order IEEE expression — the
+    * FP-under-hash discipline of `q_readability`.
+    */
+  private def rankCorrQ(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).withColumn("n_words",
+      size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long"))
+    graft.analytics.Correlation.spearman(d, "source", "n_chars", "n_words", "doc_id")
+      .orderBy(col("source"))
+  }
+
+  private val rankCorrOracle =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |      AS BIGINT) AS rx,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_words, doc_id)
+      |      AS BIGINT) AS ry
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum((rx-ry)*(rx-ry)) AS BIGINT) AS sum_d2,
+      |  CASE WHEN count(*) > 1 THEN
+      |    1.0 - (6.0 * CAST(sum((rx-ry)*(rx-ry)) AS DOUBLE)) /
+      |      (CAST(count(*) AS DOUBLE) *
+      |        (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0))
+      |  ELSE 0.0 END AS spearman_rho
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_radius" -> (geoRadiusQ _),
+    "q_rank_correlation" -> (rankCorrQ _),
     "q_first_touch" -> (firstTouchQ _),
     "q_attribution" -> (attributionQ _),
     "q_rolling_distinct" -> (rollingDistinctQ _),
@@ -1625,6 +1686,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_geo_radius" -> geoRadiusOracle,
+    "q_rank_correlation" -> rankCorrOracle,
     "q_first_touch" -> firstTouchOracle,
     "q_attribution" -> attributionOracle,
     "q_rolling_distinct" -> rollingDistinctOracle,

@@ -1930,7 +1930,11 @@ object PipelineQueries {
     TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = 3)
       .orderBy(col("round"))
 
-  private val bpeTrainOracle = {
+  /** The three training rounds as shared CTEs (w, r0, p1..m3, r1..r3) —
+    * used by both the trainer oracle and the encoder oracle, which must
+    * derive the SAME merge table before applying it.
+    */
+  private val bpeTrainCtes: String = {
     val s2 = "chr(31)||chr(31)"
     def pairCte(k: Int) =
       s"""p$k AS (
@@ -1944,7 +1948,7 @@ object PipelineQueries {
         |r$k AS (SELECT replace(s, chr(31)||l||$s2||r||chr(31),
         |    chr(31)||l||r||chr(31)) AS s, cnt
         |  FROM r${k - 1} CROSS JOIN m$k)""".stripMargin
-    s"""WITH w AS (
+    s"""w AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
       |    FROM documents)
@@ -1954,12 +1958,61 @@ object PipelineQueries {
       |    AS s, cnt FROM w),
       |${pairCte(1)},
       |${pairCte(2)},
-      |${pairCte(3)}
+      |${pairCte(3)}""".stripMargin
+  }
+
+  private val bpeTrainOracle =
+    s"""WITH $bpeTrainCtes
       |SELECT CAST(1 AS INTEGER) AS round, l AS lhs, r AS rhs,
       |  l||r AS merged, n FROM m1
       |UNION ALL SELECT CAST(2 AS INTEGER), l, r, l||r, n FROM m2
       |UNION ALL SELECT CAST(3 AS INTEGER), l, r, l||r, n FROM m3
       |ORDER BY round""".stripMargin
+
+  /** Tokenize the corpus with the merge table the 3-round trainer just
+    * produced ([[TextAnalysis.bpeEncode]] after [[TextAnalysis.bpeTrain]]):
+    * per-document word / initial-symbol / post-merge token counts. The
+    * oracle re-derives the SAME merges (shared CTEs), rebuilds the same
+    * word-boundary-sentineled document string, applies the same three
+    * replaces in order, and counts symbols — so the encoder's segmentation
+    * is pinned end-to-end, not just its counts.
+    */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(docs, merges).orderBy(col("doc_id"))
+  }
+
+  private val bpeEncodeOracle = {
+    val s2 = "chr(31)||chr(31)"
+    val cls = "'['||chr(30)||chr(31)||']+'"
+    s"""WITH $bpeTrainCtes,
+      |dt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |d0 AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+      |    array_to_string(list_transform(tk, w ->
+      |      $s2||array_to_string(regexp_extract_all(w, '.'), $s2)||$s2),
+      |      chr(30)) AS s0
+      |  FROM dt),
+      |de AS (
+      |  SELECT doc_id, n_words, s0,
+      |    replace(replace(replace(s0,
+      |      chr(31)||m1.l||$s2||m1.r||chr(31), chr(31)||m1.l||m1.r||chr(31)),
+      |      chr(31)||m2.l||$s2||m2.r||chr(31), chr(31)||m2.l||m2.r||chr(31)),
+      |      chr(31)||m3.l||$s2||m3.r||chr(31), chr(31)||m3.l||m3.r||chr(31))
+      |      AS enc
+      |  FROM d0 CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+      |SELECT doc_id, n_words,
+      |  CAST(len(list_filter(string_split_regex(s0, $cls), x -> x <> ''))
+      |    AS BIGINT) AS n_chars_sym,
+      |  CAST(len(list_filter(string_split_regex(enc, $cls), x -> x <> ''))
+      |    AS BIGINT) AS n_tokens
+      |FROM de ORDER BY doc_id""".stripMargin
   }
 
   private val bpePairsOracle =
@@ -2316,6 +2369,7 @@ object PipelineQueries {
     "q_sentences" -> (sentencesQ _),
     "q_bpe_pairs" -> (bpePairsQ _),
     "q_bpe_train" -> (bpeTrainQ _),
+    "q_bpe_encode" -> (bpeEncodeQ _),
     "q_knn_graph" -> (knnGraphQ _),
     "q_vector_hygiene" -> (vectorHygieneQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
@@ -2414,6 +2468,7 @@ object PipelineQueries {
     "q_sentences" -> sentencesOracle,
     "q_bpe_pairs" -> bpePairsOracle,
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_knn_graph" -> knnGraphOracle,
     "q_vector_hygiene" -> vectorHygieneOracle,
     "q_hard_negatives" -> hardNegativesOracle,

@@ -169,15 +169,48 @@ object VersionedQueries {
       |  CAST(sum(k) AS BIGINT), CAST(sum(v) AS BIGINT) FROM merged
       |ORDER BY stage""".stripMargin
 
+  /** Incremental materialized-view maintenance
+    * ([[graft.ops.Incremental.applyDelta]]): the per-group count/sum view of
+    * snapshot v1 is brought current by folding in the v1→v2 CDC delta
+    * ([[Versioned.snapshotDiff]]) — the oracle aggregates v2 DIRECTLY, so a
+    * hash match proves delta-maintenance ≡ full recompute (inserts, updates
+    * as delete+insert, groups appearing via new keys — all exercised by the
+    * two-snapshot fixture).
+    */
+  private def mvIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(s, dir)
+    val baseAgg = Versioned.read(s, t, Some(1))
+      .groupBy((col("doc_id") % 7).as("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+    val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
+      .withColumn("g", col("doc_id") % 7)
+    graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("g"), Seq("doc_id"))
+      .orderBy(col("g"))
+  }
+
+  private val mvIncrementalOracle =
+    """WITH v1 AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |), v2 AS (
+      |  SELECT doc_id FROM v1 WHERE doc_id % 20 <> 0
+      |  UNION ALL SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 7000000 FROM documents WHERE doc_id % 10 = 5
+      |)
+      |SELECT doc_id % 7 AS g, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM v2 GROUP BY 1 ORDER BY g""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
-    "q_branch_merge" -> (branchMergeQ _)
+    "q_branch_merge" -> (branchMergeQ _),
+    "q_mv_incremental" -> (mvIncrementalQ _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" -> timeTravelOracle,
     "q_snapshot_cdc" -> snapshotCdcOracle,
-    "q_branch_merge" -> branchMergeOracle
+    "q_branch_merge" -> branchMergeOracle,
+    "q_mv_incremental" -> mvIncrementalOracle
   )
 }

@@ -444,6 +444,41 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n")
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]) to a corpus — the
+    * serving-side tokenizer: per-document token counts before and after the
+    * merges. The whole document is one sentinel-delimited symbol string
+    * (words separated by U+001E so no merge can cross a word boundary), and
+    * each merge is the same plain-string `replace` the trainer used, applied
+    * in merge order — so encode∘train is exactly the trainer's segmentation,
+    * and the identical replace chain is expressible in SQL for the oracle.
+    *
+    * Scale shape: a pure codegen'd projection (split → per-word join →
+    * |merges| chained replaces → one split-count) — no shuffle, no state;
+    * the merge table rides into the plan as literals (bounded by the vocab
+    * budget, exactly how a tokenizer ships).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = "\u001f"
+    val rs = "\u001e"
+    val wordSyms = transform(filter(toks(col(textCol)), w => w =!= ""),
+      w => concat(lit(s + s),
+        array_join(filter(split(w, ""), c => c =!= ""), s + s), lit(s + s)))
+    val doc0 = array_join(wordSyms, rs)
+    val encoded = merges.foldLeft(doc0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s + l + s + s + r + s), lit(s + l + r + s))
+    }
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__enc", encoded)
+      .select(
+        col(idCol),
+        size(filter(toks(col(textCol)), w => w =!= "")).cast("long").as("n_words"),
+        size(filter(split(array_join(wordSyms, rs), s"[$rs$s]+"), x => x =!= ""))
+          .cast("long").as("n_chars_sym"),
+        size(filter(split(col("__enc"), s"[$rs$s]+"), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Inverted-index posting lists: one row per term with its document
     * frequency and the sorted posting array. At 100 TB this is materialized
     * once as a term-bucketed table ([[graft.maintain.Layout.writeBucketed]])

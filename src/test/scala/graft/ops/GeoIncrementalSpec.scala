@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("radiusJoin matches brute force (incl. negative coords); no cartesian") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(400).toLong - 200L, rnd.nextInt(400).toLong - 200L))
+    val df = pts.toDF("id", "x", "y")
+    val r = 17L
+    val out = GeoJoin.radiusJoin(df, r).as[(Long, Long, Long)].collect().toSet
+    val naive = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    assert(out == naive, s"radius join diverged: ${out.size} vs ${naive.size}")
+    val plan = GeoJoin.radiusJoin(df, r).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"radius join planned a product join:\n$plan")
+  }
+
+  test("radiusJoin: boundary distance is inclusive, exactly once per pair") {
+    // two points exactly r apart on an axis, plus a just-outside pair
+    val df = Seq((1L, 0L, 0L), (2L, 5L, 0L), (3L, 100L, 0L), (4L, 100L, 6L))
+      .toDF("id", "x", "y")
+    val out = GeoJoin.radiusJoin(df, 5L).as[(Long, Long, Long)].collect().toSeq
+    assert(out.sortBy(_._1) == Seq((1L, 2L, 25L)))
+  }
+
+  test("applyDelta: inserts, delete+insert updates, group birth and death") {
+    val baseAgg = Seq((0L, 2L, 10L), (1L, 1L, 3L), (2L, 1L, 8L))
+      .toDF("g", "n_rows", "sum_v")
+    // g=0: +1 row; g=1: update (delete 3, insert 5); g=2: group dies;
+    // g=3: brand-new group
+    val delta = Seq(
+      ("insert", 0L, 4L), ("delete", 1L, 3L), ("insert", 1L, 5L),
+      ("delete", 2L, 8L), ("insert", 3L, 7L))
+      .toDF("__change", "g", "v")
+    val out = Incremental.applyDelta(baseAgg, delta, Seq("g"), Seq("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 3L, 14L), (1L, 1L, 5L), (3L, 1L, 7L)))
+  }
+
+  test("applyDelta refuses an unknown change tag") {
+    val baseAgg = Seq((0L, 1L, 1L)).toDF("g", "n_rows", "sum_v")
+    val delta = Seq(("upsert", 0L, 1L)).toDF("__change", "g", "v")
+    intercept[Exception] {
+      Incremental.applyDelta(baseAgg, delta, Seq("g"), Seq("v")).collect()
+    }
+  }
+
+  test("spearman: perfect, inverted, and hand-computed partial correlation") {
+    import graft.analytics.Correlation
+    // g=a: y = 2x (perfect, rho 1, sum_d2 0); g=b: y = -x (rho -1)
+    // g=c: ranks x:(1,2,3,4) y:(2,1,4,3) -> d2 = 1+1+1+1 = 4
+    //      rho = 1 - 6*4/(4*15) = 0.6
+    val df = (
+      (1 to 5).map(i => ("a", i.toLong, 2L * i, i.toLong)) ++
+      (1 to 5).map(i => ("b", i.toLong, -i.toLong, 100L + i)) ++
+      Seq(("c", 1L, 20L, 201L), ("c", 2L, 10L, 202L),
+        ("c", 3L, 40L, 203L), ("c", 4L, 30L, 204L))
+    ).toDF("g", "x", "y", "id")
+    val out = Correlation.spearman(df, "g", "x", "y", "id")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == (("a", 5L, 0L, 1.0)))
+    assert(out(1)._1 == "b" && out(1)._3 == 40L && math.abs(out(1)._4 + 1.0) < 1e-12)
+    assert(out(2) == (("c", 4L, 4L, 0.6)))
+  }
+
+  test("bpeEncode segments with the trained merges; counts hand-checked") {
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, "low low lower"), (2L, "newest newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 2)
+      .orderBy(col("round")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    val out = TextAnalysis.bpeEncode(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc1: words low,low,lower; chars 3+3+5=11; after lo+low: low=1 sym x2,
+    // lower -> low,e,r = 3 -> 5 tokens
+    assert(out(0) == ((1L, 3L, 11L, 5L)))
+    // doc2: newest x2: 6+6=12 chars, merges don't apply -> 12 tokens
+    assert(out(1) == ((2L, 2L, 12L, 12L)))
+  }
+}
