@@ -248,6 +248,59 @@ object Multimodal {
     }
   }
 
+  case class FrameEnergy(doc_id: Long, frame_idx: Int, n_frames: Int,
+                         energy: Long, peak: Int)
+
+  /** ASR front-end framing: decode the WAV, slide a `win`-sample window at
+    * `hop`-sample stride, and emit per-frame energy (Σ s², exact — |s| ≤
+    * 2¹⁵ so a long never overflows a realistic window) and peak — the
+    * voice-activity / loudness features every speech pipeline computes
+    * before any model. Decode and framing run fused in one `mapPartitions`
+    * pass (the samples never materialize as a column); payloads the decoder
+    * rejects ([[decodeAudio]]'s format guard) emit no frames — the
+    * per-document `q_audio_decode` audit is where rejects are counted.
+    */
+  def frameEnergies(spark: SparkSession, media: DataFrame,
+                    win: Int, hop: Int): Dataset[FrameEnergy] = {
+    require(win > 0 && hop > 0, s"win/hop must be positive, got $win/$hop")
+    import spark.implicits._
+    media.as[AudioRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val ok = ais != null && {
+          val f = ais.getFormat
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian
+        }
+        if (!ok) Iterator.empty
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          @inline def sample(i: Int): Int =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          val nf = if (n >= win) (n - win) / hop + 1 else 0
+          (0 until nf).iterator.map { f =>
+            var e = 0L
+            var peak = 0
+            var i = f * hop
+            val end = f * hop + win
+            while (i < end) {
+              val s = sample(i)
+              e += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            FrameEnergy(r.doc_id, f, nf, e, peak)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling for a time-dimension payload: n evenly
     * spaced byte offsets standing in for frame indices.
     */

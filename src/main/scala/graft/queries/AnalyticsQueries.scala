@@ -1624,9 +1624,69 @@ object AnalyticsQueries {
       |  ELSE 0.0 END AS spearman_rho
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Interval-union coverage ([[graft.ops.Intervals.coverage]]): each event
+    * opens an `event_id`-derived lease interval; per user, overlapping
+    * leases merge into islands and the covered total counts overlap once.
+    * All bounds are exact epoch-microsecond longs.
+    */
+  private def intervalCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + (col("event_id") % 50 + 1) * 1000000L).as("e_us"))
+    graft.ops.Intervals.coverage(ev, "user_id", "s_us", "e_us")
+      .orderBy(col("user_id"))
+  }
+
+  private val intervalCoverageOracle =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + (event_id % 50 + 1) * 1000000 AS e_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s_us, e_us,
+      |    max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |i AS (
+      |  SELECT user_id, s_us, e_us,
+      |    sum(CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, island, count(*) AS cnt, min(s_us) AS s,
+      |    max(e_us) AS e
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(e - s) AS BIGINT) AS covered
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** 2-D skyline ([[graft.analytics.Skyline.skyline2d]]) per source over
+    * (length, pseudo-score): the sort-filter window algorithm, proven
+    * against the oracle's brute-force NOT-EXISTS dominance test.
+    */
+  private def skylineQ(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).select(col("source"),
+      col("n_chars").as("x"), ((col("doc_id") * 7) % 1000).as("y"))
+    graft.analytics.Skyline.skyline2d(d, "source", "x", "y")
+      .orderBy(col("source"), col("x"), col("y"))
+  }
+
+  private val skylineOracle =
+    """WITH p AS (
+      |  SELECT DISTINCT source, n_chars AS x, (doc_id * 7) % 1000 AS y
+      |  FROM documents)
+      |SELECT source, x, y FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.source = a.source
+      |  AND b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+      |ORDER BY source, x, y""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_radius" -> (geoRadiusQ _),
     "q_rank_correlation" -> (rankCorrQ _),
+    "q_interval_coverage" -> (intervalCoverageQ _),
+    "q_skyline" -> (skylineQ _),
     "q_first_touch" -> (firstTouchQ _),
     "q_attribution" -> (attributionQ _),
     "q_rolling_distinct" -> (rollingDistinctQ _),
@@ -1688,6 +1748,8 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q_geo_radius" -> geoRadiusOracle,
     "q_rank_correlation" -> rankCorrOracle,
+    "q_interval_coverage" -> intervalCoverageOracle,
+    "q_skyline" -> skylineOracle,
     "q_first_touch" -> firstTouchOracle,
     "q_attribution" -> attributionOracle,
     "q_rolling_distinct" -> rollingDistinctOracle,

@@ -1217,6 +1217,40 @@ object PipelineQueries {
       |  true AS decoded
       |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ASR front-end framing ([[Multimodal.frameEnergies]]): the real WAV
+    * corpus decoded and slid through 80-sample windows at 40-sample hop;
+    * per-frame energy (Σ s², exact long) and peak re-derived by the oracle
+    * from the closed-form sample formula — one misaligned window boundary
+    * or off-by-one hop shifts a frame's sum and hash-mismatches.
+    */
+  private def audioFramesQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameEnergies(s, s.read.parquet(wavMediaParquet(s, dir)),
+        win = 80, hop = 40)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val audioFramesOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id, n, CAST(fi AS INTEGER) AS frame_idx,
+      |    CAST((n - 80) // 40 + 1 AS INTEGER) AS n_frames
+      |  FROM d, unnest(range(0, (n - 80) // 40 + 1)) rf(fi)
+      |),
+      |s AS (
+      |  SELECT doc_id, frame_idx, n_frames,
+      |    CAST(sum(sm * sm) AS BIGINT) AS energy,
+      |    CAST(max(abs(sm)) AS INTEGER) AS peak
+      |  FROM (
+      |    SELECT doc_id, frame_idx, n_frames,
+      |      (doc_id * 31 + (frame_idx * 40 + i) * 17) % 4001 - 2000 AS sm
+      |    FROM f, unnest(range(0, 80)) ri(i))
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, frame_idx, n_frames, energy, peak
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   /** REAL codec round trip ([[Multimodal.pngMedia]] → ImageIO decode): every
     * document becomes a genuine PNG (prebuilt fixture, see
     * [[pngMediaParquet]]), is decoded back with `javax.imageio`, and the
@@ -2414,6 +2448,7 @@ object PipelineQueries {
     "q_image_decode" -> (imageDecodeQ _),
     "q_image_resize" -> (imageResizeQ _),
     "q_audio_decode" -> (audioDecodeQ _),
+    "q_audio_frames" -> (audioFramesQ _),
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
     "q_zorder" -> (zorderQ _),
@@ -2513,6 +2548,7 @@ object PipelineQueries {
     "q_image_decode" -> imageDecodeOracle,
     "q_image_resize" -> imageResizeOracle,
     "q_audio_decode" -> audioDecodeOracle,
+    "q_audio_frames" -> audioFramesOracle,
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,
     "q_zorder" -> zorderOracle,

@@ -72,6 +72,51 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(out(2) == (("c", 4L, 4L, 0.6)))
   }
 
+  test("interval coverage: hand-computed islands; touching intervals merge") {
+    // user 1: [0,10],[5,12],[12,20] -> one island [0,20] (touch extends);
+    //         [30,35] -> second island. covered = 20 + 5
+    // user 2: [0,1],[2,3] -> two islands, covered 2
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 12L), (1L, 12L, 20L), (1L, 30L, 35L),
+      (2L, 0L, 1L), (2L, 2L, 3L)).toDF("u", "s", "e")
+    val out = Intervals.coverage(iv, "u", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 4L, 2L, 25L), (2L, 2L, 2L, 2L)))
+  }
+
+  test("skyline2d equals naive dominance filter on random points") {
+    import graft.analytics.Skyline
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 500).map(_ => ("g" + rnd.nextInt(3),
+      rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val out = Skyline.skyline2d(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long)].collect().toSet
+    val dis = pts.distinct
+    val naive = dis.filter { case (g, x, y) =>
+      !dis.exists { case (g2, x2, y2) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+    assert(out == naive)
+  }
+
+  test("frameEnergies: hand-computed energies from the sample formula") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.wavMedia(spark, Seq(3L).toDF("doc_id")).toDF()
+    // doc 3: n = 103 samples; win 80 hop 20 -> frames at 0 and 20
+    val out = Multimodal.frameEnergies(spark, media, win = 80, hop = 20)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 2 && out.forall(_.n_frames == 2))
+    out.foreach { f =>
+      val ss = (f.frame_idx * 20 until f.frame_idx * 20 + 80)
+        .map(i => Multimodal.wavSample(3L, i))
+      assert(f.energy == ss.map(s => s.toLong * s).sum)
+      assert(f.peak == ss.map(math.abs).max)
+    }
+    // corrupt payload: no frames, batch survives
+    val junk = Seq((9L, Array[Byte](1, 2), 8000, 10)).toDF(
+      "doc_id", "media", "sample_rate", "n_samples")
+    assert(Multimodal.frameEnergies(spark, junk, 80, 20).collect().isEmpty)
+  }
+
   test("bpeEncode segments with the trained merges; counts hand-checked") {
     import graft.text.TextAnalysis
     val docs = Seq((1L, "low low lower"), (2L, "newest newest")).toDF("doc_id", "text")
