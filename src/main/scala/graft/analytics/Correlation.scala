@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
+  /** Per-group simple least squares of `yCol` on `xCol` from EXACT integer
+    * moment sums (n, Σx, Σy, Σxy, Σx² — all BIGINT under the hash):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx), intercept from the means —
+    * each one fixed-operand-order IEEE expression over exact longs, so the
+    * fitted coefficients themselves cross engines bit-exactly. Degenerate
+    * groups (all x equal) yield slope 0 by convention. One map-combined
+    * aggregate; no second pass.
+    */
+  def regression(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"), sum(x * x).as("sum_x2"))
+    val nD = col("n").cast("double")
+    val det = nD * col("sum_x2").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    val slope = when(det =!= 0.0,
+      (nD * col("sum_xy").cast("double") -
+        col("sum_x").cast("double") * col("sum_y").cast("double")) / det)
+      .otherwise(0.0)
+    agg.withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sum_y").cast("double") - col("slope") * col("sum_x").cast("double")) / nD)
+  }
+
   /** Per-group Spearman rank correlation of `xCol` vs `yCol`:
     * (group, n, sum_d2, spearman_rho). Ties break by `idCol` in BOTH
     * rankings — deterministic, and tie-noise vanishes as groups grow.

@@ -53,4 +53,21 @@ object GeoJoin {
       .filter(col("dist2") <= radius * radius)
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /** Nearest neighbor within `radius` per point: both directions of
+    * [[radiusJoin]]'s pairs, min by (dist2, neighbor id) — deterministic
+    * ties — via one aggregate; points with no neighbor inside the radius
+    * are absent (the radius bound is what keeps the search distributed —
+    * unbounded NN needs an expanding-ring or a spatial index).
+    */
+  def nearestWithin(points: DataFrame, radius: Long, idCol: String = "id",
+                    xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val pairs = radiusJoin(points, radius, idCol, xCol, yCol)
+    val both = pairs.select(col("id_a").as("id"), col("id_b").as("nn"), col("dist2"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nn"),
+        col("dist2")))
+    both.groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("nn"))).as("best"))
+      .select(col("id"), col("best.nn").as("nn_id"), col("best.dist2").as("dist2"))
+  }
 }

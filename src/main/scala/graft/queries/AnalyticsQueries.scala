@@ -1682,8 +1682,74 @@ object AnalyticsQueries {
       |  AND b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
       |ORDER BY source, x, y""".stripMargin
 
+  /** Per-source least squares ([[graft.analytics.Correlation.regression]])
+    * of word count on char count: the exact BIGINT moment sums sit under
+    * the hash alongside the fitted slope/intercept, each one fixed-order
+    * IEEE expression — so the FIT itself is verified, not just its inputs.
+    */
+  private def groupRegressionQ(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).withColumn("n_words",
+      size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long"))
+    graft.analytics.Correlation.regression(d, "source", "n_chars", "n_words")
+      .orderBy(col("source"))
+  }
+
+  private val groupRegressionOracle =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS y
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(sum(x * x) AS BIGINT) AS sum_x2
+      |  FROM d GROUP BY source),
+      |r AS (
+      |  SELECT *, CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) -
+      |      CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <> 0.0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE) -
+      |        CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE) -
+      |        CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+      |    ELSE 0.0 END AS slope
+      |  FROM a)
+      |SELECT source, n, sum_x, sum_y, sum_xy, sum_x2, slope,
+      |  (CAST(sum_y AS DOUBLE) - slope * CAST(sum_x AS DOUBLE)) /
+      |    CAST(n AS DOUBLE) AS intercept
+      |FROM r ORDER BY source""".stripMargin
+
+  /** Nearest neighbor within the radius ([[graft.ops.GeoJoin.nearestWithin]]):
+    * per-point argmin over the binned candidate pairs, (dist2, id) ties
+    * deterministic; the oracle brute-forces the same bounded-NN semantics.
+    */
+  private def geoNearestQ(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.Tables.documents(s, dir).select(col("doc_id").as("id"),
+      (col("doc_id") * 37 % 1000).as("x"), (col("doc_id") * 61 % 1000).as("y"))
+    graft.ops.GeoJoin.nearestWithin(pts, radius = 25).orderBy(col("id"))
+  }
+
+  private val geoNearestOracle =
+    """WITH p AS (
+      |  SELECT doc_id AS id, (doc_id * 37) % 1000 AS x,
+      |    (doc_id * 61) % 1000 AS y
+      |  FROM documents),
+      |c AS (
+      |  SELECT a.id AS id, b.id AS nn,
+      |    CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |  FROM p a JOIN p b ON a.id <> b.id
+      |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625)
+      |SELECT id, nn AS nn_id, dist2 FROM (
+      |  SELECT id, nn, dist2,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist2, nn) AS rk
+      |  FROM c)
+      |WHERE rk = 1 ORDER BY id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_radius" -> (geoRadiusQ _),
+    "q_geo_nearest" -> (geoNearestQ _),
+    "q_group_regression" -> (groupRegressionQ _),
     "q_rank_correlation" -> (rankCorrQ _),
     "q_interval_coverage" -> (intervalCoverageQ _),
     "q_skyline" -> (skylineQ _),
@@ -1747,6 +1813,8 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_geo_radius" -> geoRadiusOracle,
+    "q_geo_nearest" -> geoNearestOracle,
+    "q_group_regression" -> groupRegressionOracle,
     "q_rank_correlation" -> rankCorrOracle,
     "q_interval_coverage" -> intervalCoverageOracle,
     "q_skyline" -> skylineOracle,

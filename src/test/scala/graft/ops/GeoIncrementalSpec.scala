@@ -72,6 +72,28 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(out(2) == (("c", 4L, 4L, 0.6)))
   }
 
+  test("nearestWithin: ties break by id; unreachable points absent") {
+    val df = Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, -3L, 0L), (4L, 500L, 500L))
+      .toDF("id", "x", "y")
+    // point 1 is 3 away from both 2 and 3 -> tie breaks to lower id 2;
+    // point 4 has no neighbor within the radius -> absent
+    val full = GeoJoin.nearestWithin(df, 10L).as[(Long, Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L, 9L), (2L, 1L, 9L), (3L, 1L, 9L)))
+  }
+
+  test("regression: hand-computed slope/intercept; degenerate x gives 0") {
+    import graft.analytics.Correlation
+    // g=a: y = 3x + 2 exactly -> slope 3, intercept 2
+    // g=b: all x equal -> det 0 -> slope 0, intercept = mean y
+    val df = ((1 to 5).map(i => ("a", i.toLong, 3L * i + 2)) ++
+      Seq(("b", 4L, 10L), ("b", 4L, 20L))).toDF("g", "x", "y")
+    val out = Correlation.regression(df, "g", "x", "y")
+      .select("g", "slope", "intercept").as[(String, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out(0) == (("a", 3.0, 2.0)))
+    assert(out(1) == (("b", 0.0, 15.0)))
+  }
+
   test("interval coverage: hand-computed islands; touching intervals merge") {
     // user 1: [0,10],[5,12],[12,20] -> one island [0,20] (touch extends);
     //         [30,35] -> second island. covered = 20 + 5
