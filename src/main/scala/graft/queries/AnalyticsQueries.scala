@@ -1746,7 +1746,41 @@ object AnalyticsQueries {
       |  FROM c)
       |WHERE rk = 1 ORDER BY id""".stripMargin
 
+  /** Quantile normalization ([[graft.analytics.QuantileNorm]]) of doc
+    * length across sources: the oracle's naive global `row_number()` over
+    * the pooled order IS the single-task plan the operator's
+    * StableIds path exists to avoid — equality proves the range-partitioned
+    * order statistics match the naive total order exactly.
+    */
+  private def quantileNormQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.QuantileNorm.quantileNormalize(
+        graft.Tables.documents(s, dir), "source", "n_chars", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val quantileNormOracle =
+    """WITH v AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+      |  FROM v GROUP BY source),
+      |r AS (
+      |  SELECT doc_id, source, v,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM v),
+      |p AS (
+      |  SELECT v AS pv,
+      |    CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS pos
+      |  FROM v),
+      |t AS (
+      |  SELECT r.doc_id, r.source, r.v,
+      |    least(greatest(((2 * rk - 1) * nn + ns) // (2 * ns), 1), nn) AS idx
+      |  FROM r CROSS JOIN tot JOIN g ON g.source = r.source)
+      |SELECT t.doc_id, t.source, t.v AS value, p.pv AS normalized
+      |FROM t JOIN p ON p.pos = t.idx ORDER BY t.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> (quantileNormQ _),
     "q_geo_radius" -> (geoRadiusQ _),
     "q_geo_nearest" -> (geoNearestQ _),
     "q_group_regression" -> (groupRegressionQ _),
@@ -1812,6 +1846,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_norm" -> quantileNormOracle,
     "q_geo_radius" -> geoRadiusOracle,
     "q_geo_nearest" -> geoNearestOracle,
     "q_group_regression" -> groupRegressionOracle,

@@ -139,6 +139,24 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(Multimodal.frameEnergies(spark, junk, 80, 20).collect().isEmpty)
   }
 
+  test("quantileNormalize: hand-computed midpoint-quantile mapping") {
+    import graft.analytics.QuantileNorm
+    // a: [10,20] n=2; b: [1,2,3,4] n=4; pooled [1,2,3,4,10,20] N=6
+    // a r1 -> idx (1*6+2)/4=2 -> 2;  a r2 -> (3*6+2)/4=5 -> 10
+    // b ranks 1..4 -> idx 1,2,4,5 -> 1,2,4,10
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 1L), ("b", 4L, 2L),
+      ("b", 5L, 3L), ("b", 6L, 4L)).toDF("g", "id", "v")
+    val out = QuantileNorm.quantileNormalize(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "a", 10L, 2L), (2L, "a", 20L, 10L),
+      (3L, "b", 1L, 1L), (4L, "b", 2L, 2L), (5L, "b", 3L, 4L),
+      (6L, "b", 4L, 10L)))
+    // partitioning invariance: the pooled index must not depend on layout
+    val out2 = QuantileNorm.quantileNormalize(df.repartition(7), "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out2 == out)
+  }
+
   test("bpeEncode segments with the trained merges; counts hand-checked") {
     import graft.text.TextAnalysis
     val docs = Seq((1L, "low low lower"), (2L, "newest newest")).toDF("doc_id", "text")
