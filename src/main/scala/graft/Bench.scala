@@ -41,6 +41,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // pass-major sampling cycles the FULL query set between one query's
+      // samples; the default 100-entry codegen class cache then evicts
+      // every query's generated classes between its own passes, so each
+      // "steady" sample pays full Janino+JIT recompile (~+0.15 s/query,
+      // measured +35% on the whole suite). A long-running cluster job has a
+      // stable query set resident in this cache — size it so the benchmark
+      // does too.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
