@@ -84,6 +84,58 @@ object StarQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between two nations,
+    * by supplier nation × customer nation × ship year, both directions.
+    * The nation dimension joins twice under different roles (the classic
+    * self-role join); both roles and the customer/supplier dims broadcast,
+    * the fact-fact join shuffles once on the order key.
+    */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val nation = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q9-style product profit: parts matching a type, profit =
+    * revenue − retail-cost surrogate (the testdata has no partsupp table;
+    * `p_retailprice·l_quantity` stands in for supplycost·quantity), by
+    * supplier nation × order year. Part and supplier dims broadcast after
+    * their filters; every monetary sum in exact decimal space.
+    */
+  def productProfit(spark: SparkSession, dir: String,
+                    typeToken: String = "PROMO"): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_type").contains(typeToken))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dec(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) -
+          dec(col("p_retailprice") * col("l_quantity"), 4)), 4)
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Interactive top-k (O2): plans as TakeOrderedAndProject, not a sort. */
   def topOrders(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(spark, dir)

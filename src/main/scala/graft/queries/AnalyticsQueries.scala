@@ -51,6 +51,34 @@ object AnalyticsQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val q7Oracle =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val q9Oracle =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) -
+      |    CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type LIKE '%PROMO%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   private val topkOracle =
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
@@ -1837,6 +1865,8 @@ object AnalyticsQueries {
     "q1_pricing_summary" -> (StarQueries.pricingSummary _),
     "q3_shipping_priority" -> (StarQueries.shippingPriority _),
     "q5_local_supplier" -> (StarQueries.localSupplierVolume _),
+    "q7_volume_shipping" -> ((a: SparkSession, b: String) => StarQueries.volumeShipping(a, b)),
+    "q9_product_profit" -> ((a: SparkSession, b: String) => StarQueries.productProfit(a, b)),
     "q_topk_orders" -> ((s: SparkSession, d: String) => StarQueries.topOrders(s, d)),
     "q_set_ops" -> (StarQueries.setOps _),
     "q_session_stats" -> ((s: SparkSession, d: String) => StarQueries.sessionStats(s, d)),
@@ -1903,6 +1933,8 @@ object AnalyticsQueries {
     "q1_pricing_summary" -> q1Oracle,
     "q3_shipping_priority" -> q3Oracle,
     "q5_local_supplier" -> q5Oracle,
+    "q7_volume_shipping" -> q7Oracle,
+    "q9_product_profit" -> q9Oracle,
     "q_topk_orders" -> topkOracle,
     "q_set_ops" -> setOpsOracle,
     "q_session_stats" -> sessionOracle,

@@ -17,6 +17,16 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts in:\n$p")
   }
 
+  test("q7 broadcasts both nation roles + dims; q9 broadcasts the filtered part side") {
+    val p7 = plan(StarQueries.volumeShipping(spark, sf()))
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 4,
+      s"q7 must broadcast supplier/customer/both nation roles:\n$p7")
+    assert(!p7.contains("CartesianProduct"), s"q7 planned a product join:\n$p7")
+    val p9 = plan(StarQueries.productProfit(spark, sf()))
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 3,
+      s"q9 must broadcast part/supplier/nation:\n$p9")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(StarQueries.pricingSummary(spark, sf()))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
