@@ -81,6 +81,54 @@ object DupClusters {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label propagation (community detection): each node starts
+    * labeled with its own id; per round, every node adopts the most frequent
+    * label among its neighbors AND itself (ties → smallest label). Unlike
+    * [[connectedComponents]] (which finds maximal connected sets), majority
+    * voting lets dense regions keep distinct communities inside one
+    * component — the template-family detector over a near-dup pair graph.
+    *
+    * Scale shape per round: one equi-join of the (both-orientation) edge
+    * list against the label table on the neighbor key, one (node, label)
+    * count with map-side combine, one per-node rank window — all
+    * partitioned by node id. A celebrity node's votes reduce through
+    * combiners; the per-node window state is its DISTINCT neighbor labels,
+    * ≤ its degree. Labels are persisted per round and the previous round
+    * unpersisted; fully deterministic, so round-for-round SQL-replicable.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int, idA: String = "id_a",
+                       idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct()
+    var labels = nodes.select(col("n"), col("n").as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("n")).orderBy(col("c").desc, col("lbl"))
+    (1 to rounds).foreach { _ =>
+      val votes = e.join(labels.select(col("n").as("v"), col("lbl")), "v")
+        .select(col("u").as("n"), col("lbl"))
+        .union(e.join(labels.select(col("n").as("u"), col("lbl")), "u")
+          .select(col("v").as("n"), col("lbl")))
+        .union(labels)
+      val next = votes.groupBy(col("n"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("n"), col("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the parent
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
+
   /** Canonical representative per duplicate cluster: the highest-quality
     * member (ties → lowest id) of each [[connectedComponents]] component —
     * the decision a real dedup ships (keep the best copy, not the

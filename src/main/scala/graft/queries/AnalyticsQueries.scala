@@ -1807,7 +1807,97 @@ object AnalyticsQueries {
       |SELECT t.doc_id, t.source, t.v AS value, p.pv AS normalized
       |FROM t JOIN p ON p.pos = t.idx ORDER BY t.doc_id""".stripMargin
 
+  /** Point-in-time (SCD2) dimension probe — THE lakehouse dimension-join
+    * pattern: facts join the version whose validity window contains their
+    * timestamp. Dim = the event-derived SCD2 table (`q_scd2`); probes =
+    * purchase events at t+1 s. Equi-join on the entity key with the range
+    * predicate as a post-filter — per-user version lists are short, so the
+    * join cost is the user-key shuffle.
+    */
+  private def scd2JoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us",
+        coalesce(unix_micros(lead(col("ts"), 1).over(w)), lit(-1L)))
+      .select(col("user_id"), col("version"), col("valid_from_us"),
+        col("valid_to_us"))
+    val probes = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        (unix_micros(col("ts")) + 1000000L).as("t_us"))
+    probes.join(dim, Seq("user_id"))
+      .filter(col("t_us") >= col("valid_from_us") &&
+        (col("valid_to_us") === -1L || col("t_us") < col("valid_to_us")))
+      .select(col("probe_id"), col("user_id"), col("t_us"), col("version"))
+      .orderBy(col("probe_id"))
+  }
+
+  private val scd2JoinOracle =
+    """WITH dim AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+      |    epoch_us(ts) AS vf, coalesce(lead(epoch_us(ts)) OVER w, -1) AS vt
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pr AS (
+      |  SELECT event_id AS probe_id, user_id, epoch_us(ts) + 1000000 AS t_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT probe_id, user_id, t_us, version
+      |FROM pr JOIN dim USING (user_id)
+      |WHERE t_us >= vf AND (vt = -1 OR t_us < vt)
+      |ORDER BY probe_id""".stripMargin
+
+  /** Two rounds of synchronous label propagation
+    * ([[graft.dedup.DupClusters.labelPropagation]]) on a deterministic
+    * star-and-ring community graph over doc ids; the oracle unrolls both
+    * rounds (votes → count → (c desc, label) argmax) so every intermediate
+    * majority vote is replicated, not just the final communities.
+    */
+  private def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+        col("doc_id").as("id_b"))
+    val ring = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.dedup.DupClusters.labelPropagation(star.unionByName(ring), rounds = 2)
+      .select(col("n").as("node_id"), col("lbl").as("label"))
+      .orderBy(col("node_id"))
+  }
+
+  private val labelPropOracle = {
+    def round(k: Int) =
+      s"""v$k AS (
+        |  SELECT n, lbl, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT e.u AS n, l.lbl AS lbl FROM ed e JOIN l${k - 1} l ON l.n = e.v
+        |    UNION ALL SELECT e.v, l.lbl FROM ed e JOIN l${k - 1} l ON l.n = e.u
+        |    UNION ALL SELECT n, lbl FROM l${k - 1})
+        |  GROUP BY 1, 2),
+        |l$k AS (
+        |  SELECT n, lbl FROM (SELECT n, lbl,
+        |      row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rk
+        |    FROM v$k) WHERE rk = 1)""".stripMargin
+    s"""WITH ed AS (
+      |  SELECT doc_id - doc_id % 10 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 <> 0
+      |  UNION
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id % 100 < 90),
+      |l0 AS (
+      |  SELECT n, n AS lbl FROM (
+      |    SELECT u AS n FROM ed UNION SELECT v FROM ed)),
+      |${round(1)},
+      |${round(2)}
+      |SELECT n AS node_id, lbl AS label FROM l2 ORDER BY node_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_join" -> (scd2JoinQ _),
+    "q_label_prop" -> (labelPropQ _),
     "q_quantile_norm" -> (quantileNormQ _),
     "q_geo_radius" -> (geoRadiusQ _),
     "q_geo_nearest" -> (geoNearestQ _),
@@ -1876,6 +1966,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_join" -> scd2JoinOracle,
+    "q_label_prop" -> labelPropOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_geo_radius" -> geoRadiusOracle,
     "q_geo_nearest" -> geoNearestOracle,

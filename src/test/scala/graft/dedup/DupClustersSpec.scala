@@ -77,6 +77,31 @@ class DupClustersSpec extends SparkSpec {
     assert(out2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("labelPropagation: star converges to hub label; majority beats min-id") {
+    // star 0-{1,2,3}: leaves tie {self, 0} -> 0; hub ties all at 1 -> min 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val l1 = DupClusters.labelPropagation(star, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // rounds = 0 is the identity labeling
+    val l0 = DupClusters.labelPropagation(star, rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(l0 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // majority wins over smaller id: node 9 sits between community {5,6,7}
+    // (already labeled via round 1 of a triangle) and lone smaller id 1
+    // triangle 5-6-7 + tail 9 attached to 5,6 + edge 1-9:
+    // round1: 5,6,7 -> 5 (triangle majority/min), 9's votes: self 9, 5, 6, 1
+    //   all c=1 -> min 1. round2: 9's votes: self 1, labels(5)=5, labels(6)=5,
+    //   labels(1)=9?? -> 1's round1: votes self 1 + 9 -> min 1. so 9 sees
+    //   {1:2 (self+node1), 5:2} -> tie -> min 1... adjust: attach 9 to 7 too.
+    // with 5,6,7 all voting 5: {5:3, 1:2} -> 5 wins despite 1 < 5.
+    val g = Seq((5L, 6L), (6L, 7L), (5L, 7L), (9L, 5L), (9L, 6L), (9L, 7L),
+      (1L, 9L)).toDF("id_a", "id_b")
+    val l2 = DupClusters.labelPropagation(g, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2(9L) == 5L, s"majority must beat smaller id: $l2")
+  }
+
   test("pageRankFixedPoint: hand-computed values on a path; center of a star dominates") {
     // path 1-2-3, one iteration, scale 1000: base = 150
     // contrib: 1 -> 1000/1 = 1000; 2 -> 1000/2 = 500; 3 -> 1000
