@@ -27,6 +27,32 @@ class PlanSpec extends SparkSpec {
       s"q9 must broadcast part/supplier/nation:\n$p9")
   }
 
+  test("bpeEncode plans as a pure projection - zero shuffles") {
+    import graft.text.TextAnalysis
+    val docs = graft.Tables.documents(spark, sf())
+    val p = plan(TextAnalysis.bpeEncode(docs, Seq(("t", "h"), ("th", "e"))))
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+  }
+
+  test("interval coverage plans exactly two group-key shuffles") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf()).select(col("user_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + 1000000L).as("e_us"))
+    val p = plan(graft.ops.Intervals.coverage(ev, "user_id", "s_us", "e_us"))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 2, s"expected <=2 shuffles, got $ex:\n$p")
+  }
+
+  test("geo radius join: equi-join on cell, no product join, filter after") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.documents(spark, sf()).select(col("doc_id").as("id"),
+      (col("doc_id") * 37 % 1000).as("x"), (col("doc_id") * 61 % 1000).as("y"))
+    val p = plan(graft.ops.GeoJoin.radiusJoin(pts, 25))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"radius join planned a product join:\n$p")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(StarQueries.pricingSummary(spark, sf()))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
