@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-drift audit: bucket a numeric column into fixed
+  * equi-width bins and compare cohort A against cohort B with per-bucket
+  * chi-square contributions — the retrain/rollback tripwire every
+  * production training pipeline runs between data drops.
+  *
+  * Oracle discipline: bucket counts and totals are exact BIGINTs; each
+  * bucket's expected counts and chi-square terms are single fixed-
+  * operand-order IEEE expressions over those longs, emitted PER BUCKET —
+  * a cross-bucket double total would depend on aggregation order, so the
+  * (bounded, bucket-count-sized) summation is left to the caller.
+  *
+  * Scale shape: one map-side-combined aggregate on the bucket key (reduce
+  * state ≤ nBuckets rows) plus a broadcast of the one-row totals. A pure
+  * scan otherwise.
+  */
+object Drift {
+
+  /** Per bucket: n_a, n_b (exact), expected counts and chi-square
+    * contributions under the homogeneity null. `cohortA` is the boolean
+    * split; values clamp into [0, nBuckets) by `bucketWidth`.
+    */
+  def chi2Buckets(df: DataFrame, valueCol: String, cohortA: Column,
+                  bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
+    val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
+      .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
+    val counts = df.select(bucket, cohortA.as("__a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      sum(col("n_a") + col("n_b")).as("__n"))
+    def term(o: Column, e: Column): Column =
+      when(e > 0.0, (o.cast("double") - e) * (o.cast("double") - e) / e)
+        .otherwise(0.0)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("e_a",
+        ((col("n_a") + col("n_b")) * col("__ta")).cast("double") /
+          col("__n").cast("double"))
+      .withColumn("e_b",
+        ((col("n_a") + col("n_b")) * col("__tb")).cast("double") /
+          col("__n").cast("double"))
+      .withColumn("chi2_a", term(col("n_a"), col("e_a")))
+      .withColumn("chi2_b", term(col("n_b"), col("e_b")))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("e_a"), col("e_b"),
+        col("chi2_a"), col("chi2_b"))
+  }
+}

@@ -1895,7 +1895,48 @@ object AnalyticsQueries {
       |SELECT n AS node_id, lbl AS label FROM l2 ORDER BY node_id""".stripMargin
   }
 
+  /** Distribution-drift audit ([[graft.analytics.Drift.chi2Buckets]]):
+    * even- vs odd-id documents as the two data drops, n_chars bucketed by
+    * 50 into 10 bins. Exact counts under the hash; expected counts and
+    * per-bucket chi-square contributions as fixed-order IEEE expressions
+    * (no cross-bucket double total — summation order would be
+    * engine-dependent; callers sum ≤ nBuckets terms).
+    */
+  private def driftQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.chi2Buckets(graft.Tables.documents(s, dir),
+        "n_chars", col("doc_id") % 2 === 0, bucketWidth = 50L, nBuckets = 10)
+      .orderBy(col("bucket"))
+
+  private val driftOracle =
+    """WITH b AS (
+      |  SELECT least(greatest(n_chars // 50, 0), 9) AS bucket,
+      |    doc_id % 2 = 0 AS a
+      |  FROM documents),
+      |c AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY bucket),
+      |t AS (
+      |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+      |    CAST(sum(n_a + n_b) AS BIGINT) AS nn
+      |  FROM c),
+      |e AS (
+      |  SELECT bucket, n_a, n_b,
+      |    CAST((n_a + n_b) * ta AS DOUBLE) / CAST(nn AS DOUBLE) AS e_a,
+      |    CAST((n_a + n_b) * tb AS DOUBLE) / CAST(nn AS DOUBLE) AS e_b
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket, n_a, n_b, e_a, e_b,
+      |  CASE WHEN e_a > 0.0 THEN
+      |    (CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a) / e_a
+      |    ELSE 0.0 END AS chi2_a,
+      |  CASE WHEN e_b > 0.0 THEN
+      |    (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b) / e_b
+      |    ELSE 0.0 END AS chi2_b
+      |FROM e ORDER BY bucket""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_chi2" -> (driftQ _),
     "q_scd2_join" -> (scd2JoinQ _),
     "q_label_prop" -> (labelPropQ _),
     "q_quantile_norm" -> (quantileNormQ _),
@@ -1966,6 +2007,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_drift_chi2" -> driftOracle,
     "q_scd2_join" -> scd2JoinOracle,
     "q_label_prop" -> labelPropOracle,
     "q_quantile_norm" -> quantileNormOracle,

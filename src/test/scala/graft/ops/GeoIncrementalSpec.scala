@@ -139,6 +139,29 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(Multimodal.frameEnergies(spark, junk, 80, 20).collect().isEmpty)
   }
 
+  test("chi2Buckets: hand-computed contributions; identical cohorts are zero") {
+    import graft.analytics.Drift
+    // A: values 0,0,60 -> buckets 0,0,1 ; B: 0,60,60 -> 0,1,1
+    // bucket0: na=2 nb=1; bucket1: na=1 nb=2; ta=tb=3 N=6
+    // e_a = e_b = 1.5 both buckets; term = 0.25/1.5 each
+    val df = Seq((true, 0L), (true, 0L), (true, 60L),
+      (false, 0L), (false, 60L), (false, 60L)).toDF("a", "v")
+    val out = Drift.chi2Buckets(df, "v", col("a"), 50L, 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq((0L, 2L, 1L), (1L, 1L, 2L)))
+    out.foreach { r =>
+      assert(r._4 == 1.5 && r._5 == 1.5)
+      assert(math.abs(r._6 - 0.25 / 1.5) < 1e-15 && math.abs(r._7 - 0.25 / 1.5) < 1e-15)
+    }
+    // identical cohorts -> zero drift everywhere
+    val same = Seq((true, 10L), (false, 10L), (true, 70L), (false, 70L))
+      .toDF("a", "v")
+    Drift.chi2Buckets(same, "v", col("a"), 50L, 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().foreach(r => assert(r._6 == 0.0 && r._7 == 0.0))
+  }
+
   test("quantileNormalize: hand-computed midpoint-quantile mapping") {
     import graft.analytics.QuantileNorm
     // a: [10,20] n=2; b: [1,2,3,4] n=4; pooled [1,2,3,4,10,20] N=6
