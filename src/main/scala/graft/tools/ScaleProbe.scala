@@ -81,7 +81,13 @@ object ScaleProbe {
       "ngramJaccardPairs" -> (d =>
         graft.dedup.Dedup.ngramJaccardPairs(d, k = 5, threshold = 0.5)),
       "sharedTokenRuns" -> (d =>
-        graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)))
+        graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)),
+      // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
+      // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
+      // the sketch path too, band-collision noise notwithstanding
+      "minhashLsh" -> (d =>
+        graft.dedup.MinHashLSH.nearDuplicates(d, k = 5, numHashes = 64,
+          bands = 16, threshold = 0.5)))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
