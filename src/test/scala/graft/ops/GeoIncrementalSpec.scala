@@ -139,6 +139,78 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(Multimodal.frameEnergies(spark, junk, 80, 20).collect().isEmpty)
   }
 
+  test("interval coverage matches a naive reference on random intervals (property)") {
+    val rnd = new scala.util.Random(23)
+    val iv = (0 until 400).map { _ =>
+      val g = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(100).toLong
+      (g, s, s + 1 + rnd.nextInt(20))
+    }
+    val out = Intervals.coverage(iv.toDF("g", "s", "e"), "g", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    val naive = iv.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      var islands = List.empty[(Long, Long)]
+      sorted.foreach { case (s, e) =>
+        islands match {
+          case (is, ie) :: rest if s <= ie =>
+            islands = (is, math.max(ie, e)) :: rest
+          case _ => islands = (s, e) :: islands
+        }
+      }
+      g -> ((rows.size.toLong, islands.size.toLong,
+        islands.map { case (s, e) => e - s }.sum))
+    }
+    assert(out == naive)
+  }
+
+  test("bpeTrain matches a reference sequential trainer on random corpora (property)") {
+    import graft.text.TextAnalysis
+    // reference: word-frequency table, pair counts, (n desc, l, r) argmax,
+    // left-to-right non-overlapping merge per word
+    def reference(words: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+      var freq = words.groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.size.toLong }.toVector
+      (1 to rounds).flatMap { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        freq.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach(p =>
+            counts((p(0), p(1))) += c)
+        }
+        if (counts.isEmpty) None
+        else {
+          val (l, r) = counts.keys.toSeq
+            .sortBy { case (a, b) => (-counts((a, b)), a, b) }.head
+          val n = counts((l, r))
+          freq = freq.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toVector -> c
+          }
+          Some((l, r, n))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(5)
+    (0 until 3).foreach { trial =>
+      val alphabet = "abcd"
+      val words = (0 until 60).map(_ =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(4))).mkString)
+      val docs = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val got = TextAnalysis.bpeTrain(docs, rounds = 4)
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+        .map(r => (r._2, r._3, r._5)).toSeq
+      assert(got == reference(words, 4), s"trial $trial diverged")
+    }
+  }
+
   test("chi2Buckets: hand-computed contributions; identical cohorts are zero") {
     import graft.analytics.Drift
     // A: values 0,0,60 -> buckets 0,0,1 ; B: 0,60,60 -> 0,1,1
