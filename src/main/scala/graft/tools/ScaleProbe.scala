@@ -87,7 +87,21 @@ object ScaleProbe {
       // the sketch path too, band-collision noise notwithstanding
       "minhashLsh" -> (d =>
         graft.dedup.MinHashLSH.nearDuplicates(d, k = 5, numHashes = 64,
-          bands = 16, threshold = 0.5)))
+          bands = 16, threshold = 0.5)),
+      // graph path: star-and-ring community edges derived from doc ids; the
+      // formula is invariant under the replica offset (10M ≡ 0 mod 100), so
+      // replicas carry disjoint copies of the same communities and the
+      // label table is exactly Nx rows
+      "labelPropagation" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val star = ids.filter(col("doc_id") % 10 =!= 0)
+          .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+            col("doc_id").as("id_b"))
+        val ring = ids.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+          .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        graft.dedup.DupClusters.labelPropagation(star.unionByName(ring), rounds = 2)
+      })
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
