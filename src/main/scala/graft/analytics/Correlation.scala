@@ -18,6 +18,61 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
+  /** Per-group distribution shape from EXACT integer power sums (n, Σx,
+    * Σx², Σx³, Σx⁴ — all BIGINT under the hash; inputs must be small enough
+    * that Σx⁴ fits a long, true for any bounded feature column): variance,
+    * skewness and excess kurtosis via the standard central-moment algebra,
+    * each one fixed-operand-order IEEE expression — so the SHAPE statistics
+    * verify cross-engine, not just their inputs. One map-combined
+    * aggregate; the drift-monitoring companion to [[regression]].
+    */
+  def moments(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val nD = col("n").cast("double")
+    val m = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - m * m
+    val m3 = col("s3").cast("double") / nD - lit(3.0) * m * (col("s2").cast("double") / nD) +
+      lit(2.0) * m * m * m
+    val m4 = col("s4").cast("double") / nD - lit(4.0) * m * (col("s3").cast("double") / nD) +
+      lit(6.0) * m * m * (col("s2").cast("double") / nD) - lit(3.0) * m * m * m * m
+    agg.withColumn("mean", m)
+      .withColumn("variance", m2)
+      .withColumn("skewness",
+        when(col("variance") > 0.0, m3 / sqrt(col("variance") * col("variance") * col("variance")))
+          .otherwise(0.0))
+      .withColumn("kurtosis",
+        when(col("variance") > 0.0, m4 / (col("variance") * col("variance")) - lit(3.0))
+          .otherwise(0.0))
+  }
+
+  /** Per-group exact weighted median: the smallest value whose running
+    * weight (value-then-id order) reaches half the group's total weight —
+    * 2·cumw ≥ W on exact BIGINTs, no interpolation, so the selected value
+    * is a data value and hash-compares. One group-key window + one
+    * aggregate join; the weighted companion of the exact `winsorize`
+    * order statistics.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__wt"))
+      .withColumn("__cumw", sum(col("__wt")).over(w))
+    val tot = cum.groupBy(col(groupCol))
+      .agg(sum(col("__wt")).as("__tw"), count(lit(1)).as("n"))
+    cum.join(tot, groupCol)
+      .filter(col("__cumw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("weighted_median"), first(col("__tw")).as("total_weight"),
+        first(col("n")).as("n"))
+      .select(col(groupCol), col("n"), col("total_weight"), col("weighted_median"))
+  }
+
   /** Per-group simple least squares of `yCol` on `xCol` from EXACT integer
     * moment sums (n, Σx, Σy, Σxy, Σx² — all BIGINT under the hash):
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx), intercept from the means —

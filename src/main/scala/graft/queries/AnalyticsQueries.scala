@@ -1935,7 +1935,82 @@ object AnalyticsQueries {
       |    ELSE 0.0 END AS chi2_b
       |FROM e ORDER BY bucket""".stripMargin
 
+  /** Distribution shape per source ([[graft.analytics.Correlation.moments]]):
+    * the exact BIGINT power sums sit under the hash alongside variance /
+    * skewness / kurtosis, each a fixed-operand-order IEEE expression from
+    * those sums — shape statistics verified cross-engine.
+    */
+  private def momentsQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Correlation.moments(
+        graft.Tables.documents(s, dir), "source", "n_chars")
+      .orderBy(col("source"))
+
+  private val momentsOracle =
+    """WITH a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS s1,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+      |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+      |    CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+      |  FROM documents GROUP BY source),
+      |b AS (
+      |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM a),
+      |c AS (
+      |  SELECT *,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS variance,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      2.0 * mean * mean * mean AS m3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+      |      3.0 * mean * mean * mean * mean AS m4
+      |  FROM b)
+      |SELECT source, n, s1, s2, s3, s4, mean, variance,
+      |  CASE WHEN variance > 0.0
+      |    THEN m3 / sqrt(variance * variance * variance) ELSE 0.0 END AS skewness,
+      |  CASE WHEN variance > 0.0
+      |    THEN m4 / (variance * variance) - 3.0 ELSE 0.0 END AS kurtosis
+      |FROM c ORDER BY source""".stripMargin
+
+  /** Exact weighted median per event type
+    * ([[graft.analytics.Correlation.weightedMedian]]): smallest value whose
+    * running weight reaches half the total — 2·cumw ≥ W on exact BIGINTs,
+    * the selected value is a data value.
+    */
+  private def weightedMedianQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).select(col("event_type"),
+      col("event_id"), (col("event_id") % 100).as("v"),
+      (col("user_id") % 7 + 1).as("wt"))
+    graft.analytics.Correlation.weightedMedian(ev, "event_type", "v", "wt",
+        "event_id")
+      .orderBy(col("event_type"))
+  }
+
+  private val weightedMedianOracle =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, event_id % 100 AS v,
+      |    user_id % 7 + 1 AS wt
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, v, wt,
+      |    sum(wt) OVER (PARTITION BY event_type ORDER BY v, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      |  FROM ev),
+      |t AS (
+      |  SELECT event_type, CAST(sum(wt) AS BIGINT) AS tw,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY event_type)
+      |SELECT c.event_type, t.n, t.tw AS total_weight,
+      |  CAST(min(c.v) AS BIGINT) AS weighted_median
+      |FROM c JOIN t ON t.event_type = c.event_type
+      |WHERE c.cumw * 2 >= t.tw
+      |GROUP BY c.event_type, t.n, t.tw
+      |ORDER BY c.event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moments" -> (momentsQ _),
+    "q_weighted_median" -> (weightedMedianQ _),
     "q_drift_chi2" -> (driftQ _),
     "q_scd2_join" -> (scd2JoinQ _),
     "q_label_prop" -> (labelPropQ _),
@@ -2007,6 +2082,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_moments" -> momentsOracle,
+    "q_weighted_median" -> weightedMedianOracle,
     "q_drift_chi2" -> driftOracle,
     "q_scd2_join" -> scd2JoinOracle,
     "q_label_prop" -> labelPropOracle,

@@ -54,6 +54,28 @@ class GeoIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("moments: uniform three-point shape; constant group degenerates to 0") {
+    import graft.analytics.Correlation
+    val df = (Seq(1L, 2L, 3L).map(("u", _)) ++ Seq(5L, 5L).map(("c", _)))
+      .toDF("g", "x")
+    val out = Correlation.moments(df, "g", "x")
+      .select("g", "variance", "skewness", "kurtosis")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out(1)._1 == "u" && math.abs(out(1)._2 - 2.0 / 3) < 1e-12)
+    assert(out(1)._3 == 0.0) // symmetric
+    assert(math.abs(out(1)._4 + 1.5) < 1e-12) // uniform 3-point excess kurtosis
+    assert(out(0) == (("c", 0.0, 0.0, 0.0)))
+  }
+
+  test("weightedMedian: heavy tail wins; even split takes the lower value") {
+    import graft.analytics.Correlation
+    val df = Seq(("a", 1L, 1L, 1L), ("a", 2L, 2L, 1L), ("a", 3L, 3L, 10L),
+      ("b", 4L, 1L, 5L), ("b", 5L, 2L, 5L)).toDF("g", "id", "v", "wt")
+    val out = Correlation.weightedMedian(df, "g", "v", "wt", "id")
+      .select("g", "weighted_median").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("spearman: perfect, inverted, and hand-computed partial correlation") {
     import graft.analytics.Correlation
     // g=a: y = 2x (perfect, rho 1, sum_d2 0); g=b: y = -x (rho -1)
