@@ -2008,7 +2008,77 @@ object AnalyticsQueries {
       |GROUP BY c.event_type, t.n, t.tw
       |ORDER BY c.event_type""".stripMargin
 
+  /** Run-length clustering audit — the metric layout sorting (Z-order,
+    * [[graft.maintain.Layout]]) exists to improve: per source, how many
+    * value-runs does the `lang` column form in id order, and the average
+    * run length (exact counts; the ratio is one division). Long runs ⇒
+    * better RLE/dictionary compression and fewer row-group value switches.
+    */
+  private def runLengthQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    graft.Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("lang"))
+      .withColumn("__new",
+        when(lag(col("lang"), 1).over(w).isNull ||
+          col("lang") =!= lag(col("lang"), 1).over(w), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("__new")).as("n_runs"))
+      .withColumn("avg_run_len",
+        col("n").cast("double") / col("n_runs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private val runLengthOracle =
+    """WITH r AS (
+      |  SELECT source,
+      |    CASE WHEN lag(lang) OVER (PARTITION BY source ORDER BY doc_id)
+      |      IS DISTINCT FROM lang THEN 1 ELSE 0 END AS nw
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(nw) AS BIGINT) AS n_runs,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS avg_run_len
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Time-to-conversion: per user, the first click and the first purchase
+    * at-or-after it, with the exact microsecond delta — the product-funnel
+    * latency metric; users who never converted after their first click are
+    * excluded (the unconverted count is `q_funnel`'s business).
+    */
+  private def timeToConvertQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("first_click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    firstClick.join(purchases, Seq("user_id"))
+      .filter(col("p_us") >= col("first_click_us"))
+      .groupBy(col("user_id"), col("first_click_us"))
+      .agg(min(col("p_us")).as("first_purchase_us"))
+      .withColumn("delta_us", col("first_purchase_us") - col("first_click_us"))
+      .select(col("user_id"), col("first_click_us"), col("first_purchase_us"),
+        col("delta_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val timeToConvertOracle =
+    """WITH fc AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT fc.user_id, fc.first_click_us,
+      |  min(p.p_us) AS first_purchase_us,
+      |  min(p.p_us) - fc.first_click_us AS delta_us
+      |FROM fc JOIN p ON p.user_id = fc.user_id
+      |WHERE p.p_us >= fc.first_click_us
+      |GROUP BY fc.user_id, fc.first_click_us
+      |ORDER BY fc.user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_run_length" -> (runLengthQ _),
+    "q_time_to_convert" -> (timeToConvertQ _),
     "q_moments" -> (momentsQ _),
     "q_weighted_median" -> (weightedMedianQ _),
     "q_drift_chi2" -> (driftQ _),
@@ -2082,6 +2152,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_run_length" -> runLengthOracle,
+    "q_time_to_convert" -> timeToConvertOracle,
     "q_moments" -> momentsOracle,
     "q_weighted_median" -> weightedMedianOracle,
     "q_drift_chi2" -> driftOracle,
