@@ -25,6 +25,11 @@ object Correlation {
     * each one fixed-operand-order IEEE expression — so the SHAPE statistics
     * verify cross-engine, not just their inputs. One map-combined
     * aggregate; the drift-monitoring companion to [[regression]].
+    *
+    * Range bound: Σx⁴ ≤ n·max|x|⁴ must stay under 2⁶³ — e.g. max|x| ≤ 10³
+    * allows n up to ~9·10⁶ per group, max|x| ≤ 10⁴ only ~9·10² — beyond
+    * which the sum wraps silently (non-ANSI). Rescale or clip the feature
+    * first (winsorize) when x is wide.
     */
   def moments(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
     val x = col(xCol).cast("long")
@@ -103,6 +108,12 @@ object Correlation {
   /** Per-group Spearman rank correlation of `xCol` vs `yCol`:
     * (group, n, sum_d2, spearman_rho). Ties break by `idCol` in BOTH
     * rankings — deterministic, and tie-noise vanishes as groups grow.
+    *
+    * Range bound: worst-case Σd² < n³/3, so the exact BIGINT contract
+    * holds for groups up to ~3·10⁶ rows; beyond that the sum can wrap
+    * silently (non-ANSI) — rank-correlate a per-group sample, not the raw
+    * rows, at that scale (the estimate converges at a few thousand rows
+    * anyway).
     */
   def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String,
                idCol: String): DataFrame = {

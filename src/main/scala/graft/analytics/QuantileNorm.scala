@@ -37,11 +37,12 @@ object QuantileNorm {
       .select((col("stable_id") + 1L).as("__pos"), col("__v").as("__pv"))
     ranked.join(sizes, groupCol)
       .crossJoin(broadcast(total))
-      // operands stay far below 2^53, so the double division is exact
-      // before the truncating cast — floor division on positive longs
+      // SQL `div` is exact long floor division — no double round-trip, so
+      // the index stays bit-exact however large the pooled table gets (the
+      // remaining bound is (2r−1)·N overflowing long at ~2^31.5 rows per
+      // side, far past any single pooled normalization)
       .withColumn("__idx", least(greatest(
-        (((lit(2L) * col("__rk") - 1L) * col("__nn") + col("__ns")) /
-          (lit(2L) * col("__ns"))).cast("long"),
+        expr("((2L * __rk - 1L) * __nn + __ns) div (2L * __ns)"),
         lit(1L)), col("__nn")))
       .join(pooled, col("__idx") === col("__pos"))
       .select(col(idCol), col(groupCol), col("__v").as("value"),

@@ -56,16 +56,9 @@ object Versioned {
   }
 
   private def writeManifest(spark: SparkSession, tableDir: String, v: Int,
-                            files: Seq[String]): Unit = {
-    val f = fs(spark, tableDir)
-    f.mkdirs(manifestDir(tableDir))
-    val tmp = new Path(manifestDir(tableDir), s".v$v.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write((s"version=$v" +: files).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, new Path(manifestDir(tableDir), s"v$v.json")))
-      throw new java.io.IOException(s"commit of v$v lost a rename race")
-  }
+                            files: Seq[String]): Unit =
+    atomicWrite(fs(spark, tableDir),
+      new Path(manifestDir(tableDir), s"v$v.json"), s"version=$v" +: files)
 
   /** Relative data-file paths under `tableDir` for commit directory `dataDir`. */
   private def listDataFiles(spark: SparkSession, tableDir: String,
@@ -211,6 +204,9 @@ object Versioned {
   def createBranch(spark: SparkSession, tableDir: String, name: String,
                    fromVersion: Option[Int] = None): Unit = {
     require(name.matches("[A-Za-z0-9_-]+"), s"illegal branch name: $name")
+    // a branch named v<digits> would put its data at data/v<k>/..., squarely
+    // inside main's commit-directory namespace — refuse at creation
+    require(!name.matches("v\\d+"), s"branch name $name collides with main's version namespace")
     val f = fs(spark, tableDir)
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no committed snapshots under $tableDir to branch from")
@@ -229,7 +225,18 @@ object Versioned {
     val spark = df.sparkSession
     val base = branchBase(spark, tableDir, name) // asserts the branch exists
     val prev = branchVersions(spark, tableDir, name)
-    val k = prev.lastOption.getOrElse(0) + 1
+    // a dropped-then-recreated branch may have left data dirs behind (its
+    // files can be live in a merged main manifest, so dropBranch cannot
+    // delete them) — number past any surviving data dir, not just past the
+    // surviving manifests, or the errorifexists write bricks the branch
+    val f0 = fs(spark, tableDir)
+    val dataRoot = new Path(tableDir, s"data/$name")
+    val dirK =
+      if (!f0.exists(dataRoot)) 0
+      else f0.listStatus(dataRoot).toSeq.map(_.getPath.getName)
+        .collect { case s if s.matches("v\\d+") => s.stripPrefix("v").toInt }
+        .maxOption.getOrElse(0)
+    val k = math.max(prev.lastOption.getOrElse(0), dirK) + 1
     val dataDir = new Path(tableDir, s"data/$name/v$k")
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = listDataFiles(spark, tableDir, dataDir)
@@ -314,19 +321,26 @@ object Versioned {
       writeManifest(spark, tableDir, v, files)
       v
     } else {
-      val conflicts = branchConflicts(spark, tableDir, name, keys)
-      val sample = conflicts.limit(5).collect()
-      if (sample.nonEmpty)
+      // one diff pass each side: branchTouched feeds both the conflict
+      // check and the merge itself (branchConflicts would recompute it)
+      val baseDf = read(spark, tableDir, Some(base))
+      val branchHead = readBranch(spark, tableDir, name)
+      val main = read(spark, tableDir)
+      val branchTouched = changedKeys(baseDf, branchHead, keys)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sample = changedKeys(baseDf, main, keys)
+        .join(branchTouched, keys, "inner").limit(5).collect()
+      if (sample.nonEmpty) {
+        branchTouched.unpersist()
         throw new IllegalStateException(
           s"merge of branch $name conflicts on keys: " +
             sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
-      val baseDf = read(spark, tableDir, Some(base))
-      val branchHead = readBranch(spark, tableDir, name)
-      val branchTouched = changedKeys(baseDf, branchHead, keys)
-      val main = read(spark, tableDir)
+      }
       val untouched = main.join(branchTouched, keys, "left_anti")
       val fromBranch = branchHead.join(branchTouched, keys, "left_semi")
-      commit(untouched.unionByName(fromBranch), tableDir, append = false)
+      val v = commit(untouched.unionByName(fromBranch), tableDir, append = false)
+      branchTouched.unpersist()
+      v
     }
   }
 

@@ -199,31 +199,42 @@ object Multimodal {
     * screens). Unparseable payloads degrade to byte-derived stub features
     * with `decoded = false` — DLQ-style tolerance, matching [[decodeImage]].
     */
+  /** Parse + format-gate a WAV payload: Some(sampleRate, pcmBytes) only for
+    * MONO 16-bit little-endian signed PCM — the one layout the sample
+    * reassembly in [[decodeAudio]]/[[frameEnergies]] understands. Anything
+    * else (8/24-bit, big-endian, compressed, multi-channel interleaved)
+    * would decode to silently-wrong statistics, breaking the DLQ-tolerance
+    * contract (unparseable → flagged; never wrong-with-decoded=true), so it
+    * returns None like an unparseable payload. ONE shared gate so the two
+    * consumers can never disagree on decodability.
+    */
+  private def pcm16MonoLe(bytes: Array[Byte]): Option[(Int, Array[Byte])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) None
+    else {
+      val f = ais.getFormat
+      val ok =
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian && f.getChannels == 1
+      if (!ok) None
+      else Some((math.round(f.getSampleRate), ais.readAllBytes()))
+    }
+  }
+
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.as[AudioRow].mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        // Sample reassembly below assumes 16-bit little-endian signed PCM;
-        // any other encoding (8/24-bit, big-endian, compressed) would decode
-        // to silently-wrong statistics, which breaks the DLQ-tolerance
-        // contract (unparseable → flagged; never wrong-with-decoded=true).
-        // Such payloads degrade to decoded=false like unparseable ones.
-        val fmtOk = ais != null && {
-          val f = ais.getFormat
-          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16 && !f.isBigEndian
-        }
-        if (!fmtOk)
+        val parsed = pcm16MonoLe(bytes)
+        if (parsed.isEmpty)
           AudioFeatures(r.doc_id, bytes.length.toLong, r.sample_rate,
             r.n_samples, 0, 0.0, 0L, decoded = false)
         else {
-          val fmt = ais.getFormat
-          val data = ais.readAllBytes()
+          val (rate, data) = parsed.get
           val n = data.length / 2
           var i = 0
           var peak = 0
@@ -240,8 +251,7 @@ object Multimodal {
             prev = s
             i += 1
           }
-          AudioFeatures(r.doc_id, bytes.length.toLong,
-            math.round(fmt.getSampleRate).toInt, n, peak,
+          AudioFeatures(r.doc_id, bytes.length.toLong, rate, n, peak,
             if (n == 0) 0.0 else sumAbs.toDouble / n, zc, decoded = true)
         }
       }
@@ -267,18 +277,10 @@ object Multimodal {
     media.as[AudioRow].mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        val ok = ais != null && {
-          val f = ais.getFormat
-          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            f.getSampleSizeInBits == 16 && !f.isBigEndian
-        }
-        if (!ok) Iterator.empty
+        val parsed = pcm16MonoLe(bytes)
+        if (parsed.isEmpty) Iterator.empty
         else {
-          val data = ais.readAllBytes()
+          val data = parsed.get._2
           val n = data.length / 2
           @inline def sample(i: Int): Int =
             ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt

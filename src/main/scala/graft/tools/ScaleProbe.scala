@@ -64,6 +64,9 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // same rationale as Bench: cycling many distinct plans between one
+      // operator's samples must not evict its generated classes
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -71,10 +74,15 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
 
     val base = planted(spark.read.parquet(s"$baseDir/documents.parquet"))
+    // fixture dirs are keyed by the base corpus so a probe against a
+    // different sf never reuses stale replicas; delete workDir by hand
+    // after changing planted()/replicate() themselves
+    val corpusRoot = s"$workDir/${new java.io.File(baseDir).getName}"
     Seq(1, replicas).foreach { n =>
-      val p = s"$workDir/x$n"
-      if (!new java.io.File(p).exists())
-        replicate(base, n).write.mode("overwrite").parquet(p)
+      val p = s"$corpusRoot/x$n"
+      if (new java.io.File(p).exists())
+        System.err.println(s"[scale] reusing existing corpus at $p")
+      else replicate(base, n).write.mode("overwrite").parquet(p)
     }
 
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
@@ -106,7 +114,7 @@ object ScaleProbe {
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
     val rows = for ((opName, op) <- ops; n <- Seq(1, replicas)) yield {
-      val docs = spark.read.parquet(s"$workDir/x$n")
+      val docs = spark.read.parquet(s"$corpusRoot/x$n")
       val nDocs = docs.count()
       var bestT = Double.MaxValue
       var bw = 0L; var br = 0L

@@ -136,6 +136,24 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.versions(spark, dir).contains(base))
   }
 
+  test("branches: v<digits> names refused; drop-and-recreate can commit again") {
+    val dir = freshTable()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    // a branch named v2 would write data under main's data/v2 commit dir
+    intercept[IllegalArgumentException](Versioned.createBranch(spark, dir, "v2"))
+    // dropped branch leaves data dirs (files may be live in merged main);
+    // a recreated branch must number past them instead of bricking
+    Versioned.createBranch(spark, dir, "dev")
+    Versioned.commitToBranch(Seq((2L, "b")).toDF("id", "s"), dir, "dev")
+    Versioned.mergeBranch(spark, dir, "dev", Seq("id")) // FF: main references data/dev/v1
+    Versioned.dropBranch(spark, dir, "dev")
+    Versioned.createBranch(spark, dir, "dev")
+    val k = Versioned.commitToBranch(Seq((3L, "c")).toDF("id", "s"), dir, "dev")
+    assert(k == 2, s"recreated branch must number past surviving data dirs, got v$k")
+    assert(Versioned.readBranch(spark, dir, "dev").count() == 3)
+    assert(Versioned.read(spark, dir).count() == 2) // main still pre-second-merge
+  }
+
   test("crash debris (data without manifest) is invisible and cleaned as orphans") {
     val dir = freshTable()
     Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)

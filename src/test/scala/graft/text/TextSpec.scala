@@ -150,6 +150,19 @@ class TextSpec extends SparkSpec {
       "doc_id", "media", "sample_rate", "n_samples")
     val f8 = Multimodal.decodeAudio(spark, w8).collect().head
     assert(!f8.decoded && f8.peak == 0)
+    // stereo 16-bit LE PCM parses but interleaves channels: must also be
+    // refused (decoded=false), in decode AND framing
+    val pcmSt = Array.tabulate[Byte](80)(i => (i * 5).toByte)
+    val fmtSt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val aisSt = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmSt), fmtSt, 20L)
+    val bosSt = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(aisSt,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bosSt)
+    val wSt = Seq((12L, bosSt.toByteArray, 8000, 20)).toDF(
+      "doc_id", "media", "sample_rate", "n_samples")
+    assert(!Multimodal.decodeAudio(spark, wSt).collect().head.decoded)
+    assert(Multimodal.frameEnergies(spark, wSt, 8, 4).collect().isEmpty)
   }
 
   test("decodeImage falls back to the stub on non-image payloads") {
