@@ -129,6 +129,48 @@ object DupClusters {
     labels
   }
 
+  /** Iterative k-core peel: repeatedly drop nodes of degree < `k` (and
+    * their incident edges) for `rounds` rounds, then return the surviving
+    * nodes with their in-core degrees. The k-core is THE density filter for
+    * duplicate graphs — spokes and chains (one-off copies) peel away while
+    * template families (mutually-similar boilerplate) survive; it is also
+    * the standard preprocessing cut before community detection
+    * ([[labelPropagation]]) and triangle counting.
+    *
+    * Fixed `rounds` keeps the operator round-for-round deterministic (and
+    * therefore SQL-replicable by CTE unrolling, the `q_pagerank` /
+    * `q_label_prop` precedent); callers wanting the true core run until the
+    * edge signature stabilizes — on any graph at most O(n) rounds, in
+    * practice a handful (each round removes every currently-under-k node at
+    * once, not one node at a time like the sequential algorithm).
+    *
+    * Scale shape per round: one degree aggregate (map-side combined) and
+    * two semi-joins keyed on single node ids — no window, no collect; the
+    * edge set only shrinks. `localCheckpoint` per round truncates the
+    * otherwise round-stacking lineage exactly like [[pageRankFixedPoint]].
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int,
+                idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    var e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    (1 to rounds).foreach { _ =>
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = true)
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Canonical representative per duplicate cluster: the highest-quality
     * member (ties → lowest id) of each [[connectedComponents]] component —
     * the decision a real dedup ships (keep the best copy, not the

@@ -1895,6 +1895,58 @@ object AnalyticsQueries {
       |SELECT n AS node_id, lbl AS label FROM l2 ORDER BY node_id""".stripMargin
   }
 
+  /** k-core peel ([[graft.dedup.DupClusters.kCorePeel]]) on the planted
+    * hub-and-spoke graph of `q_label_prop` plus a ring-closing edge per
+    * 100-block, so each block's ten hubs form a closed cycle: the 2-core is
+    * exactly the hub cycles (every spoke peels in round 1, every hub keeps
+    * degree 2), and round 2 is already the fixpoint — which the spec
+    * asserts, so the fixed-rounds oracle is checking the converged core.
+    */
+  private def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+        col("doc_id").as("id_b"))
+    val ring = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val closing = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 === 90)
+      .select((col("doc_id") - lit(90L)).as("id_a"), col("doc_id").as("id_b"))
+    graft.dedup.DupClusters
+      .kCorePeel(star.unionByName(ring).unionByName(closing), k = 2, rounds = 2)
+      .orderBy(col("node_id"))
+  }
+
+  private val kCoreOracle = {
+    def round(i: Int) =
+      s"""d$i AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+        |  GROUP BY n),
+        |k$i AS (SELECT n FROM d$i WHERE d >= 2),
+        |e$i AS (
+        |  SELECT u, v FROM e${i - 1}
+        |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))""".stripMargin
+    s"""WITH ed AS (
+      |  SELECT doc_id - doc_id % 10 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 <> 0
+      |  UNION
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id % 100 < 90
+      |  UNION
+      |  SELECT doc_id - 90 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id % 100 = 90),
+      |e0 AS (
+      |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed
+      |  WHERE u <> v),
+      |${round(1)},
+      |${round(2)}
+      |SELECT n AS node_id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+      |  SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+      |GROUP BY n ORDER BY node_id""".stripMargin
+  }
+
   /** Distribution-drift audit ([[graft.analytics.Drift.chi2Buckets]]):
     * even- vs odd-id documents as the two data drops, n_chars bucketed by
     * 50 into 10 bins. Exact counts under the hash; expected counts and
@@ -2084,6 +2136,7 @@ object AnalyticsQueries {
     "q_drift_chi2" -> (driftQ _),
     "q_scd2_join" -> (scd2JoinQ _),
     "q_label_prop" -> (labelPropQ _),
+    "q_kcore" -> (kCoreQ _),
     "q_quantile_norm" -> (quantileNormQ _),
     "q_geo_radius" -> (geoRadiusQ _),
     "q_geo_nearest" -> (geoNearestQ _),
@@ -2159,6 +2212,7 @@ object AnalyticsQueries {
     "q_drift_chi2" -> driftOracle,
     "q_scd2_join" -> scd2JoinOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_kcore" -> kCoreOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_geo_radius" -> geoRadiusOracle,
     "q_geo_nearest" -> geoNearestOracle,

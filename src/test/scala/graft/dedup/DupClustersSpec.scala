@@ -121,4 +121,28 @@ class DupClustersSpec extends SparkSpec {
   test("empty pair set yields empty assignment") {
     assert(components(Seq.empty) == Map.empty)
   }
+
+  test("kCorePeel: triangle with tail, multi-round chain peel, 3-core, orientation safety") {
+    def core(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+      DupClusters.kCorePeel(edges.toDF("id_a", "id_b"), k, rounds)
+        .as[(Long, Long)].collect().toMap
+    // triangle 1-2-3 with tail 3-4: tail peels in round 1, triangle is the
+    // 2-core; round 2 == round 1 (fixpoint)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(core(tri, 2, 1) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(tri, 2, 2) == core(tri, 2, 1))
+    // a 5-path needs TWO rounds to peel fully under k=2: ends first, then
+    // the newly-exposed ends — the sequential-vs-parallel distinction
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(path, 2, 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(core(path, 2, 2) == Map.empty)
+    // K4 + pendant: the 3-core is exactly K4 (every node degree 3)
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+ ((4L, 5L))
+    assert(core(k4, 3, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // both-orientation input must not double degrees: a bare edge carried
+    // as (1,2) and (2,1) is still a 1-degree pair, peeled under k=2
+    assert(core(Seq((1L, 2L), (2L, 1L)), 2, 1) == Map.empty)
+    // rounds = 0 returns raw degrees of the normalized edge set
+    assert(core(tri, 2, 0) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
 }
