@@ -366,4 +366,78 @@ object Dedup {
       .select("id_a", "id_b", "intersection", "size_a", "size_b",
         "containment_a", "containment_b")
   }
+
+  /** Shingle term-frequency triples (id, shingle, tf) — the MULTISET
+    * companion of [[withShingles]]: shingle multiplicity survives (no
+    * `array_distinct`), so repeated phrases weigh as many times as they
+    * occur. Same two evaluation rules as [[withShingles]] (token array in
+    * its own projection; corpus repartitioned; the shingle-array frame
+    * persisted before the explode so the downstream explode's inferred
+    * constraints cannot push `split` back into the scan).
+    */
+  def shingleTf(docs: DataFrame, k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("sh",
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => xxhash64((0 until k).map(j => element_at(col("__toks"), i + j)): _*)))
+      .select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("id"), col("shingle")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Cosine near-dup pairs over k-shingle TF vectors — the
+    * multiplicity-weighted signal [[ngramJaccardPairs]] flattens: a document
+    * that repeats a template five times and one that contains it once are
+    * Jaccard-identical but cosine-distant, and vice versa two docs built
+    * from the same phrases at the same RATES score ~1 even when their
+    * distinct-shingle overlap is diluted. Candidate generation is the same
+    * shared-shingle equi-join + frequency cut (`maxShingleFreq` drops
+    * stop-shingles from the VECTOR SPACE — df-based stopping, so dot and
+    * norms live in the identical pruned space and the cosine is exact in
+    * it). Prefix filtering (AllPairs/PPJoin) is the known sharper candidate
+    * bound; the df cut is the one that needs no per-doc sorted prefix state
+    * and keeps the join a plain equi-join.
+    *
+    * Exactness: `dot` and both `norm2` are BIGINT sums of BIGINT products;
+    * the cosine is ONE fixed operand-order IEEE expression over them
+    * (`dot / (sqrt(a)·sqrt(b))`, sqrt correctly rounded per IEEE-754) — so
+    * the emitted similarity hash-compares cross-engine, the
+    * Spearman/Flesch discipline.
+    *
+    * Scale shape: O(collisions of rare shingles), never all-pairs; both
+    * join sides corpus-sized ⇒ shuffle-hash hinted (the file-size-derived
+    * broadcast trap, see [[jaccardPairsFromShingles]]).
+    */
+  def tfCosinePairs(docs: DataFrame, k: Int, threshold: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    maxShingleFreq: Int = 1000): DataFrame = {
+    val tf = shingleTf(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = tf.hint("shuffle_hash").join(
+        tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleFreq).hint("shuffle_hash"),
+        Seq("shingle"))
+      .select(col("id"), col("shingle"), col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = pruned.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("norm2"))
+    val dots = pruned.as("a").hint("shuffle_hash")
+      .join(pruned.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("norm2_a").cast("double")) * sqrt(col("norm2_b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("dot"), col("norm2_a"),
+        col("norm2_b"), col("cosine"))
+  }
 }

@@ -83,6 +83,44 @@ object PipelineQueries {
       |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shingle-TF cosine pairs ([[Dedup.tfCosinePairs]]) on the augmented
+    * corpus: exact copies score ~1, near copies lose only the prepended
+    * token's k shingles, unrelated docs share too few rare shingles to
+    * reach the threshold. The oracle replicates the multiset shingles
+    * (strings where Spark joins on their xxhash64 — collision-free at this
+    * scale, the Jaccard precedent), the df cut, the BIGINT dot/norm sums,
+    * and the single fixed-order cosine expression — the similarity VALUE is
+    * under the hash, not just its integer inputs.
+    */
+  private def tfCosineQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.tfCosinePairs(augmented(Tables.documents(s, dir)), k = 5, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val tfCosineOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |tf AS (
+      |  SELECT doc_id, shingle, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |  GROUP BY doc_id, shingle),
+      |rare AS (SELECT shingle FROM tf GROUP BY shingle HAVING count(*) <= 1000),
+      |tfr AS (SELECT tf.* FROM tf JOIN rare USING (shingle)),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfr GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM tfr a JOIN tfr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+      |  dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)) AS cosine
+      |FROM dots
+      |JOIN norms na ON na.doc_id = id_a
+      |JOIN norms nb ON nb.doc_id = id_b
+      |WHERE dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Verbatim shared-run detection ([[Dedup.sharedTokenRuns]]) on the
     * augmented corpus: planted exact copies share their full text (one
     * doc-length run); near copies share everything past the prepended token.
@@ -2414,6 +2452,7 @@ object PipelineQueries {
     "q_novelty" -> (noveltyQ _),
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_cosine_pairs" -> (tfCosineQ _),
     "q_shared_runs" -> (sharedRunsQ _),
     "q_source_overlap" -> (sourceOverlapQ _),
     "q_triangles" -> (trianglesQ _),
@@ -2514,6 +2553,7 @@ object PipelineQueries {
     "q_novelty" -> noveltyOracle,
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
+    "q_cosine_pairs" -> tfCosineOracle,
     "q_shared_runs" -> sharedRunsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_triangles" -> trianglesOracle,

@@ -164,4 +164,26 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.9).collect()
     assert(jac.isEmpty)
   }
+
+  test("tfCosinePairs weighs multiplicity that Jaccard flattens") {
+    import spark.implicits._
+    // k=1 word vectors, hand-computable: A={x:2,y:1}, B={x:1,y:2} →
+    // dot 4, norms 5/5, cosine 0.8; distinct-shingle Jaccard calls them 1.0
+    val d = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z w v")).toDF("doc_id", "text")
+    val rows = Dedup.tfCosinePairs(d, k = 1, threshold = 0.75)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 1)
+    val (a, b, dot, n2a, n2b, cos) = rows.head
+    assert((a, b, dot, n2a, n2b) == ((1L, 2L, 4L, 5L, 5L)))
+    assert(math.abs(cos - 0.8) < 1e-12)
+    assert(Dedup.ngramJaccardPairs(d, k = 1, threshold = 0.99)
+      .filter($"id_a" === 1L && $"id_b" === 2L).head().getAs[Double]("jaccard") == 1.0)
+    // identical docs → cosine ~1; docs shorter than k are dropped
+    val e = Seq((1L, "p q r s t u"), (2L, "p q r s t u"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val same = Dedup.tfCosinePairs(e, k = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(same.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(same.head._6 - 1.0) < 1e-12)
+  }
 }
