@@ -359,6 +359,44 @@ object CurationQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM q, d ORDER BY source""".stripMargin
 
+  /** Temperature quotas ([[Curation.temperatureQuotas]]) on a skewed corpus
+    * (uniform 25-docs-per-source testdata carries no skew, so the query
+    * plants a per-source keep rate derived from the source index: source
+    * `srcI` keeps `doc_id % 25 < 5 + I` → counts 5..24). α=1/2 flattening
+    * is then visible in the quotas — and the floor(sqrt·2²⁰) integer
+    * weights, the remainder tie-breaks, and the exact-137 total are all
+    * under the hash.
+    */
+  private def temperatureQuotaQ(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureQuotas(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 25 <
+            lit(5) + substring(col("source"), 4, 10).cast("int")),
+        total = 137L)
+      .orderBy(col("source"))
+
+  private val temperatureQuotaOracle =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents
+      |  WHERE doc_id % 25 < 5 + CAST(substr(source, 4, 10) AS INT)
+      |  GROUP BY source
+      |), cw AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(sqrt(n_docs::DOUBLE) * 1048576.0) AS BIGINT) AS weight_q20
+      |  FROM c
+      |), t AS (SELECT CAST(sum(weight_q20) AS BIGINT) AS w_tot FROM cw),
+      |q AS (
+      |  SELECT source, n_docs, weight_q20,
+      |    CAST((weight_q20 * 137) // w_tot AS BIGINT) AS fq,
+      |    CAST((weight_q20 * 137) % w_tot AS BIGINT) AS rem
+      |  FROM cw, t
+      |), d AS (SELECT CAST(137 - sum(fq) AS BIGINT) AS deficit FROM q)
+      |SELECT source, n_docs, weight_q20,
+      |  CAST(fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= deficit
+      |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM q, d ORDER BY source""".stripMargin
+
   /** Quota draw ([[Curation.quotaSample]]): the apportionment oracle chained
     * with the md5-rank selection — every drawn row and its rank are under the
     * hash, and the draw must total exactly 137.
@@ -767,6 +805,7 @@ object CurationQueries {
     "q_fuzzy_match" -> (fuzzyQ _),
     "q_mixture" -> (mixtureQ _),
     "q_mixture_quota" -> (mixtureQuotaQ _),
+    "q_temperature_quota" -> (temperatureQuotaQ _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_dataset_split" -> (datasetSplitQ _),
     "q_length_buckets" -> (lengthBucketsQ _),
@@ -793,6 +832,7 @@ object CurationQueries {
     "q_fuzzy_match" -> fuzzyOracle,
     "q_mixture" -> mixtureOracle,
     "q_mixture_quota" -> mixtureQuotaOracle,
+    "q_temperature_quota" -> temperatureQuotaOracle,
     "q_quota_sample" -> quotaSampleOracle,
     "q_dataset_split" -> datasetSplitOracle,
     "q_length_buckets" -> lengthBucketsOracle,

@@ -246,6 +246,44 @@ object Curation {
       .select(col(sourceCol), col("n_docs"), col("quota"))
   }
 
+  /** Temperature-scaled mixture quotas: apportion `total` by weights
+    * `w_s = n_s^α` with α = 1/2 — the multilingual-sampling flattening
+    * (big sources down-weighted, small sources boosted; α→0 is uniform,
+    * α=1 is [[mixtureQuotas]]' proportional draw). To keep the
+    * apportionment EXACT cross-engine the weight is quantized onto a
+    * 2⁻²⁰ grid: `W_s = floor(sqrt(n_s)·2²⁰)` is one per-row IEEE-exact
+    * scalar (sqrt correctly rounded, power-of-two multiply exact, floor
+    * exact — no FP accumulation anywhere), and the largest-remainder
+    * machinery then runs on BIGINTs just like the proportional form. The
+    * grid is a disclosed 1-ppm weight quantization, not drift: both
+    * engines land on the identical integer.
+    *
+    * Range bound: `W_s·total ≈ sqrt(n_s)·2²⁰·total` must stay under 2⁶³ —
+    * n_s ≤ 10¹² and total ≤ 10⁸ leaves a 8× margin.
+    *
+    * Scale shape: identical to [[mixtureQuotas]] — one map-combined
+    * corpus aggregate, then #sources-sized arithmetic.
+    */
+  def temperatureQuotas(docs: DataFrame, total: Long,
+                        sourceCol: String = "source"): DataFrame = {
+    require(total >= 0, s"total must be non-negative, got $total")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_q20",
+        floor(sqrt(col("n_docs").cast("double")) * lit((1L << 20).toDouble))
+          .cast("long"))
+    val tot = counts.agg(sum(col("weight_q20")).as("__W"))
+    val q = counts.crossJoin(tot)
+      .withColumn("__fq", expr(s"(weight_q20 * ${total}L) div __W"))
+      .withColumn("__rem", (col("weight_q20") * lit(total)) % col("__W"))
+    val deficit = q.agg((lit(total) - sum(col("__fq"))).as("__deficit"))
+    val w = Window.orderBy(col("__rem").desc, col(sourceCol))
+    q.crossJoin(deficit)
+      .withColumn("quota",
+        col("__fq") + when(row_number().over(w) <= col("__deficit"), 1L)
+          .otherwise(0L))
+      .select(col(sourceCol), col("n_docs"), col("weight_q20"), col("quota"))
+  }
+
   /** Execute a [[mixtureQuotas]] apportionment: draw exactly `quota` docs
     * from each source, selected by the deterministic md5-uniform rank (the
     * same permutation [[mixtureInterleave]] and [[tokenBudget]] use) — so the

@@ -99,6 +99,25 @@ class CurationSpec extends SparkSpec {
     assert(q.agg(sum($"quota")).as[Long].head() == 137L)
   }
 
+  test("temperatureQuotas: sqrt flattening boosts small sources, exact total") {
+    // counts A:100 B:25 C:4 (ratio 25:6.25:1); sqrt weights 10:5:2 —
+    // proportional at T=17 gives A 13, temperature gives A 10/B 5/C 2
+    val docs = (1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 125).map(i => (i.toLong, "B")) ++ (126 to 129).map(i => (i.toLong, "C"))
+    val out = Curation.temperatureQuotas(docs.toDF("doc_id", "source"), total = 17L)
+      .orderBy($"source")
+      .select($"source", $"weight_q20", $"quota").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(("A", 10L << 20, 10L), ("B", 5L << 20, 5L), ("C", 2L << 20, 2L)))
+    val prop = Curation.mixtureQuotas(docs.toDF("doc_id", "source"), total = 17L)
+      .filter($"source" === "A").select($"quota").as[Long].head()
+    assert(prop > 10L) // proportional over-draws the big source
+    // exact-total property at an awkward T on the real corpus
+    val q = Curation.temperatureQuotas(
+      graft.Tables.documents(spark, sf()), total = 137L)
+    assert(q.agg(sum($"quota")).as[Long].head() == 137L)
+  }
+
   test("slidingChunks: stride-overlapping windows cover every token") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
     val out = Curation.slidingChunks(docs, window = 4, stride = 2)
