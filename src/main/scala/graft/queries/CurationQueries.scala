@@ -519,6 +519,34 @@ object CurationQueries {
       |WHERE levenshtein(a.title, b.title) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Sorted-neighborhood linkage ([[graft.ops.SortedNeighborhood.pairs]])
+    * over part names (64 distinct names × ~31 copies — a hot-key shape
+    * where PassJoin's per-key candidate sets balloon but the neighborhood
+    * stays exactly n·w): rank in (p_name, p_partkey) order, window 5,
+    * verified ≤ 1 edit. Rank values, window membership, and the exact
+    * distances are all under the hash; the oracle's naive global
+    * row_number IS the single-task plan the operator's range-partitioned
+    * ranking avoids.
+    */
+  private def sortedNeighborhoodQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SortedNeighborhood.pairs(Tables.part(s, dir),
+        window = 5, maxDist = 1, keyCol = "p_name", idCol = "p_partkey")
+      .orderBy(col("rank_a"), col("rank_b"))
+
+  private val sortedNeighborhoodOracle =
+    """WITH r AS (
+      |  SELECT p_partkey AS id, p_name AS k,
+      |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rank
+      |  FROM part
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(a.rank AS BIGINT) AS rank_a, CAST(b.rank AS BIGINT) AS rank_b,
+      |  a.k AS key_a, b.k AS key_b,
+      |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 5
+      |WHERE levenshtein(a.k, b.k) <= 1
+      |ORDER BY rank_a, rank_b""".stripMargin
+
   // ---- format round-trips --------------------------------------------------
 
   /** CSV sink→source round-trip with explicit schema: every documents row
@@ -803,6 +831,7 @@ object CurationQueries {
     "q_embed_quantize" -> (quantizeQ _),
     "q_tfidf_terms" -> (tfidfQ _),
     "q_fuzzy_match" -> (fuzzyQ _),
+    "q_sorted_neighborhood" -> (sortedNeighborhoodQ _),
     "q_mixture" -> (mixtureQ _),
     "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_temperature_quota" -> (temperatureQuotaQ _),
@@ -830,6 +859,7 @@ object CurationQueries {
     "q_embed_quantize" -> quantizeOracle,
     "q_tfidf_terms" -> tfidfOracle,
     "q_fuzzy_match" -> fuzzyOracle,
+    "q_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "q_mixture" -> mixtureOracle,
     "q_mixture_quota" -> mixtureQuotaOracle,
     "q_temperature_quota" -> temperatureQuotaOracle,
