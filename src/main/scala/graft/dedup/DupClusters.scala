@@ -171,6 +171,33 @@ object DupClusters {
       .groupBy(col("node_id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Duplicate-cluster size distribution — the audit a dedup run ships with
+    * its decision log: for every cluster size, how many clusters, how many
+    * documents they hold, and how many rows dedup will remove
+    * (`size − 1` per cluster). Documents absent from the pair graph are
+    * size-1 clusters via one anti-join, so the `n_docs` column totals the
+    * corpus exactly — a drifting total is the canonical sign the pair
+    * table and corpus snapshot are out of sync.
+    *
+    * Scale shape: one groupBy(component) bounded by #clusters, one
+    * id-keyed anti-join, and a #distinct-sizes-row output — metadata-sized
+    * end to end.
+    */
+  def clusterSizeAudit(components: DataFrame, universe: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_size"))
+    val singles = universe.select(col(idCol))
+      .join(components.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(lit(1L).as("cluster_size"))
+    sizes.unionByName(singles)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("n_clusters") * col("cluster_size"))
+      .withColumn("n_removable", col("n_clusters") * (col("cluster_size") - 1))
+  }
+
   /** Canonical representative per duplicate cluster: the highest-quality
     * member (ties → lowest id) of each [[connectedComponents]] component —
     * the decision a real dedup ships (keep the best copy, not the

@@ -410,6 +410,62 @@ object PipelineQueries {
       |SELECT u AS doc_id, min(c) AS component
       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size audit ([[DupClusters.clusterSizeAudit]]) over the same
+    * component table: size histogram + removable-row accounting, with
+    * pair-graph absentees counted as size-1 clusters so `sum(n_docs)`
+    * equals the augmented corpus exactly. The oracle re-derives components
+    * with the recursive min-label walk and must land on the identical
+    * histogram.
+    */
+  private def clusterSizesQ(s: SparkSession, dir: String): DataFrame =
+    DupClusters.clusterSizeAudit(
+        s.read.parquet(componentsParquet(s, dir))
+          .select(col("id").as("doc_id"), col("component")),
+        augmented(Tables.documents(s, dir)).select(col("doc_id")))
+      .orderBy(col("cluster_size"))
+
+  private val clusterSizesOracle =
+    s"""WITH RECURSIVE $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u
+      |),
+      |comp AS (SELECT u AS doc_id, min(c) AS component FROM walk GROUP BY u),
+      |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM comp GROUP BY component),
+      |all_sizes AS (
+      |  SELECT cluster_size FROM cs
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) FROM aug
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+      |  CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+      |FROM all_sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** NFC canonicalization ahead of hashing/dedup: a decomposed suffix
     * (e + COMBINING ACUTE) is appended on both engines, so the oracle proves
     * composition actually happened (`n_raw = n_norm + 1` per row), not just
@@ -2459,6 +2515,7 @@ object PipelineQueries {
     "q_pagerank" -> (pageRankQ _),
     "q_cluster_canon" -> (clusterCanonQ _),
     "q_dup_clusters" -> (dupClustersQ _),
+    "q_cluster_sizes" -> (clusterSizesQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -2560,6 +2617,7 @@ object PipelineQueries {
     "q_pagerank" -> pageRankOracle,
     "q_cluster_canon" -> clusterCanonOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_cluster_sizes" -> clusterSizesOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_weighted_sample" -> weightedSampleOracle,

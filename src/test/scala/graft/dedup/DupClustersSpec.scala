@@ -145,4 +145,15 @@ class DupClustersSpec extends SparkSpec {
     // rounds = 0 returns raw degrees of the normalized edge set
     assert(core(tri, 2, 0) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
+
+  test("clusterSizeAudit: histogram with singleton complement totals the corpus") {
+    val comp = DupClusters.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"))
+      .select($"id".as("doc_id"), $"component")
+    val universe = (1L to 7L).toDF("doc_id")
+    val out = DupClusters.clusterSizeAudit(comp, universe)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+    assert(out.toSeq.map(_._3).sum == 7L) // n_docs partitions the universe
+  }
 }
