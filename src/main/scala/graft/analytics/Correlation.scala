@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,46 @@ object Correlation {
       .withColumn("kurtosis",
         when(col("variance") > 0.0, m4 / (col("variance") * col("variance")) - lit(3.0))
           .otherwise(0.0))
+  }
+
+  /** Pairwise Pearson correlation matrix from EXACT integer moment sums —
+    * the feature-audit companion of [[moments]]: each input column is
+    * scaled onto an integer grid (`round(x·scale)` — explicit round on
+    * BOTH engines, because double→int CAST truncates in Spark but rounds
+    * in DuckDB), all n/Σx/Σx²/Σxy accumulate as BIGINTs (order-free), and
+    * each r is ONE fixed operand-order IEEE expression over them, with the
+    * n·Σ products computed in DECIMAL(38) so n²·M² needs 10³⁸ headroom
+    * rather than 2⁶³ (n ≤ 10¹² at M = 10⁶ scaled units clears it).
+    *
+    * Scale shape: ONE corpus aggregate with map-side combine carrying
+    * k(k+3)/2 + 1 longs; the matrix assembly runs k(k−1)/2 selects over the
+    * persisted 1-row result — metadata-sized. Constant columns emit NULL r
+    * (zero variance), not a 0/0.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String], scale: Int = 100): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val xs = cols.map(c => round(col(c) * scale, 0).cast("long"))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.indices.flatMap { i =>
+        Seq(sum(xs(i)).as(s"s_$i"), sum(xs(i) * xs(i)).as(s"s_${i}_$i")) } ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield sum(xs(i) * xs(j)).as(s"s_${i}_$j"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val num = (dec(col("n")) * col(s"s_${i}_$j") -
+        dec(col(s"s_$i")) * col(s"s_$j")).cast("double")
+      val da = (dec(col("n")) * col(s"s_${i}_$i") -
+        dec(col(s"s_$i")) * col(s"s_$i")).cast("double")
+      val db = (dec(col("n")) * col(s"s_${j}_$j") -
+        dec(col(s"s_$j")) * col(s"s_$j")).cast("double")
+      one.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("n"), col(s"s_${i}_$j").as("sum_ab"),
+        when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db)))
+          .otherwise(lit(null).cast("double")).as("r"))
+    }
+    rows.reduce(_ unionByName _)
   }
 
   /** Per-group exact weighted median: the smallest value whose running

@@ -2025,6 +2025,54 @@ object AnalyticsQueries {
       |    THEN m4 / (variance * variance) - 3.0 ELSE 0.0 END AS kurtosis
       |FROM c ORDER BY source""".stripMargin
 
+  /** Pearson matrix over lineitem pricing columns
+    * ([[graft.analytics.Correlation.pearsonMatrix]]): cent-grid integers,
+    * BIGINT moment sums, DECIMAL(38) cross products, one fixed-order IEEE
+    * `r` per pair — the correlation VALUES hash-compare, and `sum_ab` pins
+    * the exact sums they came from. TPC-H ties l_extendedprice to
+    * l_quantity, so the (quantity, discount/tax) pairs are near zero and
+    * the machinery can't pass on magnitude alone.
+    */
+  private def corrMatrixQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Correlation.pearsonMatrix(
+        graft.Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_discount", "l_tax"), scale = 100)
+      .orderBy(col("col_a"), col("col_b"))
+
+  private val corrMatrixOracle = {
+    def r(i: Int, j: Int) = {
+      val (sa, sb, sab) = (s"s$i", s"s$j", s"s${i}_$j")
+      s"""CASE WHEN (n::HUGEINT*s$i$i - $sa::HUGEINT*$sa) > 0
+        |    AND (n::HUGEINT*s$j$j - $sb::HUGEINT*$sb) > 0
+        |  THEN ((n::HUGEINT*$sab - $sa::HUGEINT*$sb)::DOUBLE) /
+        |    (sqrt((n::HUGEINT*s$i$i - $sa::HUGEINT*$sa)::DOUBLE) *
+        |     sqrt((n::HUGEINT*s$j$j - $sb::HUGEINT*$sb)::DOUBLE))
+        |  ELSE NULL END AS r""".stripMargin
+    }
+    s"""WITH x AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x0,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x1,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS x2
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x0) AS BIGINT) AS s0, CAST(sum(x0*x0) AS BIGINT) AS s00,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1*x1) AS BIGINT) AS s11,
+      |    CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2*x2) AS BIGINT) AS s22,
+      |    CAST(sum(x0*x1) AS BIGINT) AS s0_1,
+      |    CAST(sum(x0*x2) AS BIGINT) AS s0_2,
+      |    CAST(sum(x1*x2) AS BIGINT) AS s1_2
+      |  FROM x)
+      |SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+      |    s0_1 AS sum_ab, ${r(0, 1)} FROM s
+      |  UNION ALL
+      |  SELECT 'l_quantity', 'l_tax', n, s0_2, ${r(0, 2)} FROM s
+      |  UNION ALL
+      |  SELECT 'l_discount', 'l_tax', n, s1_2, ${r(1, 2)} FROM s)
+      |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** Exact weighted median per event type
     * ([[graft.analytics.Correlation.weightedMedian]]): smallest value whose
     * running weight reaches half the total — 2·cumw ≥ W on exact BIGINTs,
@@ -2132,6 +2180,7 @@ object AnalyticsQueries {
     "q_run_length" -> (runLengthQ _),
     "q_time_to_convert" -> (timeToConvertQ _),
     "q_moments" -> (momentsQ _),
+    "q_corr_matrix" -> (corrMatrixQ _),
     "q_weighted_median" -> (weightedMedianQ _),
     "q_drift_chi2" -> (driftQ _),
     "q_scd2_join" -> (scd2JoinQ _),
@@ -2208,6 +2257,7 @@ object AnalyticsQueries {
     "q_run_length" -> runLengthOracle,
     "q_time_to_convert" -> timeToConvertOracle,
     "q_moments" -> momentsOracle,
+    "q_corr_matrix" -> corrMatrixOracle,
     "q_weighted_median" -> weightedMedianOracle,
     "q_drift_chi2" -> driftOracle,
     "q_scd2_join" -> scd2JoinOracle,

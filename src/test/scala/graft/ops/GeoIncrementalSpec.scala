@@ -67,6 +67,21 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(out(0) == (("c", 0.0, 0.0, 0.0)))
   }
 
+  test("pearsonMatrix: perfect anti-correlation, independence, constant-column null") {
+    import graft.analytics.Correlation
+    // y = -x exactly; z constant; w uncorrelated-with-x by symmetry
+    val df = Seq((1.0, -1.0, 7.0, 1.0), (2.0, -2.0, 7.0, -1.0),
+      (3.0, -3.0, 7.0, -1.0), (4.0, -4.0, 7.0, 1.0))
+      .toDF("x", "y", "z", "w")
+    val out = Correlation.pearsonMatrix(df, Seq("x", "y", "z", "w"), scale = 10)
+      .select($"col_a", $"col_b", $"r").as[(String, String, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(out(("x", "y")).get + 1.0) < 1e-12)
+    assert(out(("x", "z")).isEmpty && out(("y", "z")).isEmpty && out(("z", "w")).isEmpty)
+    assert(math.abs(out(("x", "w")).get) < 1e-12) // Σxw = Σx·Σw/n exactly here
+    assert(out.size == 6)
+  }
+
   test("weightedMedian: heavy tail wins; even split takes the lower value") {
     import graft.analytics.Correlation
     val df = Seq(("a", 1L, 1L, 1L), ("a", 2L, 2L, 1L), ("a", 3L, 3L, 10L),
