@@ -97,6 +97,83 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve index of a bounded non-negative (x, y) — the layout key
+    * with strictly better locality than [[zValue]]: consecutive Hilbert
+    * positions are always grid-neighbors (|Δx|+|Δy| = 1, asserted
+    * exhaustively in LayoutSpec), whereas the Z-curve jumps across the
+    * plane at every power-of-two boundary — so range scans over a
+    * Hilbert-sorted file read fewer, longer runs (measurable with
+    * [[graft.queries.AnalyticsQueries]]'s run-length audit).
+    *
+    * The classic xy2d loop (quadrant digit + reflect/swap rotation per
+    * level, MSB-first). Each level's (x, y, d) state is materialized as
+    * REAL projected columns via `withColumn`, not folded into one Column:
+    * the rotation reads both coordinates twice, so a pure expression tree
+    * doubles per level — 2^bits nodes, megabyte Janino classes, the
+    * codegen-compile trap (NOTES r3). Projected state keeps the plan
+    * linear in `bits`; everything is long arithmetic, bit-identical in any
+    * engine, and the oracle unrolls the identical rounds as CTEs.
+    */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  outCol: String = "h"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    var out = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      out = out
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn(outCol,
+          col(outCol) + lit(s * s) *
+            (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+    }
+    out.drop("__hx", "__hy", "__rx", "__ry", "__nx", "__ny")
+  }
+
+  /** The [[withHilbert]] rounds as a DuckDB CTE chain, generated from the
+    * same loop so both engines execute the identical integer arithmetic.
+    * `fromCte` must expose (idCols..., hx, hy) — the chain threads
+    * (hx, hy, d) through `2·bits` CTEs and leaves the result in `h_out`.
+    */
+  def hilbertOracleCtes(fromCte: String, idCols: String, bits: Int): String = {
+    val rounds = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, r) =>
+      val s = 1L << i
+      val prev = if (r == 0) fromCte else s"h_$r"
+      s"""c_${r + 1} AS (
+        |  SELECT $idCols, hx, hy, ${if (r == 0) "CAST(0 AS BIGINT)" else "d"} AS d,
+        |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+        |  FROM $prev),
+        |h_${r + 1} AS (
+        |  SELECT $idCols,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+        |      ELSE hx END AS hx,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+        |      ELSE hy END AS hy,
+        |    d + ${s * s} * xor(3 * rx, ry) AS d
+        |  FROM c_${r + 1})""".stripMargin
+    }
+    rounds.mkString(",\n") +
+      s""",\nh_out AS (SELECT $idCols, d AS h FROM h_$bits)"""
+  }
+
   /** Standard geohash of (lat, lon) at `precision` base32 characters — the
     * geospatial clustering / prefix-range-pruning key for telemetry layout
     * (neighboring devices share prefixes, so sorting or partitioning by

@@ -1469,6 +1469,35 @@ object PipelineQueries {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Hilbert index ([[graft.maintain.Layout.withHilbert]]) on the same
+    * 256×256 grid as `q_zorder`: all 2·8 reflect/swap rounds are under the
+    * hash via the CTE chain [[graft.maintain.Layout.hilbertOracleCtes]]
+    * generates from the SAME loop — a single wrong rotation branch
+    * scrambles ~every index. LayoutSpec proves the adjacency property
+    * (consecutive h ⇒ grid neighbors) exhaustively.
+    */
+  private def hilbertQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Layout
+    Layout.withHilbert(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          (col("doc_id") % 256).cast("long").as("x"),
+          (floor(col("doc_id") / 256) % 256).cast("long").as("y")),
+        "x", "y", bits = 8)
+      .select(col("doc_id"), col("x"), col("y"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val hilbertOracle =
+    s"""WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS hx,
+      |    CAST((doc_id // 256) % 256 AS BIGINT) AS hy
+      |  FROM documents
+      |),
+      |${graft.maintain.Layout.hilbertOracleCtes("m", "doc_id", 8)}
+      |SELECT m.doc_id, m.hx AS x, m.hy AS y, o.h
+      |FROM h_out o JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Metadata-only statistics: with parquet aggregate pushdown (DSv2 scan),
     * `min/max/count` come straight from footer statistics — zero data pages
     * read, the plan shows `PushedAggregation` (asserted in PlanSpec). The
@@ -2548,6 +2577,7 @@ object PipelineQueries {
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
     "q_zorder" -> (zorderQ _),
+    "q_hilbert" -> (hilbertQ _),
     "q_geohash" -> (geohashQ _),
     "q_dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dup over documents: vec_id ↔ doc_id share ids
@@ -2650,6 +2680,7 @@ object PipelineQueries {
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,
     "q_zorder" -> zorderOracle,
+    "q_hilbert" -> hilbertOracle,
     "q_geohash" -> geohashOracle,
     "q_dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -172,4 +172,32 @@ class LayoutSpec extends SparkSpec {
     }
     ()
   }
+
+  test("hilbert: bijective on the grid, unit-step curve, beats z-order locality") {
+    import graft.maintain.Layout
+    val n = 16 // bits = 4, exhaustive 256-cell grid
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")
+    val cells = Layout.withHilbert(grid, "x", "y", bits = 4)
+      .select($"h", $"x", $"y").as[(Long, Int, Int)].collect().sortBy(_._1)
+    // bijection onto [0, n²)
+    assert(cells.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property: every consecutive pair of curve positions is
+    // Manhattan-adjacent — no jumps, ever
+    val steps = cells.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.toSeq
+    assert(steps.forall(_ == 1))
+    // the z-curve on the same grid jumps at power-of-two seams
+    val zcells = grid.select(Layout.zValue($"x", $"y", 4).as("z"), $"x", $"y")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    val zJumps = zcells.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0)
+    // first quadrant-order sanity: the 2x2 curve is (0,0)->(0,1)->(1,1)->(1,0)
+    val tiny = Layout.withHilbert(
+        Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("x", "y"), "x", "y", bits = 1)
+      .select($"h", $"x", $"y").as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(tiny.map(t => (t._2, t._3)).toSeq == Seq((0, 0), (0, 1), (1, 1), (1, 0)))
+  }
 }
