@@ -1150,6 +1150,48 @@ object PipelineQueries {
       |  FROM p)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** MMR diverse top-5 ([[Similarity.mmrSelect]]): λ=1/2 (exact FP
+    * complement), query vec 0, 20-candidate pool. The oracle unrolls the
+    * five greedy rounds as CTEs — round r's `greatest` over the r−1 picked
+    * cosines replicates the operator's order-free `max` — so every pick,
+    * its relevance, AND its penalized score are under the hash (the
+    * q_pagerank iterative-unroll precedent applied to a selection loop).
+    */
+  private def mmrQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(Tables.embeddings(s, dir), queryId = 0L, k = 5,
+        nCandidates = 20, lambda = 0.5)
+      .orderBy(col("mmr_rank"))
+
+  private val mmrOracle = {
+    def pick(r: Int): String = {
+      val prev = (1 until r).map(i => s"p$i")
+      val sims = prev.map(p => cosSql("c.vec", s"$p.vec"))
+      val maxSim = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(", ")})"
+      s"""p$r AS (
+        |  SELECT c.vec_id, c.vec, c.rel,
+        |    0.5 * c.rel - 0.5 * $maxSim AS mmr_score
+        |  FROM cand c ${prev.map(p => s"CROSS JOIN $p").mkString(" ")}
+        |  WHERE c.vec_id NOT IN (${prev.map(p => s"$p.vec_id").mkString(", ")})
+        |  ORDER BY mmr_score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |q AS (SELECT vec AS q_vec FROM v WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, vec, rel FROM (
+      |    SELECT v.vec_id, v.vec, ${cosSql("q.q_vec", "v.vec")} AS rel
+      |    FROM v CROSS JOIN q WHERE v.vec_id <> 0)
+      |  ORDER BY rel DESC, vec_id LIMIT 20),
+      |p1 AS (SELECT vec_id, vec, rel, 0.5 * rel AS mmr_score
+      |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      |${(2 to 5).map(pick).mkString(",\n")}
+      |SELECT * FROM (
+      |${(1 to 5).map(r =>
+          s"  SELECT CAST($r AS BIGINT) AS mmr_rank, vec_id, rel, mmr_score FROM p$r")
+        .mkString("\n  UNION ALL\n")})
+      |ORDER BY mmr_rank""".stripMargin
+  }
+
   private def annThresholdQ(s: SparkSession, dir: String): DataFrame =
     Similarity.thresholdPairs(Tables.embeddings(s, dir), 0.40, col("id") < 100)
       .orderBy(col("id_a"), col("id_b"))
@@ -2567,6 +2609,7 @@ object PipelineQueries {
     "q_posting_parts" -> (postingPartsQ _),
     "q_posting_roundtrip" -> (postingRoundtripQ _),
     "q_ann_topk" -> (annTopkQ _),
+    "q_mmr_select" -> (mmrQ _),
     "q_ann_threshold" -> (annThresholdQ _),
     "q_embed_centroids" -> (centroidsQ _),
     "q_multimodal_decode" -> (multimodalQ _),
@@ -2670,6 +2713,7 @@ object PipelineQueries {
     "q_posting_parts" -> postingPartsOracle,
     "q_posting_roundtrip" -> postingListsOracle,
     "q_ann_topk" -> annTopkOracle,
+    "q_mmr_select" -> mmrOracle,
     "q_ann_threshold" -> annThresholdOracle,
     "q_embed_centroids" -> centroidsOracle,
     "q_multimodal_decode" -> multimodalOracle,

@@ -65,6 +65,66 @@ object Similarity {
       .select("query_id", "nn_id", "rank", "cosine")
   }
 
+  /** Maximal-marginal-relevance diverse top-k: greedily pick `k` of the
+    * `nCandidates` most query-relevant vectors, each round maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_picked` — the standard
+    * redundancy-penalized selection (Carbonell/Goldstein MMR) for building
+    * diverse training batches or dedup-aware rerank lists from an ANN
+    * candidate pool.
+    *
+    * Scale shape: relevance scoring + the top-N cut are the distributed
+    * part (broadcast 1-row query, TakeOrderedAndProject cut); the k greedy
+    * rounds then run on the persisted N-row candidate frame — each round
+    * one broadcast join against ≤k picked rows, a bounded-input argmax via
+    * TakeOrdered, and a `localCheckpoint` to stop lineage stacking (the
+    * [[graft.dedup.DupClusters.pageRankFixedPoint]] pattern). Nothing is
+    * collected; N and k bound every round.
+    *
+    * Determinism: cosines are left-fold dots (bit-identical cross-engine),
+    * the score is one fixed operand-order expression over them, `max_sim`
+    * is an order-free max, and every argmax tie-breaks on id — so rank,
+    * relevance AND score hash-compare (the A-ES selection discipline,
+    * except here the scores are themselves reproducible outputs).
+    */
+  def mmrSelect(corpus: DataFrame, queryId: Long, k: Int, nCandidates: Int,
+                lambda: Double, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates >= k >= 1, got k=$k, nCandidates=$nCandidates")
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec"))
+    val q = v.filter(col("vec_id") === queryId)
+      .select(col("vec").as("q_vec"))
+    val cand = spread(v).filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("q_vec"), col("vec")))
+      .select(col("vec_id"), col("vec"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(nCandidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .withColumn("mmr_rank", lit(1L))
+      .withColumn("mmr_score", lit(lambda) * col("rel"))
+      .localCheckpoint(true)
+    (2 to k).foreach { r =>
+      val picked = selected.select(col("vec_id").as("__s_id"), col("vec").as("__s_vec"))
+      val pick = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(picked))
+        .withColumn("__sim", cosine(col("vec"), col("__s_vec")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("vec")).as("vec"), first(col("rel")).as("rel"),
+          max(col("__sim")).as("__max_sim"))
+        .withColumn("mmr_score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__max_sim"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .withColumn("mmr_rank", lit(r.toLong))
+        .select(col("vec_id"), col("vec"), col("rel"), col("mmr_rank"),
+          col("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.select(col("mmr_rank"), col("vec_id"), col("rel"), col("mmr_score"))
+  }
+
   /** All pairs (a<b) with cosine ≥ threshold, restricted to a candidate
     * subset on the left for bounded work.
     *

@@ -210,4 +210,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out.nonEmpty)
   }
+
+  test("mmrSelect: diversity penalty demotes the redundant near-copy") {
+    // q = e1; a and b are near-copies hugging q; c is less relevant but
+    // orthogonal to a. Pure relevance picks (a, b); MMR picks (a, c).
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),           // query
+      (1L, Seq(0.999, 0.01, 0.0)),        // a: best rel
+      (2L, Seq(0.998, 0.012, 0.0)),       // b: redundant with a
+      (3L, Seq(0.7, 0.0, 0.7)),           // c: diverse
+      (4L, Seq(-1.0, 0.0, 0.0))           // far
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(vecs, queryId = 0L, k = 2,
+        nCandidates = 4, lambda = 0.5)
+      .select($"mmr_rank", $"vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L)))
+    // pure relevance rank-2 would have been vec 2
+    val rel2 = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .filter($"rank" === 2).select($"nn_id").as[Long].head()
+    assert(rel2 == 2L)
+    // k rows, ranks contiguous, scores non-increasing... and rank 1 is the
+    // relevance argmax by construction
+    val full = Similarity.mmrSelect(vecs, 0L, k = 4, nCandidates = 4, lambda = 0.5)
+      .select($"mmr_rank", $"mmr_score").as[(Long, Double)].collect().sortBy(_._1)
+    assert(full.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
