@@ -1117,6 +1117,48 @@ object AnalyticsQueries {
       |  (support_ab * n_baskets)::DOUBLE / (support_a * support_b)::DOUBLE AS lift
       |FROM p, n ORDER BY support_ab DESC, item_a, item_b""".stripMargin
 
+  /** Frequent triples ([[graft.analytics.Itemsets.frequentTriples]]) on
+    * order baskets: the level-2 apriori prune runs in BOTH engines (the
+    * unpruned three-way join is measurably pathological even at sf0.01),
+    * and triple supports, per-item supports, and the n²-scaled triple lift
+    * are all under the hash.
+    */
+  private def frequentTriplesQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Itemsets.frequentTriples(
+        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
+
+  private val frequentTriplesOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+      |s AS (SELECT item, count(*) AS support FROM b GROUP BY item HAVING count(*) >= 2),
+      |f AS (SELECT b.basket, b.item FROM b JOIN s USING (item)),
+      |fp AS (SELECT a.item AS x, c.item AS y
+      |  FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ab AS (SELECT a.basket, a.item AS ia, c.item AS ib
+      |  FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+      |  JOIN fp ON fp.x = a.item AND fp.y = c.item),
+      |abc AS (SELECT ab.ia, ab.ib, d.item AS ic FROM ab
+      |  JOIN f d ON d.basket = ab.basket AND ab.ib < d.item
+      |  JOIN fp p2 ON p2.x = ab.ia AND p2.y = d.item
+      |  JOIN fp p3 ON p3.x = ab.ib AND p3.y = d.item),
+      |t AS (SELECT ia, ib, ic, count(*) AS s_abc FROM abc
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT ia AS item_a, ib AS item_b, ic AS item_c,
+      |  CAST(s_abc AS BIGINT) AS support_abc,
+      |  CAST(sa.support AS BIGINT) AS support_a,
+      |  CAST(sb.support AS BIGINT) AS support_b,
+      |  CAST(sc.support AS BIGINT) AS support_c,
+      |  ((s_abc::HUGEINT * n_baskets * n_baskets)::DOUBLE) /
+      |    ((sa.support::HUGEINT * sb.support * sc.support)::DOUBLE) AS lift
+      |FROM t
+      |JOIN s sa ON sa.item = t.ia
+      |JOIN s sb ON sb.item = t.ib
+      |JOIN s sc ON sc.item = t.ic, n
+      |ORDER BY support_abc DESC, item_a, item_b, item_c""".stripMargin
+
   /** Exact per-column dataset profile ([[graft.maintain.Profile]]) over six
     * representative lineitem columns (int, double, string, timestamp→date).
     */
@@ -2206,6 +2248,7 @@ object AnalyticsQueries {
     "q_table_checksum" -> (tableChecksumQ _),
     "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
+    "q_frequent_triples" -> (frequentTriplesQ _),
     "q_column_profile" -> (columnProfileQ _),
     "q_expectations" -> (expectationsQ _),
     "q_grouping_sets" -> (groupingSetsQ _),
@@ -2283,6 +2326,7 @@ object AnalyticsQueries {
     "q_table_checksum" -> tableChecksumOracle,
     "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
+    "q_frequent_triples" -> frequentTriplesOracle,
     "q_column_profile" -> columnProfileOracle,
     "q_expectations" -> expectationsOracle,
     "q_grouping_sets" -> groupingSetsOracle,

@@ -27,6 +27,27 @@ class ItemsetsSpec extends SparkSpec {
     assert(res((1L, 3L))._1 === 3L)
   }
 
+  test("frequentTriples: pair-frequent-but-triple-infrequent is rejected by the count") {
+    import spark.implicits._
+    // {1,2,3} x2 -> triple (1,2,3) support 2. Then pairs (4,5),(4,6),(5,6)
+    // are each frequent via DIFFERENT baskets, but {4,5,6} never co-occurs:
+    // the classic apriori candidate the counting pass must kill.
+    val items = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L),
+      (200L, 4L), (200L, 5L), (201L, 4L), (201L, 5L),
+      (202L, 4L), (202L, 6L), (203L, 4L), (203L, 6L),
+      (204L, 5L), (204L, 6L), (205L, 5L), (205L, 6L)
+    ).toDF("basket", "item")
+    val res = Itemsets.frequentTriples(items, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(7))).toMap
+    assert(res.keySet === Set((1L, 2L, 3L)))
+    val (s, lift) = res((1L, 2L, 3L))
+    assert(s === 2L)
+    assert(lift === (2.0 * 8.0 * 8.0) / (2.0 * 2.0 * 2.0)) // 8 baskets
+  }
+
   test("frequentPairs plan: equi-join on basket, no cartesian") {
     val li = graft.Tables.lineitem(spark, sf())
       .select(col("l_orderkey"), col("l_partkey"))
