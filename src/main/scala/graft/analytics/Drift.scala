@@ -50,4 +50,37 @@ object Drift {
       .select(col("bucket"), col("n_a"), col("n_b"), col("e_a"), col("e_b"),
         col("chi2_a"), col("chi2_b"))
   }
+
+  /** One-sided CUSUM change detection per entity — the sequential-analysis
+    * tripwire for "this device/user's metric drifted upward": the Page
+    * statistic `s_t = max(0, s_{t−1} + x_t − k)` with alarm at `s_t ≥ h`.
+    *
+    * The recursion LOOKS inherently sequential, but has the exact closed
+    * form `s_t = cum_t − least(0, min_{j≤t} cum_j)` over the drift-adjusted
+    * cumulative sum `cum_t = Σ_{j≤t}(x_j − k)` — so it is two window
+    * passes over the SAME (entity, time) window spec: one running sum, one
+    * running min, a single sort per entity partition. All arithmetic is
+    * BIGINT on the scaled metric — the statistic, not just its inputs, is
+    * exact cross-engine.
+    *
+    * Scale shape: one shuffle on the entity key; windows never cross
+    * entities. A hot entity serializes its own history through one task —
+    * the standard windowed caveat; CUSUM histories are naturally bounded
+    * per device/user.
+    */
+  def cusum(df: DataFrame, entityCol: String, orderCols: Seq[String],
+            xCol: Column, k: Long, h: Long): DataFrame = {
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(Seq(col(entityCol)) ++ orderCols.map(col) :+
+        xCol.cast("long").as("x"): _*)
+      .withColumn("__cum", sum(col("x") - lit(k)).over(w))
+      .withColumn("cusum",
+        col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
+      .withColumn("alarm", col("cusum") >= h)
+      .drop("__cum")
+  }
 }

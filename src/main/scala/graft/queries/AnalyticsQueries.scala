@@ -857,6 +857,41 @@ object AnalyticsQueries {
       |GROUP BY event_type, next_type
       |ORDER BY event_type, next_type""".stripMargin
 
+  /** Per-user CUSUM ([[graft.analytics.Drift.cusum]]) on cent-scaled event
+    * values, drift allowance 60.00, alarm at 200.00: the closed-form
+    * two-window statistic must equal the sequential Page recursion row for
+    * row (DriftSpec proves that identity; here the oracle computes the
+    * SAME closed form, so every running statistic and alarm bit is under
+    * the hash).
+    */
+  private def cusumQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.cusum(
+        graft.Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+        round(col("value") * 100, 0), k = 6000L, h = 20000L)
+      .select(col("user_id"), col("event_id"), col("x"), col("cusum"), col("alarm"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val cusumOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, ts, event_id, x,
+      |    sum(x - 6000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM e
+      |), m AS (
+      |  SELECT user_id, event_id, x, cum,
+      |    least(CAST(0 AS BIGINT), min(cum) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS floor_cum
+      |  FROM c
+      |)
+      |SELECT user_id, event_id, x, CAST(cum - floor_cum AS BIGINT) AS cusum,
+      |  (cum - floor_cum) >= 20000 AS alarm
+      |FROM m ORDER BY user_id, event_id""".stripMargin
+
   /** Ordered-sequence funnel: users whose full event-type sequence contains
     * each stage in order (not necessarily adjacent) — sequence assembled
     * per user with an ordered collect, stages matched by position.
@@ -2225,6 +2260,7 @@ object AnalyticsQueries {
     "q_corr_matrix" -> (corrMatrixQ _),
     "q_weighted_median" -> (weightedMedianQ _),
     "q_drift_chi2" -> (driftQ _),
+    "q_cusum" -> (cusumQ _),
     "q_scd2_join" -> (scd2JoinQ _),
     "q_label_prop" -> (labelPropQ _),
     "q_kcore" -> (kCoreQ _),
@@ -2303,6 +2339,7 @@ object AnalyticsQueries {
     "q_corr_matrix" -> corrMatrixOracle,
     "q_weighted_median" -> weightedMedianOracle,
     "q_drift_chi2" -> driftOracle,
+    "q_cusum" -> cusumOracle,
     "q_scd2_join" -> scd2JoinOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcore" -> kCoreOracle,

@@ -303,4 +303,23 @@ class GeoIncrementalSpec extends SparkSpec {
     // doc2: newest x2: 6+6=12 chars, merges don't apply -> 12 tokens
     assert(out(1) == ((2L, 2L, 12L, 12L)))
   }
+
+  test("cusum: closed form equals the sequential Page recursion; alarms fire and reset") {
+    import graft.analytics.Drift
+    // hand case, k=5 h=8: x = 9,9,1,1,12 -> s = 4,8,4,0,7; alarm at t=2 only
+    val hand = Seq((1L, 1L, 9L), (1L, 2L, 9L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (1L, 5L, 12L)).toDF("u", "t", "v")
+    val got = Drift.cusum(hand, "u", Seq("t"), $"v", k = 5L, h = 8L)
+      .select($"t", $"cusum", $"alarm").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, false), (2L, 8L, true), (3L, 4L, false),
+      (4L, 0L, false), (5L, 7L, false)))
+    // property: closed form == max(0, s+x-k) fold on pseudo-random history
+    val rnd = (1 to 200).map(t => (7L, t.toLong,
+      ((t * 2654435761L) % 13) - 2)) // values in [-2, 10], k drift 4
+    val out = Drift.cusum(rnd.toDF("u", "t", "v"), "u", Seq("t"), $"v", 4L, 6L)
+      .select($"t", $"cusum").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val expect = rnd.map(_._3).scanLeft(0L)((s, x) => math.max(0L, s + x - 4L)).tail
+    assert(out.toSeq == expect)
+  }
 }
