@@ -367,6 +367,67 @@ object Dedup {
         "containment_a", "containment_b")
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin, Bayardo/
+    * Chaudhuri/Xiao): order every document's shingles by a global canonical
+    * order (ascending corpus frequency, shingle tiebreak — rare first) and
+    * join only each document's PREFIX of length `s − ⌈t·s⌉ + 1`. Any pair
+    * with Jaccard ≥ t must share ≥ ⌈t·s⌉ elements, so skipping the prefix
+    * entirely would leave fewer than that many — the prefix join is
+    * LOSSLESS, and candidates are then verified with the full exact
+    * intersection. Unlike [[ngramJaccardPairs]]' frequency cut this drops
+    * NO pairs: the output equals the uncut exact join (the oracle is
+    * plain exact Jaccard — equality proves losslessness), while the join
+    * touches only rare-prefix shingles instead of every shared shingle.
+    *
+    * Scale shape: the frequency table is one shingle-keyed aggregate; the
+    * per-doc canonical rank is a window partitioned by doc (bounded by doc
+    * length); the candidate join runs on prefix rows only — for t = 0.5,
+    * half the corpus's shingle mass, with the hottest shingles
+    * systematically excluded from prefixes of long docs (they rank last).
+    * Verification joins the (small) candidate pair set back against the
+    * full shingle frame on the pair's ids — O(candidates · doc size).
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
+    val ranked = sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__f"), col("shingle"))))
+      .join(sizes, "id")
+      .filter(col("__rn") <=
+        col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1L)
+      .select(col("id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = ranked.as("a").hint("shuffle_hash")
+      .join(ranked.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .hint("shuffle_hash")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("size_a") + col("size_b") - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+  }
+
   /** Shingle term-frequency triples (id, shingle, tf) — the MULTISET
     * companion of [[withShingles]]: shingle multiplicity survives (no
     * `array_distinct`), so repeated phrases weigh as many times as they

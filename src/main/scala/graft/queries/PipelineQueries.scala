@@ -83,6 +83,39 @@ object PipelineQueries {
       |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered exact Jaccard ([[Dedup.prefixFilterJaccardPairs]]):
+    * the oracle is the UNCUT exact pair join — no prefix machinery at all —
+    * so the hash match is a proof that prefix filtering dropped no pair
+    * (losslessness), on top of the usual value agreement.
+    */
+  private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(augmented(Tables.documents(s, dir)),
+        k = 5, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val ppjoinOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b,
+      |  intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE AS jaccard
+      |FROM cand
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Shingle-TF cosine pairs ([[Dedup.tfCosinePairs]]) on the augmented
     * corpus: exact copies score ~1, near copies lose only the prepended
     * token's k shingles, unrelated docs share too few rare shingles to
@@ -2580,6 +2613,7 @@ object PipelineQueries {
     "q_curation_pipeline" -> (curationQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_cosine_pairs" -> (tfCosineQ _),
+    "q_ppjoin" -> (ppjoinQ _),
     "q_shared_runs" -> (sharedRunsQ _),
     "q_source_overlap" -> (sourceOverlapQ _),
     "q_triangles" -> (trianglesQ _),
@@ -2684,6 +2718,7 @@ object PipelineQueries {
     "q_curation_pipeline" -> curationOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_cosine_pairs" -> tfCosineOracle,
+    "q_ppjoin" -> ppjoinOracle,
     "q_shared_runs" -> sharedRunsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_triangles" -> trianglesOracle,

@@ -165,6 +165,26 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("prefixFilterJaccardPairs equals the uncut exact join (losslessness)") {
+    val corpus = aug
+    val exact = Dedup.ngramJaccardPairs(corpus, k = 5, threshold = 0.5,
+        maxShingleFreq = Int.MaxValue)
+      .select($"id_a", $"id_b", $"intersection", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pf = Dedup.prefixFilterJaccardPairs(corpus, k = 5, threshold = 0.5)
+      .select($"id_a", $"id_b", $"intersection", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pf == exact)
+    assert(pf.nonEmpty)
+    // tiny hand case: t=0.5, sizes 4 -> prefix length 4-2+1=3; identical
+    // docs must collide in prefixes and survive with jaccard 1.0
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJaccardPairs(d, k = 5, threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)) && out.head._6 == 1.0)
+  }
+
   test("tfCosinePairs weighs multiplicity that Jaccard flattens") {
     import spark.implicits._
     // k=1 word vectors, hand-computable: A={x:2,y:1}, B={x:1,y:2} →
