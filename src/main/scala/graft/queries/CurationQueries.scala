@@ -397,6 +397,51 @@ object CurationQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM q, d ORDER BY source""".stripMargin
 
+  /** Temperature draw ([[Curation.temperatureSample]]): the α=1/2
+    * apportionment chained with the md5-rank selection on the same skewed
+    * corpus as `q_temperature_quota` — drawn rows, their ranks, and the
+    * exact-137 total all under the hash.
+    */
+  private def temperatureDrawQ(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSample(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 25 <
+            lit(5) + substring(col("source"), 4, 10).cast("int")),
+        total = 137L)
+      .orderBy(col("source"), col("rn"))
+
+  private val temperatureDrawOracle =
+    """WITH base AS (
+      |  SELECT doc_id, source FROM documents
+      |  WHERE doc_id % 25 < 5 + CAST(substr(source, 4, 10) AS INT)
+      |), c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY source
+      |), cw AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(sqrt(n_docs::DOUBLE) * 1048576.0) AS BIGINT) AS w
+      |  FROM c
+      |), t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM cw),
+      |q AS (
+      |  SELECT source, w,
+      |    CAST((w * 137) // w_tot AS BIGINT) AS fq,
+      |    CAST((w * 137) % w_tot AS BIGINT) AS rem
+      |  FROM cw, t
+      |), d AS (SELECT CAST(137 - sum(fq) AS BIGINT) AS deficit FROM q),
+      |quotas AS (
+      |  SELECT source,
+      |    CAST(fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= deficit
+      |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM q, d
+      |),
+      |ranked AS (
+      |  SELECT doc_id, source, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rn
+      |  FROM base
+      |)
+      |SELECT doc_id, ranked.source, rn
+      |FROM ranked JOIN quotas ON quotas.source = ranked.source
+      |WHERE rn <= quota ORDER BY ranked.source, rn""".stripMargin
+
   /** Quota draw ([[Curation.quotaSample]]): the apportionment oracle chained
     * with the md5-rank selection — every drawn row and its rank are under the
     * hash, and the draw must total exactly 137.
@@ -835,6 +880,7 @@ object CurationQueries {
     "q_mixture" -> (mixtureQ _),
     "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_temperature_quota" -> (temperatureQuotaQ _),
+    "q_temperature_draw" -> (temperatureDrawQ _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_dataset_split" -> (datasetSplitQ _),
     "q_length_buckets" -> (lengthBucketsQ _),
@@ -863,6 +909,7 @@ object CurationQueries {
     "q_mixture" -> mixtureOracle,
     "q_mixture_quota" -> mixtureQuotaOracle,
     "q_temperature_quota" -> temperatureQuotaOracle,
+    "q_temperature_draw" -> temperatureDrawOracle,
     "q_quota_sample" -> quotaSampleOracle,
     "q_dataset_split" -> datasetSplitOracle,
     "q_length_buckets" -> lengthBucketsOracle,

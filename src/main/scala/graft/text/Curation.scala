@@ -284,6 +284,27 @@ object Curation {
       .select(col(sourceCol), col("n_docs"), col("weight_q20"), col("quota"))
   }
 
+  /** Execute a [[temperatureQuotas]] apportionment: the α=1/2 quotas drawn
+    * with the same deterministic md5-uniform per-source rank as
+    * [[quotaSample]] — small sources over-sampled relative to proportional,
+    * the full multilingual-mixture build step (apportion at temperature,
+    * then draw). Same scale shape: broadcast #sources-row quotas, one rank
+    * window, WindowGroupLimit-able cut.
+    */
+  def temperatureSample(docs: DataFrame, total: Long,
+                        sourceCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    val quotas = temperatureQuotas(docs, total, sourceCol)
+      .select(col(sourceCol), col("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("rn"))
+  }
+
   /** Execute a [[mixtureQuotas]] apportionment: draw exactly `quota` docs
     * from each source, selected by the deterministic md5-uniform rank (the
     * same permutation [[mixtureInterleave]] and [[tokenBudget]] use) — so the

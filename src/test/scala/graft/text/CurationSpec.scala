@@ -118,6 +118,21 @@ class CurationSpec extends SparkSpec {
     assert(q.agg(sum($"quota")).as[Long].head() == 137L)
   }
 
+  test("temperatureSample: draws exactly the sqrt-apportioned quota per source") {
+    val docs = ((1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 125).map(i => (i.toLong, "B")) ++
+      (126 to 129).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    val out = Curation.temperatureSample(docs, total = 17L)
+    val bySource = out.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("A" -> 10L, "B" -> 5L, "C" -> 2L)) // weights 10:5:2
+    assert(out.count() == 17L)
+    // the draw is the md5-rank prefix: ranks are 1..quota with no gaps
+    val ranks = out.filter($"source" === "C").select($"rn").as[Long]
+      .collect().sorted.toSeq
+    assert(ranks == Seq(1L, 2L))
+  }
+
   test("slidingChunks: stride-overlapping windows cover every token") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
     val out = Curation.slidingChunks(docs, window = 4, stride = 2)
