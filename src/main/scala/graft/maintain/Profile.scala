@@ -46,6 +46,61 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), sum(u32).as("checksum"))
   }
 
+  /** Equi-DEPTH histogram: k tiles of (near-)equal row count with exact
+    * min/max boundaries — the selectivity-estimation companion to the
+    * equi-width `histogram` (equi-width starves on skew; equi-depth puts
+    * the resolution where the data is). Tile assignment is the explicit
+    * `tile = (rank·k) div n` on exact longs over a [[graft.ops.StableIds]]
+    * global rank — NOT `ntile()` over an empty window spec, which funnels
+    * every row through one task (the oracle's naive form IS that plan; the
+    * `QuantileNorm` precedent). Counts per tile differ by at most 1 and
+    * the assignment is a pure function of (rank, n), so boundaries
+    * hash-compare.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column, k: Int,
+                         idCol: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = df.select(valueCol.cast("long").as("__v"), col(idCol))
+    val ranked = graft.ops.StableIds.withStableIds(v, Seq("__v", idCol))
+    val total = v.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("tile", expr(s"(stable_id * ${k}L) div __n"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
+  /** Join-key skew audit: per-key frequency distribution summarized as the
+    * exact Gini coefficient plus the hot-key share — the planning
+    * diagnostic that decides between a plain shuffle join, broadcast, or
+    * [[graft.ops.SkewJoin]] salting BEFORE a 100 TB shuffle is launched.
+    * `G = (2S − (K+1)T) / (K·T)` with `S = Σ rank·freq` over
+    * ascending-frequency ranks: ranks come from [[graft.ops.StableIds]] on
+    * the (already aggregated, much smaller) frequency table, `S` accumulates
+    * in DECIMAL(38) (rank·freq can pass 2⁶³ long before K does), and the
+    * Gini is ONE fixed operand-order IEEE division of exact integers —
+    * hash-comparable. Tie order among equal frequencies cannot change `S`,
+    * so the statistic is well-defined despite the arbitrary key tiebreak.
+    */
+  def skewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+    val ranked = graft.ops.StableIds.withStableIds(
+        freq.select(col("f"), col(keyCol)), Seq("f", keyCol))
+      .withColumn("i", col("stable_id") + 1L)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ranked.agg(
+        sum(col("f")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("f")).as("max_freq"),
+        sum(dec(col("i")) * col("f")).as("__s"))
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        (col("max_freq").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"),
+        ((lit(2).cast("decimal(38,0)") * col("__s") -
+          dec(col("n_keys") + 1) * col("n_rows")).cast("double") /
+          (dec(col("n_keys")) * col("n_rows")).cast("double")).as("gini"))
+  }
+
   /** Per-column profile rows for `columns` of `df`. */
   def columnProfile(df: DataFrame, columns: Seq[(String, Render)]): DataFrame =
     columns.map { case (name, render) =>

@@ -943,6 +943,56 @@ object AnalyticsQueries {
     * integer-producing float arithmetic (`floor((v - lo) / w)`), identical
     * on both engines.
     */
+  /** Equi-depth histogram ([[graft.maintain.Profile.equiDepthHistogram]])
+    * of lineitem prices (cents), 16 tiles: the oracle's naive global
+    * row_number is the single-task plan the operator's range-partitioned
+    * rank avoids; tile populations (±1), and exact boundaries are all
+    * under the hash.
+    */
+  private def equiDepthQ(s: SparkSession, dir: String): DataFrame =
+    graft.maintain.Profile.equiDepthHistogram(
+        graft.Tables.lineitem(s, dir)
+          .select(round(col("l_extendedprice") * 100, 0).as("cents"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")),
+        col("cents"), k = 16, idCol = "rid")
+      .orderBy(col("tile"))
+
+  private val equiDepthOracle =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+      |    l_orderkey * 10 + l_linenumber AS rid
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, rid) - 1 AS rk FROM v
+      |), n AS (SELECT count(*) AS nn FROM v)
+      |SELECT CAST((rk * 16) // nn AS BIGINT) AS tile,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+      |FROM r, n GROUP BY tile ORDER BY tile""".stripMargin
+
+  /** Key-skew audit ([[graft.maintain.Profile.skewAudit]]) on the orders
+    * join key: exact Gini over per-key frequencies (DECIMAL rank·freq
+    * sums), hot-key share — the pre-shuffle planning statistic itself is
+    * under the hash.
+    */
+  private def skewGiniQ(s: SparkSession, dir: String): DataFrame =
+    graft.maintain.Profile.skewAudit(
+      graft.Tables.lineitem(s, dir), "l_partkey")
+
+  private val skewGiniOracle =
+    """WITH f AS (
+      |  SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY l_partkey
+      |), r AS (
+      |  SELECT f, row_number() OVER (ORDER BY f, l_partkey) AS i FROM f
+      |)
+      |SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(max(f) AS BIGINT) AS max_freq,
+      |  max(f)::DOUBLE / sum(f)::DOUBLE AS top_share,
+      |  ((2::HUGEINT * sum(i::HUGEINT * f) - (count(*) + 1)::HUGEINT * sum(f))::DOUBLE) /
+      |    ((count(*)::HUGEINT * sum(f))::DOUBLE) AS gini
+      |FROM r""".stripMargin
+
   private def histogramQ(s: SparkSession, dir: String): DataFrame =
     graft.Tables.events(s, dir)
       .select(col("event_type"),
@@ -2294,6 +2344,8 @@ object AnalyticsQueries {
     "q_event_transitions" -> (eventTransitionsQ _),
     "q_funnel" -> (funnelQ _),
     "q_histogram" -> (histogramQ _),
+    "q_equidepth_hist" -> (equiDepthQ _),
+    "q_skew_gini" -> (skewGiniQ _),
     "q_outliers" -> (outliersQ _),
     "q_mad_outliers" -> (madOutliersQ _),
     "q_cohort_retention" -> (cohortRetentionQ _),
@@ -2373,6 +2425,8 @@ object AnalyticsQueries {
     "q_event_transitions" -> eventTransitionsOracle,
     "q_funnel" -> funnelOracle,
     "q_histogram" -> histogramOracle,
+    "q_equidepth_hist" -> equiDepthOracle,
+    "q_skew_gini" -> skewGiniOracle,
     "q_outliers" -> outliersOracle,
     "q_mad_outliers" -> madOutliersOracle,
     "q_cohort_retention" -> cohortRetentionOracle,

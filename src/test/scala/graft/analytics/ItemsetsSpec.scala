@@ -76,6 +76,33 @@ class ItemsetsSpec extends SparkSpec {
     assert(rows("s").getAs[Long]("n_distinct") === 2L)
     assert(rows("s").getAs[Long]("n_rows") === 3L)
   }
+  test("equiDepthHistogram: tile populations within 1, exact boundaries") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => (v, v)).toDF("v", "rid")
+    val out = Profile.equiDepthHistogram(df, col("v"), k = 5, idCol = "rid")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L, 1L, 2L), (1L, 2L, 3L, 4L), (2L, 2L, 5L, 6L),
+      (3L, 2L, 7L, 8L), (4L, 2L, 9L, 10L)))
+    // non-divisible n: counts differ by at most 1, tiles cover all rows
+    val odd = Profile.equiDepthHistogram(
+        (1L to 13L).map(v => (v, v)).toDF("v", "rid"), col("v"), 4, "rid")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(odd.map(_._2).sum == 13L && odd.map(_._2).max - odd.map(_._2).min <= 1)
+  }
+
+  test("skewAudit: uniform keys gini 0, hand-computed skew case") {
+    import spark.implicits._
+    val uniform = Seq("a", "a", "b", "b").toDF("k")
+    val u = Profile.skewAudit(uniform, "k")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(u == ((4L, 2L, 2L, 0.5, 0.0)))
+    // f = (1, 3): S = 1·1 + 2·3 = 7, G = (14 - 3·4)/(2·4) = 0.25
+    val skewed = Seq("a", "b", "b", "b").toDF("k")
+    val s = Profile.skewAudit(skewed, "k")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(s == ((4L, 2L, 3L, 0.75, 0.25)))
+  }
+
   test("columnProfile branches scan exactly one column each") {
     val li = graft.Tables.lineitem(spark, sf())
     val plan = Profile.columnProfile(li, Seq(
