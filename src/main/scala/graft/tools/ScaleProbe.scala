@@ -96,6 +96,11 @@ object ScaleProbe {
       "minhashLsh" -> (d =>
         graft.dedup.MinHashLSH.nearDuplicates(d, k = 5, numHashes = 64,
           bands = 16, threshold = 0.5)),
+      // prefix filtering is LOSSLESS, so its Nx output must be exactly the
+      // Nx exact-jaccard pair set — the linearity check simultaneously
+      // validates the candidate bound and the result at scale
+      "prefixFilterJaccard" -> (d =>
+        graft.dedup.Dedup.prefixFilterJaccardPairs(d, k = 5, threshold = 0.5)),
       // graph path: star-and-ring community edges derived from doc ids; the
       // formula is invariant under the replica offset (10M ≡ 0 mod 100), so
       // replicas carry disjoint copies of the same communities and the
