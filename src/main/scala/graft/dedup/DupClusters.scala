@@ -171,6 +171,40 @@ object DupClusters {
       .groupBy(col("node_id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Exact 2-hop neighborhood sizes — the "how fast does transitive
+    * closure grow" audit run before committing to connected-components
+    * dedup (a node whose 2-hop ball explodes signals a borderline-
+    * threshold hub that will glue unrelated clusters): per node, its
+    * direct degree and the count of distinct nodes exactly two hops away
+    * (reachable in 2, not adjacent, not itself).
+    *
+    * Scale shape: one self-join of the symmetric adjacency list on the
+    * middle vertex — fan-out Σ deg², the standard 2-hop cost; run it
+    * after a degree cut ([[kCorePeel]]) or on frequency-cut pair tables
+    * where degrees are bounded by construction. Everything downstream of
+    * the join is distinct + counts on node keys.
+    */
+  def twoHopNeighbors(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val two = adj.select(col("u"), col("v").as("m"))
+      .join(adj.select(col("u").as("m"), col("v").as("w")), Seq("m"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w")).distinct()
+      .join(adj.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+    val direct = adj.groupBy(col("u")).agg(count(lit(1)).as("n_direct"))
+    direct
+      .join(two.groupBy(col("u")).agg(count(lit(1)).as("__n2")), Seq("u"), "left")
+      .select(col("u").as("node_id"), col("n_direct"),
+        coalesce(col("__n2"), lit(0L)).as("n_two_hop"))
+  }
+
   /** Duplicate-cluster size distribution — the audit a dedup run ships with
     * its decision log: for every cluster size, how many clusters, how many
     * documents they hold, and how many rows dedup will remove

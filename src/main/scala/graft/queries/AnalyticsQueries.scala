@@ -2074,6 +2074,55 @@ object AnalyticsQueries {
       |GROUP BY n ORDER BY node_id""".stripMargin
   }
 
+  /** 2-hop neighborhood audit ([[graft.dedup.DupClusters.twoHopNeighbors]])
+    * on the `q_kcore` hub-cycle graph: spokes see their hub's cycle
+    * neighbors and co-spokes; hubs see two cycle-distance-2 hubs plus
+    * neighbor hubs' spokes. The oracle recomputes the exact adjacency
+    * self-join — degree and 2-hop counts per node all under the hash.
+    */
+  private def twoHopQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+        col("doc_id").as("id_b"))
+    val ring = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val closing = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 === 90)
+      .select((col("doc_id") - lit(90L)).as("id_a"), col("doc_id").as("id_b"))
+    graft.dedup.DupClusters
+      .twoHopNeighbors(star.unionByName(ring).unionByName(closing))
+      .orderBy(col("node_id"))
+  }
+
+  private val twoHopOracle =
+    """WITH ed AS (
+      |  SELECT doc_id - doc_id % 10 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 <> 0
+      |  UNION
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id % 100 < 90
+      |  UNION
+      |  SELECT doc_id - 90 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id % 100 = 90),
+      |e0 AS (
+      |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed
+      |  WHERE u <> v),
+      |adj AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |two AS (
+      |  SELECT DISTINCT a.u, b.v AS w
+      |  FROM adj a JOIN adj b ON a.v = b.u
+      |  WHERE a.u <> b.v),
+      |twoex AS (
+      |  SELECT two.u, two.w FROM two
+      |  WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.u = two.u AND adj.v = two.w)),
+      |d AS (SELECT u, CAST(count(*) AS BIGINT) AS n_direct FROM adj GROUP BY u),
+      |t AS (SELECT u, CAST(count(*) AS BIGINT) AS n2 FROM twoex GROUP BY u)
+      |SELECT d.u AS node_id, d.n_direct,
+      |  CAST(coalesce(t.n2, 0) AS BIGINT) AS n_two_hop
+      |FROM d LEFT JOIN t ON t.u = d.u ORDER BY node_id""".stripMargin
+
   /** Distribution-drift audit ([[graft.analytics.Drift.chi2Buckets]]):
     * even- vs odd-id documents as the two data drops, n_chars bucketed by
     * 50 into 10 bins. Exact counts under the hash; expected counts and
@@ -2314,6 +2363,7 @@ object AnalyticsQueries {
     "q_scd2_join" -> (scd2JoinQ _),
     "q_label_prop" -> (labelPropQ _),
     "q_kcore" -> (kCoreQ _),
+    "q_two_hop" -> (twoHopQ _),
     "q_quantile_norm" -> (quantileNormQ _),
     "q_geo_radius" -> (geoRadiusQ _),
     "q_geo_nearest" -> (geoNearestQ _),
@@ -2395,6 +2445,7 @@ object AnalyticsQueries {
     "q_scd2_join" -> scd2JoinOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcore" -> kCoreOracle,
+    "q_two_hop" -> twoHopOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_geo_radius" -> geoRadiusOracle,
     "q_geo_nearest" -> geoNearestOracle,

@@ -146,6 +146,20 @@ class DupClustersSpec extends SparkSpec {
     assert(core(tri, 2, 0) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("twoHopNeighbors: path graph hand case; orientation-duplicate safety") {
+    // path 1-2-3-4: node 1 reaches {3} in exactly 2 hops, node 2 reaches
+    // {4}, symmetric on the other end; direct neighbors never counted
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = DupClusters.twoHopNeighbors(path)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> (1L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L), 4L -> (1L, 1L)))
+    // triangle: everyone adjacent to everyone -> no strict 2-hop nodes
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L)).toDF("id_a", "id_b")
+    val t = DupClusters.twoHopNeighbors(tri)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(t == Map(1L -> (2L, 0L), 2L -> (2L, 0L), 3L -> (2L, 0L)))
+  }
+
   test("clusterSizeAudit: histogram with singleton complement totals the corpus") {
     val comp = DupClusters.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"))
