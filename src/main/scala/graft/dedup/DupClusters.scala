@@ -294,6 +294,52 @@ object DupClusters {
     pr
   }
 
+  /** Personalized PageRank — [[pageRankFixedPoint]] with the restart mass
+    * pinned to a SEED set instead of spread uniformly: the graph-expansion
+    * primitive for curation ("given these trusted/contaminated documents,
+    * rank everything by proximity in the duplicate/similarity graph").
+    * Same scaled-integer message discipline (`scale` units per seed, 15%
+    * restart, integer div floors) — every round is deterministic integer
+    * arithmetic, so iterations unroll into an exact SQL oracle and the
+    * result is bit-reproducible on any cluster. Non-seed nodes receive
+    * NO restart mass; nodes disconnected from every seed stay exactly 0.
+    *
+    * Scale shape per round: one degree-annotated edge join + one sum by
+    * destination + a left join back onto the node table — shuffles keyed
+    * on node ids only; `localCheckpoint` truncates the per-round lineage.
+    */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+                           iterations: Int = 2,
+                           scale: Long = 1000000000000L,
+                           idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val edges = sym.join(deg, "u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().withColumn("__s1", lit(1L))
+    val nodes = deg.select(col("u").as("id"))
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s1"), lit(0L)).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = 15L * scale / 100L
+    var pr = nodes.select(col("id"), (col("__s") * lit(scale)).as("pr"))
+    (1 to iterations).foreach { _ =>
+      val msgs = edges.join(pr, edges("u") === pr("id"))
+        .select(col("v"), expr("pr div du").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(msgs, nodes("id") === msgs("v"), "left")
+        .select(col("id"),
+          (col("__s") * lit(base) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    pr
+  }
+
   /** (id, component) for every node of the undirected edge set
     * `pairs(idA, idB)`; `component` is the smallest node id reachable from
     * `id` (so planted-duplicate groups get their original doc as canon).

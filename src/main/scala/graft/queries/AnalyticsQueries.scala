@@ -2123,6 +2123,68 @@ object AnalyticsQueries {
       |  CAST(coalesce(t.n2, 0) AS BIGINT) AS n_two_hop
       |FROM d LEFT JOIN t ON t.u = d.u ORDER BY node_id""".stripMargin
 
+  /** Personalized PageRank
+    * ([[graft.dedup.DupClusters.personalizedPageRank]]) seeded at block 0's
+    * hubs on the hub-cycle graph: mass stays inside block 0 (blocks are
+    * disconnected), spokes earn message-only mass (zero restart), every
+    * other block is EXACTLY 0 — all integer arithmetic, both unrolled
+    * rounds under the hash.
+    */
+  private def pprQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+        col("doc_id").as("id_b"))
+    val ring = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val closing = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 === 90)
+      .select((col("doc_id") - lit(90L)).as("id_a"), col("doc_id").as("id_b"))
+    val seeds = docs.filter(col("doc_id") < 100 && col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("node_id"))
+    graft.dedup.DupClusters
+      .personalizedPageRank(star.unionByName(ring).unionByName(closing), seeds)
+      .select(col("id").as("node_id"), col("pr"))
+      .orderBy(col("node_id"))
+  }
+
+  private val pprOracle =
+    """WITH ed AS (
+      |  SELECT doc_id - doc_id % 10 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 <> 0
+      |  UNION
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id % 100 < 90
+      |  UNION
+      |  SELECT doc_id - 90 AS u, doc_id AS v FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id % 100 = 90),
+      |e0 AS (
+      |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed
+      |  WHERE u <> v),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du FROM e GROUP BY u),
+      |nodes AS (
+      |  SELECT u AS id,
+      |    CASE WHEN u < 100 AND u % 10 = 0 THEN 1 ELSE 0 END AS s
+      |  FROM deg),
+      |pr0 AS (SELECT id, CAST(s * 1000000000000 AS BIGINT) AS pr FROM nodes),
+      |m1 AS (
+      |  SELECT e.v, sum(pr // du) AS sm
+      |  FROM e JOIN deg USING (u) JOIN pr0 ON pr0.id = e.u GROUP BY e.v),
+      |it1 AS (
+      |  SELECT n.id,
+      |    CAST(n.s * 150000000000 + (85 * coalesce(m1.sm, 0)) // 100 AS BIGINT) AS pr
+      |  FROM nodes n LEFT JOIN m1 ON m1.v = n.id),
+      |m2 AS (
+      |  SELECT e.v, sum(pr // du) AS sm
+      |  FROM e JOIN deg USING (u) JOIN it1 ON it1.id = e.u GROUP BY e.v),
+      |it2 AS (
+      |  SELECT n.id,
+      |    CAST(n.s * 150000000000 + (85 * coalesce(m2.sm, 0)) // 100 AS BIGINT) AS pr
+      |  FROM nodes n LEFT JOIN m2 ON m2.v = n.id)
+      |SELECT id AS node_id, pr FROM it2 ORDER BY node_id""".stripMargin
+
   /** Distribution-drift audit ([[graft.analytics.Drift.chi2Buckets]]):
     * even- vs odd-id documents as the two data drops, n_chars bucketed by
     * 50 into 10 bins. Exact counts under the hash; expected counts and
@@ -2364,6 +2426,7 @@ object AnalyticsQueries {
     "q_label_prop" -> (labelPropQ _),
     "q_kcore" -> (kCoreQ _),
     "q_two_hop" -> (twoHopQ _),
+    "q_ppr" -> (pprQ _),
     "q_quantile_norm" -> (quantileNormQ _),
     "q_geo_radius" -> (geoRadiusQ _),
     "q_geo_nearest" -> (geoNearestQ _),
@@ -2446,6 +2509,7 @@ object AnalyticsQueries {
     "q_label_prop" -> labelPropOracle,
     "q_kcore" -> kCoreOracle,
     "q_two_hop" -> twoHopOracle,
+    "q_ppr" -> pprOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_geo_radius" -> geoRadiusOracle,
     "q_geo_nearest" -> geoNearestOracle,

@@ -160,6 +160,28 @@ class DupClustersSpec extends SparkSpec {
     assert(t == Map(1L -> (2L, 0L), 2L -> (2L, 0L), 3L -> (2L, 0L)))
   }
 
+  test("personalizedPageRank: disconnected component stays exactly 0; all-seeds == uniform") {
+    // components {1,2} and {3,4}; seed only node 1
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val ppr = DupClusters.personalizedPageRank(pairs, Seq(1L).toDF("node_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(ppr(3L) == 0L && ppr(4L) == 0L)
+    assert(ppr(1L) > 0L && ppr(2L) > 0L)
+    // hand-check round 2 for node 2 (deg 1 each, scale 1e12): node 2 holds
+    // no initial mass, so it1(n1) = base only = 0.15e12 and
+    // it2(n2) = 85% of that; it1(n2) = 85% of the seed's 1e12
+    val s = 1000000000000L
+    val it1n1 = 15L * s / 100 // + 85% of pr0(n2) = 0
+    assert(ppr(2L) == (85L * it1n1) / 100)
+    assert(ppr(1L) == 15L * s / 100 + (85L * ((85L * s) / 100)) / 100)
+    // seeding EVERY node degenerates to the uniform fixed-point operator
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val all = (1L to 4L).toDF("node_id")
+    val uni = DupClusters.pageRankFixedPoint(g).as[(Long, Long)].collect().toMap
+    val per = DupClusters.personalizedPageRank(g, all).as[(Long, Long)].collect().toMap
+    assert(uni == per)
+  }
+
   test("clusterSizeAudit: histogram with singleton complement totals the corpus") {
     val comp = DupClusters.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"))
