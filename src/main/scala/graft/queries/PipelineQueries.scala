@@ -1286,6 +1286,40 @@ object PipelineQueries {
   private val pngMediaPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Perceptual dHash ([[Multimodal.imageDHash]]) over the real PNG round
+    * trip: the oracle re-derives all 64 adjacent-column comparison bits
+    * from the closed pixel formula `g(x,y) = (id + 7x + 13y) mod 256`
+    * through the SAME integer nearest-neighbor 9×8 resample — one flipped
+    * bit anywhere in decode, resample, or bit packing shifts a power of two
+    * into the hash and mismatches.
+    */
+  private def imageDHashQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(s, s.read.parquet(pngMediaParquet(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("hash_hi"), col("hash_lo"), col("decoded"))
+      .orderBy(col("doc_id"))
+
+  private val imageDHashOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+      |    CAST(doc_id % 12 + 1 AS INTEGER) AS height
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, width, height, k,
+      |    CASE WHEN (doc_id + 7 * (((k % 8 + 1) * width) // 9)
+      |                + 13 * (((k // 8) * height) // 8)) % 256
+      |            > (doc_id + 7 * (((k % 8) * width) // 9)
+      |                + 13 * (((k // 8) * height) // 8)) % 256
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM d, range(0, 64) t(k)
+      |)
+      |SELECT doc_id, width, height,
+      |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hash_lo,
+      |  true AS decoded
+      |FROM b GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin
+
   private[graft] def wavMediaParquet(s: SparkSession, dir: String): String =
     wavMediaPaths.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_wav_media").toString
@@ -2648,6 +2682,7 @@ object PipelineQueries {
     "q_embed_centroids" -> (centroidsQ _),
     "q_multimodal_decode" -> (multimodalQ _),
     "q_image_decode" -> (imageDecodeQ _),
+    "q_image_phash" -> (imageDHashQ _),
     "q_image_resize" -> (imageResizeQ _),
     "q_audio_decode" -> (audioDecodeQ _),
     "q_audio_frames" -> (audioFramesQ _),
@@ -2753,6 +2788,7 @@ object PipelineQueries {
     "q_embed_centroids" -> centroidsOracle,
     "q_multimodal_decode" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
+    "q_image_phash" -> imageDHashOracle,
     "q_image_resize" -> imageResizeOracle,
     "q_audio_decode" -> audioDecodeOracle,
     "q_audio_frames" -> audioFramesOracle,

@@ -165,6 +165,38 @@ class TextSpec extends SparkSpec {
     assert(Multimodal.frameEnergies(spark, wSt, 8, 4).collect().isEmpty)
   }
 
+  test("imageDHash: bits match the closed pixel formula; garbage is flagged undecoded") {
+    val docs = Seq((5L, "x", "en", "s", 1L), (17L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.imageDHash(spark, Multimodal.pngMedia(spark, docs).toDF())
+      .collect().sortBy(_.doc_id)
+    out.foreach { ih =>
+      assert(ih.decoded)
+      val (id, w, h) = (ih.doc_id, ih.width, ih.height)
+      def g(x: Int, y: Int): Long = (id + 7L * (x * w / 9) + 13L * (y * h / 8)) % 256
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64) {
+        val (x, y) = (k % 8, k / 8)
+        if (g(x + 1, y) > g(x, y)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      assert(ih.hash_hi == hi && ih.hash_lo == lo, s"doc $id")
+    }
+    // identical pixel formulas (same id mod 256, same dims) -> identical hash:
+    // ids congruent mod lcm(256,48)=768 share w, h, and every gray value
+    val twins = Seq((3L, "a", "en", "s", 1L), (771L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val th = Multimodal.imageDHash(spark, Multimodal.pngMedia(spark, twins).toDF())
+      .collect().sortBy(_.doc_id)
+    assert(th(0).hash_hi == th(1).hash_hi && th(0).hash_lo == th(1).hash_lo)
+    // undecodable payload -> decoded=false, zero hash
+    import Multimodal.MediaRow
+    val bad = Seq(MediaRow(9L, Array[Byte](1, 2, 3), "png", 1, 1)).toDS()
+    val b = Multimodal.imageDHash(spark, bad.toDF()).head()
+    assert(!b.decoded && b.hash_hi == 0L && b.hash_lo == 0L)
+  }
+
   test("decodeImage falls back to the stub on non-image payloads") {
     val media = Multimodal.mediaFromDocuments(
       Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
