@@ -196,6 +196,50 @@ object Multimodal {
     }
   }
 
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxDist` over
+    * [[imageDHash]] fingerprints, with LOSSLESS band blocking: the 64 hash
+    * bits split into four 16-bit bands; by pigeonhole any pair within
+    * Hamming 3 agrees on at least one whole band, so the four band
+    * equi-joins (never all-pairs) find every qualifying pair, and
+    * `bit_count(xor)` verifies the exact distance. The same
+    * banding/verification shape as SimHash text dedup, applied to the
+    * image modality — gradient fixtures whose ids share dimensions differ
+    * only where the mod-256 wrap crosses the grid, a genuine planted
+    * near-dup family.
+    *
+    * Requires `maxDist ≤ 3`: at 4+, a pair can disagree in all four bands
+    * and the blocking would silently lose it (enforced).
+    */
+  def phashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"band blocking is lossless only for maxDist in [0, 3], got $maxDist")
+    val withBands = hashes.filter(col("decoded"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .withColumn("__b", explode(array(
+        struct(lit(0).as("bi"), col("hash_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("hash_lo"), 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(2).as("bi"), col("hash_hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("bi"), shiftright(col("hash_hi"), 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bv")))))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("__b.bi").as("bi"), col("__b.bv").as("bv"))
+    val cand = withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.hash_hi").as("ha_hi"), col("a.hash_lo").as("ha_lo"),
+        col("b.hash_hi").as("hb_hi"), col("b.hash_lo").as("hb_lo"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   case class AudioRow(doc_id: Long, media: Array[Byte], sample_rate: Int,
                       n_samples: Int)
   case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Int,

@@ -1320,6 +1320,48 @@ object PipelineQueries {
       |  true AS decoded
       |FROM b GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin
 
+  /** Hamming near-dup image pairs ([[Multimodal.phashPairs]]) over the
+    * real-decode dHashes, band-blocked, verified ≤ 3 bits. Gated to images
+    * at least as large as the 9×8 dHash grid (below it the resample
+    * degenerates and everything collides — the gate every real pipeline
+    * applies). The oracle derives hashes from the pixel formula and joins
+    * ALL pairs — equality proves the 4-band pigeonhole blocking lossless
+    * at distance ≤ 3.
+    */
+  private def phashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+        Multimodal.imageDHash(s,
+          s.read.parquet(pngMediaParquet(s, dir))
+            .filter(col("doc_id") % 16 + 1 >= 10 && col("doc_id") % 12 + 1 >= 8))
+          .toDF(),
+        maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val phashPairsOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+      |    CAST(doc_id % 12 + 1 AS INTEGER) AS height
+      |  FROM documents
+      |  WHERE doc_id % 16 + 1 >= 10 AND doc_id % 12 + 1 >= 8
+      |), b AS (
+      |  SELECT doc_id, width, height, k,
+      |    CASE WHEN (doc_id + 7 * (((k % 8 + 1) * width) // 9)
+      |                + 13 * (((k // 8) * height) // 8)) % 256
+      |            > (doc_id + 7 * (((k % 8) * width) // 9)
+      |                + 13 * (((k // 8) * height) // 8)) % 256
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM d, range(0, 64) t(k)
+      |), hs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM b GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) AS BIGINT) AS hamming
+      |FROM hs a JOIN hs c ON a.doc_id < c.doc_id
+      |WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   private[graft] def wavMediaParquet(s: SparkSession, dir: String): String =
     wavMediaPaths.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_wav_media").toString
@@ -2683,6 +2725,7 @@ object PipelineQueries {
     "q_multimodal_decode" -> (multimodalQ _),
     "q_image_decode" -> (imageDecodeQ _),
     "q_image_phash" -> (imageDHashQ _),
+    "q_phash_pairs" -> (phashPairsQ _),
     "q_image_resize" -> (imageResizeQ _),
     "q_audio_decode" -> (audioDecodeQ _),
     "q_audio_frames" -> (audioFramesQ _),
@@ -2789,6 +2832,7 @@ object PipelineQueries {
     "q_multimodal_decode" -> multimodalOracle,
     "q_image_decode" -> imageDecodeOracle,
     "q_image_phash" -> imageDHashOracle,
+    "q_phash_pairs" -> phashPairsOracle,
     "q_image_resize" -> imageResizeOracle,
     "q_audio_decode" -> audioDecodeOracle,
     "q_audio_frames" -> audioFramesOracle,

@@ -197,6 +197,40 @@ class TextSpec extends SparkSpec {
     assert(!b.decoded && b.hash_hi == 0L && b.hash_lo == 0L)
   }
 
+  test("phashPairs: band blocking is lossless vs brute force; distance bound enforced") {
+    import Multimodal.ImageHash
+    // hand hashes: a/b differ in 3 bits (one band), a/c in 4 spread bits
+    // (one per band -- the pigeonhole worst case, must be EXCLUDED at d=3)
+    val hs = Seq(
+      ImageHash(1L, 9, 8, 0L, 0L, decoded = true),
+      ImageHash(2L, 9, 8, 0L, 7L, decoded = true),               // 3 bits, band 0
+      ImageHash(3L, 9, 8, 1L | (1L << 16), 1L | (1L << 16), decoded = true), // 4 bits, 4 bands
+      ImageHash(4L, 0, 0, 0L, 0L, decoded = false)               // excluded
+    ).toDF()
+    val out = Multimodal.phashPairs(hs, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L, 3L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!out.contains((1L, 3L, 4L)))
+    // brute-force agreement on the real fixture family
+    val docs = (0L until 60L).map(i => (i, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .filter($"doc_id" % 16 + 1 >= 10 && $"doc_id" % 12 + 1 >= 8)
+    val hashes = Multimodal.imageDHash(spark, Multimodal.pngMedia(spark, docs).toDF())
+    val got = Multimodal.phashPairs(hashes.toDF(), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val hv = hashes.collect().map(h => h.doc_id -> (h.hash_hi, h.hash_lo)).toMap
+    val brute = (for {
+      a <- hv.keys; b <- hv.keys if a < b
+      d = java.lang.Long.bitCount(hv(a)._1 ^ hv(b)._1) +
+        java.lang.Long.bitCount(hv(a)._2 ^ hv(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute)
+    intercept[IllegalArgumentException] { Multimodal.phashPairs(hs, maxDist = 4) }
+    ()
+  }
+
   test("decodeImage falls back to the stub on non-image payloads") {
     val media = Multimodal.mediaFromDocuments(
       Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
