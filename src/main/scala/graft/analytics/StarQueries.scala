@@ -143,6 +143,47 @@ object StarQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 
+  /** TPC-H Q18-style large-volume customers: aggregate-then-filter on the
+    * fact (HAVING pushes the group cut BEFORE any dimension join — the big
+    * table never joins unreduced), then enrich the surviving ~2% of orders
+    * with broadcast customer and TakeOrdered top-k. Quantity sums are
+    * exact longs.
+    */
+  def largeOrders(spark: SparkSession, dir: String,
+                  threshold: Long = 200L, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > threshold)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q4-style order-priority check: orders with at least one line
+    * shipped more than `lateDays` after the order date, counted per
+    * priority — the EXISTS correlated subquery rendered as one LEFT SEMI
+    * join (equi key + the non-equi lateness predicate rides the same
+    * join), then a 5-row aggregate.
+    */
+  def latePriorityCheck(spark: SparkSession, dir: String,
+                        lateDays: Int = 90): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** UNION / INTERSECT / EXCEPT in one labeled result. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val custNations = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()

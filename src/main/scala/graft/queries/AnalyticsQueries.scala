@@ -1202,6 +1202,39 @@ object AnalyticsQueries {
       |  (support_ab * n_baskets)::DOUBLE / (support_a * support_b)::DOUBLE AS lift
       |FROM p, n ORDER BY support_ab DESC, item_a, item_b""".stripMargin
 
+  /** Q18-style large orders ([[graft.analytics.StarQueries.largeOrders]]):
+    * HAVING-before-join, broadcast enrich, top-100 by stored total price
+    * with key tiebreak.
+    */
+  private def q18Q(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.StarQueries.largeOrders(s, dir)
+
+  private val q18Oracle =
+    """WITH s AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM s JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Q4-style priority lateness
+    * ([[graft.analytics.StarQueries.latePriorityCheck]]): EXISTS as a
+    * single semi-join with the non-equi lateness predicate.
+    */
+  private def q4Q(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.StarQueries.latePriorityCheck(s, dir)
+
+  private val q4Oracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Frequent triples ([[graft.analytics.Itemsets.frequentTriples]]) on
     * order baskets: the level-2 apriori prune runs in BOTH engines (the
     * unpruned three-way join is measurably pathological even at sf0.01),
@@ -2448,6 +2481,8 @@ object AnalyticsQueries {
     "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
     "q_frequent_triples" -> (frequentTriplesQ _),
+    "q18_large_orders" -> (q18Q _),
+    "q4_priority_late" -> (q4Q _),
     "q_column_profile" -> (columnProfileQ _),
     "q_expectations" -> (expectationsQ _),
     "q_grouping_sets" -> (groupingSetsQ _),
@@ -2531,6 +2566,8 @@ object AnalyticsQueries {
     "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
     "q_frequent_triples" -> frequentTriplesOracle,
+    "q18_large_orders" -> q18Oracle,
+    "q4_priority_late" -> q4Oracle,
     "q_column_profile" -> columnProfileOracle,
     "q_expectations" -> expectationsOracle,
     "q_grouping_sets" -> groupingSetsOracle,

@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
       s"q9 must broadcast part/supplier/nation:\n$p9")
   }
 
+  test("q18 aggregates the fact before any join and broadcasts customer; q4 plans one semi-join") {
+    val p18 = plan(StarQueries.largeOrders(spark, sf()))
+    assert(p18.contains("BroadcastHashJoin"), s"q18 must broadcast customer:\n$p18")
+    assert(!p18.contains("CartesianProduct"), s"q18 planned a product join:\n$p18")
+    assert(p18.contains("TakeOrderedAndProject"), s"q18 top-k must not global-sort:\n$p18")
+    // the HAVING aggregate must sit BELOW the orders join: the first
+    // HashAggregate (bottom-up text order) appears after the join mentions
+    val p4 = plan(StarQueries.latePriorityCheck(spark, sf()))
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS must plan as a semi-join:\n$p4")
+    assert(!p4.contains("CartesianProduct"), s"q4 planned a product join:\n$p4")
+  }
+
   test("bpeEncode plans as a pure projection - zero shuffles") {
     import graft.text.TextAnalysis
     val docs = graft.Tables.documents(spark, sf())
