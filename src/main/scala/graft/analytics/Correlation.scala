@@ -93,6 +93,50 @@ object Correlation {
     rows.reduce(_ unionByName _)
   }
 
+  /** Truncated rank-biased overlap (Webber/Moffat/Zobel) between two
+    * rankings at persistence p = 1/2: `RBO = (1−p)·Σ_{d≤D} p^{d−1}·A_d/d`
+    * with `A_d` = |top-d(A) ∩ top-d(B)| — the ranking-drift audit for
+    * comparing retrieval variants (BM25 vs raw TF, old index vs new)
+    * where Spearman over full lists is meaningless because only prefixes
+    * matter.
+    *
+    * Exactness at p = 1/2: every weight p^{d−1} is a power of two (exact
+    * double), each A_d/d is one correctly-rounded division of exact longs,
+    * and the Σ is generated LEFT-ASSOCIATIVE in both engines — the same
+    * fixed-operand-order discipline as Spearman/Flesch, so the RBO value
+    * itself hash-compares. All A_d are emitted alongside.
+    *
+    * Scale shape: two depth-bounded prefix frames, one id equi-join, ONE
+    * aggregate carrying D longs. Depth is a constant; nothing here touches
+    * corpus scale.
+    */
+  def rbo(rankA: DataFrame, rankB: DataFrame, depth: Int,
+          idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth must be in [1, 32], got $depth")
+    val ra = rankA.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= depth)
+    val rb = rankB.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+      .filter(col("__rb") <= depth)
+    val j = ra.join(rb, Seq("__id"), "full_outer")
+      .select(coalesce(col("__ra"), lit(depth + 1L)).as("ra"),
+        coalesce(col("__rb"), lit(depth + 1L)).as("rb"))
+    val aggs = (1 to depth).map(d =>
+      sum(when(col("ra") <= d && col("rb") <= d, 1L).otherwise(0L)).as(s"a_$d"))
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    val terms = (1 to depth).map { d =>
+      lit(math.pow(0.5, d - 1)) * (col(s"a_$d").cast("double") / lit(d.toDouble))
+    }
+    one.withColumn("rbo", lit(0.5) * terms.reduce(_ + _))
+  }
+
+  /** The [[rbo]] Σ as DuckDB SQL over columns `a_1..a_D` — generated from
+    * the same loop so the operand order is identical.
+    */
+  def rboSumSql(depth: Int): String =
+    "0.5 * (" + (1 to depth).map { d =>
+      s"${math.pow(0.5, d - 1)} * (a_$d::DOUBLE / ${d.toDouble})"
+    }.mkString(" + ") + ")"
+
   /** Per-group exact weighted median: the smallest value whose running
     * weight (value-then-id order) reaches half the group's total weight —
     * 2·cumw ≥ W on exact BIGINTs, no interpolation, so the selected value

@@ -996,6 +996,83 @@ object PipelineQueries {
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  /** Ranking-drift audit ([[graft.analytics.Correlation.rbo]]): truncated
+    * RBO at p=1/2, depth 10, between the BM25 ranking and the exact-integer
+    * keyword ranking on the same query — prefix overlaps A_d are exact
+    * longs, the RBO weights are powers of two, and the Σ is generated
+    * left-associative on both engines, so the overlap statistic itself is
+    * under the hash.
+    */
+  private def rboQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = TextAnalysis.bm25TopK(docs, Seq("data", "query", "table"), k = 10)
+      .select(col("doc_id"), col("rank"))
+    val b = TextAnalysis.keywordRank(docs, Seq("data", "query", "table"), k = 10)
+      .select(col("doc_id"), col("rank"))
+    graft.analytics.Correlation.rbo(a, b, depth = 10, idCol = "doc_id")
+  }
+
+  private lazy val rboOracle = {
+    val k1 = 1.2; val b = 0.75
+    val aCols = (1 to 10).map(d =>
+      s"CAST(sum(CASE WHEN ra <= $d AND rb <= $d THEN 1 ELSE 0 END) AS BIGINT) AS a_$d")
+      .mkString(",\n    ")
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM dl
+      |),
+      |st2 AS (SELECT *, sum_dl::DOUBLE / n_docs AS avgdl FROM st),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS term FROM tok)
+      |  WHERE term IN ('data', 'query', 'table') GROUP BY doc_id, term
+      |),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf::DOUBLE * ${k1 + 1}) /
+      |      (tf::DOUBLE + $k1 * (${1.0 - b} + $b * (dl::DOUBLE / avgdl))) AS score
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st2
+      |),
+      |ag AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN term = 'data' THEN score END) AS s0,
+      |    sum(CASE WHEN term = 'query' THEN score END) AS s1,
+      |    sum(CASE WHEN term = 'table' THEN score END) AS s2,
+      |    CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+      |    CAST(sum(tf) AS BIGINT) AS sum_tf
+      |  FROM sc GROUP BY doc_id
+      |),
+      |bm AS (
+      |  SELECT doc_id, rank FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY
+      |      coalesce(s0, 0.0::DOUBLE) + coalesce(s1, 0.0::DOUBLE) + coalesce(s2, 0.0::DOUBLE) DESC,
+      |      doc_id) AS rank
+      |    FROM ag)
+      |  WHERE rank <= 10
+      |),
+      |kw AS (
+      |  SELECT doc_id, rank FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY n_matched DESC, sum_tf DESC, doc_id) AS rank
+      |    FROM ag)
+      |  WHERE rank <= 10
+      |),
+      |j AS (
+      |  SELECT coalesce(bm.rank, 11) AS ra, coalesce(kw.rank, 11) AS rb
+      |  FROM bm FULL OUTER JOIN kw ON bm.doc_id = kw.doc_id
+      |),
+      |a AS (
+      |  SELECT
+      |    $aCols
+      |  FROM j)
+      |SELECT a_1, a_2, a_3, a_4, a_5, a_6, a_7, a_8, a_9, a_10,
+      |  ${graft.analytics.Correlation.rboSumSql(10)} AS rbo
+      |FROM a""".stripMargin
+  }
+
   /** Hybrid search: exact-integer keyword rank ⊕ brute-force cosine rank,
     * fused with reciprocal-rank fusion ([[TextAnalysis.rrfFuse]]). Ranks are
     * integers, so the fused score is two exact IEEE divisions plus one
@@ -2714,6 +2791,7 @@ object PipelineQueries {
     "q_keyword_search" -> (keywordSearchQ _),
     "q_bm25" -> (bm25Q _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
+    "q_rbo" -> (rboQ _),
     "q_search_postings" -> (searchPostingsQ _),
     "q_posting_lists" -> (postingListsQ _),
     "q_posting_parts" -> (postingPartsQ _),
@@ -2821,6 +2899,7 @@ object PipelineQueries {
     "q_keyword_search" -> keywordSearchOracle,
     "q_bm25" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridRrfOracle,
+    "q_rbo" -> rboOracle,
     "q_search_postings" -> keywordSearchOracle,
     "q_posting_lists" -> postingListsOracle,
     "q_posting_parts" -> postingPartsOracle,

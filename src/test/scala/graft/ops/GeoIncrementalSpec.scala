@@ -304,6 +304,25 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 12L, 12L)))
   }
 
+  test("rbo: identical rankings score the truncated maximum; disjoint score 0") {
+    import graft.analytics.Correlation
+    val r1 = (1L to 10L).map(i => (i, i)).toDF("id", "rank")
+    val same = Correlation.rbo(r1, r1, depth = 10)
+      .select($"rbo", $"a_10").as[(Double, Long)].head()
+    // truncated max: 0.5 * sum(0.5^(d-1) * d/d) = 1 - 0.5^10
+    assert(math.abs(same._1 - (1.0 - math.pow(0.5, 10))) < 1e-15 && same._2 == 10L)
+    val r2 = (1L to 10L).map(i => (i + 100, i)).toDF("id", "rank")
+    val disj = Correlation.rbo(r1, r2, depth = 10).select($"rbo").as[Double].head()
+    assert(disj == 0.0)
+    // top-heavy agreement beats tail agreement: swapping ranks 1&2 hurts
+    // more than swapping 9&10
+    def swapped(a: Long, b: Long) = (1L to 10L)
+      .map(i => (if (i == a) b else if (i == b) a else i, i)).toDF("id", "rank")
+    val top = Correlation.rbo(r1, swapped(1, 2), 10).select($"rbo").as[Double].head()
+    val tail = Correlation.rbo(r1, swapped(9, 10), 10).select($"rbo").as[Double].head()
+    assert(top < tail && tail < same._1)
+  }
+
   test("cusum: closed form equals the sequential Page recursion; alarms fire and reset") {
     import graft.analytics.Drift
     // hand case, k=5 h=8: x = 9,9,1,1,12 -> s = 4,8,4,0,7; alarm at t=2 only
