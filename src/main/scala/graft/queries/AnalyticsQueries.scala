@@ -240,6 +240,49 @@ object AnalyticsQueries {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** The SAME tumbling aggregation executed as a LIVE Structured Streaming
+    * query — file source over the events parquet, `Trigger.AvailableNow`,
+    * complete-mode memory sink — then compared against the identical batch
+    * SQL oracle as `q_tumbling_window`. This puts actual streaming
+    * execution (source → stateful agg → sink commit) under the driver's
+    * hash gate, the "stateless/stateful streams = batch functions"
+    * contract of §2.10 proven end-to-end rather than spec-only. The memory
+    * sink holds only the aggregate (≤ #windows rows — bounded); each call
+    * runs a fresh uniquely-named query, so benches time the real stream.
+    */
+  private def streamTumblingQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val ev =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val name = "graft_stream_tumbling_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ev.groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("window_start"))
+  }
+
+  private val streamSrcDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   /** Interval-overlap join ([[graft.analytics.RangeJoin.intervalOverlap]]):
     * click-derived windows × error-derived windows, with id-derived integer
     * lengths. The oracle is the naive theta join — identity proof that the
@@ -2513,6 +2556,7 @@ object AnalyticsQueries {
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
+    "q_stream_tumbling" -> (streamTumblingQ _),
     "q_sliding_window" -> (slidingWindowQ _),
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
@@ -2598,6 +2642,7 @@ object AnalyticsQueries {
     "q_pivot" -> pivotOracle,
     "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
+    "q_stream_tumbling" -> tumblingOracle,
     "q_sliding_window" -> slidingWindowOracle,
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,
