@@ -283,6 +283,50 @@ object AnalyticsQueries {
   private val streamSrcDirs =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Streaming dedup proven end-to-end: the source directory holds the
+    * events file TWICE (a replayed feed), the stream applies
+    * `dropDuplicatesWithinWatermark(event_id)`, and the appended sink must
+    * contain each event exactly once — the oracle is simply the events
+    * table. Duplicate arrivals may land in different micro-batches, so
+    * the dedup state (not batch-local distinct) is what passes the hash.
+    */
+  private def streamDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val srcDir = dedupSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_dup_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events_b.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val ev =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ev.withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_id"))
+  }
+
+  private val dedupSrcDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private val streamDedupOracle =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Interval-overlap join ([[graft.analytics.RangeJoin.intervalOverlap]]):
     * click-derived windows × error-derived windows, with id-derived integer
     * lengths. The oracle is the naive theta join — identity proof that the
@@ -2557,6 +2601,7 @@ object AnalyticsQueries {
     "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
     "q_stream_tumbling" -> (streamTumblingQ _),
+    "q_stream_dedup" -> (streamDedupQ _),
     "q_sliding_window" -> (slidingWindowQ _),
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
@@ -2643,6 +2688,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
     "q_stream_tumbling" -> tumblingOracle,
+    "q_stream_dedup" -> streamDedupOracle,
     "q_sliding_window" -> slidingWindowOracle,
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,
