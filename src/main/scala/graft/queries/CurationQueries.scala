@@ -442,6 +442,31 @@ object CurationQueries {
       |FROM ranked JOIN quotas ON quotas.source = ranked.source
       |WHERE rn <= quota ORDER BY ranked.source, rn""".stripMargin
 
+  /** Shard balance ([[Curation.shardBalance]]), 16 md5-hashed shards: doc
+    * and token totals per shard and the exact-ratio skew, all under the
+    * hash (the md5-uniform is the engine's standard deterministic hash —
+    * the oracle folds the same hex digits).
+    */
+  private def shardBalanceQ(s: SparkSession, dir: String): DataFrame =
+    Curation.shardBalance(Tables.documents(s, dir), shards = 16)
+      .orderBy(col("shard"))
+
+  private val shardBalanceOracle = {
+    val u32 = graft.queries.OracleSql.md5U32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT $u32 % 16 AS shard,
+      |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+      |  FROM documents
+      |), p AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY shard
+      |), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM p)
+      |SELECT shard, n_docs, n_tokens,
+      |  (n_tokens * 16)::DOUBLE / tt::DOUBLE AS token_skew
+      |FROM p, t ORDER BY shard""".stripMargin
+  }
+
   /** Quota draw ([[Curation.quotaSample]]): the apportionment oracle chained
     * with the md5-rank selection — every drawn row and its rank are under the
     * hash, and the draw must total exactly 137.
@@ -881,6 +906,7 @@ object CurationQueries {
     "q_mixture_quota" -> (mixtureQuotaQ _),
     "q_temperature_quota" -> (temperatureQuotaQ _),
     "q_temperature_draw" -> (temperatureDrawQ _),
+    "q_shard_balance" -> (shardBalanceQ _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_dataset_split" -> (datasetSplitQ _),
     "q_length_buckets" -> (lengthBucketsQ _),
@@ -910,6 +936,7 @@ object CurationQueries {
     "q_mixture_quota" -> mixtureQuotaOracle,
     "q_temperature_quota" -> temperatureQuotaOracle,
     "q_temperature_draw" -> temperatureDrawOracle,
+    "q_shard_balance" -> shardBalanceOracle,
     "q_quota_sample" -> quotaSampleOracle,
     "q_dataset_split" -> datasetSplitOracle,
     "q_length_buckets" -> lengthBucketsOracle,

@@ -246,6 +246,33 @@ object Curation {
       .select(col(sourceCol), col("n_docs"), col("quota"))
   }
 
+  /** Shard-assignment balance audit: docs assigned to `shards` by the
+    * deterministic md5-uniform (the same hash family as the sampling
+    * ranks — NOT Java hashCode, which is monotone in trailing digits), per
+    * shard the doc and token totals, plus each shard's token share of a
+    * perfectly balanced shard (`token_skew = tokens·shards / Σtokens` as
+    * one fixed-order division of exact longs). The pre-flight check before
+    * writing training shards: a skewed shard is the straggler that
+    * serializes the epoch.
+    */
+  def shardBalance(docs: DataFrame, shards: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val perShard = docs
+      .select((u32 % shards).as("shard"),
+        size(split(col(textCol), "\\s+")).cast("long").as("__nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val tot = perShard.agg(sum(col("n_tokens")).as("__tt"))
+    perShard.crossJoin(broadcast(tot))
+      .withColumn("token_skew",
+        (col("n_tokens") * lit(shards.toLong)).cast("double") /
+          col("__tt").cast("double"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("token_skew"))
+  }
+
   /** Temperature-scaled mixture quotas: apportion `total` by weights
     * `w_s = n_s^α` with α = 1/2 — the multilingual-sampling flattening
     * (big sources down-weighted, small sources boosted; α→0 is uniform,
