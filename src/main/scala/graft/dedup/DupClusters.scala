@@ -205,6 +205,49 @@ object DupClusters {
         coalesce(col("__n2"), lit(0L)).as("n_two_hop"))
   }
 
+  /** Common-neighbor link prediction over the undirected pair graph: for
+    * every NON-adjacent pair (a, b) with at least one shared neighbor, the
+    * shared-neighbor count, the neighborhood-union size, and their ratio
+    * (neighborhood Jaccard). In a dedup pipeline these are the "missing
+    * edges" — pairs the pairwise threshold narrowly rejected but whose
+    * graph context says are the same template family — the candidate list a
+    * borderline-review pass or a threshold-sensitivity audit consumes.
+    * Scores are exact integer counts; the one division is reporting.
+    *
+    * Scale shape: wedge enumeration at the shared neighbor (one self-join
+    * of the symmetric adjacency list on the middle vertex, Σ deg² fan-out —
+    * identical to [[twoHopNeighbors]]), then an edge anti-join and two
+    * metadata-sized degree joins. Run after a degree cut on hub-prone
+    * graphs; frequency-cut pair tables bound degrees by construction.
+    */
+  def linkPrediction(pairs: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // each wedge a–m–b (a < b) is one row per distinct middle m, so the
+    // count per (a, b) IS |N(a) ∩ N(b)|; the anti-join drops already-linked
+    // pairs (e is normalized u < v, matching the a < b orientation)
+    val common = adj.select(col("u").as("a"), col("v").as("m"))
+      .join(adj.select(col("u").as("m"), col("v").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    common
+      .join(deg.select(col("u").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("__db")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("n_common"),
+        (col("__da") + col("__db") - col("n_common")).as("n_union"))
+      .withColumn("nbr_jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+  }
+
   /** Duplicate-cluster size distribution — the audit a dedup run ships with
     * its decision log: for every cluster size, how many clusters, how many
     * documents they hold, and how many rows dedup will remove
