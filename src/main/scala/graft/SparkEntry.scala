@@ -24,9 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs ++
-      CurationQueries.defs ++ VersionedQueries.defs ++ TpchQueries.defs
+      CurationQueries.defs ++ VersionedQueries.defs ++ TpchQueries.defs ++
+      SelectionQueries.defs
 
   def oracleSql: Map[String, String] =
     TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
-      CurationQueries.oracles ++ VersionedQueries.oracles ++ TpchQueries.oracles
+      CurationQueries.oracles ++ VersionedQueries.oracles ++ TpchQueries.oracles ++
+      SelectionQueries.oracles
 }

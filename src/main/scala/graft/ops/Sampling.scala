@@ -79,4 +79,53 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__aes", "__rn")
   }
+
+  /** Seeded negative sampling for contrastive / recommender training: for
+    * each user in `positives` (user, item), up to `k` catalog items the user
+    * has NOT interacted with, drawn by deterministic rejection sampling.
+    *
+    * The naive form — `users × catalog` anti-join positives, then sample —
+    * is a cartesian product (|users|·|catalog| rows; at 100 TB, fatal). This
+    * implementation probes instead: each user generates `probes` candidate
+    * items via the md5 uniform (`item = min + md5U32(seed:user:i) mod n`),
+    * duplicates within a user keep only their first probe, positives are
+    * removed with ONE distributed anti-join, and the first `k` survivors by
+    * probe index win. Cost is O(|users| · probes) regardless of catalog
+    * size; `probes` only needs to exceed `k` by the expected collision +
+    * positive-hit margin (probes ≥ k + |positives per user| · probes / n in
+    * expectation — the default 12-vs-3 margin is ample for catalogs ≥ 100×
+    * the per-user history). Catalog min/count arrive as a 1-row broadcast,
+    * never a driver collect. Fully deterministic: same seed, same negatives,
+    * any cluster, any partitioning.
+    */
+  def negativeSample(positives: DataFrame, catalogIds: DataFrame,
+                     k: Int = 3, probes: Int = 12,
+                     seed: String = "neg"): DataFrame = {
+    val userCol = positives.columns(0)
+    val itemCol = positives.columns(1)
+    val catCol = catalogIds.columns(0)
+    val stats = catalogIds.agg(
+      count(lit(1)).as("__n_items"),
+      min(col(catCol)).as("__min_item"))
+    val cand = positives.select(col(userCol)).distinct()
+      .crossJoin(broadcast(stats))
+      .withColumn("probe_idx", explode(sequence(lit(0), lit(probes - 1))))
+      .withColumn("__u32",
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col(userCol).cast("string"), lit(":"),
+          col("probe_idx").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("neg_item",
+        col("__min_item") + pmod(col("__u32"), col("__n_items")))
+    val firstProbe = Window.partitionBy(col(userCol), col("neg_item"))
+      .orderBy(col("probe_idx"))
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col("probe_idx"))
+    cand
+      .withColumn("__dup", row_number().over(firstProbe))
+      .filter(col("__dup") === 1)
+      .join(positives.select(col(userCol), col(itemCol).as("neg_item")).distinct(),
+        Seq(userCol, "neg_item"), "left_anti")
+      .withColumn("__rk", row_number().over(byUser))
+      .filter(col("__rk") <= k)
+      .select(col(userCol), col("neg_item"), col("probe_idx"))
+  }
 }

@@ -327,6 +327,68 @@ object AnalyticsQueries {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Stream-STREAM inner join executed live: views joined to the same
+    * user's purchases within the next 2 hours, both sides watermarked
+    * (the watermark + time-range condition is what lets Spark expire join
+    * state — the unbounded-state trap this operator exists to avoid at
+    * 100 TB). File source over the events parquet, `AvailableNow`,
+    * append-mode memory sink; the oracle is the equivalent batch interval
+    * join. Single-file source ⇒ one micro-batch ⇒ the watermark cannot
+    * drop rows, so the streamed result is exactly the batch join.
+    */
+  private def streamJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    def src(): DataFrame = {
+      val raw = s.readStream.schema(schema).parquet(srcDir)
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    // watermarks require TIMESTAMP (LTZ); the parquet column arrives NTZ.
+    // Session TZ is UTC in every graft entrypoint, so the cast is epoch-
+    // preserving and delta_us matches the oracle's epoch_us arithmetic.
+    val v = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").cast("timestamp").as("vt"))
+      .withWatermark("vt", "30 days")
+    val p = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("pt"))
+      .withWatermark("pt", "30 days")
+    val name = "graft_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = v.join(p, col("v_user") === col("p_user") &&
+        col("pt") >= col("vt") &&
+        col("pt") < col("vt") + expr("INTERVAL 2 HOURS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("pt")) - unix_micros(col("vt"))).as("delta_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  private val streamJoinOracle =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS vt
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pt
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, view_id, purchase_id,
+      |  epoch_us(pt) - epoch_us(vt) AS delta_us
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND pt >= vt AND pt < vt + INTERVAL 2 HOUR
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   /** Interval-overlap join ([[graft.analytics.RangeJoin.intervalOverlap]]):
     * click-derived windows × error-derived windows, with id-derived integer
     * lengths. The oracle is the naive theta join — identity proof that the
@@ -2602,6 +2664,7 @@ object AnalyticsQueries {
     "q_tumbling_window" -> (tumblingQ _),
     "q_stream_tumbling" -> (streamTumblingQ _),
     "q_stream_dedup" -> (streamDedupQ _),
+    "q_stream_join" -> (streamJoinQ _),
     "q_sliding_window" -> (slidingWindowQ _),
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
@@ -2689,6 +2752,7 @@ object AnalyticsQueries {
     "q_tumbling_window" -> tumblingOracle,
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_dedup" -> streamDedupOracle,
+    "q_stream_join" -> streamJoinOracle,
     "q_sliding_window" -> slidingWindowOracle,
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-pipeline curation: DSIR importance
+  * weighting ([[graft.text.Dsir]]) and seeded negative sampling
+  * ([[graft.ops.Sampling.negativeSample]]). Oracles replicate the exact
+  * integer machinery (md5 uniform, power-of-two log quantization via
+  * `length(bin(n))`) in DuckDB.
+  */
+object SelectionQueries {
+
+  /** DSIR importance scores toward the `src0` domain: hashed-bigram buckets,
+    * quantized log-ratio weights, exact BIGINT per-doc scores.
+    */
+  private def dsirQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.docScores(Tables.documents(s, dir), "src0")
+      .orderBy(col("doc_id"))
+
+  private val dsirOracle = {
+    val u32 = OracleSql.md5U32Sql("bigram")
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, w1 || ' ' || w2 AS bigram
+      |  FROM (SELECT doc_id, source,
+      |      unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |    FROM tok WHERE len(t) >= 2)),
+      |bk AS (
+      |  SELECT doc_id, source, CAST($u32 % 256 AS BIGINT) AS bucket FROM bg),
+      |w AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+      |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS raw_cnt
+      |  FROM bk GROUP BY bucket),
+      |ww AS (
+      |  SELECT bucket,
+      |    CAST(length(bin(tgt_cnt + 1)) - length(bin(raw_cnt + 1)) AS BIGINT) AS weight
+      |  FROM w),
+      |sc AS (
+      |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(weight) AS BIGINT) AS score
+      |  FROM bk JOIN ww USING (bucket) GROUP BY bk.doc_id)
+      |SELECT d.doc_id, d.source,
+      |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sc.score, 0) AS score
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Seeded negatives for recommender training: per customer, the first 3
+    * surviving probes over the part catalog, positives = ordered parts.
+    */
+  private def negativeSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val positives = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+    val catalog = Tables.part(s, dir).select(col("p_partkey"))
+    graft.ops.Sampling.negativeSample(positives, catalog)
+      .orderBy(col("user_id"), col("probe_idx"))
+  }
+
+  private val negativeSampleOracle = {
+    // the probe column must NOT be named `i`: md5U32Sql's list_transform
+    // lambda variable is `i` and would shadow it inside the hash expression
+    val u32 = OracleSql.md5U32Sql(
+      "'neg:' || CAST(user_id AS VARCHAR) || ':' || CAST(pidx AS VARCHAR)")
+    s"""WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(min(p_partkey) AS BIGINT) AS min_item FROM part),
+      |users AS (SELECT DISTINCT user_id FROM pos),
+      |cand AS (
+      |  SELECT user_id, CAST(pidx AS INTEGER) AS probe_idx,
+      |    min_item + ($u32) % n_items AS neg_item
+      |  FROM users, st, range(0, 12) r(pidx)),
+      |dedup AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, neg_item
+      |    ORDER BY probe_idx) AS dup FROM cand),
+      |surv AS (
+      |  SELECT d.user_id, d.neg_item, d.probe_idx
+      |  FROM dedup d LEFT JOIN pos p
+      |    ON p.user_id = d.user_id AND p.item = d.neg_item
+      |  WHERE d.dup = 1 AND p.user_id IS NULL),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY probe_idx) AS rk FROM surv)
+      |SELECT user_id, neg_item, probe_idx FROM rk WHERE rk <= 3
+      |ORDER BY user_id, probe_idx""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (dsirQ _),
+    "q_negative_sample" -> (negativeSampleQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dsir_weights" -> dsirOracle,
+    "q_negative_sample" -> negativeSampleOracle)
+}
