@@ -378,6 +378,90 @@ object AnalyticsQueries {
     s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** The SAME 30-minute-gap sessionization as `q_session_window`, executed
+    * as a LIVE streaming query (file source, `AvailableNow`, complete-mode
+    * memory sink — complete mode is what lets session windows emit without
+    * a watermark having passed them). Shares `sessionWindowOracle`
+    * verbatim: streamed stateful session merging must equal the batch
+    * gaps-and-islands SQL. The memory sink holds one row per (user,
+    * session) — bounded by the session count, not the event count.
+    */
+  private def streamSessionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val ev =
+      (if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw).withColumn("ts", col("ts").cast("timestamp"))
+    val name = "graft_stream_session_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** OHLC downsampling bars: per (event_type, day) the opening/closing
+    * values selected by lexicographic struct min/max over the unique
+    * (epoch, event_id) order — exact selection, no arithmetic on the
+    * values — plus high/low/count. One hash aggregate; the classic
+    * time-series downsample that turns a raw feed into bounded bars.
+    */
+  private def ohlcQ(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → LTZ, UTC session
+      .select(col("event_type"),
+        window(col("ts"), "1 day")("start").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    e.groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).as("__o"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("__c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"),
+        col("__o.value").as("open"), col("high"), col("low"),
+        col("__c.value").as("close"), col("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val ohlcOracle =
+    """WITH e AS (
+      |  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS day,
+      |    ts, event_id, value FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e),
+      |agg AS (
+      |  SELECT event_type, day, max(value) AS high, min(value) AS low,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY event_type, day)
+      |SELECT agg.event_type, agg.day, o.value AS open, high, low,
+      |  c.value AS close, n
+      |FROM agg
+      |JOIN r o ON o.event_type = agg.event_type AND o.day = agg.day AND o.rn_a = 1
+      |JOIN r c ON c.event_type = agg.event_type AND c.day = agg.day AND c.rn_d = 1
+      |ORDER BY agg.event_type, agg.day""".stripMargin
+
   private val streamJoinOracle =
     """WITH v AS (SELECT user_id, event_id AS view_id, ts AS vt
       |  FROM events WHERE event_type = 'view'),
@@ -2665,6 +2749,8 @@ object AnalyticsQueries {
     "q_stream_tumbling" -> (streamTumblingQ _),
     "q_stream_dedup" -> (streamDedupQ _),
     "q_stream_join" -> (streamJoinQ _),
+    "q_stream_session" -> (streamSessionQ _),
+    "q_ohlc_bars" -> (ohlcQ _),
     "q_sliding_window" -> (slidingWindowQ _),
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
@@ -2753,6 +2839,8 @@ object AnalyticsQueries {
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_dedup" -> streamDedupOracle,
     "q_stream_join" -> streamJoinOracle,
+    "q_stream_session" -> sessionWindowOracle,
+    "q_ohlc_bars" -> ohlcOracle,
     "q_sliding_window" -> slidingWindowOracle,
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,

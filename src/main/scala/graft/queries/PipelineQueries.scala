@@ -1518,6 +1518,42 @@ object PipelineQueries {
         col("mean_abs"), col("zero_crossings"), col("decoded"))
       .orderBy(col("doc_id"))
 
+  /** 2:1 decimation with an in-operator WAV re-encode round trip
+    * ([[Multimodal.resampleAudio]]); every statistic — including the
+    * order-pinning positional checksum — re-derived by the oracle from the
+    * closed-form sample formula through the same truncated pair average.
+    */
+  private def audioResampleQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampleAudio(s, s.read.parquet(wavMediaParquet(s, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private val audioResampleOracle =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n FROM documents
+      |),
+      |p AS (
+      |  SELECT doc_id, n, n // 2 AS m, unnest(range(0, n // 2)) AS i FROM d
+      |),
+      |v AS (
+      |  SELECT doc_id, n, m, i,
+      |    (doc_id * 31 + (2*i) * 17) % 4001 - 2000 AS sa,
+      |    (doc_id * 31 + (2*i+1) * 17) % 4001 - 2000 AS sb
+      |  FROM p
+      |),
+      |o AS (
+      |  SELECT doc_id, n, m, i, CAST(trunc((sa + sb) / 2.0) AS BIGINT) AS s
+      |  FROM v
+      |)
+      |SELECT doc_id, CAST(8000 AS INTEGER) AS in_rate,
+      |  CAST(4000 AS INTEGER) AS out_rate,
+      |  CAST(max(n) AS INTEGER) AS n_in, CAST(max(m) AS INTEGER) AS n_out,
+      |  CAST(max(abs(s)) AS INTEGER) AS peak,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(sum((i + 1) * s) AS BIGINT) AS checksum,
+      |  true AS decoded
+      |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val audioDecodeOracle =
     """WITH d AS (
       |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n FROM documents
@@ -2806,6 +2842,7 @@ object PipelineQueries {
     "q_phash_pairs" -> (phashPairsQ _),
     "q_image_resize" -> (imageResizeQ _),
     "q_audio_decode" -> (audioDecodeQ _),
+    "q_audio_resample" -> (audioResampleQ _),
     "q_audio_frames" -> (audioFramesQ _),
     "q_image_patches" -> (imagePatchesQ _),
     "q_stats_pushdown" -> (statsPushdownQ _),
@@ -2914,6 +2951,7 @@ object PipelineQueries {
     "q_phash_pairs" -> phashPairsOracle,
     "q_image_resize" -> imageResizeOracle,
     "q_audio_decode" -> audioDecodeOracle,
+    "q_audio_resample" -> audioResampleOracle,
     "q_audio_frames" -> audioFramesOracle,
     "q_image_patches" -> imagePatchesOracle,
     "q_stats_pushdown" -> statsPushdownOracle,

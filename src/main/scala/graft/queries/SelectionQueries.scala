@@ -94,11 +94,31 @@ object SelectionQueries {
       |ORDER BY user_id, probe_idx""".stripMargin
   }
 
+  /** OOV rate per source against the corpus top-500 vocabulary. */
+  private def oovRateQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.oovRate(Tables.documents(s, dir), 500)
+      .orderBy(col("source"))
+
+  private val oovRateOracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      |voc AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 500)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM tok LEFT JOIN voc v ON tok.term = v.term
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (dsirQ _),
-    "q_negative_sample" -> (negativeSampleQ _))
+    "q_negative_sample" -> (negativeSampleQ _),
+    "q_oov_rate" -> (oovRateQ _))
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> dsirOracle,
-    "q_negative_sample" -> negativeSampleOracle)
+    "q_negative_sample" -> negativeSampleOracle,
+    "q_oov_rate" -> oovRateOracle)
 }

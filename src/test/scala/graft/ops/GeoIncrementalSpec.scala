@@ -176,6 +176,46 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(Multimodal.frameEnergies(spark, junk, 80, 20).collect().isEmpty)
   }
 
+  test("resampleAudio: truncated pair averages, positional checksum, junk degrades") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.wavMedia(spark, Seq(3L).toDF("doc_id")).toDF()
+    val out = Multimodal.resampleAudio(spark, media).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 3: n = 103 -> 51 output samples at half rate
+    assert(r.n_in == 103 && r.n_out == 51 &&
+      r.in_rate == 8000 && r.out_rate == 4000 && r.decoded)
+    val exp = (0 until 51).map { i =>
+      (Multimodal.wavSample(3L, 2 * i) + Multimodal.wavSample(3L, 2 * i + 1)) / 2
+    }
+    assert(r.peak == exp.map(math.abs).max)
+    assert(r.sum_abs == exp.map(v => math.abs(v).toLong).sum)
+    assert(r.checksum == exp.zipWithIndex.map { case (s, i) => (i + 1).toLong * s }.sum)
+    // corrupt payload: flagged, never wrong-with-decoded=true
+    val junk = Seq((9L, Array[Byte](1, 2), 8000, 10)).toDF(
+      "doc_id", "media", "sample_rate", "n_samples")
+    val j = Multimodal.resampleAudio(spark, junk).collect().head
+    assert(!j.decoded && j.n_out == 0)
+  }
+
+  test("vocab OOV: tie at the cut breaks by term; rates hand-computed") {
+    import graft.text.Vocab
+    val docs = Seq(
+      (1L, "a a b c", "s1"),  // counts: a=2, b=1, c=1
+      (2L, "a b d", "s2")     //         a=3, b=2, c=1, d=1
+    ).toDF("doc_id", "text", "source")
+    // top-2 = a (3), b (2); c and d are OOV
+    val voc = Vocab.topVocab(docs, 2).collect().map(_.getString(0)).toSet
+    assert(voc == Set("a", "b"))
+    // top-3 tie between c (1) and d (1) -> term order keeps c
+    val voc3 = Vocab.topVocab(docs, 3).collect().map(_.getString(0)).toSet
+    assert(voc3 == Set("a", "b", "c"))
+    val rates = Vocab.oovRate(docs, 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("s1") == (4L, 1L)) // c
+    assert(rates("s2") == (3L, 1L)) // d
+  }
+
   test("interval coverage matches a naive reference on random intervals (property)") {
     val rnd = new scala.util.Random(23)
     val iv = (0 until 400).map { _ =>
