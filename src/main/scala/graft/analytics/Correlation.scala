@@ -216,4 +216,36 @@ object Correlation {
               (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
           .otherwise(lit(0.0)))
   }
+
+  /** Kendall τ-a per group from the EXACT pair enumeration: one equi-join on
+    * the group key with the `id < id` half-matrix residual, concordant /
+    * discordant / tied counted as exact longs, τ-a one final division.
+    *
+    * Scale note: the pair join is O(n²) per group — exact and right when
+    * group sizes are bounded (per-segment metric audits); the O(n log n)
+    * merge-sort inversion count only helps a SINGLE global τ and needs the
+    * same sorted pass, and sampled pairs are the standard estimator when a
+    * group outgrows the quadratic (both documented alternatives, not built:
+    * the exact half-matrix IS the operator here, and its cost is bounded by
+    * the declared group cardinality, not the corpus).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                 idCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(xCol), col(yCol), col(idCol))
+    val a = base.select(col(groupCol), col(xCol).as("__x1"),
+      col(yCol).as("__y1"), col(idCol).as("__i1"))
+    val b = base.select(col(groupCol), col(xCol).as("__x2"),
+      col(yCol).as("__y2"), col(idCol).as("__i2"))
+    val sgn = (col("__x1") - col("__x2")) * (col("__y1") - col("__y2"))
+    a.join(b, Seq(groupCol))
+      .filter(col("__i1") < col("__i2"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
+      .withColumn("tau_a",
+        (col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double"))
+  }
 }

@@ -2016,6 +2016,36 @@ object AnalyticsQueries {
     * and the classic ρ as one fixed-operand-order IEEE expression — the
     * FP-under-hash discipline of `q_readability`.
     */
+  /** Kendall τ-a between per-user activity (event count) and spend (exact
+    * cents) within each event type ([[graft.analytics.Correlation.kendallTau]]):
+    * the exact half-matrix pair join, concordant/discordant as longs.
+    */
+  private def kendallQ(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.analytics.Correlation.kendallTau(g, "event_type", "x", "y", "user_id")
+      .orderBy(col("event_type"))
+  }
+
+  private val kendallOracle =
+    """WITH g AS (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, user_id),
+      |p AS (
+      |  SELECT a.event_type, (a.x - b.x) * (a.y - b.y) AS s
+      |  FROM g a JOIN g b
+      |    ON a.event_type = b.event_type AND a.user_id < b.user_id)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+      |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) -
+      |       sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS tau_a
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def rankCorrQ(s: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(s, dir).withColumn("n_words",
       size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long"))
@@ -2698,6 +2728,7 @@ object AnalyticsQueries {
     "q_geo_nearest" -> (geoNearestQ _),
     "q_group_regression" -> (groupRegressionQ _),
     "q_rank_correlation" -> (rankCorrQ _),
+    "q_kendall_tau" -> (kendallQ _),
     "q_interval_coverage" -> (intervalCoverageQ _),
     "q_skyline" -> (skylineQ _),
     "q_first_touch" -> (firstTouchQ _),
@@ -2788,6 +2819,7 @@ object AnalyticsQueries {
     "q_geo_nearest" -> geoNearestOracle,
     "q_group_regression" -> groupRegressionOracle,
     "q_rank_correlation" -> rankCorrOracle,
+    "q_kendall_tau" -> kendallOracle,
     "q_interval_coverage" -> intervalCoverageOracle,
     "q_skyline" -> skylineOracle,
     "q_first_touch" -> firstTouchOracle,

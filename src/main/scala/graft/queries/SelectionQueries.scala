@@ -112,13 +112,80 @@ object SelectionQueries {
       |FROM tok LEFT JOIN voc v ON tok.term = v.term
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Epoch-seeded global training-order shuffle: a deterministic md5
+    * permutation materialized as contiguous positions via the scale-safe
+    * [[graft.ops.StableIds]] range-partition + zipWithIndex path. The
+    * oracle IS the naive single-task `row_number() OVER (ORDER BY md5)` —
+    * hash equality proves the distributed form computes the identical
+    * permutation. Re-seeding the prefix ("epoch2:…") redraws the epoch.
+    */
+  private def globalShuffleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("__k", md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+    graft.ops.StableIds.withStableIds(docs, Seq("__k", "doc_id"))
+      .select(col("doc_id"), col("stable_id").as("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  private val globalShuffleOracle =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY shuffle_pos""".stripMargin
+
+  /** Decile calibration audit (model monitoring): rows ranked by a
+    * deterministic md5 pseudo-score, cut into ten equal-rank buckets on the
+    * scale-safe StableIds rank (the oracle is the naive global row_number),
+    * empirical positive rate per decile from exact longs.
+    */
+  private def calibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("label"))
+      .withColumn("score",
+        conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+    val ranked = graft.ops.StableIds.withStableIds(ev, Seq("score", "event_id"))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("stable_id * 10 div __n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("positives"))
+      .withColumn("rate",
+        col("positives").cast("double") / col("n_rows").cast("double"))
+      .orderBy(col("decile"))
+  }
+
+  private val calibrationOracle = {
+    val u32 = OracleSql.md5U32Sql("'cal:' || CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+      |    $u32 AS score
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY score, event_id) - 1
+      |    AS BIGINT) AS pos FROM e),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+      |SELECT CAST(pos * 10 // n AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(label) AS BIGINT) AS positives,
+      |  CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
+      |FROM r, t GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (dsirQ _),
     "q_negative_sample" -> (negativeSampleQ _),
-    "q_oov_rate" -> (oovRateQ _))
+    "q_oov_rate" -> (oovRateQ _),
+    "q_global_shuffle" -> (globalShuffleQ _),
+    "q_calibration" -> (calibrationQ _))
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> dsirOracle,
     "q_negative_sample" -> negativeSampleOracle,
-    "q_oov_rate" -> oovRateOracle)
+    "q_oov_rate" -> oovRateOracle,
+    "q_global_shuffle" -> globalShuffleOracle,
+    "q_calibration" -> calibrationOracle)
 }

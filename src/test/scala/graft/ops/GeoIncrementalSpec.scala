@@ -216,6 +216,22 @@ class GeoIncrementalSpec extends SparkSpec {
     assert(rates("s2") == (3L, 1L)) // d
   }
 
+  test("kendallTau: hand-computed concordance; perfect and inverted orders") {
+    import graft.analytics.Correlation
+    val df = Seq(
+      ("g", 1L, 1L, 1L), ("g", 2L, 3L, 2L), ("g", 3L, 2L, 3L),
+      ("inv", 1L, 3L, 1L), ("inv", 2L, 2L, 2L), ("inv", 3L, 1L, 3L)
+    ).toDF("grp", "x", "y", "id")
+    val out = Correlation.kendallTau(df, "grp", "x", "y", "id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // g: pairs (1,2) C, (1,3) C, (2,3) D  → τ = (2−1)/3
+    assert(out("g").getLong(1) == 3 && out("g").getLong(2) == 2 &&
+      out("g").getLong(3) == 1)
+    assert(math.abs(out("g").getDouble(4) - 1.0 / 3.0) < 1e-15)
+    // inverted: all discordant → τ = −1
+    assert(out("inv").getDouble(4) == -1.0)
+  }
+
   test("interval coverage matches a naive reference on random intervals (property)") {
     val rnd = new scala.util.Random(23)
     val iv = (0 until 400).map { _ =>
