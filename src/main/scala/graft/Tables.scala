@@ -21,18 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so it
-    * arrives as a nano-epoch long, converted here to a microsecond timestamp
-    * (`div` keeps the arithmetic in exact integer space — a double division
-    * would lose precision above 2^53 ns).
+  /** `events.ts` normalized to session-local TIMESTAMP regardless of the
+    * parquet generation: TIMESTAMP(NANOS) arrives as a nano-epoch long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and is converted in exact
+    * integer space (`div` — a double division would lose precision above
+    * 2^53 ns); TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    * TIMESTAMP_NTZ and is cast (epoch-preserving: every graft entrypoint
+    * runs with session TZ UTC). Downstream code can then rely on
+    * `unix_micros`/watermarks/`cast(long)` uniformly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

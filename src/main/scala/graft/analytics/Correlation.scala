@@ -217,6 +217,37 @@ object Correlation {
           .otherwise(lit(0.0)))
   }
 
+  /** Theil–Sen robust slope per group: the (lower) median of all pairwise
+    * slopes. Each slope is ONE IEEE division of exact integer differences
+    * (identical on any engine), the median is a SELECTED slope value (no
+    * interpolation), and ties order by the pair's (x₁, x₂) — fully
+    * deterministic. Requires distinct x within a group (pre-aggregate to
+    * unique x; duplicate x has undefined pairwise slope).
+    *
+    * Scale note: O(n²) pairs per group by design, same contract as
+    * [[kendallTau]] — exact and right for bounded per-segment series (the
+    * repeated-median or sampled-pair estimators are the documented
+    * alternatives beyond that).
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = df.select(col(groupCol), col(xCol).as("__x1"), col(yCol).as("__y1"))
+    val b = df.select(col(groupCol), col(xCol).as("__x2"), col(yCol).as("__y2"))
+    val pairs = a.join(b, Seq(groupCol))
+      .filter(col("__x1") < col("__x2"))
+      .withColumn("__slope",
+        (col("__y2") - col("__y1")).cast("double") /
+          (col("__x2") - col("__x1")).cast("double"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__slope"), col("__x1"), col("__x2"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") === expr("(__np + 1) div 2"))
+      .select(col(groupCol), col("__np").as("n_pairs"),
+        col("__slope").as("median_slope"))
+  }
+
   /** Kendall τ-a per group from the EXACT pair enumeration: one equi-join on
     * the group key with the `id < id` half-matrix residual, concordant /
     * discordant / tied counted as exact longs, τ-a one final division.

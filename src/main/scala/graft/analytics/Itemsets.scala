@@ -60,6 +60,28 @@ object Itemsets {
           (col("support_a") * col("support_b")).cast("double")).as("lift"))
   }
 
+  /** Directed association rules from the frequent-pair set: each surviving
+    * pair emits both orientations, gated on confidence ≥ minConfPct% via the
+    * cross-multiplied integer comparison `100·s_ab ≥ minConfPct·s_antecedent`
+    * (no FP threshold); confidence itself is one final division of exact
+    * longs. Rule volume is bounded by 2·|frequent pairs| — the expensive
+    * work is [[frequentPairs]]' apriori-pruned join, reused as-is.
+    */
+  def associationRules(items: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long, minConfPct: Int): DataFrame = {
+    val p = frequentPairs(items, basketCol, itemCol, minSupport)
+    val fwd = p.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("support_ab"),
+      col("support_a").as("support_ant"), col("lift"))
+    val bwd = p.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("support_ab"),
+      col("support_b").as("support_ant"), col("lift"))
+    fwd.unionByName(bwd)
+      .filter(col("support_ab") * 100 >= col("support_ant") * minConfPct)
+      .withColumn("confidence",
+        col("support_ab").cast("double") / col("support_ant").cast("double"))
+  }
+
   /** Frequent item TRIPLES — apriori level 3. The level-2 prune is what
     * makes this survive scale: a triple can only be frequent if all three
     * of its pairs are, so the candidate stream is cut against the frequent

@@ -262,9 +262,9 @@ object AnalyticsQueries {
     val schema = s.read.parquet(srcDir).schema
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val ev =
-      if (schema("ts").dataType == LongType)
+      (if (schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else raw).withColumn("ts", col("ts").cast("timestamp"))
     val name = "graft_stream_tumbling_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = ev.groupBy(window(col("ts"), "6 hours").as("w"))
@@ -304,9 +304,9 @@ object AnalyticsQueries {
     val raw = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val ev =
-      if (schema("ts").dataType == LongType)
+      (if (schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else raw).withColumn("ts", col("ts").cast("timestamp"))
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = ev.withWatermark("ts", "3650 days")
@@ -348,9 +348,9 @@ object AnalyticsQueries {
     val schema = s.read.parquet(srcDir).schema
     def src(): DataFrame = {
       val raw = s.readStream.schema(schema).parquet(srcDir)
-      if (schema("ts").dataType == LongType)
+      (if (schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      else raw).withColumn("ts", col("ts").cast("timestamp"))
     }
     // watermarks require TIMESTAMP (LTZ); the parquet column arrives NTZ.
     // Session TZ is UTC in every graft entrypoint, so the cast is epoch-
@@ -1434,6 +1434,73 @@ object AnalyticsQueries {
       |  CAST(support_b AS BIGINT) AS support_b,
       |  (support_ab * n_baskets)::DOUBLE / (support_a * support_b)::DOUBLE AS lift
       |FROM p, n ORDER BY support_ab DESC, item_a, item_b""".stripMargin
+
+  /** Directed association rules over the same baskets as `q_frequent_pairs`
+    * ([[graft.analytics.Itemsets.associationRules]]): confidence gate
+    * cross-multiplied in integer space, confidence one exact division.
+    */
+  private def assocRulesQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Itemsets.associationRules(
+        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, minConfPct = 10)
+      .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
+
+  private val assocRulesOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+      |s AS (SELECT item, count(*) AS support FROM b GROUP BY item HAVING count(*) >= 2),
+      |f AS (SELECT b.basket, b.item, s.support FROM b JOIN s USING (item)),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |    count(*) AS support_ab, min(a.support) AS support_a,
+      |    min(c.support) AS support_b
+      |  FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pl AS (SELECT *, (support_ab * n_baskets)::DOUBLE /
+      |    (support_a * support_b)::DOUBLE AS lift FROM p, n),
+      |r AS (
+      |  SELECT item_a AS antecedent, item_b AS consequent, support_ab,
+      |    support_a AS support_ant, lift FROM pl
+      |  UNION ALL
+      |  SELECT item_b, item_a, support_ab, support_b, lift FROM pl)
+      |SELECT antecedent, consequent, CAST(support_ab AS BIGINT) AS support_ab,
+      |  CAST(support_ant AS BIGINT) AS support_ant, lift,
+      |  support_ab::DOUBLE / support_ant::DOUBLE AS confidence
+      |FROM r WHERE support_ab * 100 >= support_ant * 10
+      |ORDER BY confidence DESC, antecedent, consequent""".stripMargin
+
+  /** Theil–Sen robust trend of daily spend per event type
+    * ([[graft.analytics.Correlation.theilSen]]): pairwise slopes over the
+    * daily exact-cents series, lower-median slope selected (a data value).
+    */
+  private def theilSenQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.analytics.Correlation.theilSen(daily, "event_type", "x", "y")
+      .orderBy(col("event_type"))
+  }
+
+  private val theilSenOracle =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+      |    a.x AS x1, b.x AS x2
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, x1, x2) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p)
+      |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+      |  slope AS median_slope
+      |FROM r WHERE rn = (np + 1) // 2
+      |ORDER BY event_type""".stripMargin
 
   /** Q18-style large orders ([[graft.analytics.StarQueries.largeOrders]]):
     * HAVING-before-join, broadcast enrich, top-100 by stored total price
@@ -2744,6 +2811,8 @@ object AnalyticsQueries {
     "q_table_checksum" -> (tableChecksumQ _),
     "q_stable_ids" -> (stableIdsQ _),
     "q_frequent_pairs" -> (frequentPairsQ _),
+    "q_assoc_rules" -> (assocRulesQ _),
+    "q_theil_sen" -> (theilSenQ _),
     "q_frequent_triples" -> (frequentTriplesQ _),
     "q18_large_orders" -> (q18Q _),
     "q4_priority_late" -> (q4Q _),
@@ -2835,6 +2904,8 @@ object AnalyticsQueries {
     "q_table_checksum" -> tableChecksumOracle,
     "q_stable_ids" -> stableIdsOracle,
     "q_frequent_pairs" -> frequentPairsOracle,
+    "q_assoc_rules" -> assocRulesOracle,
+    "q_theil_sen" -> theilSenOracle,
     "q_frequent_triples" -> frequentTriplesOracle,
     "q18_large_orders" -> q18Oracle,
     "q4_priority_late" -> q4Oracle,

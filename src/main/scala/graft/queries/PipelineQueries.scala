@@ -2568,6 +2568,40 @@ object PipelineQueries {
         col("height"), col("luma_mean"), col("decoded"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Scene-cut detection over the real per-frame decode
+    * ([[Multimodal.sceneCuts]]): every adjacent-frame gray difference
+    * re-derived by the oracle from the pixel formula, the cut flag via the
+    * cross-multiplied integer mean gate.
+    */
+  private def sceneCutsQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneCuts(s, s.read.parquet(videoMediaParquet(s, dir)),
+        meanDiffThreshold = 64)
+      .toDF()
+      .orderBy(col("doc_id"), col("from_frame"))
+
+  private val sceneCutsOracle =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+      |    doc_id % 4 + 2 AS nf
+      |  FROM documents),
+      |t AS (SELECT doc_id, w, h, unnest(range(0, nf - 1)) AS f0 FROM d),
+      |xs AS (SELECT doc_id, w, h, f0, unnest(range(0, w)) AS x FROM t),
+      |px AS (SELECT doc_id, f0, x, unnest(range(0, h)) AS y, w, h FROM xs),
+      |df AS (
+      |  SELECT doc_id, f0,
+      |    abs(((doc_id + 7*x + 13*y + 29*(f0+1)) % 256) -
+      |        ((doc_id + 7*x + 13*y + 29*f0) % 256)) AS ad
+      |  FROM px),
+      |g AS (
+      |  SELECT doc_id, f0, CAST(count(*) AS BIGINT) AS np,
+      |    CAST(sum(ad) AS BIGINT) AS sum_abs_diff
+      |  FROM df GROUP BY doc_id, f0)
+      |SELECT doc_id, CAST(f0 AS INTEGER) AS from_frame,
+      |  CAST(f0 + 1 AS INTEGER) AS to_frame,
+      |  CAST(np AS INTEGER) AS n_pixels, sum_abs_diff,
+      |  sum_abs_diff > 64 * np AS is_cut
+      |FROM g ORDER BY doc_id, from_frame""".stripMargin
+
   private val videoFramesOracle =
     """WITH px AS (
       |  SELECT doc_id, CAST(doc_id % 8 + 1 AS INTEGER) AS w,
@@ -2795,6 +2829,7 @@ object PipelineQueries {
     "q_vector_hygiene" -> (vectorHygieneQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
     "q_video_frames" -> (videoFramesQ _),
+    "q_scene_cuts" -> (sceneCutsQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
@@ -2904,6 +2939,7 @@ object PipelineQueries {
     "q_vector_hygiene" -> vectorHygieneOracle,
     "q_hard_negatives" -> hardNegativesOracle,
     "q_video_frames" -> videoFramesOracle,
+    "q_scene_cuts" -> sceneCutsOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,

@@ -200,17 +200,53 @@ object VersionedQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
       |FROM v2 GROUP BY 1 ORDER BY g""".stripMargin
 
+  /** JOIN-view incremental maintenance: the view aggregates the fact
+    * snapshot JOINED to a static dimension (documents.source). The delta
+    * path computes ΔV = fold(Δfact ⋈ dim) — the fact table is never
+    * re-read and the join touches only the delta rows (broadcast dim at
+    * any scale; delta keys absent from the dimension drop out exactly as
+    * they do in the view). Oracle recomputes the join view on v2 directly:
+    * hash match proves join-delta maintenance ≡ full recompute.
+    */
+  private def mvJoinIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(s, dir)
+    val dim = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val baseAgg = Versioned.read(s, t, Some(1))
+      .join(broadcast(dim), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+    val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
+      .join(broadcast(dim), Seq("doc_id"))
+    graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("source"), Seq("doc_id"))
+      .orderBy(col("source"))
+  }
+
+  private val mvJoinIncrementalOracle =
+    """WITH v1 AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |), v2 AS (
+      |  SELECT doc_id FROM v1 WHERE doc_id % 20 <> 0
+      |  UNION ALL SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 7000000 FROM documents WHERE doc_id % 10 = 5
+      |)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(v2.doc_id) AS BIGINT) AS sum_doc_id
+      |FROM v2 JOIN documents d ON d.doc_id = v2.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
     "q_branch_merge" -> (branchMergeQ _),
-    "q_mv_incremental" -> (mvIncrementalQ _)
+    "q_mv_incremental" -> (mvIncrementalQ _),
+    "q_mv_join_incremental" -> (mvJoinIncrementalQ _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" -> timeTravelOracle,
     "q_snapshot_cdc" -> snapshotCdcOracle,
     "q_branch_merge" -> branchMergeOracle,
-    "q_mv_incremental" -> mvIncrementalOracle
+    "q_mv_incremental" -> mvIncrementalOracle,
+    "q_mv_join_incremental" -> mvJoinIncrementalOracle
   )
 }
