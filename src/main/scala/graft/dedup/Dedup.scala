@@ -42,6 +42,21 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Soft dedup via loss reweighting: every document stays in the corpus but
+    * carries `weight = 1/k` where `k` is its exact-duplicate group size — the
+    * "downweight instead of drop" alternative (total loss mass per distinct
+    * text is constant), standard when dropping would distort the mixture.
+    * One shuffle (window over the content hash, no ordering → group count);
+    * the weight is one IEEE division of an exact long.
+    */
+  def duplicateWeights(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs.withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("dup_count").cast("double"))
+  }
+
   /** Whitespace tokens of a document. */
   def tokens(textCol: Column): Column = split(textCol, "\\s+")
 

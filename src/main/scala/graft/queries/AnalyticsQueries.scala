@@ -542,6 +542,44 @@ object AnalyticsQueries {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS merged_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Audience-overlap estimation from mergeable sketches: |A∩B| via
+    * inclusion-exclusion over three HLL estimates (est(A) + est(B) −
+    * est(A∪B)) — the sketch-only answer to "how many users both viewed and
+    * purchased" when raw re-scans are off the table. Self-verifying oracle:
+    * exact distinct counts plus the flag that the sketch estimate landed
+    * within 15% of the exact intersection (`ie_ok` must come out true;
+    * inclusion-exclusion compounds the per-sketch error, hence the wider
+    * band than `q_hll_merge`'s 10%).
+    */
+  private def hllIntersectQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(s, dir)
+    val a = e.filter(col("event_type") === "view")
+    val b = e.filter(col("event_type") === "purchase")
+    val estA = a.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_a"))
+    val estB = b.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_b"))
+    val estU = a.unionByName(b)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_u"))
+    val exact = a.select(col("user_id")).intersect(b.select(col("user_id")))
+      .agg(count(lit(1)).as("n_exact_intersect"))
+    val exactA = a.agg(countDistinct(col("user_id")).as("n_exact_a"))
+    val exactB = b.agg(countDistinct(col("user_id")).as("n_exact_b"))
+    exactA.crossJoin(exactB).crossJoin(exact)
+      .crossJoin(broadcast(estA)).crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
+      .select(col("n_exact_a"), col("n_exact_b"), col("n_exact_intersect"),
+        (abs((col("est_a") + col("est_b") - col("est_u")) -
+          col("n_exact_intersect")).cast("double") /
+          col("n_exact_intersect") <= 0.15).as("ie_ok"))
+  }
+
+  private val hllIntersectOracle =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_exact_a,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_exact_b,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_exact_intersect,
+      |  true AS ie_ok""".stripMargin
+
   /** Sliding (hopping) windows: 6-hour windows hopping every 2 hours, so
     * each event belongs to exactly 3 overlapping windows. The oracle
     * replicates Spark's epoch-aligned slot assignment by unnesting the three
@@ -2854,6 +2892,7 @@ object AnalyticsQueries {
     "q_sliding_window" -> (slidingWindowQ _),
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
+    "q_hll_intersect" -> (hllIntersectQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
@@ -2947,6 +2986,7 @@ object AnalyticsQueries {
     "q_sliding_window" -> slidingWindowOracle,
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,
+    "q_hll_intersect" -> hllIntersectOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,

@@ -54,6 +54,22 @@ object PipelineQueries {
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin
 
+  /** Soft dedup: 1/k loss weights on the planted-duplicate corpus
+    * ([[Dedup.duplicateWeights]]) — planted exact dups get 0.5, the rest 1.
+    */
+  private def dupWeightsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateWeights(augmented(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("dup_count"), col("weight"))
+      .orderBy(col("doc_id"))
+
+  private val dupWeightsOracle =
+    s"""WITH $augCte
+      |SELECT doc_id,
+      |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count,
+      |  CAST(1 AS DOUBLE) /
+      |    CAST(count(*) OVER (PARTITION BY md5(text)) AS DOUBLE) AS weight
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(augmented(Tables.documents(s, dir)), k = 5, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -2831,6 +2847,7 @@ object PipelineQueries {
     "q_video_frames" -> (videoFramesQ _),
     "q_scene_cuts" -> (sceneCutsQ _),
     "q_dedup_exact" -> (dedupExactQ _),
+    "q_dup_weights" -> (dupWeightsQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
     "q_novelty" -> (noveltyQ _),
@@ -2941,6 +2958,7 @@ object PipelineQueries {
     "q_video_frames" -> videoFramesOracle,
     "q_scene_cuts" -> sceneCutsOracle,
     "q_dedup_exact" -> dedupExactOracle,
+    "q_dup_weights" -> dupWeightsOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_novelty" -> noveltyOracle,

@@ -175,17 +175,52 @@ object SelectionQueries {
       |FROM r, t GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  /** Leakage-aware temporal split with an embargo gap: train strictly
+    * before T₁, test at/after T₂, the [T₁, T₂) gap discarded so
+    * forward-looking features computed at train time cannot overlap the
+    * test window (the standard time-series CV discipline; a hash split
+    * would leak). Pure projection + one aggregate; exact epoch-micro
+    * boundaries verify the split did what it claims.
+    */
+  private def temporalSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-23 00:00:00").cast("timestamp")
+    Tables.events(s, dir)
+      .withColumn("split",
+        when(col("ts") < t1, "train")
+          .when(col("ts") < t2, "embargo")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+      .orderBy(col("split"))
+  }
+
+  private val temporalSplitOracle =
+    """SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+      |  WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 'embargo'
+      |  ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+      |FROM events GROUP BY 1 ORDER BY split""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (dsirQ _),
     "q_negative_sample" -> (negativeSampleQ _),
     "q_oov_rate" -> (oovRateQ _),
     "q_global_shuffle" -> (globalShuffleQ _),
-    "q_calibration" -> (calibrationQ _))
+    "q_calibration" -> (calibrationQ _),
+    "q_temporal_split" -> (temporalSplitQ _))
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> dsirOracle,
     "q_negative_sample" -> negativeSampleOracle,
     "q_oov_rate" -> oovRateOracle,
     "q_global_shuffle" -> globalShuffleOracle,
-    "q_calibration" -> calibrationOracle)
+    "q_calibration" -> calibrationOracle,
+    "q_temporal_split" -> temporalSplitOracle)
 }

@@ -234,12 +234,72 @@ object VersionedQueries {
       |FROM v2 JOIN documents d ON d.doc_id = v2.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Bitemporal point query: TRANSACTION time = manifest snapshot (what the
+    * table said), VALID time = row validity interval `[vf, vt)` (what was
+    * true in the world). A v2 commit closes the old version of every
+    * doc_id%20 entity at valid-time 60 and opens a ver-2 version from 60 —
+    * so the same valid-time probe (V=60) answers differently under tx=1
+    * (all ver-1) and tx=2 (split 1/2), which is exactly the
+    * restate-history-without-losing-the-audit-trail capability SCD2 alone
+    * (no snapshots) or time travel alone (no validity) cannot express.
+    * Keys are (doc_id, vf): one row per entity VERSION, upserted normally.
+    */
+  private def bitemporalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bitemporal_q_").toString
+    // `rev` is the TRANSACTION-side ordering (which commit wrote the row) —
+    // distinct from `ver` (the entity version): the closing row keeps
+    // ver=1 semantically but must beat the open row it supersedes.
+    val v1 = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(0).as("vf"), lit(1000000).as("vt"),
+        lit(1).as("ver"), lit(1).as("rev"))
+    Versioned.commit(v1, tmp)
+    val incoming = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), lit(0).as("vf"), lit(60).as("vt"), lit(1).as("ver"),
+        lit(2).as("rev"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), lit(60).as("vf"), lit(1000000).as("vt"),
+          lit(2).as("ver"), lit(2).as("rev")))
+    Versioned.upsert(incoming, tmp, Seq("doc_id", "vf"), col("rev"))
+    def asOf(tx: Int): DataFrame =
+      Versioned.read(s, tmp, Some(tx))
+        .filter(col("vf") <= 60 && lit(60) < col("vt"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("ver").cast("long")).as("sum_ver"))
+        .select(lit(tx).as("tx_snapshot"), col("n_rows"), col("sum_doc_id"),
+          col("sum_ver"))
+    asOf(1).unionByName(asOf(2)).orderBy(col("tx_snapshot"))
+  }
+
+  private val bitemporalOracle =
+    """WITH v1 AS (
+      |  SELECT doc_id, 0 AS vf, 1000000 AS vt, 1 AS ver
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), v2 AS (
+      |  SELECT doc_id, vf, CASE WHEN doc_id % 20 = 0 THEN 60 ELSE vt END AS vt,
+      |    ver FROM v1
+      |  UNION ALL
+      |  SELECT doc_id, 60, 1000000, 2 FROM documents WHERE doc_id % 20 = 0
+      |)
+      |SELECT CAST(1 AS INTEGER) AS tx_snapshot,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(sum(ver) AS BIGINT) AS sum_ver
+      |FROM v1 WHERE vf <= 60 AND 60 < vt
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+      |  CAST(sum(doc_id) AS BIGINT), CAST(sum(ver) AS BIGINT)
+      |FROM v2 WHERE vf <= 60 AND 60 < vt
+      |ORDER BY tx_snapshot""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
     "q_branch_merge" -> (branchMergeQ _),
     "q_mv_incremental" -> (mvIncrementalQ _),
-    "q_mv_join_incremental" -> (mvJoinIncrementalQ _)
+    "q_mv_join_incremental" -> (mvJoinIncrementalQ _),
+    "q_bitemporal" -> (bitemporalQ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +307,7 @@ object VersionedQueries {
     "q_snapshot_cdc" -> snapshotCdcOracle,
     "q_branch_merge" -> branchMergeOracle,
     "q_mv_incremental" -> mvIncrementalOracle,
-    "q_mv_join_incremental" -> mvJoinIncrementalOracle
+    "q_mv_join_incremental" -> mvJoinIncrementalOracle,
+    "q_bitemporal" -> bitemporalOracle
   )
 }
