@@ -208,13 +208,83 @@ object SelectionQueries {
       |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
       |FROM events GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Leakage-safe grouped k-fold assignment: the FOLD is a pure function of
+    * the GROUP key (user), so every row of a user lands in one fold — the
+    * grouped-CV discipline that stops same-user rows straddling train/test.
+    * Fold = md5U32(user) mod k (deterministic, growth-stable); the audit
+    * reports per-fold row/user counts and that no user spans folds
+    * (max_folds_per_user must be 1).
+    */
+  private def groupKfoldQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val ev = Tables.events(s, dir)
+      .withColumn("fold",
+        pmod(conv(substring(md5(concat(lit("fold:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(k.toLong)))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("__nf"))
+      .agg(max(col("__nf")).as("max_folds_per_user"))
+    ev.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(perUser))
+      .orderBy(col("fold"))
+  }
+
+  private val groupKfoldOracle = {
+    val u32 = OracleSql.md5U32Sql("'fold:' || CAST(user_id AS VARCHAR)")
+    s"""WITH e AS (
+      |  SELECT user_id, ($u32) % 5 AS fold FROM events)
+      |SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(1 AS BIGINT) AS max_folds_per_user
+      |FROM e GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
+  /** Deterministic class-balanced oversampling: every label replicated to
+    * the majority count — copies = one `sequence` explode of
+    * ceil(max/c) per row, then the exact per-class overshoot is trimmed by
+    * the md5-ranked (copy-aware) rank ≤ max cut. All integer arithmetic;
+    * the audit reports per-label before/after counts (after must equal the
+    * shared majority count).
+    */
+  private def classBalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val mx = counts.agg(max(col("c")).as("mx"))
+    val replicated = e
+      .join(broadcast(counts), Seq("event_type"))
+      .crossJoin(broadcast(mx))
+      .withColumn("copy",
+        explode(sequence(lit(0L), expr("(mx + c - 1) div c - 1"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      .orderBy(col("copy"),
+        md5(concat(lit("bal:"), col("event_id").cast("string"))), col("event_id"))
+    replicated
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("mx"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("n_before"), count(lit(1)).as("n_after"))
+      .orderBy(col("event_type"))
+  }
+
+  private val classBalanceOracle =
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type),
+      |m AS (SELECT max(c) AS mx FROM c)
+      |SELECT event_type, c AS n_before, mx AS n_after
+      |FROM c, m ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (dsirQ _),
     "q_negative_sample" -> (negativeSampleQ _),
     "q_oov_rate" -> (oovRateQ _),
     "q_global_shuffle" -> (globalShuffleQ _),
     "q_calibration" -> (calibrationQ _),
-    "q_temporal_split" -> (temporalSplitQ _))
+    "q_temporal_split" -> (temporalSplitQ _),
+    "q_group_kfold" -> (groupKfoldQ _),
+    "q_class_balance" -> (classBalanceQ _))
 
   val oracles: Map[String, String] = Map(
     "q_dsir_weights" -> dsirOracle,
@@ -222,5 +292,7 @@ object SelectionQueries {
     "q_oov_rate" -> oovRateOracle,
     "q_global_shuffle" -> globalShuffleOracle,
     "q_calibration" -> calibrationOracle,
-    "q_temporal_split" -> temporalSplitOracle)
+    "q_temporal_split" -> temporalSplitOracle,
+    "q_group_kfold" -> groupKfoldOracle,
+    "q_class_balance" -> classBalanceOracle)
 }
