@@ -4,11 +4,17 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Data-selection operators for training-pipeline curation: DSIR importance
-  * weighting ([[graft.text.Dsir]]) and seeded negative sampling
-  * ([[graft.ops.Sampling.negativeSample]]). Oracles replicate the exact
-  * integer machinery (md5 uniform, power-of-two log quantization via
-  * `length(bin(n))`) in DuckDB.
+/** Data-selection / ML-ops operators for training-pipeline curation: DSIR
+  * importance weighting ([[graft.text.Dsir]]), seeded negative sampling
+  * ([[graft.ops.Sampling.negativeSample]]), vocabulary OOV auditing
+  * ([[graft.text.Vocab]]), epoch-seeded global shuffling and decile
+  * calibration (both on the scale-safe [[graft.ops.StableIds]] rank),
+  * leakage-aware temporal splits, grouped k-fold assignment, and
+  * class-balanced oversampling. Oracles replicate the exact integer
+  * machinery (md5 uniform, power-of-two log quantization via
+  * `length(bin(n))`, cross-multiplied gates) in DuckDB; where the operator
+  * exists to avoid a single-task global window, the naive window form IS
+  * the oracle.
   */
 object SelectionQueries {
 
