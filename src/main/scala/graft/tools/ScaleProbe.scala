@@ -114,7 +114,14 @@ object ScaleProbe {
           .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
           .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
         graft.dedup.DupClusters.labelPropagation(star.unionByName(ring), rounds = 2)
-      })
+      },
+      // DSIR: the weight table stays bucket-bounded at ANY corpus size (its
+      // row count is ≤ 256 at every scale — THE broadcastability claim this
+      // probe exists to measure); output rows = #docs exactly, and the two
+      // corpus-sized shuffles (bucket counts map-combined, per-doc score
+      // agg) must grow linearly
+      "dsirDocScores" -> (d =>
+        graft.text.Dsir.docScores(d, targetSource = "src0")))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
