@@ -542,6 +542,42 @@ object AnalyticsQueries {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS merged_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Linear (equal-credit) multi-touch attribution: every click strictly
+    * before the user's first purchase shares the conversion credit equally
+    * (`1/n` — one exact division), completing the attribution family next
+    * to first-touch and last-touch. One aggregate over the pre-conversion
+    * click set; exact epoch-micro boundaries under the hash.
+    */
+  private def linearAttributionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir)
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("conv_us"))
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .join(firstPurchase, Seq("user_id"))
+      .filter(col("c_us") < col("conv_us"))
+      .groupBy(col("user_id"), col("conv_us"))
+      .agg(count(lit(1)).as("n_touches"))
+      .withColumn("credit_per_touch", lit(1.0) / col("n_touches").cast("double"))
+      .select(col("user_id"), col("conv_us"), col("n_touches"),
+        col("credit_per_touch"))
+      .orderBy(col("user_id"))
+  }
+
+  private val linearAttributionOracle =
+    """WITH fp AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS conv_us
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, fp.conv_us
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) < fp.conv_us)
+      |SELECT user_id, conv_us, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS credit_per_touch
+      |FROM c GROUP BY user_id, conv_us ORDER BY user_id""".stripMargin
+
   /** Audience-overlap estimation from mergeable sketches: |A∩B| via
     * inclusion-exclusion over three HLL estimates (est(A) + est(B) −
     * est(A∪B)) — the sketch-only answer to "how many users both viewed and
@@ -2893,6 +2929,7 @@ object AnalyticsQueries {
     "q_interval_overlap" -> (intervalOverlapQ _),
     "q_hll_merge" -> (hllMergeQ _),
     "q_hll_intersect" -> (hllIntersectQ _),
+    "q_linear_attribution" -> (linearAttributionQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
@@ -2987,6 +3024,7 @@ object AnalyticsQueries {
     "q_interval_overlap" -> intervalOverlapOracle,
     "q_hll_merge" -> hllMergeOracle,
     "q_hll_intersect" -> hllIntersectOracle,
+    "q_linear_attribution" -> linearAttributionOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,

@@ -54,6 +54,24 @@ object PipelineQueries {
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin
 
+  /** Exact phrase search ([[TextAnalysis.phraseSearch]]): the k-way
+    * positional-posting join vs the naive per-document array-scan oracle.
+    */
+  private def phraseSearchQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.phraseSearch(Tables.documents(s, dir),
+        Seq("table", "hash"))
+      .orderBy(col("doc_id"))
+
+  private val phraseSearchOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(list_filter(range(1, len(t)),
+      |    i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT) AS n_matches
+      |  FROM tok)
+      |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Soft dedup: 1/k loss weights on the planted-duplicate corpus
     * ([[Dedup.duplicateWeights]]) — planted exact dups get 0.5, the rest 1.
     */
@@ -2848,6 +2866,7 @@ object PipelineQueries {
     "q_scene_cuts" -> (sceneCutsQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_dup_weights" -> (dupWeightsQ _),
+    "q_phrase_search" -> (phraseSearchQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
     "q_novelty" -> (noveltyQ _),
@@ -2959,6 +2978,7 @@ object PipelineQueries {
     "q_scene_cuts" -> sceneCutsOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_dup_weights" -> dupWeightsOracle,
+    "q_phrase_search" -> phraseSearchOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_novelty" -> noveltyOracle,

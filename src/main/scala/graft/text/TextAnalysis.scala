@@ -727,4 +727,28 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(countDistinct(col("term")).as("n_matched"))
       .filter(col("n_matched") === terms.size)
+
+  /** Exact phrase search via positional-posting intersection: the
+    * distributed form of "find `w₀ w₁ … wₖ` as consecutive tokens". Each
+    * phrase term's occurrences are an `isin`-pushed slice of the positional
+    * token stream; term i joins on `(doc, pos − i)` so every surviving key
+    * is a phrase START position. Cost is O(Σ posting lengths of the phrase
+    * terms) — the corpus itself never re-shuffles, and rare terms prune the
+    * probe exactly like the conjunctive `searchAll`. The naive per-document
+    * array scan is the ORACLE (`q_phrase_search`), proving the k-way
+    * positional join equals it.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val arr = docs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = arr.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("pos", "term")))
+    val starts = phrase.zipWithIndex.map { case (w, i) =>
+      tok.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    starts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

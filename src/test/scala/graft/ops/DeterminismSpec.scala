@@ -131,4 +131,22 @@ class DeterminismSpec extends SparkSpec {
         .as[(Long, Long, Int, Boolean)].collect().toSet
     assert(run(emb.repartition(1)) == run(emb.repartition(7, $"vec_id")))
   }
+
+  test("kendallTau / theilSen / duplicateWeights are partitioning-invariant") {
+    import graft.analytics.Correlation
+    val pts = (0L until 40L)
+      .map(i => (s"g${i % 3}", i, (i * 7 + i % 5 * 11) % 97, i))
+      .toDF("grp", "x", "y", "id")
+    val (p1, p7) = (pts.repartition(1), pts.repartition(7, col("id")))
+    assert(
+      Correlation.kendallTau(p1, "grp", "x", "y", "id").orderBy("grp").collect().toSeq ==
+      Correlation.kendallTau(p7, "grp", "x", "y", "id").orderBy("grp").collect().toSeq)
+    assert(
+      Correlation.theilSen(p1, "grp", "x", "y").orderBy("grp").collect().toSeq ==
+      Correlation.theilSen(p7, "grp", "x", "y").orderBy("grp").collect().toSeq)
+    val (d1, d7) = variants(docs)
+    assert(
+      Dedup.duplicateWeights(d1).orderBy("doc_id").collect().toSeq ==
+      Dedup.duplicateWeights(d7).orderBy("doc_id").collect().toSeq)
+  }
 }
