@@ -542,6 +542,63 @@ object AnalyticsQueries {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS merged_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Step-wise ordered funnel with drop-off: users advance
+    * view → click → purchase only through events AFTER their previous
+    * stage's first event (min-after-min chaining — the ordered-sequence
+    * semantics, not mere presence). One row per stage: users reaching it,
+    * conversion from the previous stage (exact division). Three bounded
+    * aggregates; every boundary is an exact epoch-micro.
+    */
+  private def funnelStepsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    // stage counts stay in-plan: three 1-row aggregates cross-joined
+    // (broadcast), stacked into the 3-row report — no driver actions
+    v.agg(count(lit(1)).as("nv"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("np"))))
+      .selectExpr(
+        """stack(3,
+          |1, 'view', nv, CAST(1.0 AS DOUBLE),
+          |2, 'click', nc,
+          |  CASE WHEN nv = 0 THEN 0.0 ELSE CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE) END,
+          |3, 'purchase', np,
+          |  CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) END
+          |) AS (step, stage, n_users, conv_from_prev)""".stripMargin)
+      .orderBy(col("step"))
+  }
+
+  private val funnelStepsOracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, v.t_view, min(e.us) AS t_click
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.us >= v.t_view
+      |  GROUP BY e.user_id, v.t_view),
+      |p AS (SELECT e.user_id, min(e.us) AS t_purchase
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+      |  GROUP BY e.user_id),
+      |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+      |  (SELECT count(*) FROM c) AS nc, (SELECT count(*) FROM p) AS np)
+      |SELECT 1 AS step, 'view' AS stage, CAST(nv AS BIGINT) AS n_users,
+      |  CAST(1 AS DOUBLE) AS conv_from_prev FROM n
+      |UNION ALL SELECT 2, 'click', CAST(nc AS BIGINT),
+      |  CASE WHEN nv = 0 THEN 0.0 ELSE CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE) END FROM n
+      |UNION ALL SELECT 3, 'purchase', CAST(np AS BIGINT),
+      |  CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) END FROM n
+      |ORDER BY step""".stripMargin
+
   /** Linear (equal-credit) multi-touch attribution: every click strictly
     * before the user's first purchase shares the conversion credit equally
     * (`1/n` — one exact division), completing the attribution family next
@@ -2930,6 +2987,7 @@ object AnalyticsQueries {
     "q_hll_merge" -> (hllMergeQ _),
     "q_hll_intersect" -> (hllIntersectQ _),
     "q_linear_attribution" -> (linearAttributionQ _),
+    "q_funnel_steps" -> (funnelStepsQ _),
     "q_quantiles" -> (quantilesQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_skew_join" -> (skewJoinQ _),
@@ -3025,6 +3083,7 @@ object AnalyticsQueries {
     "q_hll_merge" -> hllMergeOracle,
     "q_hll_intersect" -> hllIntersectOracle,
     "q_linear_attribution" -> linearAttributionOracle,
+    "q_funnel_steps" -> funnelStepsOracle,
     "q_quantiles" -> quantilesOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_skew_join" -> skewJoinOracle,
