@@ -32,4 +32,18 @@ object Privacy {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
+
+  /** l-diversity audit — k-anonymity's complement: a quasi-identifier group
+    * can be large yet still leak if (nearly) every member shares the same
+    * SENSITIVE value. Reports each group's size and distinct-sensitive
+    * count with the `diverse` verdict (≥ l distinct values). One aggregate
+    * on the quasi-identifier key, map-side combined, group-proportional
+    * output — same scale shape as [[kAnonymityRisk]].
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
 }

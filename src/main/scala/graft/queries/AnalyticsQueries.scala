@@ -1998,6 +1998,30 @@ object AnalyticsQueries {
       |    AS n_risky_rows,
       |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_rows""".stripMargin
 
+  /** l-diversity audit ([[graft.ops.Privacy.lDiversity]]): quasi-identifier
+    * groups = (mktsegment, nation), sensitive value = the customer's order
+    * priority — a group where everyone shares one priority leaks it even
+    * when k-anonymous. Summary row + the non-diverse group list unioned
+    * under one hash.
+    */
+  private def lDiversityQ(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.Tables.customer(s, dir)
+      .join(graft.Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("o_orderpriority"))
+    graft.ops.Privacy.lDiversity(joined,
+        Seq("c_mktsegment", "c_nationkey"), "o_orderpriority", l = 5)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  private val lDiversityOracle =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS group_size,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+      |  count(DISTINCT o_orderpriority) >= 5 AS diverse
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   /** Winsorization bounds from EXACT order statistics (the rank-`ceil(qn)`
     * value per group — a real data value, no interpolation, so it crosses
     * engines bit-exactly where interpolated percentiles would not), plus
@@ -2936,6 +2960,7 @@ object AnalyticsQueries {
     "q_winsorize" -> (winsorizeQ _),
     "q_pseudonymize" -> (pseudonymizeQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
+    "q_l_diversity" -> (lDiversityQ _),
     "q_integrity_checks" -> (integrityQ _),
     "q_scd2" -> (scd2Q _),
     "q_group_trend" -> (groupTrendQ _),
@@ -3032,6 +3057,7 @@ object AnalyticsQueries {
     "q_winsorize" -> winsorizeOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_k_anonymity" -> kAnonymityOracle,
+    "q_l_diversity" -> lDiversityOracle,
     "q_integrity_checks" -> integrityOracle,
     "q_scd2" -> scd2Oracle,
     "q_group_trend" -> groupTrendOracle,

@@ -54,6 +54,51 @@ object PipelineQueries {
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin
 
+  /** RAKE keyphrases ([[TextAnalysis.rakeKeyphrases]]): stopword-delimited
+    * candidate islands, floor-scaled integer degree/frequency word scores,
+    * corpus top-20 phrases — the whole pipeline (islands → word stats →
+    * phrase scores → cut) replicated in SQL.
+    */
+  private def rakeQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), k = 20)
+
+  private val rakeOracle = {
+    val stop = graft.text.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      |pt AS (
+      |  SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, t FROM tok),
+      |ns AS (
+      |  SELECT doc_id, pos, t[pos] AS term FROM pt
+      |  WHERE t[pos] NOT IN ($stop)),
+      |isl AS (
+      |  SELECT doc_id, pos, term,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM ns),
+      |ph AS (
+      |  SELECT doc_id, island, list(term ORDER BY pos) AS words,
+      |    CAST(count(*) AS BIGINT) AS plen
+      |  FROM isl GROUP BY doc_id, island),
+      |pw AS (SELECT doc_id, island, plen, unnest(words) AS word FROM ph),
+      |st AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(plen) AS BIGINT) AS deg
+      |  FROM pw GROUP BY word),
+      |sc AS (
+      |  SELECT pw.doc_id, pw.island,
+      |    CAST(sum(st.deg * 1000000 // st.freq) AS BIGINT) AS score
+      |  FROM pw JOIN st USING (word) GROUP BY pw.doc_id, pw.island),
+      |dp AS (
+      |  SELECT array_to_string(ph.words, ' ') AS phrase,
+      |    CAST(max(ph.plen) AS BIGINT) AS plen,
+      |    CAST(max(sc.score) AS BIGINT) AS score
+      |  FROM ph JOIN sc ON ph.doc_id = sc.doc_id AND ph.island = sc.island
+      |  GROUP BY array_to_string(ph.words, ' '))
+      |SELECT phrase, plen, score FROM dp
+      |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+  }
+
   /** Exact phrase search ([[TextAnalysis.phraseSearch]]): the k-way
     * positional-posting join vs the naive per-document array-scan oracle.
     */
@@ -2867,6 +2912,7 @@ object PipelineQueries {
     "q_dedup_exact" -> (dedupExactQ _),
     "q_dup_weights" -> (dupWeightsQ _),
     "q_phrase_search" -> (phraseSearchQ _),
+    "q_rake_keyphrases" -> (rakeQ _),
     "q_line_dedup" -> (lineDedupQ _),
     "q_incremental_dedup" -> (incrementalDedupQ _),
     "q_novelty" -> (noveltyQ _),
@@ -2979,6 +3025,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactOracle,
     "q_dup_weights" -> dupWeightsOracle,
     "q_phrase_search" -> phraseSearchOracle,
+    "q_rake_keyphrases" -> rakeOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_novelty" -> noveltyOracle,

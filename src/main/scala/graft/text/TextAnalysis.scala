@@ -751,4 +751,48 @@ object TextAnalysis {
     starts.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (gaps-and-islands over token
+    * positions); each word scores `degree/frequency` over the candidate set
+    * and a phrase scores the sum of its word scores. To stay hash-exact the
+    * per-word ratio is floor-scaled to an integer grid
+    * (`deg·scale div freq`) — phrase scores are then exact BIGint sums,
+    * order-independent, within 1/scale per word of the continuous form
+    * (the same quantize-for-exactness move as DSIR's bitlen weights).
+    *
+    * Scale shape: islands are per-document windows (doc-bounded); word
+    * stats are one term-keyed aggregate (vocabulary-sized, NOT broadcast —
+    * the score join shuffles on the word key like tf-idf); the top-k is
+    * TakeOrderedAndProject.
+    */
+  def rakeKeyphrases(docs: DataFrame, k: Int = 20,
+                     scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = docs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = arr.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = tok.filter(!col("term").isin(Stopwords: _*))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("ps"))
+      .select(col("doc_id"), col("island"),
+        transform(col("ps"), p => p.getField("term")).as("words"))
+      .withColumn("plen", size(col("words")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pw = phrases.select(col("doc_id"), col("island"), col("plen"),
+      col("words"), explode(col("words")).as("word"))
+    val stats = pw.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    pw.join(stats, Seq("word"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(first(array_join(col("words"), " ")).as("phrase"),
+        first(col("plen")).as("plen"),
+        sum(expr(s"deg * $scale div freq")).as("score"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("plen"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

@@ -397,4 +397,34 @@ class GeoIncrementalSpec extends SparkSpec {
     val expect = rnd.map(_._3).scanLeft(0L)((s, x) => math.max(0L, s + x - 4L)).tail
     assert(out.toSeq == expect)
   }
+
+  test("phraseSearch counts overlapping starts; multi-word chains exact") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a b"),        // "a a" starts at 0 and 1
+      (2L, "x a a y a a"),    // starts at 1 and 4
+      (3L, "a b a")           // no "a a"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+    val tri = TextAnalysis.phraseSearch(docs, Seq("a", "a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L))
+  }
+
+  test("rakeKeyphrases: hand-computed island scores on a tiny corpus") {
+    import graft.text.TextAnalysis
+    // stopword 'the' splits islands. Islands: [big cat], [big dog], [cat]
+    // freq: big=2, cat=2, dog=1; deg: big=2+2=4, cat=2+1=3, dog=2
+    // scores (scale 100): big=200, cat=150, dog=200
+    // phrases: "big cat"=350, "big dog"=400, "cat"=150
+    val docs = Seq(
+      (1L, "big cat the big dog"),
+      (2L, "the cat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(docs, k = 10, scale = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("big dog" -> 400L, "big cat" -> 350L, "cat" -> 150L))
+  }
 }
