@@ -444,4 +444,43 @@ object DupClusters {
       .unionAll(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
   }
+
+  /** Deterministic random-walk corpus for graph-embedding training
+    * (DeepWalk/node2vec's data-generation stage): one `steps`-hop walk per
+    * start node, where the "random" neighbor choice at step s is the
+    * argmin of `md5(seed:walk:s:neighbor)` over the adjacency — a seeded
+    * pseudo-random draw that is exactly reproducible on any cluster (the
+    * same md5-permutation discipline as the sampling family; re-seed for
+    * fresh walks). Dead ends stay put (self-hold), so every walk has full
+    * length. Output: (walk, step1 … stepN).
+    *
+    * Scale shape: per step, one equi-join on the current node (O(Σ degree)
+    * candidate rows) + one per-walk window; steps are a small constant and
+    * walk state is one row per walk. The walk corpus feeds skip-gram
+    * samplers exactly like a token corpus.
+    */
+  def randomWalks(edges: DataFrame, steps: Int, seed: String = "walk",
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(edges.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("u")).distinct()
+    var walk = nodes.select(col("u").as("walk"), col("u").as("cur"))
+    (1 to steps).foreach { s =>
+      val cand = walk.join(adj, walk("cur") === adj("u"), "left_outer")
+        .select(walk.columns.map(col) :+
+          coalesce(col("v"), col("cur")).as("nxt"): _*)
+      val w = Window.partitionBy(col("walk")).orderBy(
+        md5(concat_ws(":", lit(seed), col("walk"), lit(s), col("nxt"))),
+        col("nxt"))
+      walk = cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "cur")
+        .withColumnRenamed("nxt", s"step$s")
+        .withColumn("cur", col(s"step$s"))
+    }
+    walk.drop("cur")
+  }
 }

@@ -1998,6 +1998,105 @@ object AnalyticsQueries {
       |    AS n_risky_rows,
       |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_rows""".stripMargin
 
+  /** Session path mining: the top-10 opening paths (first three event types
+    * of each 30-minute-gap session, in exact (ts, id) order) — the
+    * "how do journeys start" product query on top of the sessionizer.
+    * Two window passes on the user key + one path aggregate.
+    */
+  private def topPathsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = ev
+      .withColumn("__gap",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__gap")).over(w))
+    val w2 = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    sess.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= 3)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("__rn"), col("event_type"))))
+        .as("ps"))
+      .select(array_join(transform(col("ps"), p => p.getField("event_type")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  private val topPathsOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) IS NULL
+      |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |sx AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |    ORDER BY us, event_id) AS rn
+      |  FROM sx),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
+  /** Deterministic random-walk corpus ([[graft.dedup.DupClusters.randomWalks]]):
+    * 3-step seeded walks from every node of the star+ring community graph —
+    * the DeepWalk/node2vec data-generation stage, exactly reproducible
+    * (neighbor choice = argmin md5). The oracle unrolls all three steps.
+    */
+  private def randomWalksQ(s: SparkSession, dir: String): DataFrame = {
+    val ids = graft.Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val star = ids.filter(col("id") % 10 =!= 0)
+      .select((col("id") - col("id") % 10).as("id_a"), col("id").as("id_b"))
+    val ring = ids.filter(col("id") % 10 === 0 && col("id") % 100 < 90)
+      .select(col("id").as("id_a"), (col("id") + 10).as("id_b"))
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.dedup.DupClusters.randomWalks(star.unionByName(ring), steps = 3)
+      .orderBy(col("walk"))
+  }
+
+  private val randomWalksOracle = {
+    def step(n: Int, from: String, prevCols: String): String =
+      s"""s$n AS (
+        |  SELECT $prevCols, nxt AS step$n FROM (
+        |    SELECT $prevCols, coalesce(a.v, p.cur) AS nxt,
+        |      row_number() OVER (PARTITION BY p.walk ORDER BY
+        |        md5('walk:' || p.walk || ':$n:' || coalesce(a.v, p.cur)),
+        |        coalesce(a.v, p.cur)) AS rn
+        |    FROM (SELECT *, ${if (n == 1) "walk" else s"step${n - 1}"} AS cur
+        |      FROM $from) p
+        |    LEFT JOIN adj a ON a.u = p.cur)
+        |  WHERE rn = 1)""".stripMargin
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+      |star AS (SELECT id - id % 10 AS u, id AS v FROM ids WHERE id % 10 <> 0),
+      |ring AS (SELECT a.id AS u, a.id + 10 AS v FROM ids a
+      |  JOIN ids b ON b.id = a.id + 10
+      |  WHERE a.id % 10 = 0 AND a.id % 100 < 90),
+      |e AS (SELECT u, v FROM star UNION SELECT u, v FROM ring),
+      |adj AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+      |nodes AS (SELECT DISTINCT u AS walk FROM adj),
+      |${step(1, "nodes", "walk")},
+      |${step(2, "s1", "walk, step1")},
+      |${step(3, "s2", "walk, step1, step2")}
+      |SELECT walk, step1, step2, step3 FROM s3 ORDER BY walk""".stripMargin
+  }
+
   /** l-diversity audit ([[graft.ops.Privacy.lDiversity]]): quasi-identifier
     * groups = (mktsegment, nation), sensitive value = the customer's order
     * priority — a group where everyone shares one priority leaks it even
@@ -2961,6 +3060,8 @@ object AnalyticsQueries {
     "q_pseudonymize" -> (pseudonymizeQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
     "q_l_diversity" -> (lDiversityQ _),
+    "q_random_walks" -> (randomWalksQ _),
+    "q_top_paths" -> (topPathsQ _),
     "q_integrity_checks" -> (integrityQ _),
     "q_scd2" -> (scd2Q _),
     "q_group_trend" -> (groupTrendQ _),
@@ -3058,6 +3159,8 @@ object AnalyticsQueries {
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,
+    "q_random_walks" -> randomWalksOracle,
+    "q_top_paths" -> topPathsOracle,
     "q_integrity_checks" -> integrityOracle,
     "q_scd2" -> scd2Oracle,
     "q_group_trend" -> groupTrendOracle,
