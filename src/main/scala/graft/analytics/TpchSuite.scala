@@ -149,7 +149,10 @@ object TpchSuite {
       .agg(dec(sum(dec(col("l_extendedprice"), 4)), 4).as("value_dec"))
     val t = v.agg(sum(col("value_dec")).cast(DecimalType(28, 4)).as("total_dec"))
     v.crossJoin(broadcast(t))
-      .filter(col("value_dec") * (1000 / perMille) > col("total_dec"))
+      // cross-multiplied with NO division: `1000 / perMille` truncates for
+      // perMille values not dividing 1000 (e.g. 3 → ×333, a silently looser
+      // gate); value·1000 > total·perMille is exact for every perMille
+      .filter(col("value_dec") * 1000 > col("total_dec") * perMille)
       .select(col("p_partkey"), col("value_dec").cast("double").as("value"))
       .orderBy(col("value").desc, col("p_partkey"))
   }

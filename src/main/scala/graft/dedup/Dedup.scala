@@ -49,8 +49,7 @@ object Dedup {
     * One shuffle (window over the content hash, no ordering → group count);
     * the weight is one IEEE division of an exact long.
     */
-  def duplicateWeights(docs: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+  def duplicateWeights(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col(textCol)))
     docs.withColumn("dup_count", count(lit(1)).over(w))

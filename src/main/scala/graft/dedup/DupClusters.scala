@@ -455,32 +455,59 @@ object DupClusters {
     * length. Output: (walk, step1 … stepN).
     *
     * Scale shape: per step, one equi-join on the current node (O(Σ degree)
-    * candidate rows) + one per-walk window; steps are a small constant and
-    * walk state is one row per walk. The walk corpus feeds skip-gram
-    * samplers exactly like a token corpus.
+    * candidate rows) + one per-walk ARGMIN AGGREGATE — `min_by(nxt,
+    * (md5, nxt))`, a hash aggregate with map-side partial combine, NOT a
+    * row_number window: no sort, and a hub's candidate rows collapse to one
+    * partial per map task before the shuffle, so a degree-10⁶ celebrity node
+    * visited by W walks ships O(W · tasks) partials, not W·10⁶ sorted rows.
+    * Steps are a small constant and walk state is one row per walk. The walk
+    * corpus feeds skip-gram samplers exactly like a token corpus.
+    *
+    * Hub valve (`maxDegree`): when set, each node's adjacency is first cut
+    * to its `maxDegree` neighbors of smallest `md5(seed:deg:u:v)` — a
+    * deterministic per-node subsample, built once (one window over the edge
+    * table, cost O(Σ degree), no walk multiplier). DISCLOSED BIAS: walks
+    * then explore the capped subgraph, so edges outside a hub's retained
+    * sample are never traversed — acceptable for embedding-corpus
+    * generation (DeepWalk samples neighborhoods anyway), not for exact
+    * reachability. Default (None) is exact over the full adjacency.
     */
   def randomWalks(edges: DataFrame, steps: Int, seed: String = "walk",
-                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val adj = edges.select(col(idA).as("u"), col(idB).as("v"))
+                  idA: String = "id_a", idB: String = "id_b",
+                  maxDegree: Option[Int] = None): DataFrame = {
+    val fullAdj = edges.select(col(idA).as("u"), col(idB).as("v"))
       .unionByName(edges.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.select(col("u")).distinct()
+    val adj = maxDegree match {
+      case None => fullAdj
+      case Some(d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("u")).orderBy(
+          md5(concat_ws(":", lit(seed), lit("deg"), col("u"), col("v"))),
+          col("v"))
+        fullAdj.withColumn("__dr", row_number().over(w))
+          .filter(col("__dr") <= d).drop("__dr")
+    }
+    val adjP = adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adjP.select(col("u")).distinct()
     var walk = nodes.select(col("u").as("walk"), col("u").as("cur"))
     (1 to steps).foreach { s =>
-      val cand = walk.join(adj, walk("cur") === adj("u"), "left_outer")
+      val cand = walk.join(adjP, walk("cur") === adjP("u"), "left_outer")
         .select(walk.columns.map(col) :+
           coalesce(col("v"), col("cur")).as("nxt"): _*)
-      val w = Window.partitionBy(col("walk")).orderBy(
+      // seeded draw = argmin over (md5 key, nxt): min_by over an orderable
+      // struct reproduces row_number-over-(md5, nxt) pick #1 exactly, with
+      // the tie-break inside the ordering key so the argmin is total
+      val key = struct(
         md5(concat_ws(":", lit(seed), col("walk"), lit(s), col("nxt"))),
         col("nxt"))
-      walk = cand.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "cur")
-        .withColumnRenamed("nxt", s"step$s")
+      val carried = walk.columns.filter(c => c != "walk" && c != "cur")
+        .map(c => min(col(c)).as(c)) // constant within the group: exact carry
+      walk = cand.groupBy(col("walk"))
+        .agg(min_by(col("nxt"), key).as(s"step$s"), carried.toSeq: _*)
         .withColumn("cur", col(s"step$s"))
     }
     walk.drop("cur")
+      .select(col("walk") +: (1 to steps).map(s => col(s"step$s")): _*)
   }
 }

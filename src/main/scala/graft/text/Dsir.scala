@@ -13,13 +13,25 @@ import org.apache.spark.storage.StorageLevel
   * Fidelity note — exactness over the continuous form: the paper's importance
   * weight is Σ log(p_tgt(b) / p_raw(b)) over a document's hashed-bigram
   * buckets. Transcendental logs cannot cross engines bit-exactly, so this
-  * implementation quantizes the log-ratio to the power-of-two grid:
+  * implementation quantizes a log-ratio to the power-of-two grid:
   * `w(b) = bitlen(tgt(b)+1) − bitlen(raw(b)+1)` where `bitlen(n) =
   * length(bin(n))` = ⌊log2 n⌋+1, computed as a STRING length — exact integer
   * arithmetic on both engines (Spark `bin` and DuckDB `bin` both render
   * unpadded binary). The per-document score Σ w(b) is then an exact BIGINT:
-  * order-independent, hash-comparable, and within 1 bit per feature of the
-  * continuous log₂ weight.
+  * order-independent and hash-comparable.
+  *
+  * What the weight approximates: the raw COUNT ratio log₂(tgt_cnt/raw_cnt)
+  * (within 1 bit per feature), NOT the paper's probability ratio
+  * log(p_tgt/p_raw). The two differ by the constant log₂(N_raw/N_tgt) per
+  * bucket (N = total bigram mass per side), so a document's score carries an
+  * additive bias of n_bigrams · log₂(N_raw/N_tgt): rankings among documents
+  * of EQUAL bigram count match DSIR's intent exactly, while cross-length
+  * comparisons are length-biased toward the larger-mass side. Callers that
+  * rank across lengths should normalize by `n_bigrams` (both columns are
+  * emitted by [[docScores]]) or select within length strata. The constant is
+  * deliberately not folded in: keeping the weight a pure two-integer bitlen
+  * difference is what makes the score reproducible bit-exactly on any engine
+  * with integer binary rendering.
   *
   * Scale shape (100 TB): the feature space is a FIXED bucket count (default
   * 256; the paper uses 10k — still broadcastable), so the weight table is

@@ -25,22 +25,27 @@ object Vocab {
     tok.select(col("source"), explode(col("t")).as("term"))
   }
 
-  /** The top-`v` terms by corpus frequency; ties cut by term text so the
-    * vocabulary is a pure function of the corpus.
-    */
-  def topVocab(docs: DataFrame, v: Int): DataFrame =
-    tokens(docs)
+  private def topOf(toks: DataFrame, v: Int): DataFrame =
+    toks
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term"))
       .limit(v)
       .select(col("term"))
 
+  /** The top-`v` terms by corpus frequency; ties cut by term text so the
+    * vocabulary is a pure function of the corpus.
+    */
+  def topVocab(docs: DataFrame, v: Int): DataFrame = topOf(tokens(docs), v)
+
   /** Per-source token count, OOV count against the top-`v` vocabulary, and
-    * the OOV rate (one division of exact longs).
+    * the OOV rate (one division of exact longs). The token stream is built
+    * (and its array frame persisted) ONCE and shared by the vocabulary cut
+    * and the audit join — the corpus is tokenized a single time.
     */
   def oovRate(docs: DataFrame, v: Int = 500): DataFrame = {
-    val voc = topVocab(docs, v).withColumn("__in", lit(1))
-    tokens(docs)
+    val toks = tokens(docs)
+    val voc = topOf(toks, v).withColumn("__in", lit(1))
+    toks
       .join(broadcast(voc), Seq("term"), "left_outer")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),

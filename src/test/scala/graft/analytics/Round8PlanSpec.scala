@@ -32,9 +32,13 @@ class Round8PlanSpec extends SparkSpec {
     val df = graft.dedup.DupClusters.randomWalks(edges, steps = 2)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"walks planned a product:\n$p")
-    // every Window in the plan carries a partition spec (walk#...)
-    assert(!"Window \\[".r.findAllIn(p).exists(_ => p.contains("Window [, ")),
-      s"unpartitioned window in walks:\n$p")
+    // every Window node (if any) carries a non-empty partition spec — a
+    // global window would single-task the step join at scale
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"unpartitioned window in walks:\n$p")
     // semantic: walks never leave the path graph's node set
     val rows = df.collect()
     val nodes = Set(0L, 1L, 2L, 3L)

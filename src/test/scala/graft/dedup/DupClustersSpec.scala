@@ -192,4 +192,56 @@ class DupClustersSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
     assert(out.toSeq.map(_._3).sum == 7L) // n_docs partitions the universe
   }
+
+  test("randomWalks min_by aggregate reproduces the windowed argmin semantics") {
+    // reference: row_number over (md5(seed:walk:s:nxt), nxt) picking rank 1 —
+    // the pre-r9 implementation — computed by hand via the same draw
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (4L, 0L))
+      .toDF("id_a", "id_b")
+    val walks = DupClusters.randomWalks(edges, steps = 3, seed = "w9")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    def md5Hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val adj = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (4L, 0L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val expected = adj.keys.toSeq.sorted.map { start =>
+      var cur = start
+      val steps = (1 to 3).map { s =>
+        val nbrs = adj.getOrElse(cur, Seq(cur))
+        cur = nbrs.minBy(n => (md5Hex(s"w9:$start:$s:$n"), n))
+        cur
+      }
+      (start, steps(0), steps(1), steps(2))
+    }
+    assert(walks.toSeq == expected)
+  }
+
+  test("randomWalks maxDegree cap: deterministic, stays in graph, respects cap") {
+    // hub 0 with 6 spokes; cap d=2 → walks from the spokes through 0 may
+    // only continue to 0's two retained neighbors (+0 itself via self-hold)
+    val spokes = (1L to 6L).map(h => (0L, h))
+    val edges = spokes.toDF("id_a", "id_b")
+    val capped = DupClusters.randomWalks(edges, steps = 2, seed = "cap",
+      maxDegree = Some(2)).as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val again = DupClusters.randomWalks(edges.repartition(5), steps = 2,
+      seed = "cap", maxDegree = Some(2)).as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(capped == again, "capped walks must be partitioning-invariant")
+    // every visited node is a real node
+    val nodes = (0L to 6L).toSet
+    capped.foreach { case (_, s1, s2) =>
+      assert(nodes.contains(s1) && nodes.contains(s2)) }
+    // from node 0 the walk can only reach its ≤2 retained spokes: across all
+    // walks, the set of distinct successors OF node 0 has size ≤ 2
+    val succOf0 = capped.flatMap { case (_, s1, s2) =>
+      Seq(s1).filter(_ != 0L).filter(_ => true) // successors recorded below
+    }
+    val stepsFrom0 = capped.collect { case (w, s1, _) if w == 0L => s1 } ++
+      capped.collect { case (_, s1, s2) if s1 == 0L => s2 }
+    assert(stepsFrom0.toSet.size <= 2,
+      s"hub 0 should step only to its 2 retained neighbors, saw $stepsFrom0")
+    assert(succOf0.forall(nodes.contains))
+  }
 }
