@@ -27,9 +27,11 @@ object Correlation {
     * aggregate; the drift-monitoring companion to [[regression]].
     *
     * Range bound: Σx⁴ ≤ n·max|x|⁴ must stay under 2⁶³ — e.g. max|x| ≤ 10³
-    * allows n up to ~9·10⁶ per group, max|x| ≤ 10⁴ only ~9·10² — beyond
-    * which the sum wraps silently (non-ANSI). Rescale or clip the feature
-    * first (winsorize) when x is wide.
+    * allows n up to ~9·10⁶ per group, max|x| ≤ 10⁴ only ~9·10² (pinned by
+    * CorrelationBoundSpec). Under ANSI mode (this engine's default) an
+    * over-bound sum FAILS LOUDLY with ARITHMETIC_OVERFLOW rather than
+    * wrapping; rescale or clip the feature first (winsorize), or use
+    * [[momentsWide]] (DECIMAL(38) sums) when x is genuinely wide.
     */
   def moments(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
     val x = col(xCol).cast("long")
@@ -217,6 +219,29 @@ object Correlation {
           .otherwise(lit(0.0)))
   }
 
+  /** ENFORCED bounded-group contract for the exact quadratic operators: the
+    * per-group row count is computed in-plan and any group over `bound`
+    * fails the job with a `raise_error` naming the group — a silent O(n²)
+    * blowup on a million-row group becomes a loud contract violation
+    * instead (the `Expectations` discipline). The `||` short-circuits, so
+    * within-bound rows never evaluate the error branch; the count join
+    * shuffles on the group key the pair join was about to shuffle on
+    * anyway.
+    */
+  private def requireBounded(base: DataFrame, groupCol: String,
+                             bound: Int, op: String): DataFrame = {
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+    base.join(counts, Seq(groupCol))
+      .filter(col("__gn") <= bound ||
+        raise_error(concat(
+          lit(s"$op: group "), col(groupCol).cast("string"),
+          lit(" has "), col("__gn").cast("string"),
+          lit(s" rows, exceeding the declared bound $bound for the exact " +
+            "quadratic pair enumeration; raise the bound knowingly or use " +
+            "kendallTauSampled"))).cast("boolean"))
+      .drop("__gn")
+  }
+
   /** Theil–Sen robust slope per group: the (lower) median of all pairwise
     * slopes. Each slope is ONE IEEE division of exact integer differences
     * (identical on any engine), the median is a SELECTED slope value (no
@@ -225,14 +250,17 @@ object Correlation {
     * unique x; duplicate x has undefined pairwise slope).
     *
     * Scale note: O(n²) pairs per group by design, same contract as
-    * [[kendallTau]] — exact and right for bounded per-segment series (the
-    * repeated-median or sampled-pair estimators are the documented
-    * alternatives beyond that).
+    * [[kendallTau]] — exact and right for bounded per-segment series, and
+    * the bound is ENFORCED in-plan ([[requireBounded]]): a group larger
+    * than `maxGroupSize` fails loudly instead of going quietly quadratic.
     */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
-               yCol: String): DataFrame = {
-    val a = df.select(col(groupCol), col(xCol).as("__x1"), col(yCol).as("__y1"))
-    val b = df.select(col(groupCol), col(xCol).as("__x2"), col(yCol).as("__y2"))
+               yCol: String, maxGroupSize: Int = 100000): DataFrame = {
+    val bounded = requireBounded(
+      df.select(col(groupCol), col(xCol), col(yCol)), groupCol,
+      maxGroupSize, "theilSen")
+    val a = bounded.select(col(groupCol), col(xCol).as("__x1"), col(yCol).as("__y1"))
+    val b = bounded.select(col(groupCol), col(xCol).as("__x2"), col(yCol).as("__y2"))
     val pairs = a.join(b, Seq(groupCol))
       .filter(col("__x1") < col("__x2"))
       .withColumn("__slope",
@@ -255,14 +283,14 @@ object Correlation {
     * Scale note: the pair join is O(n²) per group — exact and right when
     * group sizes are bounded (per-segment metric audits); the O(n log n)
     * merge-sort inversion count only helps a SINGLE global τ and needs the
-    * same sorted pass, and sampled pairs are the standard estimator when a
-    * group outgrows the quadratic (both documented alternatives, not built:
-    * the exact half-matrix IS the operator here, and its cost is bounded by
-    * the declared group cardinality, not the corpus).
+    * same sorted pass. The bound is ENFORCED in-plan ([[requireBounded]]);
+    * [[kendallTauSampled]] is the estimator for groups beyond it.
     */
   def kendallTau(df: DataFrame, groupCol: String, xCol: String, yCol: String,
-                 idCol: String): DataFrame = {
-    val base = df.select(col(groupCol), col(xCol), col(yCol), col(idCol))
+                 idCol: String, maxGroupSize: Int = 100000): DataFrame = {
+    val base = requireBounded(
+      df.select(col(groupCol), col(xCol), col(yCol), col(idCol)), groupCol,
+      maxGroupSize, "kendallTau")
     val a = base.select(col(groupCol), col(xCol).as("__x1"),
       col(yCol).as("__y1"), col(idCol).as("__i1"))
     val b = base.select(col(groupCol), col(xCol).as("__x2"),
@@ -278,5 +306,97 @@ object Correlation {
       .withColumn("tau_a",
         (col("concordant") - col("discordant")).cast("double") /
           col("n_pairs").cast("double"))
+  }
+
+  /** Sampled-pair Kendall τ-a estimator — the scale path past
+    * [[kendallTau]]'s quadratic bound: draw exactly `pairsPerGroup` random
+    * pairs per group (with replacement, disclosed) via the md5 uniform and
+    * average their concordance signs. The draw is fully deterministic:
+    * rows are ranked by `md5(seed:id)` within the group, pair t picks
+    * positions `i = 1 + md5U32(seed:g:t:a) mod n` and
+    * `j0 = 1 + md5U32(seed:g:t:b) mod (n−1)` with `j = j0 + 1` when
+    * `j0 ≥ i` — the classic shift trick, so i ≠ j always and both margins
+    * are uniform. τ̂ = (C − D) / m is unbiased for τ-a and SQL-replicable
+    * (every draw re-derives from md5, the engine-portable uniform — Java
+    * `String.hashCode` is NOT uniform, see NOTES).
+    *
+    * Scale shape: one rank window on the group key, then the draw frame is
+    * |groups| · m rows — INDEPENDENT of group size — and each pair resolves
+    * through two equi-joins on (group, position). A 10⁹-row group costs the
+    * same m joins per group as a 10³-row group; the window pass is the only
+    * O(n) term. Groups with n < 2 are skipped (no pairs exist).
+    */
+  def kendallTauSampled(df: DataFrame, groupCol: String, xCol: String,
+                        yCol: String, idCol: String, pairsPerGroup: Int,
+                        seed: String = "ktau"): DataFrame = {
+    require(pairsPerGroup >= 1, s"need at least 1 pair, got $pairsPerGroup")
+    def md5U32(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(xCol), col(yCol), col(idCol))
+      .withColumn("__r", row_number().over(wr).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranked.groupBy(col(groupCol)).agg(max(col("__r")).as("__n"))
+    val draws = counts.filter(col("__n") >= 2)
+      .select(col(groupCol), col("__n"),
+        explode(sequence(lit(1), lit(pairsPerGroup))).as("__t"))
+      .withColumn("__i", lit(1) + pmod(md5U32(concat_ws(":",
+        lit(seed), col(groupCol).cast("string"), col("__t"), lit("a"))), col("__n")))
+      .withColumn("__j0", lit(1) + pmod(md5U32(concat_ws(":",
+        lit(seed), col(groupCol).cast("string"), col("__t"), lit("b"))), col("__n") - 1))
+      .withColumn("__j",
+        when(col("__j0") >= col("__i"), col("__j0") + 1).otherwise(col("__j0")))
+    val left = ranked.select(col(groupCol), col("__r").as("__i"),
+      col(xCol).as("__x1"), col(yCol).as("__y1"))
+    val right = ranked.select(col(groupCol), col("__r").as("__j"),
+      col(xCol).as("__x2"), col(yCol).as("__y2"))
+    val sgn = (col("__x1") - col("__x2")) * (col("__y1") - col("__y2"))
+    draws
+      .join(left, Seq(groupCol, "__i"))
+      .join(right, Seq(groupCol, "__j"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
+      .withColumn("tau_a_est",
+        (col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double"))
+  }
+
+  /** [[moments]] with DECIMAL(38,0) power sums — the wide-input fallback:
+    * Σx⁴ gets 10³⁸ headroom instead of 2⁶³ (max|x| = 10⁶ allows n up to
+    * ~10¹⁴ per group vs [[moments]]' ~10⁹ at 10³), at decimal-aggregation
+    * cost. Same output columns; the shape statistics are the identical
+    * fixed-operand-order IEEE expressions over the (exact) sums cast to
+    * double. Use when the feature column can't be clipped into the BIGINT
+    * envelope; under ANSI the narrow path FAILS LOUDLY on overflow rather
+    * than wrapping, so the switch is never silent.
+    */
+  def momentsWide(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast("long").cast("decimal(38,0)")
+    val x2 = (col(xCol).cast("long") * col(xCol).cast("long")).cast("decimal(38,0)")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).cast("decimal(38,0)").as("s1"),
+        sum(x2).cast("decimal(38,0)").as("s2"),
+        sum((x2 * x).cast("decimal(38,0)")).cast("decimal(38,0)").as("s3"),
+        sum((x2 * x2).cast("decimal(38,0)")).cast("decimal(38,0)").as("s4"))
+    val nD = col("n").cast("double")
+    val m = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - m * m
+    val m3 = col("s3").cast("double") / nD - lit(3.0) * m * (col("s2").cast("double") / nD) +
+      lit(2.0) * m * m * m
+    val m4 = col("s4").cast("double") / nD - lit(4.0) * m * (col("s3").cast("double") / nD) +
+      lit(6.0) * m * m * (col("s2").cast("double") / nD) - lit(3.0) * m * m * m * m
+    agg.withColumn("mean", m)
+      .withColumn("variance", m2)
+      .withColumn("skewness",
+        when(col("variance") > 0.0, m3 / sqrt(col("variance") * col("variance") * col("variance")))
+          .otherwise(0.0))
+      .withColumn("kurtosis",
+        when(col("variance") > 0.0, m4 / (col("variance") * col("variance")) - lit(3.0))
+          .otherwise(0.0))
   }
 }

@@ -21,9 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (unreferenced until the manifest lands — a crash leaves only orphans, never
   * a corrupt table), then the manifest is staged and atomically renamed.
   * Readers resolve a snapshot by listing `_manifests` — no mutable pointer
-  * file, so a half-written commit is simply invisible. Single writer assumed
-  * (the reference serializes writes through cron/Flink the same way); at
-  * scale, CAS the manifest create against a lock service or catalog.
+  * file, so a half-written commit is simply invisible. [[commit]] assumes a
+  * single writer (the reference serializes writes through cron/Flink the
+  * same way); concurrent writers use [[commitAtomic]] /
+  * [[commitAtomicChecked]] — the optimistic CAS-on-commit-sequence protocol
+  * of a Nessie/Iceberg catalog, with key-overlap validation on retry.
   *
   * Append commits reference the previous snapshot's files plus the new ones —
   * old snapshots stay readable (time travel) until expired.
@@ -91,6 +93,108 @@ object Versioned {
       readManifest(spark, tableDir, prev.last) else Seq.empty
     writeManifest(spark, tableDir, v, carried ++ newFiles)
     v
+  }
+
+  // ---- multi-writer commits (the Nessie/Iceberg optimistic-commit analog:
+  // reference `docker-compose.yml:100-119` runs a Nessie catalog whose ref
+  // update is a compare-and-swap; this is the same protocol over the
+  // manifest store) ----------------------------------------------------
+
+  /** CAS publish of a manifest: stage the content to a hidden tmp file, then
+    * rename onto the final name ONLY if no manifest claimed that version
+    * first. The version number in the file name IS the commit sequence, so
+    * "rename-if-unchanged" degenerates to "rename-if-absent": a writer that
+    * lost the race finds `v<N>.json` taken and must re-read the new head.
+    *
+    * Atomicity of the publish: on HDFS, `rename` with an existing
+    * destination fails atomically in the NameNode; on an object store you
+    * would use a conditional PUT (`If-None-Match: *`); the local-FS
+    * `RawLocalFileSystem` backing tests can overwrite on rename, so the
+    * exists-check + rename pair is serialized through a per-table JVM lock —
+    * the protocol (stage → check-sequence → publish-or-retry) is what scales,
+    * the lock is only the local-FS stand-in for the missing atomic primitive.
+    */
+  private val casLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def casPublish(f: FileSystem, tableDir: String, p: Path,
+                         lines: Seq[String]): Boolean = {
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val lock = casLocks.computeIfAbsent(tableDir, _ => new Object)
+    val won = lock.synchronized { !f.exists(p) && f.rename(tmp, p) }
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Optimistic concurrent APPEND commit: write data files once (to a
+    * writer-unique directory — no data is ever rewritten on retry), then
+    * loop { read head → carried = head's files → CAS-publish head+1 }. An
+    * append merges cleanly against ANY interleaved commit, so losing the
+    * race only costs re-reading one manifest; `maxRetries` with linear
+    * backoff bounds livelock under a commit storm. Returns the version that
+    * actually landed. Both racers keep their data: no lost update, the two
+    * appends serialize in whichever order the CAS decides.
+    */
+  def commitAtomic(df: DataFrame, tableDir: String, maxRetries: Int = 8,
+                   backoffMs: Long = 25L): Int = {
+    val spark = df.sparkSession
+    val dataDir = new Path(tableDir,
+      s"data/c_${java.util.UUID.randomUUID().toString}")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = listDataFiles(spark, tableDir, dataDir)
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val prev = versions(spark, tableDir)
+      val v = prev.lastOption.getOrElse(0) + 1
+      val carried = if (prev.nonEmpty) readManifest(spark, tableDir, prev.last)
+                    else Seq.empty
+      if (casPublish(f, tableDir, new Path(manifestDir(tableDir), s"v$v.json"),
+          s"version=$v" +: (carried ++ newFiles)))
+        return v
+      attempt += 1
+      Thread.sleep(backoffMs * attempt) // linear bounded backoff
+    }
+    throw new java.io.IOException(
+      s"commit to $tableDir lost the CAS race $maxRetries times; giving up")
+  }
+
+  /** Optimistic commit WITH key-overlap validation (Iceberg's
+    * `validateNoConflictingData` analog): the caller claims its rows only
+    * touch `df`'s key set and that it read snapshot `expectedVersion`. If
+    * the head advanced, the retry loop diffs `expectedVersion → head`
+    * ([[changedKeys]] — the same check [[branchConflicts]] uses) and
+    * intersects with the incoming keys: disjoint ⇒ the interleaved commits
+    * are independent and the append retries cleanly; overlapping ⇒ throws
+    * `ConcurrentModificationException` with sample keys, because appending
+    * would silently double-write a key both writers touched.
+    */
+  def commitAtomicChecked(df: DataFrame, tableDir: String, keys: Seq[String],
+                          expectedVersion: Int, maxRetries: Int = 8,
+                          backoffMs: Long = 25L): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val incomingKeys = df.select(keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = versions(spark, tableDir).lastOption.getOrElse(0)
+      if (head != expectedVersion) {
+        val baseDf =
+          if (expectedVersion == 0) read(spark, tableDir).limit(0)
+          else read(spark, tableDir, Some(expectedVersion))
+        val moved = changedKeys(baseDf, read(spark, tableDir), keys)
+        val sample = moved.join(incomingKeys, keys, "inner").limit(5).collect()
+        if (sample.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"commit validated against v$expectedVersion but head is v$head " +
+              "with overlapping keys: " +
+              sample.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
+      }
+      commitAtomic(df, tableDir, maxRetries, backoffMs)
+    } finally { incomingKeys.unpersist(); () }
   }
 
   /** Read a snapshot (default: latest). Time travel = pass an old version. */

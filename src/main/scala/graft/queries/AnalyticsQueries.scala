@@ -2367,6 +2367,64 @@ object AnalyticsQueries {
       |    CAST(count(*) AS DOUBLE) AS tau_a
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sampled-pair Kendall τ̂ ([[graft.analytics.Correlation.kendallTauSampled]])
+    * over the same per-user frame as `q_kendall_tau` — the scale path past
+    * the enforced quadratic bound: 200 md5-deterministic pair draws per
+    * event type, each resolved by two equi-joins on (group, rank); the
+    * oracle unrolls the identical draw (md5 rank order, u32 fold, the
+    * j≥i shift trick), so the hash match proves the estimator replays
+    * bit-exactly on another engine.
+    */
+  private def kendallSampledQ(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.analytics.Correlation.kendallTauSampled(
+      g, "event_type", "x", "y", "user_id", pairsPerGroup = 200)
+      .orderBy(col("event_type"))
+  }
+
+  private val kendallSampledOracle = {
+    val u32a = graft.queries.OracleSql.md5U32Sql(
+      "'ktau:' || event_type || ':' || CAST(t AS VARCHAR) || ':a'")
+    val u32b = graft.queries.OracleSql.md5U32Sql(
+      "'ktau:' || event_type || ':' || CAST(t AS VARCHAR) || ':b'")
+    s"""WITH g AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY event_type, user_id),
+       |ranked AS (
+       |  SELECT event_type, x, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY md5('ktau:' || CAST(user_id AS VARCHAR)), user_id)
+       |      AS BIGINT) AS r
+       |  FROM g),
+       |counts AS (
+       |  SELECT event_type, max(r) AS n FROM ranked GROUP BY event_type),
+       |draws AS (
+       |  SELECT event_type, n, t,
+       |    1 + ($u32a) % n AS i,
+       |    1 + ($u32b) % (n - 1) AS j0
+       |  FROM counts CROSS JOIN generate_series(1, 200) AS s(t)
+       |  WHERE n >= 2),
+       |pairs AS (
+       |  SELECT d.event_type,
+       |    (l.x - rr.x) * (l.y - rr.y) AS sg
+       |  FROM (SELECT event_type, i,
+       |          CASE WHEN j0 >= i THEN j0 + 1 ELSE j0 END AS j
+       |        FROM draws) d
+       |  JOIN ranked l ON l.event_type = d.event_type AND l.r = d.i
+       |  JOIN ranked rr ON rr.event_type = d.event_type AND rr.r = d.j)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |  CAST(sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |  CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) -
+       |       sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS tau_a_est
+       |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   private def rankCorrQ(s: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.documents(s, dir).withColumn("n_words",
       size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long"))
@@ -3050,6 +3108,7 @@ object AnalyticsQueries {
     "q_group_regression" -> (groupRegressionQ _),
     "q_rank_correlation" -> (rankCorrQ _),
     "q_kendall_tau" -> (kendallQ _),
+    "q_kendall_tau_sampled" -> (kendallSampledQ _),
     "q_interval_coverage" -> (intervalCoverageQ _),
     "q_skyline" -> (skylineQ _),
     "q_first_touch" -> (firstTouchQ _),
@@ -3149,6 +3208,7 @@ object AnalyticsQueries {
     "q_group_regression" -> groupRegressionOracle,
     "q_rank_correlation" -> rankCorrOracle,
     "q_kendall_tau" -> kendallOracle,
+    "q_kendall_tau_sampled" -> kendallSampledOracle,
     "q_interval_coverage" -> intervalCoverageOracle,
     "q_skyline" -> skylineOracle,
     "q_first_touch" -> firstTouchOracle,

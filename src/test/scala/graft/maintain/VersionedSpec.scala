@@ -168,4 +168,53 @@ class VersionedSpec extends SparkSpec {
     Seq((7L, "inflight")).toDF("id", "s").write.parquet(s"$dir/data/v3")
     assert(Versioned.removeOrphanFiles(spark, dir, minAgeMs = 3600000L).isEmpty)
   }
+
+  test("two-writer race: concurrent commitAtomic — all commits land, no lost update") {
+    val dir = freshTable()
+    Versioned.commit(Seq((0L, "base")).toDF("id", "s"), dir)
+    // 8 concurrent appends (2 threads × 4 commits each) racing for versions;
+    // every commit must land under a unique version and every row survive
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 2).map { w =>
+      Future {
+        (1 to 4).map { i =>
+          Versioned.commitAtomic(
+            Seq((w * 100L + i, s"w$w-$i")).toDF("id", "s"), dir)
+        }
+      }
+    }
+    val landed = futures.flatMap(Await.result(_, 120.seconds))
+    assert(landed.toSet.size == 8, s"versions must be unique, got $landed")
+    assert(Versioned.versions(spark, dir) == (1 to 9), "contiguous history")
+    val rows = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val expected = Set(0L -> "base") ++
+      (for (w <- 1 to 2; i <- 1 to 4) yield (w * 100L + i, s"w$w-$i")).toSet
+    assert(rows.map(r => (r._1, r._2)) == expected, "no lost update")
+    // each intermediate snapshot is readable and monotonically grows
+    val counts = Versioned.versions(spark, dir)
+      .map(v => Versioned.read(spark, dir, Some(v)).count())
+    assert(counts == counts.sorted && counts.last == 9L)
+  }
+
+  test("commitAtomicChecked: disjoint keys retry cleanly, overlapping keys refuse") {
+    val dir = freshTable()
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    // writer A lands first, advancing the head past what writer B read
+    Versioned.commitAtomic(Seq((3L, "c")).toDF("id", "s"), dir)
+    // B validated against v1 and touches key 4 only — disjoint from A's key 3
+    val vb = Versioned.commitAtomicChecked(
+      Seq((4L, "d")).toDF("id", "s"), dir, Seq("id"), expectedVersion = v1)
+    assert(vb == 3 && Versioned.read(spark, dir).count() == 4)
+    // C also validated against v1 but touches key 3 — A already wrote it
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitAtomicChecked(
+        Seq((3L, "clobber")).toDF("id", "s"), dir, Seq("id"), expectedVersion = v1)
+    }
+    assert(ex.getMessage.contains("overlapping keys"))
+    // the refused commit left no manifest behind
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3))
+  }
 }
