@@ -76,18 +76,34 @@ object MinHashLSH {
     verifyExact(cands, sh, threshold)
   }
 
-  /** Candidate pairs from banded LSH: docs colliding in ≥1 band. */
-  def candidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => hash(slice(col("sig"), j * size(col("sig")) / bands + 1,
-            size(col("sig")) / bands)))).as(Seq("band", "bucket")))
+  /** The banded LSH index itself — (id, band, bucket), `bands` rows per
+    * document: the MATERIALIZED sketch table a production dedup service
+    * maintains between corpus versions. It is pure per-row computation over
+    * the signature (no shuffle), so maintaining it is O(delta): append the
+    * band rows of new docs, delete those of removed ids — no existing row
+    * ever changes (each doc's rows derive from its own signature alone).
+    * [[candidatePairsFromBands]] consumes it; `q_minhash_incremental`
+    * proves delta-maintained ≡ rebuilt under the hash.
+    */
+  def bandTable(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("sig"), j * size(col("sig")) / bands + 1,
+          size(col("sig")) / bands)))).as(Seq("band", "bucket")))
+
+  /** Candidate pairs from a materialized band table: docs colliding in ≥1
+    * band (self-equi-join on (band, bucket), half-matrix residual).
+    */
+  def candidatePairsFromBands(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-  }
+
+  /** Candidate pairs from banded LSH: docs colliding in ≥1 band. */
+  def candidatePairs(sigs: DataFrame, bands: Int): DataFrame =
+    candidatePairsFromBands(bandTable(sigs, bands))
 
   /** Full pipeline: candidates verified with *exact* shingle Jaccard (the
     * sketch only prunes; it never asserts).

@@ -46,4 +46,53 @@ object Privacy {
       .agg(count(lit(1)).as("group_size"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
+
+  /** t-closeness audit — l-diversity's refinement (Li/Li/Venkatasubramanian
+    * 2007): a group can be l-diverse yet still leak if its SENSITIVE-value
+    * DISTRIBUTION deviates from the table's. For an ORDERED sensitive
+    * attribute the distance is the Earth Mover's Distance with unit ground
+    * spacing: `EMD = (1/(k−1)) · Σ_i |CumQ_i − CumP_i|` over the k ordered
+    * values (Q = group distribution, P = global).
+    *
+    * Exactness: cumulative probabilities are rationals; the sum is carried
+    * as the exact BIGINT numerator `Σ_i |cq_i·N − cp_i·n_g|` (worst case
+    * n·N·k ≲ 10¹²·k, far under 2⁶³) and `emd` is ONE IEEE division by
+    * `n_g·N·(k−1)` — hash-comparable, no per-term float accumulation.
+    *
+    * Scale shape: one global aggregate (k rows, broadcast), one
+    * (group, value) aggregate, a group×k dense grid via broadcast-join of
+    * the value domain (missing cells count 0 — cumulative sums need dense
+    * support), and one k-row-bounded window per group. Output is
+    * group-proportional.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(sensitiveCol)
+    val global = df.groupBy(s.as("__v")).agg(count(lit(1)).as("__cp"))
+    val groups = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("group_size"))
+    val cells = df.groupBy(quasiCols.map(col) :+ s.as("__v"): _*)
+      .agg(count(lit(1)).as("__cq"))
+    val grid = groups.crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ "__v", "left_outer")
+      .withColumn("__cq", coalesce(col("__cq"), lit(0L)))
+    val w = Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(quasiCols.map(col): _*)
+    grid
+      .withColumn("__cumq", sum(col("__cq")).over(w))
+      .withColumn("__cump", sum(col("__cp")).over(w))
+      .withColumn("__N", sum(col("__cp")).over(tot))
+      .withColumn("__k", count(lit(1)).over(tot))
+      .filter(col("__k") > 1)
+      .groupBy(quasiCols.map(col) :+ col("group_size") :+
+        col("__N").as("__n") :+ col("__k").as("__kk"): _*)
+      .agg(sum(abs(col("__cumq") * col("__N") - col("__cump") * col("group_size")))
+        .as("__num"))
+      .withColumn("emd", col("__num").cast("double") /
+        (col("group_size") * col("__n") * (col("__kk") - 1)).cast("double"))
+      .withColumn("close", col("emd") <= t)
+      .select(quasiCols.map(col) :+ col("group_size") :+ col("emd") :+
+        col("close"): _*)
+  }
 }

@@ -2121,6 +2121,56 @@ object AnalyticsQueries {
       |GROUP BY c_mktsegment, c_nationkey
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  /** t-closeness audit over the same quasi-identifier frame as
+    * `q_l_diversity` ([[graft.ops.Privacy.tCloseness]]): EMD between each
+    * group's order-priority distribution and the table's, carried as an
+    * exact BIGINT numerator with ONE final division — a group can be
+    * 5-diverse yet fail t-closeness when its priority mix skews.
+    */
+  private def tClosenessQ(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.Tables.customer(s, dir)
+      .join(graft.Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("o_orderpriority"))
+    graft.ops.Privacy.tCloseness(joined,
+        Seq("c_mktsegment", "c_nationkey"), "o_orderpriority", t = 0.12)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  private val tClosenessOracle =
+    """WITH j AS (
+      |  SELECT c_mktsegment, c_nationkey, o_orderpriority AS v
+      |  FROM customer JOIN orders ON c_custkey = o_custkey),
+      |gdist AS (SELECT v, CAST(count(*) AS BIGINT) AS cp FROM j GROUP BY v),
+      |grp AS (
+      |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS group_size
+      |  FROM j GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT c_mktsegment, c_nationkey, v, CAST(count(*) AS BIGINT) AS cq
+      |  FROM j GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT g.c_mktsegment, g.c_nationkey, g.group_size, gl.v, gl.cp,
+      |    COALESCE(c.cq, 0) AS cq
+      |  FROM grp g CROSS JOIN gdist gl
+      |  LEFT JOIN cells c ON c.c_mktsegment = g.c_mktsegment
+      |    AND c.c_nationkey = g.c_nationkey AND c.v = gl.v),
+      |cum AS (
+      |  SELECT *,
+      |    sum(cq) OVER (PARTITION BY c_mktsegment, c_nationkey
+      |      ORDER BY v) AS cumq,
+      |    sum(cp) OVER (PARTITION BY c_mktsegment, c_nationkey
+      |      ORDER BY v) AS cump,
+      |    sum(cp) OVER (PARTITION BY c_mktsegment, c_nationkey) AS N,
+      |    count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS k
+      |  FROM grid)
+      |SELECT c_mktsegment, c_nationkey, group_size,
+      |  CAST(CAST(sum(abs(cumq * N - cump * group_size)) AS BIGINT) AS DOUBLE)
+      |    / CAST(group_size * max(N) * (max(k) - 1) AS DOUBLE) AS emd,
+      |  CAST(CAST(sum(abs(cumq * N - cump * group_size)) AS BIGINT) AS DOUBLE)
+      |    / CAST(group_size * max(N) * (max(k) - 1) AS DOUBLE) <= 0.12 AS close
+      |FROM cum WHERE k > 1
+      |GROUP BY c_mktsegment, c_nationkey, group_size
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   /** Winsorization bounds from EXACT order statistics (the rank-`ceil(qn)`
     * value per group — a real data value, no interpolation, so it crosses
     * engines bit-exactly where interpolated percentiles would not), plus
@@ -3119,6 +3169,7 @@ object AnalyticsQueries {
     "q_pseudonymize" -> (pseudonymizeQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
     "q_l_diversity" -> (lDiversityQ _),
+    "q_t_closeness" -> (tClosenessQ _),
     "q_random_walks" -> (randomWalksQ _),
     "q_top_paths" -> (topPathsQ _),
     "q_integrity_checks" -> (integrityQ _),
@@ -3219,6 +3270,7 @@ object AnalyticsQueries {
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,
+    "q_t_closeness" -> tClosenessOracle,
     "q_random_walks" -> randomWalksOracle,
     "q_top_paths" -> topPathsOracle,
     "q_integrity_checks" -> integrityOracle,

@@ -282,10 +282,147 @@ object SelectionQueries {
       |SELECT event_type, c AS n_before, mx AS n_after
       |FROM c, m ORDER BY event_type""".stripMargin
 
+  /** Heaps'-law type–token curve at 10 id-checkpoints
+    * ([[graft.text.Vocab.heapsCurve]]): vocabulary growth vs corpus growth,
+    * every count an exact conditional BIGINT sum over per-token first
+    * occurrences — the corpus-saturation audit.
+    */
+  private def heapsQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.heapsCurve(Tables.documents(s, dir), points = 10)
+      .orderBy(col("checkpoint"))
+
+  private val heapsOracle =
+    """WITH occ AS (
+      |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |occ2 AS (SELECT * FROM occ WHERE term <> ''),
+      |firsts AS (SELECT term, min(id) AS f FROM occ2 GROUP BY term),
+      |mx AS (SELECT max(id) AS m FROM occ2),
+      |pts AS (SELECT unnest(range(1, 11)) AS i),
+      |tok AS (
+      |  SELECT i, CAST(sum(CASE WHEN id * 10 <= m * i THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_tokens
+      |  FROM occ2, mx, pts GROUP BY i),
+      |typ AS (
+      |  SELECT i, CAST(sum(CASE WHEN f * 10 <= m * i THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_types
+      |  FROM firsts, mx, pts GROUP BY i)
+      |SELECT CAST(tok.i AS INTEGER) AS checkpoint, n_tokens, n_types
+      |FROM tok JOIN typ ON tok.i = typ.i
+      |ORDER BY checkpoint""".stripMargin
+
+  /** Skip-gram (word2vec) training pairs over the subsampled corpus
+    * ([[graft.text.SkipGram.pairs]]): window ±2, exact BIGINT
+    * cross-multiplied subsample rule, compacted-stream pairing. The oracle
+    * replays the identical md5 keep-draw and window join, so the full
+    * (center, context, count) table hash-matches — the embedding-training
+    * data stage, engine-portable.
+    */
+  private def skipgramQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
+      minCount = 3L)
+      .orderBy(col("center"), col("context"))
+
+  private val skipgramOracle = {
+    val u32 = OracleSql.md5U32Sql(
+      "'sg:' || CAST(doc AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS t
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc, t, unnest(range(1, len(t) + 1)) AS i FROM tok),
+       |occ AS (
+       |  SELECT doc, i - 1 AS pos, t[i] AS w FROM idx WHERE t[i] <> ''),
+       |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM occ GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM occ),
+       |kept0 AS (
+       |  SELECT occ.doc, occ.pos, occ.w
+       |  FROM occ JOIN freq USING (w), tot
+       |  WHERE ($u32) * 100 * f < 1 * N * 4294967296),
+       |kept AS (
+       |  SELECT doc, w,
+       |    CAST(row_number() OVER (PARTITION BY doc ORDER BY pos) AS BIGINT) AS p
+       |  FROM kept0),
+       |cand AS (
+       |  SELECT doc, w AS center, p + unnest([-2, -1, 1, 2]) AS p2 FROM kept)
+       |SELECT c.center, k.w AS context, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM cand c JOIN kept k ON k.doc = c.doc AND k.p = c.p2
+       |GROUP BY c.center, k.w
+       |HAVING count(*) >= 3
+       |ORDER BY center, context""".stripMargin
+  }
+
+  /** Batch-perceptron training audit ([[graft.text.Perceptron]]): a linear
+    * lang-id classifier (y = +1 ⇔ lang = 'en') over 64 hashed bag-of-words
+    * buckets, 2 batch rounds — per-round error count, Σ|w| and bias, all
+    * exact BIGINTs. The oracle unrolls both rounds (round 1 sees w = 0, so
+    * every featured doc errors); hash equality proves in-engine classifier
+    * training replays bit-exactly on another engine.
+    */
+  private def perceptronQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = graft.text.Perceptron.features(docs, dim = 64)
+    val labels = docs.select(col("doc_id").as("doc"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    graft.text.Perceptron.trainAudit(feats, labels, dim = 64, rounds = 2)
+      .orderBy(col("round"))
+  }
+
+  private val perceptronOracle = {
+    val u32 = OracleSql.md5U32Sql("w")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS t
+       |  FROM documents),
+       |occ AS (SELECT doc, unnest(t) AS w FROM tok),
+       |feats AS (
+       |  SELECT doc, ($u32) % 64 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ WHERE w <> '' GROUP BY doc, bucket),
+       |labels AS (
+       |  SELECT doc_id AS doc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |fdocs AS (SELECT DISTINCT doc FROM feats),
+       |upd1 AS (
+       |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w
+       |  FROM feats JOIN labels USING (doc) GROUP BY bucket),
+       |bias1 AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS b
+       |  FROM labels JOIN fdocs USING (doc)),
+       |m2 AS (
+       |  SELECT f.doc, l.y,
+       |    CAST(sum(COALESCE(u.w, 0) * f.cnt) AS BIGINT)
+       |      + (SELECT b FROM bias1) AS m
+       |  FROM feats f JOIN labels l USING (doc)
+       |  LEFT JOIN upd1 u USING (bucket)
+       |  GROUP BY f.doc, l.y),
+       |err2 AS (SELECT doc, y FROM m2 WHERE y * m <= 0),
+       |upd2 AS (
+       |  SELECT f.bucket, CAST(sum(e.y * f.cnt) AS BIGINT) AS dw
+       |  FROM feats f JOIN err2 e USING (doc) GROUP BY f.bucket),
+       |w2 AS (
+       |  SELECT COALESCE(u1.bucket, u2.bucket) AS bucket,
+       |    COALESCE(u1.w, 0) + COALESCE(u2.dw, 0) AS w
+       |  FROM upd1 u1 FULL JOIN upd2 u2 ON u1.bucket = u2.bucket)
+       |SELECT CAST(1 AS INTEGER) AS round,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fdocs) AS n_errors,
+       |  (SELECT CAST(sum(abs(w)) AS BIGINT) FROM upd1) AS w_l1,
+       |  (SELECT b FROM bias1) AS bias
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM err2),
+       |  (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w2),
+       |  (SELECT b FROM bias1)
+       |    + (SELECT CAST(COALESCE(sum(y), 0) AS BIGINT) FROM err2)
+       |ORDER BY round""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (dsirQ _),
     "q_negative_sample" -> (negativeSampleQ _),
     "q_oov_rate" -> (oovRateQ _),
+    "q_heaps_law" -> (heapsQ _),
+    "q_skipgram_pairs" -> (skipgramQ _),
+    "q_perceptron" -> (perceptronQ _),
     "q_global_shuffle" -> (globalShuffleQ _),
     "q_calibration" -> (calibrationQ _),
     "q_temporal_split" -> (temporalSplitQ _),
@@ -296,6 +433,9 @@ object SelectionQueries {
     "q_dsir_weights" -> dsirOracle,
     "q_negative_sample" -> negativeSampleOracle,
     "q_oov_rate" -> oovRateOracle,
+    "q_heaps_law" -> heapsOracle,
+    "q_skipgram_pairs" -> skipgramOracle,
+    "q_perceptron" -> perceptronOracle,
     "q_global_shuffle" -> globalShuffleOracle,
     "q_calibration" -> calibrationOracle,
     "q_temporal_split" -> temporalSplitOracle,

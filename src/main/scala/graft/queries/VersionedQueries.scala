@@ -293,12 +293,104 @@ object VersionedQueries {
       |FROM v2 WHERE vf <= 60 AND 60 < vt
       |ORDER BY tx_snapshot""".stripMargin
 
+  /** Incremental MinHash-LSH index maintenance over the snapshot layer: the
+    * banded sketch table ([[graft.dedup.MinHashLSH.bandTable]]) is
+    * maintained O(delta) from CDC — commit a base corpus (v1), land a delta
+    * through the CAS commit path ([[Versioned.commitAtomic]] — the
+    * concurrent-writer protocol in a real pipeline), take
+    * [[Versioned.snapshotDiff]]'s inserts, compute band rows for ONLY those
+    * docs, and union onto the v1 index. Two in-plan proofs: (a) the
+    * delta-maintained index equals a full rebuild from v2 under
+    * (count, xor-hash); (b) candidate pairs decompose exactly — base-only
+    * pairs + pairs touching a delta doc (delta bands ⋈ incremental index)
+    * = pairs of the rebuilt index. At 100 TB the corpus is never re-read:
+    * the index update touches |delta|·bands rows and the new-pair join
+    * probes only delta buckets.
+    */
+  private def minhashIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{Dedup, MinHashLSH}
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_inc_").toString
+    Versioned.commit(docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text")), tmp)
+    Versioned.commitAtomic(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")), tmp)
+    val shBase = Dedup.withShingles(Versioned.read(s, tmp, Some(1)), 5)
+    val cdcInserts = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    val shDelta = Dedup.withShingles(cdcInserts, 5)
+    val b1 = MinHashLSH.bandTable(
+      MinHashLSH.signaturesFromShingles(shBase, 64), 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bDelta = MinHashLSH.bandTable(
+      MinHashLSH.signaturesFromShingles(shDelta, 64), 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bInc = b1.unionByName(bDelta).persist(StorageLevel.MEMORY_AND_DISK)
+    val bFull = MinHashLSH.bandTable(MinHashLSH.signaturesFromShingles(
+      Dedup.withShingles(Versioned.read(s, tmp, Some(2)), 5), 64), 16)
+    def fp(df: DataFrame, n: String, x: String) =
+      df.agg(count(lit(1)).as(n),
+        coalesce(call_function("bit_xor",
+          xxhash64(col("id"), col("band"), col("bucket"))), lit(0L)).as(x))
+    val idxEq = fp(bInc, "n_inc", "x_inc")
+      .crossJoin(broadcast(fp(bFull, "n_full", "x_full")))
+      .select(col("n_inc").as("band_rows_inc"),
+        (col("n_inc") === col("n_full") && col("x_inc") === col("x_full"))
+          .as("inc_equals_rebuild"))
+    // pair decomposition: pairs touching a delta doc come from delta bands
+    // probed against the WHOLE incremental index (both orientations fold
+    // into least/greatest normal form)
+    val newPairs = bDelta.as("d").join(bInc.as("all"),
+        col("d.band") === col("all.band") &&
+          col("d.bucket") === col("all.bucket") && col("d.id") =!= col("all.id"))
+      .select(least(col("d.id"), col("all.id")).as("id_a"),
+        greatest(col("d.id"), col("all.id")).as("id_b"))
+      .distinct()
+    val basePairs = MinHashLSH.candidatePairsFromBands(b1)
+    val fullPairs = MinHashLSH.candidatePairsFromBands(bFull)
+    val pairEq = basePairs.unionByName(newPairs).distinct()
+      .agg(count(lit(1)).as("n_dec"),
+        coalesce(call_function("bit_xor", xxhash64(col("id_a"), col("id_b"))),
+          lit(0L)).as("x_dec"))
+      .crossJoin(broadcast(fullPairs.agg(count(lit(1)).as("n_fp"),
+        coalesce(call_function("bit_xor", xxhash64(col("id_a"), col("id_b"))),
+          lit(0L)).as("x_fp"))))
+      .select(
+        (col("n_dec") === col("n_fp") && col("x_dec") === col("x_fp"))
+          .as("pairs_decompose"))
+    val counts = shBase.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(shDelta.agg(count(lit(1)).as("n_delta"))))
+    counts.crossJoin(broadcast(idxEq)).crossJoin(broadcast(pairEq))
+  }
+
+  /** n_base/n_delta are the ≥5-token documents on each side of the %7
+    * split and band_rows_inc = 16 bands × (n_base + n_delta) — all
+    * deterministic from the documents table. The pair SET is not
+    * oracle-recomputable (xxhash64 signatures), so its proof is the
+    * self-verifying in-plan booleans: equality-under-hash of the two index
+    * builds and exact pair decomposition — the `q_minhash_lsh` oracle
+    * discipline.
+    */
+  private val minhashIncrementalOracle =
+    """WITH eligible AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 5)
+      |SELECT
+      |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |  CAST(16 * count(*) AS BIGINT) AS band_rows_inc,
+      |  true AS inc_equals_rebuild,
+      |  true AS pairs_decompose
+      |FROM eligible""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
     "q_branch_merge" -> (branchMergeQ _),
     "q_mv_incremental" -> (mvIncrementalQ _),
     "q_mv_join_incremental" -> (mvJoinIncrementalQ _),
+    "q_minhash_incremental" -> (minhashIncrementalQ _),
     "q_bitemporal" -> (bitemporalQ _)
   )
 
@@ -308,6 +400,7 @@ object VersionedQueries {
     "q_branch_merge" -> branchMergeOracle,
     "q_mv_incremental" -> mvIncrementalOracle,
     "q_mv_join_incremental" -> mvJoinIncrementalOracle,
+    "q_minhash_incremental" -> minhashIncrementalOracle,
     "q_bitemporal" -> bitemporalOracle
   )
 }

@@ -37,6 +37,55 @@ object Vocab {
     */
   def topVocab(docs: DataFrame, v: Int): DataFrame = topOf(tokens(docs), v)
 
+  /** Heaps'-law (type–token) growth curve: vocabulary size as a function of
+    * corpus size, sampled at `points` equal-width document-id checkpoints —
+    * the audit that says whether a corpus is still contributing new
+    * vocabulary or has saturated (useful before paying for more data of the
+    * same source). Sub-linear growth (V ≈ K·nᵝ, β < 1) is healthy; a curve
+    * that flattens early means the marginal data is lexically redundant.
+    *
+    * Exactness: a token type is "seen by checkpoint c" iff its FIRST
+    * occurrence (min doc id) is ≤ c — so each checkpoint's type count is an
+    * exact conditional sum over the per-token min, and token totals are
+    * plain conditional counts. Checkpoints are `i·maxId/points` in integer
+    * division — a pure function of the corpus.
+    *
+    * Scale shape: one min-per-token aggregate (map-combined; vocabulary-
+    * sized result) and one `points`-column conditional aggregate over it,
+    * plus the same over the occurrence stream; the 1-row id-range frame
+    * broadcasts. Nothing is ever sorted.
+    */
+  def heapsCurve(docs: DataFrame, points: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(points >= 2 && points <= 64, s"points must be in [2,64], got $points")
+    val tok = docs.select(col(idCol).as("__id"), split(col(textCol), "\\s+").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = tok.select(col("__id"), explode(col("t")).as("term"))
+      .filter(col("term") =!= "")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firsts = occ.groupBy(col("term")).agg(min(col("__id")).as("__first"))
+    val maxId = occ.agg(max(col("__id")).as("__mx"))
+    def curve(src: DataFrame, idc: String, alias: String): DataFrame = {
+      // cross-multiplied (id·points ≤ maxId·i): pure BIGINT, no division —
+      // identical semantics to `id ≤ maxId·i/points` without a float or an
+      // engine-specific integer-division rounding in the comparison
+      val aggs = (1 to points).map { i =>
+        sum(when(col(idc) * points <= col("__mx") * i, 1L).otherwise(0L))
+          .as(s"${alias}_$i")
+      }
+      src.crossJoin(broadcast(maxId)).agg(aggs.head, aggs.tail: _*)
+    }
+    val types = curve(firsts, "__first", "types")
+    val tokens = curve(occ, "__id", "tokens")
+    // unpivot the two 1-row frames into (checkpoint, n_tokens, n_types)
+    val rows = (1 to points).map { i =>
+      types.crossJoin(broadcast(tokens))
+        .select(lit(i).as("checkpoint"), col(s"tokens_$i").as("n_tokens"),
+          col(s"types_$i").as("n_types"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Per-source token count, OOV count against the top-`v` vocabulary, and
     * the OOV rate (one division of exact longs). The token stream is built
     * (and its array frame persisted) ONCE and shared by the vocabulary cut

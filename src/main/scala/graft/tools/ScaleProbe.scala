@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [workDir] [replicas]
   * Prints one table row per (operator, corpus) with min-of-3 time, shuffle
-  * write/read bytes of the timed pass, and output rows.
+  * write/read bytes of the timed pass, and output rows. Operators marked
+  * `deep` additionally run at 3×replicas (default 30×) — the round-9 probe
+  * tier for the newest corpus workhorses (prefix filter, TF-cosine, random
+  * walks, batch interval join).
   */
 object ScaleProbe {
 
@@ -74,58 +77,98 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
 
     val base = planted(spark.read.parquet(s"$baseDir/documents.parquet"))
+    val deepReplicas = replicas * 3
     // fixture dirs are keyed by the base corpus so a probe against a
     // different sf never reuses stale replicas; delete workDir by hand
     // after changing planted()/replicate() themselves
     val corpusRoot = s"$workDir/${new java.io.File(baseDir).getName}"
-    Seq(1, replicas).foreach { n =>
+    Seq(1, replicas, deepReplicas).foreach { n =>
       val p = s"$corpusRoot/x$n"
       if (new java.io.File(p).exists())
         System.err.println(s"[scale] reusing existing corpus at $p")
       else replicate(base, n).write.mode("overwrite").parquet(p)
     }
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "ngramJaccardPairs" -> (d =>
+    // star-and-ring community edges derived from doc ids; the formula is
+    // invariant under the replica offset (10M ≡ 0 mod 100), so replicas
+    // carry disjoint copies of the same communities
+    def communityEdges(d: DataFrame): DataFrame = {
+      val ids = d.select(col("doc_id"))
+      val star = ids.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+          col("doc_id").as("id_b"))
+      val ring = ids.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      star.unionByName(ring)
+    }
+
+    // (name, runsAtDeepTier, op)
+    val ops: Seq[(String, Boolean, DataFrame => DataFrame)] = Seq(
+      ("ngramJaccardPairs", false, d =>
         graft.dedup.Dedup.ngramJaccardPairs(d, k = 5, threshold = 0.5)),
-      "sharedTokenRuns" -> (d =>
+      ("sharedTokenRuns", false, d =>
         graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
       // the sketch path too, band-collision noise notwithstanding
-      "minhashLsh" -> (d =>
+      ("minhashLsh", false, d =>
         graft.dedup.MinHashLSH.nearDuplicates(d, k = 5, numHashes = 64,
           bands = 16, threshold = 0.5)),
       // prefix filtering is LOSSLESS, so its Nx output must be exactly the
       // Nx exact-jaccard pair set — the linearity check simultaneously
       // validates the candidate bound and the result at scale
-      "prefixFilterJaccard" -> (d =>
+      ("prefixFilterJaccard", true, d =>
         graft.dedup.Dedup.prefixFilterJaccardPairs(d, k = 5, threshold = 0.5)),
-      // graph path: star-and-ring community edges derived from doc ids; the
-      // formula is invariant under the replica offset (10M ≡ 0 mod 100), so
-      // replicas carry disjoint copies of the same communities and the
-      // label table is exactly Nx rows
-      "labelPropagation" -> { d =>
-        val ids = d.select(col("doc_id"))
-        val star = ids.filter(col("doc_id") % 10 =!= 0)
-          .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
-            col("doc_id").as("id_b"))
-        val ring = ids.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
-          .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
-          .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-        graft.dedup.DupClusters.labelPropagation(star.unionByName(ring), rounds = 2)
-      },
+      // TF-cosine: the rare-shingle df cut bounds the candidate join; the
+      // pair set is intra-replica only (disjoint vocab ⇒ cosine 0 across)
+      ("tfCosinePairs", true, d =>
+        graft.dedup.Dedup.tfCosinePairs(d, k = 5, threshold = 0.5)),
+      ("labelPropagation", false, d =>
+        graft.dedup.DupClusters.labelPropagation(communityEdges(d), rounds = 2)),
+      // random walks: one walk per node (rows out = #nodes exactly); the
+      // r9 min_by step aggregate must keep the per-step candidate frame
+      // O(Σ degree) with map-side partial collapse — linear time/shuffle
+      ("randomWalks", true, d =>
+        graft.dedup.DupClusters.randomWalks(communityEdges(d), steps = 3)),
+      // the hub valve: capped adjacency (top-4 of the ~9-degree star hubs)
+      // — same linearity contract, lower constant
+      ("randomWalksCapped", true, d =>
+        graft.dedup.DupClusters.randomWalks(communityEdges(d), steps = 3,
+          maxDegree = Some(4))),
+      // batch form of the stream-stream interval join (q_stream_join's
+      // oracle shape): equi user key + event-time range. Users and minutes
+      // derive from doc ids with moduli invariant under both the replica
+      // (10M) and planted (+5M) offsets (100 | both, 4 | both), so each
+      // replica contributes an identical, disjoint join structure
+      ("intervalJoinBatch", true, { d =>
+        val views = d.select(
+          (col("doc_id") - col("doc_id") % 100).as("v_user"),
+          col("doc_id").as("view_id"),
+          timestamp_micros(col("doc_id") % 100 * 60000000L).as("vt"))
+        val purch = d.select(
+          (col("doc_id") - col("doc_id") % 100).as("p_user"),
+          col("doc_id").as("purchase_id"),
+          timestamp_micros(col("doc_id") % 100 * 60000000L +
+            (col("doc_id") % 4 + 1) * 30000000L).as("pt"))
+        views.join(purch, col("v_user") === col("p_user") &&
+          col("pt") >= col("vt") &&
+          col("pt") < col("vt") + expr("INTERVAL 2 MINUTES"))
+      }),
       // DSIR: the weight table stays bucket-bounded at ANY corpus size (its
       // row count is ≤ 256 at every scale — THE broadcastability claim this
       // probe exists to measure); output rows = #docs exactly, and the two
       // corpus-sized shuffles (bucket counts map-combined, per-doc score
       // agg) must grow linearly
-      "dsirDocScores" -> (d =>
+      ("dsirDocScores", false, d =>
         graft.text.Dsir.docScores(d, targetSource = "src0")))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
-    val rows = for ((opName, op) <- ops; n <- Seq(1, replicas)) yield {
+    val rows = for {
+      (opName, deep, op) <- ops
+      n <- if (deep) Seq(1, replicas, deepReplicas) else Seq(1, replicas)
+    } yield {
       val docs = spark.read.parquet(s"$corpusRoot/x$n")
       val nDocs = docs.count()
       var bestT = Double.MaxValue
@@ -144,13 +187,14 @@ object ScaleProbe {
         f"${bw / 1e6}%9.1f ${br / 1e6}%9.1f $out%9d")
       (opName, n, nDocs, bestT, bw, br, out)
     }
-    // linearity summary: Nx vs 1x ratios per operator
-    rows.groupBy(_._1).foreach { case (opName, rs) =>
+    // linearity summary: Nx vs 1x ratios per operator, at every probed tier
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (opName, rs) =>
       val one = rs.find(_._2 == 1).get
-      val big = rs.find(_._2 == replicas).get
-      println(f"[scale] $opName: time x${big._4 / one._4}%.2f, " +
-        f"shufW x${big._5.toDouble / one._5}%.2f, " +
-        f"rows x${big._7.toDouble / one._7}%.2f (expect ${replicas}.00)")
+      rs.filter(_._2 > 1).sortBy(_._2).foreach { big =>
+        println(f"[scale] $opName x${big._2}: time x${big._4 / one._4}%.2f, " +
+          f"shufW x${big._5.toDouble / one._5}%.2f, " +
+          f"rows x${big._7.toDouble / one._7}%.2f (expect ${big._2}.00)")
+      }
     }
     spark.stop()
   }
