@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: connected components over a near-duplicate
@@ -509,5 +509,67 @@ object DupClusters {
     }
     walk.drop("cur")
       .select(col("walk") +: (1 to steps).map(s => col(s"step$s")): _*)
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg), UNNORMALIZED for exactness:
+    * with h₀ ≡ 1, authority a₁(v) = Σ_{u→v} h₀(u) = in-degree, hub
+    * h₁(u) = Σ_{u→v} a₁(v), a₂(v) = Σ_{u→v} h₁(u) — every score an exact
+    * BIGINT (the usual L2 normalization only rescales the ranking and
+    * costs a cross-engine sqrt, so it is deliberately omitted; two rounds
+    * keep magnitudes ≤ deg·max-degree², far under 2⁶³ for real graphs).
+    *
+    * Scale shape: each half-round is ONE equi-join of the score table onto
+    * the edge list plus a map-combined aggregate — the PageRank message
+    * shape without the dangling-mass correction. Edges are used as-is
+    * (directed); scores live keyed by node.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = e.groupBy(col("dst")).agg(count(lit(1)).as("a1")) // Σ h0 = indeg
+    val h1 = e.join(a1, Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+    a1.join(a2, Seq("dst"), "left_outer")
+      .select(col("dst").as("node"), col("a1").as("authority1"),
+        coalesce(col("a2"), lit(0L)).as("authority2"))
+  }
+
+  /** Degree-assortativity coefficient (Newman): the Pearson correlation of
+    * endpoint degrees over the directed-both-ways edge list — do similar-
+    * degree nodes attach to each other (r > 0, social graphs) or do hubs
+    * attach to leaves (r < 0, web/biology)? The ONE number that says
+    * whether a dedup/citation graph's hubs are a star risk.
+    *
+    * Exactness: degrees and all five moment sums are BIGINTs; the n·Σ
+    * products go through DECIMAL(38) (the [[graft.analytics.Correlation]]
+    * pearsonMatrix discipline) and r is one fixed-operand-order IEEE
+    * expression. One degree aggregate, two broadcast-shaped joins onto the
+    * edge list, one map-combined moment aggregate.
+    */
+  def degreeAssortativity(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val m = e
+      .join(deg.select(col("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = (dec(col("m")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+    val da = (dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
+    val db = (dec(col("m")) * col("syy") - dec(col("sy")) * col("sy")).cast("double")
+    m.withColumn("assortativity",
+      when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db)))
+        .otherwise(lit(null).cast("double")))
   }
 }

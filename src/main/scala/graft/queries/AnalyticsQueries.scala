@@ -2097,6 +2097,78 @@ object AnalyticsQueries {
       |SELECT walk, step1, step2, step3 FROM s3 ORDER BY walk""".stripMargin
   }
 
+  /** HITS hubs-and-authorities ([[graft.dedup.DupClusters.hits]]) on the
+    * customer→supplier bipartite graph (orders ⋈ lineitem): authority1 =
+    * customer-reach (in-degree), authority2 = two-hop hub-weighted reach —
+    * the "most structurally central suppliers" ranking, all exact BIGINTs
+    * (normalization deliberately omitted — it only rescales).
+    */
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    graft.dedup.DupClusters.hits(e)
+      .orderBy(col("authority2").desc, col("node")).limit(10)
+  }
+
+  private val hitsOracle =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY dst),
+      |h1 AS (
+      |  SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+      |  FROM e JOIN a1 USING (dst) GROUP BY src),
+      |a2 AS (
+      |  SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+      |  FROM e JOIN h1 USING (src) GROUP BY dst)
+      |SELECT a1.dst AS node, a1.a1 AS authority1,
+      |  CAST(COALESCE(a2.a2, 0) AS BIGINT) AS authority2
+      |FROM a1 LEFT JOIN a2 ON a1.dst = a2.dst
+      |ORDER BY authority2 DESC, node LIMIT 10""".stripMargin
+
+  /** Degree assortativity ([[graft.dedup.DupClusters.degreeAssortativity]])
+    * of the star-and-ring community graph — hubs attach to leaves, so r
+    * must come out strongly negative; all five moment sums exact BIGINT,
+    * r one fixed-order expression through DECIMAL(38) products.
+    */
+  private def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val ids = graft.Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val star = ids.filter(col("id") % 10 =!= 0)
+      .select((col("id") - col("id") % 10).as("id_a"), col("id").as("id_b"))
+    val ring = ids.filter(col("id") % 10 === 0 && col("id") % 100 < 90)
+      .select(col("id").as("id_a"), (col("id") + 10).as("id_b"))
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.dedup.DupClusters.degreeAssortativity(star.unionByName(ring))
+  }
+
+  private val assortativityOracle =
+    """WITH ids AS (SELECT doc_id AS id FROM documents),
+      |star AS (SELECT id - id % 10 AS u, id AS v FROM ids WHERE id % 10 <> 0),
+      |ring AS (SELECT a.id AS u, a.id + 10 AS v FROM ids a
+      |  JOIN ids b ON b.id = a.id + 10
+      |  WHERE a.id % 10 = 0 AND a.id % 100 < 90),
+      |p AS (SELECT u, v FROM star UNION SELECT u, v FROM ring),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+      |j AS (
+      |  SELECT du.d AS dx, dv.d AS dy FROM e
+      |  JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+      |mm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dx) AS BIGINT) AS sx,
+      |    CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(sum(dy * dy) AS BIGINT) AS syy
+      |  FROM j)
+      |SELECT m, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0.0
+      |        AND CAST(m * syy - sy * sy AS DOUBLE) > 0.0
+      |    THEN CAST(m * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+      |        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+      |    ELSE NULL END AS assortativity
+      |FROM mm""".stripMargin
+
   /** l-diversity audit ([[graft.ops.Privacy.lDiversity]]): quasi-identifier
     * groups = (mktsegment, nation), sensitive value = the customer's order
     * priority — a group where everyone shares one priority leaks it even
@@ -3170,6 +3242,8 @@ object AnalyticsQueries {
     "q_k_anonymity" -> (kAnonymityQ _),
     "q_l_diversity" -> (lDiversityQ _),
     "q_t_closeness" -> (tClosenessQ _),
+    "q_hits" -> (hitsQ _),
+    "q_assortativity" -> (assortativityQ _),
     "q_random_walks" -> (randomWalksQ _),
     "q_top_paths" -> (topPathsQ _),
     "q_integrity_checks" -> (integrityQ _),
@@ -3271,6 +3345,8 @@ object AnalyticsQueries {
     "q_k_anonymity" -> kAnonymityOracle,
     "q_l_diversity" -> lDiversityOracle,
     "q_t_closeness" -> tClosenessOracle,
+    "q_hits" -> hitsOracle,
+    "q_assortativity" -> assortativityOracle,
     "q_random_walks" -> randomWalksOracle,
     "q_top_paths" -> topPathsOracle,
     "q_integrity_checks" -> integrityOracle,

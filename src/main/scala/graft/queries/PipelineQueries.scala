@@ -2515,6 +2515,62 @@ object PipelineQueries {
       |FROM de ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility per language — the cross-lingual tokenizer-
+    * fairness audit (a vocab trained on one language mix over-fragments
+    * the others; fertility = BPE tokens per whitespace word): the same
+    * 3-round corpus-trained merges as `q_bpe_encode`, aggregated per
+    * `lang` with exact BIGINT sums and ONE final division.
+    */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  private val bpeFertilityOracle = {
+    val s2 = "chr(31)||chr(31)"
+    val cls = "'['||chr(30)||chr(31)||']+'"
+    s"""WITH $bpeTrainCtes,
+      |dt AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |d0 AS (
+      |  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_words,
+      |    array_to_string(list_transform(tk, w ->
+      |      $s2||array_to_string(regexp_extract_all(w, '.'), $s2)||$s2),
+      |      chr(30)) AS s0
+      |  FROM dt),
+      |de AS (
+      |  SELECT doc_id, lang, n_words,
+      |    replace(replace(replace(s0,
+      |      chr(31)||m1.l||$s2||m1.r||chr(31), chr(31)||m1.l||m1.r||chr(31)),
+      |      chr(31)||m2.l||$s2||m2.r||chr(31), chr(31)||m2.l||m2.r||chr(31)),
+      |      chr(31)||m3.l||$s2||m3.r||chr(31), chr(31)||m3.l||m3.r||chr(31))
+      |      AS enc
+      |  FROM d0 CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3),
+      |pd AS (
+      |  SELECT doc_id, lang, n_words,
+      |    CAST(len(list_filter(string_split_regex(enc, $cls), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM de)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+      |    AS fertility
+      |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private val bpePairsOracle =
     """WITH w AS (
       |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
@@ -2895,7 +2951,96 @@ object PipelineQueries {
       |  intersection::DOUBLE / sb.n::DOUBLE) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Blocked edit-distance entity resolution
+    * ([[Dedup.editDistancePairs]]): 20-char keys, 4-char prefix blocks,
+    * Levenshtein ≤ 3 verify. Twins planted by replacing the key's 11th
+    * character on every 10th doc (INSIDE the block prefix's shadow — the
+    * prefix is untouched, so blocking must recover every twin); natural
+    * same-prefix near-keys ride along, and the oracle recomputes the
+    * identical blocked join with DuckDB's levenshtein.
+    */
+  private def editDistanceErQ(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("k0"))
+    val twins = keys.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(substring(col("k0"), 1, 10), lit("X"),
+          substring(col("k0"), 12, 9)).as("k0"))
+    Dedup.editDistancePairs(keys.unionByName(twins), "k0", maxDist = 3,
+        prefixLen = 4)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val editDistanceErOracle =
+    """WITH keys AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS k0 FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    substr(text, 1, 10) || 'X' || substr(text, 12, 9)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |blocked AS (
+      |  SELECT doc_id AS id, k0 AS k, substr(k0, 1, 4) AS blk
+      |  FROM keys WHERE len(k0) >= 4)
+      |SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+      |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      |FROM blocked a JOIN blocked b
+      |  ON a.blk = b.blk AND a.id < b.id AND abs(len(a.k) - len(b.k)) <= 3
+      |WHERE levenshtein(a.k, b.k) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Entity canonicalization from blocked edit-distance pairs: ER matches
+    * ([[Dedup.editDistancePairs]]) → [[DupClusters.connectedComponents]] →
+    * one row per multi-record entity (canonical = min id, size, id-sum
+    * checksum). The full record-linkage pipeline — match, cluster,
+    * canonicalize — under one oracle (recursive-CTE closure on the DuckDB
+    * side).
+    */
+  private def erEntitiesQ(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("k0"))
+    val twins = keys.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(substring(col("k0"), 1, 10), lit("X"),
+          substring(col("k0"), 12, 9)).as("k0"))
+    val pairs = Dedup.editDistancePairs(keys.unionByName(twins), "k0",
+      maxDist = 3, prefixLen = 4).select(col("id_a"), col("id_b"))
+    DupClusters.connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("component"))
+  }
+
+  private val erEntitiesOracle =
+    """WITH RECURSIVE keys AS (
+      |  SELECT doc_id, substr(text, 1, 20) AS k0 FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    substr(text, 1, 10) || 'X' || substr(text, 12, 9)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |blocked AS (
+      |  SELECT doc_id AS id, k0 AS k, substr(k0, 1, 4) AS blk
+      |  FROM keys WHERE len(k0) >= 4),
+      |p AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM blocked a JOIN blocked b
+      |    ON a.blk = b.blk AND a.id < b.id AND abs(len(a.k) - len(b.k)) <= 3
+      |  WHERE levenshtein(a.k, b.k) <= 3),
+      |e AS (SELECT id_a AS u, id_b AS v FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u),
+      |comp AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)
+      |SELECT component, CAST(count(*) AS BIGINT) AS n_records,
+      |  CAST(sum(id) AS BIGINT) AS sum_ids
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_distance_er" -> (editDistanceErQ _),
+    "q_er_entities" -> (erEntitiesQ _),
+    "q_bpe_fertility" -> (bpeFertilityQ _),
     "q_containment" -> (containmentQ _),
     "q_readability" -> (readabilityQ _),
     "q_zorder3" -> (zorder3Q _),
@@ -3010,6 +3155,9 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_containment" -> containmentOracle,
+    "q_edit_distance_er" -> editDistanceErOracle,
+    "q_er_entities" -> erEntitiesOracle,
+    "q_bpe_fertility" -> bpeFertilityOracle,
     "q_readability" -> readabilityOracle,
     "q_zorder3" -> zorder3Oracle,
     "q_ann_recall" -> annRecallOracle,

@@ -416,7 +416,87 @@ object SelectionQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** Decision-stump Gini feature ranking
+    * ([[graft.text.FeatureSelect.giniStumps]]): for the 30 highest-df
+    * tokens, the Gini gain of splitting on document-level token presence
+    * against the lang='en' label — exact presence counts, the gain one
+    * fixed-operand-order IEEE expression, hash-compared.
+    */
+  private def giniQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.FeatureSelect.giniStumps(Tables.documents(s, dir),
+        when(col("lang") === "en", 1L).otherwise(0L), topTokens = 30)
+      .orderBy(col("token"))
+
+  private val giniOracle = {
+    def gini(pos: String, tot: String): String =
+      s"""CASE WHEN ($tot) > 0 THEN 1.0
+         |  - (CAST(($pos) AS DOUBLE) / CAST(($tot) AS DOUBLE))
+         |    * (CAST(($pos) AS DOUBLE) / CAST(($tot) AS DOUBLE))
+         |  - (CAST(($tot) - ($pos) AS DOUBLE) / CAST(($tot) AS DOUBLE))
+         |    * (CAST(($tot) - ($pos) AS DOUBLE) / CAST(($tot) AS DOUBLE))
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id AS doc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    string_split_regex(text, '\\s+') AS t
+       |  FROM documents),
+       |presence AS (
+       |  SELECT DISTINCT doc, y, token FROM (
+       |    SELECT doc, y, unnest(t) AS token FROM base)
+       |  WHERE token <> ''),
+       |pt AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(y) AS BIGINT) AS p1
+       |  FROM presence GROUP BY token
+       |  ORDER BY df DESC, token LIMIT 30),
+       |par AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+       |  FROM base)
+       |SELECT token, df, p1,
+       |  (${gini("p", "n")})
+       |  - (CAST(df AS DOUBLE) / CAST(n AS DOUBLE)) * (${gini("p1", "df")})
+       |  - (CAST(n - df AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (${gini("p - p1", "n - df")}) AS gini_gain
+       |FROM pt, par ORDER BY token""".stripMargin
+  }
+
+  /** Rendezvous-sharding elasticity audit ([[graft.ops.Sharding]]): doc
+    * ids onto an 8-shard ring, then the 8→9 growth — keys moved must be
+    * the argmax flips only (≈ 1/9 of the keyspace, vs 8/9 under
+    * mod-hashing). The oracle replays the md5 argmax per (key, shard).
+    */
+  private def shardingQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.growthAudit(Tables.documents(s, dir), "doc_id", n = 8)
+
+  private val shardingOracle = {
+    val u32 = OracleSql.md5U32Sql(
+      "'shard:' || CAST(key AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    def ring(n: Int, alias: String): String =
+      s"""$alias AS (
+         |  SELECT key, s AS shard FROM (
+         |    SELECT key, s, row_number() OVER (PARTITION BY key
+         |      ORDER BY w DESC, s DESC) AS rn
+         |    FROM (SELECT key, s, ($u32) AS w
+         |          FROM k, range(0, $n) r(s)))
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH k AS (SELECT DISTINCT doc_id AS key FROM documents),
+       |${ring(8, "a8")},
+       |${ring(9, "a9")},
+       |mv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_moved
+       |  FROM a8 JOIN a9 USING (key)),
+       |ld AS (
+       |  SELECT CAST(max(load) AS BIGINT) AS max_load,
+       |    CAST(min(load) AS BIGINT) AS min_load
+       |  FROM (SELECT shard, count(*) AS load FROM a8 GROUP BY shard))
+       |SELECT n_keys, n_moved, max_load, min_load FROM mv, ld""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rendezvous_shards" -> (shardingQ _),
+    "q_gini_stumps" -> (giniQ _),
     "q_dsir_weights" -> (dsirQ _),
     "q_negative_sample" -> (negativeSampleQ _),
     "q_oov_rate" -> (oovRateQ _),
@@ -430,6 +510,8 @@ object SelectionQueries {
     "q_class_balance" -> (classBalanceQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_gini_stumps" -> giniOracle,
+    "q_rendezvous_shards" -> shardingOracle,
     "q_dsir_weights" -> dsirOracle,
     "q_negative_sample" -> negativeSampleOracle,
     "q_oov_rate" -> oovRateOracle,

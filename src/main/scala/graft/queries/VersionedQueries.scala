@@ -316,10 +316,18 @@ object VersionedQueries {
       .select(col("doc_id"), col("text")), tmp)
     Versioned.commitAtomic(docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text")), tmp)
+    // every shingle frame is persisted BEFORE the signature explode —
+    // NOTES rule 1 (the explode-pushdown trap): an unpersisted array frame
+    // lets Catalyst re-inline the shingle HOF per exploded element
+    // (measured 19 s/build instead of ~1 s on this corpus)
     val shBase = Dedup.withShingles(Versioned.read(s, tmp, Some(1)), 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cdcInserts = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")
     val shDelta = Dedup.withShingles(cdcInserts, 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shFull = Dedup.withShingles(Versioned.read(s, tmp, Some(2)), 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val b1 = MinHashLSH.bandTable(
       MinHashLSH.signaturesFromShingles(shBase, 64), 16)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -327,8 +335,9 @@ object VersionedQueries {
       MinHashLSH.signaturesFromShingles(shDelta, 64), 16)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bInc = b1.unionByName(bDelta).persist(StorageLevel.MEMORY_AND_DISK)
-    val bFull = MinHashLSH.bandTable(MinHashLSH.signaturesFromShingles(
-      Dedup.withShingles(Versioned.read(s, tmp, Some(2)), 5), 64), 16)
+    val bFull = MinHashLSH.bandTable(
+      MinHashLSH.signaturesFromShingles(shFull, 64), 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def fp(df: DataFrame, n: String, x: String) =
       df.agg(count(lit(1)).as(n),
         coalesce(call_function("bit_xor",

@@ -193,6 +193,25 @@ class DupClustersSpec extends SparkSpec {
     assert(out.toSeq.map(_._3).sum == 7L) // n_docs partitions the universe
   }
 
+  test("hits: hand-computed two-round authorities on a tiny bipartite graph") {
+    val e = Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("src", "dst")
+    val out = DupClusters.hits(e).as[(String, Long, Long)].collect().toSet
+    // a1: a=2, b=1;  h1: 1↦2, 2↦3;  a2: a = 2+3 = 5, b = 3
+    assert(out == Set(("a", 2L, 5L), ("b", 1L, 3L)))
+  }
+
+  test("degreeAssortativity: perfect star is exactly −1; regular ring is +1-degenerate") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = DupClusters.degreeAssortativity(star)
+      .select("assortativity").as[Double].head()
+    assert(r == -1.0, s"star assortativity must be exactly −1, got $r")
+    // 4-ring: every node degree 2 → zero variance → NULL by convention
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("id_a", "id_b")
+    val rr = DupClusters.degreeAssortativity(ring)
+      .select(col("assortativity")).collect().head
+    assert(rr.isNullAt(0), "constant-degree graph must yield NULL r")
+  }
+
   test("randomWalks min_by aggregate reproduces the windowed argmin semantics") {
     // reference: row_number over (md5(seed:walk:s:nxt), nxt) picking rank 1 —
     // the pre-r9 implementation — computed by hand via the same draw

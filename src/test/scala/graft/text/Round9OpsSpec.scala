@@ -71,6 +71,38 @@ class Round9OpsSpec extends SparkSpec {
       ("C", 2L, 0.1, true)))
   }
 
+  test("editDistancePairs: blocked candidates, exact Levenshtein, blocking contract") {
+    val rows = Seq(
+      (1L, "alpha-node-17"), (2L, "alpha-node-18"),   // dist 1, same block
+      (3L, "alpha-node-9999"), (4L, "beta-node-17"),  // 3: len band; 4: other block
+      (5L, "aXpha-node-17")                           // differs INSIDE prefix: never candidate
+    ).toDF("doc_id", "k")
+    val out = graft.dedup.Dedup.editDistancePairs(rows, "k", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // (1,2) dist 1 found; (1,3)/(2,3) length diff 2 ⇒ in band, dist 3 > 2
+    // rejected by verify; (1,5) blocked away (prefix mismatch — the
+    // disclosed contract); (4,*) different block
+    assert(out == Set((1L, 2L, 1)))
+    // the plan shuffles on the block key — no nested-loop / cartesian
+    val plan = graft.dedup.Dedup.editDistancePairs(rows, "k", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"ER planned a product:\n$plan")
+  }
+
+  test("giniStumps: perfect separator maxes gain, useless token scores 0") {
+    val docs = Seq(
+      (1L, "good apple", 1L), (2L, "good pear", 1L),
+      (3L, "bad apple", 0L), (4L, "bad pear", 0L)).toDF("doc_id", "text", "y")
+    val out = FeatureSelect.giniStumps(docs, col("y"), topTokens = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // parent gini 0.5; 'good'/'bad' split perfectly → gain 0.5; 'apple'/
+    // 'pear' split 50/50 both sides → gain 0
+    assert(out("good") == 0.5 && out("bad") == 0.5)
+    assert(out("apple") == 0.0 && out("pear") == 0.0)
+  }
+
   test("heapsCurve: exact type/token counts at hand-checked checkpoints") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "d e f"))
       .toDF("doc_id", "text")
