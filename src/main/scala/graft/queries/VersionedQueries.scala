@@ -393,7 +393,66 @@ object VersionedQueries {
       |  true AS pairs_decompose
       |FROM eligible""".stripMargin
 
+  /** Incremental IVF cell-layout maintenance — the embedding-side twin of
+    * [[minhashIncrementalQ]]: the IVF index (16 k-means centroids) is
+    * FROZEN at v1 (production retrains centroids offline on a cadence;
+    * assignments between retrains are incremental), the delta lands
+    * through [[Versioned.commitAtomic]], CDC inserts get cell ids from the
+    * frozen codebook — a pure per-row native expression, NO shuffle — and
+    * the union with v1's assignments must equal re-assigning all of v2
+    * under (count, xor-hash). At 100 TB the layout update appends
+    * |delta| rows into ≤ nlist cell partitions; the corpus is never
+    * re-assigned.
+    */
+  private def ivfIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Ivf
+    import org.apache.spark.storage.StorageLevel
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_inc_").toString
+    Versioned.commit(emb.filter(col("vec_id") % 5 =!= 0), tmp)
+    Versioned.commitAtomic(emb.filter(col("vec_id") % 5 === 0), tmp)
+    val v1 = Versioned.read(s, tmp, Some(1)).persist(StorageLevel.MEMORY_AND_DISK)
+    val index = Ivf.build(v1, nlist = 16)
+    def assigned(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        Ivf.cellId(col("embedding").cast("array<double>"), index).as("cell"))
+    val cdcInserts = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    val aInc = assigned(v1).unionByName(assigned(cdcInserts))
+    val aFull = assigned(Versioned.read(s, tmp, Some(2)))
+    def fp(df: DataFrame, n: String, x: String) =
+      df.agg(count(lit(1)).as(n),
+        coalesce(call_function("bit_xor", xxhash64(col("vec_id"), col("cell"))),
+          lit(0L)).as(x))
+    val eq = fp(aInc, "n_inc", "x_inc")
+      .crossJoin(broadcast(fp(aFull, "n_full", "x_full")))
+      .select((col("n_inc") === col("n_full") && col("x_inc") === col("x_full"))
+        .as("inc_equals_rebuild"))
+    v1.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(assigned(cdcInserts)
+        .agg(count(lit(1)).as("n_delta"),
+          countDistinct(col("cell")).as("n_cells_touched"))))
+      .crossJoin(broadcast(eq))
+      .select(col("n_base"), col("n_delta"),
+        (col("n_cells_touched") <= 16).as("cells_bounded"),
+        col("inc_equals_rebuild"))
+  }
+
+  /** n_base/n_delta are deterministic from the embeddings table; the cell
+    * ids are k-means-derived (not SQL-recomputable), so the layout proofs
+    * ride as self-verifying in-plan booleans — the
+    * [[minhashIncrementalOracle]] discipline.
+    */
+  private val ivfIncrementalOracle =
+    """SELECT
+      |  CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |  true AS cells_bounded,
+      |  true AS inc_equals_rebuild
+      |FROM embeddings""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_incremental" -> (ivfIncrementalQ _),
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
     "q_branch_merge" -> (branchMergeQ _),
@@ -410,6 +469,7 @@ object VersionedQueries {
     "q_mv_incremental" -> mvIncrementalOracle,
     "q_mv_join_incremental" -> mvJoinIncrementalOracle,
     "q_minhash_incremental" -> minhashIncrementalOracle,
+    "q_ivf_incremental" -> ivfIncrementalOracle,
     "q_bitemporal" -> bitemporalOracle
   )
 }
