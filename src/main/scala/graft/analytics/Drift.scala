@@ -83,4 +83,56 @@ object Drift {
       .withColumn("alarm", col("cusum") >= h)
       .drop("__cum")
   }
+
+  /** Two-proportion A/B conversion test: unit-level deterministic hash
+    * assignment (`md5U32("ab:<seed>:" || unit) mod 2` — growth-stable, no
+    * assignment table to store or join), unit-level conversion = "at least
+    * `minSuccesses` success events", pooled two-proportion z statistic.
+    *
+    * Oracle discipline: n/conversions per arm are exact BIGINTs; rates and
+    * the z score are single fixed-operand-order IEEE expressions over those
+    * longs (+, −, ×, ÷, √ are all correctly rounded, so the statistic is
+    * bit-portable — the chi2Buckets precedent).
+    *
+    * Scale shape: one map-combined aggregate to unit level (assignment is a
+    * pure projection), one 2-row aggregate, then a 1-row wide pivot — the
+    * event log is scanned once and never re-shuffled.
+    */
+  def abTest(events: DataFrame, unitCol: String, success: Column,
+             seed: String, minSuccesses: Long = 1L): DataFrame = {
+    require(minSuccesses >= 1, s"minSuccesses must be >= 1, got $minSuccesses")
+    val arm = pmod(conv(substring(md5(concat(lit(s"ab:$seed:"),
+      col("unit").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+    val units = events
+      .select(col(unitCol).as("unit"), success.cast("long").as("__s"))
+      .groupBy(col("unit"))
+      .agg((sum(col("__s")) >= minSuccesses).cast("long").as("converted"))
+      .withColumn("arm", arm)
+    val byArm = units.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = byArm.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    // ANSI double division throws on a zero divisor, so every ratio is
+    // gated; a degenerate experiment (empty arm, 0% or 100% pooled rate)
+    // yields NULL statistics instead of an abort
+    val pA = when(col("n_a") > 0,
+      col("conv_a").cast("double") / col("n_a").cast("double"))
+    val pB = when(col("n_b") > 0,
+      col("conv_b").cast("double") / col("n_b").cast("double"))
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    wide
+      .withColumn("rate_a", pA)
+      .withColumn("rate_b", pB)
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+             col("conv_a") + col("conv_b") > 0 &&
+             col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          (pA - pB) / se))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order-statistic quantiles in TWO PASSES, no global sort — the
+  * scale-safe alternative to `row_number() OVER (ORDER BY v)` (one task
+  * sorts the world) and to `approx_percentile` (not exact).
+  *
+  * Pass 1 histograms the column into fixed-width buckets: one map-combined
+  * shuffle whose reduce side is ≤ (value range / bucketWidth) rows —
+  * metadata-sized, so the cumulative-count window over it is a bounded
+  * single task by construction (the same envelope as every 1-row gate in
+  * the TPC-H suite). Pass 2 re-reads ONLY the straddling bucket per
+  * quantile (a pushable range predicate on the scan) and selects the exact
+  * in-bucket rank with a window bounded by that bucket's population. Total:
+  * two scans, zero global sorts; at 100 TB the second scan touches
+  * 1/n_buckets of the data per quantile.
+  *
+  * Rank convention: `k(p‰) = ceil(n·p/1000)` (1-indexed lower quantile),
+  * computed by integer cross-multiplication — never FP. Selection is by
+  * VALUE at rank k, so tie order inside a bucket cannot change the answer.
+  */
+object Quantiles {
+
+  /** Exact per-mille quantiles of `centsCol` (an exact BIGINT column —
+    * callers convert money via DECIMAL, see [[graft.queries]] usage).
+    * Returns one row per requested per-mille point with the total count,
+    * the selected rank, and the exact value.
+    */
+  def exactQuantilesTwoPass(df: DataFrame, centsCol: String,
+                            permille: Seq[Int], bucketWidth: Long): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille points must be in [1,1000], got $permille")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val cents = df.select(col(centsCol).as("c"))
+      .withColumn("bucket", expr(s"c div $bucketWidth"))
+    // pass 1: bounded histogram + cumulative counts (metadata-sized frame)
+    val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    // one row per quantile: its rank and straddling bucket
+    val targets = n
+      .select(col("n"), explode(array(permille.map(p => lit(p)): _*)).as("p"))
+      .withColumn("k", expr("(n * p + 999) div 1000"))
+      .join(cum, col("k") > col("cum_prev") && col("k") <= col("cum"))
+      .select(col("p"), col("n"), col("k"), col("bucket"),
+        col("cum_prev").as("below"))
+    // pass 2: only the straddling buckets are re-read; in-bucket exact rank
+    val inBucket = Window.partitionBy(col("p")).orderBy(col("c"))
+    cents.join(broadcast(targets), Seq("bucket"))
+      .withColumn("__rk", row_number().over(inBucket))
+      .filter(col("__rk") === col("k") - col("below"))
+      .select(col("p"), col("n"), col("k"), col("c").as("value_cents"))
+  }
+}

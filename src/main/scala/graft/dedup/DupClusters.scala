@@ -219,9 +219,16 @@ object DupClusters {
     * identical to [[twoHopNeighbors]]), then an edge anti-join and two
     * metadata-sized degree joins. Run after a degree cut on hub-prone
     * graphs; frequency-cut pair tables bound degrees by construction.
+    * `maxMiddleDegree` is the in-operator hub valve: wedges whose MIDDLE
+    * vertex exceeds the cap are dropped before the self-join (a degree-d
+    * hub contributes d² wedges), with the disclosed bias that pairs whose
+    * only shared neighbors are celebrity hubs go unscored — for link
+    * prediction the signal you usually want to ignore anyway. Endpoint
+    * degrees (and so `n_union`) stay exact.
     */
-  def linkPrediction(pairs: DataFrame, idA: String = "id_a",
-                     idB: String = "id_b"): DataFrame = {
+  def linkPrediction(pairs: DataFrame, maxMiddleDegree: Int = Int.MaxValue,
+                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(maxMiddleDegree >= 1, s"maxMiddleDegree must be >= 1, got $maxMiddleDegree")
     val e = pairs.select(
         least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
         greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
@@ -230,11 +237,15 @@ object DupClusters {
     val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val middles =
+      if (maxMiddleDegree == Int.MaxValue) adj
+      else adj.join(deg.filter(col("d") <= maxMiddleDegree).select(col("u")),
+        Seq("u"), "left_semi")
     // each wedge a–m–b (a < b) is one row per distinct middle m, so the
     // count per (a, b) IS |N(a) ∩ N(b)|; the anti-join drops already-linked
     // pairs (e is normalized u < v, matching the a < b orientation)
-    val common = adj.select(col("u").as("a"), col("v").as("m"))
-      .join(adj.select(col("u").as("m"), col("v").as("b")), Seq("m"))
+    val common = middles.select(col("v").as("a"), col("u").as("m"))
+      .join(middles.select(col("u").as("m"), col("v").as("b")), Seq("m"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
       .join(e.select(col("u").as("a"), col("v").as("b")),
@@ -572,4 +583,5 @@ object DupClusters {
       when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db)))
         .otherwise(lit(null).cast("double")))
   }
+
 }

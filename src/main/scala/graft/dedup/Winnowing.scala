@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+  * 2003 — the MOSS algorithm): slide a window of `w` consecutive k-gram
+  * hashes over each document and select each window's MINIMUM hash as a
+  * fingerprint. The winnowing theorem guarantees any shared token run of at
+  * least `w + k − 1` tokens between two documents yields at least one
+  * SHARED fingerprint, while only ~`2/(w+1)` of positions are selected — a
+  * near-dup signal with a *provable* detection floor at a fraction of the
+  * full positional-shingle volume ([[Dedup.sharedTokenRuns]] is the exact
+  * run extractor; winnowing is its cheap corpus-scale screen).
+  *
+  * Determinism/portability: fingerprint identity is the VALUE of the window
+  * minimum (not its position), so tie-breaking between equal hashes is
+  * irrelevant and the selected set is a pure function of the text. Hashes
+  * are the `md5U32` uniform, so a verification engine replays the selection
+  * bit-exactly.
+  *
+  * Scale shape: k-gram hashing is one codegen projection over the exploded
+  * token stream (lead() window — no interpreted HOF lambda per element);
+  * the window minimum rides the SAME (doc, pos) sort — one shuffle total
+  * for fingerprinting. The pair join is bounded by the fingerprint-df cut
+  * (`maxDocFreq`): a fingerprint shared by more than that many documents is
+  * boilerplate and is dropped before the self-join, the same valve as the
+  * shingle-frequency cut in [[Dedup.ngramJaccardPairs]] (bias disclosed:
+  * pairs whose ONLY shared runs are corpus-boilerplate are missed — by
+  * design).
+  */
+object Winnowing {
+
+  private def md5U32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Selected fingerprints per document: distinct `(doc_id, fp)` rows, where
+    * `fp` is the minimum k-gram hash of some full `w`-window. Documents with
+    * fewer than `w + k − 1` tokens yield no fingerprints.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = docs
+      .select(col(idCol).as("doc"), Dedup.tokens(col(textCol)).as("__t"))
+      .select(col("doc"), expr("filter(__t, x -> x <> '')").as("__t"))
+    val pos = toks.select(col("doc"), posexplode(col("__t")).as(Seq("pos", "wd")))
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    // k-gram hash at pos p = hash of tokens [p, p+k) — codegen lead(), no HOF
+    val withGram = pos
+      .withColumn("__g",
+        when((1 until k).map(j => lead(col("wd"), j).over(byPos).isNotNull)
+               .reduce(_ && _),
+          md5U32(concat_ws(" ",
+            col("wd") +: (1 until k).map(j => lead(col("wd"), j).over(byPos)): _*)))
+          .otherwise(lit(null)))
+      .filter(col("__g").isNotNull)
+    // window min over w consecutive grams, only for FULL windows; gram rows
+    // are contiguous in pos, so the same sort order serves both windows
+    val minW = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val cntW = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withGram
+      .withColumn("__fp", min(col("__g")).over(minW))
+      .withColumn("__follow", count(lit(1)).over(cntW))
+      .filter(col("__follow") >= w)
+      .select(col("doc"), col("__fp").as("fp"))
+      .distinct()
+  }
+
+  /** Document pairs sharing at least `minShared` selected fingerprints —
+    * the near-dup candidate set with the winnowing detection guarantee.
+    * `maxDocFreq` is the boilerplate valve (see object doc).
+    */
+  def fingerprintPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                       minShared: Int = 2, maxDocFreq: Int = 50,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = fingerprints(docs, k, w, idCol, textCol)
+    val rare = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("doc"), col("fp"))
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+}

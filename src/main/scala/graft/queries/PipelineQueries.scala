@@ -35,7 +35,7 @@ object PipelineQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("zqxnear "), col("text")).as("text")))
 
-  private val augCte =
+  private[queries] val augCte =
     """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Summary-structure and audit operators: Count-Min frequency sketching
+  * ([[graft.analytics.CountMin]]), winnowing document fingerprints
+  * ([[graft.dedup.Winnowing]]), two-pass exact quantiles without a global
+  * sort ([[graft.analytics.Quantiles]]), hash-assigned two-proportion A/B
+  * testing ([[graft.analytics.Drift.abTest]]), and common-neighbor link
+  * prediction ([[graft.dedup.DupClusters.linkPrediction]]). Oracles replay
+  * the deterministic md5 uniform cell/fingerprint/assignment machinery in
+  * DuckDB; where the operator exists to avoid the naive global-sort plan,
+  * the naive form IS the oracle.
+  */
+object SummaryQueries {
+
+  /** Count-Min heavy-hitter audit: build the 4×512 grid over the document
+    * token stream, estimate the true top-10 tokens against their exact
+    * counts — `overshoot = est − true` must be ≥ 0 (the sketch's one-sided
+    * guarantee, verified row by row under the hash).
+    */
+  private def countMinQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trueTop = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token")).limit(10)
+    val grid = graft.analytics.CountMin.sketch(toks, "token", depth = 4, width = 512)
+    graft.analytics.CountMin.estimate(grid, trueTop, "token", depth = 4, width = 512)
+      .join(trueTop, col("item") === col("token"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overshoot"))
+      .orderBy(col("token"))
+  }
+
+  private val countMinOracle = {
+    val cellHash = OracleSql.md5U32Sql(
+      "'cm' || CAST(r AS VARCHAR) || ':' || token")
+    s"""WITH tk AS (
+       |  SELECT tok AS token FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |ttop AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+       |  FROM tk GROUP BY token ORDER BY true_cnt DESC, token LIMIT 10),
+       |cells AS (
+       |  SELECT token, r, ($cellHash) % 512 AS cell
+       |  FROM tk, range(0, 4) rr(r)),
+       |grid AS (
+       |  SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY r, cell),
+       |probe AS (
+       |  SELECT t.token, rr.r, ($cellHash) % 512 AS cell
+       |  FROM ttop t, range(0, 4) rr(r)),
+       |est AS (
+       |  SELECT p.token, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_cnt
+       |  FROM probe p LEFT JOIN grid g ON g.r = p.r AND g.cell = p.cell
+       |  GROUP BY p.token)
+       |SELECT t.token, t.true_cnt, e.est_cnt,
+       |  CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overshoot
+       |FROM ttop t JOIN est e USING (token)
+       |ORDER BY token""".stripMargin
+  }
+
+  /** Winnowing fingerprint near-dup pairs on the planted-duplicate corpus:
+    * k=3-gram hashes, window w=4, fingerprint-df cut 50, pairs sharing ≥ 2
+    * fingerprints. Exact copies share their whole fingerprint set and
+    * one-token-prepended near-copies all but the first windows — both
+    * planted families must surface (and do, under the hash).
+    */
+  private def winnowingQ(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnowing.fingerprintPairs(
+        PipelineQueries.augmented(Tables.documents(s, dir)),
+        k = 3, w = 4, minShared = 2, maxDocFreq = 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val winnowingOracle = {
+    val gramHash = OracleSql.md5U32Sql("wd || ' ' || w2 || ' ' || w3")
+    s"""WITH ${PipelineQueries.augCte},
+       |tok AS (
+       |  SELECT doc_id AS doc,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM aug),
+       |idx AS (SELECT doc, t, unnest(range(1, len(t) + 1)) AS pidx FROM tok),
+       |occ AS (SELECT doc, pidx - 1 AS pos, t[pidx] AS wd FROM idx),
+       |lw AS (
+       |  SELECT doc, pos, wd,
+       |    lead(wd, 1) OVER (PARTITION BY doc ORDER BY pos) AS w2,
+       |    lead(wd, 2) OVER (PARTITION BY doc ORDER BY pos) AS w3
+       |  FROM occ),
+       |gr AS (
+       |  SELECT doc, pos, ($gramHash) AS g
+       |  FROM lw WHERE w2 IS NOT NULL AND w3 IS NOT NULL),
+       |fp0 AS (
+       |  SELECT doc,
+       |    min(g) OVER (PARTITION BY doc ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fl
+       |  FROM gr),
+       |fps AS (SELECT DISTINCT doc, fp FROM fp0 WHERE fl >= 4),
+       |rare AS (
+       |  SELECT doc, fp FROM (
+       |    SELECT doc, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+       |  WHERE df <= 50)
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc
+       |GROUP BY a.doc, b.doc
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact p250/p500/p750/p900 of order totals via the two-pass histogram
+    * refine — the oracle is the naive global `row_number() OVER (ORDER BY)`
+    * selection, so hash equality proves the sort-free plan selects the
+    * identical order statistics. Money goes through DECIMAL cents (exact).
+    */
+  private def quantiles2passQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    graft.analytics.Quantiles.exactQuantilesTwoPass(
+        cents, "cents", Seq(250, 500, 750, 900), bucketWidth = 100000L)
+      .orderBy(col("p"))
+  }
+
+  private val quantiles2passOracle =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents FROM orders),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |pp AS (SELECT unnest([250, 500, 750, 900]) AS p),
+      |kk AS (
+      |  SELECT CAST(p AS INTEGER) AS p, n,
+      |    CAST((n * p + 999) // 1000 AS BIGINT) AS k
+      |  FROM pp, n)
+      |SELECT kk.p, kk.n, kk.k, r.cents AS value_cents
+      |FROM kk JOIN r ON r.rn = kk.k
+      |ORDER BY p""".stripMargin
+
+  /** Two-proportion A/B test on hash-assigned user arms: conversion = at
+    * least 14 purchase events (an interior rate at every SF — "any
+    * purchase" saturates to 100% on this data and a p̂ of 1 has zero
+    * pooled variance); exact per-arm longs, pooled z one fixed-order IEEE
+    * expression ([[graft.analytics.Drift.abTest]]).
+    */
+  private def abTestQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.abTest(Tables.events(s, dir), "user_id",
+      col("event_type") === "purchase", seed = "exp1", minSuccesses = 14L)
+
+  private val abTestOracle = {
+    val u32 = OracleSql.md5U32Sql("'ab:exp1:' || CAST(unit AS VARCHAR)")
+    s"""WITH units AS (
+       |  SELECT user_id AS unit,
+       |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+       |      THEN 1 ELSE 0 END AS BIGINT) AS converted
+       |  FROM events GROUP BY user_id),
+       |arms AS (SELECT unit, converted, ($u32) % 2 AS arm FROM units),
+       |w AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM arms)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+       |FROM w""".stripMargin
+  }
+
+  /** Link prediction on the significant co-purchase graph (parts co-ordered
+    * in ≥ 2 distinct orders): top-20 predicted new edges by common-neighbor
+    * count, with neighborhood Jaccard. Exact ints under the hash; the
+    * division is the one IEEE op.
+    */
+  private def linkPredictionQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.DupClusters.linkPrediction(edges, maxMiddleDegree = 1000)
+      .orderBy(col("n_common").desc, col("node_a"), col("node_b"))
+      .limit(20)
+  }
+
+  private val linkPredictionOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT u AS n, v AS x FROM e UNION ALL SELECT v AS n, u AS x FROM e),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+      |wedge AS (
+      |  SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
+      |  GROUP BY l.x, r.x),
+      |new_pairs AS (
+      |  SELECT w.* FROM wedge w
+      |  LEFT JOIN e ON e.u = w.a AND e.v = w.b
+      |  WHERE e.u IS NULL)
+      |SELECT np.a AS node_a, np.b AS node_b, np.n_common,
+      |  CAST(da.d + db.d - np.n_common AS BIGINT) AS n_union,
+      |  CAST(np.n_common AS DOUBLE)
+      |    / CAST(da.d + db.d - np.n_common AS DOUBLE) AS nbr_jaccard
+      |FROM new_pairs np
+      |JOIN deg da ON da.n = np.a
+      |JOIN deg db ON db.n = np.b
+      |ORDER BY n_common DESC, node_a, node_b
+      |LIMIT 20""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_min_grid" -> (countMinQ _),
+    "q_winnowing" -> (winnowingQ _),
+    "q_quantiles_2pass" -> (quantiles2passQ _),
+    "q_ab_test" -> (abTestQ _),
+    "q_link_prediction" -> (linkPredictionQ _))
+
+  val oracles: Map[String, String] = Map(
+    "q_count_min_grid" -> countMinOracle,
+    "q_winnowing" -> winnowingOracle,
+    "q_quantiles_2pass" -> quantiles2passOracle,
+    "q_ab_test" -> abTestOracle,
+    "q_link_prediction" -> linkPredictionOracle)
+}

@@ -1,0 +1,129 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.dedup.{DupClusters, Winnowing}
+import org.apache.spark.sql.functions._
+
+/** Planted-data guarantees for the summary-structure operators: Count-Min
+  * sketch, winnowing fingerprints, two-pass exact quantiles, A/B test,
+  * link prediction.
+  */
+class SummaryOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countMin: estimates are overestimate-only and exact when collision-free") {
+    val items = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"cold$i"))
+      .toDF("item")
+    val grid = CountMin.sketch(items, "item", depth = 4, width = 4096)
+    val query = (Seq("hot") ++ (1 to 50).map(i => s"cold$i")).toDF("item")
+    val est = CountMin.estimate(grid, query, "item", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    val truth = Map("hot" -> 100L) ++ (1 to 50).map(i => s"cold$i" -> 1L)
+    truth.foreach { case (k, v) =>
+      assert(est(k) >= v, s"$k: est ${est(k)} < true $v — one-sidedness broken")
+    }
+    // 51 distinct items into 4×4096 cells: collisions are possible but the
+    // MIN over 4 independent rows recovering the exact count is the
+    // overwhelmingly common case; require it for the hot item at least
+    assert(est("hot") === 100L)
+  }
+
+  test("countMin: grids merge by cellwise addition (sketch(A ∪ B) = sketch(A) ⊕ sketch(B))") {
+    val a = (1 to 40).map(i => s"t${i % 7}").toDF("item")
+    val b = (1 to 25).map(i => s"t${i % 5}").toDF("item")
+    val merged = CountMin.sketch(a.unionByName(b), "item", depth = 3, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val summed = CountMin.sketch(a, "item", depth = 3, width = 64)
+      .unionByName(CountMin.sketch(b, "item", depth = 3, width = 64))
+      .groupBy($"r", $"cell").agg(sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === summed)
+  }
+
+  test("winnowing: exact copies share their full fingerprint set; detection floor holds") {
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ") // 10-token run
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta theta iota $shared kappa"),
+      (3L, "unrelated words only here nothing shared at all today"),
+      (10L, s"alpha beta gamma $shared delta epsilon") // exact copy of 1
+    ).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // exact copy ⇒ identical fingerprint sets
+    assert(fps(1L) === fps(10L))
+    // winnowing theorem: a shared run of ≥ w+k−1 = 6 tokens guarantees a
+    // shared fingerprint — docs 1 and 2 share a 10-token run
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(3L).intersect(fps(1L)).isEmpty)
+    val pairs = Winnowing.fingerprintPairs(docs, k = 3, w = 4,
+      minShared = 1, maxDocFreq = 50)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 10L))
+      && pairs.contains((2L, 10L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: fingerprint selection is partitioning-invariant and ≤ gram count") {
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"w${(i * 31 + j * 17) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Winnowing.fingerprints(docs, k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    val many = Winnowing.fingerprints(docs.repartition(7), k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(one === many)
+    // ≤ one fingerprint per full window, and the 2/(w+1) density makes it
+    // far fewer in practice — sanity-bound it by the gram count
+    assert(one.size <= 20 * 28)
+  }
+
+  test("quantiles2pass: equals the naive global-sort order statistic, any bucket width") {
+    val vals = (1 to 997).map(i => ((i * 7919L) % 10007L)).toDF("cents")
+    val naive = vals.orderBy($"cents").as[Long].collect()
+    def kOf(p: Int) = (997L * p + 999) / 1000
+    for (width <- Seq(1L, 100L, 1000L, 100000L)) {
+      val got = Quantiles.exactQuantilesTwoPass(vals, "cents",
+        Seq(100, 250, 500, 750, 999), width)
+        .select($"p", $"value_cents").as[(Int, Long)].collect().toMap
+      for (p <- Seq(100, 250, 500, 750, 999))
+        assert(got(p) === naive(kOf(p).toInt - 1),
+          s"p=$p width=$width: got ${got(p)}, want ${naive(kOf(p).toInt - 1)}")
+    }
+  }
+
+  test("abTest: arm counts partition the units; degenerate 100% rate yields NULL z, not an abort") {
+    val ev = (1L to 40L).flatMap(u => Seq((u, "buy"), (u, "view")))
+      .toDF("user_id", "event_type")
+    val r = Drift.abTest(ev, "user_id", $"event_type" === "buy", seed = "t")
+      .collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 40L)
+    // every unit converts ⇒ pooled variance 0 ⇒ gated NULL
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getAs[Long]("conv_a") === r.getAs[Long]("n_a"))
+    // interior rates produce a finite z with the sign of (rate_a − rate_b)
+    val ev2 = (1L to 40L).map(u => (u, if (u % 4 == 0) "buy" else "view"))
+      .toDF("user_id", "event_type")
+    val r2 = Drift.abTest(ev2, "user_id", $"event_type" === "buy", seed = "t")
+      .collect().head
+    val z = r2.getAs[Double]("z")
+    assert(!z.isNaN && !z.isInfinite)
+    assert((z > 0) === (r2.getAs[Double]("rate_a") > r2.getAs[Double]("rate_b")))
+  }
+
+  test("linkPrediction: hand case and middle-degree valve") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = DupClusters.linkPrediction(e)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // only non-adjacent distance-2 pair is (1,4): common {2,3}, degs 2/2
+    assert(out === Set((1L, 4L, 2L, 2L, 1.0)))
+    // capping middles at degree < 3 removes nodes 2 and 3 (degree 3 each)
+    val capped = DupClusters.linkPrediction(e, maxMiddleDegree = 2)
+    assert(capped.count() === 0L)
+    // a cap above every degree is the uncapped result
+    val big = DupClusters.linkPrediction(e, maxMiddleDegree = 100)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(big === out)
+  }
+}
