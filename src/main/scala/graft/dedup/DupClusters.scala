@@ -52,6 +52,17 @@ object DupClusters {
         least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
         greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    val tris = orientedTriangles(e0)
+    tris.select(explode(array(col("x"), col("a"), col("b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Each triangle of the normalized (u < v, distinct) edge set exactly
+    * once, via compact-forward (degree, id)-rank orientation — the
+    * skew-safe enumeration documented on [[triangleCounts]]; shared with
+    * [[kTrussPeel]].
+    */
+  private def orientedTriangles(e0: DataFrame): DataFrame = {
     val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val ranked = e0
@@ -74,11 +85,54 @@ object DupClusters {
           (col("e1.dt") < col("e2.dt") ||
             (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("x"), col("e1.t").as("a"), col("e2.t").as("b"))
-    val tris = wedges.join(oriented.select(col("s").as("a"), col("t").as("b")),
+    wedges.join(oriented.select(col("s").as("a"), col("t").as("b")),
         Seq("a", "b"))
       .select(col("x"), col("a"), col("b"))
-    tris.select(explode(array(col("x"), col("a"), col("b"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-truss peeling: iteratively delete edges supported by fewer than
+    * `k − 2` triangles (among surviving edges) — the edge-level density
+    * filter between triangle counting and k-core (every k-truss edge lies
+    * in a (k−1)-core, but not vice versa). On a near-dup pair graph the
+    * surviving truss edges are the template-family cores whose members are
+    * mutually corroborated, the high-precision subset an aggressive dedup
+    * pass can drop without pairwise re-verification.
+    *
+    * Per round: one oriented-triangle enumeration ([[orientedTriangles]] —
+    * compact-forward, so the wedge fan-out is outdeg² ≤ O(√m), skew-safe
+    * without a hub valve), one 3-edge explode + map-combined count, one
+    * edge semi-join; `localCheckpoint` truncates the iterative lineage
+    * exactly as [[connectedComponents]] does. Support is recomputed from
+    * scratch each round (exact; the decrement-propagation optimization
+    * trades that simplicity for asynchronous bookkeeping Spark has no
+    * cheap primitive for). Returns the surviving edges with their
+    * final-round support.
+    */
+  def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int,
+                 idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var support: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val triEdges = orientedTriangles(e)
+        .select(explode(array(
+          struct(least(col("x"), col("a")).as("u"), greatest(col("x"), col("a")).as("v")),
+          struct(least(col("x"), col("b")).as("u"), greatest(col("x"), col("b")).as("v")),
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))))
+          .as("te"))
+        .select(col("te.u").as("u"), col("te.v").as("v"))
+      support = triEdges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      e = e.join(support.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    e.join(support, Seq("u", "v"))
   }
 
   /** Synchronous label propagation (community detection): each node starts

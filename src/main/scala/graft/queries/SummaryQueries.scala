@@ -226,8 +226,250 @@ object SummaryQueries {
       |ORDER BY n_common DESC, node_a, node_b
       |LIMIT 20""".stripMargin
 
+  /** Content-defined chunking on the planted-duplicate corpus
+    * ([[graft.dedup.ContentChunking]]): one summary row proving the CDC
+    * properties — exact copies share EVERY chunk with their source
+    * (`copy_shared = copy_chunks`), and one-token-prepended near-copies
+    * resynchronize (near_shared recovers all chunks after each doc's first
+    * content cut). All counts exact BIGINTs under the hash.
+    */
+  private def cdcChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.dedup.ContentChunking.chunks(
+        PipelineQueries.augmented(Tables.documents(s, dir)), divisor = 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = ch.agg(
+      countDistinct(col("doc")).as("n_docs"),
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
+    val orig = ch.filter(col("doc") < 1000000L)
+      .select(col("doc").as("orig"), col("chunk_hash")).distinct()
+    def familyStats(lo: Long, offset: Long, prefix: String) = {
+      val fam = ch.filter(col("doc") >= lo && col("doc") < lo + 1000000L)
+        .select((col("doc") - offset).as("orig"), col("chunk_hash"))
+      fam.join(orig.withColumn("__hit", lit(1L)), Seq("orig", "chunk_hash"), "left")
+        .agg(count(lit(1)).as(s"${prefix}_chunks"),
+          sum(coalesce(col("__hit"), lit(0L))).as(s"${prefix}_shared"))
+    }
+    totals
+      .crossJoin(broadcast(familyStats(1000000L, 1000000L, "copy")))
+      .crossJoin(broadcast(familyStats(2000000L, 2000000L, "near")))
+  }
+
+  private val cdcChunksOracle = {
+    val u32 = OracleSql.md5U32Sql("'cdc:' || tok")
+    s"""WITH ${PipelineQueries.augCte},
+       |tok AS (
+       |  SELECT doc_id AS doc,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM aug),
+       |idx AS (SELECT doc, t, unnest(range(1, len(t) + 1)) AS pidx FROM tok),
+       |occ AS (SELECT doc, pidx - 1 AS pos, t[pidx] AS tok FROM idx),
+       |bnd AS (
+       |  SELECT doc, pos, tok,
+       |    CASE WHEN ($u32) % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM occ),
+       |cid AS (
+       |  SELECT doc, pos, tok,
+       |    sum(b) OVER (PARTITION BY doc ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+       |  FROM bnd),
+       |ch AS (
+       |  SELECT doc, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       |  FROM cid GROUP BY doc, chunk),
+       |totals AS (
+       |  SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks
+       |  FROM ch),
+       |orig AS (SELECT DISTINCT doc AS o, h FROM ch WHERE doc < 1000000),
+       |cop AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS copy_chunks,
+       |    CAST(sum(CASE WHEN o.o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS copy_shared
+       |  FROM (SELECT doc - 1000000 AS o, h FROM ch
+       |        WHERE doc >= 1000000 AND doc < 2000000) f
+       |  LEFT JOIN orig o ON o.o = f.o AND o.h = f.h),
+       |near AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS near_chunks,
+       |    CAST(sum(CASE WHEN o.o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS near_shared
+       |  FROM (SELECT doc - 2000000 AS o, h FROM ch WHERE doc >= 2000000) f
+       |  LEFT JOIN orig o ON o.o = f.o AND o.h = f.h)
+       |SELECT * FROM totals, cop, near""".stripMargin
+  }
+
+  /** k-truss (k=3, 2 peel rounds) on the significant co-purchase graph:
+    * surviving edges with their final-round triangle support
+    * ([[graft.dedup.DupClusters.kTrussPeel]] — oriented enumeration; the
+    * oracle recounts support naively per round, so the hash proves the
+    * skew-safe enumeration exact).
+    */
+  private def ktrussQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.DupClusters.kTrussPeel(edges, k = 3, rounds = 2)
+      .orderBy(col("u"), col("v"))
+  }
+
+  private val ktrussOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj1 AS (SELECT u AS m, v AS x FROM e0 UNION ALL SELECT v, u FROM e0),
+      |sup1 AS (
+      |  SELECT l.x AS a, r.x AS b, count(*) AS c
+      |  FROM adj1 l JOIN adj1 r ON l.m = r.m AND l.x < r.x
+      |  GROUP BY l.x, r.x),
+      |e1 AS (
+      |  SELECT e0.u, e0.v FROM e0
+      |  JOIN sup1 ON sup1.a = e0.u AND sup1.b = e0.v WHERE sup1.c >= 1),
+      |adj2 AS (SELECT u AS m, v AS x FROM e1 UNION ALL SELECT v, u FROM e1),
+      |sup2 AS (
+      |  SELECT l.x AS a, r.x AS b, count(*) AS c
+      |  FROM adj2 l JOIN adj2 r ON l.m = r.m AND l.x < r.x
+      |  GROUP BY l.x, r.x)
+      |SELECT e1.u, e1.v, CAST(sup2.c AS BIGINT) AS support
+      |FROM e1 JOIN sup2 ON sup2.a = e1.u AND sup2.b = e1.v
+      |WHERE sup2.c >= 1
+      |ORDER BY u, v""".stripMargin
+
+  /** Linear interpolation of the purchase-value signal at every click
+    * timestamp, per user ([[graft.ops.TimeSeries.interpolate]]): probes
+    * between knots get the exact-epoch-weighted blend, probes outside the
+    * knot span stay NULL; bracketing gaps reported for audit.
+    */
+  private def interpolateQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"),
+        when(col("event_type") === "purchase", col("value")).as("v"))
+    graft.ops.TimeSeries.interpolate(ev, "user_id", "t_us", "event_id", "v")
+      .filter(col("v").isNull)
+      .select(col("user_id"), col("t_us"), col("event_id"), col("interp"),
+        col("prev_gap_us"), col("next_gap_us"))
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
+  private val interpolateOracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS v
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (
+      |  SELECT user_id, t_us, event_id, v,
+      |    last_value(v IGNORE NULLS) OVER pw AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER pw AS pt,
+      |    first_value(v IGNORE NULLS) OVER nw AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER nw AS nt
+      |  FROM ev
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    nw AS (PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, t_us, event_id,
+      |  CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+      |    THEN CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+      |      * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |  END AS interp,
+      |  CASE WHEN pt IS NOT NULL THEN t_us - pt END AS prev_gap_us,
+      |  CASE WHEN nt IS NOT NULL THEN nt - t_us END AS next_gap_us
+      |FROM w WHERE v IS NULL
+      |ORDER BY user_id, t_us, event_id""".stripMargin
+
+  /** Difference-in-differences on the hash-assigned experiment: per-user
+    * purchase counts in pre/post periods over the FULL user×period grid
+    * (absent cells are exact zeros — dropping them biases the means), cell
+    * means as fixed-order IEEE ratios of exact longs, DiD = the double
+    * difference. The causal-analysis complement to `q_ab_test`.
+    */
+  private def diffInDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val t0 = lit("2024-01-22 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("treat",
+        pmod(conv(substring(md5(concat(lit("did:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)))
+    val grid = users.crossJoin(broadcast(
+      s.range(2).select(col("id").as("post"))))
+    val counts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), (col("ts") >= t0).cast("long").as("post"))
+      .agg(count(lit(1)).as("y"))
+    val cells = grid.join(counts, Seq("user_id", "post"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    def cell(t: Int, p: Int, c: String) =
+      sum(when(col("treat") === t && col("post") === p, col(c)).otherwise(0L))
+    val wide = cells.agg(
+      cell(1, 0, "n").as("n_t"), cell(1, 0, "s").as("s_t_pre"),
+      cell(1, 1, "s").as("s_t_post"),
+      cell(0, 0, "n").as("n_c"), cell(0, 0, "s").as("s_c_pre"),
+      cell(0, 1, "s").as("s_c_post"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double")
+    wide
+      .withColumn("m_t_pre", mean("s_t_pre", "n_t"))
+      .withColumn("m_t_post", mean("s_t_post", "n_t"))
+      .withColumn("m_c_pre", mean("s_c_pre", "n_c"))
+      .withColumn("m_c_post", mean("s_c_post", "n_c"))
+      .withColumn("did",
+        (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+  }
+
+  private val diffInDiffOracle = {
+    val u32 = OracleSql.md5U32Sql("'did:' || CAST(user_id AS VARCHAR)")
+    s"""WITH users AS (
+       |  SELECT DISTINCT user_id FROM events),
+       |tr AS (SELECT user_id, ($u32) % 2 AS treat FROM users),
+       |grid AS (SELECT user_id, treat, p AS post FROM tr, range(0, 2) r(p)),
+       |cnt AS (
+       |  SELECT user_id,
+       |    CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END AS post,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id, post),
+       |cells AS (
+       |  SELECT g.treat, g.post, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(coalesce(c.y, 0)) AS BIGINT) AS s
+       |  FROM grid g LEFT JOIN cnt c ON c.user_id = g.user_id AND c.post = g.post
+       |  GROUP BY g.treat, g.post),
+       |w AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN n ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN s ELSE 0 END) AS BIGINT) AS s_t_pre,
+       |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN s ELSE 0 END) AS BIGINT) AS s_t_post,
+       |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN n ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN s ELSE 0 END) AS BIGINT) AS s_c_pre,
+       |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN s ELSE 0 END) AS BIGINT) AS s_c_post
+       |  FROM cells)
+       |SELECT n_t, s_t_pre, s_t_post, n_c, s_c_pre, s_c_post,
+       |  CAST(s_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE) AS m_t_pre,
+       |  CAST(s_t_post AS DOUBLE) / CAST(n_t AS DOUBLE) AS m_t_post,
+       |  CAST(s_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE) AS m_c_pre,
+       |  CAST(s_c_post AS DOUBLE) / CAST(n_c AS DOUBLE) AS m_c_post,
+       |  (CAST(s_t_post AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |    - CAST(s_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE))
+       |  - (CAST(s_c_post AS DOUBLE) / CAST(n_c AS DOUBLE)
+       |    - CAST(s_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE)) AS did
+       |FROM w""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
+    "q_cdc_chunks" -> (cdcChunksQ _),
+    "q_ktruss" -> (ktrussQ _),
+    "q_interpolate" -> (interpolateQ _),
+    "q_diff_in_diff" -> (diffInDiffQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -235,6 +477,10 @@ object SummaryQueries {
 
   val oracles: Map[String, String] = Map(
     "q_count_min_grid" -> countMinOracle,
+    "q_cdc_chunks" -> cdcChunksOracle,
+    "q_ktruss" -> ktrussOracle,
+    "q_interpolate" -> interpolateOracle,
+    "q_diff_in_diff" -> diffInDiffOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

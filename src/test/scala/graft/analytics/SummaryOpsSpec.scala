@@ -111,6 +111,58 @@ class SummaryOpsSpec extends SparkSpec {
     assert((z > 0) === (r2.getAs[Double]("rate_a") > r2.getAs[Double]("rate_b")))
   }
 
+  test("kTrussPeel: peeling cascades — an edge supported only by a dying triangle dies next round") {
+    // triangle {1,2,3} plus pendant edge (3,4): round 1 drops (3,4)
+    // (support 0) and keeps the triangle (support 1 each, k=3)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r1 = graft.dedup.DupClusters.kTrussPeel(tri, k = 3, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // two triangles {1,2,3} and {2,3,4} share edge (2,3): under k=4
+    // (support ≥ 2) only (2,3) passes round 1, but its triangle partners
+    // all died with it — round 2 must peel it too: the cascade a one-shot
+    // support filter cannot see
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val once = graft.dedup.DupClusters.kTrussPeel(twoTri, k = 4, rounds = 1)
+      .select($"u", $"v").as[(Long, Long)].collect().toSet
+    assert(once === Set((2L, 3L))) // survives the first filter alone...
+    val twice = graft.dedup.DupClusters.kTrussPeel(twoTri, k = 4, rounds = 2)
+    assert(twice.count() === 0L) // ...and dies once its triangles are gone
+  }
+
+  test("cdc chunking: insertion resynchronizes — all chunks after the first boundary are shared") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val ch = graft.dedup.ContentChunking.chunks(docs, divisor = 8)
+      .select($"doc", $"chunk", $"chunk_hash")
+      .as[(Long, Long, String)].collect()
+    val h1 = ch.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._3).toSet
+    // every chunk of doc 1 except (at most) its head chunk reappears in
+    // doc 2: the insertion only perturbs content before the first cut
+    val missing = h1 -- h2
+    assert(missing.size <= 1, s"CDC failed to resynchronize: $missing")
+    // chunk ids are a partition of each doc's tokens
+    val n1 = ch.filter(_._1 == 1L).map(_._2).distinct.length
+    assert(n1 >= 2, "divisor 8 over 60 tokens should cut at least once")
+  }
+
+  test("interpolate: exact blend between knots, NULL outside the span, knots pass through") {
+    val rows = Seq(
+      // entity 1: knots at t=0 (v=10) and t=100 (v=20); probes at 25, 50
+      (1L, 0L, 1L, Some(10.0)), (1L, 25L, 2L, None), (1L, 50L, 3L, None),
+      (1L, 100L, 4L, Some(20.0)),
+      // probe after the last knot and before the first
+      (1L, 200L, 5L, None), (2L, 10L, 6L, None), (2L, 20L, 7L, Some(5.0))
+    ).toDF("user_id", "t_us", "event_id", "v")
+    val out = graft.ops.TimeSeries.interpolate(rows, "user_id", "t_us", "event_id", "v")
+      .select($"event_id", $"interp").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(10.0) && out(4L).contains(20.0)) // knots pass through
+    assert(out(2L).contains(12.5) && out(3L).contains(15.0)) // exact blends
+    assert(out(5L).isEmpty && out(6L).isEmpty) // no extrapolation
+  }
+
   test("linkPrediction: hand case and middle-degree valve") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("id_a", "id_b")
