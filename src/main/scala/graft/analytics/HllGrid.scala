@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** From-scratch HyperLogLog as a DETERMINISTIC register table (Flajolet et
+  * al. 2007) — the distinct-count companion to [[CountMin]]'s frequency
+  * grid: `m` registers, each holding the maximum leading-zero rank seen
+  * among items hashing into it. The register table is metadata-sized at any
+  * corpus size, merges across days/sources by register-wise MAX (the same
+  * algebra Spark's built-in `hll_sketch_agg` exposes opaquely), and —
+  * because the hash is the repo's md5U32 uniform — every register value and
+  * the estimate itself replay bit-exactly in a verification engine, which
+  * an opaque binary sketch cannot.
+  *
+  * Exactness discipline: ranks are integers from `length(bin(w))`; the
+  * harmonic denominator Σ 2^(−M_j) is computed as the exact BIGINT
+  * Σ 2^(25−M_j) (rank ≤ 25 for the 24 post-index bits, so the scaled sum
+  * is ≤ 2^33); the estimate is then ONE fixed-order IEEE expression over
+  * that exact sum. No small-range (linear-counting) correction is applied —
+  * callers below ~2.5·m distinct items should use exact counting anyway
+  * (disclosed bias, same contract as the 15% band on `q_hll_intersect`).
+  *
+  * Scale shape: one map-combined aggregate into ≤ m rows, then an m-row
+  * broadcast fill of untouched registers. The corpus is scanned once.
+  */
+object HllGrid {
+
+  private def md5U32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** The register table: one row per TOUCHED register (idx, max rank);
+    * merge two grids with `unionByName → groupBy(idx) → max(m)`.
+    */
+  def registers(items: DataFrame, itemCol: String, m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val h = md5U32(concat(lit("hllg:"), col(itemCol).cast("string")))
+    items
+      .select(pmod(h, lit(m.toLong)).as("idx"),
+        (h / m).cast("long").as("__w"))
+      .select(col("idx"),
+        when(col("__w") === 0, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("__w")))).as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("m_rank"))
+  }
+
+  /** One-row estimate + audit columns from a register grid: the exact
+    * scaled harmonic sum, the raw-estimate double, and grid-pinning
+    * checksums (register sum / xor) so the WHOLE sketch state sits under a
+    * verification hash.
+    */
+  def estimate(grid: DataFrame, m: Int = 256): DataFrame = {
+    val full = grid.sparkSession.range(m).select(col("id").as("idx"))
+      .join(grid, Seq("idx"), "left")
+      .withColumn("m_rank", coalesce(col("m_rank"), lit(0L)))
+      .withColumn("__term",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - m_rank AS INT))"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    full.agg(
+        sum(col("__term")).as("sum_scaled"),
+        count(when(col("m_rank") > 0, 1)).as("n_used"),
+        sum(col("m_rank")).as("register_sum"),
+        call_function("bit_xor", col("idx") * 31 + col("m_rank")).as("register_xor"))
+      .withColumn("estimate",
+        alpha * lit((m.toLong * m * (1L << 25)).toDouble) /
+          col("sum_scaled").cast("double"))
+  }
+}

@@ -464,12 +464,128 @@ object SummaryQueries {
        |FROM w""".stripMargin
   }
 
+  /** From-scratch deterministic HyperLogLog over the document token stream
+    * ([[graft.analytics.HllGrid]]): the whole register grid is pinned under
+    * the hash (sum/xor checksums), the harmonic denominator is an exact
+    * BIGINT, and the estimate must land within 20% of the exact distinct
+    * count (≈ 3σ for m=256) — a transparent, mergeable alternative to the
+    * opaque binary `hll_sketch_agg` (`q_hll_merge`).
+    */
+  private def hllGridQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grid = graft.analytics.HllGrid.registers(toks, "token", m = 256)
+    val truth = toks.agg(countDistinct(col("token")).as("true_distinct"))
+    graft.analytics.HllGrid.estimate(grid, m = 256)
+      .crossJoin(broadcast(truth))
+      .withColumn("within_band",
+        abs(col("estimate") - col("true_distinct").cast("double")) <=
+          lit(0.2) * col("true_distinct").cast("double"))
+  }
+
+  private val hllGridOracle = {
+    val u32 = OracleSql.md5U32Sql("'hllg:' || token")
+    s"""WITH tk AS (
+       |  SELECT tok AS token FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |h AS (SELECT ($u32) AS hv FROM tk),
+       |rr AS (
+       |  SELECT hv % 256 AS idx,
+       |    CASE WHEN hv // 256 = 0 THEN 25
+       |         ELSE 25 - length(bin(hv // 256)) END AS rank
+       |  FROM h),
+       |g AS (SELECT idx, max(rank) AS m_rank FROM rr GROUP BY idx),
+       |fullg AS (
+       |  SELECT r.i AS idx, coalesce(g.m_rank, 0) AS m_rank
+       |  FROM range(0, 256) r(i) LEFT JOIN g ON g.idx = r.i),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(25 - m_rank AS INTEGER)) AS BIGINT)
+       |      AS sum_scaled,
+       |    CAST(count(*) FILTER (WHERE m_rank > 0) AS BIGINT) AS n_used,
+       |    CAST(sum(m_rank) AS BIGINT) AS register_sum,
+       |    CAST(bit_xor(idx * 31 + m_rank) AS BIGINT) AS register_xor
+       |  FROM fullg),
+       |t AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS true_distinct FROM tk)
+       |SELECT sum_scaled, n_used, register_sum, register_xor,
+       |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |    * CAST(2199023255552 AS DOUBLE) / CAST(sum_scaled AS DOUBLE)
+       |    AS estimate,
+       |  true_distinct,
+       |  abs((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |    * CAST(2199023255552 AS DOUBLE) / CAST(sum_scaled AS DOUBLE)
+       |    - CAST(true_distinct AS DOUBLE))
+       |    <= 0.2 * CAST(true_distinct AS DOUBLE) AS within_band
+       |FROM agg, t""".stripMargin
+  }
+
+  /** Integer power iteration on the embedding corpus
+    * ([[graft.sim.PowerIteration]]): two Gram-vector rounds, every iterate
+    * component an exact BIGINT — the oracle replays quantization, both
+    * rounds and the sign-split rescales, so in-engine distributed PCA is
+    * proven bit-identical on another engine.
+    */
+  private def pcaPowerQ(s: SparkSession, dir: String): DataFrame =
+    graft.sim.PowerIteration.topComponent(
+        s.read.parquet(s"$dir/embeddings.parquet"), d = 64, scale = 1000)
+      .select(col("dim").cast("int").as("dim"), col("w1"), col("v1"),
+        col("w2"), col("v2"))
+      .orderBy(col("dim"))
+
+  private val pcaPowerOracle =
+    """WITH e AS (
+      |  SELECT vec_id AS vid,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |d1 AS (
+      |  SELECT vid, q,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b)
+      |      AS dot1
+      |  FROM e),
+      |ex1 AS (
+      |  SELECT vid, dot1, i - 1 AS dim, q[i] AS qj
+      |  FROM (SELECT vid, dot1, q, unnest(range(1, 65)) AS i FROM d1)),
+      |w1 AS (
+      |  SELECT dim, CAST(sum(qj * dot1) AS BIGINT) AS w1
+      |  FROM ex1 GROUP BY dim),
+      |s1 AS (SELECT greatest(max(abs(w1)) // 1000, 1) AS s FROM w1),
+      |v1 AS (
+      |  SELECT dim, w1,
+      |    CAST(CASE WHEN w1 < 0 THEN -(abs(w1) // s) ELSE w1 // s END
+      |      AS BIGINT) AS v1
+      |  FROM w1, s1),
+      |ex AS (
+      |  SELECT vid, i - 1 AS dim, q[i] AS qj
+      |  FROM (SELECT vid, q, unnest(range(1, 65)) AS i FROM e)),
+      |d2 AS (
+      |  SELECT vid, CAST(sum(qj * v1) AS BIGINT) AS dot2
+      |  FROM ex JOIN v1 USING (dim) GROUP BY vid),
+      |w2 AS (
+      |  SELECT dim, CAST(sum(qj * dot2) AS BIGINT) AS w2
+      |  FROM ex JOIN d2 USING (vid) GROUP BY dim),
+      |s2 AS (SELECT greatest(max(abs(w2)) // 1000, 1) AS s FROM w2),
+      |v2 AS (
+      |  SELECT dim, w2,
+      |    CAST(CASE WHEN w2 < 0 THEN -(abs(w2) // s) ELSE w2 // s END
+      |      AS BIGINT) AS v2
+      |  FROM w2, s2)
+      |SELECT CAST(v1.dim AS INTEGER) AS dim, v1.w1, v1.v1, v2.w2, v2.v2
+      |FROM v1 JOIN v2 ON v1.dim = v2.dim
+      |ORDER BY dim""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
     "q_ktruss" -> (ktrussQ _),
     "q_interpolate" -> (interpolateQ _),
     "q_diff_in_diff" -> (diffInDiffQ _),
+    "q_hll_grid" -> (hllGridQ _),
+    "q_pca_power" -> (pcaPowerQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -481,6 +597,8 @@ object SummaryQueries {
     "q_ktruss" -> ktrussOracle,
     "q_interpolate" -> interpolateOracle,
     "q_diff_in_diff" -> diffInDiffOracle,
+    "q_hll_grid" -> hllGridOracle,
+    "q_pca_power" -> pcaPowerOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

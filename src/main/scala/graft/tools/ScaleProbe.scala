@@ -103,37 +103,42 @@ object ScaleProbe {
       star.unionByName(ring)
     }
 
-    // (name, runsAtDeepTier, op)
-    val ops: Seq[(String, Boolean, DataFrame => DataFrame)] = Seq(
-      ("ngramJaccardPairs", false, d =>
+    // (name, runsAtDeepTier, expectedRowGrowth, op) — expectation for the
+    // summary line: "N" = rows must be EXACTLY N× (disjoint-vocab replica
+    // invariant), "~N" = near-linear (the operator's per-replica structure
+    // depends on the replica's hashed vocabulary — CDC boundary density),
+    // "flat" = rows must NOT grow (bounded summary — the broadcastability
+    // claim itself)
+    val ops: Seq[(String, Boolean, String, DataFrame => DataFrame)] = Seq(
+      ("ngramJaccardPairs", false, "N", d =>
         graft.dedup.Dedup.ngramJaccardPairs(d, k = 5, threshold = 0.5)),
-      ("sharedTokenRuns", false, d =>
+      ("sharedTokenRuns", false, "N", d =>
         graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
       // the sketch path too, band-collision noise notwithstanding
-      ("minhashLsh", false, d =>
+      ("minhashLsh", false, "N", d =>
         graft.dedup.MinHashLSH.nearDuplicates(d, k = 5, numHashes = 64,
           bands = 16, threshold = 0.5)),
       // prefix filtering is LOSSLESS, so its Nx output must be exactly the
       // Nx exact-jaccard pair set — the linearity check simultaneously
       // validates the candidate bound and the result at scale
-      ("prefixFilterJaccard", true, d =>
+      ("prefixFilterJaccard", true, "N", d =>
         graft.dedup.Dedup.prefixFilterJaccardPairs(d, k = 5, threshold = 0.5)),
       // TF-cosine: the rare-shingle df cut bounds the candidate join; the
       // pair set is intra-replica only (disjoint vocab ⇒ cosine 0 across)
-      ("tfCosinePairs", true, d =>
+      ("tfCosinePairs", true, "N", d =>
         graft.dedup.Dedup.tfCosinePairs(d, k = 5, threshold = 0.5)),
-      ("labelPropagation", false, d =>
+      ("labelPropagation", false, "N", d =>
         graft.dedup.DupClusters.labelPropagation(communityEdges(d), rounds = 2)),
       // random walks: one walk per node (rows out = #nodes exactly); the
       // r9 min_by step aggregate must keep the per-step candidate frame
       // O(Σ degree) with map-side partial collapse — linear time/shuffle
-      ("randomWalks", true, d =>
+      ("randomWalks", true, "N", d =>
         graft.dedup.DupClusters.randomWalks(communityEdges(d), steps = 3)),
       // the hub valve: capped adjacency (top-4 of the ~9-degree star hubs)
       // — same linearity contract, lower constant
-      ("randomWalksCapped", true, d =>
+      ("randomWalksCapped", true, "N", d =>
         graft.dedup.DupClusters.randomWalks(communityEdges(d), steps = 3,
           maxDegree = Some(4))),
       // batch form of the stream-stream interval join (q_stream_join's
@@ -141,7 +146,7 @@ object ScaleProbe {
       // derive from doc ids with moduli invariant under both the replica
       // (10M) and planted (+5M) offsets (100 | both, 4 | both), so each
       // replica contributes an identical, disjoint join structure
-      ("intervalJoinBatch", true, { d =>
+      ("intervalJoinBatch", true, "N", { d =>
         val views = d.select(
           (col("doc_id") - col("doc_id") % 100).as("v_user"),
           col("doc_id").as("view_id"),
@@ -160,13 +165,33 @@ object ScaleProbe {
       // probe exists to measure); output rows = #docs exactly, and the two
       // corpus-sized shuffles (bucket counts map-combined, per-doc score
       // agg) must grow linearly
-      ("dsirDocScores", false, d =>
+      // winnowing: fingerprints are md5 of token trigrams — disjoint
+      // replica vocab ⇒ disjoint fingerprints ⇒ pair rows EXACTLY Nx; the
+      // df boilerplate cut must keep the fingerprint self-join linear
+      ("winnowingPairs", true, "N", d =>
+        graft.dedup.Winnowing.fingerprintPairs(d, k = 3, w = 4,
+          minShared = 2, maxDocFreq = 50)),
+      // CDC chunking: boundary density depends on each replica's hashed
+      // vocabulary (the ~r suffix changes every token hash), so chunk rows
+      // are near-linear, not exactly Nx; time/shuffle must stay linear
+      ("cdcChunks", true, "~N", d =>
+        graft.dedup.ContentChunking.chunks(d, divisor = 16)),
+      // Count-Min grid: the OUTPUT must stay bounded at d*w rows at every
+      // corpus size — the mergeable-summary/broadcastability claim; the
+      // map-combined shuffle should grow far sub-linearly (per-partition
+      // combine caps each task's emit at d*w rows)
+      ("countMinSketch", true, "flat", { d =>
+        val toks = d.select(explode(split(col("text"), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+        graft.analytics.CountMin.sketch(toks, "token", depth = 4, width = 512)
+      }),
+      ("dsirDocScores", false, "N", d =>
         graft.text.Dsir.docScores(d, targetSource = "src0")))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
     val rows = for {
-      (opName, deep, op) <- ops
+      (opName, deep, expect, op) <- ops
       n <- if (deep) Seq(1, replicas, deepReplicas) else Seq(1, replicas)
     } yield {
       val docs = spark.read.parquet(s"$corpusRoot/x$n")
@@ -185,15 +210,20 @@ object ScaleProbe {
       spark.sharedState.cacheManager.clearCache()
       println(f"$opName%-20s x$n%-5s $nDocs%8d $bestT%8.2f " +
         f"${bw / 1e6}%9.1f ${br / 1e6}%9.1f $out%9d")
-      (opName, n, nDocs, bestT, bw, br, out)
+      (opName, expect, n, nDocs, bestT, bw, br, out)
     }
     // linearity summary: Nx vs 1x ratios per operator, at every probed tier
     rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (opName, rs) =>
-      val one = rs.find(_._2 == 1).get
-      rs.filter(_._2 > 1).sortBy(_._2).foreach { big =>
-        println(f"[scale] $opName x${big._2}: time x${big._4 / one._4}%.2f, " +
-          f"shufW x${big._5.toDouble / one._5}%.2f, " +
-          f"rows x${big._7.toDouble / one._7}%.2f (expect ${big._2}.00)")
+      val one = rs.find(_._3 == 1).get
+      rs.filter(_._3 > 1).sortBy(_._3).foreach { big =>
+        val expectStr = big._2 match {
+          case "flat" => "FLAT (bounded summary)"
+          case "~N"   => s"~${big._3} (hash-dependent density)"
+          case _      => s"${big._3}.00"
+        }
+        println(f"[scale] $opName x${big._3}: time x${big._5 / one._5}%.2f, " +
+          f"shufW x${big._6.toDouble / one._6}%.2f, " +
+          f"rows x${big._8.toDouble / one._8}%.2f (expect $expectStr)")
       }
     }
     spark.stop()

@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import graft.dedup.{DupClusters, Winnowing}
+import graft.sim.PowerIteration
 import org.apache.spark.sql.functions._
 
 /** Planted-data guarantees for the summary-structure operators: Count-Min
@@ -161,6 +162,40 @@ class SummaryOpsSpec extends SparkSpec {
     assert(out(1L).contains(10.0) && out(4L).contains(20.0)) // knots pass through
     assert(out(2L).contains(12.5) && out(3L).contains(15.0)) // exact blends
     assert(out(5L).isEmpty && out(6L).isEmpty) // no extrapolation
+  }
+
+  test("hllGrid: registers merge by max; estimate lands in the 1.04/sqrt(m) error regime") {
+    val a = (1 to 4000).map(i => s"item$i").toDF("item")
+    val b = (3001 to 7000).map(i => s"item$i").toDF("item")
+    val ga = HllGrid.registers(a, "item")
+    val gb = HllGrid.registers(b, "item")
+    val merged = ga.unionByName(gb).groupBy($"idx")
+      .agg(max($"m_rank").as("m_rank"))
+    val direct = HllGrid.registers(a.unionByName(b), "item")
+    assert(merged.as[(Long, Long)].collect().toSet ===
+      direct.as[(Long, Long)].collect().toSet)
+    val est = HllGrid.estimate(direct).select($"estimate").as[Double].collect().head
+    // true distinct = 7000; 3 sigma at m=256 is ~20%
+    assert(math.abs(est - 7000.0) <= 0.2 * 7000.0, s"estimate $est vs 7000")
+  }
+
+  test("pca power iteration: recovers a planted dominant direction, partitioning-invariant") {
+    // 200 vectors along +/- e0 with magnitude 2, small e1 noise: the top
+    // component must align with dim 0 (|v2_0| >> |v2_j| for j > 0)
+    val rows = (1 to 200).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      val noise = (i % 7).toDouble / 100.0
+      (i.toLong, Array(2.0f * sign.toFloat, noise.toFloat, 0.01f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = PowerIteration.topComponent(df, d = 4)
+      .select($"dim", $"v2").as[(Int, Long)].collect().toMap
+    assert(math.abs(out(0)) > 10 * math.abs(out(1)),
+      s"dominant direction not recovered: $out")
+    assert(math.abs(out(0)) > 100 * math.abs(out(3)))
+    val again = PowerIteration.topComponent(df.repartition(7), d = 4)
+      .select($"dim", $"v2").as[(Int, Long)].collect().toMap
+    assert(again === out, "power iterate must be partitioning-invariant")
   }
 
   test("linkPrediction: hand case and middle-degree valve") {

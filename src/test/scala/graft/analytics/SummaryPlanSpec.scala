@@ -67,6 +67,27 @@ class SummaryPlanSpec extends SparkSpec {
       s"link prediction planned a product:\n$p")
   }
 
+  test("hllGrid registers: one map-combined aggregate, no window/join; estimate joins the 256-row domain only") {
+    val toks = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+    val p = plan(HllGrid.registers(toks, "token"))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"register build must be pure aggregation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"registers must partially aggregate before the shuffle:\n$p")
+  }
+
+  test("pca power iteration: per-round vector joins broadcast; dim aggregate map-combines") {
+    val df = (1 to 50).map(i => (i.toLong, Array.fill(8)(i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.PowerIteration.topComponent(df, d = 8)
+    out.collect() // finalize AQE
+    val p = plan(out).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"round-2 vector must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"power iteration planned a cartesian (the 1-row rescale crossJoins are broadcast):\n$p")
+  }
+
   test("abTest: unit rollup is a map-combined aggregate; no window, no join") {
     val ev = graft.Tables.events(spark, sf())
     val p = plan(Drift.abTest(ev, "user_id", col("event_type") === "purchase", "t"))
