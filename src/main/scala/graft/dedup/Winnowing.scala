@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * minimum (not its position), so tie-breaking between equal hashes is
   * irrelevant and the selected set is a pure function of the text. Hashes
   * are the `md5U32` uniform, so a verification engine replays the selection
-  * bit-exactly.
+  * bit-exactly. The 32-bit width is a verification choice: beyond ~10⁷
+  * selected fingerprints, birthday collisions between unrelated grams
+  * start to perturb the df cut and shared counts (measured ±0.1% at 5M in
+  * the scale probe) — widen to a 64-bit hash (e.g. `xxhash64`) for
+  * production corpora; nothing else changes, identity is the value.
   *
   * Scale shape: k-gram hashing is one codegen projection over the exploded
   * token stream (lead() window — no interpreted HOF lambda per element);

@@ -165,10 +165,14 @@ object ScaleProbe {
       // probe exists to measure); output rows = #docs exactly, and the two
       // corpus-sized shuffles (bucket counts map-combined, per-doc score
       // agg) must grow linearly
-      // winnowing: fingerprints are md5 of token trigrams — disjoint
-      // replica vocab ⇒ disjoint fingerprints ⇒ pair rows EXACTLY Nx; the
-      // df boilerplate cut must keep the fingerprint self-join linear
-      ("winnowingPairs", true, "N", d =>
+      // winnowing: disjoint replica vocab makes the GRAM sets disjoint,
+      // but fingerprints are 32-bit md5U32 VALUES — at ~5M selected
+      // fingerprints (30x) the birthday rate is ~3k colliding values, so
+      // pair rows land within ~0.1% of Nx rather than exactly (measured
+      // x9.99 / x30.06); the df boilerplate cut must keep the
+      // fingerprint self-join linear. At real corpus scale the selection
+      // should widen to a 64-bit hash (Winnowing scaladoc).
+      ("winnowingPairs", true, "~N", d =>
         graft.dedup.Winnowing.fingerprintPairs(d, k = 3, w = 4,
           minShared = 2, maxDocFreq = 50)),
       // CDC chunking: boundary density depends on each replica's hashed
@@ -190,8 +194,13 @@ object ScaleProbe {
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
+    // local-iteration subset (comma-separated op names), like Verify's
+    // SPARK_GRAFT_ONLY; unset → full probe
+    val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val rows = for {
       (opName, deep, expect, op) <- ops
+      if onlyOps.forall(_.contains(opName))
       n <- if (deep) Seq(1, replicas, deepReplicas) else Seq(1, replicas)
     } yield {
       val docs = spark.read.parquet(s"$corpusRoot/x$n")
