@@ -280,7 +280,7 @@ object AnalyticsQueries {
     s.table(name).orderBy(col("window_start"))
   }
 
-  private val streamSrcDirs =
+  private[queries] val streamSrcDirs =
     new scala.collection.concurrent.TrieMap[String, String]()
 
   /** Streaming dedup proven end-to-end: the source directory holds the

@@ -578,6 +578,226 @@ object SummaryQueries {
       |FROM v1 JOIN v2 ON v1.dim = v2.dim
       |ORDER BY dim""".stripMargin
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013): the
+    * pre-period purchase count is the covariate, the post-period count the
+    * outcome, θ = cov(x,y)/var(x) from EXACT pooled sums (DECIMAL(38)
+    * cross-products — the assortativity discipline), and the adjusted
+    * treatment effect is `(ȳ_t − ȳ_c) − θ(x̄_t − x̄_c)`. The expected
+    * variance-reduction factor is the squared x–y correlation, emitted
+    * from the same exact sums. The third leg of the experimentation stack
+    * (`q_ab_test` the test, `q_diff_in_diff` the causal frame).
+    */
+  private def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    val t0 = lit("2024-01-22 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("treat",
+        pmod(conv(substring(md5(concat(lit("cuped:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)))
+    val counts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < t0, 1L).otherwise(0L)).as("x0"),
+        sum(when(col("ts") >= t0, 1L).otherwise(0L)).as("y0"))
+    val per = users.join(counts, Seq("user_id"), "left")
+      .select(col("treat"),
+        coalesce(col("x0"), lit(0L)).as("x"), coalesce(col("y0"), lit(0L)).as("y"))
+    val wide = per.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treat") === 1, col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("treat") === 1, col("y")).otherwise(0L)).as("sy_t"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val covN = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+    val varXN = (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
+    val varYN = (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy")).cast("double")
+    val theta = covN / varXN
+    val nC = col("n") - col("n_t")
+    val mYT = col("sy_t").cast("double") / col("n_t").cast("double")
+    val mYC = (col("sy") - col("sy_t")).cast("double") / nC.cast("double")
+    val mXT = col("sx_t").cast("double") / col("n_t").cast("double")
+    val mXC = (col("sx") - col("sx_t")).cast("double") / nC.cast("double")
+    wide
+      .withColumn("theta", theta)
+      .withColumn("diff_raw", mYT - mYC)
+      .withColumn("diff_cuped", (mYT - mYC) - theta * (mXT - mXC))
+      .withColumn("var_reduction", (covN * covN) / (varXN * varYN))
+  }
+
+  private val cupedOracle = {
+    val u32 = OracleSql.md5U32Sql("'cuped:' || CAST(user_id AS VARCHAR)")
+    s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+       |tr AS (SELECT user_id, ($u32) % 2 AS treat FROM users),
+       |cnt AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |per AS (
+       |  SELECT t.treat, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+       |  FROM tr t LEFT JOIN cnt c ON c.user_id = t.user_id),
+       |w AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN treat = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+       |    CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t
+       |  FROM per)
+       |SELECT n, sx, sy, sxy, sxx, syy, n_t, sx_t, sy_t,
+       |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+       |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+       |    AS theta,
+       |  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |    - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE) AS diff_raw,
+       |  (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |    - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE))
+       |  - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+       |     / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+       |    * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |       - CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) AS diff_cuped,
+       |  (CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+       |   * CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE))
+       |  / (CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+       |     * CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+       |    AS var_reduction
+       |FROM w""".stripMargin
+  }
+
+  /** Global transitivity (clustering coefficient) of the significant
+    * co-purchase graph: `3·triangles / wedges`, with the triangle triple
+    * count taken as the SUM of per-node triangle participations from the
+    * skew-safe oriented enumeration (each triangle counts once per corner
+    * = exactly the 3T the coefficient needs) and wedges as the exact
+    * Σ d(d−1)/2 — the dedup-threshold health metric (a near-dup graph
+    * whose transitivity collapses is thresholded into chains, not
+    * clusters).
+    */
+  private def transitivityQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(explode(array(col("id_a"), col("id_b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri3 = graft.dedup.DupClusters.triangleCounts(edges)
+      .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(nE)).crossJoin(broadcast(tri3))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("tri3"),
+        (col("tri3").cast("double") / col("n_wedges").cast("double"))
+          .as("global_cc"))
+  }
+
+  private val transitivityOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj AS (SELECT u AS m, v AS x FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT m AS n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY m),
+      |sup AS (
+      |  SELECT l.x AS a, r.x AS b, count(*) AS c
+      |  FROM adj l JOIN adj r ON l.m = r.m AND l.x < r.x
+      |  GROUP BY l.x, r.x),
+      |t AS (
+      |  SELECT CAST(coalesce(sum(sup.c), 0) AS BIGINT) AS tri3
+      |  FROM e JOIN sup ON sup.a = e.u AND sup.b = e.v),
+      |w AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, tri3,
+      |  CAST(tri3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS global_cc
+      |FROM w, ne, t""".stripMargin
+
+  /** Gini–Simpson token diversity per source: `1 − Σ c² / N²` over exact
+    * counts — the transcendental-free diversity index (entropy's stand-in
+    * under the no-logs-under-the-hash discipline) used to audit whether a
+    * mixture source is lexically degenerate before paying to train on it.
+    */
+  private def simpsonQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__sc2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (lit(1.0) - col("__sc2").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("simpson"))
+      .orderBy(col("source"))
+  }
+
+  private val simpsonOracle =
+    """WITH tok AS (
+      |  SELECT source, tok AS term FROM (
+      |    SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''),
+      |cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY source, term)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  1.0 - CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE)
+      |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS simpson
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
+  /** The Count-Min grid maintained as a LIVE streaming aggregation
+    * (complete-mode groupBy over the event stream, AvailableNow): the
+    * final in-memory sink state must equal the batch grid over the same
+    * events — the oracle IS that batch grid, proving the sketch's
+    * streaming maintenance path produces the identical mergeable summary.
+    */
+  private def streamCountMinQ(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val name = "graft_stream_cm_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.analytics.CountMin
+      .sketch(raw.select(col("user_id")), "user_id", depth = 4, width = 512)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("r"), col("cell"))
+  }
+
+  private val streamCountMinOracle = {
+    val cellHash = OracleSql.md5U32Sql(
+      "'cm' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH cells AS (
+       |  SELECT rr.r, ($cellHash) % 512 AS cell
+       |  FROM events, range(0, 4) rr(r))
+       |SELECT CAST(r AS INTEGER) AS r, cell, CAST(count(*) AS BIGINT) AS cnt
+       |FROM cells GROUP BY r, cell
+       |ORDER BY r, cell""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -586,6 +806,10 @@ object SummaryQueries {
     "q_diff_in_diff" -> (diffInDiffQ _),
     "q_hll_grid" -> (hllGridQ _),
     "q_pca_power" -> (pcaPowerQ _),
+    "q_cuped" -> (cupedQ _),
+    "q_transitivity" -> (transitivityQ _),
+    "q_simpson_diversity" -> (simpsonQ _),
+    "q_stream_count_min" -> (streamCountMinQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -599,6 +823,10 @@ object SummaryQueries {
     "q_diff_in_diff" -> diffInDiffOracle,
     "q_hll_grid" -> hllGridOracle,
     "q_pca_power" -> pcaPowerOracle,
+    "q_cuped" -> cupedOracle,
+    "q_transitivity" -> transitivityOracle,
+    "q_simpson_diversity" -> simpsonOracle,
+    "q_stream_count_min" -> streamCountMinOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,
