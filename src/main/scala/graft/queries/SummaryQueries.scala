@@ -798,6 +798,199 @@ object SummaryQueries {
        |ORDER BY r, cell""".stripMargin
   }
 
+  /** Golden-record survivorship on a planted three-revision customer feed
+    * ([[graft.ops.Survivorship]]): rev 1 updates the balance and name but
+    * loses the segment, rev 2 (even keys only) carries only a new segment —
+    * the golden record must stitch "latest non-null" per FIELD across
+    * different revisions, with the per-field conflict census under the
+    * hash. Money through DECIMAL (exact).
+    */
+  private def survivorshipQ(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(18,2)")
+    val base = c.select(col("c_custkey").as("ck"), lit(0L).as("rev"),
+      col("c_name").as("name"), dec(col("c_acctbal")).as("bal"),
+      col("c_mktsegment").as("seg"))
+    val r1 = c.select(col("c_custkey").as("ck"), lit(1L).as("rev"),
+      concat(col("c_name"), lit("_v1")).as("name"),
+      dec(col("c_acctbal") + 10.0).as("bal"),
+      lit(null).cast("string").as("seg"))
+    val r2 = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("ck"), lit(2L).as("rev"),
+        lit(null).cast("string").as("name"),
+        lit(null).cast("decimal(18,2)").as("bal"), lit("SEG_NEW").as("seg"))
+    graft.ops.Survivorship.goldenRecords(
+        base.unionByName(r1).unionByName(r2), "ck", Seq("rev"),
+        Seq("name", "bal", "seg"))
+      .orderBy(col("cluster"))
+  }
+
+  private val survivorshipOracle =
+    """WITH recs AS (
+      |  SELECT c_custkey AS ck, 0 AS rev, c_name AS name,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1, c_name || '_v1',
+      |    CAST(c_acctbal + 10.0 AS DECIMAL(18,2)), NULL
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, NULL, NULL, 'SEG_NEW'
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |g AS (
+      |  SELECT ck AS cluster,
+      |    last_value(name IGNORE NULLS) OVER w AS golden_name,
+      |    last_value(bal IGNORE NULLS) OVER w AS golden_bal,
+      |    last_value(seg IGNORE NULLS) OVER w AS golden_seg,
+      |    row_number() OVER (PARTITION BY ck ORDER BY rev DESC) AS rn
+      |  FROM recs
+      |  WINDOW w AS (PARTITION BY ck ORDER BY rev
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |nd AS (
+      |  SELECT ck AS cluster,
+      |    CAST(count(DISTINCT name) AS BIGINT) AS nd_name,
+      |    CAST(count(DISTINCT bal) AS BIGINT) AS nd_bal,
+      |    CAST(count(DISTINCT seg) AS BIGINT) AS nd_seg,
+      |    CAST(count(*) AS BIGINT) AS n_sources
+      |  FROM recs GROUP BY ck)
+      |SELECT g.cluster, g.golden_name, g.golden_bal, g.golden_seg,
+      |  nd.nd_name, nd.nd_bal, nd.nd_seg, nd.n_sources
+      |FROM g JOIN nd ON nd.cluster = g.cluster
+      |WHERE g.rn = 1
+      |ORDER BY g.cluster""".stripMargin
+
+  /** Seasonal-baseline outlier audit: per (event_type, day-of-week), the
+    * EXACT lower-median purchase value (order-statistic selection — the
+    * winsorize discipline, no interpolation) and the count of values above
+    * 2× that baseline. The 35-row median table broadcasts back; one sort
+    * per group partition.
+    */
+  private def seasonalBaselineQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+      .filter(col("value").isNotNull)
+    val w = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("value"))
+    val cw = Window.partitionBy(col("event_type"), col("dow"))
+    val med = ev
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col("event_type"), col("dow"), col("value").as("median_value"))
+    ev.join(broadcast(med), Seq("event_type", "dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), min(col("median_value")).as("median_value"),
+        sum(when(col("value") > lit(2.0) * col("median_value"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val seasonalBaselineOracle =
+    """WITH ev AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow, value
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, dow, value,
+      |    row_number() OVER (PARTITION BY event_type, dow ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type, dow) AS cnt
+      |  FROM ev),
+      |med AS (
+      |  SELECT event_type, dow, value AS median_value
+      |  FROM r WHERE rn = (cnt + 1) // 2)
+      |SELECT ev.event_type, CAST(ev.dow AS INTEGER) AS dow,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(med.median_value) AS median_value,
+      |  CAST(sum(CASE WHEN ev.value > 2.0 * med.median_value
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev JOIN med ON med.event_type = ev.event_type AND med.dow = ev.dow
+      |GROUP BY ev.event_type, ev.dow
+      |ORDER BY ev.event_type, ev.dow""".stripMargin
+
+  /** Benford first-digit audit of order totals: exact digit counts from
+    * the DECIMAL string form (no logs at runtime — the Benford expectations
+    * are fixed double literals identical in both engines), per-digit
+    * expected counts and chi-square contributions in fixed operand order.
+    * The classic fabricated-data / corrupted-feed tripwire.
+    */
+  private def benfordQ(s: SparkSession, dir: String): DataFrame = {
+    val probs = Map(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val counts = Tables.orders(s, dir)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val n = counts.agg(sum(col("n_d")).as("__n"))
+    val p = probs.foldLeft(lit(0.0).cast("double")) { case (acc, (d, pr)) =>
+      when(col("digit") === d, lit(pr)).otherwise(acc)
+    }
+    s.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("expected", col("__n").cast("double") * p)
+      .withColumn("chi2_term",
+        (col("n_d").cast("double") - col("expected")) *
+          (col("n_d").cast("double") - col("expected")) / col("expected"))
+      .select(col("digit"), col("n_d"), col("expected"), col("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  private val benfordOracle =
+    """WITH c AS (
+      |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)[1]
+      |    AS INTEGER) AS digit
+      |  FROM orders),
+      |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM c GROUP BY digit),
+      |n AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM cnt),
+      |dom AS (
+      |  SELECT CAST(d AS INTEGER) AS digit,
+      |    CASE d WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+      |      WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+      |      WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+      |      WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+      |      WHEN 9 THEN 0.04575749056067514 END AS p
+      |  FROM range(1, 10) r(d))
+      |SELECT dom.digit, coalesce(cnt.n_d, 0) AS n_d,
+      |  CAST(n.n AS DOUBLE) * CAST(dom.p AS DOUBLE) AS expected,
+      |  (CAST(coalesce(cnt.n_d, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * CAST(dom.p AS DOUBLE))
+      |    * (CAST(coalesce(cnt.n_d, 0) AS DOUBLE) - CAST(n.n AS DOUBLE) * CAST(dom.p AS DOUBLE))
+      |    / (CAST(n.n AS DOUBLE) * CAST(dom.p AS DOUBLE)) AS chi2_term
+      |FROM dom LEFT JOIN cnt ON cnt.digit = dom.digit, n
+      |ORDER BY dom.digit""".stripMargin
+
+  /** Token-template profiling: mask digits→9, lowercase→a, uppercase→A
+    * and count the resulting shape templates — the quick "what does this
+    * field actually contain" profiler (mixed templates in an id column =
+    * upstream contract drift). Top-20 by (count desc, template).
+    */
+  private def templatesQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(regexp_replace(regexp_replace(regexp_replace(col("tok"),
+        "[0-9]", "9"), "[a-z]", "a"), "[A-Z]", "A").as("template"))
+      .groupBy(col("template")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("template"))
+      .limit(20)
+
+  private val templatesOracle =
+    """WITH tok AS (
+      |  SELECT t AS tok FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+      |  WHERE t <> ''),
+      |tpl AS (
+      |  SELECT regexp_replace(regexp_replace(regexp_replace(tok,
+      |    '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g')
+      |    AS template
+      |  FROM tok)
+      |SELECT template, CAST(count(*) AS BIGINT) AS n
+      |FROM tpl GROUP BY template
+      |ORDER BY n DESC, template LIMIT 20""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -810,6 +1003,10 @@ object SummaryQueries {
     "q_transitivity" -> (transitivityQ _),
     "q_simpson_diversity" -> (simpsonQ _),
     "q_stream_count_min" -> (streamCountMinQ _),
+    "q_survivorship" -> (survivorshipQ _),
+    "q_seasonal_baseline" -> (seasonalBaselineQ _),
+    "q_benford" -> (benfordQ _),
+    "q_templates" -> (templatesQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -827,6 +1024,10 @@ object SummaryQueries {
     "q_transitivity" -> transitivityOracle,
     "q_simpson_diversity" -> simpsonOracle,
     "q_stream_count_min" -> streamCountMinOracle,
+    "q_survivorship" -> survivorshipOracle,
+    "q_seasonal_baseline" -> seasonalBaselineOracle,
+    "q_benford" -> benfordOracle,
+    "q_templates" -> templatesOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

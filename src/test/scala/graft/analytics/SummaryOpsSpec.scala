@@ -198,6 +198,27 @@ class SummaryOpsSpec extends SparkSpec {
     assert(again === out, "power iterate must be partitioning-invariant")
   }
 
+  test("survivorship: latest non-null wins per field across different revisions; all-null stays null") {
+    val recs = Seq(
+      (1L, 0L, Some("a0"), Some(10L)), (1L, 1L, Some("a1"), None),
+      (1L, 2L, None, Some(30L)),
+      (2L, 0L, None, None), (2L, 1L, None, None)
+    ).toDF("ck", "rev", "name", "bal")
+    val g = graft.ops.Survivorship.goldenRecords(recs, "ck", Seq("rev"),
+        Seq("name", "bal"))
+      .select($"cluster", $"golden_name", $"golden_bal", $"nd_name", $"nd_bal",
+        $"n_sources")
+      .as[(Long, Option[String], Option[Long], Long, Long, Long)]
+      .collect().toSet
+    // cluster 1: name survives from rev 1 (rev 2's is null), bal from rev 2
+    assert(g === Set(
+      (1L, Some("a1"), Some(30L), 2L, 2L, 3L),
+      (2L, None, None, 0L, 0L, 2L)))
+    val again = graft.ops.Survivorship.goldenRecords(recs.repartition(5), "ck",
+        Seq("rev"), Seq("name", "bal")).count()
+    assert(again === 2L)
+  }
+
   test("linkPrediction: hand case and middle-degree valve") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("id_a", "id_b")
