@@ -44,6 +44,48 @@ object HllGrid {
       .groupBy(col("idx")).agg(max(col("rank")).as("m_rank"))
   }
 
+  /** Grouped register tables: one row per touched `(group, idx)` — the
+    * distinct-count-per-dimension shape (users per day, parts per flag).
+    * Still one map-combined aggregate; reduce state ≤ groups·m rows.
+    * Estimates follow from [[estimateBy]]. Small-group caveat as on the
+    * object: below ~2.5·m true distincts the raw estimate is biased
+    * (no linear-counting correction) — exact counting is cheaper there.
+    */
+  def registersBy(items: DataFrame, groupCol: String, itemCol: String,
+                  m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val h = md5U32(concat(lit("hllg:"), col(itemCol).cast("string")))
+    items
+      .select(col(groupCol).as("grp"), pmod(h, lit(m.toLong)).as("idx"),
+        (h / m).cast("long").as("__w"))
+      .select(col("grp"), col("idx"),
+        when(col("__w") === 0, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("__w")))).as("rank"))
+      .groupBy(col("grp"), col("idx")).agg(max(col("rank")).as("m_rank"))
+  }
+
+  /** Per-group estimates from a grouped register table: untouched
+    * registers contribute rank 0 via the closed form
+    * `Σ 2^(25−M) = touchedSum + (m − touched)·2^25` — no domain join.
+    */
+  def estimateBy(grid: DataFrame, m: Int = 256): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    grid
+      .withColumn("__term",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - m_rank AS INT))"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("__term")).as("__touched_sum"),
+        sum(col("m_rank")).as("register_sum"))
+      .withColumn("sum_scaled",
+        col("__touched_sum") + (lit(m.toLong) - col("n_used")) * (1L << 25))
+      .withColumn("estimate",
+        alpha * lit((m.toLong * m * (1L << 25)).toDouble) /
+          col("sum_scaled").cast("double"))
+      .select(col("grp"), col("n_used"), col("register_sum"),
+        col("sum_scaled"), col("estimate"))
+  }
+
   /** One-row estimate + audit columns from a register grid: the exact
     * scaled harmonic sum, the raw-estimate double, and grid-pinning
     * checksums (register sum / xor) so the WHOLE sketch state sits under a

@@ -58,4 +58,48 @@ object Quantiles {
       .filter(col("__rk") === col("k") - col("below"))
       .select(col("p"), col("n"), col("k"), col("c").as("value_cents"))
   }
+
+  /** WEIGHTED exact quantiles, same two-pass shape: the rank space is
+    * cumulative weight (`k(p‰) = ceil(W·p/1000)`), pass 1 histograms
+    * weight mass per bucket, and pass 2 selects — inside the straddling
+    * bucket only — the smallest value whose running weight (over
+    * per-distinct-value weight sums, so tie order cannot matter) reaches
+    * the residual rank. The "median price weighted by quantity" /
+    * token-weighted percentile primitive; weights must be non-negative
+    * exact longs.
+    */
+  def exactWeightedQuantilesTwoPass(df: DataFrame, centsCol: String,
+                                    weightCol: String, permille: Seq[Int],
+                                    bucketWidth: Long): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille points must be in [1,1000], got $permille")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val cents = df.select(col(centsCol).as("c"), col(weightCol).as("wt"))
+      .withColumn("bucket", expr(s"c div $bucketWidth"))
+    val hist = cents.groupBy(col("bucket")).agg(sum(col("wt")).as("bw"))
+    val cum = hist
+      .withColumn("cum", sum(col("bw")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("bw"))
+    val tot = hist.agg(sum(col("bw")).as("w"))
+    val targets = tot
+      .select(col("w"), explode(array(permille.map(p => lit(p)): _*)).as("p"))
+      .withColumn("k", expr("(w * p + 999) div 1000"))
+      .join(cum, col("k") > col("cum_prev") && col("k") <= col("cum"))
+      .select(col("p"), col("w"), col("k"), col("bucket"),
+        col("cum_prev").as("below"))
+    // in-bucket: per distinct value weight, running sum in value order
+    val perValue = cents.join(broadcast(targets), Seq("bucket"))
+      .groupBy(col("p"), col("w"), col("k"), col("below"), col("c"))
+      .agg(sum(col("wt")).as("vw"))
+    val run = Window.partitionBy(col("p")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("__cumv", sum(col("vw")).over(run))
+      .withColumn("__prevv", col("__cumv") - col("vw"))
+      .filter(col("__prevv") < col("k") - col("below") &&
+        col("k") - col("below") <= col("__cumv"))
+      .select(col("p"), col("w"), col("k"), col("c").as("value_cents"))
+  }
 }

@@ -991,6 +991,136 @@ object SummaryQueries {
       |FROM tpl GROUP BY template
       |ORDER BY n DESC, template LIMIT 20""".stripMargin
 
+  /** Quantity-weighted exact price quantiles via the weighted two-pass
+    * refine ([[graft.analytics.Quantiles.exactWeightedQuantilesTwoPass]]):
+    * rank space is cumulative weight, in-bucket selection runs over
+    * per-distinct-value weight sums so tie order cannot matter; the naive
+    * global cumulative-weight scan is the oracle.
+    */
+  private def weightedQuantilesQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      round(col("l_quantity"), 0).cast("long").as("wt"))
+    graft.analytics.Quantiles.exactWeightedQuantilesTwoPass(
+        li, "cents", "wt", Seq(250, 500, 750), bucketWidth = 100000L)
+      .orderBy(col("p"))
+  }
+
+  private val weightedQuantilesOracle =
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS wt
+      |  FROM lineitem),
+      |pv AS (SELECT cents, CAST(sum(wt) AS BIGINT) AS vw FROM c GROUP BY cents),
+      |r AS (
+      |  SELECT cents, vw,
+      |    CAST(sum(vw) OVER (ORDER BY cents) AS BIGINT) AS cumv
+      |  FROM pv),
+      |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w FROM c),
+      |pp AS (SELECT unnest([250, 500, 750]) AS p),
+      |kk AS (
+      |  SELECT CAST(p AS INTEGER) AS p, w,
+      |    CAST((w * p + 999) // 1000 AS BIGINT) AS k
+      |  FROM pp, tot)
+      |SELECT kk.p, kk.w, kk.k, r.cents AS value_cents
+      |FROM kk JOIN r ON r.cumv >= kk.k AND r.cumv - r.vw < kk.k
+      |ORDER BY kk.p""".stripMargin
+
+  /** Exponentially time-decayed trending parts: per-shipment weight
+    * `2^(61 − age_weeks)` (an exact power-of-two grid — halving per week,
+    * zero beyond 61 weeks by the disclosed cutoff), decayed mass summed in
+    * DECIMAL(38). Top-10 by (decayed desc, part) — the "what's hot NOW"
+    * ranking whose exactness usually dies in FP exp(); on the dyadic grid
+    * it hash-matches.
+    */
+  private def decayedTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("item"), col("l_shipdate").cast("date").as("d"))
+    val mx = li.agg(max(col("d")).as("mx"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("age", expr("datediff(mx, d) div 7"))
+      .withColumn("wgt",
+        when(col("age") <= 61,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(61 - age AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("item"))
+      .agg(sum(col("wgt").cast("decimal(38,0)")).as("decayed_scaled"),
+        count(lit(1)).as("n_shipments"))
+      .orderBy(col("decayed_scaled").desc, col("item"))
+      .limit(10)
+  }
+
+  private val decayedTopkOracle =
+    """WITH li AS (
+      |  SELECT l_partkey AS item, CAST(l_shipdate AS DATE) AS d FROM lineitem),
+      |mx AS (SELECT max(d) AS mx FROM li),
+      |w AS (
+      |  SELECT item,
+      |    CASE WHEN date_diff('day', d, mx) // 7 <= 61
+      |      THEN CAST(1 AS BIGINT)
+      |        << CAST(61 - date_diff('day', d, mx) // 7 AS INTEGER)
+      |      ELSE 0 END AS wgt
+      |  FROM li, mx)
+      |SELECT item,
+      |  CAST(sum(CAST(wgt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS decayed_scaled,
+      |  CAST(count(*) AS BIGINT) AS n_shipments
+      |FROM w GROUP BY item
+      |ORDER BY decayed_scaled DESC, item LIMIT 10""".stripMargin
+
+  /** Grouped HLL: distinct parts per return flag via per-group register
+    * tables ([[graft.analytics.HllGrid.registersBy]]/`estimateBy` — the
+    * closed-form untouched-register fill, no domain join), estimates
+    * within 25% of the exact per-group distinct counts, full register
+    * state pinned per group.
+    */
+  private def hllGroupedQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_partkey"))
+    val grids = graft.analytics.HllGrid.registersBy(li, "l_returnflag", "l_partkey")
+    val truth = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_partkey")).as("true_distinct"))
+    graft.analytics.HllGrid.estimateBy(grids)
+      .join(broadcast(truth), Seq("grp"))
+      .withColumn("within_band",
+        abs(col("estimate") - col("true_distinct").cast("double")) <=
+          lit(0.25) * col("true_distinct").cast("double"))
+      .orderBy(col("grp"))
+  }
+
+  private val hllGroupedOracle = {
+    val u32 = OracleSql.md5U32Sql("'hllg:' || CAST(l_partkey AS VARCHAR)")
+    s"""WITH h AS (
+       |  SELECT l_returnflag AS grp, ($u32) AS hv FROM lineitem),
+       |rr AS (
+       |  SELECT grp, hv % 256 AS idx,
+       |    CASE WHEN hv // 256 = 0 THEN 25
+       |         ELSE 25 - length(bin(hv // 256)) END AS rank
+       |  FROM h),
+       |g AS (SELECT grp, idx, max(rank) AS m FROM rr GROUP BY grp, idx),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_used,
+       |    CAST(sum(m) AS BIGINT) AS register_sum,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(25 - m AS INTEGER))
+       |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT)
+       |      AS sum_scaled
+       |  FROM g GROUP BY grp),
+       |t AS (
+       |  SELECT l_returnflag AS grp,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT agg.grp, agg.n_used, agg.register_sum, agg.sum_scaled,
+       |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |    * CAST(2199023255552 AS DOUBLE) / CAST(agg.sum_scaled AS DOUBLE)
+       |    AS estimate,
+       |  t.true_distinct,
+       |  abs((CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |    * CAST(2199023255552 AS DOUBLE) / CAST(agg.sum_scaled AS DOUBLE)
+       |    - CAST(t.true_distinct AS DOUBLE))
+       |    <= 0.25 * CAST(t.true_distinct AS DOUBLE) AS within_band
+       |FROM agg JOIN t ON t.grp = agg.grp
+       |ORDER BY agg.grp""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1007,6 +1137,9 @@ object SummaryQueries {
     "q_seasonal_baseline" -> (seasonalBaselineQ _),
     "q_benford" -> (benfordQ _),
     "q_templates" -> (templatesQ _),
+    "q_weighted_quantiles" -> (weightedQuantilesQ _),
+    "q_decayed_topk" -> (decayedTopkQ _),
+    "q_hll_grid_grouped" -> (hllGroupedQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1028,6 +1161,9 @@ object SummaryQueries {
     "q_seasonal_baseline" -> seasonalBaselineOracle,
     "q_benford" -> benfordOracle,
     "q_templates" -> templatesOracle,
+    "q_weighted_quantiles" -> weightedQuantilesOracle,
+    "q_decayed_topk" -> decayedTopkOracle,
+    "q_hll_grid_grouped" -> hllGroupedOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

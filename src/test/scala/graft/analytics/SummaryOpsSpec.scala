@@ -93,6 +93,28 @@ class SummaryOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted quantiles2pass: equals the naive cumulative-weight selection, any bucket width") {
+    val rows = (1 to 500).map(i => (((i * 7919L) % 1009L), (i % 5 + 1).toLong))
+      .toDF("cents", "wt")
+    // naive: smallest value whose cumulative weight reaches k
+    val data = rows.as[(Long, Long)].collect()
+    val byVal = data.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val total = data.map(_._2).sum
+    def naive(p: Int): Long = {
+      val k = (total * p + 999) / 1000
+      var cum = 0L
+      byVal.find { case (_, w) => { cum += w; cum >= k } }.get._1
+    }
+    for (width <- Seq(1L, 10L, 250L)) {
+      val got = Quantiles.exactWeightedQuantilesTwoPass(rows, "cents", "wt",
+        Seq(100, 500, 900), width)
+        .select($"p", $"value_cents").as[(Int, Long)].collect().toMap
+      for (p <- Seq(100, 500, 900))
+        assert(got(p) === naive(p), s"p=$p width=$width")
+    }
+  }
+
   test("abTest: arm counts partition the units; degenerate 100% rate yields NULL z, not an abort") {
     val ev = (1L to 40L).flatMap(u => Seq((u, "buy"), (u, "view")))
       .toDF("user_id", "event_type")
