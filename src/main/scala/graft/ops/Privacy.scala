@@ -95,4 +95,37 @@ object Privacy {
       .select(quasiCols.map(col) :+ col("group_size") :+ col("emd") :+
         col("close"): _*)
   }
+
+  /** Generalization-ladder search (Mondrian/Datafly-lite): given an
+    * ordered ladder of increasingly coarse quasi-identifier groupings,
+    * report each level's group count and minimum group size and mark the
+    * FIRST level that satisfies k-anonymity — the "how much must we
+    * coarsen before release" decision, made entirely in-plan (each level
+    * is one map-combined aggregate; the ladder frame is level-count-sized,
+    * so the first-satisfying scan is a metadata window).
+    *
+    * Levels are (name, grouping-columns) in preference order — most
+    * specific first; `chosen` is true on the first level whose minimum
+    * group size reaches `k` (false everywhere if none does).
+    */
+  def generalizationLadder(df: DataFrame,
+                           levels: Seq[(String, Seq[Column])],
+                           k: Long): DataFrame = {
+    require(levels.nonEmpty, "at least one generalization level")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perLevel = levels.zipWithIndex.map { case ((name, cols), i) =>
+      df.groupBy(cols: _*).agg(count(lit(1)).as("__gs"))
+        .agg(count(lit(1)).as("n_groups"), min(col("__gs")).as("min_group_size"))
+        .select(lit(i).as("level"), lit(name).as("level_name"),
+          col("n_groups"), col("min_group_size"))
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    val byLevel = Window.orderBy(col("level"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perLevel
+      .withColumn("satisfies", col("min_group_size") >= k)
+      .withColumn("chosen",
+        col("satisfies") &&
+          coalesce(max(col("satisfies").cast("int")).over(byLevel), lit(0)) === 0)
+  }
 }

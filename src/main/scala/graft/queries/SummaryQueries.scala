@@ -1121,6 +1121,110 @@ object SummaryQueries {
        |ORDER BY agg.grp""".stripMargin
   }
 
+  /** Generalization-ladder k-anonymity search
+    * ([[graft.ops.Privacy.generalizationLadder]]): four increasingly
+    * coarse quasi-identifier levels over customers; the FIRST level whose
+    * minimum group size reaches k=5 is `chosen` — the release decision
+    * made in-plan, one map-combined aggregate per level.
+    */
+  private def generalizeKQ(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey"),
+      col("c_acctbal").cast("decimal(18,2)").as("bal"), col("c_mktsegment"))
+    graft.ops.Privacy.generalizationLadder(c, Seq(
+        // bal + 1000 keeps the bucket operand non-negative (TPC-H balances
+        // floor at -999.99): floor-then-divide is then identical under
+        // truncating `div` and flooring `//`, and floor() itself agrees
+        // across engines where a straight DECIMAL->BIGINT cast does NOT
+        // (Spark truncates, DuckDB rounds)
+        ("nation_bal100_seg",
+          Seq(col("c_nationkey"), expr("CAST(floor(bal + 1000) AS BIGINT) div 100"),
+            col("c_mktsegment"))),
+        ("nation_bal1000_seg",
+          Seq(col("c_nationkey"), expr("CAST(floor(bal + 1000) AS BIGINT) div 1000"),
+            col("c_mktsegment"))),
+        ("region_bal1000_seg",
+          Seq(expr("c_nationkey div 5"), expr("CAST(floor(bal + 1000) AS BIGINT) div 1000"),
+            col("c_mktsegment"))),
+        ("seg_only", Seq(col("c_mktsegment")))),
+      k = 5L)
+      .orderBy(col("level"))
+  }
+
+  private val generalizeKOracle =
+    """WITH c AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) + 1000) AS BIGINT)
+      |      AS balb, c_mktsegment
+      |  FROM customer),
+      |l0 AS (
+      |  SELECT 0 AS level, 'nation_bal100_seg' AS level_name,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(min(gs) AS BIGINT) AS min_group_size
+      |  FROM (SELECT count(*) AS gs FROM c
+      |    GROUP BY c_nationkey, balb // 100, c_mktsegment)),
+      |l1 AS (
+      |  SELECT 1, 'nation_bal1000_seg', CAST(count(*) AS BIGINT),
+      |    CAST(min(gs) AS BIGINT)
+      |  FROM (SELECT count(*) AS gs FROM c
+      |    GROUP BY c_nationkey, balb // 1000, c_mktsegment)),
+      |l2 AS (
+      |  SELECT 2, 'region_bal1000_seg', CAST(count(*) AS BIGINT),
+      |    CAST(min(gs) AS BIGINT)
+      |  FROM (SELECT count(*) AS gs FROM c
+      |    GROUP BY c_nationkey // 5, balb // 1000, c_mktsegment)),
+      |l3 AS (
+      |  SELECT 3, 'seg_only', CAST(count(*) AS BIGINT), CAST(min(gs) AS BIGINT)
+      |  FROM (SELECT count(*) AS gs FROM c GROUP BY c_mktsegment)),
+      |u AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+      |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+      |f AS (
+      |  SELECT *, min_group_size >= 5 AS satisfies,
+      |    coalesce(max(CASE WHEN min_group_size >= 5 THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY level
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |  FROM u)
+      |SELECT CAST(level AS INTEGER) AS level, level_name, n_groups,
+      |  min_group_size, satisfies, satisfies AND prev = 0 AS chosen
+      |FROM f ORDER BY level""".stripMargin
+
+  /** Merkle-style partition digests: per order-month, an XOR fold of
+    * per-row md5U32 digests over the canonical row representation, plus
+    * the table-level root (XOR of month digests — associative and
+    * commutative, so partition- and order-independent). Incremental table
+    * verification: only a changed month re-digests, the root recomputes
+    * from the metadata-sized month table.
+    */
+  private def merkleDigestQ(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(s, dir).select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      conv(substring(md5(concat_ws(":", lit("ord"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("o_orderstatus"))), 1, 8), 16, 10).cast("long").as("rd"))
+    val months = rows.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bit_xor", col("rd")).as("digest"))
+    val root = months.agg(call_function("bit_xor", col("digest")).as("root_digest"))
+    months.crossJoin(broadcast(root)).orderBy(col("month"))
+  }
+
+  private val merkleDigestOracle = {
+    val u32 = OracleSql.md5U32Sql(
+      "'ord:' || CAST(o_orderkey AS VARCHAR) || ':' || " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)" +
+        " || ':' || o_orderstatus")
+    s"""WITH r AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |    ($u32) AS rd
+       |  FROM orders),
+       |m AS (
+       |  SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(bit_xor(rd) AS BIGINT) AS digest
+       |  FROM r GROUP BY month),
+       |root AS (SELECT CAST(bit_xor(digest) AS BIGINT) AS root_digest FROM m)
+       |SELECT m.month, m.n_rows, m.digest, root.root_digest
+       |FROM m, root ORDER BY m.month""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1140,6 +1244,8 @@ object SummaryQueries {
     "q_weighted_quantiles" -> (weightedQuantilesQ _),
     "q_decayed_topk" -> (decayedTopkQ _),
     "q_hll_grid_grouped" -> (hllGroupedQ _),
+    "q_generalize_k" -> (generalizeKQ _),
+    "q_merkle_digest" -> (merkleDigestQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1164,6 +1270,8 @@ object SummaryQueries {
     "q_weighted_quantiles" -> weightedQuantilesOracle,
     "q_decayed_topk" -> decayedTopkOracle,
     "q_hll_grid_grouped" -> hllGroupedOracle,
+    "q_generalize_k" -> generalizeKOracle,
+    "q_merkle_digest" -> merkleDigestOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,
