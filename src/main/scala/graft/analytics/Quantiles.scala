@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * shuffle whose reduce side is ≤ (value range / bucketWidth) rows —
   * metadata-sized, so the cumulative-count window over it is a bounded
   * single task by construction (the same envelope as every 1-row gate in
-  * the TPC-H suite). Pass 2 re-reads ONLY the straddling bucket per
-  * quantile (a pushable range predicate on the scan) and selects the exact
-  * in-bucket rank with a window bounded by that bucket's population. Total:
-  * two scans, zero global sorts; at 100 TB the second scan touches
-  * 1/n_buckets of the data per quantile.
+  * the TPC-H suite). Pass 2 keeps ONLY the straddling bucket per quantile —
+  * here via a broadcast-hash join on the derived bucket key (rows outside
+  * the target buckets drop at the first post-scan operator); a deployment
+  * that wants parquet row-group pruning on the second scan collects the
+  * (quantile-count-sized) target rows and re-issues pass 2 with literal
+  * `value BETWEEN b·w AND (b+1)·w` predicates — the bounded-driver-step
+  * pattern, same envelope as the BPE round argmax. Either way the exact
+  * in-bucket rank is a window bounded by one bucket's population. Total:
+  * two scans, zero global sorts.
   *
   * Rank convention: `k(p‰) = ceil(n·p/1000)` (1-indexed lower quantile),
   * computed by integer cross-multiplication — never FP. Selection is by

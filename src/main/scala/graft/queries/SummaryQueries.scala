@@ -1225,6 +1225,46 @@ object SummaryQueries {
        |FROM m, root ORDER BY m.month""".stripMargin
   }
 
+  /** The HLL register table maintained as a LIVE streaming aggregation
+    * (complete-mode max per register, AvailableNow) — with
+    * `q_stream_count_min` this pins BOTH mergeable summaries' streaming
+    * maintenance ≡ batch; the oracle is the batch register table.
+    */
+  private def streamHllQ(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val name = "graft_stream_hll_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.analytics.HllGrid
+      .registers(raw.select(col("user_id")), "user_id", m = 256)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("idx"))
+  }
+
+  private val streamHllOracle = {
+    val u32 = OracleSql.md5U32Sql("'hllg:' || CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (SELECT ($u32) AS hv FROM events),
+       |rr AS (
+       |  SELECT hv % 256 AS idx,
+       |    CASE WHEN hv // 256 = 0 THEN 25
+       |         ELSE 25 - length(bin(hv // 256)) END AS rank
+       |  FROM h)
+       |SELECT idx, CAST(max(rank) AS BIGINT) AS m_rank
+       |FROM rr GROUP BY idx
+       |ORDER BY idx""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1246,6 +1286,7 @@ object SummaryQueries {
     "q_hll_grid_grouped" -> (hllGroupedQ _),
     "q_generalize_k" -> (generalizeKQ _),
     "q_merkle_digest" -> (merkleDigestQ _),
+    "q_stream_hll" -> (streamHllQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1272,6 +1313,7 @@ object SummaryQueries {
     "q_hll_grid_grouped" -> hllGroupedOracle,
     "q_generalize_k" -> generalizeKOracle,
     "q_merkle_digest" -> merkleDigestOracle,
+    "q_stream_hll" -> streamHllOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

@@ -88,6 +88,34 @@ class SummaryPlanSpec extends SparkSpec {
       s"power iteration planned a cartesian (the 1-row rescale crossJoins are broadcast):\n$p")
   }
 
+  test("cdc chunking: the boundary-count window is doc-partitioned; rollup is a hash aggregate") {
+    val df = graft.dedup.ContentChunking.chunks(docs)
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "CDC planned a global window")
+    assert(plan(df).contains("HashAggregate") ||
+      plan(df).contains("ObjectHashAggregate"))
+  }
+
+  test("kTrussPeel: every per-round join is equi (no cartesian/BNLJ)") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val p = plan(graft.dedup.DupClusters.kTrussPeel(e, k = 3, rounds = 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"k-truss planned a product:\n$p")
+  }
+
+  test("survivorship: one hash aggregate, no window, no join") {
+    val recs = Seq((1L, 0L, "a", 1L)).toDF("ck", "rev", "name", "bal")
+    val p = plan(graft.ops.Survivorship.goldenRecords(recs, "ck", Seq("rev"),
+      Seq("name", "bal")))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"survivorship must be pure aggregation:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"))
+  }
+
   test("abTest: unit rollup is a map-combined aggregate; no window, no join") {
     val ev = graft.Tables.events(spark, sf())
     val p = plan(Drift.abTest(ev, "user_id", col("event_type") === "purchase", "t"))
