@@ -63,6 +63,43 @@ object Quantiles {
       .select(col("p"), col("n"), col("k"), col("c").as("value_cents"))
   }
 
+  /** GROUPED exact quantiles, same two-pass shape per group: the histogram
+    * keys on (group, bucket), the cumulative window partitions by group
+    * (never global), and pass 2's in-bucket rank partitions by
+    * (group, quantile) — stratified percentiles (per status / per source /
+    * per day) without any group ever sorting more than one bucket.
+    * `targets` is groups×quantiles rows — broadcast.
+    */
+  def exactGroupedQuantilesTwoPass(df: DataFrame, groupCol: String,
+                                   centsCol: String, permille: Seq[Int],
+                                   bucketWidth: Long): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille points must be in [1,1000], got $permille")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val cents = df.select(col(groupCol).as("grp"), col(centsCol).as("c"))
+      .withColumn("bucket", expr(s"c div $bucketWidth"))
+    val hist = cents.groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val n = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val targets = n
+      .select(col("grp"), col("n"),
+        explode(array(permille.map(p => lit(p)): _*)).as("p"))
+      .withColumn("k", expr("(n * p + 999) div 1000"))
+      .join(cum, Seq("grp"))
+      .filter(col("k") > col("cum_prev") && col("k") <= col("cum"))
+      .select(col("grp"), col("p"), col("n"), col("k"), col("bucket"),
+        col("cum_prev").as("below"))
+    val inBucket = Window.partitionBy(col("grp"), col("p")).orderBy(col("c"))
+    cents.join(broadcast(targets), Seq("grp", "bucket"))
+      .withColumn("__rk", row_number().over(inBucket))
+      .filter(col("__rk") === col("k") - col("below"))
+      .select(col("grp"), col("p"), col("n"), col("k"), col("c").as("value_cents"))
+  }
+
   /** WEIGHTED exact quantiles, same two-pass shape: the rank space is
     * cumulative weight (`k(p‰) = ceil(W·p/1000)`), pass 1 histograms
     * weight mass per bucket, and pass 2 selects — inside the straddling

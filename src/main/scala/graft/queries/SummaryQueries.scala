@@ -1265,6 +1265,74 @@ object SummaryQueries {
        |ORDER BY idx""".stripMargin
   }
 
+  /** Grouped (stratified) exact quantiles — p500/p900 of order totals per
+    * order status via the per-group two-pass refine (cumulative windows
+    * partitioned by group, never global); naive per-group row_number
+    * selection is the oracle.
+    */
+  private def quantilesGroupedQ(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(s, dir).select(col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    graft.analytics.Quantiles.exactGroupedQuantilesTwoPass(
+        c, "o_orderstatus", "cents", Seq(500, 900), bucketWidth = 100000L)
+      .orderBy(col("grp"), col("p"))
+  }
+
+  private val quantilesGroupedOracle =
+    """WITH c AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT grp, cents,
+      |    row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn FROM c),
+      |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY grp),
+      |pp AS (SELECT unnest([500, 900]) AS p),
+      |kk AS (
+      |  SELECT grp, CAST(p AS INTEGER) AS p, n,
+      |    CAST((n * p + 999) // 1000 AS BIGINT) AS k
+      |  FROM n, pp)
+      |SELECT kk.grp, kk.p, kk.n, kk.k, r.cents AS value_cents
+      |FROM kk JOIN r ON r.grp = kk.grp AND r.rn = kk.k
+      |ORDER BY kk.grp, kk.p""".stripMargin
+
+  /** Incremental Count-Min maintenance from CDC
+    * (the `q_minhash_incremental`/`q_ivf_incremental` discipline): base
+    * events commit as snapshot v1, the remainder lands via the CAS commit
+    * path, the delta grid is built from `snapshotDiff` inserts ONLY and
+    * cellwise-added onto the v1 grid — and the ORACLE is the from-scratch
+    * grid over all events, so the hash proves delta-maintained ≡ rebuilt,
+    * O(delta) per refresh.
+    */
+  private def countMinIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Versioned
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cm_inc_").toString
+    Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
+    Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
+    val v1 = Versioned.read(s, tmp, Some(1))
+    val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    graft.analytics.CountMin.sketch(v1.select(col("user_id")), "user_id")
+      .unionByName(
+        graft.analytics.CountMin.sketch(delta.select(col("user_id")), "user_id"))
+      .groupBy(col("r"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("r"), col("cell"))
+  }
+
+  // the oracle is the FULL grid over all events — equality proves the
+  // CDC-maintained grid identical to a rebuild
+  private val countMinIncrementalOracle = {
+    val cellHash = OracleSql.md5U32Sql(
+      "'cm' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH cells AS (
+       |  SELECT rr.r, ($cellHash) % 512 AS cell
+       |  FROM events, range(0, 4) rr(r))
+       |SELECT CAST(r AS INTEGER) AS r, cell, CAST(count(*) AS BIGINT) AS cnt
+       |FROM cells GROUP BY r, cell
+       |ORDER BY r, cell""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1287,6 +1355,8 @@ object SummaryQueries {
     "q_generalize_k" -> (generalizeKQ _),
     "q_merkle_digest" -> (merkleDigestQ _),
     "q_stream_hll" -> (streamHllQ _),
+    "q_quantiles_grouped" -> (quantilesGroupedQ _),
+    "q_count_min_incremental" -> (countMinIncrementalQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1314,6 +1384,8 @@ object SummaryQueries {
     "q_generalize_k" -> generalizeKOracle,
     "q_merkle_digest" -> merkleDigestOracle,
     "q_stream_hll" -> streamHllOracle,
+    "q_quantiles_grouped" -> quantilesGroupedOracle,
+    "q_count_min_incremental" -> countMinIncrementalOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

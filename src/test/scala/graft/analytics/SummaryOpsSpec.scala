@@ -115,6 +115,22 @@ class SummaryOpsSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantiles2pass: per-group equality with the naive selection") {
+    val rows = (1 to 600).map(i => (s"g${i % 3}", ((i * 7919L) % 5003L)))
+      .toDF("grp", "cents")
+    val data = rows.as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    def naive(g: String, p: Int): Long = {
+      val v = data(g); v(((v.length.toLong * p + 999) / 1000).toInt - 1)
+    }
+    val got = Quantiles.exactGroupedQuantilesTwoPass(rows, "grp", "cents",
+      Seq(250, 500, 750), 500L)
+      .select($"grp", $"p", $"value_cents").as[(String, Int, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    for (g <- Seq("g0", "g1", "g2"); p <- Seq(250, 500, 750))
+      assert(got((g, p)) === naive(g, p), s"grp=$g p=$p")
+  }
+
   test("abTest: arm counts partition the units; degenerate 100% rate yields NULL z, not an abort") {
     val ev = (1L to 40L).flatMap(u => Seq((u, "buy"), (u, "view")))
       .toDF("user_id", "event_type")
