@@ -1333,6 +1333,42 @@ object SummaryQueries {
        |ORDER BY r, cell""".stripMargin
   }
 
+  /** Incremental HLL maintenance from CDC — the MAX-merge algebra
+    * counterpart of `q_count_min_incremental` (add-merge): delta registers
+    * from `snapshotDiff` inserts fold onto the v1 register table by
+    * register-wise max; the oracle is the from-scratch register table, so
+    * the hash proves delta-maintained ≡ rebuilt. Together the two rows pin
+    * CDC maintenance for both mergeable-summary algebras.
+    */
+  private def hllIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Versioned
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_inc_").toString
+    Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
+    Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
+    val v1 = Versioned.read(s, tmp, Some(1))
+    val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    graft.analytics.HllGrid.registers(v1.select(col("user_id")), "user_id")
+      .unionByName(
+        graft.analytics.HllGrid.registers(delta.select(col("user_id")), "user_id"))
+      .groupBy(col("idx")).agg(max(col("m_rank")).as("m_rank"))
+      .orderBy(col("idx"))
+  }
+
+  private val hllIncrementalOracle = {
+    val u32 = OracleSql.md5U32Sql("'hllg:' || CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (SELECT ($u32) AS hv FROM events),
+       |rr AS (
+       |  SELECT hv % 256 AS idx,
+       |    CASE WHEN hv // 256 = 0 THEN 25
+       |         ELSE 25 - length(bin(hv // 256)) END AS rank
+       |  FROM h)
+       |SELECT idx, CAST(max(rank) AS BIGINT) AS m_rank
+       |FROM rr GROUP BY idx
+       |ORDER BY idx""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count_min_grid" -> (countMinQ _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1357,6 +1393,7 @@ object SummaryQueries {
     "q_stream_hll" -> (streamHllQ _),
     "q_quantiles_grouped" -> (quantilesGroupedQ _),
     "q_count_min_incremental" -> (countMinIncrementalQ _),
+    "q_hll_incremental" -> (hllIncrementalQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1386,6 +1423,7 @@ object SummaryQueries {
     "q_stream_hll" -> streamHllOracle,
     "q_quantiles_grouped" -> quantilesGroupedOracle,
     "q_count_min_incremental" -> countMinIncrementalOracle,
+    "q_hll_incremental" -> hllIncrementalOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,
