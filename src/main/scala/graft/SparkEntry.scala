@@ -25,10 +25,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TelematicsQueries.defs ++ AnalyticsQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ VersionedQueries.defs ++ TpchQueries.defs ++
-      SelectionQueries.defs ++ SummaryQueries.defs
+      SelectionQueries.defs ++ SummaryQueries.defs ++ StatQueries.defs
 
   def oracleSql: Map[String, String] =
     TelematicsQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
       CurationQueries.oracles ++ VersionedQueries.oracles ++ TpchQueries.oracles ++
-      SelectionQueries.oracles ++ SummaryQueries.oracles
+      SelectionQueries.oracles ++ SummaryQueries.oracles ++ StatQueries.oracles
 }

@@ -1,0 +1,172 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact model-evaluation statistics at corpus scale.
+  *
+  * Every statistic here is a ratio of exact integers assembled in one
+  * final fixed-operand-order IEEE division, so the values hash-compare
+  * across engines (the chi2Buckets/cuped precedent). The rank-based pair
+  * ([[aucExact]], [[ksStatistic]]) shares one plan idea: a cumulative
+  * count over *distinct metric values* is needed, and the naive form is a
+  * single-task `ORDER BY value` window over every distinct value. Instead
+  * the distinct values are histogrammed into width-`bucketWidth` buckets
+  * (two-pass-quantiles style, [[Quantiles]]): the only empty-partition
+  * window runs over the metadata-sized bucket frame, and the per-value
+  * cumulative runs *partitioned by bucket* — parallel, each partition
+  * bounded by the values falling in one bucket. Equality with the naive
+  * form is what the oracle rows prove.
+  *
+  * Scale contract: the bucket count is `(max score − min score) /
+  * bucketWidth` — pick a width that keeps it in the thousands (it is a
+  * histogram, not a sort). Scores are integer-scaled (cents) on entry, so
+  * there is no FP comparison anywhere in rank space.
+  */
+object Eval {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Exact ROC AUC of `scoreCents` against boolean `label`, tie-aware
+    * (average-rank / trapezoid semantics): AUC = (#{pos>neg} + ½#{ties}) /
+    * (n₊·n₋). Returned as one row: `n_pos`, `n_neg`, `two_u` (the exact
+    * integer 2U = Σ_s p_s·(2·neg_below(s) + n_s), DECIMAL(38)), and `auc` =
+    * two_u / (2·n₊·n₋) — a single gated division. Equivalent to the
+    * Mann-Whitney U statistic (2U here), so this row doubles as the exact
+    * rank-sum test audit.
+    */
+  def aucExact(df: DataFrame, scoreCents: Column, label: Column,
+               bucketWidth: Long = 2048L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val perVal = df
+      .select(scoreCents.cast("long").as("s"), label.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
+      .withColumn("b", expr(s"s div $bucketWidth"))
+    val bucketFrame = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = perVal.groupBy(col("b")).agg(sum(col("n")).as("nb"))
+      .withColumn("cum_nb", coalesce(sum(col("nb")).over(bucketFrame), lit(0L)))
+      .select(col("b"), col("cum_nb"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .join(broadcast(bucketCum), Seq("b"))
+      .withColumn("neg_below",
+        col("cum_nb") + coalesce(sum(col("n")).over(inBucket), lit(0L)))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("n")).as("n_neg"),
+        sum(dec(col("p")) * (dec(col("neg_below")) * lit(2) + dec(col("n"))))
+          .cast("decimal(38,0)").as("two_u"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("two_u").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `inA` and
+    * `inB` populations of `valueCents`: D = max_v |F_A(v) − F_B(v)|,
+    * computed as the exact integer numerator max_v |cumA(v)·n_B −
+    * cumB(v)·n_A| (inclusive CDF at each distinct value) over the same
+    * bucketed two-level cumulative as [[aucExact]]. One row: `n_a`, `n_b`,
+    * `d_num` (DECIMAL(38)), `d` = d_num/(n_a·n_b).
+    */
+  def ksStatistic(df: DataFrame, valueCents: Column, inA: Column, inB: Column,
+                  bucketWidth: Long = 2048L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val perVal = df
+      .select(valueCents.cast("long").as("s"),
+        inA.cast("long").as("a0"), inB.cast("long").as("b0"))
+      .groupBy(col("s"))
+      .agg(sum(col("a0")).as("a"), sum(col("b0")).as("b"))
+      .withColumn("bk", expr(s"s div $bucketWidth"))
+    val bucketFrame = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = perVal.groupBy(col("bk"))
+      .agg(sum(col("a")).as("ab"), sum(col("b")).as("bb"))
+      .withColumn("cum_ab", coalesce(sum(col("ab")).over(bucketFrame), lit(0L)))
+      .withColumn("cum_bb", coalesce(sum(col("bb")).over(bucketFrame), lit(0L)))
+      .select(col("bk"), col("cum_ab"), col("cum_bb"))
+    val inBucket = Window.partitionBy(col("bk")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = perVal.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    perVal
+      .join(broadcast(bucketCum), Seq("bk"))
+      .withColumn("ca", col("cum_ab") + sum(col("a")).over(inBucket))
+      .withColumn("cb", col("cum_bb") + sum(col("b")).over(inBucket))
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        max(abs(dec(col("ca")) * dec(col("n_b")) - dec(col("cb")) * dec(col("n_a"))))
+          .cast("decimal(38,0)").as("d_num"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+  }
+
+  /** Multi-class classification report from (truth, pred) pairs: per-class
+    * tp/fp/fn plus precision, recall and F1 — each metric ONE gated
+    * division of exact longs (F1 in the algebraically-reduced single-
+    * division form 2·tp/(2·tp+fp+fn), so no compound rounding). The
+    * confusion matrix is class²-bounded: one shuffle to build it,
+    * everything downstream metadata-sized.
+    */
+  def classificationReport(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val cm = df.groupBy(truth.as("truth"), pred.as("pred"))
+      .agg(count(lit(1)).as("c"))
+    val byTruth = cm.groupBy(col("truth").as("cls")).agg(sum(col("c")).as("t_cnt"))
+    val byPred = cm.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("p_cnt"))
+    val diag = cm.filter(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("c").as("tp0"))
+    byTruth.join(byPred, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left_outer")
+      .select(
+        col("cls"),
+        coalesce(col("tp0"), lit(0L)).as("tp"),
+        (coalesce(col("p_cnt"), lit(0L)) - coalesce(col("tp0"), lit(0L))).as("fp"),
+        (coalesce(col("t_cnt"), lit(0L)) - coalesce(col("tp0"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
+  }
+
+  /** Exact Gini coefficient of a per-key integer quantity (inequality /
+    * concentration audit — spend, tokens, traffic). `perKey` must carry
+    * one row per key with `centsCol`; ranks come from the scale-safe
+    * [[graft.ops.StableIds]] range-partition path (the naive global
+    * `row_number` is the oracle), tie order irrelevant: Σ(2i−n−1)x is
+    * invariant to permutations within equal-x runs. One row: `n`,
+    * `sum_cents`, `gini_num` = 2·Σi·xᵢ − (n+1)·Σx (DECIMAL(38)) and
+    * `gini` = gini_num/(n·Σx), one gated division.
+    */
+  def giniCoefficient(perKey: DataFrame, keyCol: String, centsCol: String): DataFrame = {
+    val ranked = graft.ops.StableIds.withStableIds(
+      perKey.select(col(centsCol).cast("long").as("x"), col(keyCol)),
+      Seq("x", keyCol))
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_cents"),
+        sum(dec(col("stable_id") + 1) * dec(col("x")))
+          .cast("decimal(38,0)").as("s1"))
+      .select(
+        col("n"), col("sum_cents"),
+        (dec(col("s1")) * lit(2) - (dec(col("n")) + lit(1)) * dec(col("sum_cents")))
+          .cast("decimal(38,0)").as("gini_num"),
+        when(col("n") > 0 && col("sum_cents") > 0,
+          (dec(col("s1")) * lit(2) - (dec(col("n")) + lit(1)) * dec(col("sum_cents")))
+            .cast("double") /
+            (col("n").cast("double") * col("sum_cents").cast("double"))).as("gini"))
+  }
+}

@@ -128,4 +128,43 @@ object Privacy {
         col("satisfies") &&
           coalesce(max(col("satisfies").cast("int")).over(byLevel), lit(0)) === 0)
   }
+
+  /** Warner randomized response (1965) — the local-privacy collection
+    * primitive: each row reports its true boolean with probability
+    * p = `pNum`/`pDen` and the flipped value otherwise, so no individual
+    * report is trustworthy, yet the population count debiases exactly:
+    * t̂ = (pDen·observed − (pDen−pNum)·n) / (2·pNum − pDen).
+    *
+    * The coin is the deterministic md5 uniform over `idCol` under `seed`
+    * (reproducible on any cluster — the library-wide draw discipline), so
+    * the whole mechanism, including the noisy reports, replays bit-exactly
+    * in the oracle. A production deployment would draw the coin
+    * client-side from real entropy; the estimator and its algebra are
+    * unchanged. Plan shape: one pure projection + one map-combined
+    * aggregate — the response column never shuffles row-wise.
+    *
+    * Returns one row: `n`, `true_cnt` (audit-only — the collector cannot
+    * see it in production), `observed`, the exact integer `est_num` =
+    * pDen·observed − (pDen−pNum)·n, and `est` = est_num/(2·pNum−pDen),
+    * one division.
+    */
+  def randomizedResponse(df: DataFrame, idCol: Column, truth: Column,
+                         seed: String, pNum: Int = 3, pDen: Int = 4): DataFrame = {
+    require(pDen > 0 && pNum * 2 > pDen && pNum <= pDen,
+      s"need 1/2 < p = $pNum/$pDen <= 1 for an identifiable estimator")
+    val draw = pmod(
+      conv(substring(md5(concat(lit(s"rr:$seed:"), idCol.cast("string"))),
+        1, 8), 16, 10).cast("long"),
+      lit(pDen.toLong))
+    df.select(truth.cast("long").as("t"),
+        when(draw < pNum, truth.cast("long"))
+          .otherwise(lit(1L) - truth.cast("long")).as("rep"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("true_cnt"),
+        sum(col("rep")).as("observed"))
+      .withColumn("est_num",
+        lit(pDen.toLong) * col("observed") -
+          lit((pDen - pNum).toLong) * col("n"))
+      .withColumn("est",
+        col("est_num").cast("double") / lit((2 * pNum - pDen).toDouble))
+  }
 }

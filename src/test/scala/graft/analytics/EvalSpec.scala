@@ -1,0 +1,117 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed guarantees for the exact evaluation statistics
+  * ([[Eval]]) and the randomized-response mechanism
+  * ([[graft.ops.Privacy.randomizedResponse]]).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucExact: hand case with a tie — 2U = 7, AUC = 0.875") {
+    // pos scores {300, 200}, neg {100, 200}: pos300 beats both (2),
+    // pos200 beats 100 and ties 200 (1.5) → U = 3.5 of 4 pairs
+    val df = Seq((300L, 1), (200L, 1), (100L, 0), (200L, 0)).toDF("s", "y")
+    val r = Eval.aucExact(df, col("s"), col("y") === 1)
+      .select($"n_pos", $"n_neg", $"two_u".cast("long"), $"auc")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((2L, 2L, 7L, 0.875)))
+  }
+
+  test("aucExact: bucketed two-level cumulative ≡ width-1 buckets (every value its own bucket)") {
+    val df = (1 to 200).map(i => (i.toLong * 37 % 501, i % 3 == 0)).toDF("s", "y")
+    val a = Eval.aucExact(df, col("s"), col("y"), bucketWidth = 2048L)
+      .select($"two_u".cast("long"), $"n_pos", $"n_neg").head()
+    val b = Eval.aucExact(df, col("s"), col("y"), bucketWidth = 1L)
+      .select($"two_u".cast("long"), $"n_pos", $"n_neg").head()
+    assert(a === b)
+  }
+
+  test("aucExact: perfect separation gives AUC 1.0, reversed gives 0.0") {
+    val sep = Seq((10L, 1), (20L, 1), (1L, 0), (2L, 0)).toDF("s", "y")
+    assert(Eval.aucExact(sep, col("s"), col("y") === 1)
+      .select($"auc").as[Double].head() === 1.0)
+    val rev = Seq((1L, 1), (2L, 1), (10L, 0), (20L, 0)).toDF("s", "y")
+    assert(Eval.aucExact(rev, col("s"), col("y") === 1)
+      .select($"auc").as[Double].head() === 0.0)
+  }
+
+  test("ksStatistic: hand case — A={1,2,3} vs B={3,4} has D = 2/3 at value 2") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("s", "side")
+    val r = Eval.ksStatistic(df, col("s"), col("side") === "a", col("side") === "b")
+      .select($"n_a", $"n_b", $"d_num".cast("long"), $"d")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 === 3L && r._2 === 2L)
+    assert(r._3 === 4L) // |2·2 − 0·3| at value 2
+    assert(math.abs(r._4 - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("ksStatistic: identical samples have D = 0") {
+    val df = Seq((5L, "a"), (7L, "a"), (5L, "b"), (7L, "b")).toDF("s", "side")
+    val d = Eval.ksStatistic(df, col("s"), col("side") === "a", col("side") === "b")
+      .select($"d_num".cast("long")).as[Long].head()
+    assert(d === 0L)
+  }
+
+  test("classificationReport: hand confusion — per-class tp/fp/fn and single-division metrics") {
+    val df = Seq(
+      ("cat", "cat"), ("cat", "cat"), ("cat", "dog"),
+      ("dog", "cat"), ("dog", "dog"),
+      ("bird", "dog")).toDF("t", "p")
+    val m = Eval.classificationReport(df, col("t"), col("p"))
+      .select($"cls", $"tp", $"fp", $"fn", $"precision", $"recall", $"f1")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // cat: tp=2 fp=1 fn=1 → p=2/3 r=2/3 f1=2·2/(4+1+1)=2/3
+    assert(m("cat")._2 === 2L && m("cat")._3 === 1L && m("cat")._4 === 1L)
+    assert(m("cat")._7.get === 2.0 / 3.0)
+    // bird: never predicted → precision NULL (gated), recall 0
+    assert(m("bird")._2 === 0L && m("bird")._5.isEmpty && m("bird")._6.get === 0.0)
+    // dog: tp=1 fp=2 fn=1 → f1 = 2/(2+2+1) = 0.4
+    assert(m("dog")._7.get === 0.4)
+  }
+
+  test("giniCoefficient: equal shares → 0; full concentration on one of three keys → 2/3") {
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("k", "cents")
+    assert(Eval.giniCoefficient(eq, "k", "cents")
+      .select($"gini_num".cast("long")).as[Long].head() === 0L)
+    val conc = Seq(("a", 0L), ("b", 0L), ("c", 30L)).toDF("k", "cents")
+    val g = Eval.giniCoefficient(conc, "k", "cents")
+      .select($"gini").as[Double].head()
+    assert(math.abs(g - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("randomizedResponse: deterministic under seed; p=1 degenerates to the exact count") {
+    val df = (1 to 100).map(i => (i.toLong, i % 5 == 0)).toDF("id", "t")
+    val a = graft.ops.Privacy.randomizedResponse(df, $"id", $"t", "sd")
+      .select($"observed", $"est_num").as[(Long, Long)].head()
+    val b = graft.ops.Privacy.randomizedResponse(df, $"id", $"t", "sd")
+      .select($"observed", $"est_num").as[(Long, Long)].head()
+    assert(a === b)
+    // est_num identity: 4·obs − n
+    assert(a._2 === 4 * a._1 - 100)
+    // truthful coin (p = 1/1) reports exactly, estimator collapses to truth
+    val exact = graft.ops.Privacy.randomizedResponse(df, $"id", $"t", "sd",
+      pNum = 1, pDen = 1)
+      .select($"true_cnt", $"observed", $"est").as[(Long, Long, Double)].head()
+    assert(exact._1 === 20L && exact._2 === 20L && exact._3 === 20.0)
+  }
+
+  test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
+    val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
+    val auc = Eval.aucExact(df, col("s"), col("y"))
+    val globalWindows = auc.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.size === 1, "exactly the bucket-frame window may be global")
+    val overAggregate = globalWindows.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(overAggregate.nonEmpty,
+      "the global window must sit above the bucket histogram aggregate, never the data")
+  }
+}
