@@ -66,6 +66,48 @@ object Eval {
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
   }
 
+  /** Per-group [[aucExact]] — slice-wise model evaluation (AUC by
+    * language, source, cohort): the same tie-aware exact 2U statistic,
+    * every stage additionally keyed by `groupCol`. Unlike the global
+    * variant, NO stage here is ever global: the bucket-level cumulative
+    * window partitions by group (the "single-task window" of the naive
+    * form becomes G parallel metadata-sized windows), the in-bucket
+    * cumulative partitions by (group, bucket), and the final collapse is
+    * a per-group hash aggregate — so adding evaluation slices adds
+    * parallelism, not serialization. One row per group.
+    */
+  def aucExactBy(df: DataFrame, groupCol: Column, scoreCents: Column,
+                 label: Column, bucketWidth: Long = 2048L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val perVal = df
+      .select(groupCol.as("g"), scoreCents.cast("long").as("s"),
+        label.cast("long").as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
+      .withColumn("b", expr(s"s div $bucketWidth"))
+    val bucketFrame = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = perVal.groupBy(col("g"), col("b")).agg(sum(col("n")).as("nb"))
+      .withColumn("cum_nb", coalesce(sum(col("nb")).over(bucketFrame), lit(0L)))
+      .select(col("g"), col("b"), col("cum_nb"))
+    val inBucket = Window.partitionBy(col("g"), col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .join(broadcast(bucketCum), Seq("g", "b"))
+      .withColumn("neg_below",
+        col("cum_nb") + coalesce(sum(col("n")).over(inBucket), lit(0L)))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("n")).as("n_neg"),
+        sum(dec(col("p")) * (dec(col("neg_below")) * lit(2) + dec(col("n"))))
+          .cast("decimal(38,0)").as("two_u"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("two_u").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the `inA` and
     * `inB` populations of `valueCents`: D = max_v |F_A(v) − F_B(v)|,
     * computed as the exact integer numerator max_v |cumA(v)·n_B −

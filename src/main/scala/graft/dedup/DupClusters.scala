@@ -638,4 +638,82 @@ object DupClusters {
         .otherwise(lit(null).cast("double")))
   }
 
+  /** Per-node local clustering coefficient C(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * — the node-level companion of the global transitivity audit: on a
+    * near-dup or co-occurrence graph, high-C nodes sit inside mutually
+    * corroborated template families while low-C high-degree nodes are
+    * hubs whose neighbors are unrelated (the ones link-prediction valves
+    * and walk caps exist for).
+    *
+    * Triangle counts come from the skew-safe compact-forward enumeration
+    * ([[triangleCounts]] — wedge fan-out O(√m)-bounded, never low-id-
+    * celebrity deg²); degrees from one explode + map-combined count. The
+    * coefficient is ONE gated division of exact longs, so rows hash-match
+    * the naive per-corner oracle. Isolated-from-triangles nodes keep
+    * `n_triangles = 0`; `clustering` is NULL for degree < 2 (undefined,
+    * not 0 — a leaf is not "perfectly un-clustered").
+    */
+  def clusteringCoefficient(pairs: DataFrame, idA: String = "id_a",
+                            idB: String = "id_b"): DataFrame = {
+    val e0 = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e0, "u", "v")
+      .select(col("doc_id").as("node_id"), col("n_triangles"))
+    deg.join(tri, Seq("node_id"), "left_outer")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
+  /** Minimum-hop distances from a seed set by synchronous frontier BFS
+    * over the undirected `pairs` graph, bounded at `maxHops` rounds —
+    * the reachability primitive (contamination spread from flagged
+    * documents, catalog distance from a seed set, bounded-radius
+    * neighborhood extraction) that a recursive CTE expresses on a
+    * single-node engine.
+    *
+    * Per round: ONE equi-join of the current frontier against the
+    * adjacency list plus ONE anti-join against the visited set — no
+    * per-node state, no driver-side queue. Because expansion is
+    * synchronous, the first round that reaches a node IS its minimum
+    * hop, so no min-aggregate re-visits are ever needed. Each round
+    * `localCheckpoint`s the visited set (lineage would otherwise stack
+    * one optimizer pass per round — the star-contraction discipline).
+    * Rounds are bounded by `maxHops`, not convergence: the contract is
+    * "everything within radius k", which is also what keeps the cost
+    * O(edges within k hops) on a 100 TB graph instead of O(diameter).
+    */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
+              idA: String = "id_a", idB: String = "id_b",
+              seedCol: String = "node_id"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = pairs.select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).cast("long").as("node_id"))
+      .distinct().withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(adj, frontier("node_id") === adj("u"))
+        .select(adj("v").as("node_id")).distinct()
+        .join(visited, Seq("node_id"), "left_anti")
+        .withColumn("hop", lit(h))
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = visited.filter(col("hop") === h)
+      h += 1
+    }
+    visited
+  }
+
 }

@@ -58,4 +58,53 @@ object TimeSeries {
         when(col("__nt").isNotNull, col("__nt") - col(tsMicrosCol)))
       .drop("__pv", "__pt", "__nv", "__nt")
   }
+
+  /** Pooled lag-k autocorrelation of an integer-scaled metric: for each
+    * lag in `lags`, Pearson r over every within-entity pair (x_t, x_{t+k})
+    * with t ordered by (`tsCol`, `tieCol`) — the seasonality/persistence
+    * audit behind cache-TTL and forecast-feature decisions. Pairs never
+    * cross entities, so no cross-series artifacts.
+    *
+    * Plan shape: ONE per-entity sort carries every lag (all `lead(x, k)`
+    * columns ride the same window spec), the per-lag pair stream is a
+    * partition-local explode of a |lags|-element struct array, and the
+    * statistics collapse in one map-combined aggregate to |lags| rows —
+    * shuffle cost is the single entity-key exchange regardless of how
+    * many lags are probed. Every moment is an exact BIGINT/DECIMAL(38)
+    * sum; r is the standard five-moment expression in fixed operand
+    * order (sqrt is correctly-rounded IEEE, so the double hash-matches
+    * across engines — the corr_matrix precedent). Degenerate lags
+    * (no pairs, zero variance) yield NULL, not NaN.
+    */
+  def autocorrelation(df: DataFrame, entityCol: String, tsCol: String,
+                      tieCol: String, valueCents: Column,
+                      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val withLags = df
+      .select(col(entityCol), col(tsCol), col(tieCol), valueCents.cast("long").as("__x"))
+      .select(col("__x") +: lags.map(k =>
+        lead(col("__x"), k).over(w).as(s"__xl_$k")): _*)
+    val pairs = withLags
+      .select(explode(array(lags.map(k =>
+          struct(lit(k.toLong).as("lag"), col("__x").as("x"), col(s"__xl_$k").as("y"))): _*))
+        .as("p"))
+      .select(col("p.lag"), col("p.x"), col("p.y"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"))
+      .withColumn("acf", {
+        val num = (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy"))).cast("double")
+        val dx = (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))).cast("double")
+        val dy = (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
+        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+      })
+      .orderBy(col("lag"))
+  }
 }

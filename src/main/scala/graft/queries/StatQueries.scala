@@ -206,17 +206,195 @@ object StatQueries {
       |FROM a""".stripMargin
   }
 
+  /** Per-segment exact AUC ([[graft.analytics.Eval.aucExactBy]]) with
+    * segment = user_id mod 5 — the slice-wise eval surface. Every window
+    * in the plan is group-partitioned (never global); the oracle is the
+    * per-group naive cumulative.
+    */
+  private def aucGroupedQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.aucExactBy(
+        Tables.events(s, dir),
+        pmod(col("user_id"), lit(5L)),
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase")
+      .orderBy(col("g"))
+
+  private val aucGroupedOracle =
+    """WITH e AS (
+      |  SELECT user_id % 5 AS g, CAST(round(value * 100) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |pv AS (
+      |  SELECT g, s, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n
+      |  FROM e GROUP BY g, s),
+      |c AS (
+      |  SELECT g, p, n,
+      |    CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS nb
+      |  FROM pv),
+      |t AS (
+      |  SELECT g, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+      |    CAST(sum(CAST(p AS HUGEINT) * (2 * nb + CAST(n AS HUGEINT)))
+      |      AS DECIMAL(38,0)) AS two_u
+      |  FROM c GROUP BY g)
+      |SELECT g, n_pos, n_neg, two_u,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN CAST(two_u AS DOUBLE) /
+      |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |  END AS auc
+      |FROM t ORDER BY g""".stripMargin
+
+  /** Pooled lag-1..3 autocorrelation of cent-scaled event values per user
+    * timeline ([[graft.ops.TimeSeries.autocorrelation]]): one entity-key
+    * sort carries all three lead columns; every moment exact
+    * BIGINT/DECIMAL(38); r via correctly-rounded sqrt in fixed operand
+    * order. The oracle rebuilds the lag pairs by row-number self-join.
+    */
+  private def acfQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.autocorrelation(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      round(col("value") * 100, 0).cast("long"), Seq(1, 2, 3))
+
+  private val acfOracle =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM x),
+      |l AS (SELECT unnest([1, 2, 3]) AS lag),
+      |p AS (
+      |  SELECT l.lag, a.v AS xv, b.v AS yv
+      |  FROM r a JOIN l ON true
+      |  JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag),
+      |a AS (
+      |  SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(xv AS HUGEINT) * CAST(xv AS HUGEINT)) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DECIMAL(38,0)) AS sxy
+      |  FROM p GROUP BY lag)
+      |SELECT lag, n, sx, sy, sxx, syy, sxy,
+      |  CASE WHEN CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+      |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) > 0
+      |       AND CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+      |         - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) > 0
+      |    THEN CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+      |        - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+      |      (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+      |          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)) *
+      |       sqrt(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+      |          - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)))
+      |  END AS acf
+      |FROM a ORDER BY lag""".stripMargin
+
+  /** Per-node local clustering coefficient over the significant
+    * co-purchase part graph ([[graft.dedup.DupClusters.clusteringCoefficient]]):
+    * skew-safe oriented triangle enumeration + one explode degree count,
+    * coefficient ONE gated division of exact longs. The oracle counts each
+    * triangle at every corner naively — equality proves the compact-forward
+    * enumeration exact.
+    */
+  private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.DupClusters.clusteringCoefficient(edges)
+      .orderBy(col("node_id"))
+  }
+
+  private val clusteringCoeffOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT u AS n, v AS x FROM e UNION ALL SELECT v AS n, u AS x FROM e),
+      |deg AS (SELECT n AS node_id, CAST(count(*) AS BIGINT) AS degree
+      |  FROM adj GROUP BY n),
+      |tri AS (
+      |  SELECT w.n AS node_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM (SELECT l.n, l.x AS a, r.x AS b
+      |        FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x) w
+      |  JOIN e ON e.u = w.a AND e.v = w.b
+      |  GROUP BY w.n)
+      |SELECT d.node_id, d.degree,
+      |  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN d.degree >= 2
+      |    THEN CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE) /
+      |      CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |  END AS clustering
+      |FROM deg d LEFT JOIN tri t USING (node_id)
+      |ORDER BY node_id""".stripMargin
+
+  /** Bounded multi-source BFS over the co-purchase graph
+    * ([[graft.dedup.DupClusters.bfsHops]]): min-hop distances within
+    * radius 2 of the seed parts — synchronous frontier expansion, one
+    * equi-join + one anti-join per round. The oracle is DuckDB's
+    * recursive CTE with a min-hop collapse: equality proves the
+    * first-reach-is-min-hop invariant of the synchronous rounds.
+    */
+  private def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    val seeds = li.select(col("pk").as("node_id"))
+      .filter(col("node_id") % 97 === 0).distinct()
+    graft.dedup.DupClusters.bfsHops(edges, seeds, maxHops = 2)
+      .orderBy(col("hop"), col("node_id"))
+  }
+
+  private val bfsHopsOracle =
+    """WITH RECURSIVE
+      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |seeds AS (SELECT DISTINCT pk AS node_id FROM li WHERE pk % 97 = 0),
+      |walk(node_id, hop) AS (
+      |  SELECT node_id, 0 FROM seeds
+      |  UNION
+      |  SELECT adj.v, walk.hop + 1
+      |  FROM walk JOIN adj ON adj.u = walk.node_id
+      |  WHERE walk.hop < 2)
+      |SELECT node_id, CAST(min(hop) AS INT) AS hop
+      |FROM walk GROUP BY node_id
+      |ORDER BY hop, node_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
     "q_eval_metrics" -> (evalMetricsQ _),
     "q_gini_coefficient" -> (giniCoeffQ _),
-    "q_randomized_response" -> (randomizedResponseQ _))
+    "q_randomized_response" -> (randomizedResponseQ _),
+    "q_auc_grouped" -> (aucGroupedQ _),
+    "q_acf" -> (acfQ _),
+    "q_clustering_coeff" -> (clusteringCoeffQ _),
+    "q_bfs_hops" -> (bfsHopsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
     "q_ks_test" -> ksOracle,
     "q_eval_metrics" -> evalMetricsOracle,
     "q_gini_coefficient" -> giniCoeffOracle,
-    "q_randomized_response" -> randomizedResponseOracle)
+    "q_randomized_response" -> randomizedResponseOracle,
+    "q_auc_grouped" -> aucGroupedOracle,
+    "q_acf" -> acfOracle,
+    "q_clustering_coeff" -> clusteringCoeffOracle,
+    "q_bfs_hops" -> bfsHopsOracle)
 }

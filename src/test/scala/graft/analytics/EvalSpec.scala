@@ -100,6 +100,26 @@ class EvalSpec extends SparkSpec {
     assert(exact._1 === 20L && exact._2 === 20L && exact._3 === 20.0)
   }
 
+  test("aucExactBy: per-group AUC matches per-group aucExact; no global window in the plan") {
+    val df = (1 to 300).map(i =>
+      (i % 3, i.toLong * 29 % 401, (i * 7 % 5) < 2)).toDF("g", "s", "y")
+    val grouped = Eval.aucExactBy(df, col("g"), col("s"), col("y"))
+      .select($"g", $"two_u".cast("long"), $"auc")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (0 to 2).foreach { g =>
+      val solo = Eval.aucExact(df.filter($"g" === g), col("s"), col("y"))
+        .select($"two_u".cast("long"), $"auc").as[(Long, Double)].head()
+      assert(grouped(g) === solo, s"group $g must equal its standalone AUC")
+    }
+    val globalWindows = Eval.aucExactBy(df, col("g"), col("s"), col("y"))
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(globalWindows.isEmpty,
+      "every window in the grouped plan must partition by the group key")
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))

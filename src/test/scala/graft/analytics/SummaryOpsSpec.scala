@@ -272,4 +272,34 @@ class SummaryOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(big === out)
   }
+
+  test("autocorrelation: alternating series has acf(1) = -1, acf(2) = +1 exactly") {
+    // one entity, values +1,-1,+1,-1,... — perfect anti/positive correlation
+    val rows = (1 to 40).map(i => (1L, i.toLong, i.toLong,
+      if (i % 2 == 0) 1L else -1L)).toDF("e", "t", "tie", "v")
+    val r = graft.ops.TimeSeries.autocorrelation(rows, "e", "t", "tie",
+        col("v"), Seq(1, 2))
+      .select($"lag", $"n", $"acf").as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // sqrt(dx)*sqrt(dy) != dx exactly in IEEE, so ±1 lands within 1 ulp —
+    // still deterministic (fixed operand order), just not the exact literal
+    assert(r(1L)._2 === 39L && math.abs(r(1L)._3 + 1.0) < 1e-12)
+    assert(r(2L)._2 === 38L && math.abs(r(2L)._3 - 1.0) < 1e-12)
+  }
+
+  test("autocorrelation: pairs never cross entities; constant series gated to NULL") {
+    // two entities whose concatenation would fake correlation if pairs leaked
+    val rows = Seq((1L, 1L, 1L, 10L), (1L, 2L, 2L, 20L),
+      (2L, 1L, 3L, 30L), (2L, 2L, 4L, 40L)).toDF("e", "t", "tie", "v")
+    val n = graft.ops.TimeSeries.autocorrelation(rows, "e", "t", "tie",
+        col("v"), Seq(1))
+      .select($"n").as[Long].head()
+    assert(n === 2L, "one in-entity pair per entity, never the boundary pair")
+    val const = Seq((1L, 1L, 1L, 5L), (1L, 2L, 2L, 5L), (1L, 3L, 3L, 5L))
+      .toDF("e", "t", "tie", "v")
+    val acf = graft.ops.TimeSeries.autocorrelation(const, "e", "t", "tie",
+        col("v"), Seq(1))
+      .select($"acf").as[Option[Double]].head()
+    assert(acf.isEmpty, "zero variance must gate to NULL, not NaN")
+  }
 }

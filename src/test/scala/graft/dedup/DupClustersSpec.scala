@@ -263,4 +263,53 @@ class DupClustersSpec extends SparkSpec {
       s"hub 0 should step only to its 2 retained neighbors, saw $stepsFrom0")
     assert(succOf0.forall(nodes.contains))
   }
+
+  test("clusteringCoefficient: triangle+pendant hand graph; leaf is NULL not 0") {
+    // triangle 1-2-3 plus pendant 4 attached to 1:
+    //   node 1: d=3, T=1 → C = 2/(3·2) = 1/3; nodes 2,3: d=2, T=1 → C = 1
+    //   node 4: d=1 → C undefined (NULL)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = DupClusters.clusteringCoefficient(edges)
+      .select($"node_id", $"degree", $"n_triangles", $"clustering")
+      .as[(Long, Long, Long, Option[Double])].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 3L, 1L, Some(1.0 / 3.0))))
+    assert(r(2L) === ((2L, 2L, 1L, Some(1.0))))
+    assert(r(3L) === ((3L, 2L, 1L, Some(1.0))))
+    assert(r(4L) === ((4L, 1L, 0L, None)))
+  }
+
+  test("clusteringCoefficient: orientation-duplicated edge list does not double-count") {
+    val once = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val both = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val a = DupClusters.clusteringCoefficient(once)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val b = DupClusters.clusteringCoefficient(both)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(a === b)
+  }
+
+  test("bfsHops: path graph — synchronous rounds give exact min hops, bounded radius") {
+    // path 1-2-3-4-5 with a shortcut 1-4; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("node_id")
+    val r = DupClusters.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // 4 is hop 1 via the shortcut (not 3 via the path); 5 is hop 2; 3 is hop 2
+    assert(r === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // radius bound: maxHops = 1 never reaches 3 or 5
+    val r1 = DupClusters.bfsHops(edges, seeds, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(r1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("bfsHops: multi-source takes the nearer seed; disconnected nodes absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 10L).toDF("node_id")
+    val r = DupClusters.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(r === Map(1L -> 0, 2L -> 1, 3L -> 2, 10L -> 0, 11L -> 1))
+    assert(!r.contains(20L) && !r.contains(21L))
+  }
 }
