@@ -376,6 +376,116 @@ object StatQueries {
       |FROM walk GROUP BY node_id
       |ORDER BY hop, node_id""".stripMargin
 
+  /** BLEU clipped n-gram precision components
+    * ([[graft.text.BleuScore.ngramPrecision]]) over planted
+    * candidate/reference pairs: exact copies (precision must be 1 at
+    * every n) mixed with prefix-perturbed near-copies. Every compared
+    * value is an exact integer or one gated division; the oracle
+    * replays the full gram/clip/collapse pipeline in SQL.
+    */
+  private def bleuQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val near = docs.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id").as("pair_id"),
+        concat(lit("zqxnear "), col("text")).as("cand"), col("text").as("ref"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("pair_id"),
+        col("text").as("cand"), col("text").as("ref"))
+    graft.text.BleuScore.ngramPrecision(
+      near.unionByName(copies), "pair_id", "cand", "ref")
+  }
+
+  private val bleuOracle =
+    """WITH pairs AS (
+      |  SELECT doc_id AS pair_id, 'zqxnear ' || text AS cand, text AS ref
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text, text FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (
+      |  SELECT pair_id, string_split_regex(cand, '\s+') AS ct,
+      |    string_split_regex(ref, '\s+') AS rt
+      |  FROM pairs),
+      |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+      |cg AS (
+      |  SELECT pair_id, n, unnest(CASE WHEN len(ct) >= n
+      |      THEN list_transform(range(1, len(ct) - n + 2),
+      |        i -> array_to_string(ct[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tok CROSS JOIN ns),
+      |cc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS c_cand
+      |  FROM cg GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT pair_id, n, unnest(CASE WHEN len(rt) >= n
+      |      THEN list_transform(range(1, len(rt) - n + 2),
+      |        i -> array_to_string(rt[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tok CROSS JOIN ns),
+      |rc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS c_ref
+      |  FROM rg GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT cc.n, cc.c_cand,
+      |    least(cc.c_cand, COALESCE(rc.c_ref, 0)) AS m
+      |  FROM cc LEFT JOIN rc
+      |    ON rc.pair_id = cc.pair_id AND rc.n = cc.n AND rc.gram = cc.gram),
+      |pn AS (
+      |  SELECT n, CAST(sum(m) AS BIGINT) AS match_cnt,
+      |    CAST(sum(c_cand) AS BIGINT) AS cand_cnt
+      |  FROM j GROUP BY n),
+      |lens AS (
+      |  SELECT CAST(sum(len(ct)) AS BIGINT) AS cand_len,
+      |    CAST(sum(len(rt)) AS BIGINT) AS ref_len
+      |  FROM tok)
+      |SELECT n, match_cnt, cand_cnt,
+      |  CASE WHEN cand_cnt > 0
+      |    THEN CAST(match_cnt AS DOUBLE) / CAST(cand_cnt AS DOUBLE)
+      |  END AS prec,
+      |  cand_len, ref_len
+      |FROM pn CROSS JOIN lens ORDER BY n""".stripMargin
+
+  /** Deterministic multiplier-bootstrap CI on the mean event value
+    * ([[graft.analytics.Bootstrap.meanCI]]): 64 Binomial(8, 1/8)-weighted
+    * replicates from md5 draws, percentile bounds by cross-multiplied
+    * integer ranks — the whole resampling mechanism, including every
+    * replicate mean, replayed bit-exactly in the oracle.
+    */
+  private def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Bootstrap.meanCI(
+      Tables.events(s, dir), col("event_id"),
+      round(col("value") * 100, 0).cast("long"), seed = "s1")
+
+  private val bootstrapCiOracle =
+    """WITH x AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS id,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sum_cents FROM x),
+      |r AS (SELECT id, x, unnest(range(0, 64)) AS rep FROM x),
+      |w AS (
+      |  SELECT rep, x, list_sum(list_transform(range(1, 9), i ->
+      |      CASE WHEN md5('boot:s1:' || id || ':' || CAST(rep AS VARCHAR))[i]
+      |        IN ('0', '1') THEN 1 ELSE 0 END)) AS w
+      |  FROM r),
+      |m AS (SELECT rep, CAST(sum(w * x) AS BIGINT) AS swx,
+      |  CAST(sum(w) AS BIGINT) AS sw FROM w GROUP BY rep),
+      |mm AS (SELECT rep,
+      |  CASE WHEN sw > 0 THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END AS m
+      |  FROM m),
+      |mv AS (
+      |  SELECT m, row_number() OVER (ORDER BY m, rep) AS rn,
+      |    count(*) OVER () AS cnt
+      |  FROM mm WHERE m IS NOT NULL),
+      |s AS (
+      |  SELECT min(CASE WHEN rn * 1000 >= cnt * 25 THEN m END) AS ci_lo,
+      |    min(CASE WHEN rn * 1000 >= cnt * 975 THEN m END) AS ci_hi,
+      |    CAST(max(cnt) AS BIGINT) AS b_used
+      |  FROM mv)
+      |SELECT n, sum_cents,
+      |  CASE WHEN n > 0 THEN CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+      |  END AS mean,
+      |  b_used, ci_lo, ci_hi
+      |FROM f CROSS JOIN s""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -385,7 +495,9 @@ object StatQueries {
     "q_auc_grouped" -> (aucGroupedQ _),
     "q_acf" -> (acfQ _),
     "q_clustering_coeff" -> (clusteringCoeffQ _),
-    "q_bfs_hops" -> (bfsHopsQ _))
+    "q_bfs_hops" -> (bfsHopsQ _),
+    "q_bleu" -> (bleuQ _),
+    "q_bootstrap_ci" -> (bootstrapCiQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -396,5 +508,7 @@ object StatQueries {
     "q_auc_grouped" -> aucGroupedOracle,
     "q_acf" -> acfOracle,
     "q_clustering_coeff" -> clusteringCoeffOracle,
-    "q_bfs_hops" -> bfsHopsOracle)
+    "q_bfs_hops" -> bfsHopsOracle,
+    "q_bleu" -> bleuOracle,
+    "q_bootstrap_ci" -> bootstrapCiOracle)
 }
