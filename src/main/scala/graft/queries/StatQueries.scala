@@ -486,6 +486,70 @@ object StatQueries {
       |  b_used, ci_lo, ci_hi
       |FROM f CROSS JOIN s""".stripMargin
 
+  /** HyperBall neighborhood function on the co-purchase graph
+    * ([[graft.analytics.HyperBall.neighborhoodFunction]]): per-node HLL
+    * balls grown 2 hops by register max-merge. The whole register table
+    * at every hop is pinned by exact counts/sums/xor; the oracle unrolls
+    * both rounds with the same register algebra in SQL.
+    */
+  private def hyperballQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.analytics.HyperBall.neighborhoodFunction(edges, maxHops = 2, m = 32)
+  }
+
+  private val hyperballOracle = {
+    val u32 = OracleSql.md5U32Sql("'hllg:' || CAST(node AS VARCHAR)")
+    def audit(h: Int) =
+      s"""SELECT $h AS hop,
+         |  CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(m_rank) AS BIGINT) AS rank_sum,
+         |  CAST(bit_xor(node * 8191 + idx * 31 + m_rank) AS BIGINT) AS reg_xor,
+         |  (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(28 - m_rank AS INTEGER))
+         |      + (32 - count(*)) * 268435456 AS BIGINT)
+         |    FROM g$h, sd WHERE node = seed) AS seed_sum_scaled
+         |FROM g$h""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT x.pk AS u, y.pk AS v
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |nodes AS (SELECT DISTINCT u AS node FROM adj),
+       |adjs AS (SELECT u, v FROM adj UNION ALL SELECT node AS u, node AS v FROM nodes),
+       |h0 AS (SELECT node, ($u32) AS hv FROM nodes),
+       |g0 AS (
+       |  SELECT node, hv % 32 AS idx,
+       |    CASE WHEN hv // 32 = 0 THEN 28
+       |         ELSE 28 - length(bin(hv // 32)) END AS m_rank
+       |  FROM h0),
+       |g1 AS (
+       |  SELECT a.v AS node, g.idx, max(g.m_rank) AS m_rank
+       |  FROM g0 g JOIN adjs a ON a.u = g.node GROUP BY 1, 2),
+       |g2 AS (
+       |  SELECT a.v AS node, g.idx, max(g.m_rank) AS m_rank
+       |  FROM g1 g JOIN adjs a ON a.u = g.node GROUP BY 1, 2),
+       |sd AS (SELECT min(node) AS seed FROM nodes),
+       |au AS (
+       |  ${audit(0)}
+       |  UNION ALL
+       |  ${audit(1)}
+       |  UNION ALL
+       |  ${audit(2)})
+       |SELECT hop, n_nodes, n_cells, rank_sum, reg_xor, seed_sum_scaled,
+       |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 32.0))
+       |    * CAST(274877906944 AS DOUBLE) / CAST(seed_sum_scaled AS DOUBLE)
+       |    AS seed_estimate
+       |FROM au ORDER BY hop""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -497,7 +561,8 @@ object StatQueries {
     "q_clustering_coeff" -> (clusteringCoeffQ _),
     "q_bfs_hops" -> (bfsHopsQ _),
     "q_bleu" -> (bleuQ _),
-    "q_bootstrap_ci" -> (bootstrapCiQ _))
+    "q_bootstrap_ci" -> (bootstrapCiQ _),
+    "q_hyperball" -> (hyperballQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -510,5 +575,6 @@ object StatQueries {
     "q_clustering_coeff" -> clusteringCoeffOracle,
     "q_bfs_hops" -> bfsHopsOracle,
     "q_bleu" -> bleuOracle,
-    "q_bootstrap_ci" -> bootstrapCiOracle)
+    "q_bootstrap_ci" -> bootstrapCiOracle,
+    "q_hyperball" -> hyperballOracle)
 }
