@@ -550,6 +550,65 @@ object StatQueries {
        |FROM au ORDER BY hop""".stripMargin
   }
 
+  /** Leave-one-out target encoding ([[graft.ops.Encoding.targetEncodeLOO]])
+    * of order priority against the fulfilled flag: per-row category mean
+    * excluding self, exact integers, singleton categories gated NULL.
+    */
+  private def targetEncodeQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.targetEncodeLOO(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus")),
+        col("o_orderpriority"), col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("y"),
+        col("cat_cnt"), col("enc_loo"), col("prior"))
+      .orderBy(col("o_orderkey"))
+
+  private val targetEncodeOracle =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |s AS (
+      |  SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS cs,
+      |    CAST(count(*) AS BIGINT) AS cc
+      |  FROM b GROUP BY 1),
+      |p AS (SELECT CAST(sum(y) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS tc
+      |  FROM b)
+      |SELECT o_orderkey, o_orderpriority, CAST(y AS BIGINT) AS y, cc AS cat_cnt,
+      |  CASE WHEN cc > 1
+      |    THEN CAST(cs - y AS DOUBLE) / CAST(cc - 1 AS DOUBLE) END AS enc_loo,
+      |  CASE WHEN tc > 0 THEN CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE) END AS prior
+      |FROM b JOIN s USING (o_orderpriority) CROSS JOIN p
+      |WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Signed feature hashing ([[graft.ops.Encoding.featureHash]]) of a
+    * document slice into 64 slots — sparse (doc, idx, cnt, signed_sum)
+    * rows, hash and sign two independent md5U32 fields, fully replayed
+    * in the oracle.
+    */
+  private def featureHashQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.featureHash(
+        Tables.documents(s, dir).filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", k = 64)
+      .orderBy(col("doc"), col("idx"))
+
+  private val featureHashOracle = {
+    val u32 = OracleSql.md5U32Sql("'fh:' || tok")
+    s"""WITH t AS (
+      |  SELECT doc_id AS doc, unnest(string_split_regex(text, '\\s+')) AS tok
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |f AS (
+      |  SELECT doc, ($u32) % 64 AS idx,
+      |    CASE WHEN (($u32) // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM t WHERE tok <> '')
+      |SELECT doc, idx, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(sgn) AS BIGINT) AS signed_sum
+      |FROM f GROUP BY doc, idx
+      |ORDER BY doc, idx""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -562,7 +621,9 @@ object StatQueries {
     "q_bfs_hops" -> (bfsHopsQ _),
     "q_bleu" -> (bleuQ _),
     "q_bootstrap_ci" -> (bootstrapCiQ _),
-    "q_hyperball" -> (hyperballQ _))
+    "q_hyperball" -> (hyperballQ _),
+    "q_target_encode" -> (targetEncodeQ _),
+    "q_feature_hash" -> (featureHashQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -576,5 +637,7 @@ object StatQueries {
     "q_bfs_hops" -> bfsHopsOracle,
     "q_bleu" -> bleuOracle,
     "q_bootstrap_ci" -> bootstrapCiOracle,
-    "q_hyperball" -> hyperballOracle)
+    "q_hyperball" -> hyperballOracle,
+    "q_target_encode" -> targetEncodeOracle,
+    "q_feature_hash" -> featureHashOracle)
 }
