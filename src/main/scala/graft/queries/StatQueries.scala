@@ -609,6 +609,46 @@ object StatQueries {
       |ORDER BY doc, idx""".stripMargin
   }
 
+  /** Incremental inverted-index maintenance from CDC — the search-index
+    * member of the delta-maintenance family (`q_minhash_incremental` /
+    * `q_ivf_incremental` / `q_count_min_incremental`): postings built on
+    * snapshot v1, a delta index built ONLY on `snapshotDiff` inserts,
+    * merged term-keyed (insert-only doc sets are disjoint, so df adds and
+    * posting lists concatenate). The oracle is the from-scratch index over
+    * ALL documents — hash equality proves delta-maintained ≡ rebuilt with
+    * O(delta) new tokenization work. Output is the flattened
+    * (term, df, doc_id) content; the chunked/salted physical layout
+    * ([[graft.text.TextAnalysis.buildPostingsChunked]]) is the hot-term
+    * scale path and is pinned by its own rows.
+    */
+  private def postingsIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Versioned
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_post_inc_").toString
+    Versioned.commit(docs.filter(col("doc_id") % 10 =!= 0), tmp)
+    Versioned.commitAtomic(docs.filter(col("doc_id") % 10 === 0), tmp)
+    val v1 = Versioned.read(s, tmp, Some(1))
+    val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    graft.text.TextAnalysis.buildPostings(v1)
+      .unionByName(graft.text.TextAnalysis.buildPostings(delta))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"),
+        sort_array(flatten(collect_list(col("postings")))).as("postings"))
+      .select(col("term"), col("df"), explode(col("postings")).as("doc_id"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  private val postingsIncrementalOracle =
+    """WITH tk AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |    FROM documents)),
+      |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY term)
+      |SELECT tk.term AS term, d.df, tk.doc_id
+      |FROM tk JOIN d ON d.term = tk.term
+      |ORDER BY tk.term, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -623,7 +663,8 @@ object StatQueries {
     "q_bootstrap_ci" -> (bootstrapCiQ _),
     "q_hyperball" -> (hyperballQ _),
     "q_target_encode" -> (targetEncodeQ _),
-    "q_feature_hash" -> (featureHashQ _))
+    "q_feature_hash" -> (featureHashQ _),
+    "q_postings_incremental" -> (postingsIncrementalQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -639,5 +680,6 @@ object StatQueries {
     "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_hyperball" -> hyperballOracle,
     "q_target_encode" -> targetEncodeOracle,
-    "q_feature_hash" -> featureHashOracle)
+    "q_feature_hash" -> featureHashOracle,
+    "q_postings_incremental" -> postingsIncrementalOracle)
 }
