@@ -183,6 +183,46 @@ object Eval {
             (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Integer-grid discount table for [[ndcgAtK]]: round(2^20 / log2(i+1))
+    * for ranks 1..k — fixed integers computed once driver-side, so the
+    * DCG sum is an ORDER-FREE exact BIGINT (a float discount chain would
+    * make the per-group sum depend on aggregation order). Relative
+    * quantization error < 1e-6 — far below any ranking decision.
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(math.pow(2, 20) / (math.log(i + 1) / math.log(2))))
+
+  /** NDCG@k per group: graded relevance `rel`, system order by (`score`
+    * desc, `tie`), ideal order by (`rel` desc, `tie`). DCG and IDCG are
+    * exact BIGINTs on the [[ndcgDiscounts]] integer grid; NDCG is ONE
+    * gated division. Both rank windows share the group partition key —
+    * one shuffle, two in-partition sorts. Groups whose top-k is all
+    * zero-relevance gate to NULL.
+    */
+  def ndcgAtK(df: DataFrame, group: Column, score: Column, tie: Column,
+              rel: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dArr = array(ndcgDiscounts(k).map(lit(_)): _*)
+    val base = df.select(group.as("g"), score.as("s"), tie.as("t"),
+      rel.cast("long").as("r"))
+    val byScore = Window.partitionBy(col("g")).orderBy(col("s").desc, col("t"))
+    val byRel = Window.partitionBy(col("g")).orderBy(col("r").desc, col("t"))
+    base
+      .withColumn("rk", row_number().over(byScore))
+      .withColumn("irk", row_number().over(byRel))
+      .groupBy(col("g"))
+      .agg(
+        coalesce(sum(when(col("rk") <= k,
+          col("r") * element_at(dArr, col("rk").cast("int")))), lit(0L))
+          .as("dcg_scaled"),
+        coalesce(sum(when(col("irk") <= k,
+          col("r") * element_at(dArr, col("irk").cast("int")))), lit(0L))
+          .as("idcg_scaled"))
+      .withColumn("ndcg",
+        when(col("idcg_scaled") > 0,
+          col("dcg_scaled").cast("double") / col("idcg_scaled").cast("double")))
+  }
+
   /** Exact Gini coefficient of a per-key integer quantity (inequality /
     * concentration audit — spend, tokens, traffic). `perKey` must carry
     * one row per key with `centsCol`; ranks come from the scale-safe

@@ -649,6 +649,73 @@ object StatQueries {
       |FROM tk JOIN d ON d.term = tk.term
       |ORDER BY tk.term, doc_id""".stripMargin
 
+  /** Kaplan–Meier hazard table over user churn
+    * ([[graft.analytics.Survival.hazardTable]]): death = last activity
+    * day, risk set by reverse-cumulative window over distinct days only;
+    * deaths/n_at_risk exact, hazard one division.
+    */
+  private def kaplanMeierQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Survival.hazardTable(
+      Tables.events(s, dir), col("user_id"), to_date(col("ts")))
+
+  private val kaplanMeierOracle =
+    """WITH last AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+      |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS deaths FROM last GROUP BY d),
+      |r AS (
+      |  SELECT d, deaths,
+      |    CAST(sum(deaths) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_at_risk
+      |  FROM pd)
+      |SELECT d, deaths, n_at_risk,
+      |  CAST(deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+      |FROM r ORDER BY d""".stripMargin
+
+  /** NDCG@10 per user ([[graft.analytics.Eval.ndcgAtK]]): system order by
+    * cent value, graded relevance from event type, DCG/IDCG exact BIGINTs
+    * on the integer discount grid (round(2^20/log2(i+1)) — the literals
+    * are interpolated into the oracle from the SAME Scala computation).
+    */
+  private def ndcgQ(s: SparkSession, dir: String): DataFrame = {
+    val rel = when(col("event_type") === "purchase", 3L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "view", 1L).otherwise(0L)
+    graft.analytics.Eval.ndcgAtK(
+        Tables.events(s, dir).filter(col("user_id") % 5 === 0),
+        col("user_id"), round(col("value") * 100, 0).cast("long"),
+        col("event_id"), rel, k = 10)
+      .orderBy(col("g"))
+  }
+
+  private val ndcgOracle = {
+    val d = graft.analytics.Eval.ndcgDiscounts(10).mkString("[", ", ", "]")
+    s"""WITH b AS (
+      |  SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS s,
+      |    event_id AS t,
+      |    CASE WHEN event_type = 'purchase' THEN 3
+      |         WHEN event_type = 'click' THEN 2
+      |         WHEN event_type = 'view' THEN 1 ELSE 0 END AS r
+      |  FROM events WHERE user_id % 5 = 0),
+      |rk AS (
+      |  SELECT g, r,
+      |    row_number() OVER (PARTITION BY g ORDER BY s DESC, t) AS rk,
+      |    row_number() OVER (PARTITION BY g ORDER BY r DESC, t) AS irk
+      |  FROM b),
+      |a AS (
+      |  SELECT g,
+      |    CAST(coalesce(sum(CASE WHEN rk <= 10
+      |      THEN r * ($d)[rk] END), 0) AS BIGINT) AS dcg_scaled,
+      |    CAST(coalesce(sum(CASE WHEN irk <= 10
+      |      THEN r * ($d)[irk] END), 0) AS BIGINT) AS idcg_scaled
+      |  FROM rk GROUP BY g)
+      |SELECT g, dcg_scaled, idcg_scaled,
+      |  CASE WHEN idcg_scaled > 0
+      |    THEN CAST(dcg_scaled AS DOUBLE) / CAST(idcg_scaled AS DOUBLE)
+      |  END AS ndcg
+      |FROM a ORDER BY g""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -664,7 +731,9 @@ object StatQueries {
     "q_hyperball" -> (hyperballQ _),
     "q_target_encode" -> (targetEncodeQ _),
     "q_feature_hash" -> (featureHashQ _),
-    "q_postings_incremental" -> (postingsIncrementalQ _))
+    "q_postings_incremental" -> (postingsIncrementalQ _),
+    "q_kaplan_meier" -> (kaplanMeierQ _),
+    "q_ndcg" -> (ndcgQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -681,5 +750,7 @@ object StatQueries {
     "q_hyperball" -> hyperballOracle,
     "q_target_encode" -> targetEncodeOracle,
     "q_feature_hash" -> featureHashOracle,
-    "q_postings_incremental" -> postingsIncrementalOracle)
+    "q_postings_incremental" -> postingsIncrementalOracle,
+    "q_kaplan_meier" -> kaplanMeierOracle,
+    "q_ndcg" -> ndcgOracle)
 }

@@ -190,7 +190,50 @@ object ScaleProbe {
         graft.analytics.CountMin.sketch(toks, "token", depth = 4, width = 512)
       }),
       ("dsirDocScores", false, "N", d =>
-        graft.text.Dsir.docScores(d, targetSource = "src0")))
+        graft.text.Dsir.docScores(d, targetSource = "src0")),
+      // local clustering coefficient: one row per node (exactly N×); the
+      // compact-forward triangle enumeration must keep wedge fan-out
+      // O(√m)-bounded so time/shuffle stay linear on the replicated
+      // star+ring communities
+      ("clusteringCoeff", true, "N", d =>
+        graft.dedup.DupClusters.clusteringCoefficient(communityEdges(d))),
+      // HyperBall: audit output is 3 rows at ANY corpus size (flat); the
+      // real claim is that per-round state stays nodes·(≤m) rows and the
+      // state⋈adjacency shuffle grows linearly with the graph
+      ("hyperBall", true, "flat", d =>
+        graft.analytics.HyperBall.neighborhoodFunction(
+          communityEdges(d), maxHops = 2, m = 32)),
+      // bounded BFS from the hub seed set (ids ≡ 0 mod 100 — offset-
+      // invariant): reached rows replicate exactly N×; per-round cost is
+      // one frontier equi-join + one anti-join
+      ("bfsHops", false, "N", { d =>
+        val e = communityEdges(d)
+        val seeds = d.select(col("doc_id").as("node_id"))
+          .filter(col("node_id") % 100 === 0)
+        graft.dedup.DupClusters.bfsHops(e, seeds, maxHops = 2)
+      }),
+      // BLEU components: 4 rows at any corpus size (flat); the gram
+      // streams and the (pair, n, gram) join must grow linearly — pairs
+      // are the planted near-dups (+5M offset), intra-replica only
+      ("bleuNgram", false, "flat", { d =>
+        // planted near-dups sit at +5M WITHIN each 10M replica id band, so
+        // the pair key keeps the full id (replica offset included) — a
+        // mod-10M key would pair candidates with other replicas' references
+        val ref = d.filter(col("doc_id") % 10000000L < 5000000L &&
+            col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("k"), col("text").as("ref"))
+        val cand = d.filter(col("doc_id") % 10000000L >= 5000000L)
+          .select((col("doc_id") - 5000000L).as("k"),
+            col("doc_id").as("pair_id"), col("text").as("cand"))
+        graft.text.BleuScore.ngramPrecision(
+          cand.join(ref, Seq("k")), "pair_id", "cand", "ref")
+      }),
+      // multiplier bootstrap: 1 row at any size (flat); the O(n·B) explode
+      // is partition-local and the per-replicate aggregate map-combines,
+      // so shuffle must stay ~B·partitions rows while time grows linearly
+      ("bootstrapCI", false, "flat", d =>
+        graft.analytics.Bootstrap.meanCI(d, col("doc_id"),
+          col("n_chars").cast("long"), seed = "probe", replicates = 64)))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")

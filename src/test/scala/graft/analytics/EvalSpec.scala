@@ -120,6 +120,42 @@ class EvalSpec extends SparkSpec {
       "every window in the grouped plan must partition by the group key")
   }
 
+  test("ndcgAtK: perfect ranking is EXACTLY 1.0 (integer grid); reversed ranking matches hand DCG") {
+    val D = Eval.ndcgDiscounts(3)
+    // group 1: system score ranks rel as (0, 2, 3); ideal is (3, 2, 0)
+    val df = Seq((1L, 30L, 1L, 0L), (1L, 20L, 2L, 2L), (1L, 10L, 3L, 3L),
+      // group 2: system order == ideal order
+      (2L, 30L, 4L, 3L), (2L, 20L, 5L, 1L)).toDF("g", "s", "t", "r")
+    val m = Eval.ndcgAtK(df, col("g"), col("s"), col("t"), col("r"), k = 3)
+      .select($"g", $"dcg_scaled", $"idcg_scaled", $"ndcg")
+      .as[(Long, Long, Long, Option[Double])].collect().map(x => x._1 -> x).toMap
+    assert(m(1L)._2 === 2L * D(1) + 3L * D(2))
+    assert(m(1L)._3 === 3L * D(0) + 2L * D(1))
+    assert(m(1L)._4.get ===
+      (2L * D(1) + 3L * D(2)).toDouble / (3L * D(0) + 2L * D(1)).toDouble)
+    assert(m(2L)._4.get === 1.0, "DCG == IDCG as identical integers, so exactly 1.0")
+  }
+
+  test("ndcgAtK: zero-relevance group gates to NULL; k truncates the tail") {
+    val df = Seq((1L, 10L, 1L, 0L), (1L, 9L, 2L, 0L),
+      (2L, 10L, 3L, 1L), (2L, 9L, 4L, 3L), (2L, 8L, 5L, 3L)).toDF("g", "s", "t", "r")
+    val m = Eval.ndcgAtK(df, col("g"), col("s"), col("t"), col("r"), k = 1)
+      .select($"g", $"ndcg").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).isEmpty, "all-zero relevance has no ideal to normalize by")
+    // k=1: system top is rel 1, ideal top is rel 3 → 1/3 exactly on the grid
+    assert(m(2L).get === 1.0 / 3.0)
+  }
+
+  test("survival hazardTable: hand case — risk sets shrink as entities churn") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("c", 1), ("c", 2))
+      .toDF("e", "day")
+    val r = graft.analytics.Survival.hazardTable(df, col("e"), col("day"))
+      .select($"d", $"deaths", $"n_at_risk", $"hazard")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    // a and b die on day 1 (3 at risk); c dies on day 2 (1 at risk)
+    assert(r === Seq((1, 2L, 3L, 2.0 / 3.0), (2, 1L, 1L, 1.0)))
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
