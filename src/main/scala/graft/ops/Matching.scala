@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Observational-study matching: exact 1-nearest-neighbor control for
+  * every treated unit on a scalar matching score — the propensity-style
+  * matched-pairs construction behind before/after effect estimates when
+  * randomized assignment isn't available.
+  *
+  * In one dimension the exact nearest neighbor is always one of the two
+  * adjacent controls in score order, so matching needs NO pair join at
+  * all: ONE (stratum, score) sort, two `IGNORE NULLS` window lookups
+  * (nearest control at-or-before, nearest strictly-after) riding that
+  * single sort, and a pure projection picking the closer side — the
+  * [[TimeSeries.interpolate]] plan shape, O(n log n) total versus the
+  * O(treated·controls) naive join. Matching is WITH replacement (a
+  * popular control may serve several treated units — disclosed; greedy
+  * without-replacement matching is inherently sequential). Ties break
+  * toward the earlier (lower-score, then lower-id) control, so results
+  * are partitioning-invariant.
+  *
+  * Emits one row per treated unit: its stratum, id, `score`, the matched
+  * `control_id`/`control_score` (NULL when the stratum has no control),
+  * and the exact integer `match_dist`.
+  */
+object Matching {
+
+  def nearestControl(df: DataFrame, strataCol: Column, idCol: Column,
+                     scoreCents: Column, treated: Column): DataFrame = {
+    val base = df.select(strataCol.as("stratum"), idCol.as("id"),
+      scoreCents.cast("long").as("score"), treated.cast("boolean").as("__t"))
+    val ord = Window.partitionBy(col("stratum")).orderBy(col("score"), col("id"))
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val ctrl = when(!col("__t"), struct(col("score"), col("id")))
+    base
+      .withColumn("__prev", last(ctrl, ignoreNulls = true).over(upToHere))
+      .withColumn("__next", first(ctrl, ignoreNulls = true).over(after))
+      .filter(col("__t"))
+      .withColumn("__pd",
+        when(col("__prev").isNotNull, col("score") - col("__prev.score")))
+      .withColumn("__nd",
+        when(col("__next").isNotNull, col("__next.score") - col("score")))
+      .withColumn("__pick",
+        when(col("__pd").isNotNull &&
+          (col("__nd").isNull || col("__pd") <= col("__nd")), col("__prev"))
+          .otherwise(col("__next")))
+      .select(col("stratum"), col("id"), col("score"),
+        col("__pick.id").as("control_id"),
+        col("__pick.score").as("control_score"),
+        least(col("__pd"), col("__nd")).as("match_dist"))
+  }
+}

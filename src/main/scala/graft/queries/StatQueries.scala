@@ -716,6 +716,50 @@ object StatQueries {
       |FROM a ORDER BY g""".stripMargin
   }
 
+  /** Exact 1-NN matched pairs ([[graft.ops.Matching.nearestControl]]):
+    * hash-assigned treated orders matched to the nearest control by total
+    * price within their priority stratum — one sort, two IGNORE NULLS
+    * window lookups, no pair join; the oracle replays the same windows.
+    */
+  private def matchedPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Matching.nearestControl(
+        Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderkey") % 7 === 0)
+      .orderBy(col("stratum"), col("id"))
+
+  private val matchedPairsOracle =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS stratum, o_orderkey AS id,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+      |    (o_orderkey % 7 = 0) AS t
+      |  FROM orders),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN NOT t THEN score END IGNORE NULLS)
+      |      OVER pw AS pv,
+      |    last_value(CASE WHEN NOT t THEN id END IGNORE NULLS)
+      |      OVER pw AS pi,
+      |    first_value(CASE WHEN NOT t THEN score END IGNORE NULLS)
+      |      OVER nw AS nv,
+      |    first_value(CASE WHEN NOT t THEN id END IGNORE NULLS)
+      |      OVER nw AS ni
+      |  FROM b
+      |  WINDOW
+      |    pw AS (PARTITION BY stratum ORDER BY score, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    nw AS (PARTITION BY stratum ORDER BY score, id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT stratum, id, score,
+      |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR score - pv <= nv - score)
+      |    THEN pi ELSE ni END AS control_id,
+      |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR score - pv <= nv - score)
+      |    THEN pv ELSE nv END AS control_score,
+      |  least(score - pv, nv - score) AS match_dist
+      |FROM w WHERE t
+      |ORDER BY stratum, id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -733,7 +777,8 @@ object StatQueries {
     "q_feature_hash" -> (featureHashQ _),
     "q_postings_incremental" -> (postingsIncrementalQ _),
     "q_kaplan_meier" -> (kaplanMeierQ _),
-    "q_ndcg" -> (ndcgQ _))
+    "q_ndcg" -> (ndcgQ _),
+    "q_matched_pairs" -> (matchedPairsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -752,5 +797,6 @@ object StatQueries {
     "q_feature_hash" -> featureHashOracle,
     "q_postings_incremental" -> postingsIncrementalOracle,
     "q_kaplan_meier" -> kaplanMeierOracle,
-    "q_ndcg" -> ndcgOracle)
+    "q_ndcg" -> ndcgOracle,
+    "q_matched_pairs" -> matchedPairsOracle)
 }

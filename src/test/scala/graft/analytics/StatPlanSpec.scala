@@ -1,0 +1,98 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for this session's statistics/eval/matching operators —
+  * the properties that keep them valid at 100 TB: no product joins beyond
+  * the documented 1-row broadcasts, windows partitioned by real keys (or
+  * provably riding metadata-sized frames), join-free sort-once matching.
+  */
+class StatPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def products(p: String): Int =
+    "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size
+
+  private val docs = graft.Tables.documents(spark, sf())
+
+  test("bleu ngramPrecision: (pair, n, gram) equi-join; only product is the 1-row lens broadcast") {
+    val pairs = docs.select(col("doc_id").as("pid"), col("text").as("cand"),
+      col("text").as("ref"))
+    val df = graft.text.BleuScore.ngramPrecision(pairs, "pid", "cand", "ref")
+    val p = plan(df)
+    assert(products(p) <= 1, s"bleu planned ${products(p)} products:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"gram join must be an equi-join:\n$p")
+  }
+
+  test("bootstrap meanCI: rank/CI windows sit above the B-row replicate aggregate, never the data") {
+    val df = Bootstrap.meanCI(docs, col("doc_id"), col("n_chars"), "pp",
+      replicates = 8)
+    assert(products(plan(df)) <= 1, "only the 1-row stats broadcast may be a product")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "every bootstrap window must sit above the replicate aggregate")
+    }
+  }
+
+  test("targetEncodeLOO: category stats come back via broadcast joins only") {
+    val df = graft.ops.Encoding.targetEncodeLOO(
+      docs.select(col("doc_id"), col("lang")), col("lang"), col("doc_id") % 2 === 0)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(products(p) <= 1, s"only the 1-row prior may be a product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the fact side must not shuffle:\n$p")
+  }
+
+  test("matching nearestControl: NO join anywhere — one stratum-partitioned sort") {
+    val df = graft.ops.Matching.nearestControl(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      col("lang"), col("doc_id"), col("n_chars"), col("doc_id") % 4 === 0)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"1-D matching must be join-free:\n$p")
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "matching windows must partition by stratum")
+  }
+
+  test("autocorrelation: every lag rides ONE entity-partitioned window (one sort, no global window)") {
+    val ev = graft.Tables.events(spark, sf())
+    val df = graft.ops.TimeSeries.autocorrelation(ev, "user_id", "ts",
+      "event_id", col("value").cast("long"), Seq(1, 2, 3))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 1, s"all lags must share one window node, saw ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty, "the lag window must partition by entity")
+  }
+
+  test("clusteringCoefficient: equi-joins only, no product") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val p = plan(graft.dedup.DupClusters.clusteringCoefficient(e))
+    assert(products(p) === 0, s"clustering coefficient planned a product:\n$p")
+  }
+
+  test("survival hazardTable: the only global window rides the per-day aggregate frame") {
+    val ev = graft.Tables.events(spark, sf())
+    val df = Survival.hazardTable(ev, col("user_id"), to_date(col("ts")))
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size === 1)
+    assert(global.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the risk-set cumulative must sit above the per-day aggregate")
+  }
+}
