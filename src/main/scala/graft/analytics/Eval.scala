@@ -183,6 +183,43 @@ object Eval {
             (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Probability-calibration audit on the permille grid: reliability bins
+    * plus per-bin and pooled Brier scores. `probPermille` is the model's
+    * predicted probability ×1000 as an integer (the repo's cent-scaling
+    * discipline applied to probabilities), so the squared error
+    * (p − 1000·y)² is an exact BIGINT and every emitted score is ONE
+    * gated division by n·10⁶. One map-combined aggregate to ≤ `bins`+1
+    * rows; the pooled row rides a grouping-sets-free union of one more
+    * aggregate over the same shuffle-reduced frame.
+    */
+  def brierReliability(df: DataFrame, probPermille: Column, label: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 1 && 1000 % bins == 0,
+      s"bins must divide the permille grid (got $bins)")
+    val base = df.select(probPermille.cast("long").as("p"),
+      label.cast("long").as("y"))
+      .select(col("p"), col("y"),
+        least(expr(s"p div ${1000 / bins}"), lit(bins.toLong - 1)).as("bin"),
+        ((col("p") - col("y") * 1000) * (col("p") - col("y") * 1000))
+          .as("__se"))
+    val perBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
+        sum(col("y")).as("sum_y"), sum(col("__se")).as("se_num"))
+    val pooled = perBin.agg(lit(-1L).as("bin"), sum(col("n")).as("n"),
+      sum(col("sum_p")).as("sum_p"), sum(col("sum_y")).as("sum_y"),
+      sum(col("se_num")).as("se_num"))
+    perBin.unionByName(pooled)
+      .withColumn("avg_p",
+        when(col("n") > 0, col("sum_p").cast("double") / col("n").cast("double")))
+      .withColumn("frac_pos",
+        when(col("n") > 0,
+          (col("sum_y") * 1000).cast("double") / col("n").cast("double")))
+      .withColumn("brier",
+        when(col("n") > 0,
+          col("se_num").cast("double") / (col("n") * 1000000L).cast("double")))
+      .orderBy(col("bin"))
+  }
+
   /** Integer-grid discount table for [[ndcgAtK]]: round(2^20 / log2(i+1))
     * for ranks 1..k — fixed integers computed once driver-side, so the
     * DCG sum is an ORDER-FREE exact BIGINT (a float discount chain would

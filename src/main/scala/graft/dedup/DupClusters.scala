@@ -673,6 +673,54 @@ object DupClusters {
             (col("degree") * (col("degree") - 1)).cast("double")))
   }
 
+  /** Newman modularity Q of a GIVEN node partition over the undirected
+    * `pairs` graph — the quality score that tells you whether a community
+    * assignment (label propagation output, a blocking scheme, a shard
+    * map) actually concentrates edges inside its groups:
+    * Q = Σ_c [L_c/m − (D_c/2m)²] with L_c intra-community edges, D_c the
+    * community degree sum, m the edge count.
+    *
+    * Computed as the EXACT integer numerator q_num = Σ_c (4·m·L_c − D_c²)
+    * over denominator 4m² — one gated division at the end, so the score
+    * hash-verifies. Scale shape: two node-keyed equi-joins to label edge
+    * endpoints, map-combined aggregates to a |communities|-row frame,
+    * one final fold. Nothing is ever quadratic in nodes or communities.
+    */
+  def modularity(pairs: DataFrame, communities: DataFrame,
+                 idA: String = "id_a", idB: String = "id_b",
+                 nodeCol: String = "node_id",
+                 communityCol: String = "community"): DataFrame = {
+    val e = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cm = communities.select(col(nodeCol).cast("long").as("n"),
+      col(communityCol).as("c"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(cm, Seq("n")).groupBy(col("c")).agg(sum(col("d")).as("dc"))
+    val lc = e
+      .join(cm.select(col("n").as("u"), col("c").as("cu")), Seq("u"))
+      .join(cm.select(col("n").as("v"), col("c").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("lc"))
+    val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    dc.join(lc, Seq("c"), "left_outer")
+      .select(col("c"), col("dc"), coalesce(col("lc"), lit(0L)).as("lc"))
+      .crossJoin(mRow)
+      .agg(
+        max(col("m")).as("m"),
+        count(lit(1)).as("n_communities"),
+        sum(dec(col("lc")) * dec(col("m")) * lit(4) - dec(col("dc")) * dec(col("dc")))
+          .cast("decimal(38,0)").as("q_num"))
+      .withColumn("modularity",
+        when(col("m") > 0,
+          col("q_num").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double"))))
+  }
+
   /** Minimum-hop distances from a seed set by synchronous frontier BFS
     * over the undirected `pairs` graph, bounded at `maxHops` rounds —
     * the reachability primitive (contamination spread from flagged

@@ -760,6 +760,92 @@ object StatQueries {
       |FROM w WHERE t
       |ORDER BY stratum, id""".stripMargin
 
+  /** Newman modularity of a block partition of the co-purchase graph
+    * ([[graft.dedup.DupClusters.modularity]]): exact integer numerator
+    * Σ(4·m·L_c − D_c²) over 4m², one division. The partition covers
+    * every node (pk div 400 blocks), per the operator's contract.
+    */
+  private def modularityQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    val communities = li.select(col("pk").as("node_id")).distinct()
+      .withColumn("community", expr("node_id div 400"))
+    graft.dedup.DupClusters.modularity(edges, communities)
+  }
+
+  private val modularityOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |cm AS (SELECT DISTINCT pk AS n, pk // 400 AS c FROM li),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      |  GROUP BY n),
+      |dc AS (
+      |  SELECT cm.c, CAST(sum(deg.d) AS BIGINT) AS dc
+      |  FROM deg JOIN cm ON cm.n = deg.n GROUP BY cm.c),
+      |lc AS (
+      |  SELECT a.c, CAST(count(*) AS BIGINT) AS lc
+      |  FROM e JOIN cm a ON a.n = e.u JOIN cm b ON b.n = e.v
+      |  WHERE a.c = b.c GROUP BY a.c),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      |t AS (
+      |  SELECT max(m) AS m, CAST(count(*) AS BIGINT) AS n_communities,
+      |    CAST(sum(CAST(COALESCE(lc.lc, 0) AS HUGEINT) * m * 4
+      |      - CAST(dc.dc AS HUGEINT) * CAST(dc.dc AS HUGEINT))
+      |      AS DECIMAL(38,0)) AS q_num
+      |  FROM dc LEFT JOIN lc ON lc.c = dc.c CROSS JOIN mm)
+      |SELECT CAST(m AS BIGINT) AS m, n_communities, q_num,
+      |  CASE WHEN m > 0 THEN CAST(q_num AS DOUBLE) /
+      |    (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END AS modularity
+      |FROM t""".stripMargin
+
+  /** Brier score + reliability bins ([[graft.analytics.Eval.brierReliability]])
+    * of a value-derived pseudo-probability against the purchase label:
+    * permille grid, exact squared-error BIGINTs, pooled row at bin −1.
+    */
+  private def brierQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.brierReliability(
+      Tables.events(s, dir),
+      least(lit(1000L), round(col("value") * 3, 0).cast("long")),
+      col("event_type") === "purchase")
+
+  private val brierOracle =
+    """WITH b AS (
+      |  SELECT least(1000, CAST(round(value * 3) AS BIGINT)) AS p,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT p, y, least(p // 100, 9) AS bin,
+      |    (p - y * 1000) * (p - y * 1000) AS se
+      |  FROM b),
+      |pb AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sum_p,
+      |    CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(se) AS BIGINT) AS se_num
+      |  FROM s GROUP BY bin),
+      |al AS (
+      |  SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(sum_p) AS BIGINT) AS sum_p, CAST(sum(sum_y) AS BIGINT) AS sum_y,
+      |    CAST(sum(se_num) AS BIGINT) AS se_num
+      |  FROM pb),
+      |u AS (SELECT * FROM pb UNION ALL SELECT * FROM al)
+      |SELECT bin, n, sum_p, sum_y, se_num,
+      |  CASE WHEN n > 0 THEN CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE) END AS avg_p,
+      |  CASE WHEN n > 0
+      |    THEN CAST(sum_y * 1000 AS DOUBLE) / CAST(n AS DOUBLE) END AS frac_pos,
+      |  CASE WHEN n > 0 THEN CAST(se_num AS DOUBLE) /
+      |    CAST(n * 1000000 AS DOUBLE) END AS brier
+      |FROM u ORDER BY bin""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -778,7 +864,9 @@ object StatQueries {
     "q_postings_incremental" -> (postingsIncrementalQ _),
     "q_kaplan_meier" -> (kaplanMeierQ _),
     "q_ndcg" -> (ndcgQ _),
-    "q_matched_pairs" -> (matchedPairsQ _))
+    "q_matched_pairs" -> (matchedPairsQ _),
+    "q_modularity" -> (modularityQ _),
+    "q_brier" -> (brierQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -798,5 +886,7 @@ object StatQueries {
     "q_postings_incremental" -> postingsIncrementalOracle,
     "q_kaplan_meier" -> kaplanMeierOracle,
     "q_ndcg" -> ndcgOracle,
-    "q_matched_pairs" -> matchedPairsOracle)
+    "q_matched_pairs" -> matchedPairsOracle,
+    "q_modularity" -> modularityOracle,
+    "q_brier" -> brierOracle)
 }

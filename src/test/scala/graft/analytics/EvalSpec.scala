@@ -156,6 +156,38 @@ class EvalSpec extends SparkSpec {
     assert(r === Seq((1, 2L, 3L, 2.0 / 3.0), (2, 1L, 1L, 1.0)))
   }
 
+  test("brierReliability: perfect predictions score 0; maximally wrong score 1; pooled row sums bins") {
+    val df = Seq((1000L, true), (0L, false), (1000L, true), (0L, false))
+      .toDF("p", "y")
+    val perfect = Eval.brierReliability(df, col("p"), col("y"))
+      .filter($"bin" === -1).select($"brier").as[Double].head()
+    assert(perfect === 0.0)
+    val wrong = Seq((0L, true), (1000L, false)).toDF("p", "y")
+    val w = Eval.brierReliability(wrong, col("p"), col("y"))
+      .filter($"bin" === -1).select($"brier").as[Double].head()
+    assert(w === 1.0)
+    val r = Eval.brierReliability(df, col("p"), col("y"))
+      .select($"bin", $"n", $"se_num").as[(Long, Long, Long)].collect()
+    assert(r.filter(_._1 >= 0).map(_._2).sum === r.find(_._1 === -1L).get._2)
+  }
+
+  test("modularity: two disjoint triangles perfectly partitioned → Q = 1/2; merged into one community → 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (11L, 12L), (12L, 13L), (13L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("node_id")
+    val split = nodes.withColumn("community", expr("node_id div 10"))
+    val q1 = graft.dedup.DupClusters.modularity(e, split)
+      .select($"m", $"q_num".cast("long"), $"modularity")
+      .as[(Long, Long, Double)].head()
+    // m=6, each community: L=3, D=6 → q_num = 2·(4·6·3 − 36) = 72; Q = 72/144
+    assert(q1 === ((6L, 72L, 0.5)))
+    val one = nodes.withColumn("community", lit(0L))
+    val q0 = graft.dedup.DupClusters.modularity(e, one)
+      .select($"q_num".cast("long")).as[Long].head()
+    // single community: L=6, D=12 → 4·6·6 − 144 = 0
+    assert(q0 === 0L)
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
