@@ -183,6 +183,37 @@ object Eval {
             (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Regression evaluation from exact integer moments: MAE, MSE, RMSE and
+    * R² of integer-scaled predictions against actuals, one row. Σ|e|, Σe²,
+    * Σy, Σy² are exact BIGINT/DECIMAL(38) sums; MAE/MSE are single gated
+    * divisions, RMSE is the correctly-rounded IEEE sqrt of MSE, and R² is
+    * the cross-multiplied 1 − n·Σe² / (n·Σy² − (Σy)²) — no mean is ever
+    * materialized, so the whole report is one map-combined aggregate.
+    */
+  def regressionReport(df: DataFrame, actualCents: Column,
+                       predCents: Column): DataFrame = {
+    val base = df.select(actualCents.cast("long").as("y"),
+      predCents.cast("long").as("p"))
+      .withColumn("e", col("p") - col("y"))
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(abs(col("e"))).as("sae"),
+        sum(dec(col("e")) * dec(col("e"))).cast("decimal(38,0)").as("sse"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"))
+      .withColumn("mae",
+        when(col("n") > 0, col("sae").cast("double") / col("n").cast("double")))
+      .withColumn("mse",
+        when(col("n") > 0, col("sse").cast("double") / col("n").cast("double")))
+      .withColumn("rmse", sqrt(col("mse")))
+      .withColumn("r2", {
+        val sstot = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+        when(sstot > 0,
+          lit(1.0) - (dec(col("n")) * col("sse")).cast("double") /
+            sstot.cast("double"))
+      })
+  }
+
   /** Probability-calibration audit on the permille grid: reliability bins
     * plus per-bin and pooled Brier scores. `probPermille` is the model's
     * predicted probability ×1000 as an integer (the repo's cent-scaling

@@ -846,6 +846,51 @@ object StatQueries {
       |    CAST(n * 1000000 AS DOUBLE) END AS brier
       |FROM u ORDER BY bin""".stripMargin
 
+  /** Regression report ([[graft.analytics.Eval.regressionReport]]) of the
+    * per-event-type mean-value predictor: exact moment sums, MAE/MSE one
+    * division each, RMSE correctly-rounded sqrt, R² cross-multiplied.
+    * The predictor itself is exact: per-class cents sum over count,
+    * floor-divided back onto the cent grid so prediction is an integer.
+    */
+  private def regressionMetricsQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("y"))
+    val means = ev.groupBy(col("event_type"))
+      .agg(expr("sum(y) div count(1)").as("pred"))
+    graft.analytics.Eval.regressionReport(
+      ev.join(broadcast(means), Seq("event_type")), col("y"), col("pred"))
+  }
+
+  private val regressionMetricsOracle =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(CAST(sum(y) AS BIGINT) // count(*) AS BIGINT) AS pred
+      |  FROM e GROUP BY event_type),
+      |j AS (SELECT e.y, m.pred, m.pred - e.y AS err
+      |  FROM e JOIN m ON m.event_type = e.event_type),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(abs(err)) AS BIGINT) AS sae,
+      |    CAST(sum(CAST(err AS HUGEINT) * CAST(err AS HUGEINT))
+      |      AS DECIMAL(38,0)) AS sse,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+      |      AS DECIMAL(38,0)) AS syy
+      |  FROM j)
+      |SELECT n, sae, sse, sy, syy,
+      |  CASE WHEN n > 0 THEN CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) END AS mae,
+      |  CASE WHEN n > 0 THEN CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) END AS mse,
+      |  sqrt(CASE WHEN n > 0 THEN CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) END)
+      |    AS rmse,
+      |  CASE WHEN CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+      |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) > 0
+      |    THEN 1.0 - CAST(CAST(n AS HUGEINT) * CAST(sse AS HUGEINT) AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+      |        - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+      |  END AS r2
+      |FROM a""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -866,7 +911,8 @@ object StatQueries {
     "q_ndcg" -> (ndcgQ _),
     "q_matched_pairs" -> (matchedPairsQ _),
     "q_modularity" -> (modularityQ _),
-    "q_brier" -> (brierQ _))
+    "q_brier" -> (brierQ _),
+    "q_regression_metrics" -> (regressionMetricsQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -888,5 +934,6 @@ object StatQueries {
     "q_ndcg" -> ndcgOracle,
     "q_matched_pairs" -> matchedPairsOracle,
     "q_modularity" -> modularityOracle,
-    "q_brier" -> brierOracle)
+    "q_brier" -> brierOracle,
+    "q_regression_metrics" -> regressionMetricsOracle)
 }

@@ -188,6 +188,25 @@ class EvalSpec extends SparkSpec {
     assert(q0 === 0L)
   }
 
+  test("regressionReport: perfect prediction → MAE 0, R² 1; mean prediction → R² 0") {
+    val df = Seq((100L, 100L), (200L, 200L), (300L, 300L)).toDF("y", "p")
+    val perfect = Eval.regressionReport(df, col("y"), col("p"))
+      .select($"mae", $"r2").as[(Double, Double)].head()
+    assert(perfect === ((0.0, 1.0)))
+    // predicting the exact mean (200) for all rows: SSres = SStot → R² = 0
+    val meanPred = Seq((100L, 200L), (200L, 200L), (300L, 200L)).toDF("y", "p")
+    val m = Eval.regressionReport(meanPred, col("y"), col("p"))
+      .select($"mae", $"mse", $"rmse", $"r2")
+      .as[(Double, Double, Double, Double)].head()
+    assert(m._1 === 200.0 / 3.0 && m._2 === 20000.0 / 3.0)
+    assert(m._3 === math.sqrt(20000.0 / 3.0))
+    assert(m._4 === 0.0)
+    // constant actuals: SStot = 0 → R² gated NULL
+    val const = Seq((5L, 7L), (5L, 3L)).toDF("y", "p")
+    assert(Eval.regressionReport(const, col("y"), col("p"))
+      .select($"r2").as[Option[Double]].head().isEmpty)
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
