@@ -12,19 +12,21 @@ import org.apache.spark.sql.functions._
   * Each (row, replicate) gets an integer weight w ~ Binomial(8, 1/8)
   * (mean 1 — the standard Poisson(1) bootstrap surrogate, Chamandy et
   * al., "Estimating Uncertainty for Massive Data Streams", Google 2012),
-  * derived from 8 hex digits of the md5 of (seed, id, replicate) — the
-  * library-wide reproducible-draw discipline, so every replicate
-  * replays bit-exactly on any cluster and in the verification engine.
+  * derived from its own 8-hex-digit field of the md5 of
+  * (seed, id, replicate-group) — the library-wide reproducible-draw
+  * discipline, so every replicate replays bit-exactly on any cluster
+  * and in the verification engine.
   * Replicate means are ratios of exact BIGINT sums; the CI bounds are
   * order statistics of those B means selected by cross-multiplied
   * integer ranks (no FP percentile arithmetic).
   *
-  * Scale shape: the explode multiplies rows by B partition-locally, and
-  * the per-replicate aggregate map-side combines before its single
-  * shuffle — so shuffle traffic is O(partitions · B), not O(n · B), and
-  * the rank/selection machinery runs on the B-row metadata frame (its
-  * global window is over ≤ B rows BY CONSTRUCTION). Cost is one extra
-  * O(n·B) CPU pass; pick B in the tens-to-hundreds.
+  * Scale shape: the explode multiplies rows by B/4 partition-locally
+  * and the replicate-group aggregate map-side combines (8 sums per
+  * group) before its single shuffle — traffic O(partitions · B), never
+  * O(n · B) — and the rank/selection machinery runs on the B-row
+  * metadata frame (its global window is over ≤ B rows BY CONSTRUCTION).
+  * Cost is one deliberate O(n·B) CPU pass; pick B in the
+  * tens-to-hundreds.
   */
 object Bootstrap {
 
@@ -45,18 +47,43 @@ object Bootstrap {
       .withColumn("mean",
         when(col("n") > 0,
           col("sum_cents").cast("double") / col("n").cast("double")))
+    // One md5 digest serves FOUR replicates (32 hex digits = 4 disjoint
+    // 8-digit fields), hashed once per (row, replicate-group) — n·B/4
+    // digests, not n·B. Each field parses once with conv and the weight
+    // w = #{hex digits in {0,1}} ~ Binomial(8, 1/8) is counted
+    // arithmetically (digit < 2 ⇔ the nibble's upper 3 bits are 0);
+    // digit POSITIONS don't matter for the count, so nibble order agrees
+    // with a per-digit string compare in the verification engine.
+    //
+    // All four replicates of a group aggregate FLAT in one hash
+    // aggregate (8 sums per group) and the 64-replicate table is rebuilt
+    // by a B/4-row metadata reshape afterwards. Flat is load-bearing: an
+    // explode whose array elements carry the weight expressions defeats
+    // codegen subexpression elimination (each conv re-inlines per
+    // reference — measured 44 s vs 4 s for the same math here; the NOTES
+    // explode-pushdown trap in aggregate form).
+    require(replicates % 4 == 0, s"replicates must be a multiple of 4, got $replicates")
     val digest = md5(concat(lit(s"boot:$seed:"), col("__id"), lit(":"),
-      col("rep").cast("string")))
-    // w = #{of the first 8 hex digits that land in {0,1}} ~ Binomial(8, 1/8)
-    val w = (1 to 8).map(i =>
-      when(substring(digest, i, 1).isin("0", "1"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val repMeans = base
+      col("rg").cast("string")))
+    def weightOf(s: Int): Column = {
+      val u32 = conv(substring(digest, 1 + 8 * s, 8), 16, 10).cast("long")
+      (0 to 7).map(j =>
+        when(shiftright(u32, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
+          .otherwise(0L)).reduce(_ + _)
+    }
+    val perRg = base
       .select(col("__id"), col("x"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("rep"))
-      .withColumn("w", w)
-      .groupBy(col("rep"))
-      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+        explode(sequence(lit(0), lit(replicates / 4 - 1))).as("rg"))
+      .groupBy(col("rg"))
+      .agg(sum(weightOf(0) * col("x")).as("swx0"), sum(weightOf(0)).as("sw0"),
+        sum(weightOf(1) * col("x")).as("swx1"), sum(weightOf(1)).as("sw1"),
+        sum(weightOf(2) * col("x")).as("swx2"), sum(weightOf(2)).as("sw2"),
+        sum(weightOf(3) * col("x")).as("swx3"), sum(weightOf(3)).as("sw3"))
+    val repMeans = perRg
+      .select(explode(array((0 to 3).map(s =>
+          struct((col("rg") * 4 + s).as("rep"),
+            col(s"swx$s").as("swx"), col(s"sw$s").as("sw"))): _*)).as("r"))
+      .select(col("r.rep").as("rep"), col("r.swx").as("swx"), col("r.sw").as("sw"))
       .withColumn("m",
         when(col("sw") > 0,
           col("swx").cast("double") / col("sw").cast("double")))

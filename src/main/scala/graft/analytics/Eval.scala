@@ -157,9 +157,17 @@ object Eval {
     * confusion matrix is class²-bounded: one shuffle to build it,
     * everything downstream metadata-sized.
     */
-  def classificationReport(df: DataFrame, truth: Column, pred: Column): DataFrame = {
-    val cm = df.groupBy(truth.as("truth"), pred.as("pred"))
-      .agg(count(lit(1)).as("c"))
+  def classificationReport(df: DataFrame, truth: Column, pred: Column): DataFrame =
+    classificationReportFromConfusion(
+      df.groupBy(truth.as("truth"), pred.as("pred")).agg(count(lit(1)).as("c")))
+
+  /** [[classificationReport]] from an already-materialized confusion
+    * matrix `cm(truth, pred, c)` — the entry point for INCREMENTALLY
+    * MAINTAINED matrices: confusion counts are add-mergeable, so a
+    * streaming aggregation or a CDC delta fold can keep `cm` live and
+    * derive the report from the class²-bounded state at any time.
+    */
+  def classificationReportFromConfusion(cm: DataFrame): DataFrame = {
     val byTruth = cm.groupBy(col("truth").as("cls")).agg(sum(col("c")).as("t_cnt"))
     val byPred = cm.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("p_cnt"))
     val diag = cm.filter(col("truth") === col("pred"))

@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * In one dimension the exact nearest neighbor is always one of the two
   * adjacent controls in score order, so matching needs NO pair join at
-  * all: ONE (stratum, score) sort, two `IGNORE NULLS` window lookups
-  * (nearest control at-or-before, nearest strictly-after) riding that
-  * single sort, and a pure projection picking the closer side — the
-  * [[TimeSeries.interpolate]] plan shape, O(n log n) total versus the
-  * O(treated·controls) naive join. Matching is WITH replacement (a
+  * all: two (stratum, score) sorts (forward and reversed), one `IGNORE
+  * NULLS` growing-frame lookup on each (nearest control at-or-before /
+  * strictly-after), and a pure projection picking the closer side —
+  * O(n log n) total versus the O(treated·controls) naive join, with
+  * every frame incremental (no shrinking-frame quadratic re-aggregation). Matching is WITH replacement (a
   * popular control may serve several treated units — disclosed; greedy
   * without-replacement matching is inherently sequential). Ties break
   * toward the earlier (lower-score, then lower-id) control, so results
@@ -31,13 +31,23 @@ object Matching {
                      scoreCents: Column, treated: Column): DataFrame = {
     val base = df.select(strataCol.as("stratum"), idCol.as("id"),
       scoreCents.cast("long").as("score"), treated.cast("boolean").as("__t"))
-    val ord = Window.partitionBy(col("stratum")).orderBy(col("score"), col("id"))
-    val upToHere = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    // both lookups are GROWING frames (unboundedPreceding → current):
+    // Spark evaluates those incrementally in O(rows), while a shrinking
+    // (1, unboundedFollowing) frame recomputes its aggregate per row —
+    // O(rows²) per partition, measured 139 s on 30k-row strata at sf0.1.
+    // "Nearest control strictly after" in ascending order IS "nearest
+    // control strictly before" under the REVERSED sort, so the next-side
+    // lookup rides a second sort instead of a quadratic frame.
+    val fwd = Window.partitionBy(col("stratum"))
+      .orderBy(col("score"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bwd = Window.partitionBy(col("stratum"))
+      .orderBy(col("score").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ctrl = when(!col("__t"), struct(col("score"), col("id")))
     base
-      .withColumn("__prev", last(ctrl, ignoreNulls = true).over(upToHere))
-      .withColumn("__next", first(ctrl, ignoreNulls = true).over(after))
+      .withColumn("__prev", last(ctrl, ignoreNulls = true).over(fwd))
+      .withColumn("__next", last(ctrl, ignoreNulls = true).over(bwd))
       .filter(col("__t"))
       .withColumn("__pd",
         when(col("__prev").isNotNull, col("score") - col("__prev.score")))

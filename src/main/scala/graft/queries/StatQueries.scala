@@ -463,7 +463,8 @@ object StatQueries {
       |r AS (SELECT id, x, unnest(range(0, 64)) AS rep FROM x),
       |w AS (
       |  SELECT rep, x, list_sum(list_transform(range(1, 9), i ->
-      |      CASE WHEN md5('boot:s1:' || id || ':' || CAST(rep AS VARCHAR))[i]
+      |      CASE WHEN md5('boot:s1:' || id || ':'
+      |          || CAST(rep // 4 AS VARCHAR))[CAST(i + 8 * (rep % 4) AS INTEGER)]
       |        IN ('0', '1') THEN 1 ELSE 0 END)) AS w
       |  FROM r),
       |m AS (SELECT rep, CAST(sum(w * x) AS BIGINT) AS swx,
@@ -891,6 +892,207 @@ object StatQueries {
       |  END AS r2
       |FROM a""".stripMargin
 
+  /** RFM customer segmentation on exact quintile thresholds: per-user
+    * recency/frequency/monetary stats (exact integers), quintile cut
+    * points from [[graft.analytics.Quantiles.exactQuantilesTwoPass]]
+    * (NO global ntile window — the sort-free two-pass path), broadcast
+    * back as 1-row threshold arrays; segment assignment is a pure
+    * projection `1 + #{thresholds below}` (recency inverted: recent =
+    * high score). The oracle recomputes thresholds by naive global
+    * selection and replays the same comparisons.
+    */
+  private def rfmQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val nowRow = broadcast(ev.agg(max(col("us")).as("__now")))
+    val perUser = ev.crossJoin(nowRow)
+      .groupBy(col("user_id"))
+      .agg(min(col("__now") - col("us")).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary"))
+    def thresholds(c: String, width: Long, name: String) = broadcast(
+      graft.analytics.Quantiles.exactQuantilesTwoPass(
+          perUser.select(col(c)), c, Seq(200, 400, 600, 800), width)
+        .agg(sort_array(collect_list(col("value_cents"))).as(name)))
+    def seg(arr: String, v: String) =
+      (size(filter(col(arr), t => t < col(v))) + 1).cast("long")
+    perUser
+      .crossJoin(thresholds("recency_us", 1000000000L, "rt"))
+      .crossJoin(thresholds("frequency", 1L, "ft"))
+      .crossJoin(thresholds("monetary", 1000L, "mt"))
+      .select(col("user_id"), col("recency_us"), col("frequency"), col("monetary"),
+        (lit(6L) - seg("rt", "recency_us")).as("r_seg"),
+        seg("ft", "frequency").as("f_seg"),
+        seg("mt", "monetary").as("m_seg"))
+      .withColumn("rfm",
+        col("r_seg") * 100 + col("f_seg") * 10 + col("m_seg"))
+      .filter(col("user_id") % 7 === 0)
+      .orderBy(col("user_id"))
+  }
+
+  private val rfmOracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |nw AS (SELECT max(us) AS nowus FROM ev),
+      |pu AS (
+      |  SELECT user_id, CAST(min(nowus - us) AS BIGINT) AS recency_us,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(cents) AS BIGINT) AS monetary
+      |  FROM ev CROSS JOIN nw GROUP BY user_id),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+      |pp AS (SELECT unnest([200, 400, 600, 800]) AS p),
+      |kk AS (SELECT p, CAST((n * p + 999) // 1000 AS BIGINT) AS k FROM pp, nn),
+      |rt AS (SELECT list(v ORDER BY v) AS rt FROM (
+      |  SELECT r.v FROM kk JOIN (
+      |    SELECT recency_us AS v, row_number() OVER (ORDER BY recency_us) AS rn
+      |    FROM pu) r ON r.rn = kk.k)),
+      |ft AS (SELECT list(v ORDER BY v) AS ft FROM (
+      |  SELECT r.v FROM kk JOIN (
+      |    SELECT frequency AS v, row_number() OVER (ORDER BY frequency) AS rn
+      |    FROM pu) r ON r.rn = kk.k)),
+      |mt AS (SELECT list(v ORDER BY v) AS mt FROM (
+      |  SELECT r.v FROM kk JOIN (
+      |    SELECT monetary AS v, row_number() OVER (ORDER BY monetary) AS rn
+      |    FROM pu) r ON r.rn = kk.k))
+      |SELECT user_id, recency_us, frequency, monetary,
+      |  CAST(6 - (1 + len(list_filter(rt, t -> t < recency_us))) AS BIGINT)
+      |    AS r_seg,
+      |  CAST(1 + len(list_filter(ft, t -> t < frequency)) AS BIGINT) AS f_seg,
+      |  CAST(1 + len(list_filter(mt, t -> t < monetary)) AS BIGINT) AS m_seg,
+      |  CAST((6 - (1 + len(list_filter(rt, t -> t < recency_us)))) * 100
+      |    + (1 + len(list_filter(ft, t -> t < frequency))) * 10
+      |    + (1 + len(list_filter(mt, t -> t < monetary))) AS BIGINT) AS rfm
+      |FROM pu CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+      |WHERE user_id % 7 = 0
+      |ORDER BY user_id""".stripMargin
+
+  /** Column-profile drift between two snapshot versions: v1 profiles vs
+    * v2 profiles ([[graft.maintain.Profile.columnProfile]] over
+    * [[graft.maintain.Versioned]] reads), joined per column with exact
+    * count deltas and min/max-moved flags — the contract-drift tripwire a
+    * nightly pipeline runs before promoting a snapshot.
+    */
+  private def profileDriftQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.{Profile, Versioned}
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prof_drift_").toString
+    Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
+    Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
+    val cols = Seq("user_id" -> Profile.AsString,
+      "event_type" -> Profile.AsString, "value" -> Profile.AsDecimal2)
+    def prof(v: Int, sfx: String) =
+      Profile.columnProfile(Versioned.read(s, tmp, Some(v)), cols)
+        .select(col("column"),
+          col("n_rows").as(s"n_rows$sfx"), col("n_nulls").as(s"n_nulls$sfx"),
+          col("n_distinct").as(s"n_distinct$sfx"),
+          col("min_val").as(s"min$sfx"), col("max_val").as(s"max$sfx"))
+    prof(1, "_v1").join(prof(2, "_v2"), Seq("column"))
+      .select(col("column"),
+        col("n_rows_v1"), col("n_rows_v2"),
+        (col("n_rows_v2") - col("n_rows_v1")).as("rows_added"),
+        col("n_distinct_v1"), col("n_distinct_v2"),
+        (col("n_nulls_v2") - col("n_nulls_v1")).as("nulls_added"),
+        (col("min_v2") =!= col("min_v1")).as("min_moved"),
+        (col("max_v2") =!= col("max_v1")).as("max_moved"))
+      .orderBy(col("column"))
+  }
+
+  private val profileDriftOracle =
+    """WITH v1 AS (
+      |  SELECT user_id, event_type, value FROM events WHERE event_id % 10 <> 0),
+      |p1 AS (
+      |  SELECT 'user_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows_v1,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nulls_v1,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_v1,
+      |    CAST(min(user_id) AS VARCHAR) AS min_v1,
+      |    CAST(max(user_id) AS VARCHAR) AS max_v1
+      |  FROM v1
+      |  UNION ALL
+      |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(count(DISTINCT event_type) AS BIGINT),
+      |    min(event_type), max(event_type)
+      |  FROM v1
+      |  UNION ALL
+      |  SELECT 'value', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(count(DISTINCT value) AS BIGINT),
+      |    CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
+      |    CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+      |  FROM v1),
+      |p2 AS (
+      |  SELECT 'user_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows_v2,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nulls_v2,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_v2,
+      |    CAST(min(user_id) AS VARCHAR) AS min_v2,
+      |    CAST(max(user_id) AS VARCHAR) AS max_v2
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(count(DISTINCT event_type) AS BIGINT),
+      |    min(event_type), max(event_type)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(count(DISTINCT value) AS BIGINT),
+      |    CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
+      |    CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+      |  FROM events)
+      |SELECT p1."column" AS "column", n_rows_v1, n_rows_v2,
+      |  n_rows_v2 - n_rows_v1 AS rows_added,
+      |  n_distinct_v1, n_distinct_v2,
+      |  n_nulls_v2 - n_nulls_v1 AS nulls_added,
+      |  min_v2 <> min_v1 AS min_moved,
+      |  max_v2 <> max_v1 AS max_moved
+      |FROM p1 JOIN p2 ON p2."column" = p1."column"
+      |ORDER BY p1."column"""".stripMargin
+
+  /** LIVE classification-report maintenance: the confusion matrix as a
+    * complete-mode streaming aggregation (AvailableNow over the same
+    * event feed), report derived from the class²-bounded sink state via
+    * [[graft.analytics.Eval.classificationReportFromConfusion]]. The
+    * oracle is `q_eval_metrics`' batch SQL verbatim — the streaming
+    * maintenance path must land on the identical report.
+    */
+  private def streamEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val pred = when(col("value") >= 300, "error")
+      .when(col("value") >= 200, "click")
+      .when(col("value") >= 100, "purchase")
+      .when(col("value") >= 50, "view")
+      .otherwise("signup")
+    val name = "graft_stream_eval_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = raw
+      .groupBy(col("event_type").as("truth"), pred.as("pred"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.analytics.Eval.classificationReportFromConfusion(s.table(name))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        col("precision").as("prec"), col("recall").as("rec"), col("f1"))
+      .orderBy(col("cls"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -912,7 +1114,10 @@ object StatQueries {
     "q_matched_pairs" -> (matchedPairsQ _),
     "q_modularity" -> (modularityQ _),
     "q_brier" -> (brierQ _),
-    "q_regression_metrics" -> (regressionMetricsQ _))
+    "q_regression_metrics" -> (regressionMetricsQ _),
+    "q_rfm" -> (rfmQ _),
+    "q_profile_drift" -> (profileDriftQ _),
+    "q_stream_eval" -> (streamEvalQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -935,5 +1140,8 @@ object StatQueries {
     "q_matched_pairs" -> matchedPairsOracle,
     "q_modularity" -> modularityOracle,
     "q_brier" -> brierOracle,
-    "q_regression_metrics" -> regressionMetricsOracle)
+    "q_regression_metrics" -> regressionMetricsOracle,
+    "q_rfm" -> rfmOracle,
+    "q_profile_drift" -> profileDriftOracle,
+    "q_stream_eval" -> evalMetricsOracle)
 }
