@@ -721,6 +721,42 @@ object DupClusters {
             (lit(4.0) * col("m").cast("double") * col("m").cast("double"))))
   }
 
+  /** Bounded-round single-source-set shortest paths over a weighted
+    * undirected graph — distributed Bellman–Ford: `rounds` synchronous
+    * relaxations, each ONE equi-join of the current distance table
+    * against the adjacency list plus ONE min-aggregate (map-side
+    * combinable), `localCheckpoint` per round. Unlike [[bfsHops]] a
+    * cheaper path may reach an ALREADY-visited node, so the min-fold is
+    * load-bearing, and the result is exact over all paths of ≤ `rounds`
+    * edges (the bounded-radius contract that keeps cost O(edges within
+    * the ball) instead of O(diameter) at 100 TB). Integer weights ⇒
+    * distances exact BIGINTs.
+    */
+  def boundedShortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                           idA: String = "id_a", idB: String = "id_b",
+                           weightCol: String = "w",
+                           seedCol: String = "node_id"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(idA).cast("long").as("u"),
+      col(idB).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).cast("long").as("node_id"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(adj, dist("node_id") === adj("u"))
+        .select(adj("v").as("node_id"), (dist("dist") + adj("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node_id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+
   /** Minimum-hop distances from a seed set by synchronous frontier BFS
     * over the undirected `pairs` graph, bounded at `maxHops` rounds —
     * the reachability primitive (contamination spread from flagged

@@ -128,4 +128,27 @@ object Sampling {
       .filter(col("__rk") <= k)
       .select(col(userCol), col("neg_item"), col("probe_idx"))
   }
+
+  /** Join-preserving ("consistent") downsampling: keep a row iff its
+    * ENTITY's md5 uniform falls under `permille`/1000 — so every table
+    * sampled with the same (seed, entity) keeps exactly the same
+    * entities, joins between sampled tables lose NOTHING relative to
+    * sampling after the join, and per-entity statistics (session
+    * lengths, funnel shapes, lifetime values) survive intact. Row-level
+    * Bernoulli sampling destroys all three, which is why pipeline
+    * downsampling must gate on the entity.
+    *
+    * Pure stateless predicate — no sample table to ship, any engine or
+    * service reproduces membership from (seed, permille) alone; the
+    * filter pushes to the scan.
+    */
+  def consistentEntitySample(df: DataFrame, entity: Column, seed: String,
+                             permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000], got $permille")
+    val h = conv(substring(md5(concat(lit(s"ces:$seed:"),
+      entity.cast("string"))), 1, 8), 16, 10).cast("long")
+    // h uniform on [0, 2^32): keep iff h·1000 < permille·2^32 (exact ints)
+    df.filter(h * 1000L < permille.toLong * 4294967296L)
+  }
 }

@@ -1093,6 +1093,79 @@ object StatQueries {
       .orderBy(col("cls"))
   }
 
+  /** Bounded Bellman–Ford over the weighted co-purchase graph
+    * ([[graft.dedup.DupClusters.boundedShortestPaths]]): exact integer
+    * distances over all ≤3-edge paths from the seed parts; one
+    * relax-join + min-fold per round. Oracle: recursive CTE with a step
+    * bound and a min collapse.
+    */
+  private def shortestPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"),
+        ((col("id_a") + col("id_b")) % 5 + 1).as("w"))
+    val seeds = li.select(col("pk").as("node_id"))
+      .filter(col("node_id") % 97 === 0).distinct()
+    graft.dedup.DupClusters.boundedShortestPaths(edges, seeds, rounds = 3)
+      .orderBy(col("node_id"))
+  }
+
+  private val shortestPathsOracle =
+    """WITH RECURSIVE
+      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |ew AS (SELECT u, v, (u + v) % 5 + 1 AS w FROM e),
+      |adj AS (SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+      |seeds AS (SELECT DISTINCT pk AS node_id FROM li WHERE pk % 97 = 0),
+      |walk(node_id, d, s) AS (
+      |  SELECT node_id, CAST(0 AS BIGINT), 0 FROM seeds
+      |  UNION
+      |  SELECT adj.v, walk.d + adj.w, walk.s + 1
+      |  FROM walk JOIN adj ON adj.u = walk.node_id
+      |  WHERE walk.s < 3)
+      |SELECT node_id, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node_id
+      |ORDER BY node_id""".stripMargin
+
+  /** Join-preserving entity sampling
+    * ([[graft.ops.Sampling.consistentEntitySample]], ~10% of users): the
+    * output carries the all-or-nothing proof in-plan — every kept user's
+    * kept-event count must equal their full count.
+    */
+  private def consistentSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val kept = graft.ops.Sampling.consistentEntitySample(
+        ev, col("user_id"), "cs1", permille = 100)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+    val full = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_all"))
+    kept.join(full, Seq("user_id"))
+      .select(col("user_id"), col("n_kept"), col("n_all"),
+        (col("n_kept") === col("n_all")).as("complete"))
+      .orderBy(col("user_id"))
+  }
+
+  private val consistentSampleOracle = {
+    val u32 = OracleSql.md5U32Sql("'ces:cs1:' || CAST(user_id AS VARCHAR)")
+    s"""WITH kept AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM events WHERE ($u32) * 1000 < 100 * 4294967296
+      |  GROUP BY user_id),
+      |fl AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_all
+      |  FROM events GROUP BY user_id)
+      |SELECT kept.user_id, n_kept, n_all, n_kept = n_all AS complete
+      |FROM kept JOIN fl ON fl.user_id = kept.user_id
+      |ORDER BY kept.user_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1117,7 +1190,9 @@ object StatQueries {
     "q_regression_metrics" -> (regressionMetricsQ _),
     "q_rfm" -> (rfmQ _),
     "q_profile_drift" -> (profileDriftQ _),
-    "q_stream_eval" -> (streamEvalQ _))
+    "q_stream_eval" -> (streamEvalQ _),
+    "q_shortest_paths" -> (shortestPathsQ _),
+    "q_consistent_sample" -> (consistentSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1143,5 +1218,7 @@ object StatQueries {
     "q_regression_metrics" -> regressionMetricsOracle,
     "q_rfm" -> rfmOracle,
     "q_profile_drift" -> profileDriftOracle,
-    "q_stream_eval" -> evalMetricsOracle)
+    "q_stream_eval" -> evalMetricsOracle,
+    "q_shortest_paths" -> shortestPathsOracle,
+    "q_consistent_sample" -> consistentSampleOracle)
 }

@@ -304,6 +304,31 @@ class DupClustersSpec extends SparkSpec {
     assert(r1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
   }
 
+  test("boundedShortestPaths: cheaper long path beats the direct edge; revisits relax") {
+    // 1-2 costs 5 direct, but 1-3-2 costs 2: round 1 sets dist(2)=5, round 2
+    // must RELAX it down to 2 — the min-fold over already-visited nodes
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L)).toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("node_id")
+    val d = DupClusters.boundedShortestPaths(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("boundedShortestPaths: the round bound is the radius contract") {
+    // chain 1-2-3-4-5 each w=1 plus direct 1-5 w=10
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L),
+      (1L, 5L, 10L)).toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("node_id")
+    val d3 = DupClusters.boundedShortestPaths(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // within 3 edges the best route to 5 is the direct w=10 edge
+    assert(d3(5L) === 10L)
+    val d4 = DupClusters.boundedShortestPaths(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // one more round admits the 4-edge chain of cost 4
+    assert(d4(5L) === 4L)
+  }
+
   test("bfsHops: multi-source takes the nearer seed; disconnected nodes absent") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
     val seeds = Seq(1L, 10L).toDF("node_id")

@@ -98,4 +98,26 @@ class OpsSpec extends SparkSpec {
     assert(good.select("id", "k").as[(Long, Long)].collect().toSet == Set((1L, 5L), (3L, 7L)))
     assert(dlq.select("id").as[Long].collect().toSet == Set(2L, 4L))
   }
+
+  test("consistentEntitySample: all-or-nothing per entity, consistent across tables, edge permilles") {
+    import org.apache.spark.sql.functions._
+    val a = (1 to 400).map(i => (i.toLong % 50, i.toLong)).toDF("user", "x")
+    val b = (1 to 200).map(i => (i.toLong % 50, s"r$i")).toDF("user", "y")
+    def keptUsers(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.consistentEntitySample(df, col("user"), "t", 300)
+        .select($"user").distinct().as[Long].collect().toSet
+    val (ka, kb) = (keptUsers(a), keptUsers(b))
+    assert(ka === kb, "the same entities must survive in every table")
+    assert(ka.nonEmpty && ka.size < 50)
+    // all-or-nothing: each kept user keeps ALL its rows
+    val perUser = a.groupBy($"user").count().as[(Long, Long)].collect().toMap
+    val keptCounts = graft.ops.Sampling
+      .consistentEntitySample(a, col("user"), "t", 300)
+      .groupBy($"user").count().as[(Long, Long)].collect().toMap
+    keptCounts.foreach { case (u, n) => assert(n === perUser(u)) }
+    assert(graft.ops.Sampling.consistentEntitySample(a, col("user"), "t", 1000)
+      .count() === 400L)
+    assert(graft.ops.Sampling.consistentEntitySample(a, col("user"), "t", 0)
+      .count() === 0L)
+  }
 }
