@@ -191,6 +191,44 @@ object Eval {
             (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Per-group binomial proportion with a Wilson score interval — the
+    * slice-wise conversion/defect-rate report that stays valid at small
+    * n (the normal interval collapses or exits [0,1] exactly where
+    * slicing makes groups thin). Counts are exact longs; p̂ and the
+    * Wilson bounds are fixed-operand-order IEEE expressions over them
+    * (sqrt is correctly rounded), with `z` interpolated as one double
+    * literal into both engines. One map-combined aggregate, one
+    * projection; n = 0 gates to NULL.
+    */
+  def wilsonProportions(df: DataFrame, group: Column, success: Column,
+                        z: Double = 1.96): DataFrame = {
+    val zc = lit(z)
+    df.select(group.as("g"), success.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("successes"))
+      .withColumn("p_hat",
+        when(col("n") > 0,
+          col("successes").cast("double") / col("n").cast("double")))
+      .withColumn("wilson_lo", {
+        val n = col("n").cast("double")
+        val p = col("p_hat")
+        when(col("n") > 0,
+          (p + zc * zc / (lit(2.0) * n) -
+            zc * sqrt(p * (lit(1.0) - p) / n +
+              zc * zc / (lit(4.0) * n * n))) /
+            (lit(1.0) + zc * zc / n))
+      })
+      .withColumn("wilson_hi", {
+        val n = col("n").cast("double")
+        val p = col("p_hat")
+        when(col("n") > 0,
+          (p + zc * zc / (lit(2.0) * n) +
+            zc * sqrt(p * (lit(1.0) - p) / n +
+              zc * zc / (lit(4.0) * n * n))) /
+            (lit(1.0) + zc * zc / n))
+      })
+  }
+
   /** Regression evaluation from exact integer moments: MAE, MSE, RMSE and
     * R² of integer-scaled predictions against actuals, one row. Σ|e|, Σe²,
     * Σy, Σy² are exact BIGINT/DECIMAL(38) sums; MAE/MSE are single gated

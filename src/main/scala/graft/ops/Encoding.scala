@@ -46,6 +46,37 @@ object Encoding {
       .withColumnRenamed("__cat_cnt", "cat_cnt")
   }
 
+  /** Leakage-safe standardization: z-scores for EVERY row from moments
+    * fitted on the TRAIN rows only — the fit/transform split that keeps
+    * validation statistics out of the features (fitting on the full
+    * frame is the classic silent leak). The transform is algebraically
+    * reduced to exact integers: z = (x·n_train − Σx) / √(n_train·Σx² −
+    * (Σx)²) — numerator an exact DECIMAL(38), ONE correctly-rounded
+    * sqrt, ONE division, so scores hash-compare. σ is the population
+    * deviation of the train split; zero-variance fits gate to NULL.
+    * Scale shape: one map-combined train aggregate, broadcast back —
+    * the fact never shuffles.
+    */
+  def standardizeByTrain(df: DataFrame, valueCents: Column,
+                         trainFlag: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.withColumn("__x", valueCents.cast("long"))
+      .withColumn("is_train", trainFlag.cast("boolean"))
+    val stats = base.filter(col("is_train"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(dec(col("__x")) * dec(col("__x"))).cast("decimal(38,0)").as("__sxx"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("z", {
+        val d = (dec(col("__n")) * col("__sxx") -
+          dec(col("__sx")) * dec(col("__sx"))).cast("double")
+        when(col("__n") > 0 && d > 0.0,
+          (dec(col("__x")) * dec(col("__n")) - dec(col("__sx"))).cast("double") /
+            sqrt(d))
+      })
+      .withColumnRenamed("__x", "x_cents")
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** The hashing trick (Weinberger et al., "Feature Hashing for Large
     * Scale Multitask Learning", ICML 2009): whitespace tokens of
     * `textCol` land in `k` hashed feature slots; emitted SPARSE as

@@ -1166,6 +1166,73 @@ object StatQueries {
       |ORDER BY kept.user_id""".stripMargin
   }
 
+  /** Wilson score intervals for per-event-type purchase-follow rate —
+    * i.e. conversion per segment with small-n-valid bounds
+    * ([[graft.analytics.Eval.wilsonProportions]]): exact counts, fixed
+    * operand order, z = 1.96 as one literal in both engines.
+    */
+  private def wilsonCiQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.wilsonProportions(
+        Tables.events(s, dir),
+        pmod(col("user_id"), lit(8L)), col("event_type") === "purchase")
+      .orderBy(col("g"))
+
+  private val wilsonCiOracle =
+    """WITH a AS (
+      |  SELECT user_id % 8 AS g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS successes
+      |  FROM events GROUP BY g),
+      |p AS (SELECT g, n, successes,
+      |  CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat FROM a)
+      |SELECT g, n, successes, p_hat,
+      |  (p_hat + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+      |    - CAST(1.96 AS DOUBLE) * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
+      |      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_lo,
+      |  (p_hat + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+      |    + CAST(1.96 AS DOUBLE) * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
+      |      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_hi
+      |FROM p ORDER BY g""".stripMargin
+
+  /** Leakage-safe standardization
+    * ([[graft.ops.Encoding.standardizeByTrain]]): train-split moments
+    * broadcast onto every row, z = (x·n − Σx)/√(n·Σx² − (Σx)²) — exact
+    * numerator, one sqrt, one division.
+    */
+  private def scalerQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.standardizeByTrain(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        col("cents"), col("o_orderkey") % 4 =!= 0)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("x_cents"), col("is_train"), col("z"))
+      .orderBy(col("o_orderkey"))
+
+  private val scalerOracle =
+    """WITH b AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+      |    o_orderkey % 4 <> 0 AS is_train
+      |  FROM orders),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DECIMAL(38,0))
+      |      AS sxx
+      |  FROM b WHERE is_train)
+      |SELECT o_orderkey, x AS x_cents, is_train,
+      |  CASE WHEN n > 0 AND CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+      |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) > 0.0
+      |    THEN CAST(CAST(x AS HUGEINT) * CAST(n AS HUGEINT)
+      |        - CAST(sx AS HUGEINT) AS DOUBLE) /
+      |      sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+      |        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE))
+      |  END AS z
+      |FROM b CROSS JOIN st
+      |WHERE o_orderkey % 50 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1192,7 +1259,9 @@ object StatQueries {
     "q_profile_drift" -> (profileDriftQ _),
     "q_stream_eval" -> (streamEvalQ _),
     "q_shortest_paths" -> (shortestPathsQ _),
-    "q_consistent_sample" -> (consistentSampleQ _))
+    "q_consistent_sample" -> (consistentSampleQ _),
+    "q_wilson_ci" -> (wilsonCiQ _),
+    "q_scaler" -> (scalerQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1220,5 +1289,7 @@ object StatQueries {
     "q_profile_drift" -> profileDriftOracle,
     "q_stream_eval" -> evalMetricsOracle,
     "q_shortest_paths" -> shortestPathsOracle,
-    "q_consistent_sample" -> consistentSampleOracle)
+    "q_consistent_sample" -> consistentSampleOracle,
+    "q_wilson_ci" -> wilsonCiOracle,
+    "q_scaler" -> scalerOracle)
 }

@@ -207,6 +207,43 @@ class EvalSpec extends SparkSpec {
       .select($"r2").as[Option[Double]].head().isEmpty)
   }
 
+  test("wilsonProportions: bounds bracket p-hat, stay in [0,1] at extremes, tighten with n") {
+    val df = (Seq.fill(3)(("small", 1)) ++ Seq.fill(2)(("small", 0)) ++
+      (1 to 300).map(i => ("big", if (i % 5 == 0) 1 else 0)))
+      .toDF("g", "y")
+    val r = Eval.wilsonProportions(df, col("g"), col("y") === 1)
+      .select($"g", $"n", $"p_hat", $"wilson_lo", $"wilson_hi")
+      .as[(String, Long, Double, Double, Double)].collect().map(x => x._1 -> x).toMap
+    r.values.foreach { case (_, _, p, lo, hi) =>
+      assert(lo < p && p < hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+    assert(r("big")._5 - r("big")._4 < r("small")._5 - r("small")._4,
+      "more data must tighten the interval")
+    // degenerate all-success group: upper bound still < 1 (the Wilson point)
+    val ones = Seq(("a", 1), ("a", 1), ("a", 1)).toDF("g", "y")
+    val o = Eval.wilsonProportions(ones, col("g"), col("y") === 1)
+      .select($"wilson_lo", $"wilson_hi").as[(Double, Double)].head()
+    assert(o._1 > 0.0 && o._2 < 1.0 + 1e-12)
+  }
+
+  test("standardizeByTrain: fit excludes validation rows; train z-scores have exact mean-zero numerator") {
+    val df = (Seq((1L, 100L, true), (2L, 200L, true), (3L, 300L, true),
+      (4L, 999999L, false))).toDF("id", "cents", "tr")
+    val r = graft.ops.Encoding.standardizeByTrain(df, col("cents"), col("tr"))
+      .select($"id", $"z").as[(Long, Option[Double])].collect().toMap
+    // train stats: n=3, mean 200, D = 3·140000·100... — z(2) = 0 exactly
+    assert(r(2L).get === 0.0)
+    assert(r(1L).get === -r(3L).get, "symmetric train points get symmetric z")
+    // the huge validation outlier must NOT shift the fit: z(4) is enormous
+    assert(r(4L).get > 100.0)
+    // leakage check: dropping the validation row leaves train z unchanged
+    val fitOnly = graft.ops.Encoding.standardizeByTrain(
+        df.filter($"tr"), col("cents"), col("tr"))
+      .select($"id", $"z").as[(Long, Option[Double])].collect().toMap
+    assert(fitOnly(1L) === r(1L) && fitOnly(3L) === r(3L))
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
