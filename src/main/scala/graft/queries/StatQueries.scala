@@ -1233,6 +1233,92 @@ object StatQueries {
       |WHERE o_orderkey % 50 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Average treatment effect on the treated via matched pairs — the
+    * observational-causal composition: per-user pre/post spend split at
+    * a fixed date, hash-assigned "treatment", each treated user matched
+    * to the nearest control on PRE-period spend within their stratum
+    * ([[graft.ops.Matching.nearestControl]]), ATT = mean post-period
+    * difference over pairs — exact sums, one division. Matching on the
+    * pre-period covariate is what isolates the post-period gap.
+    */
+  private def attMatchedQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-07-01 00:00:00").cast("timestamp")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut,
+          round(col("value") * 100, 0).cast("long"))), lit(0L)).as("pre_cents"),
+        coalesce(sum(when(col("ts") >= cut,
+          round(col("value") * 100, 0).cast("long"))), lit(0L)).as("post_cents"))
+      .withColumn("treated", col("user_id") % 4 === 0)
+    val matched = graft.ops.Matching.nearestControl(
+        perUser, pmod(col("user_id"), lit(3L)), col("user_id"),
+        col("pre_cents"), col("treated"))
+      .filter(col("control_id").isNotNull)
+    val posts = perUser.select(col("user_id").as("uid"), col("post_cents"))
+    matched
+      .join(posts.withColumnRenamed("uid", "id")
+        .withColumnRenamed("post_cents", "post_t"), Seq("id"))
+      .join(posts.withColumnRenamed("uid", "control_id")
+        .withColumnRenamed("post_cents", "post_c"), Seq("control_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("post_t")).as("sum_post_treated"),
+        sum(col("post_c")).as("sum_post_control"))
+      .withColumn("att",
+        when(col("n_pairs") > 0,
+          (col("sum_post_treated") - col("sum_post_control")).cast("double") /
+            col("n_pairs").cast("double")))
+  }
+
+  private val attMatchedOracle =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-07-01 00:00:00'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS pre_cents,
+      |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-07-01 00:00:00'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |      AS post_cents,
+      |    user_id % 4 = 0 AS t
+      |  FROM events GROUP BY user_id),
+      |w AS (
+      |  SELECT user_id, pre_cents, post_cents, t,
+      |    last_value(CASE WHEN NOT t THEN pre_cents END IGNORE NULLS)
+      |      OVER pw AS pv,
+      |    last_value(CASE WHEN NOT t THEN user_id END IGNORE NULLS)
+      |      OVER pw AS pi,
+      |    first_value(CASE WHEN NOT t THEN pre_cents END IGNORE NULLS)
+      |      OVER nw AS nv,
+      |    first_value(CASE WHEN NOT t THEN user_id END IGNORE NULLS)
+      |      OVER nw AS ni
+      |  FROM pu
+      |  WINDOW
+      |    pw AS (PARTITION BY user_id % 3 ORDER BY pre_cents, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    nw AS (PARTITION BY user_id % 3 ORDER BY pre_cents, user_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |m AS (
+      |  SELECT user_id AS id, post_cents AS post_t,
+      |    CASE WHEN pv IS NOT NULL
+      |        AND (nv IS NULL OR pre_cents - pv <= nv - pre_cents)
+      |      THEN pi ELSE ni END AS control_id
+      |  FROM w WHERE t),
+      |j AS (
+      |  SELECT m.post_t, c.post_cents AS post_c
+      |  FROM m JOIN pu c ON c.user_id = m.control_id
+      |  WHERE m.control_id IS NOT NULL),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(post_t) AS BIGINT) AS sum_post_treated,
+      |    CAST(sum(post_c) AS BIGINT) AS sum_post_control
+      |  FROM j)
+      |SELECT n_pairs, sum_post_treated, sum_post_control,
+      |  CASE WHEN n_pairs > 0
+      |    THEN CAST(sum_post_treated - sum_post_control AS DOUBLE) /
+      |      CAST(n_pairs AS DOUBLE)
+      |  END AS att
+      |FROM a""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1261,7 +1347,8 @@ object StatQueries {
     "q_shortest_paths" -> (shortestPathsQ _),
     "q_consistent_sample" -> (consistentSampleQ _),
     "q_wilson_ci" -> (wilsonCiQ _),
-    "q_scaler" -> (scalerQ _))
+    "q_scaler" -> (scalerQ _),
+    "q_att_matched" -> (attMatchedQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1291,5 +1378,6 @@ object StatQueries {
     "q_shortest_paths" -> shortestPathsOracle,
     "q_consistent_sample" -> consistentSampleOracle,
     "q_wilson_ci" -> wilsonCiOracle,
-    "q_scaler" -> scalerOracle)
+    "q_scaler" -> scalerOracle,
+    "q_att_matched" -> attMatchedOracle)
 }
