@@ -191,6 +191,49 @@ object Eval {
             (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Retrieval evaluation at k on the integer grid: hit-rate@k and MRR@k
+    * per the [[ndcgDiscounts]] discipline — reciprocal ranks are the
+    * fixed integers round(2^20 / rank), so the MRR numerator is an
+    * ORDER-FREE exact BIGINT sum over groups and MRR itself ONE gated
+    * division by n·2^20 (a float Σ1/rank would depend on aggregation
+    * order). One rank window per group + two aggregates. Groups with no
+    * relevant item in the top k contribute 0 to the numerator.
+    */
+  /** Integer reciprocal-rank grid for [[mrrAtK]] — round(2^20 / rank). */
+  def mrrGrid(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(math.pow(2, 20) / i))
+
+  def mrrAtK(df: DataFrame, group: Column, score: Column, tie: Column,
+             relevant: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gridArr = array(mrrGrid(k).map(lit(_)): _*)
+    val byScore = Window.partitionBy(col("g")).orderBy(col("s").desc, col("t"))
+    val perGroup = df
+      .select(group.as("g"), score.as("s"), tie.as("t"),
+        relevant.cast("boolean").as("rel"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .groupBy(col("g"))
+      .agg(min(when(col("rel"), col("rk"))).as("first_rel"))
+    perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("hits"),
+        // explicit isNotNull gate: element_at(arr, NULL) inside this
+        // aggregate shape leaks the LAST array element instead of NULL
+        // (observed on Spark 4.1 — coalesce alone silently credited every
+        // miss with grid(k); caught by the oracle hash)
+        sum(when(col("first_rel").isNotNull,
+            element_at(gridArr, col("first_rel").cast("int")))
+          .otherwise(lit(0L))).as("rr_sum_scaled"))
+      .withColumn("hit_rate",
+        when(col("n_groups") > 0,
+          col("hits").cast("double") / col("n_groups").cast("double")))
+      .withColumn("mrr",
+        when(col("n_groups") > 0,
+          col("rr_sum_scaled").cast("double") /
+            (col("n_groups") * 1048576L).cast("double")))
+  }
+
   /** Per-group binomial proportion with a Wilson score interval — the
     * slice-wise conversion/defect-rate report that stays valid at small
     * n (the normal interval collapses or exits [0,1] exactly where

@@ -90,6 +90,34 @@ object DupClusters {
       .select(col("x"), col("a"), col("b"))
   }
 
+  /** Per-edge triangle support over the normalized undirected graph —
+    * Granovetter's weak-tie audit: an edge inside no triangle (support
+    * 0) bridges otherwise-unconnected neighborhoods, while high-support
+    * edges sit inside mutually corroborated clusters. The one-shot
+    * edge-level companion of [[kTrussPeel]] (which iterates this to a
+    * fixpoint) — each triangle from the skew-safe enumeration credits
+    * its three edges, one map-combined count, edges never in a triangle
+    * kept at support 0 via the outer join.
+    */
+  def edgeTriangleSupport(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b"): DataFrame = {
+    val e0 = pairs.select(
+        least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triEdges = orientedTriangles(e0)
+      .select(explode(array(
+        struct(least(col("x"), col("a")).as("u"), greatest(col("x"), col("a")).as("v")),
+        struct(least(col("x"), col("b")).as("u"), greatest(col("x"), col("b")).as("v")),
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    e0.join(triEdges, Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** k-truss peeling: iteratively delete edges supported by fewer than
     * `k − 2` triangles (among surviving edges) — the edge-level density
     * filter between triangle counting and k-core (every k-truss edge lies

@@ -1319,6 +1319,152 @@ object StatQueries {
       |  END AS att
       |FROM a""".stripMargin
 
+  /** Hit-rate@10 and MRR@10 ([[graft.analytics.Eval.mrrAtK]]) of the
+    * value-ranked event list against the purchase label — reciprocal
+    * ranks on the integer grid, exact BIGINT numerator, one division.
+    */
+  private def mrrQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.mrrAtK(
+      Tables.events(s, dir), col("user_id"),
+      round(col("value") * 100, 0).cast("long"), col("event_id"),
+      col("event_type") === "purchase")
+
+  private val mrrOracle = {
+    val grid = graft.analytics.Eval.mrrGrid(10).mkString("[", ", ", "]")
+    s"""WITH b AS (
+      |  SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS s,
+      |    event_id AS t, event_type = 'purchase' AS rel
+      |  FROM events),
+      |r AS (
+      |  SELECT g, rel,
+      |    row_number() OVER (PARTITION BY g ORDER BY s DESC, t) AS rk
+      |  FROM b),
+      |f AS (
+      |  SELECT g, min(CASE WHEN rel THEN rk END) AS fr
+      |  FROM r WHERE rk <= 10 GROUP BY g),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hits,
+      |    CAST(coalesce(sum(($grid)[fr]), 0) AS BIGINT) AS rr_sum_scaled
+      |  FROM f)
+      |SELECT n_groups, hits, rr_sum_scaled,
+      |  CASE WHEN n_groups > 0
+      |    THEN CAST(hits AS DOUBLE) / CAST(n_groups AS DOUBLE) END AS hit_rate,
+      |  CASE WHEN n_groups > 0
+      |    THEN CAST(rr_sum_scaled AS DOUBLE) /
+      |      CAST(n_groups * 1048576 AS DOUBLE)
+      |  END AS mrr
+      |FROM a""".stripMargin
+  }
+
+  /** Weak-tie audit over the co-purchase graph
+    * ([[graft.dedup.DupClusters.edgeTriangleSupport]]): the per-edge
+    * triangle-support histogram — support-0 edges are the bridges. The
+    * oracle recounts support naively per edge via common neighbors.
+    */
+  private def weakTiesQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      .agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.DupClusters.edgeTriangleSupport(edges)
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
+  private val weakTiesOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |adj AS (SELECT u AS n, v AS x FROM e UNION ALL SELECT v AS n, u AS x FROM e),
+      |sup AS (
+      |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+      |  FROM e JOIN adj a ON a.n = e.u JOIN adj b ON b.n = e.v AND b.x = a.x
+      |  GROUP BY e.u, e.v),
+      |h AS (
+      |  SELECT CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+      |  FROM e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v)
+      |SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+      |FROM h GROUP BY support ORDER BY support""".stripMargin
+
+  /** Cumulative gains / lift curve by exact score deciles: bucket cuts
+    * from the sort-free two-pass quantiles, per-bucket positives, and
+    * metadata-window cumulatives; gain and lift are cross-multiplied
+    * exact longs with one division each.
+    */
+  private def gainsCurveQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      round(col("value") * 100, 0).cast("long").as("s"),
+      (col("event_type") === "purchase").cast("long").as("y"))
+    val cuts = broadcast(graft.analytics.Quantiles.exactQuantilesTwoPass(
+        ev.select(col("s")), "s", (1 to 9).map(_ * 100), bucketWidth = 2048L)
+      .agg(sort_array(collect_list(col("value_cents"))).as("tarr")))
+    val perB = ev.crossJoin(cuts)
+      .select((lit(10) - size(filter(col("tarr"), t => t < col("s"))))
+        .cast("long").as("b"), col("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perB
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("tot_n", sum(col("n")).over(all))
+      .withColumn("tot_pos", sum(col("pos")).over(all))
+      .select(col("b"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        when(col("tot_pos") > 0,
+          col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+          .as("gain"),
+        when(col("cum_n") > 0 && col("tot_pos") > 0,
+          (col("cum_pos") * col("tot_n")).cast("double") /
+            (col("cum_n") * col("tot_pos")).cast("double")).as("lift"))
+      .orderBy(col("b"))
+  }
+
+  private val gainsCurveOracle =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+      |pp AS (SELECT unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS p),
+      |kk AS (SELECT p, CAST((n * p + 999) // 1000 AS BIGINT) AS k FROM pp, nn),
+      |tt AS (SELECT list(v ORDER BY v) AS tarr FROM (
+      |  SELECT r.v FROM kk JOIN (
+      |    SELECT s AS v, row_number() OVER (ORDER BY s) AS rn FROM ev) r
+      |    ON r.rn = kk.k)),
+      |pb AS (
+      |  SELECT CAST(10 - len(list_filter(tarr, t -> t < s)) AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM ev CROSS JOIN tt GROUP BY 1),
+      |c AS (
+      |  SELECT b, n, pos,
+      |    CAST(sum(n) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_n,
+      |    CAST(sum(pos) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_pos,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+      |  FROM pb)
+      |SELECT b, n, pos, cum_n, cum_pos,
+      |  CASE WHEN tot_pos > 0
+      |    THEN CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END AS gain,
+      |  CASE WHEN cum_n > 0 AND tot_pos > 0
+      |    THEN CAST(cum_pos * tot_n AS DOUBLE) /
+      |      CAST(cum_n * tot_pos AS DOUBLE)
+      |  END AS lift
+      |FROM c ORDER BY b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1348,7 +1494,10 @@ object StatQueries {
     "q_consistent_sample" -> (consistentSampleQ _),
     "q_wilson_ci" -> (wilsonCiQ _),
     "q_scaler" -> (scalerQ _),
-    "q_att_matched" -> (attMatchedQ _))
+    "q_att_matched" -> (attMatchedQ _),
+    "q_mrr" -> (mrrQ _),
+    "q_weak_ties" -> (weakTiesQ _),
+    "q_gains_curve" -> (gainsCurveQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1379,5 +1528,8 @@ object StatQueries {
     "q_consistent_sample" -> consistentSampleOracle,
     "q_wilson_ci" -> wilsonCiOracle,
     "q_scaler" -> scalerOracle,
-    "q_att_matched" -> attMatchedOracle)
+    "q_att_matched" -> attMatchedOracle,
+    "q_mrr" -> mrrOracle,
+    "q_weak_ties" -> weakTiesOracle,
+    "q_gains_curve" -> gainsCurveOracle)
 }

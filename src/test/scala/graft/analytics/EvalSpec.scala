@@ -244,6 +244,30 @@ class EvalSpec extends SparkSpec {
     assert(fitOnly(1L) === r(1L) && fitOnly(3L) === r(3L))
   }
 
+  test("mrrAtK: hand case on the grid; groups with NO hit contribute exactly 0 (element_at null-index pin)") {
+    val G = Eval.mrrGrid(10)
+    // g1: relevant at rank 2; g2: relevant at rank 1; g3: NO relevant at all
+    val df = Seq(
+      (1L, 20L, 1L, false), (1L, 10L, 2L, true),
+      (2L, 20L, 3L, true), (2L, 10L, 4L, false),
+      (3L, 20L, 5L, false), (3L, 10L, 6L, false)).toDF("g", "s", "t", "rel")
+    val r = Eval.mrrAtK(df, col("g"), col("s"), col("t"), col("rel"))
+      .select($"n_groups", $"hits", $"rr_sum_scaled", $"hit_rate", $"mrr")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 === 3L && r._2 === 2L)
+    // the no-hit group must contribute 0 — element_at with a NULL index
+    // inside this aggregate leaked the last grid element before the
+    // isNotNull gate (caught by the oracle hash at sf0.01)
+    assert(r._3 === G(1) + G(0), s"rr_sum must be exactly grid(2)+grid(1), got ${r._3}")
+    assert(r._5 === (G(1) + G(0)).toDouble / (3L * 1048576L).toDouble)
+    // k truncation: relevant beyond k is a miss
+    val far = (1 to 12).map(i => (9L, (100 - i).toLong, i.toLong, i == 12))
+      .toDF("g", "s", "t", "rel")
+    val fr = Eval.mrrAtK(far, col("g"), col("s"), col("t"), col("rel"), k = 10)
+      .select($"hits", $"rr_sum_scaled").as[(Long, Long)].head()
+    assert(fr === ((0L, 0L)))
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
