@@ -233,7 +233,32 @@ object ScaleProbe {
       // so shuffle must stay ~B·partitions rows while time grows linearly
       ("bootstrapCI", false, "flat", d =>
         graft.analytics.Bootstrap.meanCI(d, col("doc_id"),
-          col("n_chars").cast("long"), seed = "probe", replicates = 64)))
+          col("n_chars").cast("long"), seed = "probe", replicates = 64)),
+      // matched pairs: one row per treated unit (exactly N×); deep tier
+      // because the first implementation hid an O(rows²) shrinking-frame
+      // window that only sf0.1-scale strata exposed (139 s) — this probe
+      // exists so that class of defect can never land silently again
+      ("matchedPairs", true, "N", d =>
+        graft.ops.Matching.nearestControl(d, col("lang"), col("doc_id"),
+          col("n_chars").cast("long"), col("doc_id") % 4 === 0)),
+      // bounded Bellman-Ford: reached set exactly N× on disjoint replica
+      // communities ((u+v)%5 weights are offset-invariant: 5 | 10M)
+      ("shortestPaths", false, "N", { d =>
+        val e = communityEdges(d)
+          .withColumn("w", (col("id_a") + col("id_b")) % 5 + 1)
+        val seeds = d.select(col("doc_id").as("node_id"))
+          .filter(col("node_id") % 100 === 0)
+        graft.dedup.DupClusters.boundedShortestPaths(e, seeds, rounds = 2)
+      }),
+      // consistent sampling: kept rows ~N (per-replica ids hash fresh),
+      // pure pushed-down filter — time must track the scan
+      ("consistentSample", false, "~N", d =>
+        graft.ops.Sampling.consistentEntitySample(d, col("doc_id"), "probe", 300)),
+      // MRR: flat 1-row output; per-group rank windows over ~100-doc
+      // groups (div 100 of offset ids stays replica-local)
+      ("mrrAtK", false, "flat", d =>
+        graft.analytics.Eval.mrrAtK(d, expr("doc_id div 100"),
+          col("n_chars").cast("long"), col("doc_id"), col("doc_id") % 7 === 0)))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
