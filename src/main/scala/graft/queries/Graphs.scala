@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared derived graphs, materialized ONCE per SF dir (the
+  * [[graft.text.TextAnalysis.materializePostings]] discipline): the
+  * significant co-purchase part graph is consumed by seven operators
+  * (link prediction, clustering coefficient, BFS, HyperBall, modularity,
+  * shortest paths, weak ties), and re-deriving its lineitem self-join in
+  * every query is exactly the repeated work a production pipeline
+  * materializes as a derived table per snapshot. Each consumer still
+  * hash-verifies against an oracle that recomputes the graph from
+  * lineitem, so the materialization is proven equivalent on every run.
+  *
+  * The build cost lands once in whichever consumer runs first; the table
+  * is node-bucketed so downstream node-keyed joins can co-locate.
+  */
+object Graphs {
+
+  private val copurchaseTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Edges (id_a < id_b) of the significant co-purchase graph: part
+    * pairs sharing ≥ 2 distinct orders.
+    */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val table = copurchaseTables.getOrElseUpdate(dir, {
+      val name = "graft_copurchase_" +
+        math.abs(dir.hashCode).toString
+      graft.maintain.Layout.resetTable(s, name)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+        .agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= 2)
+        .select(col("id_a"), col("id_b"))
+      graft.maintain.Layout.writeBucketed(edges, name, "id_a", 8,
+        sortCols = Seq("id_a", "id_b"))
+      name
+    })
+    s.table(table)
+  }
+}

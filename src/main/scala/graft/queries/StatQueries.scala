@@ -298,14 +298,7 @@ object StatQueries {
     * enumeration exact.
     */
   private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     graft.dedup.DupClusters.clusteringCoefficient(edges)
       .orderBy(col("node_id"))
   }
@@ -345,12 +338,7 @@ object StatQueries {
   private def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     val seeds = li.select(col("pk").as("node_id"))
       .filter(col("node_id") % 97 === 0).distinct()
     graft.dedup.DupClusters.bfsHops(edges, seeds, maxHops = 2)
@@ -494,14 +482,7 @@ object StatQueries {
     * both rounds with the same register algebra in SQL.
     */
   private def hyperballQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     graft.analytics.HyperBall.neighborhoodFunction(edges, maxHops = 2, m = 32)
   }
 
@@ -769,12 +750,7 @@ object StatQueries {
   private def modularityQ(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     val communities = li.select(col("pk").as("node_id")).distinct()
       .withColumn("community", expr("node_id div 400"))
     graft.dedup.DupClusters.modularity(edges, communities)
@@ -1102,11 +1078,7 @@ object StatQueries {
   private def shortestPathsQ(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
+    val edges = Graphs.copurchaseEdges(s, dir)
       .select(col("id_a"), col("id_b"),
         ((col("id_a") + col("id_b")) % 5 + 1).as("w"))
     val seeds = li.select(col("pk").as("node_id"))
@@ -1364,14 +1336,7 @@ object StatQueries {
     * oracle recounts support naively per edge via common neighbors.
     */
   private def weakTiesQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     graft.dedup.DupClusters.edgeTriangleSupport(edges)
       .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
       .orderBy(col("support"))

@@ -186,14 +186,7 @@ object SummaryQueries {
     * division is the one IEEE op.
     */
   private def linkPredictionQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
+    val edges = Graphs.copurchaseEdges(s, dir)
     graft.dedup.DupClusters.linkPrediction(edges, maxMiddleDegree = 1000)
       .orderBy(col("n_common").desc, col("node_a"), col("node_b"))
       .limit(20)
