@@ -66,6 +66,83 @@ object Eval {
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
   }
 
+  /** [[aucExact]] with its DeLong (1988) standard error — the number
+    * that turns "model A's AUC is 0.71 vs 0.69" into a defensible
+    * decision. The placement components are exact integers on the same
+    * bucketed two-level cumulative as [[aucExact]], now run over BOTH
+    * class cumulatives: for a positive at score s the scaled placement
+    * is w10 = 2·neg_below + neg_at (Σ over positives = the 2U
+    * statistic), for a negative w01 = 2·pos_above + pos_at, and the
+    * variance needs only their exact weighted sums of squares:
+    *
+    *   Var(AUC) = [D10/(n₊−1) + D01/(n₋−1)] / (4·n₊²·n₋²),
+    *   D10 = n₊·Σp_s·w10² − (2U)²,  D01 = n₋·Σn_s·w01² − (2U01)²
+    *
+    * — both D's exact DECIMAL(38) under the verification hash; the SE is
+    * ONE fixed-operand-order IEEE expression with a correctly-rounded
+    * sqrt. Same plan shape as [[aucExact]]: the only global window rides
+    * the bucket frame. Degenerate classes (n ≤ 1 on either side) gate
+    * the SE to NULL.
+    */
+  def aucDeLong(df: DataFrame, scoreCents: Column, label: Column,
+                bucketWidth: Long = 2048L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val perVal = df
+      .select(scoreCents.cast("long").as("s"), label.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
+      .withColumn("b", expr(s"s div $bucketWidth"))
+    val bucketFrame = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = perVal.groupBy(col("b"))
+      .agg(sum(col("n")).as("nb"), sum(col("p")).as("pb"))
+      .withColumn("cum_nb", coalesce(sum(col("nb")).over(bucketFrame), lit(0L)))
+      .withColumn("cum_pb", coalesce(sum(col("pb")).over(bucketFrame), lit(0L)))
+      .select(col("b"), col("cum_nb"), col("cum_pb"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = broadcast(perVal.agg(
+      sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg")))
+    val placed = perVal
+      .join(broadcast(bucketCum), Seq("b"))
+      .withColumn("neg_below",
+        col("cum_nb") + coalesce(sum(col("n")).over(inBucket), lit(0L)))
+      .withColumn("pos_below",
+        col("cum_pb") + coalesce(sum(col("p")).over(inBucket), lit(0L)))
+      .crossJoin(totals)
+      .withColumn("w10", col("neg_below") * 2 + col("n"))
+      .withColumn("w01",
+        (col("n_pos") - col("pos_below") - col("p")) * 2 + col("p"))
+    val agg = placed.agg(
+      max(col("n_pos")).as("n_pos"),
+      max(col("n_neg")).as("n_neg"),
+      sum(dec(col("p")) * dec(col("w10"))).cast("decimal(38,0)").as("two_u"),
+      sum(dec(col("p")) * dec(col("w10")) * dec(col("w10")))
+        .cast("decimal(38,0)").as("sum_w10_sq"),
+      sum(dec(col("n")) * dec(col("w01"))).cast("decimal(38,0)").as("two_u01"),
+      sum(dec(col("n")) * dec(col("w01")) * dec(col("w01")))
+        .cast("decimal(38,0)").as("sum_w01_sq"))
+    agg
+      .withColumn("d10",
+        (dec(col("n_pos")) * col("sum_w10_sq") - col("two_u") * col("two_u"))
+          .cast("decimal(38,0)"))
+      .withColumn("d01",
+        (dec(col("n_neg")) * col("sum_w01_sq") - col("two_u01") * col("two_u01"))
+          .cast("decimal(38,0)"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("two_u").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .withColumn("se_delong",
+        when(col("n_pos") > 1 && col("n_neg") > 1,
+          sqrt((col("d10").cast("double") / (col("n_pos") - 1).cast("double") +
+            col("d01").cast("double") / (col("n_neg") - 1).cast("double")) /
+            (lit(4.0) * col("n_pos").cast("double") * col("n_pos").cast("double") *
+              col("n_neg").cast("double") * col("n_neg").cast("double")))))
+      .select(col("n_pos"), col("n_neg"), col("two_u"), col("two_u01"),
+        col("d10"), col("d01"), col("auc"), col("se_delong"))
+  }
+
   /** Per-group [[aucExact]] — slice-wise model evaluation (AUC by
     * language, source, cohort): the same tie-aware exact 2U statistic,
     * every stage additionally keyed by `groupCol`. Unlike the global

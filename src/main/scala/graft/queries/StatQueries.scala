@@ -1430,6 +1430,74 @@ object StatQueries {
       |  END AS lift
       |FROM c ORDER BY b""".stripMargin
 
+  /** AUC with its exact DeLong standard error
+    * ([[graft.analytics.Eval.aucDeLong]]): placement sums and both
+    * sums of squares exact DECIMAL(38) under the hash, SE one
+    * fixed-order expression. The oracle rebuilds both class cumulatives
+    * on the naive global window.
+    */
+  private def aucDelongQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.aucDeLong(
+      Tables.events(s, dir),
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type") === "purchase")
+
+  private val aucDelongOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |pv AS (
+      |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n
+      |  FROM e GROUP BY s),
+      |t AS (
+      |  SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+      |  FROM pv),
+      |c AS (
+      |  SELECT p, n,
+      |    CAST(coalesce(sum(n) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+      |      AS nb,
+      |    CAST(coalesce(sum(p) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+      |      AS pb
+      |  FROM pv),
+      |w AS (
+      |  SELECT p, n, 2 * nb + CAST(n AS HUGEINT) AS w10,
+      |    2 * (CAST(n_pos AS HUGEINT) - pb - CAST(p AS HUGEINT))
+      |      + CAST(p AS HUGEINT) AS w01
+      |  FROM c, t),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CAST(p AS HUGEINT) * w10) AS DECIMAL(38,0)) AS two_u,
+      |    CAST(sum(CAST(p AS HUGEINT) * w10 * w10) AS DECIMAL(38,0)) AS sum10,
+      |    CAST(sum(CAST(n AS HUGEINT) * w01) AS DECIMAL(38,0)) AS two_u01,
+      |    CAST(sum(CAST(n AS HUGEINT) * w01 * w01) AS DECIMAL(38,0)) AS sum01
+      |  FROM w)
+      |SELECT n_pos, n_neg, two_u, two_u01,
+      |  CAST(CAST(n_pos AS HUGEINT) * CAST(sum10 AS HUGEINT)
+      |    - CAST(two_u AS HUGEINT) * CAST(two_u AS HUGEINT)
+      |    AS DECIMAL(38,0)) AS d10,
+      |  CAST(CAST(n_neg AS HUGEINT) * CAST(sum01 AS HUGEINT)
+      |    - CAST(two_u01 AS HUGEINT) * CAST(two_u01 AS HUGEINT)
+      |    AS DECIMAL(38,0)) AS d01,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN CAST(two_u AS DOUBLE) /
+      |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |  END AS auc,
+      |  CASE WHEN n_pos > 1 AND n_neg > 1
+      |    THEN sqrt((CAST(CAST(n_pos AS HUGEINT) * CAST(sum10 AS HUGEINT)
+      |        - CAST(two_u AS HUGEINT) * CAST(two_u AS HUGEINT) AS DOUBLE)
+      |        / CAST(n_pos - 1 AS DOUBLE)
+      |      + CAST(CAST(n_neg AS HUGEINT) * CAST(sum01 AS HUGEINT)
+      |        - CAST(two_u01 AS HUGEINT) * CAST(two_u01 AS HUGEINT) AS DOUBLE)
+      |        / CAST(n_neg - 1 AS DOUBLE)) /
+      |      (4.0 * CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+      |        * CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+      |  END AS se_delong
+      |FROM a CROSS JOIN t""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1462,7 +1530,8 @@ object StatQueries {
     "q_att_matched" -> (attMatchedQ _),
     "q_mrr" -> (mrrQ _),
     "q_weak_ties" -> (weakTiesQ _),
-    "q_gains_curve" -> (gainsCurveQ _))
+    "q_gains_curve" -> (gainsCurveQ _),
+    "q_auc_delong" -> (aucDelongQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1496,5 +1565,6 @@ object StatQueries {
     "q_att_matched" -> attMatchedOracle,
     "q_mrr" -> mrrOracle,
     "q_weak_ties" -> weakTiesOracle,
-    "q_gains_curve" -> gainsCurveOracle)
+    "q_gains_curve" -> gainsCurveOracle,
+    "q_auc_delong" -> aucDelongOracle)
 }

@@ -268,6 +268,35 @@ class EvalSpec extends SparkSpec {
     assert(fr === ((0L, 0L)))
   }
 
+  test("aucDeLong: hand case — pos {2,4} vs neg {1,3} has AUC 3/4, se = sqrt(0.125) exactly") {
+    val df = Seq((2L, 1), (4L, 1), (1L, 0), (3L, 0)).toDF("s", "y")
+    val r = Eval.aucDeLong(df, col("s"), col("y") === 1)
+      .select($"two_u".cast("long"), $"two_u01".cast("long"),
+        $"d10".cast("long"), $"d01".cast("long"), $"auc", $"se_delong")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r._1 === 6L, "2U")
+    assert(r._2 === r._1, "both placement totals ARE 2U — the DeLong identity")
+    assert(r._3 === 4L && r._4 === 4L)
+    assert(r._5 === 0.75)
+    assert(r._6 === math.sqrt(0.125), "hand DeLong variance 0.125")
+  }
+
+  test("aucDeLong: perfect separation has se exactly 0; AUC agrees with aucExact; singleton class gates") {
+    val sep = Seq((10L, 1), (20L, 1), (30L, 1), (1L, 0), (2L, 0)).toDF("s", "y")
+    val r = Eval.aucDeLong(sep, col("s"), col("y") === 1)
+      .select($"d10".cast("long"), $"d01".cast("long"), $"auc", $"se_delong")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 === 0L && r._2 === 0L && r._3 === 1.0 && r._4 === 0.0)
+    val mixed = (1 to 100).map(i => (i.toLong * 37 % 211, i % 3 == 0)).toDF("s", "y")
+    val a1 = Eval.aucDeLong(mixed, col("s"), col("y")).select($"auc").as[Double].head()
+    val a2 = Eval.aucExact(mixed, col("s"), col("y")).select($"auc").as[Double].head()
+    assert(a1 === a2)
+    val one = Seq((5L, 1), (1L, 0), (2L, 0)).toDF("s", "y")
+    assert(Eval.aucDeLong(one, col("s"), col("y") === 1)
+      .select($"se_delong").as[Option[Double]].head().isEmpty,
+      "a singleton class has no sample variance")
+  }
+
   test("plan: aucExact's only empty-partition window runs over the bucket-aggregate frame") {
     val df = (1 to 500).map(i => (i.toLong * 13 % 907, i % 4 == 0)).toDF("s", "y")
     val auc = Eval.aucExact(df, col("s"), col("y"))
