@@ -1498,6 +1498,100 @@ object StatQueries {
       |  END AS se_delong
       |FROM a CROSS JOIN t""".stripMargin
 
+  /** Histogram-intersection overlap between the click and view value
+    * distributions: Σ min(p_i, q_i) over width-100-cent bins as the
+    * EXACT cross-multiplied integer Σ min(c1_i·n2, c2_i·n1) over
+    * n1·n2 — the transcendental-free distribution-overlap drift metric
+    * (KL/Bhattacharyya need logs/sqrts of ratios; this one
+    * hash-verifies). One bin aggregate + one metadata full join.
+    */
+  private def histOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("CAST(round(value * 100) AS BIGINT) div 100").as("bin"),
+        (col("event_type") === "click").cast("long").as("a"),
+        (col("event_type") === "view").cast("long").as("b"))
+    val bins = ev.groupBy(col("bin"))
+      .agg(sum(col("a")).as("c1"), sum(col("b")).as("c2"))
+    val tot = broadcast(bins.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")))
+    bins.crossJoin(tot)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(least(col("c1") * col("n2"), col("c2") * col("n1")))
+          .cast("decimal(38,0)").as("overlap_num"))
+      .withColumn("overlap",
+        when(col("n1") > 0 && col("n2") > 0,
+          col("overlap_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
+  }
+
+  private val histOverlapOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |bins AS (
+      |  SELECT bin, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+      |  FROM e GROUP BY bin),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      |  FROM bins),
+      |a AS (
+      |  SELECT max(n1) AS n1, max(n2) AS n2,
+      |    CAST(sum(least(CAST(c1 AS HUGEINT) * CAST(n2 AS HUGEINT),
+      |      CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS DECIMAL(38,0))
+      |      AS overlap_num
+      |  FROM bins CROSS JOIN t)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, overlap_num,
+      |  CASE WHEN n1 > 0 AND n2 > 0
+      |    THEN CAST(overlap_num AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |  END AS overlap
+      |FROM a""".stripMargin
+
+  /** McNemar's paired test between two deterministic classifiers on the
+    * SAME rows — the right comparison when model A and model B are
+    * evaluated on one test set (independent-proportion tests overstate
+    * significance on paired data): discordant counts b (A right, B
+    * wrong) and c (A wrong, B right) exact, χ² = (b−c)²/(b+c) one gated
+    * division of exact longs. One map-combined aggregate.
+    */
+  private def mcnemarQ(s: SparkSession, dir: String): DataFrame = {
+    val y = col("event_type") === "purchase"
+    val predA = col("value") >= 100
+    val predB = col("value") >= 120
+    Tables.events(s, dir)
+      .select((predA === y).cast("long").as("ra"),
+        (predB === y).cast("long").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2",
+        when(col("b") + col("c") > 0,
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double")))
+  }
+
+  private val mcnemarOracle =
+    """WITH p AS (
+      |  SELECT
+      |    CASE WHEN (value >= 100) = (event_type = 'purchase') THEN 1 ELSE 0
+      |      END AS ra,
+      |    CASE WHEN (value >= 120) = (event_type = 'purchase') THEN 1 ELSE 0
+      |      END AS rb
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b,
+      |    CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c
+      |  FROM p)
+      |SELECT n, b, c,
+      |  CASE WHEN b + c > 0
+      |    THEN CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+      |  END AS chi2
+      |FROM a""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1531,7 +1625,9 @@ object StatQueries {
     "q_mrr" -> (mrrQ _),
     "q_weak_ties" -> (weakTiesQ _),
     "q_gains_curve" -> (gainsCurveQ _),
-    "q_auc_delong" -> (aucDelongQ _))
+    "q_auc_delong" -> (aucDelongQ _),
+    "q_hist_overlap" -> (histOverlapQ _),
+    "q_mcnemar" -> (mcnemarQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1566,5 +1662,7 @@ object StatQueries {
     "q_mrr" -> mrrOracle,
     "q_weak_ties" -> weakTiesOracle,
     "q_gains_curve" -> gainsCurveOracle,
-    "q_auc_delong" -> aucDelongOracle)
+    "q_auc_delong" -> aucDelongOracle,
+    "q_hist_overlap" -> histOverlapOracle,
+    "q_mcnemar" -> mcnemarOracle)
 }
