@@ -1592,6 +1592,129 @@ object StatQueries {
       |  END AS chi2
       |FROM a""".stripMargin
 
+  /** Cohen's κ between the value-threshold classifier and the true
+    * event type — chance-corrected agreement, computed EXACTLY:
+    * κ = (n·agree − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k), one
+    * gated division of exact integers (po/pe never materialize as
+    * floats). Confusion marginals are class²-bounded.
+    */
+  private def cohensKappaQ(s: SparkSession, dir: String): DataFrame = {
+    val pred = when(col("value") >= 300, "error")
+      .when(col("value") >= 200, "click")
+      .when(col("value") >= 100, "purchase")
+      .when(col("value") >= 50, "view")
+      .otherwise("signup")
+    val cm = Tables.events(s, dir)
+      .groupBy(col("event_type").as("truth"), pred.as("pred"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cm.groupBy(col("truth").as("k")).agg(sum(col("c")).as("rk"))
+    val cols = cm.groupBy(col("pred").as("k")).agg(sum(col("c")).as("ck"))
+    val pe = rows.join(cols, Seq("k"), "inner")
+      .agg(sum(col("rk") * col("ck")).cast("decimal(38,0)").as("pe_num"))
+    val po = cm.agg(sum(col("c")).as("n"),
+      sum(when(col("truth") === col("pred"), col("c")).otherwise(0L)).as("agree"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    po.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), col("pe_num"),
+        when(dec(col("n")) * dec(col("n")) - col("pe_num") > 0,
+          (dec(col("n")) * dec(col("agree")) - col("pe_num")).cast("double") /
+            (dec(col("n")) * dec(col("n")) - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
+
+  private val cohensKappaOracle =
+    """WITH p AS (
+      |  SELECT event_type AS truth,
+      |    CASE WHEN value >= 300 THEN 'error' WHEN value >= 200 THEN 'click'
+      |         WHEN value >= 100 THEN 'purchase' WHEN value >= 50 THEN 'view'
+      |         ELSE 'signup' END AS pred
+      |  FROM events),
+      |cm AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS c
+      |  FROM p GROUP BY truth, pred),
+      |r AS (SELECT truth AS k, CAST(sum(c) AS BIGINT) AS rk FROM cm GROUP BY truth),
+      |cc AS (SELECT pred AS k, CAST(sum(c) AS BIGINT) AS ck FROM cm GROUP BY pred),
+      |pe AS (
+      |  SELECT CAST(sum(CAST(rk AS HUGEINT) * CAST(ck AS HUGEINT))
+      |    AS DECIMAL(38,0)) AS pe_num
+      |  FROM r JOIN cc ON cc.k = r.k),
+      |po AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN truth = pred THEN c ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cm)
+      |SELECT n, agree, pe_num,
+      |  CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+      |      - CAST(pe_num AS HUGEINT) > 0
+      |    THEN CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT)
+      |        - CAST(pe_num AS HUGEINT) AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+      |        - CAST(pe_num AS HUGEINT) AS DOUBLE)
+      |  END AS kappa
+      |FROM po CROSS JOIN pe""".stripMargin
+
+  /** Lorenz curve of customer spend by exact decile — the distributional
+    * companion of `q_gini_coefficient`: decile cuts from the two-pass
+    * quantiles (no global ntile), per-decile and cumulative spend shares
+    * as exact cross-multiplied longs, one division per emitted share.
+    */
+  private def lorenzQ(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val cuts = broadcast(graft.analytics.Quantiles.exactQuantilesTwoPass(
+        spend.select(col("cents")), "cents", (1 to 9).map(_ * 100),
+        bucketWidth = 100000L)
+      .agg(sort_array(collect_list(col("value_cents"))).as("tarr")))
+    val perD = spend.crossJoin(cuts)
+      .select((size(filter(col("tarr"), t => t < col("cents"))) + 1)
+        .cast("long").as("decile"), col("cents"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perD
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .withColumn("tot_cents", sum(col("cents")).over(all))
+      .select(col("decile"), col("n_customers"), col("cents"), col("cum_cents"),
+        when(col("tot_cents") > 0,
+          col("cum_cents").cast("double") / col("tot_cents").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  private val lorenzOracle =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sp),
+      |pp AS (SELECT unnest([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS p),
+      |kk AS (SELECT p, CAST((n * p + 999) // 1000 AS BIGINT) AS k FROM pp, nn),
+      |tt AS (SELECT list(v ORDER BY v) AS tarr FROM (
+      |  SELECT r.v FROM kk JOIN (
+      |    SELECT cents AS v, row_number() OVER (ORDER BY cents) AS rn FROM sp) r
+      |    ON r.rn = kk.k)),
+      |pd AS (
+      |  SELECT CAST(1 + len(list_filter(tarr, t -> t < cents)) AS BIGINT)
+      |      AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM sp CROSS JOIN tt GROUP BY 1),
+      |c AS (
+      |  SELECT decile, n_customers, cents,
+      |    CAST(sum(cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS tot_cents
+      |  FROM pd)
+      |SELECT decile, n_customers, cents, cum_cents,
+      |  CASE WHEN tot_cents > 0
+      |    THEN CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+      |  END AS cum_share
+      |FROM c ORDER BY decile""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
@@ -1627,7 +1750,9 @@ object StatQueries {
     "q_gains_curve" -> (gainsCurveQ _),
     "q_auc_delong" -> (aucDelongQ _),
     "q_hist_overlap" -> (histOverlapQ _),
-    "q_mcnemar" -> (mcnemarQ _))
+    "q_mcnemar" -> (mcnemarQ _),
+    "q_cohens_kappa" -> (cohensKappaQ _),
+    "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
     "q_auc" -> aucOracle,
@@ -1664,5 +1789,7 @@ object StatQueries {
     "q_gains_curve" -> gainsCurveOracle,
     "q_auc_delong" -> aucDelongOracle,
     "q_hist_overlap" -> histOverlapOracle,
-    "q_mcnemar" -> mcnemarOracle)
+    "q_mcnemar" -> mcnemarOracle,
+    "q_cohens_kappa" -> cohensKappaOracle,
+    "q_lorenz" -> lorenzOracle)
 }
