@@ -83,6 +83,32 @@ class StatPlanSpec extends SparkSpec {
     assert(products(p) === 0, s"clustering coefficient planned a product:\n$p")
   }
 
+  test("aucDeLong: like aucExact, the only global window rides the bucket-aggregate frame") {
+    val df = (1 to 400).map(i => (i.toLong * 17 % 509, i % 4 == 0)).toDF("s", "y")
+    val out = Eval.aucDeLong(df, col("s"), col("y"))
+    val globals = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.size === 1, "exactly the bucket-frame window may be global")
+    assert(globals.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the global window must sit above the bucket histogram")
+    assert(products(plan(out)) <= 2,
+      "only the totals + bucket-cum broadcasts may be products")
+  }
+
+  test("mrrAtK: one group-partitioned rank window, no product, no global window") {
+    val ev = graft.Tables.events(spark, sf())
+    val out = Eval.mrrAtK(ev, col("user_id"), col("value").cast("long"),
+      col("event_id"), col("event_type") === "purchase")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 1 && windows.head.partitionSpec.nonEmpty)
+    assert(products(plan(out)) === 0)
+  }
+
   test("survival hazardTable: the only global window rides the per-day aggregate frame") {
     val ev = graft.Tables.events(spark, sf())
     val df = Survival.hazardTable(ev, col("user_id"), to_date(col("ts")))
