@@ -28,10 +28,20 @@ object Eval {
 
   private def dec(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** Canonical plain-digit rendering of an exact wide integer for the
+    * emitted (hash-compared) schema: DECIMAL never appears in an output
+    * column — the verification driver canonicalizes DECIMAL differently
+    * between a Spark parquet and a DuckDB result, so exact wide integers
+    * travel as STRING (scale-0 decimal → plain digits, identical on both
+    * engines); the DECIMAL(38) math stays internal.
+    */
+  private def canon(c: Column): Column = c.cast("string")
+
   /** Exact ROC AUC of `scoreCents` against boolean `label`, tie-aware
     * (average-rank / trapezoid semantics): AUC = (#{pos>neg} + ½#{ties}) /
     * (n₊·n₋). Returned as one row: `n_pos`, `n_neg`, `two_u` (the exact
-    * integer 2U = Σ_s p_s·(2·neg_below(s) + n_s), DECIMAL(38)), and `auc` =
+    * integer 2U = Σ_s p_s·(2·neg_below(s) + n_s), DECIMAL(38) internally,
+    * emitted as canonical plain-digit STRING), and `auc` =
     * two_u / (2·n₊·n₋) — a single gated division. Equivalent to the
     * Mann-Whitney U statistic (2U here), so this row doubles as the exact
     * rank-sum test audit.
@@ -64,6 +74,7 @@ object Eval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           col("two_u").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .withColumn("two_u", canon(col("two_u")))
   }
 
   /** [[aucExact]] with its DeLong (1988) standard error — the number
@@ -78,7 +89,8 @@ object Eval {
     *   Var(AUC) = [D10/(n₊−1) + D01/(n₋−1)] / (4·n₊²·n₋²),
     *   D10 = n₊·Σp_s·w10² − (2U)²,  D01 = n₋·Σn_s·w01² − (2U01)²
     *
-    * — both D's exact DECIMAL(38) under the verification hash; the SE is
+    * — both D's exact DECIMAL(38) internally (emitted as canonical digit
+    * strings under the verification hash); the SE is
     * ONE fixed-operand-order IEEE expression with a correctly-rounded
     * sqrt. Same plan shape as [[aucExact]]: the only global window rides
     * the bucket frame. Degenerate classes (n ≤ 1 on either side) gate
@@ -139,8 +151,10 @@ object Eval {
             col("d01").cast("double") / (col("n_neg") - 1).cast("double")) /
             (lit(4.0) * col("n_pos").cast("double") * col("n_pos").cast("double") *
               col("n_neg").cast("double") * col("n_neg").cast("double")))))
-      .select(col("n_pos"), col("n_neg"), col("two_u"), col("two_u01"),
-        col("d10"), col("d01"), col("auc"), col("se_delong"))
+      .select(col("n_pos"), col("n_neg"),
+        canon(col("two_u")).as("two_u"), canon(col("two_u01")).as("two_u01"),
+        canon(col("d10")).as("d10"), canon(col("d01")).as("d01"),
+        col("auc"), col("se_delong"))
   }
 
   /** Per-group [[aucExact]] — slice-wise model evaluation (AUC by
@@ -183,6 +197,7 @@ object Eval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           col("two_u").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+      .withColumn("two_u", canon(col("two_u")))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic between the `inA` and
@@ -190,7 +205,8 @@ object Eval {
     * computed as the exact integer numerator max_v |cumA(v)·n_B −
     * cumB(v)·n_A| (inclusive CDF at each distinct value) over the same
     * bucketed two-level cumulative as [[aucExact]]. One row: `n_a`, `n_b`,
-    * `d_num` (DECIMAL(38)), `d` = d_num/(n_a·n_b).
+    * `d_num` (exact integer, emitted as canonical digit string), `d` =
+    * d_num/(n_a·n_b).
     */
   def ksStatistic(df: DataFrame, valueCents: Column, inA: Column, inB: Column,
                   bucketWidth: Long = 2048L): DataFrame = {
@@ -225,6 +241,7 @@ object Eval {
         when(col("n_a") > 0 && col("n_b") > 0,
           col("d_num").cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .withColumn("d_num", canon(col("d_num")))
   }
 
   /** Multi-class classification report from (truth, pred) pairs: per-class
@@ -378,6 +395,8 @@ object Eval {
           lit(1.0) - (dec(col("n")) * col("sse")).cast("double") /
             sstot.cast("double"))
       })
+      .withColumn("sse", canon(col("sse")))
+      .withColumn("syy", canon(col("syy")))
   }
 
   /** Probability-calibration audit on the permille grid: reliability bins
@@ -463,7 +482,8 @@ object Eval {
     * [[graft.ops.StableIds]] range-partition path (the naive global
     * `row_number` is the oracle), tie order irrelevant: Σ(2i−n−1)x is
     * invariant to permutations within equal-x runs. One row: `n`,
-    * `sum_cents`, `gini_num` = 2·Σi·xᵢ − (n+1)·Σx (DECIMAL(38)) and
+    * `sum_cents`, `gini_num` = 2·Σi·xᵢ − (n+1)·Σx (exact, emitted as
+    * canonical digit string) and
     * `gini` = gini_num/(n·Σx), one gated division.
     */
   def giniCoefficient(perKey: DataFrame, keyCol: String, centsCol: String): DataFrame = {
@@ -478,8 +498,8 @@ object Eval {
           .cast("decimal(38,0)").as("s1"))
       .select(
         col("n"), col("sum_cents"),
-        (dec(col("s1")) * lit(2) - (dec(col("n")) + lit(1)) * dec(col("sum_cents")))
-          .cast("decimal(38,0)").as("gini_num"),
+        canon((dec(col("s1")) * lit(2) - (dec(col("n")) + lit(1)) * dec(col("sum_cents")))
+          .cast("decimal(38,0)")).as("gini_num"),
         when(col("n") > 0 && col("sum_cents") > 0,
           (dec(col("s1")) * lit(2) - (dec(col("n")) + lit(1)) * dec(col("sum_cents")))
             .cast("double") /

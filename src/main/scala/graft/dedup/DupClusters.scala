@@ -747,6 +747,8 @@ object DupClusters {
         when(col("m") > 0,
           col("q_num").cast("double") /
             (lit(4.0) * col("m").cast("double") * col("m").cast("double"))))
+      // exact numerator ships as canonical plain-digit string, never DECIMAL
+      .withColumn("q_num", col("q_num").cast("string"))
   }
 
   /** Bounded-round single-source-set shortest paths over a weighted

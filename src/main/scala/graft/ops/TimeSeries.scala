@@ -105,6 +105,11 @@ object TimeSeries {
         val dy = (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))).cast("double")
         when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
       })
+      // DECIMAL never ships in the emitted schema (driver canonicalization
+      // divergence) — exact moments travel as canonical plain-digit strings.
+      .withColumn("sxx", col("sxx").cast("string"))
+      .withColumn("syy", col("syy").cast("string"))
+      .withColumn("sxy", col("sxy").cast("string"))
       .orderBy(col("lag"))
   }
 }

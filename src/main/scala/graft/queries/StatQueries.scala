@@ -47,7 +47,7 @@ object StatQueries {
       |    CAST(sum(CAST(p AS HUGEINT) * (2 * nb + CAST(n AS HUGEINT)))
       |      AS DECIMAL(38,0)) AS two_u
       |  FROM c)
-      |SELECT n_pos, n_neg, two_u,
+      |SELECT n_pos, n_neg, CAST(two_u AS VARCHAR) AS two_u,
       |  CASE WHEN n_pos > 0 AND n_neg > 0
       |    THEN CAST(two_u AS DOUBLE) /
       |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
@@ -89,7 +89,7 @@ object StatQueries {
       |  SELECT CAST(max(abs(ca * CAST(n_b AS HUGEINT)
       |    - cb * CAST(n_a AS HUGEINT))) AS DECIMAL(38,0)) AS d_num
       |  FROM c, t)
-      |SELECT n_a, n_b, d_num,
+      |SELECT n_a, n_b, CAST(d_num AS VARCHAR) AS d_num,
       |  CASE WHEN n_a > 0 AND n_b > 0
       |    THEN CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
       |  END AS d
@@ -170,7 +170,7 @@ object StatQueries {
       |  FROM r)
       |SELECT n, sum_cents,
       |  CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * CAST(sum_cents AS HUGEINT)
-      |    AS DECIMAL(38,0)) AS gini_num,
+      |    AS VARCHAR) AS gini_num,
       |  CASE WHEN n > 0 AND sum_cents > 0
       |    THEN CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * CAST(sum_cents AS HUGEINT)
       |        AS DOUBLE) /
@@ -238,7 +238,7 @@ object StatQueries {
       |    CAST(sum(CAST(p AS HUGEINT) * (2 * nb + CAST(n AS HUGEINT)))
       |      AS DECIMAL(38,0)) AS two_u
       |  FROM c GROUP BY g)
-      |SELECT g, n_pos, n_neg, two_u,
+      |SELECT g, n_pos, n_neg, CAST(two_u AS VARCHAR) AS two_u,
       |  CASE WHEN n_pos > 0 AND n_neg > 0
       |    THEN CAST(two_u AS DOUBLE) /
       |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
@@ -276,7 +276,8 @@ object StatQueries {
       |    CAST(sum(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DECIMAL(38,0)) AS syy,
       |    CAST(sum(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DECIMAL(38,0)) AS sxy
       |  FROM p GROUP BY lag)
-      |SELECT lag, n, sx, sy, sxx, syy, sxy,
+      |SELECT lag, n, sx, sy, CAST(sxx AS VARCHAR) AS sxx,
+      |  CAST(syy AS VARCHAR) AS syy, CAST(sxy AS VARCHAR) AS sxy,
       |  CASE WHEN CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
       |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) > 0
       |       AND CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
@@ -781,7 +782,8 @@ object StatQueries {
       |      - CAST(dc.dc AS HUGEINT) * CAST(dc.dc AS HUGEINT))
       |      AS DECIMAL(38,0)) AS q_num
       |  FROM dc LEFT JOIN lc ON lc.c = dc.c CROSS JOIN mm)
-      |SELECT CAST(m AS BIGINT) AS m, n_communities, q_num,
+      |SELECT CAST(m AS BIGINT) AS m, n_communities,
+      |  CAST(q_num AS VARCHAR) AS q_num,
       |  CASE WHEN m > 0 THEN CAST(q_num AS DOUBLE) /
       |    (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END AS modularity
       |FROM t""".stripMargin
@@ -855,7 +857,8 @@ object StatQueries {
       |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
       |      AS DECIMAL(38,0)) AS syy
       |  FROM j)
-      |SELECT n, sae, sse, sy, syy,
+      |SELECT n, sae, CAST(sse AS VARCHAR) AS sse, sy,
+      |  CAST(syy AS VARCHAR) AS syy,
       |  CASE WHEN n > 0 THEN CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) END AS mae,
       |  CASE WHEN n > 0 THEN CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) END AS mse,
       |  sqrt(CASE WHEN n > 0 THEN CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) END)
@@ -1475,13 +1478,14 @@ object StatQueries {
       |    CAST(sum(CAST(n AS HUGEINT) * w01) AS DECIMAL(38,0)) AS two_u01,
       |    CAST(sum(CAST(n AS HUGEINT) * w01 * w01) AS DECIMAL(38,0)) AS sum01
       |  FROM w)
-      |SELECT n_pos, n_neg, two_u, two_u01,
+      |SELECT n_pos, n_neg, CAST(two_u AS VARCHAR) AS two_u,
+      |  CAST(two_u01 AS VARCHAR) AS two_u01,
       |  CAST(CAST(n_pos AS HUGEINT) * CAST(sum10 AS HUGEINT)
       |    - CAST(two_u AS HUGEINT) * CAST(two_u AS HUGEINT)
-      |    AS DECIMAL(38,0)) AS d10,
+      |    AS VARCHAR) AS d10,
       |  CAST(CAST(n_neg AS HUGEINT) * CAST(sum01 AS HUGEINT)
       |    - CAST(two_u01 AS HUGEINT) * CAST(two_u01 AS HUGEINT)
-      |    AS DECIMAL(38,0)) AS d01,
+      |    AS VARCHAR) AS d01,
       |  CASE WHEN n_pos > 0 AND n_neg > 0
       |    THEN CAST(two_u AS DOUBLE) /
       |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
@@ -1522,6 +1526,7 @@ object StatQueries {
         when(col("n1") > 0 && col("n2") > 0,
           col("overlap_num").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double"))))
+      .withColumn("overlap_num", col("overlap_num").cast("string"))
   }
 
   private val histOverlapOracle =
@@ -1541,7 +1546,8 @@ object StatQueries {
       |      CAST(c2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS DECIMAL(38,0))
       |      AS overlap_num
       |  FROM bins CROSS JOIN t)
-      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, overlap_num,
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(overlap_num AS VARCHAR) AS overlap_num,
       |  CASE WHEN n1 > 0 AND n2 > 0
       |    THEN CAST(overlap_num AS DOUBLE) /
       |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
@@ -1616,7 +1622,7 @@ object StatQueries {
       sum(when(col("truth") === col("pred"), col("c")).otherwise(0L)).as("agree"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     po.crossJoin(broadcast(pe))
-      .select(col("n"), col("agree"), col("pe_num"),
+      .select(col("n"), col("agree"), col("pe_num").cast("string").as("pe_num"),
         when(dec(col("n")) * dec(col("n")) - col("pe_num") > 0,
           (dec(col("n")) * dec(col("agree")) - col("pe_num")).cast("double") /
             (dec(col("n")) * dec(col("n")) - col("pe_num")).cast("double"))
@@ -1642,7 +1648,7 @@ object StatQueries {
       |  SELECT CAST(sum(c) AS BIGINT) AS n,
       |    CAST(sum(CASE WHEN truth = pred THEN c ELSE 0 END) AS BIGINT) AS agree
       |  FROM cm)
-      |SELECT n, agree, pe_num,
+      |SELECT n, agree, CAST(pe_num AS VARCHAR) AS pe_num,
       |  CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
       |      - CAST(pe_num AS HUGEINT) > 0
       |    THEN CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT)

@@ -796,22 +796,24 @@ object SummaryQueries {
     * loses the segment, rev 2 (even keys only) carries only a new segment —
     * the golden record must stitch "latest non-null" per FIELD across
     * different revisions, with the per-field conflict census under the
-    * hash. Money through DECIMAL (exact).
+    * hash. Money as exact cents BIGINT (DECIMAL never ships under the hash).
     */
   private def survivorshipQ(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(18,2)")
+    // money as exact cents BIGINT end-to-end (DECIMAL never ships under the
+    // driver hash; the cent grid is the repo's money discipline anyway)
+    def cents(x: org.apache.spark.sql.Column) = round(x * 100, 0).cast("long")
     val base = c.select(col("c_custkey").as("ck"), lit(0L).as("rev"),
-      col("c_name").as("name"), dec(col("c_acctbal")).as("bal"),
+      col("c_name").as("name"), cents(col("c_acctbal")).as("bal"),
       col("c_mktsegment").as("seg"))
     val r1 = c.select(col("c_custkey").as("ck"), lit(1L).as("rev"),
       concat(col("c_name"), lit("_v1")).as("name"),
-      dec(col("c_acctbal") + 10.0).as("bal"),
+      cents(col("c_acctbal") + 10.0).as("bal"),
       lit(null).cast("string").as("seg"))
     val r2 = c.filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey").as("ck"), lit(2L).as("rev"),
         lit(null).cast("string").as("name"),
-        lit(null).cast("decimal(18,2)").as("bal"), lit("SEG_NEW").as("seg"))
+        lit(null).cast("long").as("bal"), lit("SEG_NEW").as("seg"))
     graft.ops.Survivorship.goldenRecords(
         base.unionByName(r1).unionByName(r2), "ck", Seq("rev"),
         Seq("name", "bal", "seg"))
@@ -821,14 +823,14 @@ object SummaryQueries {
   private val survivorshipOracle =
     """WITH recs AS (
       |  SELECT c_custkey AS ck, 0 AS rev, c_name AS name,
-      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal, c_mktsegment AS seg
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey, 1, c_name || '_v1',
-      |    CAST(c_acctbal + 10.0 AS DECIMAL(18,2)), NULL
+      |    CAST(round((c_acctbal + 10.0) * 100) AS BIGINT), NULL
       |  FROM customer
       |  UNION ALL
-      |  SELECT c_custkey, 2, NULL, NULL, 'SEG_NEW'
+      |  SELECT c_custkey, 2, NULL, CAST(NULL AS BIGINT), 'SEG_NEW'
       |  FROM customer WHERE c_custkey % 2 = 0),
       |g AS (
       |  SELECT ck AS cluster,
@@ -1042,6 +1044,9 @@ object SummaryQueries {
         count(lit(1)).as("n_shipments"))
       .orderBy(col("decayed_scaled").desc, col("item"))
       .limit(10)
+      // top-10 selected on the exact DECIMAL(38); the emitted column is the
+      // canonical plain-digit string (DECIMAL never ships under the hash)
+      .withColumn("decayed_scaled", col("decayed_scaled").cast("string"))
   }
 
   private val decayedTopkOracle =
@@ -1054,12 +1059,17 @@ object SummaryQueries {
       |      THEN CAST(1 AS BIGINT)
       |        << CAST(61 - date_diff('day', d, mx) // 7 AS INTEGER)
       |      ELSE 0 END AS wgt
-      |  FROM li, mx)
-      |SELECT item,
-      |  CAST(sum(CAST(wgt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS decayed_scaled,
-      |  CAST(count(*) AS BIGINT) AS n_shipments
-      |FROM w GROUP BY item
-      |ORDER BY decayed_scaled DESC, item LIMIT 10""".stripMargin
+      |  FROM li, mx),
+      |g AS (
+      |  SELECT item,
+      |    CAST(sum(CAST(wgt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+      |      AS decayed_scaled,
+      |    CAST(count(*) AS BIGINT) AS n_shipments
+      |  FROM w GROUP BY item
+      |  ORDER BY decayed_scaled DESC, item LIMIT 10)
+      |SELECT item, CAST(decayed_scaled AS VARCHAR) AS decayed_scaled,
+      |  n_shipments
+      |FROM g""".stripMargin
 
   /** Grouped HLL: distinct parts per return flag via per-group register
     * tables ([[graft.analytics.HllGrid.registersBy]]/`estimateBy` — the
