@@ -544,8 +544,11 @@ object Dedup {
       .join(keyed.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.k")) - length(col("b.k"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a.k"), col("b.k")))
-      .filter(col("dist") <= maxDist)
+      // banded threshold form: O(len·maxDist) per candidate with early exit
+      // (returns -1 above the bound) instead of the full O(len²) DP — the
+      // exact distance for every surviving pair is unchanged
+      .withColumn("dist", levenshtein(col("a.k"), col("b.k"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.k").as("key_a"), col("b.k").as("key_b"), col("dist"))
   }
