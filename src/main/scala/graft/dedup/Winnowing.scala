@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * Determinism/portability: fingerprint identity is the VALUE of the window
   * minimum (not its position), so tie-breaking between equal hashes is
   * irrelevant and the selected set is a pure function of the text. Hashes
-  * are the `md5U32` uniform, so a verification engine replays the selection
-  * bit-exactly. The 32-bit width is a verification choice: beyond ~10⁷
-  * selected fingerprints, birthday collisions between unrelated grams
-  * start to perturb the df cut and shared counts (measured ±0.1% at 5M in
-  * the scale probe) — widen to a 64-bit hash (e.g. `xxhash64`) for
-  * production corpora; nothing else changes, identity is the value.
+  * are the `md5U60` uniform (first 15 hex chars of the md5 digest → a
+  * 60-bit value that fits signed BIGINT on BOTH engines), so a
+  * verification engine replays the selection bit-exactly. At 60 bits the
+  * expected birthday collisions among 5M selected fingerprints are ~1e-5
+  * (the earlier 32-bit form measured ±0.1% row perturbation at that
+  * volume); corpora beyond ~10⁹ fingerprints should widen to a full
+  * 128-bit digest — nothing else changes, identity is the value.
   *
   * Scale shape: k-gram hashing is one codegen projection over the exploded
   * token stream (lead() window — no interpreted HOF lambda per element);
@@ -36,8 +37,8 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def md5U60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Selected fingerprints per document: distinct `(doc_id, fp)` rows, where
     * `fp` is the minimum k-gram hash of some full `w`-window. Documents with
@@ -57,7 +58,7 @@ object Winnowing {
       .withColumn("__g",
         when((1 until k).map(j => lead(col("wd"), j).over(byPos).isNotNull)
                .reduce(_ && _),
-          md5U32(concat_ws(" ",
+          md5U60(concat_ws(" ",
             col("wd") +: (1 until k).map(j => lead(col("wd"), j).over(byPos)): _*)))
           .otherwise(lit(null)))
       .filter(col("__g").isNotNull)

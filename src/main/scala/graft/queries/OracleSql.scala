@@ -29,6 +29,16 @@ private[queries] object OracleSql {
        |      CAST(strpos('0123456789abcdef', md5($expr)[i]) - 1 AS BIGINT))),
        |  (a, b) -> a * 16 + b)""".stripMargin
 
+  /** 60-bit variant of [[md5U32Sql]] (first 15 hex chars → [0, 2^60), which
+    * fits signed BIGINT on both engines) — the winnowing fingerprint
+    * uniform, where 32 bits birthday-collide at corpus scale.
+    */
+  def md5U60Sql(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef', md5($expr)[i]) - 1 AS BIGINT))),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
   def javaHashSql(expr: String): String =
     s"""list_reduce(list_prepend(0::HUGEINT,
        |    flatten(list_transform(range(1, length($expr)+1), i ->

@@ -80,7 +80,7 @@ object SummaryQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val winnowingOracle = {
-    val gramHash = OracleSql.md5U32Sql("wd || ' ' || w2 || ' ' || w3")
+    val gramHash = OracleSql.md5U60Sql("wd || ' ' || w2 || ' ' || w3")
     s"""WITH ${PipelineQueries.augCte},
        |tok AS (
        |  SELECT doc_id AS doc,

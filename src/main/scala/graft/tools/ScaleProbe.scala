@@ -49,6 +49,32 @@ object ScaleProbe {
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
         col("lang"), col("source"), col("n_chars")))
 
+  /** ER key frame for the edit-distance probes: replica-banded keys with a
+    * FIXED-WIDTH "rr|" header (a variable-width header would leave fewer
+    * discriminating text chars inside the block prefix for 2-digit
+    * replicas, coarsening their blocks and breaking the N× invariant),
+    * plus char-11 twins (id +3M stays inside the replica band and clear of
+    * the +5M planted offset).
+    *
+    * The `~r` vocab markers are STRIPPED from the key text: suffix length
+    * varies by replica digit count, so raw-text windows would carry
+    * different content density per replica class (measured ×44/30 pair
+    * rows). With the header banding blocks and the stripped text making
+    * every replica's key set byte-identical to replica 0's (shared
+    * prefixes are Levenshtein-neutral), the pair set must replay EXACTLY
+    * N× — the invariant the probe asserts.
+    */
+  private def erKeys(d: DataFrame): DataFrame = {
+    val keys = d.select(col("doc_id"),
+      concat(lpad(expr("CAST(doc_id div 10000000 AS STRING)"), 2, "0"),
+        lit("|"),
+        substring(regexp_replace(col("text"), "~\\d+", ""), 1, 18)).as("k0"))
+    keys.unionByName(keys.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(substring(col("k0"), 1, 10), lit("X"),
+          substring(col("k0"), 12, 11)).as("k0")))
+  }
+
   private def replicate(docs: DataFrame, replicas: Int): DataFrame =
     (0 until replicas).map { r =>
       docs.select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
@@ -166,12 +192,13 @@ object ScaleProbe {
       // corpus-sized shuffles (bucket counts map-combined, per-doc score
       // agg) must grow linearly
       // winnowing: disjoint replica vocab makes the GRAM sets disjoint,
-      // but fingerprints are 32-bit md5U32 VALUES — at ~5M selected
-      // fingerprints (30x) the birthday rate is ~3k colliding values, so
-      // pair rows land within ~0.1% of Nx rather than exactly (measured
-      // x9.99 / x30.06); the df boilerplate cut must keep the
-      // fingerprint self-join linear. At real corpus scale the selection
-      // should widen to a 64-bit hash (Winnowing scaladoc).
+      // but the ~r suffix changes every gram HASH, so each replica's
+      // window-min SELECTION density differs slightly — pair rows land
+      // within ~0.2% of Nx rather than exactly (x9.99/x30.06, measured
+      // IDENTICALLY under the 32-bit and the current 60-bit fingerprint
+      // hash, ruling out birthday collisions as the cause — it is
+      // selection variance, the same class as CDC boundary density); the
+      // df boilerplate cut must keep the fingerprint self-join linear.
       ("winnowingPairs", true, "~N", d =>
         graft.dedup.Winnowing.fingerprintPairs(d, k = 3, w = 4,
           minShared = 2, maxDocFreq = 50)),
@@ -258,7 +285,33 @@ object ScaleProbe {
       // groups (div 100 of offset ids stays replica-local)
       ("mrrAtK", false, "flat", d =>
         graft.analytics.Eval.mrrAtK(d, expr("doc_id div 100"),
-          col("n_chars").cast("long"), col("doc_id"), col("doc_id") % 7 === 0)))
+          col("n_chars").cast("long"), col("doc_id"), col("doc_id") % 7 === 0)),
+      // blocked edit-distance ER: keys carry the replica band in the block
+      // prefix ("r|<text18>"), so blocks are replica-local by construction
+      // (shared prefixes are Levenshtein-neutral, so every replica's pair
+      // set replays replica 0's exactly → rows exactly N×). Twins planted
+      // at char 11 (inside the prefix's shadow) like q_edit_distance_er.
+      // The CANDIDATES op measures the pre-Levenshtein blocked-join volume
+      // (Σ|block|²) and the PAIRS ops its verified output at the prefix-4
+      // and prefix-6 (heavy-block valve) operating points.
+      ("editDistCandidates", true, "N", { d =>
+        val keyed = erKeys(d)
+          .filter(length(col("k0")) >= 7)
+          .withColumn("blk", substring(col("k0"), 1, 7))
+        keyed.as("a").hint("shuffle_hash")
+          .join(keyed.as("b").hint("shuffle_hash"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+              abs(length(col("a.k0")) - length(col("b.k0"))) <= 3)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      }),
+      // prefixLen 7/9 = the query's 4/6 text chars after the 3-char
+      // replica header ("rr|")
+      ("editDistPairs4", true, "N", d =>
+        graft.dedup.Dedup.editDistancePairs(erKeys(d), "k0", maxDist = 3,
+          prefixLen = 7, idCol = "doc_id")),
+      ("editDistPairs6", true, "N", d =>
+        graft.dedup.Dedup.editDistancePairs(erKeys(d), "k0", maxDist = 3,
+          prefixLen = 9, idCol = "doc_id")))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
