@@ -415,7 +415,11 @@ object Eval {
     val base = df.select(probPermille.cast("long").as("p"),
       label.cast("long").as("y"))
       .select(col("p"), col("y"),
-        least(expr(s"p div ${1000 / bins}"), lit(bins.toLong - 1)).as("bin"),
+        // clamp to [0, bins-1]: a permille outside the contract's [0,1000]
+        // grid mis-bins into the edge bin instead of colliding with the
+        // bin = -1 pooled-row sentinel
+        greatest(lit(0L),
+          least(expr(s"p div ${1000 / bins}"), lit(bins.toLong - 1))).as("bin"),
         ((col("p") - col("y") * 1000) * (col("p") - col("y") * 1000))
           .as("__se"))
     val perBin = base.groupBy(col("bin"))

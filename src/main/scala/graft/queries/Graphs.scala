@@ -27,8 +27,11 @@ object Graphs {
     */
   def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val table = copurchaseTables.getOrElseUpdate(dir, {
-      val name = "graft_copurchase_" +
-        math.abs(dir.hashCode).toString
+      // collision-free, identifier-safe name per dir (hashCode collides
+      // across dirs and math.abs(Int.MinValue) is negative)
+      val name = "graft_copurchase_" + java.security.MessageDigest
+        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       graft.maintain.Layout.resetTable(s, name)
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
