@@ -509,4 +509,154 @@ object Eval {
             .cast("double") /
             (col("n").cast("double") * col("sum_cents").cast("double"))).as("gini"))
   }
+
+  /** Binary-classifier diagnostics beyond precision/recall: the full
+    * confusion cell counts plus Matthews correlation (the single number
+    * robust to class imbalance — chance = 0, perfect = 1, inverted = −1),
+    * balanced accuracy (mean of TPR and TNR) and Youden's J
+    * (TPR + TNR − 1, the optimal-threshold objective). One map-combined
+    * aggregate to ONE row; every emitted statistic is a fixed-operand-order
+    * IEEE expression over the four exact cell counts (the MCC numerator
+    * and the four marginal products run in DECIMAL(38) internally — cell
+    * products overflow BIGINT at corpus scale).
+    */
+  def binaryDiagnostics(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    val base = df.select(label.cast("long").as("y"), pred.cast("long").as("p"))
+    base
+      .agg(
+        sum(col("y") * col("p")).as("tp"),
+        sum((lit(1L) - col("y")) * col("p")).as("fp"),
+        sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+        sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+             (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+          (dec(col("tp")) * dec(col("tn")) - dec(col("fp")) * dec(col("fn")))
+            .cast("double") /
+            // marginal product as a left-assoc DOUBLE chain: the exact
+            // 4-way integer product overflows DECIMAL(38)/HUGEINT beyond
+            // ~1e9 rows per cell; the double chain is deterministic IEEE
+            // and replayed identically by the oracle
+            sqrt((col("tp") + col("fp")).cast("double") *
+              (col("tp") + col("fn")).cast("double") *
+              (col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn")).cast("double"))).as("mcc"),
+        when((col("tp") + col("fn")) > 0 && (col("tn") + col("fp")) > 0,
+          (col("tp").cast("double") / (col("tp") + col("fn")).cast("double") +
+            col("tn").cast("double") / (col("tn") + col("fp")).cast("double")) /
+            lit(2.0)).as("balanced_acc"),
+        when((col("tp") + col("fn")) > 0 && (col("tn") + col("fp")) > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double") +
+            col("tn").cast("double") / (col("tn") + col("fp")).cast("double") -
+            lit(1.0)).as("youden_j"))
+  }
+
+  /** Expected calibration error on the permille grid — the headline
+    * calibration number [[brierReliability]]'s bin table feeds in practice,
+    * computed EXACTLY: over equal-width probability bins,
+    * ECE = Σ_b (n_b/n)·|acc_b − conf_b| telescopes to the single exact
+    * integer numerator Σ_b |1000·Σy_b − Σp_b| over 1000·n (per-bin counts
+    * and permille sums are exact BIGINTs, the absolute difference is
+    * integer, and the bin weights cancel the per-bin denominators), so the
+    * emitted `ece` is ONE division. One map-combined aggregate to ≤ bins
+    * rows, one metadata-sized fold.
+    */
+  def expectedCalibrationError(df: DataFrame, probPermille: Column,
+                               label: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && 1000 % bins == 0,
+      s"bins must divide the permille grid (got $bins)")
+    val base = df.select(probPermille.cast("long").as("p"),
+      label.cast("long").as("y"))
+      .select(col("p"), col("y"),
+        greatest(lit(0L),
+          least(expr(s"p div ${1000 / bins}"), lit(bins.toLong - 1))).as("bin"))
+    base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("sum_y"),
+        sum(col("p")).as("sum_p"))
+      .agg(
+        sum(col("n_b")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(abs(col("sum_y") * lit(1000L) - col("sum_p"))).as("ece_num"))
+      .withColumn("ece",
+        when(col("n") > 0,
+          col("ece_num").cast("double") / (col("n") * lit(1000L)).cast("double")))
+  }
+
+  /** Confident-learning label-error audit (Northcutt et al. 2021, the
+    * binary joint estimate): flag examples whose model confidence
+    * contradicts their (possibly noisy) label — the triage list every
+    * labeled-data pipeline runs before retraining on its own mistakes.
+    * Class thresholds are the per-class mean confidences; an example
+    * labeled 0 but with P(1) above class 1's threshold is a suspected
+    * missing positive (`c01`), and vice versa (`c10`). All comparisons are
+    * CROSS-MULTIPLIED exact integers (p·n₁ ≥ Σp₁ instead of p ≥ Σp₁/n₁ —
+    * the mean never materializes as a float), so the suspect counts are
+    * exact; `suspect_rate` is ONE gated division. Two map-combined
+    * aggregates with the 1-row threshold frame broadcast back — the fact
+    * table never re-shuffles.
+    */
+  def confidentLabelErrors(df: DataFrame, probPermille: Column,
+                           label: Column): DataFrame = {
+    val base = df.select(probPermille.cast("long").as("p"),
+      label.cast("long").as("y"))
+    val th = broadcast(base.agg(
+      sum(col("y")).as("n1"),
+      (count(lit(1)) - sum(col("y"))).as("n0"),
+      sum(col("y") * col("p")).as("sum_p1"),
+      sum((lit(1L) - col("y")) * (lit(1000L) - col("p"))).as("sum_q0")))
+    base.crossJoin(th)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("n1")).as("n1"),
+        max(col("n0")).as("n0"),
+        max(col("sum_p1")).as("sum_p1"),
+        max(col("sum_q0")).as("sum_q0"),
+        sum(when(col("y") === 0 && col("n1") > 0 &&
+          col("p") * col("n1") >= col("sum_p1"), 1L).otherwise(0L)).as("c01"),
+        sum(when(col("y") === 1 && col("n0") > 0 &&
+          (lit(1000L) - col("p")) * col("n0") >= col("sum_q0"), 1L)
+          .otherwise(0L)).as("c10"))
+      .withColumn("suspect_rate",
+        when(col("n") > 0,
+          (col("c01") + col("c10")).cast("double") / col("n").cast("double")))
+  }
+
+  /** Two-sample standardized mean difference (Cohen's d with the pooled
+    * variance) of an integer-scaled metric between `inTreat` rows and the
+    * rest — the effect-size companion of the A/B z-test (significance says
+    * "real", d says "big enough to matter") and the covariate-balance
+    * check of matched-pair analyses. One map-combined aggregate; means and
+    * the pooled SD are fixed-operand-order IEEE expressions over exact
+    * sums (Σx, Σx² run in DECIMAL(38) internally and the sums of squares
+    * ship as canonical digit strings). Degenerate groups (n ≤ 1 either
+    * side, zero pooled variance) gate to NULL.
+    */
+  def cohensD(df: DataFrame, valueCents: Column, inTreat: Column): DataFrame = {
+    val base = df.select(valueCents.cast("long").as("x"),
+      inTreat.cast("long").as("t"))
+    val agg = base.agg(
+      sum(col("t")).as("n1"),
+      (count(lit(1)) - sum(col("t"))).as("n0"),
+      sum(col("t") * col("x")).as("sum1"),
+      sum((lit(1L) - col("t")) * col("x")).as("sum0"),
+      sum(dec(col("t")) * dec(col("x")) * dec(col("x")))
+        .cast("decimal(38,0)").as("ss1"),
+      sum(dec(lit(1L) - col("t")) * dec(col("x")) * dec(col("x")))
+        .cast("decimal(38,0)").as("ss0"))
+    agg
+      .withColumn("d", {
+        val n1 = col("n1").cast("double"); val n0 = col("n0").cast("double")
+        // (n−1)·s² = Σx² − (Σx)²/n, assembled exactly then divided once:
+        // css = (n·Σx² − (Σx)²) / n in DECIMAL → double
+        val css1 = (dec(col("n1")) * col("ss1") - dec(col("sum1")) * dec(col("sum1")))
+          .cast("double") / n1
+        val css0 = (dec(col("n0")) * col("ss0") - dec(col("sum0")) * dec(col("sum0")))
+          .cast("double") / n0
+        val sp = sqrt((css1 + css0) / (n1 + n0 - lit(2.0)))
+        when(col("n1") > 1 && col("n0") > 1 && sp > 0.0,
+          (col("sum1").cast("double") / n1 - col("sum0").cast("double") / n0) / sp)
+      })
+      .select(col("n1"), col("n0"), col("sum1"), col("sum0"),
+        canon(col("ss1")).as("ss1"), canon(col("ss0")).as("ss0"), col("d"))
+  }
 }

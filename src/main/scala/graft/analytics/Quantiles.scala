@@ -35,13 +35,32 @@ object Quantiles {
     */
   def exactQuantilesTwoPass(df: DataFrame, centsCol: String,
                             permille: Seq[Int], bucketWidth: Long): DataFrame = {
-    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
-      s"permille points must be in [1,1000], got $permille")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val cents = df.select(col(centsCol).as("c"))
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     // pass 1: bounded histogram + cumulative counts (metadata-sized frame)
     val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    exactQuantilesFromHistogram(hist, df, centsCol, permille, bucketWidth)
+  }
+
+  /** [[exactQuantilesTwoPass]] with pass 1's histogram supplied by the
+    * caller — the entry point for INCREMENTALLY MAINTAINED quantiles: the
+    * bucket histogram is add-mergeable (inserts +1, deletes −1 per
+    * bucket), so a CDC delta fold can keep `hist` live without rescanning
+    * the table, and only pass 2 — which touches nothing but the
+    * straddling buckets, a pushed-down bucket filter on the base table —
+    * reads data at query time. `hist(bucket, cnt)` must cover exactly the
+    * rows of `df` (the oracle equality is what proves a delta-maintained
+    * histogram ≡ the from-scratch rebuild).
+    */
+  def exactQuantilesFromHistogram(hist: DataFrame, df: DataFrame,
+                                  centsCol: String, permille: Seq[Int],
+                                  bucketWidth: Long): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille points must be in [1,1000], got $permille")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val cents = df.select(col(centsCol).as("c"))
+      .withColumn("bucket", expr(s"c div $bucketWidth"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("bucket"))

@@ -49,9 +49,13 @@ object SortedNeighborhood {
     left.join(right, Seq("__blk"))
       .filter(col("rank_b") > col("rank_a") &&
         col("rank_b") <= col("rank_a") + window)
-      .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
+      // ONE banded computation serves both the cut and the emitted value
+      // (the banded form returns the exact distance whenever it is ≤ the
+      // bound, -1 otherwise)
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"),
-        col("key_a"), col("key_b"),
-        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+        col("key_a"), col("key_b"), col("dist"))
   }
 }

@@ -522,6 +522,113 @@ object PipelineQueries {
       |SELECT u AS doc_id, min(c) AS component
       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe cluster-aware split ([[graft.text.Curation
+    * .clusterAwareSplit]]) over the component table: every near-dup
+    * cluster lands wholly in one of train/val/test (the
+    * `max_splits_per_cluster = 1` column is the leak-proof, re-proven
+    * under the hash), with the counterfactual damage quantified —
+    * `naive_straddling_clusters` counts the clusters the per-doc
+    * [[graft.text.Curation.datasetSplit]] WOULD have torn across the
+    * fence (train/test contamination the cluster key prevents). One
+    * component-keyed aggregate; split assignment itself is a stateless
+    * pushed-down projection.
+    */
+  private def clusterSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = augmented(Tables.documents(s, dir)).select(col("doc_id"))
+    val comps = s.read.parquet(componentsParquet(s, dir))
+      .select(col("id").as("doc_id"), col("component"))
+    val withComp = docs.join(comps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val naive = {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val trainMax = (1L << 32) * 80 / 100
+      val valMax = (1L << 32) * 90 / 100
+      when(u < trainMax, "train").when(u < valMax, "val").otherwise("test")
+    }
+    val labeled = graft.text.Curation.clusterAwareSplit(withComp)
+      .withColumn("naive", naive)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val per = labeled.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_docs"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_docs"),
+      countDistinct(col("component")).as("n_clusters"))
+    val leak = labeled.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k")).as("max_splits_per_cluster"))
+    val straddle = labeled.groupBy(col("component"))
+      .agg(countDistinct(col("naive")).as("kn"))
+      .filter(col("kn") > 1)
+      .agg(count(lit(1)).as("naive_straddling_clusters"))
+    per.crossJoin(broadcast(leak)).crossJoin(broadcast(straddle))
+  }
+
+  private val clusterSplitOracle = {
+    val trainMax = (1L << 32) * 80 / 100
+    val valMax = (1L << 32) * 90 / 100
+    val uc = OracleSql.md5U32Sql("component::VARCHAR")
+    val ud = OracleSql.md5U32Sql("doc_id::VARCHAR")
+    s"""WITH RECURSIVE $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u
+      |),
+      |comp AS (SELECT u AS doc_id, min(c) AS component FROM walk GROUP BY u),
+      |lab AS (
+      |  SELECT a.doc_id, COALESCE(comp.component, a.doc_id) AS component
+      |  FROM aug a LEFT JOIN comp ON comp.doc_id = a.doc_id),
+      |asg AS (
+      |  SELECT doc_id, component,
+      |    CASE WHEN ($uc) < $trainMax THEN 'train'
+      |         WHEN ($uc) < $valMax THEN 'val' ELSE 'test' END AS split,
+      |    CASE WHEN ($ud) < $trainMax THEN 'train'
+      |         WHEN ($ud) < $valMax THEN 'val' ELSE 'test' END AS naive
+      |  FROM lab),
+      |per AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS train_docs,
+      |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS val_docs,
+      |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS test_docs,
+      |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+      |  FROM asg),
+      |mx AS (
+      |  SELECT CAST(max(k) AS BIGINT) AS max_splits_per_cluster FROM (
+      |    SELECT count(DISTINCT split) AS k FROM asg GROUP BY component)),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS naive_straddling_clusters FROM (
+      |    SELECT component FROM asg GROUP BY component
+      |    HAVING count(DISTINCT naive) > 1))
+      |SELECT * FROM per CROSS JOIN mx CROSS JOIN st""".stripMargin
+  }
+
   /** Cluster-size audit ([[DupClusters.clusterSizeAudit]]) over the same
     * component table: size histogram + removable-row accounting, with
     * pair-graph absentees counted as size-1 clusters so `sum(n_docs)`
@@ -3113,6 +3220,7 @@ object PipelineQueries {
     "q_cluster_canon" -> (clusterCanonQ _),
     "q_dup_clusters" -> (dupClustersQ _),
     "q_cluster_sizes" -> (clusterSizesQ _),
+    "q_cluster_split" -> (clusterSplitQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -3229,6 +3337,7 @@ object PipelineQueries {
     "q_cluster_canon" -> clusterCanonOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_sizes" -> clusterSizesOracle,
+    "q_cluster_split" -> clusterSplitOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_weighted_sample" -> weightedSampleOracle,

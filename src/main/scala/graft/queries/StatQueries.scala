@@ -1658,6 +1658,158 @@ object StatQueries {
       |  END AS kappa
       |FROM po CROSS JOIN pe""".stripMargin
 
+  /** Binary diagnostics of the value-threshold purchase classifier
+    * ([[graft.analytics.Eval.binaryDiagnostics]]): exact confusion cells
+    * plus MCC / balanced accuracy / Youden's J, each ONE fixed-order
+    * expression over the four counts (MCC products in DECIMAL(38)
+    * internally).
+    */
+  private def mccQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.binaryDiagnostics(
+      Tables.events(s, dir),
+      col("event_type") === "purchase",
+      col("value") >= 100)
+
+  private val mccOracle =
+    """WITH p AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS pr
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(sum(y * pr) AS BIGINT) AS tp,
+      |    CAST(sum((1 - y) * pr) AS BIGINT) AS fp,
+      |    CAST(sum(y * (1 - pr)) AS BIGINT) AS fn,
+      |    CAST(sum((1 - y) * (1 - pr)) AS BIGINT) AS tn
+      |  FROM p)
+      |SELECT tp, fp, fn, tn,
+      |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+      |    THEN CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+      |        - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE) /
+      |      sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+      |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+      |  END AS mcc,
+      |  CASE WHEN tp + fn > 0 AND tn + fp > 0
+      |    THEN (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |        + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0
+      |  END AS balanced_acc,
+      |  CASE WHEN tp + fn > 0 AND tn + fp > 0
+      |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |      + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0
+      |  END AS youden_j
+      |FROM a""".stripMargin
+
+  /** Expected calibration error ([[graft.analytics.Eval
+    * .expectedCalibrationError]]) of the brier query's pseudo-probability:
+    * the per-bin weights telescope, so the whole statistic is the exact
+    * BIGINT numerator Σ_b |1000·Σy_b − Σp_b| and ONE division.
+    */
+  private def eceQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.expectedCalibrationError(
+      Tables.events(s, dir),
+      least(lit(1000L), round(col("value") * 3, 0).cast("long")),
+      col("event_type") === "purchase")
+
+  private val eceOracle =
+    """WITH b AS (
+      |  SELECT least(CAST(round(value * 3) AS BIGINT), 1000) AS p,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT greatest(0, least(p // 100, 9)) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n_b,
+      |    CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(p) AS BIGINT) AS sum_p
+      |  FROM b GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_bins_used,
+      |    CAST(sum(abs(sum_y * 1000 - sum_p)) AS BIGINT) AS ece_num
+      |  FROM g)
+      |SELECT n, n_bins_used, ece_num,
+      |  CASE WHEN n > 0
+      |    THEN CAST(ece_num AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+      |  END AS ece
+      |FROM a""".stripMargin
+
+  /** Confident-learning label-error audit
+    * ([[graft.analytics.Eval.confidentLabelErrors]]) of the purchase flag
+    * against the brier pseudo-confidence: exact cross-multiplied
+    * threshold comparisons, suspect counts under the hash.
+    */
+  private def labelErrorsQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.confidentLabelErrors(
+      Tables.events(s, dir),
+      least(lit(1000L), round(col("value") * 3, 0).cast("long")),
+      col("event_type") === "purchase")
+
+  private val labelErrorsOracle =
+    """WITH b AS (
+      |  SELECT least(CAST(round(value * 3) AS BIGINT), 1000) AS p,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |t AS (
+      |  SELECT CAST(sum(y) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n0,
+      |    CAST(sum(y * p) AS BIGINT) AS sum_p1,
+      |    CAST(sum((1 - y) * (1000 - p)) AS BIGINT) AS sum_q0
+      |  FROM b),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    max(n1) AS n1, max(n0) AS n0,
+      |    max(sum_p1) AS sum_p1, max(sum_q0) AS sum_q0,
+      |    CAST(sum(CASE WHEN y = 0 AND n1 > 0 AND p * n1 >= sum_p1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+      |    CAST(sum(CASE WHEN y = 1 AND n0 > 0 AND (1000 - p) * n0 >= sum_q0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c10
+      |  FROM b CROSS JOIN t)
+      |SELECT n, n1, n0, sum_p1, sum_q0, c01, c10,
+      |  CASE WHEN n > 0
+      |    THEN CAST(c01 + c10 AS DOUBLE) / CAST(n AS DOUBLE)
+      |  END AS suspect_rate
+      |FROM a""".stripMargin
+
+  /** Cohen's d of cent-scaled event value, purchase vs rest
+    * ([[graft.analytics.Eval.cohensD]]): the effect size behind the A/B
+    * z-test — exact group moments, pooled SD one fixed-order expression.
+    */
+  private def cohensDQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.cohensD(
+      Tables.events(s, dir),
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type") === "purchase")
+
+  private val cohensDOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(t) AS BIGINT) AS n0,
+      |    CAST(sum(t * x) AS BIGINT) AS sum1,
+      |    CAST(sum((1 - t) * x) AS BIGINT) AS sum0,
+      |    CAST(sum(CAST(t AS HUGEINT) * x * x) AS DECIMAL(38,0)) AS ss1,
+      |    CAST(sum(CAST(1 - t AS HUGEINT) * x * x) AS DECIMAL(38,0)) AS ss0
+      |  FROM e),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN n1 > 1 AND n0 > 1 THEN
+      |      sqrt((CAST(CAST(n1 AS HUGEINT) * CAST(ss1 AS HUGEINT)
+      |          - CAST(sum1 AS HUGEINT) * CAST(sum1 AS HUGEINT) AS DOUBLE)
+      |          / CAST(n1 AS DOUBLE)
+      |        + CAST(CAST(n0 AS HUGEINT) * CAST(ss0 AS HUGEINT)
+      |          - CAST(sum0 AS HUGEINT) * CAST(sum0 AS HUGEINT) AS DOUBLE)
+      |          / CAST(n0 AS DOUBLE))
+      |        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0))
+      |    END AS sp
+      |  FROM a)
+      |SELECT n1, n0, sum1, sum0,
+      |  CAST(ss1 AS VARCHAR) AS ss1, CAST(ss0 AS VARCHAR) AS ss0,
+      |  CASE WHEN n1 > 1 AND n0 > 1 AND sp > 0.0
+      |    THEN (CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(sum0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sp
+      |  END AS d
+      |FROM s""".stripMargin
+
   /** Lorenz curve of customer spend by exact decile — the distributional
     * companion of `q_gini_coefficient`: decile cuts from the two-pass
     * quantiles (no global ntile), per-decile and cumulative spend shares
@@ -1742,6 +1894,10 @@ object StatQueries {
     "q_matched_pairs" -> (matchedPairsQ _),
     "q_modularity" -> (modularityQ _),
     "q_brier" -> (brierQ _),
+    "q_mcc" -> (mccQ _),
+    "q_ece" -> (eceQ _),
+    "q_cohens_d" -> (cohensDQ _),
+    "q_label_errors" -> (labelErrorsQ _),
     "q_regression_metrics" -> (regressionMetricsQ _),
     "q_rfm" -> (rfmQ _),
     "q_profile_drift" -> (profileDriftQ _),
@@ -1781,6 +1937,10 @@ object StatQueries {
     "q_matched_pairs" -> matchedPairsOracle,
     "q_modularity" -> modularityOracle,
     "q_brier" -> brierOracle,
+    "q_mcc" -> mccOracle,
+    "q_ece" -> eceOracle,
+    "q_cohens_d" -> cohensDOracle,
+    "q_label_errors" -> labelErrorsOracle,
     "q_regression_metrics" -> regressionMetricsOracle,
     "q_rfm" -> rfmOracle,
     "q_profile_drift" -> profileDriftOracle,

@@ -1359,6 +1359,51 @@ object SummaryQueries {
       .orderBy(col("idx"))
   }
 
+  /** Incrementally maintained exact quantiles
+    * ([[graft.analytics.Quantiles.exactQuantilesFromHistogram]]): the
+    * bucket histogram — pass 1, the only full-scan stage — is kept live
+    * from the CDC delta (v1 histogram + delta histogram, an add-merge of
+    * two metadata-sized frames, O(delta) scan), and quantile queries pay
+    * only pass 2's straddling-bucket reads against the v2 snapshot. The
+    * oracle is the naive global row_number selection over the full table —
+    * equality proves delta-maintained pass 1 ≡ from-scratch rebuild.
+    */
+  private def quantilesIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.maintain.Versioned
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_inc_").toString
+    Versioned.commit(ords.filter(col("k") % 10 =!= 0), tmp)
+    Versioned.commitAtomic(ords.filter(col("k") % 10 === 0), tmp)
+    val bw = 100000L
+    def hist(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("bucket", expr(s"cents div $bw"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val v1 = Versioned.read(s, tmp, Some(1))
+    val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+      .filter(col("__change") === "insert").drop("__change")
+    val merged = hist(v1).unionByName(hist(delta))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val v2 = Versioned.read(s, tmp, Some(2))
+    graft.analytics.Quantiles.exactQuantilesFromHistogram(
+        merged, v2, "cents", Seq(250, 500, 750, 900), bucketWidth = bw)
+      .orderBy(col("p"))
+  }
+
+  private val quantilesIncrementalOracle =
+    """WITH c AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |pp AS (SELECT unnest([250, 500, 750, 900]) AS p),
+      |kk AS (SELECT p, n, CAST((n * p + 999) // 1000 AS BIGINT) AS k
+      |  FROM pp, nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+      |SELECT CAST(kk.p AS INTEGER) AS p, kk.n, kk.k,
+      |  r.cents AS value_cents
+      |FROM kk JOIN r ON r.rn = kk.k
+      |ORDER BY p""".stripMargin
+
   private val hllIncrementalOracle = {
     val u32 = OracleSql.md5U32Sql("'hllg:' || CAST(user_id AS VARCHAR)")
     s"""WITH h AS (SELECT ($u32) AS hv FROM events),
@@ -1397,6 +1442,7 @@ object SummaryQueries {
     "q_quantiles_grouped" -> (quantilesGroupedQ _),
     "q_count_min_incremental" -> (countMinIncrementalQ _),
     "q_hll_incremental" -> (hllIncrementalQ _),
+    "q_quantiles_incremental" -> (quantilesIncrementalQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1427,6 +1473,7 @@ object SummaryQueries {
     "q_quantiles_grouped" -> quantilesGroupedOracle,
     "q_count_min_incremental" -> countMinIncrementalOracle,
     "q_hll_incremental" -> hllIncrementalOracle,
+    "q_quantiles_incremental" -> quantilesIncrementalOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

@@ -185,6 +185,27 @@ object Curation {
       when(u < trainMax, "train").when(u < valMax, "val").otherwise("test"))
   }
 
+  /** Leakage-safe dataset split: the unit of assignment is the NEAR-DUP
+    * CLUSTER, not the document — a per-doc hash split ([[datasetSplit]])
+    * puts two near-copies of the same page on opposite sides of the
+    * train/test fence, and the eval silently measures memorization. The
+    * frame must already carry a `componentCol` (connected components over
+    * the near-dup pair graph, singletons = their own id); the split is the
+    * same md5 uniform keyed by the component, so "whole cluster on one
+    * side" is a construction invariant, not a post-hoc fixup. Pure
+    * stateless projection — pushes down, zero shuffle.
+    */
+  def clusterAwareSplit(docs: DataFrame, componentCol: String = "component",
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val u = conv(substring(md5(col(componentCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val trainMax = (1L << 32) * trainPct / 100
+    val valMax = (1L << 32) * (trainPct + valPct) / 100
+    docs.withColumn("split",
+      when(u < trainMax, "train").when(u < valMax, "val").otherwise("test"))
+  }
+
   /** Length-bucketed batching accounting: bucket docs by token count
     * (power-of-two-ish fixed boundaries), assign batch slots of `batchSize`
     * within each bucket by the deterministic md5 order, and compute the

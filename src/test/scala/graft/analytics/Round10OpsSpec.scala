@@ -1,0 +1,114 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator batch: binary diagnostics (MCC / balanced accuracy /
+  * Youden), exact-numerator ECE, Cohen's d, confident-learning label
+  * errors, cluster-aware splitting, and histogram-fed exact quantiles.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryDiagnostics: hand case, exact cells, fixed-order statistics") {
+    // tp=2 fp=1 fn=1 tn=3
+    val d = Seq((1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+      .toDF("y", "p")
+    val r = Eval.binaryDiagnostics(d, $"y" === 1, $"p" === 1)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4) == (2L, 1L, 1L, 3L))
+    val mcc = (2.0 * 3.0 - 1.0 * 1.0) / math.sqrt(3.0 * 3.0 * 4.0 * 4.0)
+    assert(math.abs(r._5 - mcc) < 1e-15, s"mcc ${r._5} != $mcc")
+    val tpr = 2.0 / 3.0; val tnr = 3.0 / 4.0
+    assert(math.abs(r._6 - (tpr + tnr) / 2.0) < 1e-15)
+    assert(math.abs(r._7 - (tpr + tnr - 1.0)) < 1e-15)
+    // a perfect classifier maxes every statistic
+    val perfect = Eval.binaryDiagnostics(d, $"y" === 1, $"y" === 1)
+      .select($"mcc", $"balanced_acc", $"youden_j")
+      .as[(Double, Double, Double)].head()
+    assert(perfect == ((1.0, 1.0, 1.0)))
+    // single-class input gates MCC to NULL instead of dividing by zero
+    val oneClass = Eval.binaryDiagnostics(
+      Seq((1, 1), (1, 0)).toDF("y", "p"), $"y" === 1, $"p" === 1)
+    assert(oneClass.select($"mcc").head().isNullAt(0))
+  }
+
+  test("expectedCalibrationError: telescoped numerator is exact; calibrated input scores 0") {
+    // one bin [0,100): two rows at p=50 with one positive out of two would
+    // need p=500; at p=0 with zero positives the bin is perfectly calibrated
+    val perfect = Seq((0L, 0L), (0L, 0L), (1000L, 1L), (1000L, 1L))
+      .toDF("p", "y")
+    val r0 = Eval.expectedCalibrationError(perfect, $"p", $"y" === 1)
+      .select($"ece_num", $"ece").as[(Long, Double)].head()
+    assert(r0 == ((0L, 0.0)))
+    // hand case: bin 0 has p=0,y=1 → |1000·1 − 0| = 1000; n=2
+    val off = Seq((0L, 1L), (900L, 1L)).toDF("p", "y")
+    val r1 = Eval.expectedCalibrationError(off, $"p", $"y" === 1)
+      .select($"n", $"ece_num", $"ece").as[(Long, Long, Double)].head()
+    // bin 9: |1000·1 − 900| = 100 → total 1100 over 2000
+    assert(r1 == ((2L, 1100L, 1100.0 / 2000.0)))
+  }
+
+  test("cohensD: known two-group case and degenerate gates") {
+    // treat {10,20,30} (mean 20, var 100), control {0,10,20} (mean 10, var 100)
+    val d = Seq((10L, 1), (20L, 1), (30L, 1), (0L, 0), (10L, 0), (20L, 0))
+      .toDF("x", "t")
+    val r = Eval.cohensD(d, $"x", $"t" === 1)
+      .select($"n1", $"n0", $"d").as[(Long, Long, Double)].head()
+    assert(r._1 == 3L && r._2 == 3L)
+    assert(math.abs(r._3 - 1.0) < 1e-12, s"d = ${r._3}, expected 1.0")
+    // constant groups (zero pooled variance) gate to NULL
+    val flat = Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0)).toDF("x", "t")
+    assert(Eval.cohensD(flat, $"x", $"t" === 1).select($"d").head().isNullAt(0))
+  }
+
+  test("confidentLabelErrors: planted contradictions are flagged, consistent rows are not") {
+    // label-1 rows confident (p=900), label-0 rows confident (p=100),
+    // plus one planted mislabel each way
+    val rows = Seq.fill(10)((900L, 1L)) ++ Seq.fill(10)((100L, 0L)) ++
+      Seq((950L, 0L)) ++ Seq((50L, 1L))
+    val r = Eval.confidentLabelErrors(rows.toDF("p", "y"), $"p", $"y" === 1)
+      .select($"c01", $"c10", $"n").as[(Long, Long, Long)].head()
+    // thresholds: t1 = mean p among label-1 ≈ (9000+50)/11 ≈ 822 → the
+    // planted 950 label-0 row crosses it; t0 on q=1000−p ≈ (9000+50)/11 →
+    // the planted 50 label-1 row (q=950) crosses
+    assert(r._1 == 1L, s"expected exactly the planted missing-positive, got ${r._1}")
+    assert(r._2 == 1L, s"expected exactly the planted false-positive, got ${r._2}")
+    assert(r._3 == 22L)
+  }
+
+  test("clusterAwareSplit: a cluster never straddles; assignment is component-keyed") {
+    val docs = (0L until 300L).map(i => (i, i % 40)).toDF("doc_id", "component")
+    val lab = graft.text.Curation.clusterAwareSplit(docs)
+    val perCluster = lab.groupBy($"component")
+      .agg(countDistinct($"split").as("k"))
+      .agg(max($"k")).as[Long].head()
+    assert(perCluster == 1L, "cluster-aware split must never straddle a cluster")
+    // stateless projection: no exchange in the plan
+    val plan = lab.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+    // docs of the same component get the SAME split even across partitionings
+    val again = graft.text.Curation.clusterAwareSplit(docs.repartition(7))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val base = lab.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(again == base)
+  }
+
+  test("exactQuantilesFromHistogram: delta-merged histogram ≡ from-scratch") {
+    val all = (1L to 1000L).map(v => v * 7L % 5000L).toDF("cents")
+    val v1 = all.filter($"cents" % 10 =!= 0)
+    val delta = all.filter($"cents" % 10 === 0)
+    def hist(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("bucket", expr("cents div 100"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    val merged = hist(v1).unionByName(hist(delta))
+      .groupBy($"bucket").agg(sum($"cnt").as("cnt"))
+    val inc = Quantiles.exactQuantilesFromHistogram(
+        merged, all, "cents", Seq(250, 500, 900), 100L)
+      .orderBy($"p").collect().toSeq
+    val scratch = Quantiles.exactQuantilesTwoPass(
+        all, "cents", Seq(250, 500, 900), 100L)
+      .orderBy($"p").collect().toSeq
+    assert(inc == scratch, "delta-maintained pass 1 must equal the rebuild")
+  }
+}
