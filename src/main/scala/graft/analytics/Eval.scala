@@ -582,6 +582,63 @@ object Eval {
           col("ece_num").cast("double") / (col("n") * lit(1000L)).cast("double")))
   }
 
+  /** Average precision (the PR-AUC summary — the imbalanced-class
+    * companion of [[aucExact]]: ROC-AUC stays rosy when negatives dwarf
+    * positives; AP collapses with precision). Tie-aware group-inclusive
+    * definition: over distinct scores s in DESCENDING order,
+    * AP = (1/P)·Σ_s p_s · prec(s), where prec(s) = tp_cum/(tp_cum+fp_cum)
+    * is the precision of the cut that keeps everything scoring ≥ s
+    * (ties enter together — disclosed semantics, the sklearn step-wise
+    * variant without interpolation).
+    *
+    * Plan shape: the same bucketed two-level cumulative as [[aucExact]]
+    * (bucket frame = the ONLY global window, in-bucket cumulatives
+    * partitioned by bucket), plus the [[ndcgDiscounts]] integer-grid
+    * discipline for the fold: per-value precisions are quantized to
+    * round(2³⁰·prec) — ONE fixed-order division per distinct score — so
+    * Σ p_s·prec_grid is an ORDER-FREE exact DECIMAL(38) sum (a raw double
+    * fold would be aggregation-order-dependent and engine-divergent under
+    * windowed summation). Relative quantization error < 1e-9, far below
+    * any ranking decision; `ap_num` ships as a canonical digit string,
+    * `average_precision` is one final division.
+    */
+  def averagePrecision(df: DataFrame, scoreCents: Column, label: Column,
+                       bucketWidth: Long = 2048L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val grid = 1073741824.0 // 2^30
+    val perVal = df
+      .select(scoreCents.cast("long").as("s"), label.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
+      .withColumn("b", expr(s"s div $bucketWidth"))
+    // descending cumulative: buckets above b, then in-bucket values above s
+    val bucketFrame = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = perVal.groupBy(col("b"))
+      .agg(sum(col("p")).as("pb"), sum(col("n")).as("nb"))
+      .withColumn("cum_pb", coalesce(sum(col("pb")).over(bucketFrame), lit(0L)))
+      .withColumn("cum_nb", coalesce(sum(col("nb")).over(bucketFrame), lit(0L)))
+      .select(col("b"), col("cum_pb"), col("cum_nb"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = broadcast(perVal.agg(
+      sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg")))
+    perVal
+      .join(broadcast(bucketCum), Seq("b"))
+      .withColumn("tp_cum", col("cum_pb") + sum(col("p")).over(inBucket))
+      .withColumn("fp_cum", col("cum_nb") + sum(col("n")).over(inBucket))
+      .withColumn("prec_grid",
+        round(lit(grid) * col("tp_cum").cast("double") /
+          (col("tp_cum") + col("fp_cum")).cast("double"), 0).cast("long"))
+      .agg(sum(dec(col("p")) * dec(col("prec_grid")))
+        .cast("decimal(38,0)").as("ap_num"))
+      .crossJoin(totals)
+      .select(col("n_pos"), col("n_neg"), canon(col("ap_num")).as("ap_num"),
+        when(col("n_pos") > 0,
+          col("ap_num").cast("double") / (lit(grid) * col("n_pos").cast("double")))
+          .as("average_precision"))
+  }
+
   /** Confident-learning label-error audit (Northcutt et al. 2021, the
     * binary joint estimate): flag examples whose model confidence
     * contradicts their (possibly noisy) label — the triage list every

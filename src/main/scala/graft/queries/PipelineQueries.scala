@@ -522,6 +522,106 @@ object PipelineQueries {
       |SELECT u AS doc_id, min(c) AS component
       |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin
 
+  /** Pairwise clustering-quality evaluation of the near-dup components
+    * against the exact-duplicate truth — the standard ER-quality triple
+    * (pairwise precision / recall / F1): predicted pairs = Σ_c C(|c|,2)
+    * over components, truth pairs = Σ_t C(|t|,2) over md5 text groups,
+    * and agreeing pairs = Σ over (component, truth-group) CELLS of
+    * C(n_ct,2) — co-membership in both partitions, counted WITHOUT
+    * enumerating a single pair (three size aggregates on doc-keyed
+    * frames; C(n,2) sums are exact BIGINTs). Near-dup components properly
+    * contain the exact-dup groups, so recall is provably 1 here and
+    * precision strictly < 1 (near-dups beyond exact) — both re-proven
+    * under the hash along with the exact pair counts.
+    */
+  private def erEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+    val comps = s.read.parquet(componentsParquet(s, dir))
+      .select(col("id").as("doc_id"), col("component"))
+    val assigned = aug.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(comps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sz·(sz−1) is even, so the per-term integer div is exact (a double
+    // division would lose precision past 2^53 total pairs)
+    def pairsOf(g: DataFrame, sizeCol: String) =
+      g.agg(sum(expr(s"$sizeCol * ($sizeCol - 1) div 2")).as("pairs"))
+    val pred = pairsOf(assigned.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz")), "sz")
+      .select(col("pairs").as("pred_pairs"))
+    val truth = pairsOf(assigned.groupBy(col("h"))
+      .agg(count(lit(1)).as("sz")), "sz")
+      .select(col("pairs").as("truth_pairs"))
+    val both = pairsOf(assigned.groupBy(col("component"), col("h"))
+      .agg(count(lit(1)).as("sz")), "sz")
+      .select(col("pairs").as("both_pairs"))
+    pred.crossJoin(broadcast(truth)).crossJoin(broadcast(both))
+      .withColumn("pair_precision",
+        when(col("pred_pairs") > 0,
+          col("both_pairs").cast("double") / col("pred_pairs").cast("double")))
+      .withColumn("pair_recall",
+        when(col("truth_pairs") > 0,
+          col("both_pairs").cast("double") / col("truth_pairs").cast("double")))
+      .withColumn("pair_f1",
+        when(col("pred_pairs") + col("truth_pairs") > 0,
+          (col("both_pairs") * 2).cast("double") /
+            (col("pred_pairs") + col("truth_pairs")).cast("double")))
+  }
+
+  private val erEvalOracle =
+    s"""WITH RECURSIVE $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE intersection::DOUBLE / (sa.n + sb.n - intersection)::DOUBLE >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, c) AS (
+      |  SELECT u, u AS c FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, w.c FROM e JOIN walk w ON e.v = w.u
+      |),
+      |comp AS (SELECT u AS doc_id, min(c) AS component FROM walk GROUP BY u),
+      |asg AS (
+      |  SELECT a.doc_id, md5(a.text) AS h,
+      |    COALESCE(comp.component, a.doc_id) AS component
+      |  FROM aug a LEFT JOIN comp ON comp.doc_id = a.doc_id),
+      |pp AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pred_pairs
+      |  FROM (SELECT count(*) AS sz FROM asg GROUP BY component)),
+      |tp AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS truth_pairs
+      |  FROM (SELECT count(*) AS sz FROM asg GROUP BY h)),
+      |bp AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS both_pairs
+      |  FROM (SELECT count(*) AS sz FROM asg GROUP BY component, h))
+      |SELECT pred_pairs, truth_pairs, both_pairs,
+      |  CASE WHEN pred_pairs > 0
+      |    THEN CAST(both_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+      |  END AS pair_precision,
+      |  CASE WHEN truth_pairs > 0
+      |    THEN CAST(both_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE)
+      |  END AS pair_recall,
+      |  CASE WHEN pred_pairs + truth_pairs > 0
+      |    THEN CAST(both_pairs * 2 AS DOUBLE)
+      |      / CAST(pred_pairs + truth_pairs AS DOUBLE)
+      |  END AS pair_f1
+      |FROM pp CROSS JOIN tp CROSS JOIN bp""".stripMargin
+
   /** Leakage-safe cluster-aware split ([[graft.text.Curation
     * .clusterAwareSplit]]) over the component table: every near-dup
     * cluster lands wholly in one of train/val/test (the
@@ -3221,6 +3321,7 @@ object PipelineQueries {
     "q_dup_clusters" -> (dupClustersQ _),
     "q_cluster_sizes" -> (clusterSizesQ _),
     "q_cluster_split" -> (clusterSplitQ _),
+    "q_er_eval" -> (erEvalQ _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
@@ -3338,6 +3439,7 @@ object PipelineQueries {
     "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_sizes" -> clusterSizesOracle,
     "q_cluster_split" -> clusterSplitOracle,
+    "q_er_eval" -> erEvalOracle,
     "q_unicode_normalize" -> unicodeNormalizeOracle,
     "q_stratified_sample" -> stratifiedSampleOracle,
     "q_weighted_sample" -> weightedSampleOracle,

@@ -1730,6 +1730,199 @@ object StatQueries {
       |  END AS ece
       |FROM a""".stripMargin
 
+  /** Average precision ([[graft.analytics.Eval.averagePrecision]]) of the
+    * cent-scaled value against the purchase label — the PR-AUC summary on
+    * the 2³⁰ precision grid; the oracle is the naive global desc-cumulative
+    * over distinct scores, so equality proves the bucketed two-level plan
+    * AND the order-free grid fold.
+    */
+  private def avgPrecisionQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Eval.averagePrecision(
+      Tables.events(s, dir),
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type") === "purchase")
+
+  private val avgPrecisionOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |pv AS (
+      |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n
+      |  FROM e GROUP BY s),
+      |c AS (
+      |  SELECT s, p, n,
+      |    CAST(sum(p) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS tp_cum,
+      |    CAST(sum(n) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS fp_cum
+      |  FROM pv),
+      |g AS (
+      |  SELECT p, CAST(round(CAST(1073741824 AS DOUBLE)
+      |    * CAST(tp_cum AS DOUBLE) / CAST(tp_cum + fp_cum AS DOUBLE))
+      |    AS BIGINT) AS prec_grid
+      |  FROM c),
+      |t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+      |  CAST(sum(n) AS BIGINT) AS n_neg FROM pv),
+      |a AS (SELECT CAST(sum(CAST(p AS HUGEINT) * prec_grid)
+      |  AS DECIMAL(38,0)) AS ap_num FROM g)
+      |SELECT n_pos, n_neg, CAST(ap_num AS VARCHAR) AS ap_num,
+      |  CASE WHEN n_pos > 0
+      |    THEN CAST(ap_num AS DOUBLE) /
+      |      (CAST(1073741824 AS DOUBLE) * CAST(n_pos AS DOUBLE))
+      |  END AS average_precision
+      |FROM a, t""".stripMargin
+
+  /** Fleiss' κ across three deterministic raters (value-threshold
+    * classifiers at different operating points) — chance-corrected
+    * agreement for MORE than two raters, the annotation-quality gate of
+    * labeling pipelines (Cohen's κ only compares a pair). Per-item
+    * agreement Σ_c n_ic(n_ic−1) needs NO per-item grouping — the three
+    * ratings are columns, so the per-class counts are when-sums in one
+    * projection — and both κ components reduce to exact integers:
+    * P̄o = A / (N·k·(k−1)) with A = Σ_i Σ_c n_ic(n_ic−1), and
+    * P̄e = B / (N·k)² with B = Σ_c (Σ_i n_ic)². κ is assembled
+    * cross-multiplied in DECIMAL(38) — one final division, no mean ever
+    * materializes as a float. One map-combined aggregate, zero joins.
+    */
+  private def fleissKappaQ(s: SparkSession, dir: String): DataFrame = {
+    def rate(thr: Double) = when(col("value") >= thr, lit(1L)).otherwise(lit(0L))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val k = 3L
+    val rated = Tables.events(s, dir)
+      .select(rate(90).as("r1"), rate(100).as("r2"), rate(110).as("r3"))
+      .select((col("r1") + col("r2") + col("r3")).as("n_pos"))
+      .select(col("n_pos"), (lit(k) - col("n_pos")).as("n_neg"))
+    rated
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_pos") * (col("n_pos") - 1) + col("n_neg") * (col("n_neg") - 1))
+          .as("agree_num"),
+        sum(col("n_pos")).as("tot_pos"),
+        sum(col("n_neg")).as("tot_neg"))
+      .select(col("n_items"), col("agree_num"), col("tot_pos"), col("tot_neg"),
+        when(col("n_items") > 0, {
+          val nk = dec(col("n_items")) * lit(k)
+          val a = dec(col("agree_num"))
+          val b = dec(col("tot_pos")) * dec(col("tot_pos")) +
+            dec(col("tot_neg")) * dec(col("tot_neg"))
+          val kk1 = dec(col("n_items")) * lit(k * (k - 1))
+          ((a * nk * nk - b * kk1).cast("double") /
+            (kk1 * (nk * nk - b)).cast("double"))
+        }).as("fleiss_kappa"))
+  }
+
+  private val fleissKappaOracle =
+    """WITH r AS (
+      |  SELECT (CASE WHEN value >= 90 THEN 1 ELSE 0 END
+      |    + CASE WHEN value >= 100 THEN 1 ELSE 0 END
+      |    + CASE WHEN value >= 110 THEN 1 ELSE 0 END) AS n_pos
+      |  FROM events),
+      |b AS (SELECT n_pos, 3 - n_pos AS n_neg FROM r),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(n_pos * (n_pos - 1) + n_neg * (n_neg - 1)) AS BIGINT)
+      |      AS agree_num,
+      |    CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+      |    CAST(sum(n_neg) AS BIGINT) AS tot_neg
+      |  FROM b)
+      |SELECT n_items, agree_num, tot_pos, tot_neg,
+      |  CASE WHEN n_items > 0 THEN
+      |    CAST(CAST(agree_num AS HUGEINT) * (n_items * 3) * (n_items * 3)
+      |      - (CAST(tot_pos AS HUGEINT) * tot_pos
+      |         + CAST(tot_neg AS HUGEINT) * tot_neg) * (n_items * 6)
+      |      AS DOUBLE) /
+      |    CAST(CAST(n_items AS HUGEINT) * 6 *
+      |      (CAST(n_items AS HUGEINT) * 3 * (n_items * 3)
+      |       - (CAST(tot_pos AS HUGEINT) * tot_pos
+      |          + CAST(tot_neg AS HUGEINT) * tot_neg))
+      |      AS DOUBLE)
+      |  END AS fleiss_kappa
+      |FROM a""".stripMargin
+
+  /** Cramér's V between the event type and the value band — the
+    * normalized-association companion of the χ² drift test (χ² says
+    * "dependent", V says "how strongly" on a 0..1 scale comparable across
+    * table shapes). Per-cell χ² terms are exact cross-multiplied integers
+    * ((O·n − r·c)² over n·r·c, DECIMAL(38) internals; the expected count
+    * never materializes as a float), and the fold over cells rides an
+    * ORDERED cumulative window on the class²-bounded cell frame — a fixed
+    * summation order both engines replay, so the double is hash-stable
+    * (terms are non-negative, so the cumulative's max IS the total).
+    */
+  private def cramersVQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val band = when(col("value") >= 300, "error")
+      .when(col("value") >= 200, "click")
+      .when(col("value") >= 100, "purchase")
+      .when(col("value") >= 50, "view")
+      .otherwise("signup")
+    val cm = Tables.events(s, dir)
+      .groupBy(col("event_type").as("truth"), band.as("pred"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rT = cm.groupBy(col("truth")).agg(sum(col("o")).as("r"))
+    val cT = cm.groupBy(col("pred")).agg(sum(col("o")).as("c"))
+    val tot = cm.agg(sum(col("o")).as("n"),
+      countDistinct(col("truth")).as("nr"), countDistinct(col("pred")).as("nc"))
+    val cells = cm
+      .join(broadcast(rT), Seq("truth"))
+      .join(broadcast(cT), Seq("pred"))
+      .crossJoin(broadcast(tot))
+    val num = dec(col("o")) * dec(col("n")) - dec(col("r")) * dec(col("c"))
+    val den = dec(col("n")) * dec(col("r")) * dec(col("c"))
+    val term = (num.cast("double") * num.cast("double")) / den.cast("double")
+    val w = Window.orderBy(col("truth"), col("pred"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("__cum", sum(term).over(w))
+      .agg(max(col("n")).as("n"), max(col("nr")).as("n_rows_cls"),
+        max(col("nc")).as("n_cols_cls"), max(col("__cum")).as("chi2"))
+      .withColumn("cramers_v",
+        when(col("n") > 0 && least(col("n_rows_cls"), col("n_cols_cls")) > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("n_rows_cls"), col("n_cols_cls")) - 1).cast("double")))))
+  }
+
+  private val cramersVOracle =
+    """WITH p AS (
+      |  SELECT event_type AS truth,
+      |    CASE WHEN value >= 300 THEN 'error' WHEN value >= 200 THEN 'click'
+      |         WHEN value >= 100 THEN 'purchase' WHEN value >= 50 THEN 'view'
+      |         ELSE 'signup' END AS pred
+      |  FROM events),
+      |cm AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS o
+      |  FROM p GROUP BY truth, pred),
+      |rt AS (SELECT truth, CAST(sum(o) AS BIGINT) AS r FROM cm GROUP BY truth),
+      |ct AS (SELECT pred, CAST(sum(o) AS BIGINT) AS c FROM cm GROUP BY pred),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT truth) AS BIGINT) AS nr,
+      |  CAST(count(DISTINCT pred) AS BIGINT) AS nc FROM cm),
+      |cells AS (
+      |  SELECT cm.truth, cm.pred, cm.o, rt.r, ct.c, tt.n, tt.nr, tt.nc,
+      |    CAST(CAST(cm.o AS HUGEINT) * tt.n - CAST(rt.r AS HUGEINT) * ct.c
+      |      AS DECIMAL(38,0)) AS num,
+      |    CAST(CAST(tt.n AS HUGEINT) * rt.r * ct.c AS DECIMAL(38,0)) AS den
+      |  FROM cm JOIN rt USING (truth) JOIN ct USING (pred) CROSS JOIN tt),
+      |cum AS (
+      |  SELECT n, nr, nc,
+      |    sum((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |        / CAST(den AS DOUBLE))
+      |      OVER (ORDER BY truth, pred
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cchi
+      |  FROM cells)
+      |SELECT max(n) AS n, max(nr) AS n_rows_cls, max(nc) AS n_cols_cls,
+      |  max(cchi) AS chi2,
+      |  CASE WHEN max(n) > 0 AND least(max(nr), max(nc)) > 1
+      |    THEN sqrt(max(cchi) / (CAST(max(n) AS DOUBLE)
+      |      * CAST(least(max(nr), max(nc)) - 1 AS DOUBLE)))
+      |  END AS cramers_v
+      |FROM cum""".stripMargin
+
   /** Confident-learning label-error audit
     * ([[graft.analytics.Eval.confidentLabelErrors]]) of the purchase flag
     * against the brier pseudo-confidence: exact cross-multiplied
@@ -1898,6 +2091,9 @@ object StatQueries {
     "q_ece" -> (eceQ _),
     "q_cohens_d" -> (cohensDQ _),
     "q_label_errors" -> (labelErrorsQ _),
+    "q_cramers_v" -> (cramersVQ _),
+    "q_average_precision" -> (avgPrecisionQ _),
+    "q_fleiss_kappa" -> (fleissKappaQ _),
     "q_regression_metrics" -> (regressionMetricsQ _),
     "q_rfm" -> (rfmQ _),
     "q_profile_drift" -> (profileDriftQ _),
@@ -1941,6 +2137,9 @@ object StatQueries {
     "q_ece" -> eceOracle,
     "q_cohens_d" -> cohensDOracle,
     "q_label_errors" -> labelErrorsOracle,
+    "q_cramers_v" -> cramersVOracle,
+    "q_average_precision" -> avgPrecisionOracle,
+    "q_fleiss_kappa" -> fleissKappaOracle,
     "q_regression_metrics" -> regressionMetricsOracle,
     "q_rfm" -> rfmOracle,
     "q_profile_drift" -> profileDriftOracle,

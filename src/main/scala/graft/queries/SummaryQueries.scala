@@ -1359,6 +1359,62 @@ object SummaryQueries {
       .orderBy(col("idx"))
   }
 
+  /** LIVE quantile-histogram maintenance: the two-pass quantile plan's
+    * pass 1 (the bucket histogram — the only full-scan stage) kept
+    * current by a complete-mode streaming aggregation, with pass 2's
+    * straddling-bucket selection run as a batch query against the sink
+    * state + base table — the production split of "state maintained live,
+    * selection paid at query time". Completes the batch / CDC-incremental
+    * / streaming triple for the quantile family (the count-min and HLL
+    * precedents); the oracle is the naive global row_number selection
+    * over the full table, so streaming maintenance ≡ batch rebuild is
+    * under the hash.
+    */
+  private def streamQuantileQ(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val bw = 1000L
+    val name = "graft_stream_qh_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = raw
+      .filter(col("value").isNotNull)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"cents div $bw"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val base = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+    graft.analytics.Quantiles.exactQuantilesFromHistogram(
+        s.table(name), base, "cents", Seq(250, 500, 750, 900),
+        bucketWidth = bw)
+      .orderBy(col("p"))
+  }
+
+  private val streamQuantileOracle =
+    """WITH c AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE value IS NOT NULL),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      |pp AS (SELECT unnest([250, 500, 750, 900]) AS p),
+      |kk AS (SELECT CAST(p AS INTEGER) AS p, n,
+      |  CAST((n * p + 999) // 1000 AS BIGINT) AS k FROM pp, nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+      |SELECT kk.p, kk.n, kk.k, r.cents AS value_cents
+      |FROM kk JOIN r ON r.rn = kk.k
+      |ORDER BY p""".stripMargin
+
   /** Incrementally maintained exact quantiles
     * ([[graft.analytics.Quantiles.exactQuantilesFromHistogram]]): the
     * bucket histogram — pass 1, the only full-scan stage — is kept live
@@ -1443,6 +1499,7 @@ object SummaryQueries {
     "q_count_min_incremental" -> (countMinIncrementalQ _),
     "q_hll_incremental" -> (hllIncrementalQ _),
     "q_quantiles_incremental" -> (quantilesIncrementalQ _),
+    "q_stream_quantile" -> (streamQuantileQ _),
     "q_winnowing" -> (winnowingQ _),
     "q_quantiles_2pass" -> (quantiles2passQ _),
     "q_ab_test" -> (abTestQ _),
@@ -1474,6 +1531,7 @@ object SummaryQueries {
     "q_count_min_incremental" -> countMinIncrementalOracle,
     "q_hll_incremental" -> hllIncrementalOracle,
     "q_quantiles_incremental" -> quantilesIncrementalOracle,
+    "q_stream_quantile" -> streamQuantileOracle,
     "q_winnowing" -> winnowingOracle,
     "q_quantiles_2pass" -> quantiles2passOracle,
     "q_ab_test" -> abTestOracle,

@@ -94,6 +94,33 @@ class Round10OpsSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("averagePrecision: hand case on the 2^30 grid; only the bucket-frame window is global") {
+    // scores desc: 30(y=1), 20(y=0), 10(y=1) → prec terms 1/1, skip, 2/3
+    val d = Seq((30L, 1), (20L, 0), (10L, 1)).toDF("s", "y")
+    val r = Eval.averagePrecision(d, $"s", $"y" === 1)
+      .select($"n_pos", $"n_neg", $"average_precision")
+      .as[(Long, Long, Double)].head()
+    assert(r._1 == 2L && r._2 == 1L)
+    val expected = (1.0 + math.round(math.pow(2, 30) * 2.0 / 3.0) / math.pow(2, 30)) / 2.0
+    assert(math.abs(r._3 - expected) < 1e-12, s"ap ${r._3} != $expected")
+    // a perfect ranking scores 1.0 exactly (every prefix precision is 1)
+    val perfect = Eval.averagePrecision(
+      Seq((30L, 1), (20L, 1), (10L, 0)).toDF("s", "y"), $"s", $"y" === 1)
+      .select($"average_precision").as[Double].head()
+    assert(perfect == 1.0)
+    // plan: the only global window rides the bucket-aggregate frame
+    val big = (1 to 400).map(i => (i.toLong * 17 % 509, i % 4 == 0)).toDF("s", "y")
+    val out = Eval.averagePrecision(big, $"s", $"y")
+    val globals = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.size == 1, "exactly the bucket-frame window may be global")
+    assert(globals.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the global window must sit above the bucket histogram")
+  }
+
   test("exactQuantilesFromHistogram: delta-merged histogram ≡ from-scratch") {
     val all = (1L to 1000L).map(v => v * 7L % 5000L).toDF("cents")
     val v1 = all.filter($"cents" % 10 =!= 0)
