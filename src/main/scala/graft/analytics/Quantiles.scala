@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,37 @@ object Quantiles {
     // pass 1: bounded histogram + cumulative counts (metadata-sized frame)
     val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     exactQuantilesFromHistogram(hist, df, centsCol, permille, bucketWidth)
+  }
+
+  /** Exact k-th order statistic with a caller-supplied rank rule k(n) —
+    * the [[exactQuantilesTwoPass]] machinery opened up for selections that
+    * are not permille cuts (the conformal-calibration rank
+    * ⌈(n+1)(1−α)⌉, winsorization bounds, top-k-th thresholds). Same
+    * plan: bounded histogram, cumulative over the metadata-sized bucket
+    * frame, ONE straddling bucket re-read. One row: `n`, `k`,
+    * `value_cents`.
+    */
+  def exactOrderStatistic(df: DataFrame, centsCol: String,
+                          rankFromN: Column => Column,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val cents = df.select(col(centsCol).as("c"))
+      .withColumn("bucket", expr(s"c div $bucketWidth"))
+    val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val targets = hist.agg(sum(col("cnt")).as("n"))
+      .select(col("n"), rankFromN(col("n")).as("k"))
+      .join(cum, col("k") > col("cum_prev") && col("k") <= col("cum"))
+      .select(col("n"), col("k"), col("bucket"), col("cum_prev").as("below"))
+    val inBucket = Window.partitionBy(col("k")).orderBy(col("c"))
+    cents.join(broadcast(targets), Seq("bucket"))
+      .withColumn("__rk", row_number().over(inBucket))
+      .filter(col("__rk") === col("k") - col("below"))
+      .select(col("n"), col("k"), col("c").as("value_cents"))
   }
 
   /** [[exactQuantilesTwoPass]] with pass 1's histogram supplied by the

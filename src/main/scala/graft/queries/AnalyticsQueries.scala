@@ -1546,8 +1546,7 @@ object AnalyticsQueries {
     */
   private def frequentPairsQ(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Itemsets.frequentPairs(
-        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minSupport = 2L)
+        Graphs.baskets(s, dir), "basket", "item", minSupport = 2L)
       .orderBy(desc("support_ab"), col("item_a"), col("item_b"))
 
   private val frequentPairsOracle =
@@ -1572,8 +1571,8 @@ object AnalyticsQueries {
     */
   private def assocRulesQ(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Itemsets.associationRules(
-        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minSupport = 2L, minConfPct = 10)
+        Graphs.baskets(s, dir), "basket", "item", minSupport = 2L,
+        minConfPct = 10)
       .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
 
   private val assocRulesOracle =
@@ -1674,8 +1673,7 @@ object AnalyticsQueries {
     */
   private def frequentTriplesQ(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Itemsets.frequentTriples(
-        graft.Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minSupport = 2L)
+        Graphs.baskets(s, dir), "basket", "item", minSupport = 2L)
       .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
 
   private val frequentTriplesOracle =

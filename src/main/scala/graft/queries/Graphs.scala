@@ -22,19 +22,44 @@ object Graphs {
   private val copurchaseTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val basketTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // collision-free, identifier-safe name per dir (hashCode collides
+  // across dirs and math.abs(Int.MinValue) is negative)
+  private def dirTag(dir: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString.take(16)
+
+  /** Distinct (basket = l_orderkey, item = l_partkey) rows, materialized
+    * once per SF dir and bucketed+sorted by basket — the shared upstream
+    * of both the co-purchase graph build and the whole itemset family
+    * (frequent pairs/triples, association rules), each of which otherwise
+    * re-scans lineitem and re-pays the same distinct shuffle. Basket
+    * bucketing co-locates the per-basket self-joins those consumers run.
+    */
+  def baskets(s: SparkSession, dir: String): DataFrame = {
+    val table = basketTables.getOrElseUpdate(dir, {
+      val name = "graft_baskets_" + dirTag(dir)
+      graft.maintain.Layout.resetTable(s, name)
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        .distinct()
+      graft.maintain.Layout.writeBucketed(b, name, "basket", 8,
+        sortCols = Seq("basket", "item"))
+      name
+    })
+    s.table(table)
+  }
+
   /** Edges (id_a < id_b) of the significant co-purchase graph: part
     * pairs sharing ≥ 2 distinct orders.
     */
   def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val table = copurchaseTables.getOrElseUpdate(dir, {
-      // collision-free, identifier-safe name per dir (hashCode collides
-      // across dirs and math.abs(Int.MinValue) is negative)
-      val name = "graft_copurchase_" + java.security.MessageDigest
-        .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+      val name = "graft_copurchase_" + dirTag(dir)
       graft.maintain.Layout.resetTable(s, name)
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val li = baskets(s, dir).select(col("basket").as("ok"), col("item").as("pk"))
       val edges = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))

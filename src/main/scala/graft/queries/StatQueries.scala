@@ -1776,6 +1776,60 @@ object StatQueries {
       |  END AS average_precision
       |FROM a, t""".stripMargin
 
+  /** Split-conformal calibration at α = 0.1: the calibration half's
+    * nonconformity threshold is the EXACT ⌈(n_cal+1)·0.9⌉-th order
+    * statistic ([[graft.analytics.Quantiles.exactOrderStatistic]] — the
+    * two-pass histogram selection, no global sort), and the held-out
+    * half's empirical coverage at that threshold is exact counts + one
+    * division. The finite-sample marginal guarantee (coverage ≥ 0.9 in
+    * expectation) is what the emitted pair (threshold, coverage) audits;
+    * the oracle is the naive global row_number selection.
+    */
+  private def conformalQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(s, dir)
+      .select(col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+    val cal = scored.filter(col("event_id") % 2 === 0)
+    val test = scored.filter(col("event_id") % 2 =!= 0)
+    val thr = graft.analytics.Quantiles.exactOrderStatistic(
+        cal, "cents", n => expr("((n + 1) * 9 + 9) div 10"),
+        bucketWidth = 1000L)
+      .select(col("n").as("n_cal"), col("k"),
+        col("value_cents").as("threshold_cents"))
+    test.crossJoin(broadcast(thr))
+      .agg(
+        max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("threshold_cents")).as("threshold_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("cents") <= col("threshold_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        when(col("n_test") > 0,
+          col("n_covered").cast("double") / col("n_test").cast("double")))
+  }
+
+  private val conformalOracle =
+    """WITH sc AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |cal AS (SELECT cents FROM sc WHERE event_id % 2 = 0),
+      |tst AS (SELECT cents FROM sc WHERE event_id % 2 <> 0),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+      |kk AS (SELECT n_cal, CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k
+      |  FROM nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM cal),
+      |th AS (SELECT kk.n_cal, kk.k, r.cents AS threshold_cents
+      |  FROM kk JOIN r ON r.rn = kk.k)
+      |SELECT th.n_cal, th.k, th.threshold_cents,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN tst.cents <= th.threshold_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_covered,
+      |  CASE WHEN count(*) > 0
+      |    THEN CAST(sum(CASE WHEN tst.cents <= th.threshold_cents
+      |        THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |  END AS coverage
+      |FROM tst CROSS JOIN th
+      |GROUP BY th.n_cal, th.k, th.threshold_cents""".stripMargin
+
   /** Fleiss' κ across three deterministic raters (value-threshold
     * classifiers at different operating points) — chance-corrected
     * agreement for MORE than two raters, the annotation-quality gate of
@@ -2094,6 +2148,7 @@ object StatQueries {
     "q_cramers_v" -> (cramersVQ _),
     "q_average_precision" -> (avgPrecisionQ _),
     "q_fleiss_kappa" -> (fleissKappaQ _),
+    "q_conformal" -> (conformalQ _),
     "q_regression_metrics" -> (regressionMetricsQ _),
     "q_rfm" -> (rfmQ _),
     "q_profile_drift" -> (profileDriftQ _),
@@ -2140,6 +2195,7 @@ object StatQueries {
     "q_cramers_v" -> cramersVOracle,
     "q_average_precision" -> avgPrecisionOracle,
     "q_fleiss_kappa" -> fleissKappaOracle,
+    "q_conformal" -> conformalOracle,
     "q_regression_metrics" -> regressionMetricsOracle,
     "q_rfm" -> rfmOracle,
     "q_profile_drift" -> profileDriftOracle,

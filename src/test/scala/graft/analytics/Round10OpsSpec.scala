@@ -121,6 +121,23 @@ class Round10OpsSpec extends SparkSpec {
     }.nonEmpty, "the global window must sit above the bucket histogram")
   }
 
+  test("exactOrderStatistic: arbitrary rank rule selects the exact k-th value") {
+    val vals = (1L to 500L).map(v => v * 13L % 997L)
+    val df = vals.toDF("cents")
+    val sorted = vals.sorted
+    // conformal rank ⌈(n+1)·0.9⌉ at n=500 → k=451
+    val r = Quantiles.exactOrderStatistic(df, "cents",
+        n => expr("((n + 1) * 9 + 9) div 10"), bucketWidth = 50L)
+      .as[(Long, Long, Long)].head()
+    assert(r._1 == 500L && r._2 == 451L)
+    assert(r._3 == sorted(450), s"k-th value ${r._3} != ${sorted(450)}")
+    // a fixed-rank rule (median) agrees with the sorted list too
+    val med = Quantiles.exactOrderStatistic(df, "cents",
+        n => expr("(n + 1) div 2"), bucketWidth = 50L)
+      .as[(Long, Long, Long)].head()
+    assert(med._3 == sorted(249))
+  }
+
   test("exactQuantilesFromHistogram: delta-merged histogram ≡ from-scratch") {
     val all = (1L to 1000L).map(v => v * 7L % 5000L).toDF("cents")
     val v1 = all.filter($"cents" % 10 =!= 0)

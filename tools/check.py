@@ -74,7 +74,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         got = norm(con.execute(
             f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')").fetchdf())
         try:
-            exp = norm(con.execute(oracles[name]).fetchdf())
+            rel = con.sql(oracles[name])
+            # Type lint the ORACLE side before pandas normalization flattens
+            # it: the driver hashes DECIMAL/HUGEINT differently than this
+            # read-through-DuckDB compare (the r9 12-query incident), and
+            # RegistrySchemaSpec can only see the Spark side. Fail loudly
+            # here so the class can't ship through the local gate.
+            banned = [(cn, str(ct)) for cn, ct in zip(rel.columns, rel.types)
+                      if "DECIMAL" in str(ct).upper()
+                      or "HUGEINT" in str(ct).upper()]
+            if banned:
+                print(f"FAIL {name}: oracle emits driver-unhashable types "
+                      f"{banned} — CAST to VARCHAR/BIGINT/DOUBLE")
+                fails += 1
+                continue
+            exp = norm(rel.fetchdf())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {e}")
             fails += 1
