@@ -399,4 +399,53 @@ object Correlation {
         when(col("variance") > 0.0, m4 / (col("variance") * col("variance")) - lit(3.0))
           .otherwise(0.0))
   }
+
+  /** First-order partial correlation r_xy·z — the linear association of x
+    * and y with the confounder z regressed out, the "is this feature
+    * signal or just a proxy" screen that plain [[regression]]/corr-matrix
+    * rows can't answer. All ten moment sums (n, Σx, Σy, Σz, Σx², Σy²,
+    * Σz², Σxy, Σxz, Σyz) are exact DECIMAL(38,0) in ONE map-combined
+    * aggregate; each pairwise r and the partial itself are single
+    * fixed-operand-order IEEE expressions over those exact sums — the
+    * statistic is bit-portable, not just its inputs. Inputs are
+    * integer-scaled by the caller (cents discipline); DECIMAL(38) holds
+    * n·Σxy for cent-scaled pairs up to ~10³⁰ row-value products.
+    */
+  def partialCorrelation(df: DataFrame, xCol: Column, yCol: Column,
+                         zCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        zCol.cast("long").as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("z"))).as("sz"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("z")) * dec(col("z"))).as("szz"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+        sum(dec(col("y")) * dec(col("z"))).as("syz"))
+    val n = col("n")
+    def num(sab: String, sa: String, sb: String): Column =
+      (dec(n) * col(sab) - col(sa) * col(sb)).cast("double")
+    def den(saa: String, sa: String): Column =
+      (dec(n) * col(saa) - col(sa) * col(sa)).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String): Column =
+      when(den(saa, sa) > lit(0.0) && den(sbb, sb) > lit(0.0),
+        num(sab, sa, sb) / sqrt(den(saa, sa) * den(sbb, sb)))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val pden = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    agg
+      .withColumn("r_xy", rxy)
+      .withColumn("r_xz", rxz)
+      .withColumn("r_yz", ryz)
+      .withColumn("r_partial",
+        when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+             col("r_yz").isNotNull && pden > lit(0.0),
+          (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(pden)))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"), col("r_partial"))
+  }
 }

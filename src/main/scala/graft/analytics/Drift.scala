@@ -135,4 +135,98 @@ object Drift {
              col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
           (pA - pB) / se))
   }
+
+  /** Best single changepoint per entity by binary segmentation: the split
+    * position maximizing the between-segment sum-of-squares reduction
+    * `gain(i) = SS(all) − SS(1..i) − SS(i+1..n)` over the (entity, time)
+    * order, with `SS = Σx² − (Σx)²/n` — the first step of the classic
+    * binary-segmentation changepoint recursion, which is the step a drift
+    * monitor actually alerts on ("WHERE did this entity's metric shift").
+    *
+    * Oracle discipline: prefix Σx and Σx² are exact DECIMAL(38,0) running
+    * sums (never emitted); each row's gain is one fixed-operand-order IEEE
+    * expression over those exact prefixes, so the per-row doubles are
+    * bit-portable and the argmax (ties → earliest split) is deterministic
+    * cross-engine.
+    *
+    * Scale shape: one shuffle on the entity key; two window passes over
+    * the same (entity, time) spec (growing prefix frame + whole-partition
+    * totals — never a shrinking frame, the r9 O(n²) trap) and a
+    * whole-partition max for the argmax. Output is one row per entity.
+    */
+  def changepoint(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                  centsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(Seq(col(entityCol).as("entity")) ++ orderCols.map(col) :+
+      centsCol.cast("long").as("cents"): _*)
+    val ord = Window.partitionBy(col("entity")).orderBy(orderCols.map(col): _*)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("entity"))
+    def ss(n: Column, sc: Column, q: Column): Column =
+      q.cast("double") - (sc.cast("double") * sc.cast("double")) / n.cast("double")
+    val scored = base
+      .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("ps", sum(dec(col("cents"))).over(pre))
+      .withColumn("pq", sum(dec(col("cents")) * dec(col("cents"))).over(pre))
+      .withColumn("n_u", count(lit(1)).over(all))
+      .withColumn("s_u", sum(dec(col("cents"))).over(all))
+      .withColumn("q_u", sum(dec(col("cents")) * dec(col("cents"))).over(all))
+      .filter(col("n_u") >= 2 && col("pos") < col("n_u"))
+      .withColumn("gain",
+        ss(col("n_u"), col("s_u"), col("q_u")) -
+          ss(col("pos"), col("ps"), col("pq")) -
+          ss(col("n_u") - col("pos"), col("s_u") - col("ps"),
+            col("q_u") - col("pq")))
+    scored
+      .withColumn("__mg", max(col("gain")).over(all))
+      .filter(col("gain") === col("__mg"))
+      .groupBy(col("entity"))
+      .agg(max(col("n_u")).as("n"), min(col("pos")).as("split_pos"),
+        max(col("__mg")).as("gain"))
+  }
+
+  /** Jensen–Shannon divergence between cohort A's and cohort B's value
+    * distributions over fixed equi-width buckets — the bounded, symmetric
+    * drift metric mixture curation actually thresholds on (χ² is unbounded,
+    * KL is asymmetric and infinite on disjoint support; JSD ∈ [0, ln 2]).
+    *
+    * Oracle discipline: bucket counts are exact BIGINTs; each bucket's two
+    * divergence terms are fixed-operand-order IEEE expressions; the
+    * cross-bucket fold rides an ORDERED cumulative over the nBuckets-bounded
+    * frame (terms are non-negative by Gibbs, so the cumulative's max is the
+    * total). `jsd_bits` divides by ln(2) COMPUTED on each engine (a 0.69…
+    * literal would parse as DECIMAL in the oracle and fold differently).
+    *
+    * Scale shape: one map-side-combined aggregate on the bucket key plus a
+    * broadcast of the one-row totals; the fold frame is nBuckets rows.
+    */
+  def jensenShannon(df: DataFrame, valueCol: String, cohortA: Column,
+                    bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
+      .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
+    val counts = df.select(bucket, cohortA.as("__a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta").cast("double")
+    val q = col("n_b").cast("double") / col("__tb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val termA = when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0))
+    val termB = when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__ca", sum(termA).over(w))
+      .withColumn("__cb", sum(termB).over(w))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        max(col("__ca")).as("kl_a"), max(col("__cb")).as("kl_b"))
+      .withColumn("jsd_nats",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          lit(0.5) * col("kl_a") + lit(0.5) * col("kl_b")))
+      .withColumn("jsd_bits", col("jsd_nats") / log(lit(2.0)))
+  }
 }

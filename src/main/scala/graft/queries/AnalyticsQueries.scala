@@ -3209,7 +3209,100 @@ object AnalyticsQueries {
       |GROUP BY fc.user_id, fc.first_click_us
       |ORDER BY fc.user_id""".stripMargin
 
+  /** Frequent temporal 2-sequences ("A occurs, then B occurs, per user") —
+    * the sequential-pattern-mining support primitive, DISTINCT from the
+    * adjacent-transition Markov counts of `q_event_transitions`: support
+    * here is EXISTENTIAL per user (some A occurrence strictly before some
+    * B occurrence, i.e. first(A) < last(B)), the PrefixSpan length-2
+    * definition. Per-user state is the k-bounded (user, type) first/last
+    * frame, so the self-join fans out at most k² rows per user — ONE
+    * shuffle on the user key, never a per-event pair join.
+    */
+  private def seqPatternsQ(s: SparkSession, dir: String): DataFrame = {
+    val occ = graft.Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = occ.groupBy(col("event_type").as("antecedent"))
+      .agg(count(lit(1)).as("ante_users"))
+    val sup = occ.as("a").join(occ.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type") &&
+        col("a.first_ts") < col("b.last_ts"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("support"))
+    sup.filter(col("support") >= 5)
+      .join(broadcast(base), Seq("antecedent"))
+      .withColumn("confidence",
+        col("support").cast("double") / col("ante_users").cast("double"))
+      .orderBy(desc("support"), col("antecedent"), col("consequent"))
+  }
+
+  private val seqPatternsOracle =
+    """WITH occ AS (
+      |  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM events GROUP BY user_id, event_type),
+      |base AS (SELECT event_type AS antecedent,
+      |  CAST(count(*) AS BIGINT) AS ante_users FROM occ GROUP BY event_type),
+      |sup AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |  CAST(count(*) AS BIGINT) AS support
+      |  FROM occ a JOIN occ b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type AND a.first_ts < b.last_ts
+      |  GROUP BY a.event_type, b.event_type)
+      |SELECT antecedent, consequent, support, ante_users,
+      |  CAST(support AS DOUBLE) / CAST(ante_users AS DOUBLE) AS confidence
+      |FROM sup JOIN base USING (antecedent)
+      |WHERE support >= 5
+      |ORDER BY support DESC, antecedent, consequent""".stripMargin
+
+  /** Per-user best changepoint ([[graft.analytics.Drift.changepoint]]):
+    * the split of each user's (ts, event_id)-ordered cent series that
+    * maximizes the between-segment SS reduction — binary segmentation's
+    * first step. Exact DECIMAL prefix sums; per-row gains are single
+    * fixed-order IEEE expressions; argmax ties break to the earliest
+    * split. The oracle replays the identical windows.
+    */
+  private def changepointQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.changepoint(
+        graft.Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+        round(col("value") * 100, 0))
+      .withColumnRenamed("entity", "user_id")
+      .orderBy(col("user_id"))
+
+  private val changepointOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+      |  sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+      |  sum(CAST(cents AS HUGEINT) * cents) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pq,
+      |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_u,
+      |  sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY user_id) AS s_u,
+      |  sum(CAST(cents AS HUGEINT) * cents) OVER (PARTITION BY user_id) AS q_u
+      |  FROM e),
+      |g AS (SELECT user_id, n_u, pos,
+      |  (CAST(q_u AS DOUBLE)
+      |     - (CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE)) / CAST(n_u AS DOUBLE))
+      |  - (CAST(pq AS DOUBLE)
+      |     - (CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE)) / CAST(pos AS DOUBLE))
+      |  - (CAST(q_u - pq AS DOUBLE)
+      |     - (CAST(s_u - ps AS DOUBLE) * CAST(s_u - ps AS DOUBLE))
+      |       / CAST(n_u - pos AS DOUBLE)) AS gain
+      |  FROM p WHERE n_u >= 2 AND pos < n_u),
+      |m AS (SELECT user_id, n_u, pos, gain,
+      |  max(gain) OVER (PARTITION BY user_id) AS mg FROM g)
+      |SELECT user_id, max(n_u) AS n, min(pos) AS split_pos, max(mg) AS gain
+      |FROM m WHERE gain = mg GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_patterns" -> (seqPatternsQ _),
+    "q_changepoint" -> (changepointQ _),
     "q_run_length" -> (runLengthQ _),
     "q_time_to_convert" -> (timeToConvertQ _),
     "q_moments" -> (momentsQ _),
@@ -3313,6 +3406,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seq_patterns" -> seqPatternsOracle,
+    "q_changepoint" -> changepointOracle,
     "q_run_length" -> runLengthOracle,
     "q_time_to_convert" -> timeToConvertOracle,
     "q_moments" -> momentsOracle,

@@ -3285,7 +3285,127 @@ object PipelineQueries {
       |  CAST(sum(id) AS BIGINT) AS sum_ids
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Zipf's-law rank–frequency fit over the top-500 corpus terms
+    * ([[graft.text.Vocab.zipfFit]]): slope/intercept/R² of the log-log OLS
+    * from five cumulative sums folded in rank order over the k-bounded
+    * frame — the template-domination audit next to Heaps' law.
+    */
+  private def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.zipfFit(Tables.documents(s, dir), k = 500)
+
+  private val zipfFitOracle =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY term ORDER BY c DESC, term LIMIT 500),
+      |r AS (SELECT
+      |  CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+      |      AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS x6,
+      |  CAST(floor(ln(CAST(c AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+      |    AS BIGINT) AS y6
+      |  FROM tf),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |  CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+      |  CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+      |  CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+      |  CAST(sum(y6 * y6) AS BIGINT) AS syy
+      |  FROM r)
+      |SELECT k, sx, sy, sxx, sxy, syy,
+      |  CASE WHEN k > 1
+      |      AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |        > CAST(0 AS DOUBLE) THEN
+      |    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  END AS slope,
+      |  CASE WHEN k > 1
+      |      AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |        > CAST(0 AS DOUBLE) THEN
+      |    (CAST(sy AS DOUBLE)
+      |      - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * CAST(sx AS DOUBLE))
+      |      / CAST(k AS DOUBLE) / CAST(1000000 AS DOUBLE)
+      |  END AS intercept,
+      |  CASE WHEN k > 1
+      |      AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > CAST(0 AS DOUBLE)
+      |      AND CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |        > CAST(0 AS DOUBLE) THEN
+      |    ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      / ((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS r2
+      |FROM g""".stripMargin
+
+  /** Add-one bigram LM perplexity of the odd-doc half under counts trained
+    * on the even-doc half ([[graft.text.NgramLm.bigramPerplexity]]) — the
+    * CCNet-style quality gate. Log-probs quantize to floor-micro-nats so
+    * the corpus total is an exact integer sum (canonical string out), and
+    * perplexity is one fixed-order exp over it.
+    */
+  private def bigramPplQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.NgramLm.bigramPerplexity(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+  }
+
+  private val bigramPplOracle =
+    """WITH tr AS (
+      |  SELECT string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |te AS (
+      |  SELECT string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 <> 0),
+      |trb AS (
+      |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM trb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM trb GROUP BY w1),
+      |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |  FROM (SELECT unnest(arr) AS t FROM tr)),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS train_bigrams FROM trb),
+      |teb AS (
+      |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM te, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+      |sc AS (
+      |  SELECT CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+      |    CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+      |        / CAST(coalesce(c1.c1, 0) + vv.v AS DOUBLE))
+      |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mn
+      |  FROM teb
+      |  LEFT JOIN c12 ON teb.w1 = c12.w1 AND teb.w2 = c12.w2
+      |  LEFT JOIN c1 ON teb.w1 = c1.w1
+      |  CROSS JOIN vv),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS test_bigrams,
+      |    CAST(sum(hit) AS BIGINT) AS hit_bigrams,
+      |    sum(CAST(mn AS HUGEINT)) AS mn_dec
+      |  FROM sc)
+      |SELECT tt.train_bigrams, vv.v AS vocab, ag.test_bigrams, ag.hit_bigrams,
+      |  CAST(ag.mn_dec AS VARCHAR) AS mn_sum,
+      |  CASE WHEN ag.test_bigrams > 0 THEN
+      |    exp((CAST(0 AS DOUBLE) - CAST(ag.mn_dec AS DOUBLE)
+      |        / CAST(1000000 AS DOUBLE)) / CAST(ag.test_bigrams AS DOUBLE))
+      |  END AS perplexity
+      |FROM ag CROSS JOIN tt CROSS JOIN vv""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> (zipfFitQ _),
+    "q_bigram_ppl" -> (bigramPplQ _),
     "q_edit_distance_er" -> (editDistanceErQ _),
     "q_er_entities" -> (erEntitiesQ _),
     "q_bpe_fertility" -> (bpeFertilityQ _),
@@ -3404,6 +3524,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_fit" -> zipfFitOracle,
+    "q_bigram_ppl" -> bigramPplOracle,
     "q_containment" -> containmentOracle,
     "q_edit_distance_er" -> editDistanceErOracle,
     "q_er_entities" -> erEntitiesOracle,

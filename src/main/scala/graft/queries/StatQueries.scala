@@ -2120,7 +2120,315 @@ object StatQueries {
       |  END AS cum_share
       |FROM c ORDER BY decile""".stripMargin
 
+  /** Kruskal–Wallis H across the five event types on cent-scaled values
+    * ([[graft.analytics.Hypothesis.kruskalWallis]]): tie-aware average
+    * ranks carried as exact twice-ranks on the value-range-bounded
+    * distinct-score frame (no global sort), H folded over the k-group
+    * ordered frame, tie numerator Σ(t³−t) emitted as canonical string.
+    */
+  private def kruskalWallisQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.kruskalWallis(
+      Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents")),
+      "event_type", "cents")
+
+  private val kruskalWallisOracle =
+    """WITH e AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY cents),
+      |r AS (SELECT cents, cnt,
+      |  2 * (sum(cnt) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1
+      |    AS trank
+      |  FROM v),
+      |ti AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_dec FROM v),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(trank AS HUGEINT)) AS sr2
+      |  FROM e JOIN r USING (cents) GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+      |  FROM g),
+      |c AS (SELECT n, k, tie_dec,
+      |  sum((CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE))
+      |      / (CAST(4 AS DOUBLE) * CAST(n_i AS DOUBLE)))
+      |    OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM g CROSS JOIN t CROSS JOIN ti),
+      |f AS (SELECT max(n) AS n, max(k) AS k, max(tie_dec) AS tie_dec,
+      |  max(cum) AS rterm,
+      |  CAST(max(CAST(n AS HUGEINT) * n * n - n) AS DOUBLE) AS nden,
+      |  CAST(max(tie_dec) AS DOUBLE) AS tie_d
+      |  FROM c)
+      |SELECT n, k, CAST(tie_dec AS VARCHAR) AS tie_num,
+      |  CASE WHEN n > 1 AND k > 1 THEN
+      |    CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+      |      + CAST(1 AS DOUBLE))) * rterm
+      |      - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+      |  END AS h,
+      |  CASE WHEN n > 1 AND k > 1
+      |      AND (CAST(1 AS DOUBLE) - tie_d / nden) > CAST(0 AS DOUBLE) THEN
+      |    (CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+      |      + CAST(1 AS DOUBLE))) * rterm
+      |      - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+      |    / (CAST(1 AS DOUBLE) - tie_d / nden)
+      |  END AS h_tie
+      |FROM f""".stripMargin
+
+  /** One-way ANOVA F across the five event types on cent-scaled values
+    * ([[graft.analytics.Hypothesis.anovaF]]) — the parametric companion of
+    * the Kruskal–Wallis gate: exact per-group (n, Σx, Σx²) DECIMAL
+    * internals, between/within SS from the k-group ordered fold, Σx/Σx²
+    * emitted as canonical strings.
+    */
+  private def anovaFQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.anovaF(
+      Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents")),
+      "event_type", "cents")
+
+  private val anovaFOracle =
+    """WITH e AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(cents AS HUGEINT)) AS s_i,
+      |  sum(CAST(cents AS HUGEINT) * cents) AS q_i
+      |  FROM e GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |  sum(s_i) AS s_all, sum(q_i) AS q_all FROM g),
+      |c AS (SELECT n, k, s_all, q_all,
+      |  sum((CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)) / CAST(n_i AS DOUBLE))
+      |    OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM g CROSS JOIN t),
+      |f AS (SELECT max(n) AS n, max(k) AS k, max(s_all) AS s_all,
+      |  max(q_all) AS q_all, max(cum) AS rterm FROM c),
+      |x AS (SELECT n, k, s_all, q_all,
+      |  rterm - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS ssb,
+      |  CAST(q_all AS DOUBLE) - rterm AS ssw
+      |  FROM f)
+      |SELECT n, k, CAST(s_all AS VARCHAR) AS sum_cents,
+      |  CAST(q_all AS VARCHAR) AS sumsq_cents, ssb, ssw,
+      |  CASE WHEN k > 1 AND n > k AND ssw > CAST(0 AS DOUBLE) THEN
+      |    (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+      |  END AS f
+      |FROM x""".stripMargin
+
+  /** Mutual information between the event type and the value band
+    * ([[graft.analytics.Hypothesis.mutualInformation]]) — the
+    * feature-informativeness companion of Cramér's V on the SAME cell
+    * frame: exact cell/marginal counts, three ordered double folds
+    * (cells, row marginals, column marginals), normalized MI against the
+    * smaller marginal entropy.
+    */
+  private def mutualInfoQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.mutualInformation(
+      Tables.events(s, dir),
+      col("event_type"),
+      when(col("value") >= 300, "error")
+        .when(col("value") >= 200, "click")
+        .when(col("value") >= 100, "purchase")
+        .when(col("value") >= 50, "view")
+        .otherwise("signup"))
+
+  private val mutualInfoOracle =
+    """WITH p AS (
+      |  SELECT event_type AS a,
+      |    CASE WHEN value >= 300 THEN 'error' WHEN value >= 200 THEN 'click'
+      |         WHEN value >= 100 THEN 'purchase' WHEN value >= 50 THEN 'view'
+      |         ELSE 'signup' END AS b
+      |  FROM events),
+      |cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM p GROUP BY a, b),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cm GROUP BY a),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cm GROUP BY b),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cm),
+      |mi AS (SELECT n,
+      |  sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+      |        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))
+      |    OVER (ORDER BY a, b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM cm JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt),
+      |ha AS (SELECT
+      |  sum((CAST(0 AS DOUBLE) - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM rt CROSS JOIN tt),
+      |hb AS (SELECT
+      |  sum((CAST(0 AS DOUBLE) - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM ct CROSS JOIN tt),
+      |f AS (SELECT (SELECT max(n) FROM mi) AS n,
+      |  (SELECT max(cum) FROM mi) AS mi_nats,
+      |  (SELECT max(cum) FROM ha) AS h_a,
+      |  (SELECT max(cum) FROM hb) AS h_b)
+      |SELECT n, mi_nats, h_a, h_b,
+      |  CASE WHEN least(h_a, h_b) > CAST(0 AS DOUBLE)
+      |    THEN mi_nats / least(h_a, h_b) END AS nmi
+      |FROM f""".stripMargin
+
+  /** Value-at-risk and expected shortfall (CVaR) of cent-scaled event
+    * values at the 95% level: VaR is the EXACT ⌈0.95n⌉-th order statistic
+    * via [[graft.analytics.Quantiles.exactOrderStatistic]] (two-pass
+    * bounded histogram, no global sort), ES is the exact upper-tail
+    * mean (BIGINT tail sum + one division). The oracle is the naive
+    * global row_number selection.
+    */
+  private def cvarQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(s, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+    val thr = graft.analytics.Quantiles.exactOrderStatistic(
+        scored, "cents", n => expr("(n * 95 + 99) div 100"), bucketWidth = 1000L)
+      .select(col("n"), col("k"), col("value_cents").as("var_cents"))
+    scored.crossJoin(broadcast(thr))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        max(col("var_cents")).as("var_cents"),
+        sum(when(col("cents") >= col("var_cents"), 1L).otherwise(0L)).as("tail_n"),
+        sum(when(col("cents") >= col("var_cents"), col("cents")).otherwise(0L))
+          .as("tail_sum"))
+      .withColumn("es", when(col("tail_n") > 0,
+        col("tail_sum").cast("double") / col("tail_n").cast("double")))
+  }
+
+  private val cvarOracle =
+    """WITH sc AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+      |kk AS (SELECT n, CAST((n * 95 + 99) // 100 AS BIGINT) AS k FROM nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM sc),
+      |th AS (SELECT kk.n, kk.k, r.cents AS var_cents
+      |  FROM kk JOIN r ON r.rn = kk.k),
+      |ag AS (SELECT th.n, th.k, th.var_cents,
+      |  CAST(sum(CASE WHEN sc.cents >= th.var_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS tail_n,
+      |  CAST(sum(CASE WHEN sc.cents >= th.var_cents THEN sc.cents ELSE 0 END)
+      |    AS BIGINT) AS tail_sum
+      |  FROM sc CROSS JOIN th GROUP BY th.n, th.k, th.var_cents)
+      |SELECT n, k, var_cents, tail_n, tail_sum,
+      |  CASE WHEN tail_n > 0
+      |    THEN CAST(tail_sum AS DOUBLE) / CAST(tail_n AS DOUBLE)
+      |  END AS es
+      |FROM ag""".stripMargin
+
+  /** First-order partial correlation of line-item quantity and extended
+    * price with the discount regressed out
+    * ([[graft.analytics.Correlation.partialCorrelation]]): ten exact
+    * DECIMAL(38,0) moment sums in one aggregate; every r and the partial
+    * itself are single fixed-operand-order IEEE expressions over them.
+    */
+  private def partialCorrQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Correlation.partialCorrelation(
+      Tables.lineitem(s, dir),
+      round(col("l_quantity") * 100, 0),
+      round(col("l_extendedprice") * 100, 0),
+      round(col("l_discount") * 100, 0))
+
+  private val partialCorrOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS z
+      |  FROM lineitem),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |  sum(CAST(z AS HUGEINT)) AS sz,
+      |  sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+      |  sum(CAST(z AS HUGEINT) * z) AS szz,
+      |  sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * z) AS sxz,
+      |  sum(CAST(y AS HUGEINT) * z) AS syz
+      |  FROM e),
+      |r AS (SELECT n,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > CAST(0 AS DOUBLE)
+      |      AND CAST(n * syy - sy * sy AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE))
+      |  END AS r_xy,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > CAST(0 AS DOUBLE)
+      |      AND CAST(n * szz - sz * sz AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(n * sxz - sx * sz AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * szz - sz * sz AS DOUBLE))
+      |  END AS r_xz,
+      |  CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > CAST(0 AS DOUBLE)
+      |      AND CAST(n * szz - sz * sz AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(n * syz - sy * sz AS DOUBLE)
+      |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |        * CAST(n * szz - sz * sz AS DOUBLE))
+      |  END AS r_yz
+      |  FROM a)
+      |SELECT n, r_xy, r_xz, r_yz,
+      |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL AND r_yz IS NOT NULL
+      |      AND (CAST(1 AS DOUBLE) - r_xz * r_xz)
+      |        * (CAST(1 AS DOUBLE) - r_yz * r_yz) > CAST(0 AS DOUBLE) THEN
+      |    (r_xy - r_xz * r_yz)
+      |      / sqrt((CAST(1 AS DOUBLE) - r_xz * r_xz)
+      |        * (CAST(1 AS DOUBLE) - r_yz * r_yz))
+      |  END AS r_partial
+      |FROM r""".stripMargin
+
+  /** Jensen–Shannon divergence between even- and odd-user event-value
+    * distributions ([[graft.analytics.Drift.jensenShannon]]): exact bucket
+    * counts, two ordered folds over the 10-bucket frame, jsd in nats and
+    * bits (÷ ln 2 computed per engine, never a decimal literal).
+    */
+  private def jensenShannonQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.jensenShannon(
+      Tables.events(s, dir)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          col("user_id")),
+      "cents", col("user_id") % 2 === 0, bucketWidth = 5000L, nBuckets = 10)
+
+  private val jensenShannonOracle =
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(round(value * 100) AS BIGINT) // 5000, 0), 9)
+      |      AS bucket,
+      |    user_id % 2 = 0 AS a
+      |  FROM events),
+      |c AS (SELECT bucket,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      |  FROM c),
+      |d AS (SELECT bucket, n_a, n_b, ta, tb,
+      |  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+      |  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+      |  FROM c CROSS JOIN t),
+      |s AS (SELECT ta, tb,
+      |  sum(CASE WHEN n_a > 0
+      |    THEN p * ln(p / ((p + q) / CAST(2 AS DOUBLE)))
+      |    ELSE CAST(0 AS DOUBLE) END)
+      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS ca,
+      |  sum(CASE WHEN n_b > 0
+      |    THEN q * ln(q / ((p + q) / CAST(2 AS DOUBLE)))
+      |    ELSE CAST(0 AS DOUBLE) END)
+      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cb
+      |  FROM d),
+      |f AS (SELECT max(ta) AS n_a, max(tb) AS n_b,
+      |  max(ca) AS kl_a, max(cb) AS kl_b FROM s)
+      |SELECT n_a, n_b, kl_a, kl_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(0.5 AS DOUBLE) * kl_a + CAST(0.5 AS DOUBLE) * kl_b
+      |  END AS jsd_nats,
+      |  (CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(0.5 AS DOUBLE) * kl_a + CAST(0.5 AS DOUBLE) * kl_b
+      |  END) / ln(CAST(2 AS DOUBLE)) AS jsd_bits
+      |FROM f""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partial_corr" -> (partialCorrQ _),
+    "q_jensen_shannon" -> (jensenShannonQ _),
+    "q_kruskal_wallis" -> (kruskalWallisQ _),
+    "q_anova_f" -> (anovaFQ _),
+    "q_mutual_info" -> (mutualInfoQ _),
+    "q_cvar" -> (cvarQ _),
     "q_auc" -> (aucQ _),
     "q_ks_test" -> (ksQ _),
     "q_eval_metrics" -> (evalMetricsQ _),
@@ -2168,6 +2476,12 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_partial_corr" -> partialCorrOracle,
+    "q_jensen_shannon" -> jensenShannonOracle,
+    "q_kruskal_wallis" -> kruskalWallisOracle,
+    "q_anova_f" -> anovaFOracle,
+    "q_mutual_info" -> mutualInfoOracle,
+    "q_cvar" -> cvarOracle,
     "q_auc" -> aucOracle,
     "q_ks_test" -> ksOracle,
     "q_eval_metrics" -> evalMetricsOracle,

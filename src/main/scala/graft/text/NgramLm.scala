@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Add-one-smoothed bigram language model scoring — the CCNet-style
+  * perplexity gate of LLM data curation: train counts on one half of the
+  * corpus, score the other half, and a held-out document set that scores
+  * far above the corpus perplexity is boilerplate/noise.
+  *
+  * Oracle discipline: a raw per-document sum of log-probabilities is a
+  * DATA-SIZED double fold (engine-divergent under distributed summation),
+  * so each bigram's log-probability is QUANTIZED to micro-nats —
+  * `floor(ln(p)·10⁶)` (floor, not round: no rounding-mode edge; ln parity
+  * is the BM25/DSIR precedent) — and summed as exact integers
+  * (DECIMAL(38,0) internally, canonical string out). Perplexity is one
+  * fixed-operand-order exp over the exact total.
+  *
+  * Scale shape: tokenization persists the array frame before the explode
+  * (NOTES rule 1); bigrams come from one `lead` window per (doc, pos)
+  * partition; counts are two map-combined shuffles on the term keys; the
+  * test-side join shuffles on (w1, w2)/(w1) — all term-keyed, no
+  * broadcast of data-sized state; the vocab size rides a one-row
+  * broadcast.
+  */
+object NgramLm {
+
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+        split(col(textCol), "\\s+").as("arr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    tok.select(col("doc"), posexplode(col("arr")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc"), col("w1"), col("w2"))
+  }
+
+  /** One row: `train_bigrams`, `vocab`, `test_bigrams`, `hit_bigrams`
+    * (test bigrams seen in training), `mn_sum` (Σ floor(ln p · 10⁶) as
+    * canonical string) and the corpus `perplexity`.
+    */
+  def bigramPerplexity(train: DataFrame, test: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val trB = bigrams(train, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c12 = trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = trB.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(split(col(textCol), "\\s+")).as("t"))
+      .agg(countDistinct(col("t")).as("v"),
+        count(lit(1)).as("__train_tokens"))
+    val trTot = trB.agg(count(lit(1)).as("train_bigrams"))
+    val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    val mn = floor(log(p) * lit(1e6)).cast("long")
+    bigrams(test, idCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab.select(col("v"))))
+      .select(col("c12"), mn.as("mn"))
+      .agg(count(lit(1)).as("test_bigrams"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("hit_bigrams"),
+        sum(col("mn").cast("decimal(38,0)")).as("__mn_dec"))
+      .crossJoin(broadcast(vocab.select(col("v").as("vocab"))))
+      .crossJoin(broadcast(trTot))
+      .select(col("train_bigrams"), col("vocab"), col("test_bigrams"),
+        col("hit_bigrams"), col("__mn_dec").cast("string").as("mn_sum"),
+        when(col("test_bigrams") > 0,
+          exp((lit(0.0) - col("__mn_dec").cast("double") /
+            lit(1e6).cast("double")) / col("test_bigrams").cast("double")))
+          .as("perplexity"))
+  }
+}

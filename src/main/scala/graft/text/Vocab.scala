@@ -102,4 +102,58 @@ object Vocab {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Zipf's-law fit over the top-`k` rank–frequency curve: OLS of ln(freq)
+    * on ln(rank) — slope ≈ −1 is the healthy-corpus signature, a flat
+    * slope means the corpus is template-dominated (the [[heapsCurve]]
+    * companion along the OTHER axis of lexical statistics). The top-k cut
+    * plans as TakeOrderedAndProject with the (count, term) order making
+    * rank deterministic under ties.
+    *
+    * Oracle discipline: raw ln(c) folds are NOT hash-safe — Java's
+    * `Math.log` and libm diverge by 1 ulp on some integer counts (measured
+    * on this corpus: Σln(c) differed in the last bit while Σln(c)² did
+    * not). Both log coordinates therefore QUANTIZE to the floor-micro-nat
+    * integer grid (the bigram-perplexity discipline), making all five OLS
+    * sums exact BIGINTs; slope (unitless — the grid scale cancels),
+    * intercept (÷10⁶ back to nats) and R² are then single
+    * fixed-operand-order IEEE expressions over exact integers.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // k·(ln(max c)·10⁶)² must stay under 2⁶³: k ≤ 10⁴ holds for per-term
+    // counts up to ~10¹³ (ANSI fails loudly beyond, the moments precedent)
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val tf = tokens(docs).groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k)
+    val ranked = tf
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .withColumn("x6",
+        floor(log(col("rank").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("y6",
+        floor(log(col("c").cast("double")) * lit(1e6)).cast("long"))
+    val kd = col("k").cast("double")
+    val snum = kd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val sden = kd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val yden = kd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    ranked
+      .agg(count(lit(1)).as("k"), sum(col("x6")).as("sx"),
+        sum(col("y6")).as("sy"), sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("y6") * col("y6")).as("syy"))
+      .withColumn("slope", when(col("k") > 1 && sden > lit(0.0), snum / sden))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            kd / lit(1e6)))
+      .withColumn("r2",
+        when(col("slope").isNotNull && yden > lit(0.0),
+          (snum * snum) / (sden * yden)))
+      .select(col("k"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("syy"), col("slope"), col("intercept"), col("r2"))
+  }
 }

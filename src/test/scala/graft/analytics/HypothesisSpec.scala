@@ -1,0 +1,119 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the group-comparison statistics: every
+  * expected value below is hand-derived from the textbook formula, so the
+  * suite pins the MATH, not a replay of the implementation.
+  */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kruskalWallis: two separated groups, no ties — H = 27/7, tie term inert") {
+    // ranks 1..6, R_a = 6, R_b = 15:
+    // H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 174/7 - 21 = 27/7
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 50L), ("b", 60L)).toDF("grp", "cents")
+    val r = Hypothesis.kruskalWallis(df, "grp", "cents").head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[String]("tie_num") == "0")
+    assert(math.abs(r.getAs[Double]("h") - 27.0 / 7.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_tie") - 27.0 / 7.0) < 1e-12)
+  }
+
+  test("kruskalWallis: identical groups rank-tie completely — H = 0 after correction") {
+    // every value appears once per group: ranks average out, H -> 0
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("grp", "cents")
+    val r = Hypothesis.kruskalWallis(df, "grp", "cents").head()
+    // t=2 at both values: tie_num = 2*(8-2) = 12
+    assert(r.getAs[String]("tie_num") == "12")
+    assert(math.abs(r.getAs[Double]("h")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_tie")) < 1e-12)
+  }
+
+  test("anovaF: textbook two-group fixture — SSB 1350, SSW 400, F 13.5") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 50L), ("b", 60L)).toDF("grp", "cents")
+    val r = Hypothesis.anovaF(df, "grp", "cents").head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[String]("sum_cents") == "210")
+    assert(r.getAs[String]("sumsq_cents") == "9100")
+    assert(math.abs(r.getAs[Double]("ssb") - 1350.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ssw") - 400.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f") - 13.5) < 1e-9)
+  }
+
+  test("anovaF: identical groups — SSB 0, F null (ssw guard)") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("grp", "cents")
+    val r = Hypothesis.anovaF(df, "grp", "cents").head()
+    assert(math.abs(r.getAs[Double]("ssb")) < 1e-9)
+    assert(r.isNullAt(r.fieldIndex("f")))
+  }
+
+  test("mutualInformation: perfect dependence — MI = ln 2, NMI = 1") {
+    val df = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v")).toDF("a", "b")
+    val r = Hypothesis.mutualInformation(df, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_a") - math.log(2.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-12)
+  }
+
+  test("mutualInformation: independence — MI = 0") {
+    val df = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val r = Hypothesis.mutualInformation(df, col("a"), col("b")).head()
+    assert(math.abs(r.getAs[Double]("mi_nats")) < 1e-12)
+  }
+
+  test("changepoint: step series splits at the step with gain = total SS") {
+    // [0,0,0,100,100]: split after pos 3 zeroes both segment SS;
+    // gain = SS_all = 20000 - 200^2/5 = 12000
+    val df = Seq(("u1", 1, 0L), ("u1", 2, 0L), ("u1", 3, 0L),
+      ("u1", 4, 100L), ("u1", 5, 100L)).toDF("u", "t", "cents")
+    val r = Drift.changepoint(df, "u", Seq("t"), col("cents")).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("split_pos") == 3L)
+    assert(math.abs(r.getAs[Double]("gain") - 12000.0) < 1e-9)
+  }
+
+  test("partialCorrelation: confounder removed — partial equals the direct r") {
+    // z orthogonal to both x and y; x == y exactly
+    val df = Seq((1L, 1L, 1L), (2L, 2L, -1L), (3L, 3L, -1L), (4L, 4L, 1L))
+      .toDF("xv", "yv", "zv")
+    val r = Correlation.partialCorrelation(df, col("xv"), col("yv"), col("zv")).head()
+    assert(math.abs(r.getAs[Double]("r_xy") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r_xz")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r_partial") - 1.0) < 1e-12)
+  }
+
+  test("partialCorrelation: perfect confounding nulls the partial (guard)") {
+    // x == z exactly: 1 - r_xz^2 = 0 -> partial undefined, emitted NULL
+    val df = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 5L, 3L)).toDF("xv", "yv", "zv")
+    val r = Correlation.partialCorrelation(df, col("xv"), col("yv"), col("zv")).head()
+    assert(math.abs(r.getAs[Double]("r_xz") - 1.0) < 1e-12)
+    assert(r.isNullAt(r.fieldIndex("r_partial")))
+  }
+
+  test("jensenShannon: identical cohorts diverge by zero, disjoint by ln 2") {
+    val same = Seq((10L, true), (10L, false), (60L, true), (60L, false))
+      .toDF("v", "a")
+    val r1 = Drift.jensenShannon(same, "v", col("a"), 50L, 4).head()
+    assert(math.abs(r1.getAs[Double]("jsd_nats")) < 1e-12)
+    val disj = Seq((10L, true), (10L, true), (60L, false), (60L, false))
+      .toDF("v", "a")
+    val r2 = Drift.jensenShannon(disj, "v", col("a"), 50L, 4).head()
+    assert(math.abs(r2.getAs[Double]("jsd_nats") - math.log(2.0)) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("jsd_bits") - 1.0) < 1e-12)
+  }
+
+  test("changepoint: constant series ties on zero gain — earliest split wins") {
+    val df = Seq(("u1", 1, 7L), ("u1", 2, 7L), ("u1", 3, 7L)).toDF("u", "t", "cents")
+    val r = Drift.changepoint(df, "u", Seq("t"), col("cents")).head()
+    assert(r.getAs[Long]("split_pos") == 1L)
+    assert(math.abs(r.getAs[Double]("gain")) < 1e-12)
+    // single-row entities are excluded (no valid split)
+    val one = Seq(("u2", 1, 7L)).toDF("u", "t", "cents")
+    assert(Drift.changepoint(one, "u", Seq("t"), col("cents")).count() == 0L)
+  }
+}
