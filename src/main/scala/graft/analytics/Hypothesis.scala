@@ -147,4 +147,159 @@ object Hypothesis {
         when(least(col("h_a"), col("h_b")) > lit(0.0),
           col("mi_nats") / least(col("h_a"), col("h_b"))))
   }
+
+  /** Welch's unequal-variance t-test between cohort A and cohort B on
+    * integer scores: exact conditional (n, Σx, Σx²) per cohort in ONE
+    * map-combined aggregate (never two scans); means, sample variances,
+    * the t statistic and the Welch–Satterthwaite df are each single
+    * fixed-operand-order IEEE expressions over the exact sums. One row:
+    * `n_a`, `n_b`, `mean_a`, `mean_b`, `t`, `df`.
+    */
+  def welchT(df: DataFrame, cohortA: Column, centsCol: String): DataFrame = {
+    val zero = lit(0L).cast("decimal(38,0)")
+    val c = col(centsCol)
+    val agg = df.select(cohortA.as("__a"), c.as("c"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), dec(col("c"))).otherwise(zero)).as("s_a"),
+        sum(when(col("__a"), dec(col("c")) * dec(col("c"))).otherwise(zero))
+          .as("q_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("__a"), zero).otherwise(dec(col("c")))).as("s_b"),
+        sum(when(col("__a"), zero).otherwise(dec(col("c")) * dec(col("c"))))
+          .as("q_b"))
+    def meanOf(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    def varOf(q: String, s: String, n: String): Column =
+      (dec(col(n)) * col(q) - col(s) * col(s)).cast("double") /
+        (col(n).cast("double") * (col(n) - lit(1L)).cast("double"))
+    val va = varOf("q_a", "s_a", "n_a")
+    val vb = varOf("q_b", "s_b", "n_b")
+    val se2 = va / col("n_a").cast("double") + vb / col("n_b").cast("double")
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    agg
+      .withColumn("mean_a", when(col("n_a") > 0, meanOf("s_a", "n_a")))
+      .withColumn("mean_b", when(col("n_b") > 0, meanOf("s_b", "n_b")))
+      .withColumn("t",
+        when(ok && se2 > lit(0.0),
+          (col("mean_a") - col("mean_b")) / sqrt(se2)))
+      .withColumn("df",
+        when(ok && se2 > lit(0.0),
+          (se2 * se2) /
+            ((va / col("n_a").cast("double")) * (va / col("n_a").cast("double")) /
+              (col("n_a") - lit(1L)).cast("double") +
+             (vb / col("n_b").cast("double")) * (vb / col("n_b").cast("double")) /
+              (col("n_b") - lit(1L)).cast("double"))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t"), col("df"))
+  }
+
+  /** Wald–Wolfowitz runs test per entity — "is this ordered binary
+    * sequence random?", the shuffle-quality audit a training pipeline
+    * runs on its example order before committing a data shard. Runs,
+    * n1, n0 are exact BIGINTs from one lag window per (entity, order)
+    * partition; E[R] = 2·n1·n0/n + 1 and
+    * Var[R] = 2n1n0(2n1n0 − n)/(n²(n−1)) assemble from DECIMAL-exact
+    * products, and z is one fixed-order expression. Degenerate sequences
+    * (single-class, Var ≤ 0) emit NULL z.
+    */
+  def runsTest(df: DataFrame, entityCol: String, orderCols: Seq[String],
+               above: Column): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(orderCols.map(col): _*)
+    val base = df.select(Seq(col(entityCol).as("entity")) ++ orderCols.map(col) :+
+      above.as("__x"): _*)
+    val g = base
+      .withColumn("__p", lag(col("__x"), 1).over(w))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__x"), 0L).otherwise(1L)).as("n0"),
+        sum(when(col("__p").isNull || col("__p") =!= col("__x"), 1L)
+          .otherwise(0L)).as("runs"))
+    val m = dec(lit(2L)) * dec(col("n1")) * dec(col("n0"))
+    val e = m.cast("double") / col("n").cast("double") + lit(1.0)
+    val varNum = (m * (m - dec(col("n")))).cast("double")
+    val varDen = (dec(col("n")) * dec(col("n")) * (dec(col("n")) - dec(lit(1L))))
+      .cast("double")
+    g.withColumn("z",
+        when(col("n") > 1 && col("n1") > 0 && col("n0") > 0 && varNum > lit(0.0),
+          (col("runs").cast("double") - e) / sqrt(varNum / varDen)))
+      .select(col("entity"), col("n"), col("n1"), col("n0"), col("runs"),
+        col("z"))
+  }
+
+  /** Cronbach's α over `itemCols` — internal-consistency reliability of a
+    * multi-item score (the labeling-rubric audit: do the items measure one
+    * construct). Every per-item and total variance NUMERATOR
+    * (n·Σx² − (Σx)²) is exact DECIMAL(38,0) from one aggregate; their
+    * k-term sum is exact decimal addition (order-free), so
+    * α = k/(k−1)·(1 − Σᵢnumᵢ/num_total) is a single fixed-order IEEE
+    * expression. Emits the numerators as canonical strings under the hash.
+    */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, s"need >= 2 items, got ${itemCols.size}")
+    val k = itemCols.size
+    val items = itemCols.map(c => col(c).cast("long"))
+    val total = items.reduce(_ + _)
+    val aggCols =
+      itemCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(dec(col(c).cast("long"))).as(s"s_$i"),
+          sum(dec(col(c).cast("long")) * dec(col(c).cast("long"))).as(s"q_$i"))
+      } ++ Seq(sum(dec(col("__t"))).as("s_t"),
+        sum(dec(col("__t")) * dec(col("__t"))).as("q_t"))
+    val agg = df.select(itemCols.map(col) :+ total.as("__t"): _*)
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+    def num(q: String, s: String): Column = dec(col("n")) * col(q) - col(s) * col(s)
+    val itemNum = (0 until k).map(i => num(s"q_$i", s"s_$i")).reduce(_ + _)
+    val totNum = num("q_t", "s_t")
+    val kd = lit(k.toDouble)
+    agg
+      .withColumn("__in", itemNum)
+      .withColumn("__tn", totNum)
+      .select(col("n"), lit(k.toLong).as("k"),
+        col("__in").cast("string").as("item_var_num"),
+        col("__tn").cast("string").as("total_var_num"),
+        when(col("n") > 1 && totNum.cast("double") > lit(0.0),
+          kd / (kd - lit(1.0)) *
+            (lit(1.0) - col("__in").cast("double") / col("__tn").cast("double")))
+          .as("alpha"))
+  }
+
+  /** Tukey–Kramer pairwise contrasts after a one-way layout: for every
+    * group pair, |mean_i − mean_j| / √(MSW/2·(1/nᵢ + 1/nⱼ)) with MSW the
+    * pooled within-group mean square from the same exact DECIMAL moments
+    * as [[anovaF]] (the k-group ordered fold). The pair frame is k²
+    * rows — broadcast both sides; the data shuffles once.
+    */
+  def tukeyContrasts(df: DataFrame, grpCol: String, centsCol: String): DataFrame = {
+    val ev = df.select(col(grpCol).as("grp"), col(centsCol).as("cents"))
+    val g = ev.groupBy(col("grp")).agg(count(lit(1)).as("n_i"),
+      sum(dec(col("cents"))).as("s_i"),
+      sum(dec(col("cents")) * dec(col("cents"))).as("q_i"))
+    val tot = g.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+      sum(col("q_i")).as("q_all"))
+    val wg = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = (col("s_i").cast("double") * col("s_i").cast("double")) /
+      col("n_i").cast("double")
+    val msw = g.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(term).over(wg))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        max(col("q_all")).as("q_all"), max(col("__cum")).as("rterm"))
+      .select(col("n"), col("k"),
+        when(col("n") > col("k"),
+          (col("q_all").cast("double") - col("rterm")) /
+            (col("n") - col("k")).cast("double")).as("msw"))
+    val m = g.withColumn("mean",
+      col("s_i").cast("double") / col("n_i").cast("double"))
+    m.as("x").join(broadcast(m.as("y")), col("x.grp") < col("y.grp"))
+      .crossJoin(broadcast(msw))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"),
+        col("x.n_i").as("n_a"), col("y.n_i").as("n_b"),
+        col("x.mean").as("mean_a"), col("y.mean").as("mean_b"),
+        when(col("msw") > lit(0.0),
+          abs(col("x.mean") - col("y.mean")) /
+            sqrt(col("msw") / lit(2.0) *
+              (lit(1.0) / col("x.n_i").cast("double") +
+               lit(1.0) / col("y.n_i").cast("double")))).as("q_stat"))
+  }
 }

@@ -2422,7 +2422,253 @@ object StatQueries {
       |  END) / ln(CAST(2 AS DOUBLE)) AS jsd_bits
       |FROM f""".stripMargin
 
+  /** Welch's unequal-variance t between purchase and view event values
+    * ([[graft.analytics.Hypothesis.welchT]]): one conditional aggregate,
+    * exact DECIMAL moments, t and the Welch–Satterthwaite df as
+    * fixed-order expressions over them.
+    */
+  private def welchTQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.welchT(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("is_a"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      col("is_a"), "cents")
+
+  private val welchTOracle =
+    """WITH e AS (
+      |  SELECT event_type = 'purchase' AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |g AS (SELECT
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  sum(CASE WHEN a THEN CAST(c AS HUGEINT) ELSE 0 END) AS s_a,
+      |  sum(CASE WHEN a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |  sum(CASE WHEN a THEN 0 ELSE CAST(c AS HUGEINT) END) AS s_b,
+      |  sum(CASE WHEN a THEN 0 ELSE CAST(c AS HUGEINT) * c END) AS q_b
+      |  FROM e),
+      |v AS (SELECT n_a, n_b,
+      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |  CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+      |  CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+      |    / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+      |  FROM g),
+      |w AS (SELECT n_a, n_b, mean_a, mean_b, va, vb,
+      |  va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM v)
+      |SELECT n_a, n_b,
+      |  CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+      |  CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > CAST(0 AS DOUBLE) THEN
+      |    (mean_a - mean_b) / sqrt(se2)
+      |  END AS t,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > CAST(0 AS DOUBLE) THEN
+      |    (se2 * se2) /
+      |      ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+      |        / CAST(n_a - 1 AS DOUBLE)
+      |      + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+      |        / CAST(n_b - 1 AS DOUBLE))
+      |  END AS df
+      |FROM w""".stripMargin
+
+  /** Per-user Wald–Wolfowitz runs test of event values against the exact
+    * global median ([[graft.analytics.Hypothesis.runsTest]] over the
+    * [[graft.analytics.Quantiles.exactOrderStatistic]] threshold) — the
+    * shuffle-quality audit: does each user's time-ordered above/below
+    * sequence look random.
+    */
+  private def runsTestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = graft.analytics.Quantiles.exactOrderStatistic(
+        ev.select(col("cents")), "cents",
+        n => expr("(n * 500 + 999) div 1000"), bucketWidth = 1000L)
+      .select(col("value_cents").as("med"))
+    graft.analytics.Hypothesis.runsTest(
+        ev.crossJoin(broadcast(med)), "user_id", Seq("ts", "event_id"),
+        col("cents") >= col("med"))
+      .withColumnRenamed("entity", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  private val runsTestOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |kk AS (SELECT CAST((n * 500 + 999) // 1000 AS BIGINT) AS k FROM nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM e),
+      |md AS (SELECT r.cents AS med FROM kk JOIN r ON r.rn = kk.k),
+      |b AS (SELECT user_id, ts, event_id, e.cents >= md.med AS x
+      |  FROM e CROSS JOIN md),
+      |l AS (SELECT user_id, x,
+      |  lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+      |  FROM b),
+      |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN x THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+      |  CAST(sum(CASE WHEN p IS NULL OR p <> x THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS runs
+      |  FROM l GROUP BY user_id)
+      |SELECT user_id, n, n1, n0, runs,
+      |  CASE WHEN n > 1 AND n1 > 0 AND n0 > 0
+      |      AND CAST(CAST(2 AS HUGEINT) * n1 * n0
+      |        * (CAST(2 AS HUGEINT) * n1 * n0 - n) AS DOUBLE)
+      |        > CAST(0 AS DOUBLE) THEN
+      |    (CAST(runs AS DOUBLE)
+      |      - (CAST(CAST(2 AS HUGEINT) * n1 * n0 AS DOUBLE)
+      |        / CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+      |    / sqrt(CAST(CAST(2 AS HUGEINT) * n1 * n0
+      |        * (CAST(2 AS HUGEINT) * n1 * n0 - n) AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE))
+      |  END AS z
+      |FROM g ORDER BY user_id""".stripMargin
+
+  /** Cronbach's α over three cent-scaled line-item facets
+    * ([[graft.analytics.Hypothesis.cronbachAlpha]]): exact DECIMAL
+    * variance numerators (emitted as canonical strings) and a single
+    * fixed-order α expression.
+    */
+  private def cronbachQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.cronbachAlpha(
+      Tables.lineitem(s, dir).select(
+        round(col("l_quantity") * 100, 0).cast("long").as("i1"),
+        round(col("l_discount") * 10000, 0).cast("long").as("i2"),
+        round(col("l_tax") * 10000, 0).cast("long").as("i3")),
+      Seq("i1", "i2", "i3"))
+
+  private val cronbachOracle =
+    """WITH e AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS i1,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS i2,
+      |    CAST(round(l_tax * 10000) AS BIGINT) AS i3
+      |  FROM lineitem),
+      |w AS (SELECT i1, i2, i3, i1 + i2 + i3 AS t FROM e),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(i1 AS HUGEINT)) AS s1, sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+      |  sum(CAST(i2 AS HUGEINT)) AS s2, sum(CAST(i2 AS HUGEINT) * i2) AS q2,
+      |  sum(CAST(i3 AS HUGEINT)) AS s3, sum(CAST(i3 AS HUGEINT) * i3) AS q3,
+      |  sum(CAST(t AS HUGEINT)) AS st, sum(CAST(t AS HUGEINT) * t) AS qt
+      |  FROM w),
+      |x AS (SELECT n,
+      |  (n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3) AS inum,
+      |  n * qt - st * st AS tnum FROM g)
+      |SELECT n, CAST(3 AS BIGINT) AS k, CAST(inum AS VARCHAR) AS item_var_num,
+      |  CAST(tnum AS VARCHAR) AS total_var_num,
+      |  CASE WHEN n > 1 AND CAST(tnum AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(3 AS DOUBLE) / (CAST(3 AS DOUBLE) - CAST(1 AS DOUBLE))
+      |      * (CAST(1 AS DOUBLE) - CAST(inum AS DOUBLE) / CAST(tnum AS DOUBLE))
+      |  END AS alpha
+      |FROM x""".stripMargin
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance test:
+    * per-group EXACT medians from the grouped two-pass quantile kernel
+    * (no global sort), then [[graft.analytics.Hypothesis.anovaF]] on the
+    * absolute deviations — W is the F of that one-way layout. Pure
+    * composition of two existing exact kernels.
+    */
+  private def leveneQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type").as("grp"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = graft.analytics.Quantiles.exactGroupedQuantilesTwoPass(
+        ev, "grp", "cents", Seq(500), bucketWidth = 1000L)
+      .select(col("grp"), col("value_cents").as("med"))
+    graft.analytics.Hypothesis.anovaF(
+        ev.join(broadcast(med), Seq("grp"))
+          .select(col("grp"), abs(col("cents") - col("med")).as("adev")),
+        "grp", "adev")
+      .withColumnRenamed("f", "w")
+  }
+
+  private val leveneOracle =
+    """WITH e AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY grp),
+      |kk AS (SELECT grp, CAST((n * 500 + 999) // 1000 AS BIGINT) AS k FROM nn),
+      |r AS (SELECT grp, cents,
+      |  row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn FROM e),
+      |md AS (SELECT kk.grp, r.cents AS med
+      |  FROM kk JOIN r ON r.grp = kk.grp AND r.rn = kk.k),
+      |d AS (SELECT e.grp, abs(e.cents - md.med) AS adev
+      |  FROM e JOIN md ON e.grp = md.grp),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(adev AS HUGEINT)) AS s_i,
+      |  sum(CAST(adev AS HUGEINT) * adev) AS q_i
+      |  FROM d GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |  sum(s_i) AS s_all, sum(q_i) AS q_all FROM g),
+      |c AS (SELECT n, k, s_all, q_all,
+      |  sum((CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)) / CAST(n_i AS DOUBLE))
+      |    OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM g CROSS JOIN t),
+      |f AS (SELECT max(n) AS n, max(k) AS k, max(s_all) AS s_all,
+      |  max(q_all) AS q_all, max(cum) AS rterm FROM c),
+      |x AS (SELECT n, k, s_all, q_all,
+      |  rterm - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS ssb,
+      |  CAST(q_all AS DOUBLE) - rterm AS ssw
+      |  FROM f)
+      |SELECT n, k, CAST(s_all AS VARCHAR) AS sum_cents,
+      |  CAST(q_all AS VARCHAR) AS sumsq_cents, ssb, ssw,
+      |  CASE WHEN k > 1 AND n > k AND ssw > CAST(0 AS DOUBLE) THEN
+      |    (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+      |  END AS w
+      |FROM x""".stripMargin
+
+  /** Tukey–Kramer pairwise contrasts across the five event types
+    * ([[graft.analytics.Hypothesis.tukeyContrasts]]) — the post-hoc
+    * companion of `q_anova_f`: k² pair rows, MSW from the same exact
+    * DECIMAL moments, every q statistic a fixed-order expression.
+    */
+  private def tukeyQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.tukeyContrasts(
+        Tables.events(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents")
+      .orderBy(col("grp_a"), col("grp_b"))
+
+  private val tukeyOracle =
+    """WITH e AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(cents AS HUGEINT)) AS s_i,
+      |  sum(CAST(cents AS HUGEINT) * cents) AS q_i
+      |  FROM e GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |  sum(q_i) AS q_all FROM g),
+      |c AS (SELECT n, k, q_all,
+      |  sum((CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)) / CAST(n_i AS DOUBLE))
+      |    OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM g CROSS JOIN t),
+      |m AS (SELECT max(n) AS n, max(k) AS k, max(q_all) AS q_all,
+      |  max(cum) AS rterm FROM c),
+      |ms AS (SELECT CASE WHEN n > k THEN
+      |    (CAST(q_all AS DOUBLE) - rterm) / CAST(n - k AS DOUBLE)
+      |  END AS msw FROM m),
+      |mm AS (SELECT grp, n_i,
+      |  CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS mean FROM g)
+      |SELECT x.grp AS grp_a, y.grp AS grp_b, x.n_i AS n_a, y.n_i AS n_b,
+      |  x.mean AS mean_a, y.mean AS mean_b,
+      |  CASE WHEN ms.msw > CAST(0 AS DOUBLE) THEN
+      |    abs(x.mean - y.mean) / sqrt(ms.msw / CAST(2 AS DOUBLE)
+      |      * (CAST(1 AS DOUBLE) / CAST(x.n_i AS DOUBLE)
+      |        + CAST(1 AS DOUBLE) / CAST(y.n_i AS DOUBLE)))
+      |  END AS q_stat
+      |FROM mm x JOIN mm y ON x.grp < y.grp CROSS JOIN ms
+      |ORDER BY grp_a, grp_b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch_t" -> (welchTQ _),
+    "q_runs_test" -> (runsTestQ _),
+    "q_cronbach_alpha" -> (cronbachQ _),
+    "q_levene" -> (leveneQ _),
+    "q_tukey_hsd" -> (tukeyQ _),
     "q_partial_corr" -> (partialCorrQ _),
     "q_jensen_shannon" -> (jensenShannonQ _),
     "q_kruskal_wallis" -> (kruskalWallisQ _),
@@ -2476,6 +2722,11 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_welch_t" -> welchTOracle,
+    "q_runs_test" -> runsTestOracle,
+    "q_cronbach_alpha" -> cronbachOracle,
+    "q_levene" -> leveneOracle,
+    "q_tukey_hsd" -> tukeyOracle,
     "q_partial_corr" -> partialCorrOracle,
     "q_jensen_shannon" -> jensenShannonOracle,
     "q_kruskal_wallis" -> kruskalWallisOracle,

@@ -66,6 +66,47 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mi_nats")) < 1e-12)
   }
 
+  test("welchT: symmetric two-group fixture — t = -30/sqrt(200/3), df = 2(n-1)") {
+    val df = Seq((true, 10L), (true, 20L), (true, 30L),
+      (false, 40L), (false, 50L), (false, 60L)).toDF("a", "cents")
+    val r = Hypothesis.welchT(df, col("a"), "cents").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_a") - 20.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") + 30.0 / math.sqrt(200.0 / 3.0)) < 1e-12)
+    // equal n, equal variance -> Welch df collapses to 2(n-1) = 4 exactly
+    assert(math.abs(r.getAs[Double]("df") - 4.0) < 1e-12)
+  }
+
+  test("runsTest: perfect alternation z = 2/sqrt(1.2); constant sequence null") {
+    val alt = (1 to 6).map(i => ("u1", i, i % 2 == 1)).toDF("u", "t", "x")
+    val r = Hypothesis.runsTest(alt, "u", Seq("t"), col("x")).head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n1") == 3L)
+    assert(r.getAs[Long]("runs") == 6L)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(1.2)) < 1e-12)
+    val const = (1 to 4).map(i => ("u2", i, true)).toDF("u", "t", "x")
+    val r2 = Hypothesis.runsTest(const, "u", Seq("t"), col("x")).head()
+    assert(r2.getAs[Long]("runs") == 1L)
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
+  test("cronbachAlpha: duplicated item — alpha exactly 1") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("i1", "i2")
+    val r = Hypothesis.cronbachAlpha(df, Seq("i1", "i2")).head()
+    assert(r.getAs[Long]("k") == 2L)
+    // item numerators: 2*(3*14-36) = 12; total: 3*56-144 = 24
+    assert(r.getAs[String]("item_var_num") == "12")
+    assert(r.getAs[String]("total_var_num") == "24")
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0) < 1e-12)
+  }
+
+  test("tukeyContrasts: two-group fixture — q = 3*sqrt(3) on MSW 100") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 40L), ("b", 50L), ("b", 60L)).toDF("grp", "cents")
+    val r = Hypothesis.tukeyContrasts(df, "grp", "cents").head()
+    assert(r.getAs[String]("grp_a") == "a" && r.getAs[String]("grp_b") == "b")
+    assert(math.abs(r.getAs[Double]("q_stat") - 3.0 * math.sqrt(3.0)) < 1e-12)
+  }
+
   test("changepoint: step series splits at the step with gain = total SS") {
     // [0,0,0,100,100]: split after pos 3 zeroes both segment SS;
     // gain = SS_all = 20000 - 200^2/5 = 12000
