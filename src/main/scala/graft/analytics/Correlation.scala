@@ -400,6 +400,44 @@ object Correlation {
           .otherwise(0.0))
   }
 
+  /** Rolling OLS slope per entity — the windowed trend detector ("is this
+    * device's metric drifting, HOW FAST, right now") that a point slope or
+    * global regression can't give. x is the within-entity event index
+    * (row_number — integer, gap-free), y the integer-scaled metric; over
+    * the trailing `window` rows all four sums (Σx, Σy, Σxy, Σx²) are EXACT
+    * BIGINTs in one bounded window frame, so each row's slope numerator
+    * and denominator are exact longs and the slope is ONE IEEE division —
+    * bit-portable per row, no fold anywhere.
+    *
+    * Range bound: Σxy ≤ window·L·max|y| for entity length L — cent-scaled
+    * metrics hold to ~10⁹-row entities; ANSI fails loudly beyond.
+    *
+    * Scale shape: one shuffle on the entity key, ONE window pass (all
+    * sums share the frame), pure projection after. A hot entity
+    * serializes its partition — the standard windowed caveat.
+    */
+  def rollingRegression(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                        yCol: Column, window: Int): DataFrame = {
+    require(window >= 2 && window <= 4096, s"window must be in [2,4096], got $window")
+    val ord = Window.partitionBy(col("entity")).orderBy(orderCols.map(col): _*)
+    val frame = ord.rowsBetween(-(window - 1), 0)
+    val base = df.select(Seq(col(entityCol).as("entity")) ++ orderCols.map(col) :+
+        yCol.cast("long").as("y"): _*)
+      .withColumn("pos", row_number().over(ord).cast("long"))
+    val num = col("n_w") * col("sxy") - col("sx") * col("sy")
+    val den = col("n_w") * col("sx2") - col("sx") * col("sx")
+    base
+      .withColumn("n_w", count(lit(1)).over(frame))
+      .withColumn("sx", sum(col("pos")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxy", sum(col("pos") * col("y")).over(frame))
+      .withColumn("sx2", sum(col("pos") * col("pos")).over(frame))
+      .withColumn("slope",
+        when(col("n_w") > 1 && den =!= 0L,
+          num.cast("double") / den.cast("double")))
+      .select(col("entity"), col("pos"), col("y"), col("n_w"), col("slope"))
+  }
+
   /** First-order partial correlation r_xy·z — the linear association of x
     * and y with the confounder z regressed out, the "is this feature
     * signal or just a proxy" screen that plain [[regression]]/corr-matrix

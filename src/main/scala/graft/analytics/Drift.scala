@@ -136,6 +136,38 @@ object Drift {
           (pA - pB) / se))
   }
 
+  /** Two-proportion sample-size planning from an observed pilot: given
+    * unit-level conversion in two cohorts, the per-arm n required to
+    * detect the OBSERVED rate difference at significance z_α and power
+    * z_β — the "how long must this experiment run" readout next to
+    * [[abTest]]'s "is it significant yet". Counts are exact BIGINTs; the
+    * classic closed form
+    * n = (z_α·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₁−p₂)² is one
+    * fixed-operand-order IEEE expression over them (z constants must be
+    * CAST AS DOUBLE in any oracle — bare 1.96 parses as DECIMAL).
+    */
+  def powerTwoProportions(units: DataFrame, cohortA: Column, converted: Column,
+                          zAlpha: Double = 1.96, zBeta: Double = 0.84): DataFrame = {
+    val agg = units.select(cohortA.as("__a"), converted.cast("long").as("__c"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), col("__c")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("__a"), 0L).otherwise(col("__c"))).as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pbar = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    agg
+      .withColumn("rate_a", when(col("n_a") > 0, p1))
+      .withColumn("rate_b", when(col("n_b") > 0, p2))
+      .withColumn("n_required",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+             col("rate_a") =!= col("rate_b"),
+          (num * num) / ((p1 - p2) * (p1 - p2))))
+  }
+
   /** Best single changepoint per entity by binary segmentation: the split
     * position maximizing the between-segment sum-of-squares reduction
     * `gain(i) = SS(all) − SS(1..i) − SS(i+1..n)` over the (entity, time)

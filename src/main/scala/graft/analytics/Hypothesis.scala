@@ -264,6 +264,55 @@ object Hypothesis {
           .as("alpha"))
   }
 
+  /** One-way random-effects intraclass correlation ICC(1) with entities as
+    * groups — "how much of the metric's variance is BETWEEN users" — the
+    * clustered-data audit that decides whether examples from one entity
+    * are near-duplicates for sampling/dedup purposes. Unlike [[anovaF]]
+    * (whose group key is class-bounded), the group frame here is
+    * ENTITY-sized, so a double fold over it is engine-divergent in ANY
+    * shape (DuckDB's partitioned windowed sum reassociates via segment
+    * trees — measured). The between-group term therefore quantizes to
+    * cent² resolution IN EXACT ARITHMETIC: Σ(s_i² div n_i) is an
+    * order-free DECIMAL sum (flooring each group's term to an integer —
+    * a defined statistic, identical on both engines), and every derived
+    * quantity is a fixed-operand-order expression over exact integers.
+    * No window anywhere — one map-combined aggregate per level, fully
+    * scale-free.
+    */
+  def iccOneWay(df: DataFrame, grpCol: String, centsCol: String): DataFrame = {
+    val ev = df.select(col(grpCol).cast("long").as("grp"),
+      col(centsCol).as("cents"))
+    val g = ev.groupBy(col("grp")).agg(count(lit(1)).as("n_i"),
+      sum(dec(col("cents"))).as("s_i"),
+      sum(dec(col("cents")) * dec(col("cents"))).as("q_i"))
+    val tot = g
+      .withColumn("term_q", expr("(s_i * s_i) div n_i").cast("decimal(38,0)"))
+      .agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+        sum(col("s_i")).as("s_all"), sum(col("q_i")).as("q_all"),
+        sum(dec(col("n_i")) * dec(col("n_i"))).as("nsq"),
+        sum(col("term_q")).as("rterm_q"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val ssb = col("rterm") -
+      (col("s_all").cast("double") * col("s_all").cast("double")) / nd
+    val ssw = col("q_all").cast("double") - col("rterm")
+    val msb = col("ssb") / (col("k") - lit(1L)).cast("double")
+    val msw = col("ssw") / (col("n") - col("k")).cast("double")
+    val n0 = (nd - col("nsq").cast("double") / nd) / (kd - lit(1.0))
+    val den = col("msb") + (col("n0") - lit(1.0)) * col("msw")
+    tot
+      .withColumn("rterm", col("rterm_q").cast("double"))
+      .withColumn("ssb", ssb)
+      .withColumn("ssw", ssw)
+      .withColumn("msb", when(col("k") > 1, msb))
+      .withColumn("msw", when(col("n") > col("k"), msw))
+      .withColumn("n0", when(col("k") > 1, n0))
+      .select(col("n"), col("k"), col("nsq").cast("string").as("group_sq_sum"),
+        col("ssb"), col("ssw"), col("msb"), col("msw"), col("n0"),
+        when(col("k") > 1 && col("n") > col("k") && den > lit(0.0),
+          (col("msb") - col("msw")) / den).as("icc"))
+  }
+
   /** Tukey–Kramer pairwise contrasts after a one-way layout: for every
     * group pair, |mean_i − mean_j| / √(MSW/2·(1/nᵢ + 1/nⱼ)) with MSW the
     * pooled within-group mean square from the same exact DECIMAL moments

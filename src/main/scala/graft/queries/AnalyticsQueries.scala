@@ -3300,7 +3300,44 @@ object AnalyticsQueries {
       |SELECT user_id, max(n_u) AS n, min(pos) AS split_pos, max(mg) AS gain
       |FROM m WHERE gain = mg GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Per-user rolling OLS slope over the trailing 8 events
+    * ([[graft.analytics.Correlation.rollingRegression]]): x is the
+    * within-user event index, all four window sums are exact BIGINTs, and
+    * each row's slope is one exact-integer division — the windowed trend
+    * detector, bit-portable per row with no fold anywhere.
+    */
+  private def rollingRegQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Correlation.rollingRegression(
+        graft.Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+        round(col("value") * 100, 0), window = 8)
+      .withColumnRenamed("entity", "user_id")
+      .orderBy(col("user_id"), col("pos"))
+
+  private val rollingRegOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |p AS (SELECT user_id, y,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS BIGINT) AS pos
+      |  FROM e),
+      |w AS (SELECT user_id, pos, y,
+      |  CAST(count(*) OVER fr AS BIGINT) AS n_w,
+      |  CAST(sum(pos) OVER fr AS BIGINT) AS sx,
+      |  CAST(sum(y) OVER fr AS BIGINT) AS sy,
+      |  CAST(sum(pos * y) OVER fr AS BIGINT) AS sxy,
+      |  CAST(sum(pos * pos) OVER fr AS BIGINT) AS sx2
+      |  FROM p WINDOW fr AS (PARTITION BY user_id ORDER BY pos
+      |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, pos, y, n_w,
+      |  CASE WHEN n_w > 1 AND n_w * sx2 - sx * sx <> 0 THEN
+      |    CAST(n_w * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_w * sx2 - sx * sx AS DOUBLE)
+      |  END AS slope
+      |FROM w ORDER BY user_id, pos""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_regression" -> (rollingRegQ _),
     "q_seq_patterns" -> (seqPatternsQ _),
     "q_changepoint" -> (changepointQ _),
     "q_run_length" -> (runLengthQ _),
@@ -3406,6 +3443,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_regression" -> rollingRegOracle,
     "q_seq_patterns" -> seqPatternsOracle,
     "q_changepoint" -> changepointOracle,
     "q_run_length" -> runLengthOracle,

@@ -3403,7 +3403,36 @@ object PipelineQueries {
       |  END AS perplexity
       |FROM ag CROSS JOIN tt CROSS JOIN vv""".stripMargin
 
+  /** Chao1 vocabulary-richness and Good–Turing unseen mass per source
+    * ([[graft.text.Vocab.chao1]]) — exact singleton/doubleton counts, two
+    * fixed-order estimates: how much vocabulary each source still hides.
+    */
+  private def chao1Q(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.chao1(Tables.documents(s, dir)).orderBy(col("source"))
+
+  private val chao1Oracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |pt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      |  FROM tok GROUP BY source, term),
+      |g AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM pt GROUP BY source)
+      |SELECT source, n_tokens, vocab, f1, f2,
+      |  CAST(vocab AS DOUBLE)
+      |    + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - CAST(1 AS DOUBLE))
+      |      / (CAST(2 AS DOUBLE) * (CAST(f2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+      |    AS chao1,
+      |  CASE WHEN n_tokens > 0
+      |    THEN CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |  END AS gt_unseen_mass
+      |FROM g ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chao1" -> (chao1Q _),
     "q_zipf_fit" -> (zipfFitQ _),
     "q_bigram_ppl" -> (bigramPplQ _),
     "q_edit_distance_er" -> (editDistanceErQ _),
@@ -3524,6 +3553,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_chao1" -> chao1Oracle,
     "q_zipf_fit" -> zipfFitOracle,
     "q_bigram_ppl" -> bigramPplOracle,
     "q_containment" -> containmentOracle,

@@ -494,7 +494,80 @@ object SelectionQueries {
        |SELECT n_keys, n_moved, max_load, min_load FROM mv, ld""".stripMargin
   }
 
+  /** Positive PMI over the skip-gram co-occurrence matrix — the
+    * Levy–Goldberg word-embedding primitive (SGNS ≈ factorizing exactly
+    * this matrix): the same [[graft.text.SkipGram.pairs]] stream as
+    * `q_skipgram_pairs`, then PPMI per (center, context) pair. Pair and
+    * marginal counts are exact BIGINTs; PPMI quantizes per row to the
+    * floor-micro-nat grid (raw ln doubles are 1-ulp engine-divergent —
+    * the zipf lesson), so every emitted column is an exact integer.
+    */
+  private def coocPpmiQ(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
+      minCount = 3L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fc = p.groupBy(col("center")).agg(sum(col("n_pairs")).as("f_c"))
+    val fx = p.groupBy(col("context")).agg(sum(col("n_pairs")).as("f_x"))
+    val tt = p.agg(sum(col("n_pairs")).as("t_pairs"))
+    p.join(fc, Seq("center")).join(fx, Seq("context")).crossJoin(broadcast(tt))
+      .withColumn("ppmi_micronats",
+        greatest(lit(0L),
+          floor(log((col("n_pairs").cast("double") * col("t_pairs").cast("double")) /
+            (col("f_c").cast("double") * col("f_x").cast("double"))) * lit(1e6))
+            .cast("long")))
+      .filter(col("ppmi_micronats") > 0)
+      .select(col("center"), col("context"), col("n_pairs"), col("f_c"),
+        col("f_x"), col("ppmi_micronats"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  private val coocPpmiOracle = {
+    val u32 = OracleSql.md5U32Sql(
+      "'sg:' || CAST(doc AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS t
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc, t, unnest(range(1, len(t) + 1)) AS i FROM tok),
+       |occ AS (
+       |  SELECT doc, i - 1 AS pos, t[i] AS w FROM idx WHERE t[i] <> ''),
+       |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM occ GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM occ),
+       |kept0 AS (
+       |  SELECT occ.doc, occ.pos, occ.w
+       |  FROM occ JOIN freq USING (w), tot
+       |  WHERE ($u32) * 100 * f < 1 * N * 4294967296),
+       |kept AS (
+       |  SELECT doc, w,
+       |    CAST(row_number() OVER (PARTITION BY doc ORDER BY pos) AS BIGINT) AS p
+       |  FROM kept0),
+       |cand AS (
+       |  SELECT doc, w AS center, p + unnest([-2, -1, 1, 2]) AS p2 FROM kept),
+       |pairs AS (
+       |  SELECT c.center, k.w AS context, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM cand c JOIN kept k ON k.doc = c.doc AND k.p = c.p2
+       |  GROUP BY c.center, k.w
+       |  HAVING count(*) >= 3),
+       |fc AS (SELECT center, CAST(sum(n_pairs) AS BIGINT) AS f_c
+       |  FROM pairs GROUP BY center),
+       |fx AS (SELECT context, CAST(sum(n_pairs) AS BIGINT) AS f_x
+       |  FROM pairs GROUP BY context),
+       |tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t_pairs FROM pairs),
+       |sc AS (
+       |  SELECT center, context, n_pairs, f_c, f_x,
+       |    greatest(CAST(0 AS BIGINT),
+       |      CAST(floor(ln((CAST(n_pairs AS DOUBLE) * CAST(t_pairs AS DOUBLE))
+       |          / (CAST(f_c AS DOUBLE) * CAST(f_x AS DOUBLE)))
+       |        * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS ppmi_micronats
+       |  FROM pairs JOIN fc USING (center) JOIN fx USING (context)
+       |  CROSS JOIN tp)
+       |SELECT center, context, n_pairs, f_c, f_x, ppmi_micronats
+       |FROM sc WHERE ppmi_micronats > 0
+       |ORDER BY center, context""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooc_ppmi" -> (coocPpmiQ _),
     "q_rendezvous_shards" -> (shardingQ _),
     "q_gini_stumps" -> (giniQ _),
     "q_dsir_weights" -> (dsirQ _),
@@ -510,6 +583,7 @@ object SelectionQueries {
     "q_class_balance" -> (classBalanceQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_cooc_ppmi" -> coocPpmiOracle,
     "q_gini_stumps" -> giniOracle,
     "q_rendezvous_shards" -> shardingOracle,
     "q_dsir_weights" -> dsirOracle,

@@ -2663,7 +2663,105 @@ object StatQueries {
       |FROM mm x JOIN mm y ON x.grp < y.grp CROSS JOIN ms
       |ORDER BY grp_a, grp_b""".stripMargin
 
+  /** One-way random-effects ICC with USERS as groups
+    * ([[graft.analytics.Hypothesis.iccOneWay]]) — how much of the value
+    * variance is between users. The entity-sized between-group term is
+    * Σ(s² div n) in exact integer arithmetic (cent² floor quantization) —
+    * no double fold over a data-sized frame exists anywhere in the plan.
+    */
+  private def iccQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.iccOneWay(
+      Tables.events(s, dir)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents")),
+      "user_id", "cents")
+
+  private val iccOracle =
+    """WITH e AS (
+      |  SELECT user_id AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(cents AS HUGEINT)) AS s_i,
+      |  sum(CAST(cents AS HUGEINT) * cents) AS q_i
+      |  FROM e GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |  sum(s_i) AS s_all, sum(q_i) AS q_all,
+      |  sum(CAST(n_i AS HUGEINT) * n_i) AS nsq,
+      |  sum((s_i * s_i) // n_i) AS rterm_q FROM g),
+      |x AS (SELECT n, k, nsq,
+      |  CAST(rterm_q AS DOUBLE)
+      |    - (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+      |      / CAST(n AS DOUBLE) AS ssb,
+      |  CAST(q_all AS DOUBLE) - CAST(rterm_q AS DOUBLE) AS ssw
+      |  FROM t),
+      |y AS (SELECT n, k, nsq, ssb, ssw,
+      |  CASE WHEN k > 1 THEN ssb / CAST(k - 1 AS DOUBLE) END AS msb,
+      |  CASE WHEN n > k THEN ssw / CAST(n - k AS DOUBLE) END AS msw,
+      |  CASE WHEN k > 1 THEN
+      |    (CAST(n AS DOUBLE) - CAST(nsq AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE))
+      |  END AS n0
+      |  FROM x)
+      |SELECT n, k, CAST(nsq AS VARCHAR) AS group_sq_sum, ssb, ssw, msb, msw,
+      |  n0,
+      |  CASE WHEN k > 1 AND n > k
+      |      AND msb + (n0 - CAST(1 AS DOUBLE)) * msw > CAST(0 AS DOUBLE) THEN
+      |    (msb - msw) / (msb + (n0 - CAST(1 AS DOUBLE)) * msw)
+      |  END AS icc
+      |FROM y""".stripMargin
+
+  /** Two-proportion power analysis from the observed user-parity pilot
+    * ([[graft.analytics.Drift.powerTwoProportions]]): unit-level
+    * conversion (≥1 purchase), exact arm counts, and the closed-form
+    * per-arm n at z_α = 1.96, z_β = 0.84 (both CAST AS DOUBLE in the
+    * oracle — the decimal-literal gotcha).
+    */
+  private def powerQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.powerTwoProportions(
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv")),
+      col("user_id") % 2 === 0, col("conv"))
+
+  private val powerOracle =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT
+      |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |    AS conv_a,
+      |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END) AS BIGINT)
+      |    AS conv_b
+      |  FROM u),
+      |v AS (SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+      |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+      |  CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pbar
+      |  FROM g)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CASE WHEN n_a > 0 THEN p1 END AS rate_a,
+      |  CASE WHEN n_b > 0 THEN p2 END AS rate_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND p1 <> p2 THEN
+      |    ((CAST(1.96 AS DOUBLE)
+      |        * sqrt(CAST(2 AS DOUBLE) * pbar * (CAST(1 AS DOUBLE) - pbar))
+      |      + CAST(0.84 AS DOUBLE)
+      |        * sqrt(p1 * (CAST(1 AS DOUBLE) - p1)
+      |          + p2 * (CAST(1 AS DOUBLE) - p2)))
+      |     * (CAST(1.96 AS DOUBLE)
+      |        * sqrt(CAST(2 AS DOUBLE) * pbar * (CAST(1 AS DOUBLE) - pbar))
+      |      + CAST(0.84 AS DOUBLE)
+      |        * sqrt(p1 * (CAST(1 AS DOUBLE) - p1)
+      |          + p2 * (CAST(1 AS DOUBLE) - p2))))
+      |    / ((p1 - p2) * (p1 - p2))
+      |  END AS n_required
+      |FROM v""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_icc" -> (iccQ _),
+    "q_power_analysis" -> (powerQ _),
     "q_welch_t" -> (welchTQ _),
     "q_runs_test" -> (runsTestQ _),
     "q_cronbach_alpha" -> (cronbachQ _),
@@ -2722,6 +2820,8 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_icc" -> iccOracle,
+    "q_power_analysis" -> powerOracle,
     "q_welch_t" -> welchTOracle,
     "q_runs_test" -> runsTestOracle,
     "q_cronbach_alpha" -> cronbachOracle,

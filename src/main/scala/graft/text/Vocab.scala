@@ -103,6 +103,31 @@ object Vocab {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Chao1 vocabulary-richness estimate and Good–Turing unseen mass per
+    * source — "how much vocabulary does this corpus still hide": Chao1's
+    * bias-corrected V + f1(f1−1)/(2(f2+1)) from the singleton/doubleton
+    * counts, and f1/N as the Good–Turing probability mass of unseen types.
+    * All inputs are exact BIGINTs from one per-(source, term) aggregate;
+    * both estimates are single fixed-operand-order IEEE expressions.
+    * The [[heapsCurve]] companion: Heaps says how fast vocabulary grew,
+    * Chao1 says how much is left.
+    */
+  def chao1(docs: DataFrame): DataFrame = {
+    val pt = tokens(docs).groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+    val g = pt.groupBy(col("source")).agg(
+      sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+    g.withColumn("chao1",
+        col("vocab").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0))))
+      .withColumn("gt_unseen_mass",
+        when(col("n_tokens") > 0,
+          col("f1").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Zipf's-law fit over the top-`k` rank–frequency curve: OLS of ln(freq)
     * on ln(rank) — slope ≈ −1 is the healthy-corpus signature, a flat
     * slope means the corpus is template-dominated (the [[heapsCurve]]

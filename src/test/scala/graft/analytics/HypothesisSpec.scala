@@ -107,6 +107,41 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("q_stat") - 3.0 * math.sqrt(3.0)) < 1e-12)
   }
 
+  test("rollingRegression: exact linear series — slope 2 at every window") {
+    val df = (1 to 20).map(i => ("u1", i, 2L * i)).toDF("u", "t", "yv")
+    val r = Correlation.rollingRegression(df, "u", Seq("t"), col("yv"), window = 8)
+      .filter(col("n_w") > 1).select(col("slope")).distinct().collect()
+    assert(r.length == 1 && math.abs(r.head.getDouble(0) - 2.0) < 1e-15)
+    // constant series -> slope exactly 0
+    val c = (1 to 10).map(i => ("u2", i, 7L)).toDF("u", "t", "yv")
+    val r2 = Correlation.rollingRegression(c, "u", Seq("t"), col("yv"), window = 8)
+      .filter(col("n_w") > 1).select(col("slope")).distinct().collect()
+    assert(r2.length == 1 && r2.head.getDouble(0) == 0.0)
+  }
+
+  test("iccOneWay: zero within-group variance — ICC exactly 1") {
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 10L),
+      (2L, 20L), (2L, 20L), (2L, 20L)).toDF("grp", "cents")
+    val r = Hypothesis.iccOneWay(df, "grp", "cents").head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 2L)
+    assert(math.abs(r.getAs[Double]("ssw")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("icc") - 1.0) < 1e-12)
+    // balanced design: n0 = group size = 3
+    assert(math.abs(r.getAs[Double]("n0") - 3.0) < 1e-12)
+  }
+
+  test("powerTwoProportions: closed form reproduced on a tiny pilot") {
+    val units = Seq((true, 1L), (true, 1L), (true, 0L), (true, 0L),
+      (false, 1L), (false, 0L), (false, 0L), (false, 0L)).toDF("a", "conv")
+    val r = Drift.powerTwoProportions(units, col("a"), col("conv")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_a") == 2L)
+    val p1 = 0.5; val p2 = 0.25; val pbar = 3.0 / 8.0
+    val num = 1.96 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.84 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    val exp = (num * num) / ((p1 - p2) * (p1 - p2))
+    assert(math.abs(r.getAs[Double]("n_required") - exp) < 1e-12)
+  }
+
   test("changepoint: step series splits at the step with gain = total SS") {
     // [0,0,0,100,100]: split after pos 3 zeroes both segment SS;
     // gain = SS_all = 20000 - 200^2/5 = 12000

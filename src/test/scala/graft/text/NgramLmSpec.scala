@@ -33,6 +33,15 @@ class NgramLmSpec extends SparkSpec {
       math.floor(math.log(0.25) * 1e6).toLong.toString)
   }
 
+  test("chao1: singleton/doubleton fixture — 3 + 2*1/(2*2) = 3.5") {
+    val docs = Seq(("s", "a a b c")).toDF("source", "text")
+    val r = Vocab.chao1(docs).head()
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(math.abs(r.getAs[Double]("chao1") - 3.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gt_unseen_mass") - 0.5) < 1e-12)
+  }
+
   test("zipfFit: exact 1/rank counts fit slope -1 with r2 ~ 1") {
     // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 -> ln c = ln 12 - ln rank
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
