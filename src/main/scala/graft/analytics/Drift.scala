@@ -168,6 +168,45 @@ object Drift {
           (num * num) / ((p1 - p2) * (p1 - p2))))
   }
 
+  /** Population stability index between cohort A and cohort B over fixed
+    * equi-width buckets — the scorecard-monitoring drift number risk teams
+    * threshold at 0.1/0.25. Buckets empty on EITHER side are excluded
+    * from the sum (the standard no-smoothing convention) and surfaced in
+    * `n_skipped_buckets` so a silent support mismatch can't hide. Counts
+    * are exact BIGINTs; per-bucket terms are fixed-order IEEE
+    * expressions; the fold rides one UNPARTITIONED ordered cumulative
+    * over the nBuckets-bounded frame (terms can be negative only in
+    * pathological p≈q cases — PSI terms (p−q)ln(p/q) are ≥ 0, so the
+    * cumulative's max is the total).
+    */
+  def psi(df: DataFrame, valueCol: String, cohortA: Column,
+          bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
+      .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
+    val counts = df.select(bucket, cohortA.as("__a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta").cast("double")
+    val q = col("n_b").cast("double") / col("__tb").cast("double")
+    val term = when(col("n_a") > 0 && col("n_b") > 0,
+      (p - q) * log(p / q)).otherwise(lit(0.0))
+    val skipped = when(col("n_a") === 0 || col("n_b") === 0, 1L).otherwise(0L)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__c", sum(term).over(w))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(skipped).as("n_skipped_buckets"), max(col("__c")).as("psi"))
+      .withColumn("band",
+        when(col("psi") < lit(0.1), "stable")
+          .when(col("psi") < lit(0.25), "moderate")
+          .otherwise("shifted"))
+  }
+
   /** Best single changepoint per entity by binary segmentation: the split
     * position maximizing the between-segment sum-of-squares reduction
     * `gain(i) = SS(all) − SS(1..i) − SS(i+1..n)` over the (entity, time)

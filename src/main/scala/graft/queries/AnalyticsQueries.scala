@@ -3336,7 +3336,119 @@ object AnalyticsQueries {
       |  END AS slope
       |FROM w ORDER BY user_id, pos""".stripMargin
 
+  /** Supplier revenue concentration ([[graft.analytics.Inequality.herfindahl]]):
+    * HHI and its 0–1 normalization from exact DECIMAL share sums — no
+    * fold, no window, two final divisions.
+    */
+  private def herfindahlQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Inequality.herfindahl(
+      graft.Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+      "l_suppkey", "cents")
+
+  private val herfindahlOracle =
+    """WITH e AS (
+      |  SELECT l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |s AS (SELECT l_suppkey, sum(CAST(cents AS HUGEINT)) AS s_i
+      |  FROM e GROUP BY l_suppkey),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(s_i) AS total,
+      |  sum(s_i * s_i) AS ssq FROM s),
+      |h AS (SELECT k, total, ssq,
+      |  CASE WHEN CAST(total AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(ssq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+      |  END AS hhi FROM g)
+      |SELECT k, CAST(total AS VARCHAR) AS total, CAST(ssq AS VARCHAR) AS sum_sq,
+      |  hhi,
+      |  CASE WHEN hhi IS NOT NULL AND k > 1 THEN
+      |    (hhi - CAST(1 AS DOUBLE) / CAST(k AS DOUBLE))
+      |      / (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / CAST(k AS DOUBLE))
+      |  END AS hhi_norm
+      |FROM h""".stripMargin
+
+  /** Theil T inequality of customer order totals with the between/within
+    * NATION decomposition ([[graft.analytics.Inequality.theilDecomposition]]):
+    * per-row log factors on the floor-micro-nat grid (exact integer
+    * contributions, order-free sums), the between term folded over the
+    * 25-nation frame.
+    */
+  private def theilQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = graft.Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+    graft.analytics.Inequality.theilDecomposition(
+      ord.join(cust, col("o_custkey") === col("c_custkey")),
+      "c_nationkey", "x")
+  }
+
+  private val theilOracle =
+    """WITH cx AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |e AS (SELECT c.c_nationkey AS grp, cx.x
+      |  FROM cx JOIN customer c ON cx.o_custkey = c.c_custkey),
+      |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM e WHERE x <= 0),
+      |ev AS (SELECT grp, x FROM e WHERE x > 0),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+      |  sum(CAST(x AS HUGEINT)) AS s_g FROM ev GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |  sum(s_g) AS s FROM g),
+      |rq AS (SELECT
+      |  CAST(x AS HUGEINT) * CAST(floor(ln(
+      |      CAST(CAST(x AS HUGEINT) * n AS DOUBLE) / CAST(s AS DOUBLE))
+      |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ct,
+      |  CAST(x AS HUGEINT) * CAST(floor(ln(
+      |      CAST(CAST(x AS HUGEINT) * n_g AS DOUBLE) / CAST(s_g AS DOUBLE))
+      |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cw
+      |  FROM ev JOIN g USING (grp) CROSS JOIN t),
+      |sm AS (SELECT sum(ct) AS ct, sum(cw) AS cw FROM rq),
+      |bt AS (SELECT max_by(c, grp) AS theil_between FROM (
+      |  SELECT grp,
+      |    sum((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+      |      ln((CAST(s_g AS DOUBLE) * CAST(n AS DOUBLE))
+      |        / (CAST(s AS DOUBLE) * CAST(n_g AS DOUBLE))))
+      |      OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS c
+      |  FROM g CROSS JOIN t))
+      |SELECT t.n, t.k, drp.n_dropped, CAST(t.s AS VARCHAR) AS total,
+      |  CASE WHEN CAST(t.s AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(sm.ct AS DOUBLE)
+      |      / (CAST(t.s AS DOUBLE) * CAST(1000000 AS DOUBLE))
+      |  END AS theil_total,
+      |  bt.theil_between,
+      |  CASE WHEN CAST(t.s AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(sm.cw AS DOUBLE)
+      |      / (CAST(t.s AS DOUBLE) * CAST(1000000 AS DOUBLE))
+      |  END AS theil_within
+      |FROM t CROSS JOIN sm CROSS JOIN bt CROSS JOIN drp""".stripMargin
+
+  /** Semi-structured extraction from the event props JSON — the
+    * schema-on-read path (`get_json_object` ≡ DuckDB json_extract_string):
+    * extract an integer field, band it, exact aggregates per band.
+    */
+  private def jsonExtractQ(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_band"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_band"))
+
+  private val jsonExtractOracle =
+    """SELECT k % 10 AS k_band, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY k % 10 ORDER BY k_band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_herfindahl" -> (herfindahlQ _),
+    "q_theil_index" -> (theilQ _),
+    "q_json_extract" -> (jsonExtractQ _),
     "q_rolling_regression" -> (rollingRegQ _),
     "q_seq_patterns" -> (seqPatternsQ _),
     "q_changepoint" -> (changepointQ _),
@@ -3443,6 +3555,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_herfindahl" -> herfindahlOracle,
+    "q_theil_index" -> theilOracle,
+    "q_json_extract" -> jsonExtractOracle,
     "q_rolling_regression" -> rollingRegOracle,
     "q_seq_patterns" -> seqPatternsOracle,
     "q_changepoint" -> changepointOracle,

@@ -3431,7 +3431,61 @@ object PipelineQueries {
       |  END AS gt_unseen_mass
       |FROM g ORDER BY source""".stripMargin
 
+  /** The perplexity FILTER decision itself
+    * ([[graft.text.NgramLm.perplexityFilter]]): per-doc average bigram NLL
+    * in exact integer micro-nats, the P90 cut from the exact
+    * order-statistic kernel, and the per-doc flag — the step that
+    * actually drops boilerplate from a training mix.
+    */
+  private def pplFilterQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.NgramLm.perplexityFilter(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), permille = 900)
+      .orderBy(col("doc"))
+  }
+
+  private val pplFilterOracle =
+    """WITH tr AS (
+      |  SELECT string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |te AS (
+      |  SELECT doc_id AS doc, string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 <> 0),
+      |trb AS (
+      |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM trb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM trb GROUP BY w1),
+      |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |  FROM (SELECT unnest(arr) AS t FROM tr)),
+      |teb AS (
+      |  SELECT doc, arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM te, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+      |sc AS (
+      |  SELECT teb.doc,
+      |    CAST(floor(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+      |        / CAST(coalesce(c1.c1, 0) + vv.v AS DOUBLE))
+      |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mn
+      |  FROM teb
+      |  LEFT JOIN c12 ON teb.w1 = c12.w1 AND teb.w2 = c12.w2
+      |  LEFT JOIN c1 ON teb.w1 = c1.w1
+      |  CROSS JOIN vv),
+      |pd AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(mn) AS BIGINT) AS mn_sum FROM sc GROUP BY doc),
+      |p2 AS (SELECT doc, n_bigrams,
+      |  CAST((0 - mn_sum) // n_bigrams AS BIGINT) AS nll FROM pd),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p2),
+      |kk AS (SELECT CAST((n * 900 + 999) // 1000 AS BIGINT) AS k FROM nn),
+      |r AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rn FROM p2),
+      |th AS (SELECT r.nll AS threshold FROM kk JOIN r ON r.rn = kk.k)
+      |SELECT doc, n_bigrams, nll AS nll_micronats, th.threshold,
+      |  nll > th.threshold AS flagged
+      |FROM p2 CROSS JOIN th ORDER BY doc""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppl_filter" -> (pplFilterQ _),
     "q_chao1" -> (chao1Q _),
     "q_zipf_fit" -> (zipfFitQ _),
     "q_bigram_ppl" -> (bigramPplQ _),
@@ -3553,6 +3607,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ppl_filter" -> pplFilterOracle,
     "q_chao1" -> chao1Oracle,
     "q_zipf_fit" -> zipfFitOracle,
     "q_bigram_ppl" -> bigramPplOracle,

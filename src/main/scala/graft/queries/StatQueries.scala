@@ -2759,7 +2759,50 @@ object StatQueries {
       |  END AS n_required
       |FROM v""".stripMargin
 
+  /** Population stability index between even- and odd-id event cohorts
+    * ([[graft.analytics.Drift.psi]]): exact bucket counts, the standard
+    * skip-empty convention surfaced as `n_skipped_buckets`, one
+    * unpartitioned ordered fold, and the 0.1/0.25 monitoring band.
+    */
+  private def psiQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.psi(
+      Tables.events(s, dir)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_id")),
+      "cents", col("event_id") % 2 === 0, bucketWidth = 2500L, nBuckets = 20)
+
+  private val psiOracle =
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(round(value * 100) AS BIGINT) // 2500, 0),
+      |    19) AS bucket,
+      |    event_id % 2 = 0 AS a
+      |  FROM events),
+      |c AS (SELECT bucket,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      |  FROM c),
+      |d AS (SELECT bucket, n_a, n_b, ta, tb,
+      |  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+      |  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+      |  FROM c CROSS JOIN t),
+      |s AS (SELECT ta, tb,
+      |  sum(CASE WHEN n_a > 0 AND n_b > 0 THEN (p - q) * ln(p / q)
+      |    ELSE CAST(0 AS DOUBLE) END)
+      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS c,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN 1 ELSE 0 END AS sk
+      |  FROM d)
+      |SELECT max(ta) AS n_a, max(tb) AS n_b,
+      |  CAST(sum(sk) AS BIGINT) AS n_skipped_buckets, max(c) AS psi,
+      |  CASE WHEN max(c) < CAST(0.1 AS DOUBLE) THEN 'stable'
+      |       WHEN max(c) < CAST(0.25 AS DOUBLE) THEN 'moderate'
+      |       ELSE 'shifted' END AS band
+      |FROM s""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (psiQ _),
     "q_icc" -> (iccQ _),
     "q_power_analysis" -> (powerQ _),
     "q_welch_t" -> (welchTQ _),
@@ -2820,6 +2863,7 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_psi" -> psiOracle,
     "q_icc" -> iccOracle,
     "q_power_analysis" -> powerOracle,
     "q_welch_t" -> welchTOracle,

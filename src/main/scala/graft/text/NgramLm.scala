@@ -38,6 +38,47 @@ object NgramLm {
       .select(col("doc"), col("w1"), col("w2"))
   }
 
+  /** The CCNet FILTER itself: score every test document by its average
+    * bigram NLL in micro-nats (`(−Σ⌊ln p·10⁶⌋) div n_bigrams` — all exact
+    * integer arithmetic; the negation keeps the division on non-negative
+    * operands, where Spark's truncating `div` and the oracle's floor
+    * division agree), cut at the EXACT p‰-th order statistic of the score
+    * distribution ([[graft.analytics.Quantiles.exactOrderStatistic]]),
+    * and flag documents above it. Per-doc rows: `doc`, `n_bigrams`,
+    * `nll_micronats`, `threshold`, `flagged`.
+    */
+  def perplexityFilter(train: DataFrame, test: DataFrame, permille: Int = 900,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1,1000], got $permille")
+    val trB = bigrams(train, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c12 = trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = trB.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(split(col(textCol), "\\s+")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    val mn = floor(log(p) * lit(1e6)).cast("long")
+    val perDoc = bigrams(test, idCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc"), mn.as("mn"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("mn_sum"))
+      .withColumn("nll_micronats",
+        expr("(0 - mn_sum) div n_bigrams"))
+    val thr = graft.analytics.Quantiles.exactOrderStatistic(
+        perDoc.select(col("nll_micronats").as("sc")), "sc",
+        n => expr(s"(n * $permille + 999) div 1000"), bucketWidth = 100000L)
+      .select(col("value_cents").as("threshold"))
+    perDoc.crossJoin(broadcast(thr))
+      .select(col("doc"), col("n_bigrams"), col("nll_micronats"),
+        col("threshold"), (col("nll_micronats") > col("threshold")).as("flagged"))
+  }
+
   /** One row: `train_bigrams`, `vocab`, `test_bigrams`, `hit_bigrams`
     * (test bigrams seen in training), `mn_sum` (Σ floor(ln p · 10⁶) as
     * canonical string) and the corpus `perplexity`.
