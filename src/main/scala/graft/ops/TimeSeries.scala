@@ -112,4 +112,31 @@ object TimeSeries {
       .withColumn("sxy", col("sxy").cast("string"))
       .orderBy(col("lag"))
   }
+
+  /** Maximum drawdown per entity — the worst peak-to-trough decline of an
+    * integer-scaled metric along the (ts, tie) order: the
+    * metric-degradation number ("how far below its best has this
+    * device/account fallen") that a running max alone doesn't give.
+    * ENTIRELY exact BIGINT: running peak is a growing-frame max, each
+    * row's drawdown is peak − x, and the argmax position breaks ties to
+    * the EARLIEST trough. One shuffle on the entity key, two window
+    * passes over the same sort (growing frame + whole-partition max —
+    * never a shrinking frame).
+    */
+  def maxDrawdown(df: DataFrame, entityCol: String, tsCol: String,
+                  tieCol: String, valueCents: Column): DataFrame = {
+    val ord = Window.partitionBy(col("entity")).orderBy(col(tsCol), col(tieCol))
+    val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("entity"))
+    df.select(col(entityCol).as("entity"), col(tsCol), col(tieCol),
+        valueCents.cast("long").as("x"))
+      .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("__peak", max(col("x")).over(grow))
+      .withColumn("__dd", col("__peak") - col("x"))
+      .withColumn("__mdd", max(col("__dd")).over(all))
+      .filter(col("__dd") === col("__mdd"))
+      .groupBy(col("entity"))
+      .agg(min(col("pos")).as("dd_pos"), max(col("__mdd")).as("max_drawdown"),
+        max(col("__peak")).as("peak_at_trough"))
+  }
 }

@@ -3445,7 +3445,127 @@ object AnalyticsQueries {
       |  FROM events)
       |GROUP BY k % 10 ORDER BY k_band""".stripMargin
 
+  /** Functional-dependency audit (Metanome-style profiling): for each
+    * candidate X → Y, the number of X keys mapping to MORE than one Y and
+    * the surplus (distinct pair count minus key count) — two hold by
+    * construction (order → customer, customer → nation) and two are
+    * expected violations (order ↛ supplier, part ↛ supplier), so the
+    * query pins both directions. Exact counts only.
+    */
+  private def fdCheckQ(s: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, x: String, y: String, label: String): DataFrame =
+      df.select(col(x).as("k"), col(y).as("v")).distinct()
+        .groupBy(col("k")).agg(count(lit(1)).as("vs"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("vs") > 1, 1L).otherwise(0L)).as("violating_keys"),
+          sum(col("vs") - lit(1L)).as("extra_pairs"))
+        .select(lit(label).as("dependency"), col("n_keys"),
+          col("violating_keys"), col("extra_pairs"))
+    fd(graft.Tables.orders(s, dir), "o_orderkey", "o_custkey",
+        "orders: o_orderkey -> o_custkey")
+      .unionByName(fd(graft.Tables.customer(s, dir), "c_custkey", "c_nationkey",
+        "customer: c_custkey -> c_nationkey"))
+      .unionByName(fd(graft.Tables.lineitem(s, dir), "l_orderkey", "l_suppkey",
+        "lineitem: l_orderkey -> l_suppkey"))
+      .unionByName(fd(graft.Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+        "lineitem: l_partkey -> l_suppkey"))
+      .orderBy(col("dependency"))
+  }
+
+  private val fdCheckOracle =
+    """WITH f1 AS (
+      |  SELECT 'orders: o_orderkey -> o_custkey' AS dependency,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN vs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_keys,
+      |    CAST(sum(vs - 1) AS BIGINT) AS extra_pairs
+      |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS vs FROM
+      |    (SELECT DISTINCT o_orderkey AS k, o_custkey AS v FROM orders)
+      |    GROUP BY k)),
+      |f2 AS (
+      |  SELECT 'customer: c_custkey -> c_nationkey' AS dependency,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN vs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_keys,
+      |    CAST(sum(vs - 1) AS BIGINT) AS extra_pairs
+      |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS vs FROM
+      |    (SELECT DISTINCT c_custkey AS k, c_nationkey AS v FROM customer)
+      |    GROUP BY k)),
+      |f3 AS (
+      |  SELECT 'lineitem: l_orderkey -> l_suppkey' AS dependency,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN vs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_keys,
+      |    CAST(sum(vs - 1) AS BIGINT) AS extra_pairs
+      |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS vs FROM
+      |    (SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem)
+      |    GROUP BY k)),
+      |f4 AS (
+      |  SELECT 'lineitem: l_partkey -> l_suppkey' AS dependency,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN vs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violating_keys,
+      |    CAST(sum(vs - 1) AS BIGINT) AS extra_pairs
+      |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS vs FROM
+      |    (SELECT DISTINCT l_partkey AS k, l_suppkey AS v FROM lineitem)
+      |    GROUP BY k))
+      |SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+      |ORDER BY dependency""".stripMargin
+
+  /** Degree distribution of the co-purchase graph with a Hill power-law
+    * tail estimate: the degree histogram is exact; the Hill α over
+    * degrees ≥ 2 quantizes each distinct degree's ln(d/d_min) to
+    * floor-micro-nats so the tail sum is an exact integer (the zipf
+    * discipline at the graph scale) and α is one fixed-order expression.
+    */
+  private def degreeDistQ(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Graphs.copurchaseEdges(s, dir)
+    val deg = e.select(col("id_a").as("nd")).unionAll(e.select(col("id_b").as("nd")))
+      .groupBy(col("nd")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val tail = hist.filter(col("degree") >= 2)
+      .select(col("n_nodes"),
+        (dec(col("n_nodes")) *
+          dec(floor(log(col("degree").cast("double") / lit(2.0)) * lit(1e6))
+            .cast("long"))).as("contrib"))
+      .agg(sum(col("n_nodes")).as("n_tail"), sum(col("contrib")).as("lsum"))
+    hist.crossJoin(broadcast(tail))
+      .select(col("degree"), col("n_nodes"), col("n_tail"),
+        col("lsum").cast("string").as("tail_ln_micronats"),
+        when(col("lsum").cast("double") > lit(0.0),
+          lit(1.0) + col("n_tail").cast("double") /
+            (col("lsum").cast("double") / lit(1e6))).as("hill_alpha"))
+      .orderBy(col("degree"))
+  }
+
+  private val degreeDistOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT x.pk AS u, y.pk AS v
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+      |deg AS (SELECT nd, CAST(count(*) AS BIGINT) AS degree FROM (
+      |  SELECT u AS nd FROM e UNION ALL SELECT v AS nd FROM e) GROUP BY nd),
+      |hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM deg GROUP BY degree),
+      |tl AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_tail,
+      |  sum(CAST(n_nodes AS HUGEINT)
+      |    * CAST(floor(ln(CAST(degree AS DOUBLE) / CAST(2 AS DOUBLE))
+      |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS lsum
+      |  FROM hist WHERE degree >= 2)
+      |SELECT degree, n_nodes, n_tail, CAST(lsum AS VARCHAR)
+      |    AS tail_ln_micronats,
+      |  CASE WHEN CAST(lsum AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(1 AS DOUBLE) + CAST(n_tail AS DOUBLE)
+      |      / (CAST(lsum AS DOUBLE) / CAST(1000000 AS DOUBLE))
+      |  END AS hill_alpha
+      |FROM hist CROSS JOIN tl ORDER BY degree""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fd_check" -> (fdCheckQ _),
+    "q_degree_dist" -> (degreeDistQ _),
     "q_herfindahl" -> (herfindahlQ _),
     "q_theil_index" -> (theilQ _),
     "q_json_extract" -> (jsonExtractQ _),
@@ -3555,6 +3675,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fd_check" -> fdCheckOracle,
+    "q_degree_dist" -> degreeDistOracle,
     "q_herfindahl" -> herfindahlOracle,
     "q_theil_index" -> theilOracle,
     "q_json_extract" -> jsonExtractOracle,

@@ -2801,7 +2801,118 @@ object StatQueries {
       |       ELSE 'shifted' END AS band
       |FROM s""".stripMargin
 
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion UNROLLED to fixed depth over the exact pooled ACF
+    * (`q_acf`'s five-moment r values): each φ_kk is a fixed-operand-order
+    * IEEE expression over the hash-stable r1..r3 — the AR-order
+    * diagnostic next to the raw ACF.
+    */
+  private def pacfQ(s: SparkSession, dir: String): DataFrame = {
+    val acf = graft.ops.TimeSeries.autocorrelation(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      round(col("value") * 100, 0).cast("long"), Seq(1, 2, 3))
+    val wide = acf.agg(
+      max(when(col("lag") === 1, col("acf"))).as("r1"),
+      max(when(col("lag") === 2, col("acf"))).as("r2"),
+      max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val den2 = lit(1.0) - col("r1") * col("r1")
+    val a21 = col("r1") - col("pacf_2") * col("r1")
+    val den3 = lit(1.0) - col("__a21") * col("r1") - col("pacf_2") * col("r2")
+    wide
+      .withColumn("pacf_1", col("r1"))
+      .withColumn("pacf_2",
+        when(den2 =!= lit(0.0),
+          (col("r2") - col("r1") * col("r1")) / den2))
+      .withColumn("__a21", a21)
+      .withColumn("pacf_3",
+        when(den3 =!= lit(0.0),
+          (col("r3") - col("__a21") * col("r2") - col("pacf_2") * col("r1")) /
+            den3))
+      .select(col("r1"), col("r2"), col("r3"),
+        col("pacf_1"), col("pacf_2"), col("pacf_3"))
+  }
+
+  private val pacfOracle =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM x),
+      |l AS (SELECT unnest([1, 2, 3]) AS lag),
+      |p AS (
+      |  SELECT l.lag, a.v AS xv, b.v AS yv
+      |  FROM r a JOIN l ON true
+      |  JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag),
+      |a AS (
+      |  SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+      |    sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+      |    sum(CAST(yv AS HUGEINT) * yv) AS syy,
+      |    sum(CAST(xv AS HUGEINT) * yv) AS sxy
+      |  FROM p GROUP BY lag),
+      |c AS (SELECT lag,
+      |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+      |       AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+      |    THEN CAST(CAST(n AS HUGEINT) * sxy
+      |        - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |      (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+      |          - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+      |       sqrt(CAST(CAST(n AS HUGEINT) * syy
+      |          - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+      |  END AS acf
+      |  FROM a),
+      |w AS (SELECT
+      |  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+      |  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+      |  max(CASE WHEN lag = 3 THEN acf END) AS r3
+      |  FROM c),
+      |s2 AS (SELECT r1, r2, r3,
+      |  CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 <> CAST(0 AS DOUBLE)
+      |    THEN (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1)
+      |  END AS p2 FROM w),
+      |s3 AS (SELECT r1, r2, r3, p2, r1 - p2 * r1 AS a21 FROM s2)
+      |SELECT r1, r2, r3, r1 AS pacf_1, p2 AS pacf_2,
+      |  CASE WHEN CAST(1 AS DOUBLE) - a21 * r1 - p2 * r2 <> CAST(0 AS DOUBLE)
+      |    THEN (r3 - a21 * r2 - p2 * r1)
+      |      / (CAST(1 AS DOUBLE) - a21 * r1 - p2 * r2)
+      |  END AS pacf_3
+      |FROM s3""".stripMargin
+
+  /** Per-user maximum drawdown of cent-scaled event values
+    * ([[graft.ops.TimeSeries.maxDrawdown]]): running peak, worst
+    * peak-to-trough decline, earliest trough position — all exact
+    * BIGINTs, two window passes on one sort.
+    */
+  private def drawdownQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.maxDrawdown(
+        Tables.events(s, dir), "user_id", "ts", "event_id",
+        round(col("value") * 100, 0))
+      .withColumnRenamed("entity", "user_id")
+      .orderBy(col("user_id"))
+
+  private val drawdownOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |p AS (SELECT user_id, x,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS BIGINT) AS pos,
+      |  max(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM e),
+      |d AS (SELECT user_id, pos, peak, peak - x AS dd FROM p),
+      |m AS (SELECT user_id, pos, peak, dd,
+      |  max(dd) OVER (PARTITION BY user_id) AS mdd FROM d)
+      |SELECT user_id, CAST(min(pos) AS BIGINT) AS dd_pos,
+      |  CAST(max(mdd) AS BIGINT) AS max_drawdown,
+      |  CAST(max(peak) AS BIGINT) AS peak_at_trough
+      |FROM m WHERE dd = mdd GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pacf" -> (pacfQ _),
+    "q_drawdown" -> (drawdownQ _),
     "q_psi" -> (psiQ _),
     "q_icc" -> (iccQ _),
     "q_power_analysis" -> (powerQ _),
@@ -2863,6 +2974,8 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_pacf" -> pacfOracle,
+    "q_drawdown" -> drawdownOracle,
     "q_psi" -> psiOracle,
     "q_icc" -> iccOracle,
     "q_power_analysis" -> powerOracle,

@@ -183,6 +183,20 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("jsd_bits") - 1.0) < 1e-12)
   }
 
+  test("maxDrawdown: peak-to-trough on a planted series, earliest trough tie") {
+    // series 10, 50, 20, 40, 5: peak runs 10,50,50,50,50; dd 0,0,30,10,45
+    val df = Seq(("u1", 1, 10L), ("u1", 2, 50L), ("u1", 3, 20L),
+      ("u1", 4, 40L), ("u1", 5, 5L)).toDF("u", "t", "cents")
+    val r = graft.ops.TimeSeries.maxDrawdown(df, "u", "t", "t", col("cents")).head()
+    assert(r.getAs[Long]("max_drawdown") == 45L)
+    assert(r.getAs[Long]("dd_pos") == 5L)
+    assert(r.getAs[Long]("peak_at_trough") == 50L)
+    // monotone series never draws down; trough position is the first row
+    val up = Seq(("u2", 1, 1L), ("u2", 2, 2L), ("u2", 3, 3L)).toDF("u", "t", "cents")
+    val r2 = graft.ops.TimeSeries.maxDrawdown(up, "u", "t", "t", col("cents")).head()
+    assert(r2.getAs[Long]("max_drawdown") == 0L && r2.getAs[Long]("dd_pos") == 1L)
+  }
+
   test("changepoint: constant series ties on zero gain — earliest split wins") {
     val df = Seq(("u1", 1, 7L), ("u1", 2, 7L), ("u1", 3, 7L)).toDF("u", "t", "cents")
     val r = Drift.changepoint(df, "u", Seq("t"), col("cents")).head()
