@@ -207,6 +207,72 @@ object Drift {
           .otherwise("shifted"))
   }
 
+  /** Bhattacharyya coefficient and Hellinger distance between cohort A's
+    * and cohort B's bucketed value distributions — the bounded-metric
+    * companion of [[psi]] that stays finite on disjoint support (BC = 0,
+    * H = 1) and needs NO log: per-bucket √(p·q) terms use only
+    * correctly-rounded IEEE ops (÷, ×, √), so the fold over the
+    * nBuckets-bounded unpartitioned frame replays bit-exactly with no
+    * quantization. H = √(max(0, 1−BC)) — the clamp guards the
+    * Cauchy–Schwarz bound against last-bit overshoot identically on both
+    * engines.
+    */
+  def hellinger(df: DataFrame, valueCol: String, cohortA: Column,
+                bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
+      .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
+    val counts = df.select(bucket, cohortA.as("__a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta").cast("double")
+    val q = col("n_b").cast("double") / col("__tb").cast("double")
+    val term = when(col("n_a") > 0 && col("n_b") > 0, sqrt(p * q))
+      .otherwise(lit(0.0))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__c", sum(term).over(w))
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        max(col("__c")).as("bc"))
+      .withColumn("hellinger",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(greatest(lit(0.0), lit(1.0) - col("bc")))))
+  }
+
+  /** Two-cohort event-rate comparison (Poisson z): exact event counts and
+    * exact per-cohort observation spans in epoch micros; rates and the
+    * normal-approximation z are fixed-operand-order IEEE expressions over
+    * those longs. "Is this event type firing faster than that one per
+    * unit of observed time" — the ops-side companion of [[abTest]]'s
+    * per-unit conversion view.
+    */
+  def rateTest(df: DataFrame, cohortA: Column, tsMicros: Column): DataFrame = {
+    val agg = df.select(cohortA.as("__a"), tsMicros.cast("long").as("__t"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("k_a"),
+        (max(when(col("__a"), col("__t"))) -
+          min(when(col("__a"), col("__t")))).as("span_a_us"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("k_b"),
+        (max(when(!col("__a"), col("__t"))) -
+          min(when(!col("__a"), col("__t")))).as("span_b_us"))
+    val ra = col("k_a").cast("double") / col("span_a_us").cast("double")
+    val rb = col("k_b").cast("double") / col("span_b_us").cast("double")
+    val se = sqrt(col("k_a").cast("double") /
+        (col("span_a_us").cast("double") * col("span_a_us").cast("double")) +
+      col("k_b").cast("double") /
+        (col("span_b_us").cast("double") * col("span_b_us").cast("double")))
+    agg
+      .withColumn("rate_a_per_us", when(col("span_a_us") > 0, ra))
+      .withColumn("rate_b_per_us", when(col("span_b_us") > 0, rb))
+      .withColumn("z",
+        when(col("span_a_us") > 0 && col("span_b_us") > 0 &&
+             col("k_a") + col("k_b") > 0,
+          (ra - rb) / se))
+  }
+
   /** Best single changepoint per entity by binary segmentation: the split
     * position maximizing the between-segment sum-of-squares reduction
     * `gain(i) = SS(all) − SS(1..i) − SS(i+1..n)` over the (entity, time)

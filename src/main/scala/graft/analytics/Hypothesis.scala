@@ -264,6 +264,41 @@ object Hypothesis {
           .as("alpha"))
   }
 
+  /** Two-sample Cramér–von Mises functional — the INTEGRATED ECDF
+    * discrepancy next to KS's supremum: over the value-range-bounded
+    * distinct-score frame, T = Σ (cumA·n_b − cumB·n_a)²·(dA+dB) /
+    * (n_a²·n_b²·(n_a+n_b)). The numerator is EXACT DECIMAL(38,0) — the
+    * cumulative counts are integers on one ordered window (integer
+    * window sums are order-free, so the engine-divergent double-fold
+    * problem never arises) — and T is one division. Exact up to ~3·10⁸
+    * rows per cohort (the 4th-power product against DECIMAL(38); ANSI
+    * fails loudly beyond).
+    */
+  def cvmTwoSample(df: DataFrame, cohortA: Column, centsCol: String): DataFrame = {
+    val vals = df.select(cohortA.as("__a"), col(centsCol).as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("d_b"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(sum(col("d_a")).as("n_a"), sum(col("d_b")).as("n_b"))
+    val num = dec(col("__ca")) * dec(col("n_b")) -
+      dec(col("__cb")) * dec(col("n_a"))
+    val term = num * num * (dec(col("d_a")) + dec(col("d_b")))
+    val den = dec(col("n_a")) * dec(col("n_a")) * dec(col("n_b")) *
+      dec(col("n_b")) * (dec(col("n_a")) + dec(col("n_b")))
+    vals
+      .withColumn("__ca", sum(col("d_a")).over(w))
+      .withColumn("__cb", sum(col("d_b")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(term).as("cvm_dec"))
+      .select(col("n_a"), col("n_b"),
+        col("cvm_dec").cast("string").as("cvm_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("cvm_dec").cast("double") / den.cast("double")).as("t"))
+  }
+
   /** One-way random-effects intraclass correlation ICC(1) with entities as
     * groups — "how much of the metric's variance is BETWEEN users" — the
     * clustered-data audit that decides whether examples from one entity

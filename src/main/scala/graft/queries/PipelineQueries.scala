@@ -3358,8 +3358,8 @@ object PipelineQueries {
   private def bigramPplQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     graft.text.NgramLm.bigramPerplexity(
-      docs.filter(col("doc_id") % 2 === 0),
-      docs.filter(col("doc_id") % 2 =!= 0))
+      bigramModel(s, dir),
+      docs.filter(col("doc_id") % 2 =!= 0), idCol = "doc_id", textCol = "text")
   }
 
   private val bigramPplOracle =
@@ -3431,6 +3431,30 @@ object PipelineQueries {
       |  END AS gt_unseen_mass
       |FROM g ORDER BY source""".stripMargin
 
+  /** The even-doc bigram model (counts + vocab) trained ONCE per SF dir
+    * and materialized as parquet — shared by `q_bigram_ppl` and
+    * `q_ppl_filter`, which otherwise each re-tokenize the train half and
+    * re-pay both count shuffles (the baskets/shingle shared-fixture
+    * pattern).
+    */
+  private def bigramModel(s: SparkSession, dir: String): graft.text.NgramLm.BigramModel = {
+    val base = bigramModelPaths.getOrElseUpdate(dir, {
+      val m = graft.text.NgramLm.train(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
+      val p = java.nio.file.Files.createTempDirectory("graft_bigram_model").toString
+      m.c12.write.mode("overwrite").parquet(p + "/c12")
+      m.c1.write.mode("overwrite").parquet(p + "/c1")
+      m.vocab.write.mode("overwrite").parquet(p + "/vocab")
+      p
+    })
+    graft.text.NgramLm.BigramModel(
+      s.read.parquet(base + "/c12"), s.read.parquet(base + "/c1"),
+      s.read.parquet(base + "/vocab"))
+  }
+
+  private val bigramModelPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   /** The perplexity FILTER decision itself
     * ([[graft.text.NgramLm.perplexityFilter]]): per-doc average bigram NLL
     * in exact integer micro-nats, the P90 cut from the exact
@@ -3440,8 +3464,9 @@ object PipelineQueries {
   private def pplFilterQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     graft.text.NgramLm.perplexityFilter(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 =!= 0), permille = 900)
+        bigramModel(s, dir),
+        docs.filter(col("doc_id") % 2 =!= 0), permille = 900,
+        idCol = "doc_id", textCol = "text")
       .orderBy(col("doc"))
   }
 

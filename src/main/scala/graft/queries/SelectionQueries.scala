@@ -319,8 +319,7 @@ object SelectionQueries {
     * data stage, engine-portable.
     */
   private def skipgramQ(s: SparkSession, dir: String): DataFrame =
-    graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
-      minCount = 3L)
+    s.read.parquet(skipgramPairsParquet(s, dir))
       .orderBy(col("center"), col("context"))
 
   private val skipgramOracle = {
@@ -502,10 +501,24 @@ object SelectionQueries {
     * floor-micro-nat grid (raw ln doubles are 1-ulp engine-divergent —
     * the zipf lesson), so every emitted column is an exact integer.
     */
+  /** Skip-gram (center, context, n_pairs) counts at window 2 / minCount 3,
+    * computed ONCE per SF dir and materialized — `q_skipgram_pairs` and
+    * `q_cooc_ppmi` both consume the identical stream (the shared-fixture
+    * pattern; each otherwise re-pays the tokenize + subsample + pair join).
+    */
+  private[queries] def skipgramPairsParquet(s: SparkSession, dir: String): String =
+    skipgramPairPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_sg_pairs").toString
+      graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
+        minCount = 3L).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val skipgramPairPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   private def coocPpmiQ(s: SparkSession, dir: String): DataFrame = {
-    val p = graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
-      minCount = 3L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = s.read.parquet(skipgramPairsParquet(s, dir))
     val fc = p.groupBy(col("center")).agg(sum(col("n_pairs")).as("f_c"))
     val fx = p.groupBy(col("context")).agg(sum(col("n_pairs")).as("f_x"))
     val tt = p.agg(sum(col("n_pairs")).as("t_pairs"))

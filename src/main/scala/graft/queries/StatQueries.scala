@@ -2910,7 +2910,131 @@ object StatQueries {
       |  CAST(max(peak) AS BIGINT) AS peak_at_trough
       |FROM m WHERE dd = mdd GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Bhattacharyya/Hellinger between purchase and view value
+    * distributions ([[graft.analytics.Drift.hellinger]]): no logs, only
+    * correctly-rounded ÷×√ — the one drift metric needing zero
+    * quantization.
+    */
+  private def hellingerQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.hellinger(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_type")),
+      "cents", col("event_type") === "purchase", bucketWidth = 2500L,
+      nBuckets = 20)
+
+  private val hellingerOracle =
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(round(value * 100) AS BIGINT) // 2500, 0),
+      |    19) AS bucket,
+      |    event_type = 'purchase' AS a
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (SELECT bucket,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      |  FROM c),
+      |s AS (SELECT ta, tb,
+      |  sum(CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |      sqrt((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+      |        * (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |    ELSE CAST(0 AS DOUBLE) END)
+      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS c
+      |  FROM c CROSS JOIN t)
+      |SELECT max(ta) AS n_a, max(tb) AS n_b, max(c) AS bc,
+      |  CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN
+      |    sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - max(c)))
+      |  END AS hellinger
+      |FROM s""".stripMargin
+
+  /** Two-sample Cramér–von Mises between purchase and view values
+    * ([[graft.analytics.Hypothesis.cvmTwoSample]]): the integrated-ECDF
+    * discrepancy with an EXACT DECIMAL numerator (emitted as canonical
+    * string) — integer cumulative windows never hit the double-fold
+    * divergence.
+    */
+  private def cvmQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.cvmTwoSample(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          col("event_type")),
+      col("event_type") === "purchase", "cents")
+
+  private val cvmOracle =
+    """WITH e AS (
+      |  SELECT event_type = 'purchase' AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |v AS (SELECT c,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS d_b
+      |  FROM e GROUP BY c),
+      |t AS (SELECT CAST(sum(d_a) AS BIGINT) AS n_a,
+      |  CAST(sum(d_b) AS BIGINT) AS n_b FROM v),
+      |w AS (SELECT d_a, d_b,
+      |  sum(d_a) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |  sum(d_b) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM v),
+      |g AS (SELECT n_a, n_b,
+      |  sum((CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+      |    * (CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+      |    * (CAST(d_a AS HUGEINT) + d_b)) AS cvm_dec
+      |  FROM w CROSS JOIN t GROUP BY n_a, n_b)
+      |SELECT n_a, n_b, CAST(cvm_dec AS VARCHAR) AS cvm_num,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(cvm_dec AS DOUBLE) /
+      |      CAST(CAST(n_a AS HUGEINT) * n_a * n_b * n_b * (n_a + n_b)
+      |        AS DOUBLE)
+      |  END AS t
+      |FROM g""".stripMargin
+
+  /** Poisson event-rate comparison between purchase and error streams
+    * ([[graft.analytics.Drift.rateTest]]): exact counts and epoch-micros
+    * observation spans per cohort, fixed-order rate and z expressions.
+    */
+  private def rateTestQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Drift.rateTest(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "error"))
+        .select(col("event_type"), unix_micros(col("ts")).as("us")),
+      col("event_type") === "purchase", col("us"))
+
+  private val rateTestOracle =
+    """WITH e AS (
+      |  SELECT event_type = 'purchase' AS a, epoch_us(ts) AS t
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |g AS (SELECT
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+      |  CAST(max(CASE WHEN a THEN t END) - min(CASE WHEN a THEN t END)
+      |    AS BIGINT) AS span_a_us,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS k_b,
+      |  CAST(max(CASE WHEN NOT a THEN t END) - min(CASE WHEN NOT a THEN t END)
+      |    AS BIGINT) AS span_b_us
+      |  FROM e)
+      |SELECT k_a, span_a_us, k_b, span_b_us,
+      |  CASE WHEN span_a_us > 0
+      |    THEN CAST(k_a AS DOUBLE) / CAST(span_a_us AS DOUBLE)
+      |  END AS rate_a_per_us,
+      |  CASE WHEN span_b_us > 0
+      |    THEN CAST(k_b AS DOUBLE) / CAST(span_b_us AS DOUBLE)
+      |  END AS rate_b_per_us,
+      |  CASE WHEN span_a_us > 0 AND span_b_us > 0 AND k_a + k_b > 0 THEN
+      |    (CAST(k_a AS DOUBLE) / CAST(span_a_us AS DOUBLE)
+      |      - CAST(k_b AS DOUBLE) / CAST(span_b_us AS DOUBLE))
+      |    / sqrt(CAST(k_a AS DOUBLE)
+      |        / (CAST(span_a_us AS DOUBLE) * CAST(span_a_us AS DOUBLE))
+      |      + CAST(k_b AS DOUBLE)
+      |        / (CAST(span_b_us AS DOUBLE) * CAST(span_b_us AS DOUBLE)))
+      |  END AS z
+      |FROM g""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hellinger" -> (hellingerQ _),
+    "q_cvm" -> (cvmQ _),
+    "q_rate_test" -> (rateTestQ _),
     "q_pacf" -> (pacfQ _),
     "q_drawdown" -> (drawdownQ _),
     "q_psi" -> (psiQ _),
@@ -2974,6 +3098,9 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_hellinger" -> hellingerOracle,
+    "q_cvm" -> cvmOracle,
+    "q_rate_test" -> rateTestOracle,
     "q_pacf" -> pacfOracle,
     "q_drawdown" -> drawdownOracle,
     "q_psi" -> psiOracle,

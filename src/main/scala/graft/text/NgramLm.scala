@@ -27,6 +27,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object NgramLm {
 
+  /** The trained add-one bigram model: pair counts, left-token counts, and
+    * the 1-row vocabulary size. `c1`'s sum IS the train bigram total
+    * (every bigram is counted once under its left token), so the three
+    * frames are the model's complete state — materialize them once per
+    * corpus and every scorer reads them (the shared-fixture discipline).
+    */
+  final case class BigramModel(c12: DataFrame, c1: DataFrame, vocab: DataFrame)
+
+  /** Train the model (two term-keyed count shuffles + one distinct). */
+  def train(trainDocs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): BigramModel = {
+    val trB = bigrams(trainDocs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    BigramModel(
+      trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      trB.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      trainDocs.select(explode(split(col(textCol), "\\s+")).as("t"))
+        .agg(countDistinct(col("t")).as("v")))
+  }
+
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
         split(col(textCol), "\\s+").as("arr"))
@@ -49,22 +69,23 @@ object NgramLm {
     */
   def perplexityFilter(train: DataFrame, test: DataFrame, permille: Int = 900,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    perplexityFilter(NgramLm.train(train, idCol, textCol), test, permille,
+      idCol, textCol)
+
+  /** Model-based variant — the entry point when the trained counts are
+    * shared across scorers. */
+  def perplexityFilter(model: BigramModel, test: DataFrame, permille: Int,
+                       idCol: String, textCol: String): DataFrame = {
     require(permille >= 1 && permille <= 1000,
       s"permille must be in [1,1000], got $permille")
-    val trB = bigrams(train, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c12 = trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = trB.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = train.select(explode(split(col(textCol), "\\s+")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
     val mn = floor(log(p) * lit(1e6)).cast("long")
     val perDoc = bigrams(test, idCol, textCol)
-      .join(c12, Seq("w1", "w2"), "left_outer")
-      .join(c1, Seq("w1"), "left_outer")
-      .crossJoin(broadcast(vocab))
+      .join(model.c12, Seq("w1", "w2"), "left_outer")
+      .join(model.c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(model.vocab))
       .select(col("doc"), mn.as("mn"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("mn_sum"))
@@ -85,27 +106,26 @@ object NgramLm {
     */
   def bigramPerplexity(train: DataFrame, test: DataFrame,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val trB = bigrams(train, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c12 = trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = trB.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = train.select(explode(split(col(textCol), "\\s+")).as("t"))
-      .agg(countDistinct(col("t")).as("v"),
-        count(lit(1)).as("__train_tokens"))
-    val trTot = trB.agg(count(lit(1)).as("train_bigrams"))
+                       textCol: String = "text"): DataFrame =
+    bigramPerplexity(NgramLm.train(train, idCol, textCol), test, idCol, textCol)
+
+  /** Model-based variant: `train_bigrams` is Σc1 — the model frames carry
+    * the full training state. */
+  def bigramPerplexity(model: BigramModel, test: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val trTot = model.c1.agg(sum(col("c1")).as("train_bigrams"))
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
     val mn = floor(log(p) * lit(1e6)).cast("long")
     bigrams(test, idCol, textCol)
-      .join(c12, Seq("w1", "w2"), "left_outer")
-      .join(c1, Seq("w1"), "left_outer")
-      .crossJoin(broadcast(vocab.select(col("v"))))
+      .join(model.c12, Seq("w1", "w2"), "left_outer")
+      .join(model.c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(model.vocab))
       .select(col("c12"), mn.as("mn"))
       .agg(count(lit(1)).as("test_bigrams"),
         sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("hit_bigrams"),
         sum(col("mn").cast("decimal(38,0)")).as("__mn_dec"))
-      .crossJoin(broadcast(vocab.select(col("v").as("vocab"))))
+      .crossJoin(broadcast(model.vocab.select(col("v").as("vocab"))))
       .crossJoin(broadcast(trTot))
       .select(col("train_bigrams"), col("vocab"), col("test_bigrams"),
         col("hit_bigrams"), col("__mn_dec").cast("string").as("mn_sum"),
