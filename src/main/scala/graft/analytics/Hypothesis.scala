@@ -264,6 +264,58 @@ object Hypothesis {
           .as("alpha"))
   }
 
+  /** Method-of-moments Gumbel fit over block maxima — the extreme-value
+    * question ("what spike should we expect next period") asked of ops
+    * metrics: location μ = m − γ·β and scale β = s·√6/π from the EXACT
+    * integer moments of the (bounded) block-maximum frame; γ and π enter
+    * as identical double constants on both engines. Emits the exact
+    * moment sums (strings) beside the fitted parameters.
+    */
+  def gumbelFit(blockMax: DataFrame, centsCol: String): DataFrame = {
+    val agg = blockMax.select(col(centsCol).as("x"))
+      .agg(count(lit(1)).as("n_blocks"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val nd = col("n_blocks").cast("double")
+    val m = col("sx").cast("double") / nd
+    val varNum = (dec(col("n_blocks")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val v = varNum / (nd * (nd - lit(1.0)))
+    val beta = sqrt(v) * sqrt(lit(6.0)) / lit(math.Pi)
+    agg
+      .withColumn("mean", when(col("n_blocks") > 0, m))
+      .withColumn("beta", when(col("n_blocks") > 1 && varNum > lit(0.0), beta))
+      .withColumn("mu",
+        when(col("beta").isNotNull,
+          col("mean") - lit(0.5772156649015329) * col("beta")))
+      .select(col("n_blocks"), col("sx").cast("string").as("sum_cents"),
+        col("sxx").cast("string").as("sumsq_cents"), col("mean"),
+        col("beta"), col("mu"))
+  }
+
+  /** 2×2 odds ratio with the Woolf log-OR standard error — the
+    * association readout for a pair of binary facets: exact cell counts,
+    * OR as one division of exact cross products, SE without any log
+    * (√(1/a+1/b+1/c+1/d) is correctly-rounded ops only).
+    */
+  def oddsRatio(df: DataFrame, rowFlag: Column, colFlag: Column): DataFrame = {
+    val agg = df.select(rowFlag.as("__r"), colFlag.as("__c"))
+      .agg(sum(when(col("__r") && col("__c"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__r") && !col("__c"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__r") && col("__c"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__r") && !col("__c"), 1L).otherwise(0L)).as("d"))
+    val or = (dec(col("a")) * dec(col("d"))).cast("double") /
+      (dec(col("b")) * dec(col("c"))).cast("double")
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    agg
+      .withColumn("odds_ratio",
+        when(col("b") > 0 && col("c") > 0, or))
+      .withColumn("se_log_or",
+        when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0, se))
+  }
+
   /** Two-sample Cramér–von Mises functional — the INTEGRATED ECDF
     * discrepancy next to KS's supremum: over the value-range-bounded
     * distinct-score frame, T = Σ (cumA·n_b − cumB·n_a)²·(dA+dB) /

@@ -3031,7 +3031,95 @@ object StatQueries {
       |  END AS z
       |FROM g""".stripMargin
 
+  /** Gumbel fit over daily event-value maxima
+    * ([[graft.analytics.Hypothesis.gumbelFit]]): the day key is pure
+    * epoch-micros integer division (TZ-convention-free on both engines);
+    * block maxima and their moments are exact.
+    */
+  private def gumbelFitQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.gumbelFit(
+      Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("day")).agg(max(col("cents")).as("day_max")),
+      "day_max")
+
+  private val gumbelFitOracle =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY day),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+      |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM d),
+      |v AS (SELECT n_blocks, sx, sxx,
+      |  CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS m,
+      |  CAST(n_blocks * sxx - sx * sx AS DOUBLE) AS var_num
+      |  FROM g),
+      |w AS (SELECT n_blocks, sx, sxx, m, var_num,
+      |  CASE WHEN n_blocks > 1 AND var_num > CAST(0 AS DOUBLE) THEN
+      |    sqrt(var_num / (CAST(n_blocks AS DOUBLE)
+      |      * (CAST(n_blocks AS DOUBLE) - CAST(1 AS DOUBLE))))
+      |      * sqrt(CAST(6 AS DOUBLE)) / pi()
+      |  END AS beta
+      |  FROM v)
+      |SELECT n_blocks, CAST(sx AS VARCHAR) AS sum_cents,
+      |  CAST(sxx AS VARCHAR) AS sumsq_cents,
+      |  CASE WHEN n_blocks > 0 THEN m END AS mean, beta,
+      |  CASE WHEN beta IS NOT NULL THEN
+      |    m - CAST(0.5772156649015329 AS DOUBLE) * beta
+      |  END AS mu
+      |FROM w""".stripMargin
+
+  /** Odds ratio of (purchase, weekend) over events
+    * ([[graft.analytics.Hypothesis.oddsRatio]]): the weekend flag derives
+    * from pure epoch-day arithmetic ((day+4) mod 7 ∈ {6,0} — immune to
+    * either engine's day-of-week numbering), cells exact, OR and Woolf SE
+    * fixed-order.
+    */
+  private def oddsRatioQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.oddsRatio(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow")),
+      col("event_type") === "purchase",
+      col("dow") === 6 || col("dow") === 0)
+
+  private val oddsRatioOracle =
+    """WITH e AS (
+      |  SELECT event_type = 'purchase' AS r,
+      |    ((epoch_us(ts) // 86400000000) + 4) % 7 IN (6, 0) AS c
+      |  FROM events)
+      |SELECT
+      |  CAST(sum(CASE WHEN r AND c THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |  CAST(sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |  CAST(sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  CASE WHEN sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) > 0
+      |      AND sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) > 0 THEN
+      |    CAST(CAST(sum(CASE WHEN r AND c THEN 1 ELSE 0 END) AS HUGEINT)
+      |        * sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(CAST(sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) AS HUGEINT)
+      |        * sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) AS DOUBLE)
+      |  END AS odds_ratio,
+      |  CASE WHEN sum(CASE WHEN r AND c THEN 1 ELSE 0 END) > 0
+      |      AND sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) > 0
+      |      AND sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) > 0
+      |      AND sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END) > 0 THEN
+      |    sqrt(CAST(1 AS DOUBLE)
+      |        / CAST(sum(CASE WHEN r AND c THEN 1 ELSE 0 END) AS DOUBLE)
+      |      + CAST(1 AS DOUBLE)
+      |        / CAST(sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) AS DOUBLE)
+      |      + CAST(1 AS DOUBLE)
+      |        / CAST(sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) AS DOUBLE)
+      |      + CAST(1 AS DOUBLE)
+      |        / CAST(sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END) AS DOUBLE))
+      |  END AS se_log_or
+      |FROM e""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gumbel_fit" -> (gumbelFitQ _),
+    "q_odds_ratio" -> (oddsRatioQ _),
     "q_hellinger" -> (hellingerQ _),
     "q_cvm" -> (cvmQ _),
     "q_rate_test" -> (rateTestQ _),
@@ -3098,6 +3186,8 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_gumbel_fit" -> gumbelFitOracle,
+    "q_odds_ratio" -> oddsRatioOracle,
     "q_hellinger" -> hellingerOracle,
     "q_cvm" -> cvmOracle,
     "q_rate_test" -> rateTestOracle,

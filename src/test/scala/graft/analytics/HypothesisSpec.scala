@@ -183,6 +183,26 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(r2.getAs[Double]("jsd_bits") - 1.0) < 1e-12)
   }
 
+  test("gumbelFit: moments fixture — beta = 10*sqrt(6)/pi, mu = m - gamma*beta") {
+    val df = Seq(10L, 20L, 30L).toDF("day_max")
+    val r = Hypothesis.gumbelFit(df, "day_max").head()
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[String]("sum_cents") == "60")
+    val beta = 10.0 * math.sqrt(6.0) / math.Pi
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mu") - (20.0 - 0.5772156649015329 * beta)) < 1e-12)
+  }
+
+  test("oddsRatio: planted 2x2 — OR 4, Woolf SE sqrt(3)") {
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("r", "c")
+    val o = Hypothesis.oddsRatio(df, col("r"), col("c")).head()
+    assert(o.getAs[Long]("a") == 2L && o.getAs[Long]("b") == 1L)
+    assert(o.getAs[Long]("c") == 1L && o.getAs[Long]("d") == 2L)
+    assert(math.abs(o.getAs[Double]("odds_ratio") - 4.0) < 1e-12)
+    assert(math.abs(o.getAs[Double]("se_log_or") - math.sqrt(3.0)) < 1e-12)
+  }
+
   test("maxDrawdown: peak-to-trough on a planted series, earliest trough tie") {
     // series 10, 50, 20, 40, 5: peak runs 10,50,50,50,50; dd 0,0,30,10,45
     val df = Seq(("u1", 1, 10L), ("u1", 2, 50L), ("u1", 3, 20L),
