@@ -311,7 +311,20 @@ object ScaleProbe {
           prefixLen = 7, idCol = "doc_id")),
       ("editDistPairs6", true, "N", d =>
         graft.dedup.Dedup.editDistancePairs(erKeys(d), "k0", maxDist = 3,
-          prefixLen = 9, idCol = "doc_id")))
+          prefixLen = 9, idCol = "doc_id")),
+      // round-10 bigram-LM path: disjoint replica vocabularies make the
+      // pooled pair-count table exactly the union of per-replica tables,
+      // so c12 rows must replay N× (the model build is two term-keyed
+      // count shuffles — the linearity under test)
+      ("bigramModelC12", true, "N", d =>
+        graft.text.NgramLm.train(d).c12),
+      // the scorer end-to-end: per-doc NLL rows = odd docs with ≥ 1
+      // bigram, exactly N×; the threshold pass rides the bounded
+      // order-statistic histogram (time should stay near-linear)
+      ("pplFilterScores", true, "N", d =>
+        graft.text.NgramLm.perplexityFilter(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
+          permille = 900)))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
