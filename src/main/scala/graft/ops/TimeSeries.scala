@@ -113,6 +113,113 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Empirical Markov entropy rate of the per-entity event-type chain:
+    * H = −Σ_ij (n_ij/N)·ln(n_ij/n_i) over the class²-bounded transition
+    * frame — "how predictable is the next event", the sessionization
+    * companion of the raw transition counts. Counts exact; the double
+    * fold rides one unpartitioned ordered cumulative over the bounded
+    * cell frame (terms ≥ 0); `h_norm` divides by ln(k) computed per
+    * engine.
+    */
+  def entropyRate(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                  stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val trans = df
+      .select(Seq(col(entityCol)) ++ orderCols.map(col) :+
+        col(stateCol).as("s"): _*)
+      .withColumn("nxt", lead(col("s"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("s"), col("nxt")).agg(count(lit(1)).as("n_ij"))
+    val rowT = trans.groupBy(col("s")).agg(sum(col("n_ij")).as("n_i"))
+    val tot = trans.agg(sum(col("n_ij")).as("n"),
+      countDistinct(col("s")).as("k_states"))
+    val term = (lit(0.0) - col("n_ij").cast("double") / col("n").cast("double")) *
+      log(col("n_ij").cast("double") / col("n_i").cast("double"))
+    val wc = Window.orderBy(col("s"), col("nxt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trans.join(broadcast(rowT), Seq("s")).crossJoin(broadcast(tot))
+      .withColumn("__c", sum(term).over(wc))
+      .agg(max(col("n")).as("n_transitions"), max(col("k_states")).as("k_states"),
+        max(col("__c")).as("h_rate_nats"))
+      .withColumn("h_norm",
+        when(col("k_states") > 1,
+          col("h_rate_nats") / log(col("k_states").cast("double"))))
+  }
+
+  /** Pooled burstiness of inter-event gaps: exact micros gaps from one
+    * lag window, exact moments, then the classic shape numbers — CV,
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (−1 regular … 0 Poisson …
+    * →1 bursty) and the Fano factor σ²/μ — each one fixed-operand-order
+    * expression over the exact sums (√ correctly rounded).
+    */
+  def burstiness(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                 tsMicros: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val gaps = df
+      .select(Seq(col(entityCol)) ++ orderCols.map(col) :+
+        tsMicros.cast("long").as("__t"): _*)
+      .withColumn("g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val agg = gaps.agg(count(lit(1)).as("n_gaps"),
+      sum(dec(col("g"))).as("sg"), sum(dec(col("g")) * dec(col("g"))).as("sgg"))
+    val nd = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / nd
+    val varNum = (dec(col("n_gaps")) * col("sgg") - col("sg") * col("sg"))
+      .cast("double")
+    val sd = sqrt(varNum / (nd * (nd - lit(1.0))))
+    agg
+      .withColumn("mean_gap_us", when(col("n_gaps") > 0, mu))
+      .withColumn("sd_gap_us",
+        when(col("n_gaps") > 1 && varNum >= lit(0.0), sd))
+      .withColumn("cv",
+        when(col("sd_gap_us").isNotNull && mu > lit(0.0),
+          col("sd_gap_us") / col("mean_gap_us")))
+      .withColumn("burstiness",
+        when(col("sd_gap_us").isNotNull &&
+             col("sd_gap_us") + col("mean_gap_us") > lit(0.0),
+          (col("sd_gap_us") - col("mean_gap_us")) /
+            (col("sd_gap_us") + col("mean_gap_us"))))
+      .withColumn("fano",
+        when(col("sd_gap_us").isNotNull && mu > lit(0.0),
+          col("sd_gap_us") * col("sd_gap_us") / col("mean_gap_us")))
+      .select(col("n_gaps"), col("sg").cast("string").as("sum_gap_us"),
+        col("sgg").cast("string").as("sumsq_gap_us"), col("mean_gap_us"),
+        col("sd_gap_us"), col("cv"), col("burstiness"), col("fano"))
+  }
+
+  /** Permutation entropy (order 3) pooled across entities: each
+    * consecutive value triple maps to its ordinal pattern (ties break to
+    * "earlier position is smaller" — `<=` on the forward comparisons, so
+    * the code is a pure integer function of the data), counts are exact,
+    * and the entropy folds over the ≤8-row pattern frame. 0 = monotone
+    * deterministic series, ln 6 = white noise; `h_norm` divides by ln 6.
+    */
+  def permutationEntropy(df: DataFrame, entityCol: String,
+                         orderCols: Seq[String], valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val pats = df
+      .select(Seq(col(entityCol)) ++ orderCols.map(col) :+
+        valueCol.cast("long").as("x1"): _*)
+      .withColumn("x2", lead(col("x1"), 1).over(w))
+      .withColumn("x3", lead(col("x1"), 2).over(w))
+      .filter(col("x3").isNotNull)
+      .select((when(col("x1") <= col("x2"), 4L).otherwise(0L) +
+        when(col("x1") <= col("x3"), 2L).otherwise(0L) +
+        when(col("x2") <= col("x3"), 1L).otherwise(0L)).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_pat"))
+    val tot = pats.agg(sum(col("n_pat")).as("n"))
+    val term = (lit(0.0) - col("n_pat").cast("double") / col("n").cast("double")) *
+      log(col("n_pat").cast("double") / col("n").cast("double"))
+    val wc = Window.orderBy(col("pattern"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pats.crossJoin(broadcast(tot))
+      .withColumn("__c", sum(term).over(wc))
+      .agg(max(col("n")).as("n_triples"),
+        count(lit(1)).as("n_patterns"), max(col("__c")).as("h_nats"))
+      .withColumn("h_norm", col("h_nats") / log(lit(6.0)))
+  }
+
   /** Maximum drawdown per entity — the worst peak-to-trough decline of an
     * integer-scaled metric along the (ts, tie) order: the
     * metric-degradation number ("how far below its best has this

@@ -3117,7 +3117,115 @@ object StatQueries {
       |  END AS se_log_or
       |FROM e""".stripMargin
 
+  /** Markov entropy rate of the per-user event-type chain
+    * ([[graft.ops.TimeSeries.entropyRate]]) — how predictable the next
+    * event is, on the same transition counts as `q_event_transitions`.
+    */
+  private def entropyRateQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.entropyRate(
+      Tables.events(s, dir), "user_id", Seq("ts", "event_id"), "event_type")
+
+  private val entropyRateOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type AS s FROM events),
+      |l AS (SELECT s,
+      |  lead(s, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM e),
+      |tr AS (SELECT s, nxt, CAST(count(*) AS BIGINT) AS n_ij
+      |  FROM l WHERE nxt IS NOT NULL GROUP BY s, nxt),
+      |rt AS (SELECT s, CAST(sum(n_ij) AS BIGINT) AS n_i FROM tr GROUP BY s),
+      |t AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT s) AS BIGINT) AS k_states FROM tr),
+      |c AS (SELECT n, k_states,
+      |  sum((CAST(0 AS DOUBLE) - CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n_ij AS DOUBLE) / CAST(n_i AS DOUBLE)))
+      |    OVER (ORDER BY s, nxt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS c
+      |  FROM tr JOIN rt USING (s) CROSS JOIN t)
+      |SELECT max(n) AS n_transitions, max(k_states) AS k_states,
+      |  max(c) AS h_rate_nats,
+      |  CASE WHEN max(k_states) > 1
+      |    THEN max(c) / ln(CAST(max(k_states) AS DOUBLE))
+      |  END AS h_norm
+      |FROM c""".stripMargin
+
+  /** Pooled burstiness / Fano factor of inter-event gaps
+    * ([[graft.ops.TimeSeries.burstiness]]): exact micros gaps and moments,
+    * CV, Goh–Barabási B, Fano — the traffic-shape audit.
+    */
+  private def burstinessQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.burstiness(
+      Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+      unix_micros(col("ts")))
+
+  private val burstinessOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, epoch_us(ts) AS t FROM events),
+      |l AS (SELECT t - lag(t, 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      |  FROM e),
+      |gg AS (SELECT g FROM l WHERE g IS NOT NULL),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+      |  sum(CAST(g AS HUGEINT)) AS sg, sum(CAST(g AS HUGEINT) * g) AS sgg
+      |  FROM gg),
+      |v AS (SELECT n_gaps, sg, sgg,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+      |  CAST(n_gaps * sgg - sg * sg AS DOUBLE) AS var_num FROM a),
+      |w AS (SELECT n_gaps, sg, sgg, mu, var_num,
+      |  CASE WHEN n_gaps > 1 AND var_num >= CAST(0 AS DOUBLE) THEN
+      |    sqrt(var_num / (CAST(n_gaps AS DOUBLE)
+      |      * (CAST(n_gaps AS DOUBLE) - CAST(1 AS DOUBLE))))
+      |  END AS sd FROM v)
+      |SELECT n_gaps, CAST(sg AS VARCHAR) AS sum_gap_us,
+      |  CAST(sgg AS VARCHAR) AS sumsq_gap_us,
+      |  CASE WHEN n_gaps > 0 THEN mu END AS mean_gap_us,
+      |  sd AS sd_gap_us,
+      |  CASE WHEN sd IS NOT NULL AND mu > CAST(0 AS DOUBLE)
+      |    THEN sd / mu END AS cv,
+      |  CASE WHEN sd IS NOT NULL AND sd + mu > CAST(0 AS DOUBLE)
+      |    THEN (sd - mu) / (sd + mu) END AS burstiness,
+      |  CASE WHEN sd IS NOT NULL AND mu > CAST(0 AS DOUBLE)
+      |    THEN sd * sd / mu END AS fano
+      |FROM w""".stripMargin
+
+  /** Order-3 permutation entropy of the value series
+    * ([[graft.ops.TimeSeries.permutationEntropy]]): integer ordinal
+    * patterns, exact counts, entropy folded over the ≤8-pattern frame.
+    */
+  private def permEntropyQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.permutationEntropy(
+      Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+      round(col("value") * 100, 0))
+
+  private val permEntropyOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |l AS (SELECT x AS x1,
+      |  lead(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2,
+      |  lead(x, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x3
+      |  FROM e),
+      |p AS (SELECT (CASE WHEN x1 <= x2 THEN 4 ELSE 0 END
+      |  + CASE WHEN x1 <= x3 THEN 2 ELSE 0 END
+      |  + CASE WHEN x2 <= x3 THEN 1 ELSE 0 END) AS pattern
+      |  FROM l WHERE x3 IS NOT NULL),
+      |g AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_pat
+      |  FROM p GROUP BY pattern),
+      |t AS (SELECT CAST(sum(n_pat) AS BIGINT) AS n FROM g),
+      |c AS (SELECT n,
+      |  sum((CAST(0 AS DOUBLE) - CAST(n_pat AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n_pat AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    OVER (ORDER BY pattern
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM g CROSS JOIN t)
+      |SELECT max(n) AS n_triples, CAST(count(*) AS BIGINT) AS n_patterns,
+      |  max(c) AS h_nats, max(c) / ln(CAST(6 AS DOUBLE)) AS h_norm
+      |FROM c""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy_rate" -> (entropyRateQ _),
+    "q_burstiness" -> (burstinessQ _),
+    "q_perm_entropy" -> (permEntropyQ _),
     "q_gumbel_fit" -> (gumbelFitQ _),
     "q_odds_ratio" -> (oddsRatioQ _),
     "q_hellinger" -> (hellingerQ _),
@@ -3186,6 +3294,9 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_entropy_rate" -> entropyRateOracle,
+    "q_burstiness" -> burstinessOracle,
+    "q_perm_entropy" -> permEntropyOracle,
     "q_gumbel_fit" -> gumbelFitOracle,
     "q_odds_ratio" -> oddsRatioOracle,
     "q_hellinger" -> hellingerOracle,

@@ -203,6 +203,32 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(o.getAs[Double]("se_log_or") - math.sqrt(3.0)) < 1e-12)
   }
 
+  test("entropyRate: deterministic alternating chain — H exactly 0") {
+    val df = Seq(("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"), ("u1", 4, "b"))
+      .toDF("u", "t", "s")
+    val r = graft.ops.TimeSeries.entropyRate(df, "u", Seq("t"), "s").head()
+    assert(r.getAs[Long]("n_transitions") == 3L)
+    assert(r.getAs[Double]("h_rate_nats") == 0.0)
+  }
+
+  test("burstiness: constant gaps — sd 0, B = -1, fano 0") {
+    val df = Seq(("u1", 1, 0L), ("u1", 2, 10L), ("u1", 3, 20L), ("u1", 4, 30L))
+      .toDF("u", "t", "us")
+    val r = graft.ops.TimeSeries.burstiness(df, "u", Seq("t"), col("us")).head()
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Double]("sd_gap_us") == 0.0)
+    assert(math.abs(r.getAs[Double]("burstiness") + 1.0) < 1e-15)
+    assert(r.getAs[Double]("fano") == 0.0)
+  }
+
+  test("permutationEntropy: monotone series — one pattern, H exactly 0") {
+    val df = (1 to 10).map(i => ("u1", i, i.toLong)).toDF("u", "t", "x")
+    val r = graft.ops.TimeSeries.permutationEntropy(df, "u", Seq("t"), col("x")).head()
+    assert(r.getAs[Long]("n_triples") == 8L)
+    assert(r.getAs[Long]("n_patterns") == 1L)
+    assert(r.getAs[Double]("h_nats") == 0.0)
+  }
+
   test("maxDrawdown: peak-to-trough on a planted series, earliest trough tie") {
     // series 10, 50, 20, 40, 5: peak runs 10,50,50,50,50; dd 0,0,30,10,45
     val df = Seq(("u1", 1, 10L), ("u1", 2, 50L), ("u1", 3, 20L),
