@@ -424,14 +424,21 @@ object Correlation {
     val base = df.select(Seq(col(entityCol).as("entity")) ++ orderCols.map(col) :+
         yCol.cast("long").as("y"): _*)
       .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("sy", sum(col("y")).over(frame))
+    // x is the CONSECUTIVE index pos-n_w+1..pos, so n_w, Σx and Σx² have
+    // closed forms — only Σx·y genuinely needs a second window pass
+    // (pos is itself a window output, so its products can't ride the
+    // first). Two Window nodes, ONE sort, one exchange.
     val num = col("n_w") * col("sxy") - col("sx") * col("sy")
     val den = col("n_w") * col("sx2") - col("sx") * col("sx")
     base
-      .withColumn("n_w", count(lit(1)).over(frame))
-      .withColumn("sx", sum(col("pos")).over(frame))
-      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("n_w", least(col("pos"), lit(window.toLong)))
+      .withColumn("sx",
+        expr(s"(n_w * (2 * pos - n_w + 1)) div 2"))
+      .withColumn("sx2",
+        expr("(pos * (pos + 1) * (2 * pos + 1)) div 6") -
+          expr("((pos - n_w) * (pos - n_w + 1) * (2 * (pos - n_w) + 1)) div 6"))
       .withColumn("sxy", sum(col("pos") * col("y")).over(frame))
-      .withColumn("sx2", sum(col("pos") * col("pos")).over(frame))
       .withColumn("slope",
         when(col("n_w") > 1 && den =!= 0L,
           num.cast("double") / den.cast("double")))
