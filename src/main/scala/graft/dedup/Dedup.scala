@@ -352,8 +352,18 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text",
-                       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = withShingles(docs, k, idCol, textCol)
+                       maxShingleFreq: Int = 1000): DataFrame =
+    containmentPairsFromShingles(withShingles(docs, k, idCol, textCol),
+      threshold, maxShingleFreq)
+
+  /** [[containmentPairs]] with pass 1's `(id, sh)` shingle frame supplied
+    * by the caller — the entry point when the corpus shingles are already
+    * materialized (the shared-fixture discipline; same contract as
+    * [[graft.dedup.MinHashLSH.signaturesFromShingles]]).
+    */
+  def containmentPairsFromShingles(shingled: DataFrame, threshold: Double,
+                                   maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = shingled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("id"), explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

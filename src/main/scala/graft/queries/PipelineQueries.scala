@@ -3165,8 +3165,8 @@ object PipelineQueries {
     * symmetric Jaccard is diluted by the length difference.
     */
   private def containmentQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(augmented(Tables.documents(s, dir)), k = 5,
-        threshold = 0.6)
+    Dedup.containmentPairsFromShingles(
+        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
   private val containmentOracle =
