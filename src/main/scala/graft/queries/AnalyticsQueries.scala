@@ -3563,7 +3563,64 @@ object AnalyticsQueries {
       |  END AS hill_alpha
       |FROM hist CROSS JOIN tl ORDER BY degree""".stripMargin
 
+  /** ABC (Pareto) classification of parts by revenue mass: the class cut
+    * values are EXACT weighted order statistics
+    * ([[graft.analytics.Quantiles.exactWeightedQuantilesTwoPass]] with the
+    * revenue as its own weight — A holds the top ~80% of mass, C the
+    * bottom ~5%), so no global sort ranks the parts; per-class counts and
+    * shares are exact. The inventory-control classic as two broadcast
+    * thresholds.
+    */
+  private def abcClassQ(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+    val cuts = graft.analytics.Quantiles.exactWeightedQuantilesTwoPass(
+        rev, "rev", "rev", Seq(50, 200), bucketWidth = 100000L)
+      .agg(max(when(col("p") === 200, col("value_cents"))).as("v_a"),
+        max(when(col("p") === 50, col("value_cents"))).as("v_b"))
+    rev.crossJoin(broadcast(cuts))
+      .withColumn("abc", when(col("rev") >= col("v_a"), "A")
+        .when(col("rev") >= col("v_b"), "B").otherwise("C"))
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_rev"))
+      .crossJoin(broadcast(rev.agg(sum(col("rev")).as("__tot"))))
+      .withColumn("rev_share",
+        when(col("__tot") > 0,
+          col("class_rev").cast("double") / col("__tot").cast("double")))
+      .select(col("abc"), col("n_parts"), col("class_rev"), col("rev_share"))
+      .orderBy(col("abc"))
+  }
+
+  private val abcClassOracle =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS w FROM rev),
+      |pv AS (SELECT rev AS c, CAST(sum(rev) AS BIGINT) AS vw
+      |  FROM rev GROUP BY rev),
+      |cumv AS (SELECT c, vw,
+      |  sum(vw) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM pv),
+      |k AS (SELECT w, CAST((w * 200 + 999) // 1000 AS BIGINT) AS ka,
+      |  CAST((w * 50 + 999) // 1000 AS BIGINT) AS kb FROM tot),
+      |va AS (SELECT min(c) AS v_a FROM cumv, k WHERE cum >= ka),
+      |vb AS (SELECT min(c) AS v_b FROM cumv, k WHERE cum >= kb),
+      |cls AS (SELECT
+      |  CASE WHEN rev >= v_a THEN 'A' WHEN rev >= v_b THEN 'B' ELSE 'C' END
+      |    AS abc,
+      |  rev FROM rev CROSS JOIN va CROSS JOIN vb)
+      |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev) AS BIGINT) AS class_rev,
+      |  CASE WHEN w > 0
+      |    THEN CAST(sum(rev) AS DOUBLE) / CAST(w AS DOUBLE)
+      |  END AS rev_share
+      |FROM cls CROSS JOIN tot GROUP BY abc, w ORDER BY abc""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abc_class" -> (abcClassQ _),
     "q_fd_check" -> (fdCheckQ _),
     "q_degree_dist" -> (degreeDistQ _),
     "q_herfindahl" -> (herfindahlQ _),
@@ -3675,6 +3732,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_abc_class" -> abcClassOracle,
     "q_fd_check" -> fdCheckOracle,
     "q_degree_dist" -> degreeDistOracle,
     "q_herfindahl" -> herfindahlOracle,
