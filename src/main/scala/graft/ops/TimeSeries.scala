@@ -220,6 +220,88 @@ object TimeSeries {
       .withColumn("h_norm", col("h_nats") / log(lit(6.0)))
   }
 
+  /** Exponential goodness-of-fit of inter-event gaps (the memorylessness
+    * check behind every Poisson-arrival assumption): λ̂ = n/Σg from exact
+    * integer gap totals on a coarse time grid (the grid keeps the
+    * distinct-value frame range-bounded), and the KS distance
+    * sup|F_emp − (1 − e^{−λ̂·g})| over that frame — `exp` parity is the
+    * risk-score precedent; the sup is an order-free max of per-value
+    * doubles. One row: `n_gaps`, `sum_units`, `lambda_per_unit`, `ks_d`.
+    */
+  def exponentialFit(df: DataFrame, entityCol: String, orderCols: Seq[String],
+                     tsMicros: Column, unitMicros: Long): DataFrame = {
+    require(unitMicros >= 1, s"unitMicros must be >= 1, got $unitMicros")
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols.map(col): _*)
+    val gu = df
+      .select(Seq(col(entityCol)) ++ orderCols.map(col) :+
+        tsMicros.cast("long").as("__t"): _*)
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+      .select(expr(s"__g div $unitMicros").as("g"))
+    val vals = gu.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val tot = vals.agg(sum(col("cnt")).as("n"),
+      sum(col("g") * col("cnt")).as("sg"))
+    val wv = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lam = col("n").cast("double") / col("sg").cast("double")
+    val fEmp = col("__cum").cast("double") / col("n").cast("double")
+    val fModel = lit(1.0) -
+      exp((lit(0.0) - lam) * col("g").cast("double"))
+    vals
+      .withColumn("__cum", sum(col("cnt")).over(wv))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_gaps"), max(col("sg")).as("sum_units"),
+        max(when(col("sg") > 0, abs(fEmp - fModel))).as("ks_d"))
+      .withColumn("lambda_per_unit",
+        when(col("sum_units") > 0,
+          col("n_gaps").cast("double") / col("sum_units").cast("double")))
+      .select(col("n_gaps"), col("sum_units"), col("lambda_per_unit"),
+        col("ks_d"))
+  }
+
+  /** Cross-correlation of two conditional event-count series on a coarse
+    * time grid at lags 0..`maxLag` — "do errors follow purchases": hourly
+    * (or any-unit) counts are exact; the lag pairing is one equi-join on
+    * the shifted grid index; each lag's Pearson r assembles from exact
+    * BIGINT moments in fixed operand order (the autocorrelation
+    * discipline, across TWO metrics instead of one).
+    */
+  def crossCorrelation(df: DataFrame, tsMicros: Column, flagA: Column,
+                       flagB: Column, unitMicros: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag must be in [0,64], got $maxLag")
+    require(unitMicros >= 1, s"unitMicros must be >= 1, got $unitMicros")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = df
+      .select(tsMicros.cast("long").as("__t"), flagA.as("__a"), flagB.as("__b"))
+      .select(expr(s"__t div $unitMicros").as("h"), col("__a"), col("__b"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = (0 to maxLag).map(_.toLong)
+    val left = grid.select(col("h"), col("ca"),
+      explode(array(lags.map(l => lit(l)): _*)).as("lag"))
+      .withColumn("h2", col("h") + col("lag"))
+    left.join(grid.select(col("h").as("h2"), col("cb")), Seq("h2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ca")).as("sx"), sum(col("cb")).as("sy"),
+        sum(dec(col("ca")) * dec(col("ca"))).as("sxx"),
+        sum(dec(col("cb")) * dec(col("cb"))).as("syy"),
+        sum(dec(col("ca")) * dec(col("cb"))).as("sxy"))
+      .withColumn("xcorr", {
+        val num = (dec(col("n")) * col("sxy") -
+          dec(col("sx")) * dec(col("sy"))).cast("double")
+        val dx = (dec(col("n")) * col("sxx") -
+          dec(col("sx")) * dec(col("sx"))).cast("double")
+        val dy = (dec(col("n")) * col("syy") -
+          dec(col("sy")) * dec(col("sy"))).cast("double")
+        when(dx > lit(0.0) && dy > lit(0.0), num / (sqrt(dx) * sqrt(dy)))
+      })
+      .select(col("lag"), col("n"), col("sx"), col("sy"), col("xcorr"))
+      .orderBy(col("lag"))
+  }
+
   /** Maximum drawdown per entity — the worst peak-to-trough decline of an
     * integer-scaled metric along the (ts, tie) order: the
     * metric-degradation number ("how far below its best has this

@@ -3619,7 +3619,51 @@ object AnalyticsQueries {
       |  END AS rev_share
       |FROM cls CROSS JOIN tot GROUP BY abc, w ORDER BY abc""".stripMargin
 
+  /** Cohort lifetime-value curve: users cohort by their FIRST 30-day
+    * period (pure epoch-day arithmetic), revenue accumulates per cohort
+    * over age — the LTV companion of the retention matrix, entirely in
+    * exact BIGINTs (the cumulative window partitions by cohort over the
+    * months-bounded age frame).
+    */
+  private def cohortLtvQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 2592000000000").as("period"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val coh = ev.groupBy(col("user_id")).agg(min(col("period")).as("cohort"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(coh, Seq("user_id"))
+      .withColumn("age", col("period") - col("cohort"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  private val cohortLtvOracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 2592000000000 AS period,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT user_id, CAST(min(period) AS BIGINT) AS cohort
+      |  FROM e GROUP BY user_id),
+      |j AS (SELECT e.user_id, c.cohort, e.period - c.cohort AS age, e.cents
+      |  FROM e JOIN c ON e.user_id = c.user_id),
+      |g AS (SELECT cohort, CAST(age AS BIGINT) AS age,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      |  FROM j GROUP BY cohort, age)
+      |SELECT cohort, age, n_users, rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev_cents
+      |FROM g ORDER BY cohort, age""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (cohortLtvQ _),
     "q_abc_class" -> (abcClassQ _),
     "q_fd_check" -> (fdCheckQ _),
     "q_degree_dist" -> (degreeDistQ _),
@@ -3732,6 +3776,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" -> cohortLtvOracle,
     "q_abc_class" -> abcClassOracle,
     "q_fd_check" -> fdCheckOracle,
     "q_degree_dist" -> degreeDistOracle,

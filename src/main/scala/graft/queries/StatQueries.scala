@@ -3222,7 +3222,87 @@ object StatQueries {
       |  max(c) AS h_nats, max(c) / ln(CAST(6 AS DOUBLE)) AS h_norm
       |FROM c""".stripMargin
 
+  /** Exponential goodness-of-fit of inter-event gaps on the minute grid
+    * ([[graft.ops.TimeSeries.exponentialFit]]): λ̂ from exact totals, KS
+    * distance against the fitted CDF — the memorylessness check.
+    */
+  private def expFitQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.exponentialFit(
+      Tables.events(s, dir), "user_id", Seq("ts", "event_id"),
+      unix_micros(col("ts")), unitMicros = 60000000L)
+
+  private val expFitOracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, epoch_us(ts) AS t FROM events),
+      |l AS (SELECT t - lag(t, 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g0
+      |  FROM e),
+      |gp AS (SELECT g0 // 60000000 AS g FROM l WHERE g0 IS NOT NULL),
+      |v AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM gp GROUP BY g),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(sum(g * cnt) AS BIGINT) AS sg FROM v),
+      |c AS (SELECT g, cnt,
+      |  sum(cnt) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum
+      |  FROM v)
+      |SELECT t.n AS n_gaps, t.sg AS sum_units,
+      |  CASE WHEN t.sg > 0
+      |    THEN CAST(t.n AS DOUBLE) / CAST(t.sg AS DOUBLE)
+      |  END AS lambda_per_unit,
+      |  max(CASE WHEN t.sg > 0 THEN
+      |    abs(CAST(c.cum AS DOUBLE) / CAST(t.n AS DOUBLE)
+      |      - (CAST(1 AS DOUBLE)
+      |        - exp((CAST(0 AS DOUBLE)
+      |            - CAST(t.n AS DOUBLE) / CAST(t.sg AS DOUBLE))
+      |          * CAST(c.g AS DOUBLE))))
+      |  END) AS ks_d
+      |FROM c CROSS JOIN t GROUP BY t.n, t.sg""".stripMargin
+
+  /** Cross-correlation of purchase vs error hourly counts at lags 0–3
+    * ([[graft.ops.TimeSeries.crossCorrelation]]): exact grid counts, one
+    * equi-join per lag family, Pearson from exact moments.
+    */
+  private def xcorrQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.crossCorrelation(
+      Tables.events(s, dir), unix_micros(col("ts")),
+      col("event_type") === "purchase", col("event_type") === "error",
+      unitMicros = 3600000000L, maxLag = 3)
+
+  private val xcorrOracle =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |    event_type = 'purchase' AS a, event_type = 'error' AS b
+      |  FROM events),
+      |g AS (SELECT h,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY h),
+      |l AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+      |p AS (SELECT l.lag, x.ca, y.cb
+      |  FROM g x JOIN l ON true JOIN g y ON y.h = x.h + l.lag),
+      |a AS (SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(ca) AS BIGINT) AS sx, CAST(sum(cb) AS BIGINT) AS sy,
+      |  sum(CAST(ca AS HUGEINT) * ca) AS sxx,
+      |  sum(CAST(cb AS HUGEINT) * cb) AS syy,
+      |  sum(CAST(ca AS HUGEINT) * cb) AS sxy
+      |  FROM p GROUP BY lag)
+      |SELECT lag, n, sx, sy,
+      |  CASE WHEN CAST(CAST(n AS HUGEINT) * sxx
+      |        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > CAST(0 AS DOUBLE)
+      |      AND CAST(CAST(n AS HUGEINT) * syy
+      |        - CAST(sy AS HUGEINT) * sy AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+      |    CAST(CAST(n AS HUGEINT) * sxy
+      |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |      / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+      |          - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+      |        * sqrt(CAST(CAST(n AS HUGEINT) * syy
+      |          - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+      |  END AS xcorr
+      |FROM a ORDER BY lag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exp_fit" -> (expFitQ _),
+    "q_xcorr" -> (xcorrQ _),
     "q_entropy_rate" -> (entropyRateQ _),
     "q_burstiness" -> (burstinessQ _),
     "q_perm_entropy" -> (permEntropyQ _),
@@ -3294,6 +3374,8 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_exp_fit" -> expFitOracle,
+    "q_xcorr" -> xcorrOracle,
     "q_entropy_rate" -> entropyRateOracle,
     "q_burstiness" -> burstinessOracle,
     "q_perm_entropy" -> permEntropyOracle,

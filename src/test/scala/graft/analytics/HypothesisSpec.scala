@@ -229,6 +229,28 @@ class HypothesisSpec extends SparkSpec {
     assert(r.getAs[Double]("h_nats") == 0.0)
   }
 
+  test("exponentialFit: unit gaps — lambda 1, KS exactly exp(-1)") {
+    // three events, gaps of exactly one unit each: F_emp(1)=1 vs 1-e^-1
+    val df = Seq(("u1", 1, 0L), ("u1", 2, 60000000L), ("u1", 3, 120000000L))
+      .toDF("u", "t", "us")
+    val r = graft.ops.TimeSeries.exponentialFit(df, "u", Seq("t"), col("us"),
+      unitMicros = 60000000L).head()
+    assert(r.getAs[Long]("n_gaps") == 2L && r.getAs[Long]("sum_units") == 2L)
+    assert(math.abs(r.getAs[Double]("lambda_per_unit") - 1.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("ks_d") - math.exp(-1.0)) < 1e-12)
+  }
+
+  test("crossCorrelation: identical series — xcorr exactly 1 at lag 0") {
+    // hours 0,1,2 with 1,2,3 events; both flags true on every event
+    val rows = (0 to 2).flatMap(h => (0 to h).map(_ => (h * 3600000000L, true, true)))
+    val df = rows.toDF("us", "fa", "fb")
+    val r = graft.ops.TimeSeries.crossCorrelation(df, col("us"), col("fa"),
+        col("fb"), unitMicros = 3600000000L, maxLag = 1)
+      .filter(col("lag") === 0).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("xcorr") - 1.0) < 1e-12)
+  }
+
   test("maxDrawdown: peak-to-trough on a planted series, earliest trough tie") {
     // series 10, 50, 20, 40, 5: peak runs 10,50,50,50,50; dd 0,0,30,10,45
     val df = Seq(("u1", 1, 10L), ("u1", 2, 50L), ("u1", 3, 20L),
