@@ -3300,7 +3300,105 @@ object StatQueries {
       |  END AS xcorr
       |FROM a ORDER BY lag""".stripMargin
 
+  /** Bowley (quartile) skewness of event values — the ROBUST skewness
+    * companion of the moment-based `q_moments` shape stats: the three
+    * quartiles are exact order statistics from the two-pass histogram
+    * kernel; the coefficient is one fixed-order expression over exact
+    * integers.
+    */
+  private def bowleyQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(s, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+    graft.analytics.Quantiles.exactQuantilesTwoPass(
+        scored, "cents", Seq(250, 500, 750), bucketWidth = 1000L)
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 250, col("value_cents"))).as("q1"),
+        max(when(col("p") === 500, col("value_cents"))).as("q2"),
+        max(when(col("p") === 750, col("value_cents"))).as("q3"))
+      .withColumn("bowley_skew",
+        when(col("q3") > col("q1"),
+          (col("q3") + col("q1") - lit(2L) * col("q2")).cast("double") /
+            (col("q3") - col("q1")).cast("double")))
+  }
+
+  private val bowleyOracle =
+    """WITH sc AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+      |kk AS (SELECT n, unnest([250, 500, 750]) AS p FROM nn),
+      |k2 AS (SELECT n, p, CAST((n * p + 999) // 1000 AS BIGINT) AS k FROM kk),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM sc),
+      |q AS (SELECT k2.n, k2.p, r.cents FROM k2 JOIN r ON r.rn = k2.k),
+      |w AS (SELECT max(n) AS n,
+      |  max(CASE WHEN p = 250 THEN cents END) AS q1,
+      |  max(CASE WHEN p = 500 THEN cents END) AS q2,
+      |  max(CASE WHEN p = 750 THEN cents END) AS q3
+      |  FROM q)
+      |SELECT n, q1, q2, q3,
+      |  CASE WHEN q3 > q1 THEN
+      |    CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+      |  END AS bowley_skew
+      |FROM w""".stripMargin
+
+  /** Exact 10–90% trimmed mean of event values — the robust location
+    * estimator, ENTIRELY in exact integer arithmetic: the two trim
+    * boundaries are exact order statistics, and the trimmed sum uses the
+    * tie-aware rank identity S(k) = Σ_{c<v_k} c + (k − #{c<v_k})·v_k
+    * (deterministic under any tie permutation). One division at the end.
+    */
+  private def trimmedMeanQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(s, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+    def cut(permille: Int, name: String) =
+      graft.analytics.Quantiles.exactOrderStatistic(
+          scored, "cents", n => expr(s"(n * $permille + 999) div 1000"),
+          bucketWidth = 1000L)
+        .select(col("n"), col("k").as(s"k_$name"),
+          col("value_cents").as(s"v_$name"))
+    val lo = cut(100, "lo")
+    val hi = cut(900, "hi").drop("n")
+    scored.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .agg(max(col("n")).as("n"), max(col("k_lo")).as("k_lo"),
+        max(col("k_hi")).as("k_hi"),
+        max(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"),
+        sum(when(col("cents") < col("v_lo"), col("cents")).otherwise(0L))
+          .as("s_below_lo"),
+        sum(when(col("cents") < col("v_lo"), 1L).otherwise(0L)).as("c_below_lo"),
+        sum(when(col("cents") < col("v_hi"), col("cents")).otherwise(0L))
+          .as("s_below_hi"),
+        sum(when(col("cents") < col("v_hi"), 1L).otherwise(0L)).as("c_below_hi"))
+      .withColumn("trimmed_sum",
+        (col("s_below_hi") + (col("k_hi") - col("c_below_hi")) * col("v_hi")) -
+          (col("s_below_lo") + (col("k_lo") - col("c_below_lo")) * col("v_lo")))
+      .withColumn("trimmed_n", col("k_hi") - col("k_lo"))
+      .withColumn("trimmed_mean",
+        when(col("trimmed_n") > 0,
+          col("trimmed_sum").cast("double") / col("trimmed_n").cast("double")))
+      .select(col("n"), col("k_lo"), col("k_hi"), col("trimmed_sum"),
+        col("trimmed_n"), col("trimmed_mean"))
+  }
+
+  private val trimmedMeanOracle =
+    """WITH sc AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+      |kk AS (SELECT n, CAST((n * 100 + 999) // 1000 AS BIGINT) AS k_lo,
+      |  CAST((n * 900 + 999) // 1000 AS BIGINT) AS k_hi FROM nn),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM sc),
+      |s AS (SELECT kk.n, kk.k_lo, kk.k_hi,
+      |  CAST(sum(CASE WHEN rn > k_lo AND rn <= k_hi THEN cents ELSE 0 END)
+      |    AS BIGINT) AS trimmed_sum
+      |  FROM r CROSS JOIN kk GROUP BY kk.n, kk.k_lo, kk.k_hi)
+      |SELECT n, k_lo, k_hi, trimmed_sum,
+      |  CAST(k_hi - k_lo AS BIGINT) AS trimmed_n,
+      |  CASE WHEN k_hi - k_lo > 0 THEN
+      |    CAST(trimmed_sum AS DOUBLE) / CAST(k_hi - k_lo AS DOUBLE)
+      |  END AS trimmed_mean
+      |FROM s""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bowley_skew" -> (bowleyQ _),
+    "q_trimmed_mean" -> (trimmedMeanQ _),
     "q_exp_fit" -> (expFitQ _),
     "q_xcorr" -> (xcorrQ _),
     "q_entropy_rate" -> (entropyRateQ _),
@@ -3374,6 +3472,8 @@ object StatQueries {
     "q_lorenz" -> (lorenzQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_bowley_skew" -> bowleyOracle,
+    "q_trimmed_mean" -> trimmedMeanOracle,
     "q_exp_fit" -> expFitOracle,
     "q_xcorr" -> xcorrOracle,
     "q_entropy_rate" -> entropyRateOracle,

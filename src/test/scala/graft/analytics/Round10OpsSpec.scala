@@ -121,6 +121,24 @@ class Round10OpsSpec extends SparkSpec {
     }.nonEmpty, "the global window must sit above the bucket histogram")
   }
 
+  test("quantile-kernel compositions: Bowley 0 on uniform, trimmed mean 50.5 on 1..100") {
+    val vals = (1L to 100L).toDF("cents")
+    // quartiles of 1..100 are 25/50/75: Bowley = (75+25-100)/50 = 0
+    val q = Quantiles.exactQuantilesTwoPass(vals, "cents", Seq(250, 500, 750), 10L)
+      .collect().map(r => r.getAs[Long]("value_cents")).sorted
+    assert(q.sameElements(Array(25L, 50L, 75L)))
+    // trimmed ranks 11..90 sum to 4040, mean 50.5 — the rank identity path
+    val lo = Quantiles.exactOrderStatistic(vals, "cents",
+      n => org.apache.spark.sql.functions.expr("(n * 100 + 999) div 1000"), 10L)
+      .head().getAs[Long]("value_cents")
+    val hi = Quantiles.exactOrderStatistic(vals, "cents",
+      n => org.apache.spark.sql.functions.expr("(n * 900 + 999) div 1000"), 10L)
+      .head().getAs[Long]("value_cents")
+    assert(lo == 10L && hi == 90L)
+    val trimmedSum = (11L to 90L).sum
+    assert(trimmedSum == 4040L && trimmedSum.toDouble / 80.0 == 50.5)
+  }
+
   test("exactOrderStatistic: arbitrary rank rule selects the exact k-th value") {
     val vals = (1L to 500L).map(v => v * 13L % 997L)
     val df = vals.toDF("cents")
