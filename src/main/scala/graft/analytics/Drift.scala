@@ -328,12 +328,19 @@ object Drift {
     * drift metric mixture curation actually thresholds on (χ² is unbounded,
     * KL is asymmetric and infinite on disjoint support; JSD ∈ [0, ln 2]).
     *
-    * Oracle discipline: bucket counts are exact BIGINTs; each bucket's two
-    * divergence terms are fixed-operand-order IEEE expressions; the
-    * cross-bucket fold rides an ORDERED cumulative over the nBuckets-bounded
-    * frame (terms are non-negative by Gibbs, so the cumulative's max is the
-    * total). `jsd_bits` divides by ln(2) COMPUTED on each engine (a 0.69…
-    * literal would parse as DECIMAL in the oracle and fold differently).
+    * Oracle discipline: bucket counts are exact BIGINTs; each bucket's
+    * ln(p/m) factor is QUANTIZED to the floor-pico-nat grid
+    * (⌊ln(p/m)·10¹²⌋, the [[graft.analytics.Inequality.theilDecomposition]]
+    * idiom at a finer grid because JSD magnitudes are small) and weighted
+    * by the exact bucket count, so the cross-bucket fold is an ORDER-FREE
+    * exact DECIMAL sum — no window, no fold-order pin needed. Raw-double
+    * folds are unreproducible here twice over: terms p·ln(p/m) are
+    * NEGATIVE wherever the other cohort dominates the bucket (Gibbs
+    * bounds only the sum, so max-over-cumulative returns the running
+    * peak, not the total), and Java Math.log vs libm ln diverge 1 ulp on
+    * some arguments. `jsd_bits` divides by ln(2) COMPUTED on each engine
+    * (a 0.69… literal would parse as DECIMAL in the oracle and fold
+    * differently).
     *
     * Scale shape: one map-side-combined aggregate on the bucket key plus a
     * broadcast of the one-row totals; the fold frame is nBuckets rows.
@@ -341,7 +348,7 @@ object Drift {
   def jensenShannon(df: DataFrame, valueCol: String, cohortA: Column,
                     bucketWidth: Long, nBuckets: Int): DataFrame = {
     require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
-    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
       .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
     val counts = df.select(bucket, cohortA.as("__a"))
@@ -352,18 +359,26 @@ object Drift {
     val p = col("n_a").cast("double") / col("__ta").cast("double")
     val q = col("n_b").cast("double") / col("__tb").cast("double")
     val m = (p + q) / lit(2.0)
-    val termA = when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0))
-    val termB = when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_bucket · ⌊ln(p/m)·10¹²⌋ — exact integers, order-free sum;
+    // kl = Σ / (total · 10¹²) because p = n_bucket/total factors out.
+    val qA = when(col("n_a") > 0,
+      dec(col("n_a")) * dec(floor(log(p / m) * lit(1e12)).cast("long")))
+      .otherwise(dec(lit(0L)))
+    val qB = when(col("n_b") > 0,
+      dec(col("n_b")) * dec(floor(log(q / m) * lit(1e12)).cast("long")))
+      .otherwise(dec(lit(0L)))
     counts.crossJoin(broadcast(totals))
-      .withColumn("__ca", sum(termA).over(w))
-      .withColumn("__cb", sum(termB).over(w))
       .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
-        max(col("__ca")).as("kl_a"), max(col("__cb")).as("kl_b"))
+        sum(qA).as("__qa"), sum(qB).as("__qb"))
+      .withColumn("kl_a", when(col("n_a") > 0, col("__qa").cast("double") /
+        (col("n_a").cast("double") * lit(1e12))))
+      .withColumn("kl_b", when(col("n_b") > 0, col("__qb").cast("double") /
+        (col("n_b").cast("double") * lit(1e12))))
       .withColumn("jsd_nats",
         when(col("n_a") > 0 && col("n_b") > 0,
           lit(0.5) * col("kl_a") + lit(0.5) * col("kl_b")))
       .withColumn("jsd_bits", col("jsd_nats") / log(lit(2.0)))
+      .select(col("n_a"), col("n_b"), col("kl_a"), col("kl_b"),
+        col("jsd_nats"), col("jsd_bits"))
   }
 }

@@ -109,11 +109,17 @@ object Hypothesis {
 
   /** Mutual information (nats) between two categorical columns, with the
     * marginal entropies and normalized MI = I/min(H_a, H_b). Cell counts
-    * and marginals are exact BIGINTs; the three double folds (cells, row
-    * marginals, column marginals) each ride an ordered cumulative over
-    * their class-bounded frames. `ln` parity between engines is the
-    * established BM25/DSIR precedent. One row: `n`, `mi_nats`, `h_a`,
-    * `h_b`, `nmi`.
+    * and marginals are exact BIGINTs; each ln factor is QUANTIZED to the
+    * floor-pico-nat grid (⌊ln(·)·10¹²⌋, the
+    * [[graft.analytics.Inequality.theilDecomposition]] idiom at a finer
+    * grid) and weighted by the exact cell/marginal count, so all three
+    * folds (cells, row marginals, column marginals) are ORDER-FREE exact
+    * DECIMAL sums — no window, no fold-order pin. Raw-double folds are
+    * unreproducible here twice over: pointwise MI terms
+    * (o/n)·ln(o·n/(r·c)) are NEGATIVE for under-represented cells (so a
+    * max over an ordered cumulative returns the running peak, not the
+    * total), and Java Math.log vs libm ln diverge 1 ulp on some
+    * arguments. One row: `n`, `mi_nats`, `h_a`, `h_b`, `nmi`.
     */
   def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cm = df.select(aCol.as("a"), bCol.as("b"))
@@ -123,26 +129,29 @@ object Hypothesis {
     val cT = cm.groupBy(col("b")).agg(sum(col("o")).as("c"))
     val tot = cm.agg(sum(col("o")).as("n"))
     val nd = col("n").cast("double")
-    val wCell = Window.orderBy(col("a"), col("b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val miTerm = (col("o").cast("double") / nd) *
-      log((col("o").cast("double") * nd) /
-        (col("r").cast("double") * col("c").cast("double")))
+    // o · ⌊ln(o·n/(r·c))·10¹²⌋ — exact integers, order-free sum;
+    // mi = Σ / (n · 10¹²) because the 1/n of each term factors out.
+    val miQ = dec(col("o")) * dec(floor(log((col("o").cast("double") * nd) /
+      (col("r").cast("double") * col("c").cast("double"))) * lit(1e12))
+      .cast("long"))
     val mi = cm.join(broadcast(rT), Seq("a")).join(broadcast(cT), Seq("b"))
       .crossJoin(broadcast(tot))
-      .withColumn("__cum", sum(miTerm).over(wCell))
-      .agg(max(col("n")).as("n"), max(col("__cum")).as("mi_nats"))
-    def entropy(m: DataFrame, key: String, cnt: String, out: String): DataFrame = {
-      val w = Window.orderBy(col(key))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val t = (lit(0.0) - col(cnt).cast("double") / nd) *
-        log(col(cnt).cast("double") / nd)
+      .agg(max(col("n")).as("n"), sum(miQ).as("__q"))
+      .withColumn("mi_nats", when(col("n") > 0,
+        col("__q").cast("double") / (col("n").cast("double") * lit(1e12))))
+      .select(col("n"), col("mi_nats"))
+    // h = −Σ cnt·⌊ln(cnt/n)·10¹²⌋ / (n·10¹²); ln(cnt/n) ≤ 0, so the
+    // negated quantized sum is ≥ 0 like the entropy it approximates.
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame = {
+      val q = dec(col(cnt)) *
+        dec(floor(log(col(cnt).cast("double") / nd) * lit(1e12)).cast("long"))
       m.crossJoin(broadcast(tot))
-        .withColumn("__cum", sum(t).over(w))
-        .agg(max(col("__cum")).as(out))
+        .agg(max(col("n")).as("__n"), sum(q).as("__q"))
+        .select(when(col("__n") > 0, lit(0.0) - col("__q").cast("double") /
+          (col("__n").cast("double") * lit(1e12))).as(out))
     }
-    mi.crossJoin(broadcast(entropy(rT, "a", "r", "h_a")))
-      .crossJoin(broadcast(entropy(cT, "b", "c", "h_b")))
+    mi.crossJoin(broadcast(entropy(rT, "r", "h_a")))
+      .crossJoin(broadcast(entropy(cT, "c", "h_b")))
       .withColumn("nmi",
         when(least(col("h_a"), col("h_b")) > lit(0.0),
           col("mi_nats") / least(col("h_a"), col("h_b"))))
@@ -205,8 +214,13 @@ object Hypothesis {
   def runsTest(df: DataFrame, entityCol: String, orderCols: Seq[String],
                above: Column): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(orderCols.map(col): _*)
+    // A NULL `above` row would land in neither n1 nor n0 yet still count
+    // in n (skewing E[R]/Var[R]) and would null out its lag comparison —
+    // drop such rows so n ≡ n1 + n0 and runs are counted over the
+    // observed sequence only.
     val base = df.select(Seq(col(entityCol).as("entity")) ++ orderCols.map(col) :+
       above.as("__x"): _*)
+      .filter(col("__x").isNotNull)
     val g = base
       .withColumn("__p", lag(col("__x"), 1).over(w))
       .groupBy(col("entity"))

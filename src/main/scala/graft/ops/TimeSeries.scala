@@ -325,7 +325,10 @@ object TimeSeries {
       .withColumn("__mdd", max(col("__dd")).over(all))
       .filter(col("__dd") === col("__mdd"))
       .groupBy(col("entity"))
+      // peak_at_trough is anchored to the SAME earliest-trough row as
+      // dd_pos (min_by on pos), never an independent max over the tied
+      // rows — ties at the max drawdown can carry different running peaks.
       .agg(min(col("pos")).as("dd_pos"), max(col("__mdd")).as("max_drawdown"),
-        max(col("__peak")).as("peak_at_trough"))
+        min_by(col("__peak"), col("pos")).as("peak_at_trough"))
   }
 }

@@ -2218,9 +2218,9 @@ object StatQueries {
   /** Mutual information between the event type and the value band
     * ([[graft.analytics.Hypothesis.mutualInformation]]) — the
     * feature-informativeness companion of Cramér's V on the SAME cell
-    * frame: exact cell/marginal counts, three ordered double folds
-    * (cells, row marginals, column marginals), normalized MI against the
-    * smaller marginal entropy.
+    * frame: exact cell/marginal counts, floor-pico-nat-quantized ln
+    * factors so all three folds are order-free exact integer sums,
+    * normalized MI against the smaller marginal entropy.
     */
   private def mutualInfoQ(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Hypothesis.mutualInformation(
@@ -2243,29 +2243,32 @@ object StatQueries {
       |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cm GROUP BY a),
       |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cm GROUP BY b),
       |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cm),
-      |mi AS (SELECT n,
-      |  sum((CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
-      |      ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
-      |        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))
-      |    OVER (ORDER BY a, b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS cum
+      |mi AS (SELECT max(n) AS n,
+      |  CASE WHEN max(n) > 0 THEN
+      |    CAST(CAST(sum(CAST(o AS HUGEINT) *
+      |      CAST(floor(ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+      |        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1e12) AS BIGINT))
+      |      AS BIGINT) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1e12)
+      |  END AS mi_nats
       |  FROM cm JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt),
-      |ha AS (SELECT
-      |  sum((CAST(0 AS DOUBLE) - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
-      |    OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS cum
+      |ha AS (SELECT CASE WHEN max(n) > 0 THEN
+      |  CAST(0 AS DOUBLE) - CAST(CAST(sum(CAST(r AS HUGEINT) *
+      |    CAST(floor(ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12)
+      |      AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / (CAST(max(n) AS DOUBLE) * 1e12)
+      |  END AS h
       |  FROM rt CROSS JOIN tt),
-      |hb AS (SELECT
-      |  sum((CAST(0 AS DOUBLE) - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
-      |    OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS cum
+      |hb AS (SELECT CASE WHEN max(n) > 0 THEN
+      |  CAST(0 AS DOUBLE) - CAST(CAST(sum(CAST(c AS HUGEINT) *
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12)
+      |      AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / (CAST(max(n) AS DOUBLE) * 1e12)
+      |  END AS h
       |  FROM ct CROSS JOIN tt),
-      |f AS (SELECT (SELECT max(n) FROM mi) AS n,
-      |  (SELECT max(cum) FROM mi) AS mi_nats,
-      |  (SELECT max(cum) FROM ha) AS h_a,
-      |  (SELECT max(cum) FROM hb) AS h_b)
+      |f AS (SELECT (SELECT n FROM mi) AS n,
+      |  (SELECT mi_nats FROM mi) AS mi_nats,
+      |  (SELECT h FROM ha) AS h_a,
+      |  (SELECT h FROM hb) AS h_b)
       |SELECT n, mi_nats, h_a, h_b,
       |  CASE WHEN least(h_a, h_b) > CAST(0 AS DOUBLE)
       |    THEN mi_nats / least(h_a, h_b) END AS nmi
@@ -2399,20 +2402,22 @@ object StatQueries {
       |  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
       |  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
       |  FROM c CROSS JOIN t),
-      |s AS (SELECT ta, tb,
-      |  sum(CASE WHEN n_a > 0
-      |    THEN p * ln(p / ((p + q) / CAST(2 AS DOUBLE)))
-      |    ELSE CAST(0 AS DOUBLE) END)
-      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS ca,
-      |  sum(CASE WHEN n_b > 0
-      |    THEN q * ln(q / ((p + q) / CAST(2 AS DOUBLE)))
-      |    ELSE CAST(0 AS DOUBLE) END)
-      |    OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS cb
+      |s AS (SELECT max(ta) AS n_a, max(tb) AS n_b,
+      |  sum(CASE WHEN n_a > 0 THEN CAST(n_a AS HUGEINT) *
+      |      CAST(floor(ln(p / ((p + q) / CAST(2 AS DOUBLE))) * 1e12) AS BIGINT)
+      |    ELSE CAST(0 AS HUGEINT) END) AS qa,
+      |  sum(CASE WHEN n_b > 0 THEN CAST(n_b AS HUGEINT) *
+      |      CAST(floor(ln(q / ((p + q) / CAST(2 AS DOUBLE))) * 1e12) AS BIGINT)
+      |    ELSE CAST(0 AS HUGEINT) END) AS qb
       |  FROM d),
-      |f AS (SELECT max(ta) AS n_a, max(tb) AS n_b,
-      |  max(ca) AS kl_a, max(cb) AS kl_b FROM s)
+      |f AS (SELECT n_a, n_b,
+      |  CASE WHEN n_a > 0 THEN
+      |    CAST(CAST(qa AS BIGINT) AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * 1e12) END AS kl_a,
+      |  CASE WHEN n_b > 0 THEN
+      |    CAST(CAST(qb AS BIGINT) AS DOUBLE)
+      |      / (CAST(n_b AS DOUBLE) * 1e12) END AS kl_b
+      |  FROM s)
       |SELECT n_a, n_b, kl_a, kl_b,
       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
       |    CAST(0.5 AS DOUBLE) * kl_a + CAST(0.5 AS DOUBLE) * kl_b
@@ -2907,7 +2912,7 @@ object StatQueries {
       |  max(dd) OVER (PARTITION BY user_id) AS mdd FROM d)
       |SELECT user_id, CAST(min(pos) AS BIGINT) AS dd_pos,
       |  CAST(max(mdd) AS BIGINT) AS max_drawdown,
-      |  CAST(max(peak) AS BIGINT) AS peak_at_trough
+      |  CAST(min_by(peak, pos) AS BIGINT) AS peak_at_trough
       |FROM m WHERE dd = mdd GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Bhattacharyya/Hellinger between purchase and view value

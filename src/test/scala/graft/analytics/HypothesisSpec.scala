@@ -55,15 +55,38 @@ class HypothesisSpec extends SparkSpec {
     val df = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v")).toDF("a", "b")
     val r = Hypothesis.mutualInformation(df, col("a"), col("b")).head()
     assert(r.getAs[Long]("n") == 4L)
-    assert(math.abs(r.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-12)
-    assert(math.abs(r.getAs[Double]("h_a") - math.log(2.0)) < 1e-12)
-    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-12)
+    // pico-nat quantization floors each ln factor, so tolerances are 1e-11
+    assert(math.abs(r.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-11)
+    assert(math.abs(r.getAs[Double]("h_a") - math.log(2.0)) < 1e-11)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-11)
   }
 
   test("mutualInformation: independence — MI = 0") {
     val df = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
     val r = Hypothesis.mutualInformation(df, col("a"), col("b")).head()
-    assert(math.abs(r.getAs[Double]("mi_nats")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mi_nats")) < 1e-11)
+  }
+
+  test("mutualInformation: skewed table with NEGATIVE pointwise terms") {
+    // cells (x,u)=3 (x,v)=1 (y,u)=1 (y,v)=3: the o=1 cells contribute
+    // (1/8)·ln(8/(4·4)) = (1/8)·ln(1/2) < 0, so the running cumulative is
+    // non-monotone — a max-over-cumulative fold would report its PEAK
+    // (the r10 advisory defect), overstating MI.
+    val df = (Seq.fill(3)(("x", "u")) ++ Seq(("x", "v")) ++
+      Seq(("y", "u")) ++ Seq.fill(3)(("y", "v"))).toDF("a", "b")
+    val r = Hypothesis.mutualInformation(df, col("a"), col("b")).head()
+    val n = 8.0
+    val expected = Seq((3.0, 4.0, 4.0), (1.0, 4.0, 4.0), (1.0, 4.0, 4.0),
+      (3.0, 4.0, 4.0)).map { case (o, rr, cc) =>
+      (o / n) * math.log(o * n / (rr * cc))
+    }.sum
+    assert(expected > 0.0 && expected < math.log(2.0))
+    assert(math.abs(r.getAs[Double]("mi_nats") - expected) < 1e-11)
+    // the cumulative peak over cells ordered (x,u),(x,v),(y,u),(y,v) is
+    // strictly above the total (first cell term alone exceeds it)
+    val firstTerm = (3.0 / n) * math.log(3.0 * n / 16.0)
+    assert(firstTerm > expected)
+    assert(r.getAs[Double]("mi_nats") < firstTerm - 1e-9)
   }
 
   test("welchT: symmetric two-group fixture — t = -30/sqrt(200/3), df = 2(n-1)") {
@@ -87,6 +110,17 @@ class HypothesisSpec extends SparkSpec {
     val r2 = Hypothesis.runsTest(const, "u", Seq("t"), col("x")).head()
     assert(r2.getAs[Long]("runs") == 1L)
     assert(r2.isNullAt(r2.fieldIndex("z")))
+    // NULL above-values are dropped before the window, so n == n1 + n0
+    // and the run structure is counted over the observed rows only (the
+    // r10 advisory defect counted the null row in n but in neither class)
+    val withNull = Seq(("u3", 1, Some(true)), ("u3", 2, None),
+      ("u3", 3, Some(false)), ("u3", 4, Some(true)),
+      ("u3", 5, Some(false)), ("u3", 6, Some(true))).toDF("u", "t", "x")
+    val r3 = Hypothesis.runsTest(withNull, "u", Seq("t"), col("x")).head()
+    assert(r3.getAs[Long]("n") == 5L)
+    assert(r3.getAs[Long]("n1") == 3L && r3.getAs[Long]("n0") == 2L)
+    assert(r3.getAs[Long]("n") == r3.getAs[Long]("n1") + r3.getAs[Long]("n0"))
+    assert(r3.getAs[Long]("runs") == 5L)
   }
 
   test("cronbachAlpha: duplicated item — alpha exactly 1") {
@@ -179,8 +213,31 @@ class HypothesisSpec extends SparkSpec {
     val disj = Seq((10L, true), (10L, true), (60L, false), (60L, false))
       .toDF("v", "a")
     val r2 = Drift.jensenShannon(disj, "v", col("a"), 50L, 4).head()
-    assert(math.abs(r2.getAs[Double]("jsd_nats") - math.log(2.0)) < 1e-12)
-    assert(math.abs(r2.getAs[Double]("jsd_bits") - 1.0) < 1e-12)
+    // pico-nat quantization floors each ln factor -> 1e-11 tolerances
+    assert(math.abs(r2.getAs[Double]("jsd_nats") - math.log(2.0)) < 1e-11)
+    assert(math.abs(r2.getAs[Double]("jsd_bits") - 1.0) < 1e-11)
+  }
+
+  test("jensenShannon: overlapping cohorts — NEGATIVE per-bucket terms") {
+    // bucket0 has p=3/4 > q=1/4, bucket1 the reverse: in each bucket one
+    // cohort's term p·ln(p/m) is negative (Gibbs bounds the SUM, not the
+    // terms), so a max-over-cumulative fold would report the running
+    // peak (the r10 advisory defect), overstating JSD.
+    val df = (Seq.fill(3)((10L, true)) ++ Seq((10L, false)) ++
+      Seq((60L, true)) ++ Seq.fill(3)((60L, false))).toDF("v", "a")
+    val r = Drift.jensenShannon(df, "v", col("a"), 50L, 2).head()
+    def kl(ps: Seq[(Double, Double)]): Double =
+      ps.map { case (p, q) =>
+        if (p > 0.0) p * math.log(p / ((p + q) / 2.0)) else 0.0
+      }.sum
+    val klA = kl(Seq((0.75, 0.25), (0.25, 0.75)))
+    val klB = kl(Seq((0.25, 0.75), (0.75, 0.25)))
+    val expected = 0.5 * klA + 0.5 * klB
+    // second bucket's A-term is negative -> cumulative peak > total
+    assert(0.75 * math.log(0.75 / 0.5) > klA)
+    assert(math.abs(r.getAs[Double]("jsd_nats") - expected) < 1e-11)
+    assert(math.abs(r.getAs[Double]("kl_a") - klA) < 1e-11)
+    assert(math.abs(r.getAs[Double]("kl_b") - klB) < 1e-11)
   }
 
   test("gumbelFit: moments fixture — beta = 10*sqrt(6)/pi, mu = m - gamma*beta") {
@@ -263,6 +320,16 @@ class HypothesisSpec extends SparkSpec {
     val up = Seq(("u2", 1, 1L), ("u2", 2, 2L), ("u2", 3, 3L)).toDF("u", "t", "cents")
     val r2 = graft.ops.TimeSeries.maxDrawdown(up, "u", "t", "t", col("cents")).head()
     assert(r2.getAs[Long]("max_drawdown") == 0L && r2.getAs[Long]("dd_pos") == 1L)
+    // tie at the max drawdown under DIFFERENT running peaks: 50,10,60,20
+    // draws down 40 at pos 2 (peak 50) and pos 4 (peak 60) — the emitted
+    // peak must anchor to the same earliest-trough row as dd_pos (the
+    // r10 advisory defect emitted max(peak)=60 with dd_pos=2)
+    val tie = Seq(("u3", 1, 50L), ("u3", 2, 10L), ("u3", 3, 60L),
+      ("u3", 4, 20L)).toDF("u", "t", "cents")
+    val r3 = graft.ops.TimeSeries.maxDrawdown(tie, "u", "t", "t", col("cents")).head()
+    assert(r3.getAs[Long]("max_drawdown") == 40L)
+    assert(r3.getAs[Long]("dd_pos") == 2L)
+    assert(r3.getAs[Long]("peak_at_trough") == 50L)
   }
 
   test("changepoint: constant series ties on zero gain — earliest split wins") {
