@@ -47,9 +47,9 @@ object Bootstrap {
       .withColumn("mean",
         when(col("n") > 0,
           col("sum_cents").cast("double") / col("n").cast("double")))
-    // One md5 digest serves FOUR replicates (32 hex digits = 4 disjoint
-    // 8-digit fields), hashed once per (row, replicate-group) — n·B/4
-    // digests, not n·B. Each field parses once with conv and the weight
+    // One md5 DIGEST VALUE serves four replicates (32 hex digits = 4
+    // disjoint 8-digit fields), keyed per (row, replicate-group) — the
+    // draw count is n·B/4 distinct digests, not n·B. The weight
     // w = #{hex digits in {0,1}} ~ Binomial(8, 1/8) is counted
     // arithmetically (digit < 2 ⇔ the nibble's upper 3 bits are 0);
     // digit POSITIONS don't matter for the count, so nibble order agrees
@@ -63,22 +63,35 @@ object Bootstrap {
     // reference — measured 44 s vs 4 s for the same math here; the NOTES
     // explode-pushdown trap in aggregate form).
     require(replicates % 4 == 0, s"replicates must be a multiple of 4, got $replicates")
-    val digest = md5(concat(lit(s"boot:$seed:"), col("__id"), lit(":"),
-      col("rg").cast("string")))
+    val msg = concat(lit(s"boot:$seed:"), col("__id"), lit(":"),
+      col("rg").cast("string"))
+    // w = #{hex digits of the field in {'0','1'}} ⇔ #{nibbles whose
+    // upper 3 bits are 0}. The field comes from the native
+    // [[graft.functions.Md5Field]] (thread-local digest, no hex-string /
+    // conv materialization — the built-in Md5+conv+substring chain
+    // measured 2.5× slower here, dominated by per-call
+    // MessageDigest.getInstance and per-weight string scans).
     def weightOf(s: Int): Column = {
-      val u32 = conv(substring(digest, 1 + 8 * s, 8), 16, 10).cast("long")
+      val u = graft.functions.Md5Field.md5Field(msg, 8 * s, 8)
       (0 to 7).map(j =>
-        when(shiftright(u32, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
+        when(shiftright(u, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
           .otherwise(0L)).reduce(_ + _)
     }
+    // Weights are hoisted into the projection BELOW the aggregate so each
+    // digest runs exactly once per (row, replicate-group, field): as
+    // aggregate-input expressions the 8 sums would each re-inline it
+    // (subexpression elimination does not span aggregate functions).
     val perRg = base
       .select(col("__id"), col("x"),
         explode(sequence(lit(0), lit(replicates / 4 - 1))).as("rg"))
+      .select(col("rg"), col("x"),
+        weightOf(0).as("w0"), weightOf(1).as("w1"),
+        weightOf(2).as("w2"), weightOf(3).as("w3"))
       .groupBy(col("rg"))
-      .agg(sum(weightOf(0) * col("x")).as("swx0"), sum(weightOf(0)).as("sw0"),
-        sum(weightOf(1) * col("x")).as("swx1"), sum(weightOf(1)).as("sw1"),
-        sum(weightOf(2) * col("x")).as("swx2"), sum(weightOf(2)).as("sw2"),
-        sum(weightOf(3) * col("x")).as("swx3"), sum(weightOf(3)).as("sw3"))
+      .agg(sum(col("w0") * col("x")).as("swx0"), sum(col("w0")).as("sw0"),
+        sum(col("w1") * col("x")).as("swx1"), sum(col("w1")).as("sw1"),
+        sum(col("w2") * col("x")).as("swx2"), sum(col("w2")).as("sw2"),
+        sum(col("w3") * col("x")).as("swx3"), sum(col("w3")).as("sw3"))
     val repMeans = perRg
       .select(explode(array((0 to 3).map(s =>
           struct((col("rg") * 4 + s).as("rep"),

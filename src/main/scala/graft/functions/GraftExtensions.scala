@@ -40,6 +40,11 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("md5_field",
+      info("md5_field", "md5_field(str, startNibble, nNibbles) - unsigned BIGINT value of nNibbles hex digits of md5(str), == conv(substring(md5(str), startNibble+1, nNibbles), 16, 10)"),
+      (es: Seq[Expression]) => Md5Field(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())),
     ("normalize_unicode",
       info("normalize_unicode", "normalize_unicode(str, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
       (es: Seq[Expression]) => NormalizeUnicode(es.head, es(1).eval().toString)))

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.Md5Field._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class Md5FieldSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** The library-wide string idiom the native expression must replay
+    * bit-exactly (and the DuckDB oracle's `md5(x)[a:b]` hex-slice parse).
+    */
+  private def stringIdiom(start: Int, n: Int) =
+    conv(substring(md5(col("s")), start + 1, n), 16, 10).cast("long")
+
+  test("md5Field == conv(substring(md5)) on every (start, n) window") {
+    val values = samples(Gen.asciiPrintableStr, 60).distinct
+    for (start <- Seq(0, 1, 7, 8, 16, 24, 31); n <- Seq(1, 4, 8, 15)
+         if start + n <= 32) {
+      val rows = values.toDF("s")
+        .select(md5Field(col("s"), start, n).as("native"),
+          stringIdiom(start, n).as("idiom"))
+        .collect()
+      assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+        s"mismatch at start=$start n=$n")
+    }
+  }
+
+  test("md5U32 matches the conv idiom on unicode + empty strings") {
+    val values = Seq("", "a", "ÿüñ ✓", "boot:s1:42:7", "a\nb\tc") ++
+      samples(Gen.alphaNumStr, 100).distinct
+    val rows = values.toDF("s")
+      .select(md5U32(col("s")).as("native"), stringIdiom(0, 8).as("idiom"))
+      .collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("15-nibble field stays non-negative (no BIGINT sign wrap)") {
+    val values = samples(Gen.asciiPrintableStr, 200).distinct
+    val mins = values.toDF("s")
+      .agg(min(md5Field(col("s"), 0, 15)), min(md5Field(col("s"), 17, 15)))
+      .head()
+    assert(mins.getLong(0) >= 0L && mins.getLong(1) >= 0L)
+  }
+
+  test("out-of-range windows are rejected at construction") {
+    intercept[IllegalArgumentException](md5Field(col("s"), 25, 8))
+    intercept[IllegalArgumentException](md5Field(col("s"), 0, 16))
+    intercept[IllegalArgumentException](md5Field(col("s"), -1, 4))
+  }
+
+  test("null input yields null; interpreted eval agrees with codegen") {
+    val out = Seq[String]("x", null).toDF("s")
+      .select(md5U32(col("s")).as("h")).collect()
+    assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = Seq("x").toDF("s").select(md5U32(col("s"))).as[Long].head()
+      assert(interp == out(0).getLong(0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("md5_field is SQL-callable via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT md5_field('boot:s1:7:3', 8, 8)").as[Long].head()
+    val viaCol = Seq("boot:s1:7:3").toDF("s")
+      .select(md5Field(col("s"), 8, 8)).as[Long].head()
+    assert(viaSql == viaCol)
+  }
+}
