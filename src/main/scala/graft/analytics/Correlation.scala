@@ -330,8 +330,7 @@ object Correlation {
                         yCol: String, idCol: String, pairsPerGroup: Int,
                         seed: String = "ktau"): DataFrame = {
     require(pairsPerGroup >= 1, s"need at least 1 pair, got $pairsPerGroup")
-    def md5U32(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def md5U32(c: Column): Column = graft.functions.Md5Field.md5U32(c)
     val wr = Window.partitionBy(col(groupCol))
       .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol))
     val ranked = df

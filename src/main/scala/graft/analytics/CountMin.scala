@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   private def cellsOf(item: Column, depth: Int, width: Int): Column =
     array((0 until depth).map { r =>

@@ -101,8 +101,8 @@ object Drift {
   def abTest(events: DataFrame, unitCol: String, success: Column,
              seed: String, minSuccesses: Long = 1L): DataFrame = {
     require(minSuccesses >= 1, s"minSuccesses must be >= 1, got $minSuccesses")
-    val arm = pmod(conv(substring(md5(concat(lit(s"ab:$seed:"),
-      col("unit").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+    val arm = pmod(graft.functions.Md5Field.md5U32(concat(lit(s"ab:$seed:"),
+      col("unit").cast("string"))), lit(2L))
     val units = events
       .select(col(unitCol).as("unit"), success.cast("long").as("__s"))
       .groupBy(col("unit"))

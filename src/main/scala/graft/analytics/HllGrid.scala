@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object HllGrid {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** The register table: one row per TOUCHED register (idx, max rank);
     * merge two grids with `unionByName → groupBy(idx) → max(m)`.

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ContentChunking {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** One row per (doc, chunk): ordinal, token count, start position and the
     * chunk content hash. Expected chunk length ≈ `divisor` tokens.

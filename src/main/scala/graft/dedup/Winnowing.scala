@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object Winnowing {
 
   private def md5U60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Field.md5Field(c, 0, 15)
 
   /** Selected fingerprints per document: distinct `(doc_id, fp)` rows, where
     * `fp` is the minimum k-gram hash of some full `w`-window. Documents with

@@ -41,7 +41,7 @@ object Profile {
   def tableChecksum(df: DataFrame, groupCol: String,
                     cols: Seq[String]): DataFrame = {
     val rendered = concat_ws("|", cols.map(col): _*)
-    val u32 = conv(substring(md5(rendered), 1, 8), 16, 10).cast("long")
+    val u32 = graft.functions.Md5Field.md5U32(rendered)
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(u32).as("checksum"))
   }

@@ -93,8 +93,7 @@ object Encoding {
   def featureHash(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 1024): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val u32 = conv(substring(md5(concat(lit("fh:"), col("tok"))), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.functions.Md5Field.md5U32(concat(lit("fh:"), col("tok")))
     docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")

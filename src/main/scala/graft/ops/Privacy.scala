@@ -153,8 +153,8 @@ object Privacy {
     require(pDen > 0 && pNum * 2 > pDen && pNum <= pDen,
       s"need 1/2 < p = $pNum/$pDen <= 1 for an identifiable estimator")
     val draw = pmod(
-      conv(substring(md5(concat(lit(s"rr:$seed:"), idCol.cast("string"))),
-        1, 8), 16, 10).cast("long"),
+      graft.functions.Md5Field.md5U32(
+        concat(lit(s"rr:$seed:"), idCol.cast("string"))),
       lit(pDen.toLong))
     df.select(truth.cast("long").as("t"),
         when(draw < pNum, truth.cast("long"))

@@ -41,8 +41,8 @@ object Sampling {
     * "highest ids win".) Weights must be strictly positive.
     */
   private def aesKey(id: Column, weight: Column, seed: String): Column = {
-    val h = conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val h = graft.functions.Md5Field.md5U32(
+      concat(lit(seed), id.cast("string")))
     // (h + 0.5) / 2^32 is exact in double (division by a power of two). The
     // A-ES key u^(1/w) is ranked in the log domain — ln(u)/w orders
     // identically (ln is monotone, w > 0) but needs ONE transcendental where
@@ -111,9 +111,9 @@ object Sampling {
       .crossJoin(broadcast(stats))
       .withColumn("probe_idx", explode(sequence(lit(0), lit(probes - 1))))
       .withColumn("__u32",
-        conv(substring(md5(concat(lit(seed), lit(":"),
+        graft.functions.Md5Field.md5U32(concat(lit(seed), lit(":"),
           col(userCol).cast("string"), lit(":"),
-          col("probe_idx").cast("string"))), 1, 8), 16, 10).cast("long"))
+          col("probe_idx").cast("string"))))
       .withColumn("neg_item",
         col("__min_item") + pmod(col("__u32"), col("__n_items")))
     val firstProbe = Window.partitionBy(col(userCol), col("neg_item"))
@@ -146,8 +146,8 @@ object Sampling {
                              permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0, 1000], got $permille")
-    val h = conv(substring(md5(concat(lit(s"ces:$seed:"),
-      entity.cast("string"))), 1, 8), 16, 10).cast("long")
+    val h = graft.functions.Md5Field.md5U32(concat(lit(s"ces:$seed:"),
+      entity.cast("string")))
     // h uniform on [0, 2^32): keep iff h·1000 < permille·2^32 (exact ints)
     df.filter(h * 1000L < permille.toLong * 4294967296L)
   }

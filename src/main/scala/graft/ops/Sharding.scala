@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** (key, shard) under rendezvous hashing with `n` shards. */
   def assign(df: DataFrame, keyCol: String, n: Int,

@@ -52,6 +52,31 @@ object Graphs {
     s.table(table)
   }
 
+  private val triangleTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-node triangle participation counts of the co-purchase graph,
+    * materialized once per SF dir: the oriented-triangle enumeration
+    * ([[graft.dedup.DupClusters.triangleCounts]]) is the shared upstream
+    * of the local clustering coefficient (per-node), global transitivity
+    * (Σ over nodes = 3·triangles), and the triangle-census health checks —
+    * re-enumerating it per query repeats the family's most expensive
+    * join. Consumers' oracles still recount triangles naively from
+    * lineitem, so the materialization is proven exact on every run.
+    */
+  def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
+    val table = triangleTables.getOrElseUpdate(dir, {
+      val name = "graft_copurchase_tri_" + dirTag(dir)
+      graft.maintain.Layout.resetTable(s, name)
+      val tri = graft.dedup.DupClusters.triangleCounts(copurchaseEdges(s, dir))
+        .select(col("doc_id").as("node_id"), col("n_triangles"))
+      graft.maintain.Layout.writeBucketed(tri, name, "node_id", 8,
+        sortCols = Seq("node_id"))
+      name
+    })
+    s.table(table)
+  }
+
   /** Edges (id_a < id_b) of the significant co-purchase graph: part
     * pairs sharing ≥ 2 distinct orders.
     */

@@ -641,8 +641,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
     val naive = {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
+      val u = graft.functions.Md5Field.md5U32(col("doc_id").cast("string"))
       val trainMax = (1L << 32) * 80 / 100
       val valMax = (1L << 32) * 90 / 100
       when(u < trainMax, "train").when(u < valMax, "val").otherwise("test")

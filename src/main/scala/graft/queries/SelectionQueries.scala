@@ -150,8 +150,8 @@ object SelectionQueries {
       .select(col("event_id"),
         (col("event_type") === "purchase").cast("long").as("label"))
       .withColumn("score",
-        conv(substring(md5(concat(lit("cal:"), col("event_id").cast("string"))),
-          1, 8), 16, 10).cast("long"))
+        graft.functions.Md5Field.md5U32(
+          concat(lit("cal:"), col("event_id").cast("string"))))
     val ranked = graft.ops.StableIds.withStableIds(ev, Seq("score", "event_id"))
     val n = ranked.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
@@ -225,9 +225,8 @@ object SelectionQueries {
     val k = 5
     val ev = Tables.events(s, dir)
       .withColumn("fold",
-        pmod(conv(substring(md5(concat(lit("fold:"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
-          lit(k.toLong)))
+        pmod(graft.functions.Md5Field.md5U32(concat(lit("fold:"),
+          col("user_id").cast("string"))), lit(k.toLong)))
     val perUser = ev.groupBy(col("user_id"))
       .agg(countDistinct(col("fold")).as("__nf"))
       .agg(max(col("__nf")).as("max_folds_per_user"))

@@ -292,15 +292,26 @@ object StatQueries {
       |FROM a ORDER BY lag""".stripMargin
 
   /** Per-node local clustering coefficient over the significant
-    * co-purchase part graph ([[graft.dedup.DupClusters.clusteringCoefficient]]):
-    * skew-safe oriented triangle enumeration + one explode degree count,
-    * coefficient ONE gated division of exact longs. The oracle counts each
-    * triangle at every corner naively — equality proves the compact-forward
-    * enumeration exact.
+    * co-purchase part graph: one explode degree count joined to the
+    * per-SF-dir materialized triangle participation counts
+    * ([[Graphs.copurchaseTriangles]] — the skew-safe oriented enumeration,
+    * shared with global transitivity); coefficient ONE gated division of
+    * exact longs. The oracle recounts each triangle at every corner
+    * naively from lineitem — equality proves the materialized
+    * compact-forward enumeration exact.
     */
   private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame = {
     val edges = Graphs.copurchaseEdges(s, dir)
-    graft.dedup.DupClusters.clusteringCoefficient(edges)
+    val deg = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    deg.join(Graphs.copurchaseTriangles(s, dir), Seq("node_id"), "left_outer")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
       .orderBy(col("node_id"))
   }
 

@@ -291,24 +291,18 @@ object SummaryQueries {
        |SELECT * FROM totals, cop, near""".stripMargin
   }
 
-  /** k-truss (k=3, 2 peel rounds) on the significant co-purchase graph:
+  /** k-truss (k=3, 2 peel rounds) on the significant co-purchase graph
+    * (read from the per-SF-dir materialized [[Graphs.copurchaseEdges]]):
     * surviving edges with their final-round triangle support
     * ([[graft.dedup.DupClusters.kTrussPeel]] — oriented enumeration; the
-    * oracle recounts support naively per round, so the hash proves the
+    * oracle rebuilds the graph from lineitem and recounts support naively
+    * per round, so the hash proves both the materialization and the
     * skew-safe enumeration exact).
     */
-  private def ktrussQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
-    graft.dedup.DupClusters.kTrussPeel(edges, k = 3, rounds = 2)
+  private def ktrussQ(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DupClusters.kTrussPeel(Graphs.copurchaseEdges(s, dir),
+        k = 3, rounds = 2)
       .orderBy(col("u"), col("v"))
-  }
 
   private val ktrussOracle =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -390,8 +384,8 @@ object SummaryQueries {
     val ev = Tables.events(s, dir)
     val users = ev.select(col("user_id")).distinct()
       .withColumn("treat",
-        pmod(conv(substring(md5(concat(lit("did:"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)))
+        pmod(graft.functions.Md5Field.md5U32(concat(lit("did:"),
+          col("user_id").cast("string"))), lit(2L)))
     val grid = users.crossJoin(broadcast(
       s.range(2).select(col("id").as("post"))))
     val counts = ev.filter(col("event_type") === "purchase")
@@ -585,8 +579,8 @@ object SummaryQueries {
     val ev = Tables.events(s, dir)
     val users = ev.select(col("user_id")).distinct()
       .withColumn("treat",
-        pmod(conv(substring(md5(concat(lit("cuped:"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)))
+        pmod(graft.functions.Md5Field.md5U32(concat(lit("cuped:"),
+          col("user_id").cast("string"))), lit(2L)))
     val counts = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(when(col("ts") < t0, 1L).otherwise(0L)).as("x0"),
@@ -665,27 +659,21 @@ object SummaryQueries {
   /** Global transitivity (clustering coefficient) of the significant
     * co-purchase graph: `3·triangles / wedges`, with the triangle triple
     * count taken as the SUM of per-node triangle participations from the
-    * skew-safe oriented enumeration (each triangle counts once per corner
-    * = exactly the 3T the coefficient needs) and wedges as the exact
+    * per-SF-dir materialized skew-safe oriented enumeration
+    * ([[Graphs.copurchaseTriangles]], shared with the local clustering
+    * coefficient; each triangle counts once per corner = exactly the 3T
+    * the coefficient needs) and wedges as the exact
     * Σ d(d−1)/2 — the dedup-threshold health metric (a near-dup graph
     * whose transitivity collapses is thresholded into chains, not
     * clusters).
     */
   private def transitivityQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-      .agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select(col("id_a"), col("id_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = Graphs.copurchaseEdges(s, dir)
     val deg = edges.select(explode(array(col("id_a"), col("id_b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val wedges = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val tri3 = graft.dedup.DupClusters.triangleCounts(edges)
+    val tri3 = Graphs.copurchaseTriangles(s, dir)
       .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     wedges.crossJoin(broadcast(nE)).crossJoin(broadcast(tri3))
@@ -1200,9 +1188,10 @@ object SummaryQueries {
   private def merkleDigestQ(s: SparkSession, dir: String): DataFrame = {
     val rows = Tables.orders(s, dir).select(
       date_trunc("month", col("o_orderdate")).cast("date").as("month"),
-      conv(substring(md5(concat_ws(":", lit("ord"), col("o_orderkey"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
-        col("o_orderstatus"))), 1, 8), 16, 10).cast("long").as("rd"))
+      graft.functions.Md5Field.md5U32(
+        concat_ws(":", lit("ord"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+          col("o_orderstatus"))).as("rd"))
     val months = rows.groupBy(col("month"))
       .agg(count(lit(1)).as("n_rows"),
         call_function("bit_xor", col("rd")).as("digest"))

@@ -177,8 +177,7 @@ object Curation {
                    idCol: String = "doc_id"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
     // md5-derived 32-bit uniform, same construction as the A-ES sampler
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u = graft.functions.Md5Field.md5U32(col(idCol).cast("string"))
     val trainMax = (1L << 32) * trainPct / 100
     val valMax = (1L << 32) * (trainPct + valPct) / 100
     docs.withColumn("split",
@@ -198,8 +197,7 @@ object Curation {
   def clusterAwareSplit(docs: DataFrame, componentCol: String = "component",
                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
-    val u = conv(substring(md5(col(componentCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u = graft.functions.Md5Field.md5U32(col(componentCol).cast("string"))
     val trainMax = (1L << 32) * trainPct / 100
     val valMax = (1L << 32) * (trainPct + valPct) / 100
     docs.withColumn("split",
@@ -279,8 +277,7 @@ object Curation {
   def shardBalance(docs: DataFrame, shards: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.functions.Md5Field.md5U32(col(idCol).cast("string"))
     val perShard = docs
       .select((u32 % shards).as("shard"),
         size(split(col(textCol), "\\s+")).cast("long").as("__nt"))

@@ -45,7 +45,7 @@ import org.apache.spark.storage.StorageLevel
 object Dsir {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** doc_id, source, bucket rows — one per hashed bigram occurrence. */
   private def bigramBuckets(docs: DataFrame, buckets: Int): DataFrame = {

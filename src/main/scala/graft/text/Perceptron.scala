@@ -31,7 +31,7 @@ import org.apache.spark.storage.StorageLevel
 object Perceptron {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** Sparse hashed features: (doc, bucket, cnt) + per-doc label from
     * `labelCol` (must be ±1). Bucket = md5U32(token) mod dim.

@@ -34,7 +34,7 @@ import org.apache.spark.storage.StorageLevel
 object SkipGram {
 
   private def md5U32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Field.md5U32(c)
 
   /** (center, context, n_pairs) counts over the subsampled corpus;
     * `minCount` prunes the long tail (SQL HAVING). `tNum/tDen` is the
