@@ -28,6 +28,33 @@ object Hypothesis {
 
   private def dec(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** ENFORCED value-domain contract for the distinct-value histogram
+    * kernels ([[kruskalWallis]], [[cvmTwoSample]]): their rank/ECDF frames
+    * are bounded by the VALUE-DOMAIN cardinality, not the data size —
+    * fine for cents-grid money and scores (≤ ~10⁶ distinct), but an
+    * unquantized double or raw-micros column would push a multi-GB rank
+    * broadcast and a single-partition window sort. The distinct count is
+    * computed in-plan on the (already small-or-violating) histogram frame
+    * and any overrun fails the job loudly BEFORE the window/broadcast
+    * consume it — quantize the column (cents, permille) or raise the
+    * bound knowingly. The `||` short-circuits, so within-bound rows never
+    * evaluate the error branch (the [[Correlation]] requireBounded
+    * discipline).
+    */
+  private def requireBoundedDomain(vals: DataFrame, bound: Long,
+                                   op: String): DataFrame = {
+    val nv = vals.agg(count(lit(1)).as("__nvals"))
+    vals.crossJoin(broadcast(nv))
+      .filter(col("__nvals") <= bound ||
+        raise_error(concat(
+          lit(s"$op: "), col("__nvals").cast("string"),
+          lit(s" distinct values exceed the declared value-domain bound " +
+            s"$bound for the rank/ECDF histogram frame; quantize the score " +
+            "column to a bounded grid (cents, permille) or raise " +
+            "maxDistinctValues knowingly"))).cast("boolean"))
+      .drop("__nvals")
+  }
+
   /** Kruskal–Wallis H across the groups of `grpCol` on integer scores
     * `centsCol`. Tie-aware: ranks are average ranks carried as exact
     * twice-ranks (2·cum_prev + cnt + 1) on the distinct-score frame, so
@@ -35,10 +62,18 @@ object Hypothesis {
     * R_i²/n_i terms in group order. One row: `n`, `k`, `tie_num`
     * (Σ(t³−t) as canonical string — it overflows BIGINT at petabyte
     * row counts), `h`, and the tie-corrected `h_tie`.
+    *
+    * Operating envelope: the rank frame holds one row per DISTINCT score —
+    * `maxDistinctValues` (default 2²¹) is enforced in-plan
+    * ([[requireBoundedDomain]]); beyond it the broadcast rank map and its
+    * single unpartitioned window stop being metadata-sized.
     */
-  def kruskalWallis(df: DataFrame, grpCol: String, centsCol: String): DataFrame = {
+  def kruskalWallis(df: DataFrame, grpCol: String, centsCol: String,
+                    maxDistinctValues: Long = 1L << 21): DataFrame = {
     val ev = df.select(col(grpCol).as("grp"), col(centsCol).as("cents"))
-    val vals = ev.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val vals = requireBoundedDomain(
+      ev.groupBy(col("cents")).agg(count(lit(1)).as("cnt")),
+      maxDistinctValues, "kruskalWallis")
     val wv = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = vals
@@ -339,12 +374,20 @@ object Hypothesis {
     * problem never arises) — and T is one division. Exact up to ~3·10⁸
     * rows per cohort (the 4th-power product against DECIMAL(38); ANSI
     * fails loudly beyond).
+    *
+    * Operating envelope: the ECDF frame holds one row per DISTINCT score —
+    * `maxDistinctValues` (default 2²¹) is enforced in-plan
+    * ([[requireBoundedDomain]]) before the unpartitioned cumulative
+    * window consumes it.
     */
-  def cvmTwoSample(df: DataFrame, cohortA: Column, centsCol: String): DataFrame = {
-    val vals = df.select(cohortA.as("__a"), col(centsCol).as("c"))
-      .groupBy(col("c"))
-      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
-        sum(when(col("__a"), 0L).otherwise(1L)).as("d_b"))
+  def cvmTwoSample(df: DataFrame, cohortA: Column, centsCol: String,
+                   maxDistinctValues: Long = 1L << 21): DataFrame = {
+    val vals = requireBoundedDomain(
+      df.select(cohortA.as("__a"), col(centsCol).as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
+          sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),
+      maxDistinctValues, "cvmTwoSample")
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vals.agg(sum(col("d_a")).as("n_a"), sum(col("d_b")).as("n_b"))

@@ -324,7 +324,29 @@ object ScaleProbe {
       ("pplFilterScores", true, "N", d =>
         graft.text.NgramLm.perplexityFilter(
           d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
-          permille = 900)))
+          permille = 900)),
+      // ADVERSARIAL value-domain probe: kruskalWallis on an unquantized
+      // key-cardinality score (every row its own value) with the
+      // maxDistinctValues contract consciously lifted — the rank histogram
+      // is DATA-sized, so the broadcast rank map and the single
+      // unpartitioned cumulative window grow with the corpus instead of
+      // staying metadata-sized. Output is flat (1 row) BY SHAPE; the row
+      // exists to measure time/shuffle degradation vs the cents-grid form
+      // and to justify the default 2^21 envelope (the guard trip itself is
+      // spec-tested in HypothesisSpec).
+      ("kwUnboundedDomain", true, "flat", d =>
+        graft.analytics.Hypothesis.kruskalWallis(
+          d.select((col("doc_id") % 4).cast("string").as("g"),
+            col("doc_id").as("cents")),
+          "g", "cents", maxDistinctValues = Long.MaxValue)),
+      // the SAME statistic on the quantized cents-grid domain (n_chars is
+      // length-bounded) — the operating point the envelope prescribes;
+      // time/shuffle here must track the scan, not the domain
+      ("kwCentsGridDomain", true, "flat", d =>
+        graft.analytics.Hypothesis.kruskalWallis(
+          d.select((col("doc_id") % 4).cast("string").as("g"),
+            col("n_chars").cast("long").as("cents")),
+          "g", "cents")))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")

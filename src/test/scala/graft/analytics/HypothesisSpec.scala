@@ -341,4 +341,29 @@ class HypothesisSpec extends SparkSpec {
     val one = Seq(("u2", 1, 7L)).toDF("u", "t", "cents")
     assert(Drift.changepoint(one, "u", Seq("t"), col("cents")).count() == 0L)
   }
+
+  test("value-domain guard: kruskalWallis / cvmTwoSample fail loudly past the bound") {
+    // a raw high-cardinality column (every row its own value) models the
+    // unquantized-micros misuse the envelope fences off
+    val wide = spark.range(2000)
+      .select((col("id") % 4).cast("string").as("grp"), col("id").as("cents"))
+    val errKw = intercept[Exception] {
+      Hypothesis.kruskalWallis(wide, "grp", "cents",
+        maxDistinctValues = 1000L).collect()
+    }
+    assert(errKw.getMessage.contains("kruskalWallis") &&
+      errKw.getMessage.contains("distinct values"))
+    val errCvm = intercept[Exception] {
+      Hypothesis.cvmTwoSample(wide, col("grp") === "0", "cents",
+        maxDistinctValues = 1000L).collect()
+    }
+    assert(errCvm.getMessage.contains("cvmTwoSample"))
+    // within-bound frames compute normally through the same guard path
+    val kw = Hypothesis.kruskalWallis(wide, "grp", "cents",
+      maxDistinctValues = 4096L).head()
+    assert(kw.getAs[Long]("n") == 2000L && kw.getAs[Long]("k") == 4L)
+    val cvm = Hypothesis.cvmTwoSample(wide, col("grp") === "0", "cents",
+      maxDistinctValues = 4096L).head()
+    assert(cvm.getAs[Long]("n_a") == 500L && cvm.getAs[Long]("n_b") == 1500L)
+  }
 }
