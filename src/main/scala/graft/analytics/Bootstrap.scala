@@ -114,4 +114,46 @@ object Bootstrap {
       .select(col("n"), col("sum_cents"), col("mean"), col("b_used"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Delete-one-GROUP jackknife standard error of the ratio mean Σx/n —
+    * the clustered-uncertainty companion of [[meanCI]]: when rows within
+    * a group (nation, tenant, shard) are correlated, the multiplier
+    * bootstrap's per-row independence understates the SE; the grouped
+    * jackknife deletes one whole group per replicate. θ_(i) =
+    * (S−s_i)/(N−n_i) from exact per-group integer sums; SE_J =
+    * √((g−1)/g · Σ(θ_(i)−θ̄_J)²) with the two double folds (Σθ, Σθ²)
+    * riding ONE ordered unpartitioned window over the g-row GROUP frame
+    * (metadata-sized by construction — both engines stream it; last row
+    * taken by max_by, never max). One row: `n`, `g`, `theta`, `se_jack`.
+    */
+  def jackknifeGroupRatio(df: DataFrame, grpCol: Column,
+                          valueCents: Column): DataFrame = {
+    val g = df.select(grpCol.cast("string").as("grp"),
+        valueCents.cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(col("x").cast("decimal(38,0)")).as("s_i"))
+    val tot = g.agg(sum(col("n_i")).as("n"), count(lit(1)).as("g_cnt"),
+      sum(col("s_i")).as("s_all"))
+    val theta_i = (col("s_all") - col("s_i")).cast("double") /
+      (col("n") - col("n_i")).cast("double")
+    val wg = Window.orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = g.crossJoin(broadcast(tot))
+      .filter(col("n") > col("n_i")) // deleting the only group is undefined
+      .withColumn("__th", theta_i)
+      .withColumn("__cth", sum(col("__th")).over(wg))
+      .withColumn("__cth2", sum(col("__th") * col("__th")).over(wg))
+      .agg(max(col("n")).as("n"), max(col("g_cnt")).as("g"),
+        max(col("s_all")).as("s_all"),
+        max_by(col("__cth"), col("grp")).as("sth"),
+        max_by(col("__cth2"), col("grp")).as("sth2"))
+    val gd = col("g").cast("double")
+    val ss = col("sth2") - col("sth") * col("sth") / gd
+    folded.select(col("n"), col("g"),
+      when(col("n") > 0,
+        col("s_all").cast("double") / col("n").cast("double")).as("theta"),
+      when(col("g") > 1 && ss >= lit(0.0),
+        sqrt((gd - lit(1.0)) / gd * ss)).as("se_jack"))
+  }
 }

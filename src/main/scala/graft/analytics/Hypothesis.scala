@@ -237,6 +237,135 @@ object Hypothesis {
         col("t"), col("df"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two cohorts on integer
+    * scores — the nonparametric companion of [[welchT]] when the score
+    * distribution is heavy-tailed (token counts, latencies). Tie-aware
+    * average ranks ride the same value-domain-bounded distinct-score
+    * histogram as [[kruskalWallis]] (same enforced `maxDistinctValues`
+    * envelope, same exact twice-rank construction); U is carried as the
+    * exact integer 2U_a = Σ_a trank − n_a(n_a+1), the tie numerator
+    * Σ(t³−t) stays exact DECIMAL, and the tie-corrected normal z is one
+    * fixed-operand-order expression over the exact sums. One row: `n_a`,
+    * `n_b`, `u2_num` (2·U_a, canonical string — U itself is half-integer
+    * under ties), `u_a`, `z`.
+    */
+  def mannWhitney(df: DataFrame, cohortA: Column, centsCol: String,
+                  maxDistinctValues: Long = 1L << 21): DataFrame = {
+    val vals = requireBoundedDomain(
+      df.select(cohortA.as("__a"), col(centsCol).as("cents"))
+        .groupBy(col("cents"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
+          sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),
+      maxDistinctValues, "mannWhitney")
+    val wv = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .withColumn("cnt", col("d_a") + col("d_b"))
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("trank",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("d_a")).as("n_a"), sum(col("d_b")).as("n_b"),
+      sum(dec(col("d_a")) * dec(col("trank"))).as("sr2_a"),
+      sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) - dec(col("cnt")))
+        .as("tie_dec"))
+    val u2 = col("sr2_a") - dec(col("n_a")) * dec(col("n_a") + lit(1L))
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    val varU = col("n_a").cast("double") * col("n_b").cast("double") /
+      lit(12.0) *
+      ((nd + lit(1.0)) - col("tie_dec").cast("double") / (nd * (nd - lit(1.0))))
+    agg
+      .withColumn("__u2", u2)
+      .withColumn("__var", when(col("n_a") > 0 && col("n_b") > 0 &&
+        (col("n_a") + col("n_b")) > 1, varU))
+      .select(col("n_a"), col("n_b"),
+        col("__u2").cast("string").as("u2_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__u2").cast("double") / lit(2.0)).as("u_a"),
+        when(col("__var") > lit(0.0),
+          (col("__u2").cast("double") -
+            col("n_a").cast("double") * col("n_b").cast("double")) /
+            (lit(2.0) * sqrt(col("__var")))).as("z"))
+  }
+
+  /** Cochran–Armitage trend test of a binary outcome across k ORDERED
+    * groups (dose-response: does the success rate move monotonically with
+    * the ordinal score?) — the 2×k sharpening of the chi-square
+    * independence gate when the columns carry an order (priority tiers,
+    * quality bands, size buckets). With group scores s_i, totals n_i,
+    * successes r_i, N = Σn, R = Σr:
+    * T = Σ s_i·r_i − (R/N)·Σ s_i·n_i and
+    * Var(T) = (R/N)(1−R/N)·[Σ s_i²·n_i − (Σ s_i·n_i)²/N].
+    * Both are carried as EXACT DECIMAL numerators — t_num = N·Σsr − R·Σsn
+    * and var_num = R·(N−R)·(N·Σs²n − (Σsn)²) — and z = t_num /
+    * √(var_num/N) is one fixed-operand-order expression. One row: `n`,
+    * `k`, `t_num`/`var_num` (canonical strings), `z`. Scale shape: one
+    * map-combined aggregate to the k-group frame, one one-row fold — no
+    * window, no broadcast of data.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      success: Column): DataFrame = {
+    val g = df.select(scoreCol.cast("long").as("s"),
+        success.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_i"), sum(col("y")).as("r_i"))
+    val agg = g.agg(
+      sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+      sum(col("r_i")).as("r"),
+      sum(dec(col("s")) * dec(col("r_i"))).as("ssr"),
+      sum(dec(col("s")) * dec(col("n_i"))).as("ssn"),
+      sum(dec(col("s")) * dec(col("s")) * dec(col("n_i"))).as("ss2n"))
+    val tNum = dec(col("n")) * col("ssr") - dec(col("r")) * col("ssn")
+    val varNum = dec(col("r")) * dec(col("n") - col("r")) *
+      (dec(col("n")) * col("ss2n") - col("ssn") * col("ssn"))
+    agg
+      .withColumn("__t", tNum)
+      .withColumn("__v", varNum)
+      .select(col("n"), col("k"),
+        col("__t").cast("string").as("t_num"),
+        col("__v").cast("string").as("var_num"),
+        when(col("__v") > 0 && col("n") > 0,
+          col("__t").cast("double") /
+            sqrt(col("__v").cast("double") / col("n").cast("double")))
+          .as("z"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR selection over a family of m
+    * hypotheses with EXACT RATIONAL p-values (p_i = pNum_i / pDen): the
+    * multiple-testing gate a pipeline runs after computing one test per
+    * segment. Reject the k* smallest p-values where k* = max{k :
+    * p_(k) ≤ k·α/m}, evaluated CROSS-MULTIPLIED in exact DECIMAL —
+    * pNum_(k)·m·αDen ≤ k·αNum·pDen — so the step-up boundary never
+    * touches floating point. Per hypothesis: `id`, `p` (exact double
+    * ratio), `rank`, `m`, `rejected`.
+    *
+    * Operating envelope: the family is one row per HYPOTHESIS (per
+    * segment/test — metadata-sized by construction, thousands at most);
+    * the rank window rides that frame, never the data.
+    */
+  def benjaminiHochberg(df: DataFrame, idCol: Column, pNumCol: Column,
+                        pDen: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(pDen > 0 && alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alpha = $alphaNum/$alphaDen <= 1 and pDen > 0")
+    val base = df.select(idCol.cast("string").as("id"),
+      pNumCol.cast("long").as("p_num"))
+    val wr = Window.orderBy(col("p_num"), col("id"))
+    val wall = Window.partitionBy()
+    val ranked = base
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("m", count(lit(1)).over(wall))
+    val kStar = ranked
+      .withColumn("__ok",
+        dec(col("p_num")) * dec(col("m")) * dec(lit(alphaDen)) <=
+          dec(col("rank")) * dec(lit(alphaNum)) * dec(lit(pDen)))
+      .withColumn("k_star",
+        max(when(col("__ok"), col("rank")).otherwise(lit(0L))).over(wall))
+    kStar.select(col("id"),
+      (col("p_num").cast("double") / lit(pDen.toDouble)).as("p"),
+      col("rank"), col("m"),
+      (col("rank") <= col("k_star")).as("rejected"))
+  }
+
   /** Wald–Wolfowitz runs test per entity — "is this ordered binary
     * sequence random?", the shuffle-quality audit a training pipeline
     * runs on its example order before committing a data shard. Runs,
@@ -363,6 +492,34 @@ object Hypothesis {
         when(col("b") > 0 && col("c") > 0, or))
       .withColumn("se_log_or",
         when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0, se))
+  }
+
+  /** 2×2 risk ratio (relative risk) with the Katz log-RR standard error —
+    * the incidence-scale companion of [[oddsRatio]] (epidemiologists and
+    * experiment dashboards read risk, not odds, when the outcome is
+    * common): exposed cells (a = exposed·outcome, b = exposed·no-outcome)
+    * vs unexposed (c, d); RR = a·(c+d) / (c·(a+b)) as one division of
+    * exact DECIMAL cross products, and SE_logRR =
+    * √(1/a − 1/(a+b) + 1/c − 1/(c+d)) — correctly-rounded ops only, no
+    * log anywhere. One map-combined aggregate to a single row.
+    */
+  def riskRatio(df: DataFrame, exposed: Column, outcome: Column): DataFrame = {
+    val agg = df.select(exposed.as("__r"), outcome.as("__c"))
+      .agg(sum(when(col("__r") && col("__c"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__r") && !col("__c"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__r") && col("__c"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__r") && !col("__c"), 1L).otherwise(0L)).as("d"))
+    val rr = (dec(col("a")) * dec(col("c") + col("d"))).cast("double") /
+      (dec(col("c")) * dec(col("a") + col("b"))).cast("double")
+    val se = sqrt(lit(1.0) / col("a").cast("double") -
+      lit(1.0) / (col("a") + col("b")).cast("double") +
+      lit(1.0) / col("c").cast("double") -
+      lit(1.0) / (col("c") + col("d")).cast("double"))
+    agg
+      .withColumn("risk_ratio",
+        when(col("c") > 0 && col("a") + col("b") > 0, rr))
+      .withColumn("se_log_rr",
+        when(col("a") > 0 && col("c") > 0, se))
   }
 
   /** Two-sample Cramér–von Mises functional — the INTEGRATED ECDF

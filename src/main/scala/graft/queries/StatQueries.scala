@@ -3412,6 +3412,326 @@ object StatQueries {
       |  END AS trimmed_mean
       |FROM s""".stripMargin
 
+  /** Risk ratio of purchase incidence on weekends vs weekdays
+    * ([[graft.analytics.Hypothesis.riskRatio]]) — the incidence-scale
+    * companion of q_odds_ratio on the same epoch-day-derived 2×2: RR one
+    * division of exact cross products, Katz SE log-free.
+    */
+  private def riskRatioQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.riskRatio(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow")),
+      col("dow") === 6 || col("dow") === 0,
+      col("event_type") === "purchase")
+
+  private val riskRatioOracle =
+    """WITH e AS (
+      |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 IN (6, 0) AS r,
+      |    event_type = 'purchase' AS c
+      |  FROM events),
+      |t AS (SELECT
+      |  CAST(sum(CASE WHEN r AND c THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |  CAST(sum(CASE WHEN r AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |  CAST(sum(CASE WHEN NOT r AND c THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(sum(CASE WHEN NOT r AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM e)
+      |SELECT a, b, c, d,
+      |  CASE WHEN c > 0 AND a + b > 0 THEN
+      |    CAST(CAST(a AS HUGEINT) * (c + d) AS DOUBLE)
+      |      / CAST(CAST(c AS HUGEINT) * (a + b) AS DOUBLE)
+      |  END AS risk_ratio,
+      |  CASE WHEN a > 0 AND c > 0 THEN
+      |    sqrt(CAST(1 AS DOUBLE) / CAST(a AS DOUBLE)
+      |      - CAST(1 AS DOUBLE) / CAST(a + b AS DOUBLE)
+      |      + CAST(1 AS DOUBLE) / CAST(c AS DOUBLE)
+      |      - CAST(1 AS DOUBLE) / CAST(c + d AS DOUBLE))
+      |  END AS se_log_rr
+      |FROM t""".stripMargin
+
+  /** Mann–Whitney U between purchase and non-purchase events on
+    * cent-scaled values ([[graft.analytics.Hypothesis.mannWhitney]]):
+    * tie-aware twice-ranks on the distinct-cents histogram, exact 2U
+    * integer, tie-corrected z one fixed-order expression.
+    */
+  private def mannWhitneyQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.mannWhitney(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      col("event_type") === "purchase", "cents")
+
+  private val mannWhitneyOracle =
+    """WITH e AS (
+      |  SELECT (event_type = 'purchase') AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |v AS (SELECT cents,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS d_b
+      |  FROM e GROUP BY cents),
+      |r AS (SELECT d_a, d_b, d_a + d_b AS cnt,
+      |  2 * (sum(d_a + d_b) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (d_a + d_b))
+      |    + (d_a + d_b) + 1 AS trank
+      |  FROM v),
+      |agg AS (SELECT CAST(sum(d_a) AS BIGINT) AS n_a,
+      |  CAST(sum(d_b) AS BIGINT) AS n_b,
+      |  sum(CAST(d_a AS HUGEINT) * trank) AS sr2_a,
+      |  sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_dec
+      |  FROM r),
+      |f AS (SELECT n_a, n_b,
+      |  sr2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+      |  CAST(CAST(tie_dec AS BIGINT) AS DOUBLE) AS tie_d,
+      |  CAST(n_a + n_b AS DOUBLE) AS nd
+      |  FROM agg),
+      |g AS (SELECT n_a, n_b, u2, CASE WHEN n_a > 0 AND n_b > 0
+      |    AND n_a + n_b > 1 THEN
+      |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE)
+      |    * ((nd + CAST(1 AS DOUBLE)) - tie_d / (nd * (nd - CAST(1 AS DOUBLE))))
+      |  END AS var_u
+      |  FROM f)
+      |SELECT n_a, n_b, CAST(u2 AS VARCHAR) AS u2_num,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(CAST(u2 AS BIGINT) AS DOUBLE) / CAST(2 AS DOUBLE)
+      |  END AS u_a,
+      |  CASE WHEN var_u > CAST(0 AS DOUBLE) THEN
+      |    (CAST(CAST(u2 AS BIGINT) AS DOUBLE)
+      |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |    / (CAST(2 AS DOUBLE) * sqrt(var_u))
+      |  END AS z
+      |FROM g""".stripMargin
+
+  /** Cochran–Armitage trend of order-fill rate across the five ordered
+    * priority tiers ([[graft.analytics.Hypothesis.cochranArmitage]]):
+    * exact DECIMAL t/var numerators as canonical strings, z one
+    * fixed-order expression.
+    */
+  private def cochranArmitageQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.cochranArmitage(
+      Tables.orders(s, dir),
+      substring(col("o_orderpriority"), 1, 1).cast("long"),
+      col("o_orderstatus") === "F")
+
+  private val cochranArmitageOracle =
+    """WITH o AS (
+      |  SELECT CAST(o_orderpriority[1:1] AS BIGINT) AS s,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n_i,
+      |  CAST(sum(y) AS BIGINT) AS r_i
+      |  FROM o GROUP BY s),
+      |agg AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS k, CAST(sum(r_i) AS BIGINT) AS r,
+      |  sum(CAST(s AS HUGEINT) * r_i) AS ssr,
+      |  sum(CAST(s AS HUGEINT) * n_i) AS ssn,
+      |  sum(CAST(s AS HUGEINT) * s * n_i) AS ss2n
+      |  FROM g),
+      |f AS (SELECT n, k,
+      |  CAST(n AS HUGEINT) * ssr - CAST(r AS HUGEINT) * ssn AS t_num,
+      |  CAST(r AS HUGEINT) * (n - r)
+      |    * (CAST(n AS HUGEINT) * ss2n - ssn * ssn) AS var_num
+      |  FROM agg)
+      |SELECT n, k, CAST(t_num AS VARCHAR) AS t_num,
+      |  CAST(var_num AS VARCHAR) AS var_num,
+      |  CASE WHEN var_num > 0 AND n > 0 THEN
+      |    CAST(CAST(t_num AS BIGINT) AS DOUBLE)
+      |    / sqrt(CAST(CAST(var_num AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE))
+      |  END AS z
+      |FROM f""".stripMargin
+
+  /** Benjamini–Hochberg FDR selection at α = 1/10 over a 25-hypothesis
+    * family keyed by nation ([[graft.analytics.Hypothesis.benjaminiHochberg]]):
+    * p-values are the exact rational md5 uniforms u/2³², so the step-up
+    * boundary cross-multiplies in exact DECIMAL — the operator under
+    * test is the selection fold, with reproducible inputs.
+    */
+  private def bhFdrQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.benjaminiHochberg(
+      Tables.nation(s, dir).select(col("n_name"),
+        graft.functions.Md5Field.md5U32(concat(lit("bh:"), col("n_name")))
+          .as("p_num")),
+      col("n_name"), col("p_num"),
+      pDen = 4294967296L, alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("rank"))
+
+  private val bhFdrOracle = {
+    val u32 = graft.queries.OracleSql.md5U32Sql("'bh:' || n_name")
+    s"""WITH h AS (SELECT n_name AS id, $u32 AS p_num FROM nation),
+       |r AS (SELECT id, p_num,
+       |  CAST(row_number() OVER (ORDER BY p_num, id) AS BIGINT) AS rank,
+       |  CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM h),
+       |ks AS (SELECT max(CASE WHEN CAST(p_num AS HUGEINT) * m * 10
+       |      <= CAST(rank AS HUGEINT) * 1 * 4294967296 THEN rank
+       |    ELSE 0 END) AS k_star
+       |  FROM r)
+       |SELECT id,
+       |  CAST(p_num AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS p,
+       |  rank, m, rank <= k_star AS rejected
+       |FROM r CROSS JOIN ks ORDER BY rank""".stripMargin
+  }
+
+  /** Delete-one-nation jackknife SE of mean order value
+    * ([[graft.analytics.Bootstrap.jackknifeGroupRatio]]): exact per-nation
+    * integer sums, leave-one-out ratios folded on the ordered 25-row
+    * group frame (max_by last row), SE one fixed-order expression.
+    */
+  private def jackknifeQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Bootstrap.jackknifeGroupRatio(
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey")),
+      col("c_nationkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+
+  private val jackknifeOracle =
+    """WITH x AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+      |  sum(CAST(x AS HUGEINT)) AS s_i
+      |  FROM x GROUP BY grp),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS g_cnt, sum(s_i) AS s_all FROM g),
+      |th AS (SELECT grp, n, g_cnt, s_all,
+      |  CAST(CAST(s_all - s_i AS BIGINT) AS DOUBLE)
+      |    / CAST(n - n_i AS DOUBLE) AS th
+      |  FROM g CROSS JOIN t WHERE n > n_i),
+      |c AS (SELECT grp, n, g_cnt, s_all,
+      |  sum(th) OVER (ORDER BY grp
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cth,
+      |  sum(th * th) OVER (ORDER BY grp
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cth2
+      |  FROM th),
+      |f AS (SELECT max(n) AS n, max(g_cnt) AS g, max(s_all) AS s_all,
+      |  max_by(cth, grp) AS sth, max_by(cth2, grp) AS sth2
+      |  FROM c)
+      |SELECT n, g,
+      |  CASE WHEN n > 0 THEN CAST(CAST(s_all AS BIGINT) AS DOUBLE)
+      |    / CAST(n AS DOUBLE) END AS theta,
+      |  CASE WHEN g > 1 AND sth2 - sth * sth / CAST(g AS DOUBLE)
+      |      >= CAST(0 AS DOUBLE) THEN
+      |    sqrt((CAST(g AS DOUBLE) - CAST(1 AS DOUBLE)) / CAST(g AS DOUBLE)
+      |      * (sth2 - sth * sth / CAST(g AS DOUBLE)))
+      |  END AS se_jack
+      |FROM f""".stripMargin
+
+  /** ROUGE-1/2 corpus components over the planted candidate/reference
+    * pairs ([[graft.text.BleuScore.rougeN]]): clipped matches, both gram
+    * totals, and P/R/F1 as gated divisions of exact integers (F1 =
+    * 2·match/(cand+ref), one division).
+    */
+  private def rougeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val near = docs.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id").as("pair_id"),
+        concat(lit("zqxnear "), col("text")).as("cand"), col("text").as("ref"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("pair_id"),
+        col("text").as("cand"), col("text").as("ref"))
+    graft.text.BleuScore.rougeN(
+      near.unionByName(copies), "pair_id", "cand", "ref", maxN = 2)
+  }
+
+  private val rougeOracle =
+    """WITH pairs AS (
+      |  SELECT doc_id AS pair_id, 'zqxnear ' || text AS cand, text AS ref
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text, text FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (
+      |  SELECT pair_id, string_split_regex(cand, '\s+') AS ct,
+      |    string_split_regex(ref, '\s+') AS rt
+      |  FROM pairs),
+      |ns AS (SELECT unnest([1, 2]) AS n),
+      |cg AS (
+      |  SELECT pair_id, n, unnest(CASE WHEN len(ct) >= n
+      |      THEN list_transform(range(1, len(ct) - n + 2),
+      |        i -> array_to_string(ct[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tok CROSS JOIN ns),
+      |cc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS c_cand
+      |  FROM cg GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT pair_id, n, unnest(CASE WHEN len(rt) >= n
+      |      THEN list_transform(range(1, len(rt) - n + 2),
+      |        i -> array_to_string(rt[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tok CROSS JOIN ns),
+      |rc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS c_ref
+      |  FROM rg GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT COALESCE(cc.n, rc.n) AS n,
+      |    COALESCE(cc.c_cand, 0) AS cc2, COALESCE(rc.c_ref, 0) AS cr2
+      |  FROM cc FULL JOIN rc
+      |    ON rc.pair_id = cc.pair_id AND rc.n = cc.n AND rc.gram = cc.gram),
+      |pn AS (
+      |  SELECT n, CAST(sum(least(cc2, cr2)) AS BIGINT) AS match_cnt,
+      |    CAST(sum(cc2) AS BIGINT) AS cand_cnt,
+      |    CAST(sum(cr2) AS BIGINT) AS ref_cnt
+      |  FROM j GROUP BY n)
+      |SELECT n, match_cnt, cand_cnt, ref_cnt,
+      |  CASE WHEN cand_cnt > 0
+      |    THEN CAST(match_cnt AS DOUBLE) / CAST(cand_cnt AS DOUBLE)
+      |  END AS rouge_p,
+      |  CASE WHEN ref_cnt > 0
+      |    THEN CAST(match_cnt AS DOUBLE) / CAST(ref_cnt AS DOUBLE)
+      |  END AS rouge_r,
+      |  CASE WHEN cand_cnt + ref_cnt > 0
+      |    THEN CAST(match_cnt * 2 AS DOUBLE)
+      |      / CAST(cand_cnt + ref_cnt AS DOUBLE)
+      |  END AS rouge_f1
+      |FROM pn ORDER BY n""".stripMargin
+
+  /** Encoding-corruption audit over a corpus with PLANTED mojibake
+    * ([[graft.text.TextAnalysis.encodingAudit]]): docs with id % 7 == 3
+    * get their 'e's double-encoded to "Ã©" and docs with id % 13 == 5
+    * gain a U+FFFD — the audit must find exactly those, per source,
+    * by literal byte-signature containment.
+    */
+  private def mojibakeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          regexp_replace(col("text"), "e", "Ã©"))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" �")))
+          .otherwise(col("text")))
+    graft.text.TextAnalysis.encodingAudit(docs).orderBy(col("segment"))
+  }
+
+  private val mojibakeOracle =
+    """WITH d AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 13 = 5 THEN
+      |      (CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'Ã©')
+      |        ELSE text END) || ' �'
+      |    ELSE (CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'Ã©')
+      |      ELSE text END) END AS text
+      |  FROM documents)
+      |SELECT source AS segment, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_replacement,
+      |  CAST(sum(CASE WHEN contains(text, 'Ã©') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_latin1_e,
+      |  CAST(sum(CASE WHEN contains(text, 'Ã±') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_latin1_n,
+      |  CAST(sum(CASE WHEN contains(text, 'â€') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_punct_wreck,
+      |  CAST(sum(CASE WHEN contains(text, '�') OR contains(text, 'Ã©')
+      |      OR contains(text, 'Ã±') OR contains(text, 'â€')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+      |  CASE WHEN count(*) > 0 THEN
+      |    CAST(CAST(sum(CASE WHEN contains(text, '�') OR contains(text, 'Ã©')
+      |        OR contains(text, 'Ã±') OR contains(text, 'â€')
+      |      THEN 1 ELSE 0 END) * 1000 AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)
+      |  END AS suspect_permille
+      |FROM d GROUP BY source ORDER BY segment""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bowley_skew" -> (bowleyQ _),
     "q_trimmed_mean" -> (trimmedMeanQ _),
@@ -3438,6 +3758,13 @@ object StatQueries {
     "q_partial_corr" -> (partialCorrQ _),
     "q_jensen_shannon" -> (jensenShannonQ _),
     "q_kruskal_wallis" -> (kruskalWallisQ _),
+    "q_mann_whitney" -> (mannWhitneyQ _),
+    "q_risk_ratio" -> (riskRatioQ _),
+    "q_cochran_armitage" -> (cochranArmitageQ _),
+    "q_bh_fdr" -> (bhFdrQ _),
+    "q_jackknife" -> (jackknifeQ _),
+    "q_rouge_n" -> (rougeQ _),
+    "q_mojibake" -> (mojibakeQ _),
     "q_anova_f" -> (anovaFQ _),
     "q_mutual_info" -> (mutualInfoQ _),
     "q_cvar" -> (cvarQ _),
@@ -3513,6 +3840,13 @@ object StatQueries {
     "q_partial_corr" -> partialCorrOracle,
     "q_jensen_shannon" -> jensenShannonOracle,
     "q_kruskal_wallis" -> kruskalWallisOracle,
+    "q_mann_whitney" -> mannWhitneyOracle,
+    "q_risk_ratio" -> riskRatioOracle,
+    "q_cochran_armitage" -> cochranArmitageOracle,
+    "q_bh_fdr" -> bhFdrOracle,
+    "q_jackknife" -> jackknifeOracle,
+    "q_rouge_n" -> rougeOracle,
+    "q_mojibake" -> mojibakeOracle,
     "q_anova_f" -> anovaFOracle,
     "q_mutual_info" -> mutualInfoOracle,
     "q_cvar" -> cvarOracle,

@@ -65,4 +65,56 @@ object BleuScore {
       sum(size(col("ct"))).as("cand_len"), sum(size(col("rt"))).as("ref_len"))
     perN.crossJoin(broadcast(lens)).orderBy(col("n"))
   }
+
+  /** ROUGE-N corpus components — the RECALL-oriented counterpart of
+    * [[ngramPrecision]] (summarization eval asks "how much of the
+    * reference did the candidate cover", BLEU asks the reverse). Per n:
+    * clipped matches Σ_g min(c_cand, c_ref), candidate and reference
+    * gram totals, precision, recall, and F1 = 2·match/(cand+ref) — the
+    * algebraic 2PR/(P+R) collapsed to ONE division of exact integers.
+    * Same (pair, n, gram) co-partitioned join shape as BLEU, full-outer
+    * so reference grams absent from the candidate still count in the
+    * recall denominator.
+    */
+  def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
+             refCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val tok = pairs.select(col(pairIdCol).as("pair_id"),
+      split(col(candCol), "\\s+").as("ct"),
+      split(col(refCol), "\\s+").as("rt"))
+
+    def grams(t: Column, n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+
+    def sideCounts(t: Column, cntName: String): DataFrame =
+      tok.select(col("pair_id"),
+          explode(flatten(array((1 to maxN).map(n => grams(t, n)): _*))).as("ng"))
+        .groupBy(col("pair_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+        .agg(count(lit(1)).as(cntName))
+
+    sideCounts(col("ct"), "c_cand")
+      .join(sideCounts(col("rt"), "c_ref"),
+        Seq("pair_id", "n", "gram"), "full_outer")
+      .select(col("n"),
+        coalesce(col("c_cand"), lit(0L)).as("cc"),
+        coalesce(col("c_ref"), lit(0L)).as("cr"))
+      .withColumn("m", least(col("cc"), col("cr")))
+      .groupBy(col("n"))
+      .agg(sum(col("m")).as("match_cnt"), sum(col("cc")).as("cand_cnt"),
+        sum(col("cr")).as("ref_cnt"))
+      .select(col("n"), col("match_cnt"), col("cand_cnt"), col("ref_cnt"),
+        when(col("cand_cnt") > 0,
+          col("match_cnt").cast("double") / col("cand_cnt").cast("double"))
+          .as("rouge_p"),
+        when(col("ref_cnt") > 0,
+          col("match_cnt").cast("double") / col("ref_cnt").cast("double"))
+          .as("rouge_r"),
+        when(col("cand_cnt") + col("ref_cnt") > 0,
+          (col("match_cnt") * 2L).cast("double") /
+            (col("cand_cnt") + col("ref_cnt")).cast("double")).as("rouge_f1"))
+      .orderBy(col("n"))
+  }
 }

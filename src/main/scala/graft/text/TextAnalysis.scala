@@ -32,6 +32,38 @@ object TextAnalysis {
   def markerCount(c: Column, words: Seq[String]): Column =
     size(filter(toks(c), t => t.isin(words.map(lit): _*)))
 
+  /** Encoding-corruption audit per corpus segment — the mojibake sweep a
+    * web-scale pipeline runs before tokenization, since double-encoded
+    * UTF-8 ("Ã©" where "é" was meant), U+FFFD replacement characters,
+    * and "â€"-class punctuation wrecks survive every length/stopword
+    * quality gate. Detection is by LITERAL byte-signature containment
+    * (`contains` on the four highest-precision signatures: U+FFFD, "Ã©",
+    * "Ã±", "â€") — deliberately not a regex, so any verification engine
+    * replays the same semantics byte-for-byte. Per segment: doc counts
+    * per signature, the any-signature union, and its permille rate (one
+    * gated division of exact longs). One map-combined aggregate on the
+    * segment key; the scan prunes to (segment, text).
+    */
+  def encodingAudit(docs: DataFrame, segCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def has(sig: String): Column = when(t.contains(sig), 1L).otherwise(0L)
+    val anySig = when(t.contains("�") || t.contains("Ã©") ||
+      t.contains("Ã±") || t.contains("â€"), 1L).otherwise(0L)
+    docs.select(col(segCol).as("segment"), t)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(has("�")).as("n_replacement"),
+        sum(has("Ã©")).as("n_latin1_e"),
+        sum(has("Ã±")).as("n_latin1_n"),
+        sum(has("â€")).as("n_punct_wreck"),
+        sum(anySig).as("n_suspect"))
+      .withColumn("suspect_permille",
+        when(col("n_docs") > 0,
+          (col("n_suspect") * 1000L).cast("double") /
+            col("n_docs").cast("double")))
+  }
+
   /** Quality-scoring feature columns + a composite [0,1] score.
     * Degenerate inputs (empty text) produce 0-ratios, not nulls/NaN.
     */

@@ -342,6 +342,85 @@ class HypothesisSpec extends SparkSpec {
     assert(Drift.changepoint(one, "u", Seq("t"), col("cents")).count() == 0L)
   }
 
+  test("mannWhitney: complete separation, ties, and the KW k=2 consistency") {
+    // A = {1,2}, B = {3,4}: every B beats every A → U_a = 0, z < 0
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "cents")
+    val r = Hypothesis.mannWhitney(sep, col("g") === "a", "cents")
+      .select(col("n_a"), col("n_b"), col("u2_num"), col("u_a"), col("z"))
+      .as[(Long, Long, String, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 2L && r._3 == "0" && r._4 == 0.0)
+    assert(r._5 < 0.0)
+    // identical cohorts: U_a = n_a·n_b/2 exactly, z = 0
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("g", "cents")
+    val r2 = Hypothesis.mannWhitney(same, col("g") === "a", "cents")
+      .select(col("u_a"), col("z")).as[(Double, Double)].head()
+    assert(r2._1 == 2.0 && r2._2 == 0.0)
+    // all-tied data: variance collapses, z must be NULL not NaN
+    val tied = Seq(("a", 9L), ("b", 9L), ("b", 9L)).toDF("g", "cents")
+    val row = Hypothesis.mannWhitney(tied, col("g") === "a", "cents")
+      .select(col("z")).collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("cochranArmitage: perfect monotone trend detected, flat trend exactly 0") {
+    // rates 0/10, 5/10, 10/10 across scores 1..3 — strong positive trend
+    val trend = (1 to 3).flatMap(s => (1 to 10).map(i =>
+      (s.toLong, i <= (s - 1) * 5))).toDF("s", "y")
+    val r = Hypothesis.cochranArmitage(trend, col("s"), col("y"))
+      .select(col("n"), col("k"), col("t_num"), col("z"))
+      .as[(Long, Long, String, Double)].head()
+    assert(r._1 == 30L && r._2 == 3L)
+    // T·N = N·Σsr − R·Σsn = 30·(2·5 + 3·10) − 15·60 = 1200 − 900 = 300
+    assert(r._3 == "300")
+    assert(r._4 > 3.0, s"perfect trend must be strongly significant, z=${r._4}")
+    // identical rates per tier: t_num exactly 0
+    val flat = (1 to 3).flatMap(s => (1 to 10).map(i =>
+      (s.toLong, i <= 5))).toDF("s", "y")
+    val r2 = Hypothesis.cochranArmitage(flat, col("s"), col("y"))
+      .select(col("t_num"), col("z")).as[(String, Double)].head()
+    assert(r2._1 == "0" && r2._2 == 0.0)
+  }
+
+  test("riskRatio: planted 2x2 — RR 3, Katz SE exact") {
+    // exposed: 6/10 outcomes; unexposed: 2/10 → RR = 0.6/0.2 = 3
+    val rows = (1 to 10).map(i => (true, i <= 6)) ++
+      (1 to 10).map(i => (false, i <= 2))
+    val r = Hypothesis.riskRatio(rows.toDF("e", "y"), col("e"), col("y"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        col("risk_ratio"), col("se_log_rr"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 6L && r._2 == 4L && r._3 == 2L && r._4 == 8L)
+    assert(r._5 == 3.0)
+    assert(math.abs(r._6 - math.sqrt(1.0 / 6 - 1.0 / 10 + 1.0 / 2 - 1.0 / 10)) < 1e-15)
+    // zero unexposed outcomes: RR undefined (NULL, not Infinity)
+    val degen = Seq((true, true), (false, false)).toDF("e", "y")
+    val row = Hypothesis.riskRatio(degen, col("e"), col("y"))
+      .select(col("risk_ratio")).collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("benjaminiHochberg: textbook step-up — a late small p rescues earlier ones") {
+    // m = 5, α = 1/4. p = 1/100, 12/100, 13/100, 14/100, 80/100.
+    // thresholds k·α/m = 5/100, 10/100, 15/100, 20/100, 25/100.
+    // p(2) = 12 FAILS its own threshold (10) but p(4) = 14 ≤ 20 → k* = 4:
+    // reject the first FOUR — the step-up rescue BH is about.
+    val df = Seq(("h1", 1L), ("h2", 12L), ("h3", 13L), ("h4", 14L),
+      ("h5", 80L)).toDF("id", "p_num")
+    val rows = Hypothesis.benjaminiHochberg(df, col("id"), col("p_num"),
+        pDen = 100L, alphaNum = 1L, alphaDen = 4L)
+      .orderBy(col("rank"))
+      .select(col("id"), col("rank"), col("rejected"))
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.map(_._1).toSeq == Seq("h1", "h2", "h3", "h4", "h5"))
+    assert(rows.map(_._3).toSeq == Seq(true, true, true, true, false))
+    // no p passes → nothing rejected
+    val none = Hypothesis.benjaminiHochberg(
+        Seq(("x", 90L), ("y", 95L)).toDF("id", "p_num"),
+        col("id"), col("p_num"), pDen = 100L, alphaNum = 1L, alphaDen = 4L)
+      .filter(col("rejected")).count()
+    assert(none == 0L)
+  }
+
   test("value-domain guard: kruskalWallis / cvmTwoSample fail loudly past the bound") {
     // a raw high-cardinality column (every row its own value) models the
     // unquantized-micros misuse the envelope fences off

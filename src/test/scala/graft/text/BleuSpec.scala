@@ -77,4 +77,70 @@ class BleuSpec extends SparkSpec {
     assert(r._2 < r._1 && r._1 < r._3, s"CI must bracket the mean: $r")
     assert(r._3 - r._2 < 200.0, s"CI implausibly wide: $r")
   }
+
+  test("rougeN: identical pair scores P = R = F1 = 1 at every n") {
+    val df = Seq((1L, "a b c d", "a b c d")).toDF("pid", "cand", "ref")
+    val rows = BleuScore.rougeN(df, "pid", "cand", "ref", maxN = 2)
+      .select($"n", $"rouge_p", $"rouge_r", $"rouge_f1")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r._2 == 1.0 && r._3 == 1.0 && r._4 == 1.0))
+  }
+
+  test("rougeN: recall counts reference grams the candidate missed") {
+    // cand covers 2 of 4 ref unigrams; P = 2/2, R = 2/4, F1 = 2·2/(2+4)
+    val df = Seq((1L, "a b", "a b c d")).toDF("pid", "cand", "ref")
+    val r = BleuScore.rougeN(df, "pid", "cand", "ref", maxN = 1)
+      .select($"match_cnt", $"cand_cnt", $"ref_cnt",
+        $"rouge_p", $"rouge_r", $"rouge_f1")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r == ((2L, 2L, 4L, 1.0, 0.5, 2.0 * 2 / 6)))
+  }
+
+  test("rougeN: disjoint pair scores 0; clipping caps repeated tokens") {
+    val disjoint = Seq((1L, "a b", "c d")).toDF("pid", "cand", "ref")
+    val r0 = BleuScore.rougeN(disjoint, "pid", "cand", "ref", maxN = 1)
+      .select($"rouge_f1").as[Double].head()
+    assert(r0 == 0.0)
+    // cand repeats 'a' 3 times, ref has it once: clipped match = 1
+    val rep = Seq((1L, "a a a", "a")).toDF("pid", "cand", "ref")
+    val r1 = BleuScore.rougeN(rep, "pid", "cand", "ref", maxN = 1)
+      .select($"match_cnt", $"cand_cnt", $"ref_cnt")
+      .as[(Long, Long, Long)].head()
+    assert(r1 == ((1L, 3L, 1L)))
+  }
+
+  test("jackknifeGroupRatio: textbook two-group check and single-group degeneracy") {
+    // groups: a = {100, 200}, b = {300}; θ = 600/3 = 200
+    // θ_(a) = 300/1 = 300, θ_(b) = 300/2 = 150; mean 225
+    // SE = sqrt((g−1)/g · ((300−225)² + (150−225)²)) = sqrt(1/2 · 11250)
+    val df = Seq(("a", 100L), ("a", 200L), ("b", 300L)).toDF("g", "cents")
+    val r = graft.analytics.Bootstrap.jackknifeGroupRatio(df, $"g", $"cents")
+      .select($"n", $"g", $"theta", $"se_jack")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 3L && r._2 == 2L && r._3 == 200.0)
+    assert(math.abs(r._4 - math.sqrt(11250.0 / 2)) < 1e-9)
+    // one group: deleting it leaves nothing — SE undefined, NULL not NaN
+    val one = Seq(("a", 100L), ("a", 200L)).toDF("g", "cents")
+    val row = graft.analytics.Bootstrap.jackknifeGroupRatio(one, $"g", $"cents")
+      .select($"se_jack").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("encodingAudit: planted signatures counted exactly, clean docs pass") {
+    val df = Seq(
+      ("s1", "cafÃ© menu"),      // "Ã©" double-encoding
+      ("s1", "clean text"),
+      ("s1", "bad � byte"),            // replacement char
+      ("s2", "maÃ±ana plan"),     // "Ã±"
+      ("s2", "quote â€œx")   // "â€" punct wreck
+    ).toDF("source", "text")
+    val rows = graft.text.TextAnalysis.encodingAudit(df)
+      .orderBy($"segment")
+      .select($"segment", $"n_docs", $"n_replacement", $"n_latin1_e",
+        $"n_latin1_n", $"n_punct_wreck", $"n_suspect", $"suspect_permille")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows(0) == (("s1", 3L, 1L, 1L, 0L, 0L, 2L, 2000.0 / 3)))
+    assert(rows(1) == (("s2", 2L, 0L, 0L, 1L, 1L, 2L, 1000.0)))
+  }
 }
