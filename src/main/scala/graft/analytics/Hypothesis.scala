@@ -494,6 +494,50 @@ object Hypothesis {
         when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0, se))
   }
 
+  /** Standardized-mean-difference covariate balance between two cohorts —
+    * the pre-test an experimenter (or a matching pipeline,
+    * [[graft.ops.Matching]]) runs to confirm the split didn't skew the
+    * covariates: per covariate, SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2);
+    * |SMD| ≲ 0.1 is the conventional balance bar. Covariates stack into
+    * long form with one explode of PLAIN column references (the
+    * complex-expression-inside-explode codegen trap doesn't apply), then
+    * ONE map-combined aggregate per covariate computes the exact
+    * conditional (n, Σx, Σx²) of both cohorts; means, variances, and the
+    * SMD are fixed-operand-order expressions. One row per covariate:
+    * `cov`, `n_a`, `n_b`, `mean_a`, `mean_b`, `smd`.
+    */
+  def smdBalance(df: DataFrame, cohortA: Column,
+                 covs: Seq[(String, Column)]): DataFrame = {
+    require(covs.nonEmpty, "need at least one covariate")
+    val zero = lit(0L).cast("decimal(38,0)")
+    val stacked = df.select(cohortA.as("__a"),
+        explode(array(covs.map { case (n, c) =>
+          struct(lit(n).as("cov"), c.cast("long").as("x")) }: _*)).as("kv"))
+      .select(col("__a"), col("kv.cov").as("cov"), col("kv.x").as("x"))
+    val g = stacked.groupBy(col("cov"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), dec(col("x"))).otherwise(zero)).as("s_a"),
+        sum(when(col("__a"), dec(col("x")) * dec(col("x"))).otherwise(zero))
+          .as("q_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("__a"), zero).otherwise(dec(col("x")))).as("s_b"),
+        sum(when(col("__a"), zero).otherwise(dec(col("x")) * dec(col("x"))))
+          .as("q_b"))
+    def meanOf(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    def varOf(q: String, s: String, n: String): Column =
+      (dec(col(n)) * col(q) - col(s) * col(s)).cast("double") /
+        (col(n).cast("double") * (col(n) - lit(1L)).cast("double"))
+    val pooled = (varOf("q_a", "s_a", "n_a") + varOf("q_b", "s_b", "n_b")) /
+      lit(2.0)
+    g.select(col("cov"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, meanOf("s_a", "n_a")).as("mean_a"),
+      when(col("n_b") > 0, meanOf("s_b", "n_b")).as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1 && pooled > lit(0.0),
+        (meanOf("s_a", "n_a") - meanOf("s_b", "n_b")) / sqrt(pooled))
+        .as("smd"))
+  }
+
   /** 2×2 risk ratio (relative risk) with the Katz log-RR standard error —
     * the incidence-scale companion of [[oddsRatio]] (epidemiologists and
     * experiment dashboards read risk, not odds, when the outcome is

@@ -151,4 +151,57 @@ object Sampling {
     // h uniform on [0, 2^32): keep iff h·1000 < permille·2^32 (exact ints)
     df.filter(h * 1000L < permille.toLong * 4294967296L)
   }
+
+  /** Neyman (optimal) allocation of a total sample budget across strata —
+    * the sampling-design step before [[stratifiedSample]]: stratum h gets
+    * n_h ∝ N_h·S_h (size × population sd), which minimizes the variance
+    * of the stratified mean at fixed budget. Per-stratum (N, Σx, Σx²)
+    * are exact integer aggregates; the weights w_h = N_h·S_h and the
+    * quotas fold on the ordered STRATUM frame (metadata-sized by
+    * construction); integer allocations come from floor + largest-
+    * remainder so Σ n_h == budget EXACTLY (remainders ranked by
+    * (frac, stratum) — deterministic under ties). One row per stratum:
+    * `stratum`, `n_pop`, `sd_pop`, `weight`, `n_alloc`.
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, valueCents: Column,
+                       budget: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.select(stratum.cast("string").as("stratum"),
+        valueCents.cast("long").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"), sum(dec(col("x"))).as("s"),
+        sum(dec(col("x")) * dec(col("x"))).as("q"))
+    // population variance: (N·Σx² − (Σx)²) / N² — exact numerator
+    val sd = sqrt((dec(col("n_pop")) * col("q") - col("s") * col("s"))
+      .cast("double") /
+      (col("n_pop").cast("double") * col("n_pop").cast("double")))
+    val wg = Window.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    val weighted = g
+      .withColumn("sd_pop", sd)
+      .withColumn("weight", col("n_pop").cast("double") * col("sd_pop"))
+      .withColumn("__cw", sum(col("weight")).over(wg))
+      .withColumn("__tw", max_by(col("__cw"), col("stratum")).over(wall))
+    val quota = when(col("__tw") > lit(0.0),
+      lit(budget.toDouble) * col("weight") / col("__tw")).otherwise(lit(0.0))
+    val floored = weighted
+      .withColumn("__q", quota)
+      .withColumn("__fl", floor(col("__q")).cast("long"))
+      .withColumn("__rem", col("__q") - col("__fl").cast("double"))
+      .withColumn("__give",
+        sum(col("__fl")).over(wall))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__rem").desc, col("stratum")))
+          .cast("long"))
+    floored
+      .withColumn("n_alloc",
+        col("__fl") + when(col("__tw") > lit(0.0) &&
+          col("__rk") <= lit(budget.toLong) - col("__give"),
+          1L).otherwise(0L))
+      .select(col("stratum"), col("n_pop"), col("sd_pop"), col("weight"),
+        col("n_alloc"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -3412,6 +3412,268 @@ object StatQueries {
       |  END AS trimmed_mean
       |FROM s""".stripMargin
 
+  /** Nelson–Aalen cumulative hazard over user churn
+    * ([[graft.analytics.Survival.nelsonAalen]]): the q_kaplan_meier life
+    * table plus H(t)/Var folds on the calendar-bounded day frame.
+    */
+  private def nelsonAalenQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Survival.nelsonAalen(
+      Tables.events(s, dir), col("user_id"), to_date(col("ts")))
+
+  private val nelsonAalenOracle =
+    """WITH last AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+      |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS deaths FROM last GROUP BY d),
+      |r AS (
+      |  SELECT d, deaths,
+      |    CAST(sum(deaths) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_at_risk
+      |  FROM pd)
+      |SELECT d, deaths, n_at_risk,
+      |  sum(CAST(deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+      |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum_hazard,
+      |  sum(CAST(deaths AS DOUBLE)
+      |      / (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)))
+      |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS var_hazard
+      |FROM r ORDER BY d""".stripMargin
+
+  /** Two-cohort log-rank test of churn curves (even vs odd users,
+    * [[graft.analytics.Survival.logRank]]): exact O₁, hypergeometric E/V
+    * folds on the ordered day frame, z one fixed-order expression.
+    */
+  private def logRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Survival.logRank(
+      Tables.events(s, dir), col("user_id"), to_date(col("ts")),
+      col("user_id") % 2 === 0)
+
+  private val logRankOracle =
+    """WITH last AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS d,
+      |    max(user_id % 2 = 0) AS a
+      |  FROM events GROUP BY user_id),
+      |pd AS (SELECT d,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS d2
+      |  FROM last GROUP BY d),
+      |r AS (
+      |  SELECT d, d1, d2,
+      |    CAST(sum(d1) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+      |    CAST(sum(d2) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n2
+      |  FROM pd),
+      |t AS (
+      |  SELECT d, d1,
+      |    sum(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |        / CAST(n1 + n2 AS DOUBLE))
+      |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS ce,
+      |    sum(CASE WHEN n1 + n2 > 1 THEN
+      |        CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |          * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+      |          / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |            * (CAST(n1 + n2 AS DOUBLE) - CAST(1 AS DOUBLE)))
+      |      ELSE CAST(0 AS DOUBLE) END)
+      |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cv
+      |  FROM r),
+      |f AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, max_by(ce, d) AS e1,
+      |  max_by(cv, d) AS v FROM t)
+      |SELECT o1, e1, v,
+      |  CASE WHEN v > CAST(0 AS DOUBLE) THEN
+      |    (CAST(o1 AS DOUBLE) - e1) / sqrt(v)
+      |  END AS z
+      |FROM f""".stripMargin
+
+  /** SMD covariate balance of the even/odd-user split over cents, hour,
+    * and day-of-week ([[graft.analytics.Hypothesis.smdBalance]]): exact
+    * conditional sums per covariate, SMD fixed-order; the balance audit
+    * run before reading any A/B metric.
+    */
+  private def smdBalanceQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.smdBalance(
+      Tables.events(s, dir),
+      col("user_id") % 2 === 0,
+      Seq(
+        ("cents", round(col("value") * 100, 0).cast("long")),
+        ("hour", expr("(unix_micros(ts) div 3600000000) % 24")),
+        ("dow", expr("((unix_micros(ts) div 86400000000) + 4) % 7"))))
+      .orderBy(col("cov"))
+
+  private val smdBalanceOracle =
+    """WITH base AS (
+      |  SELECT (user_id % 2 = 0) AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+      |  FROM events),
+      |lf AS (
+      |  SELECT a, 'cents' AS cov, cents AS x FROM base
+      |  UNION ALL SELECT a, 'hour', hour FROM base
+      |  UNION ALL SELECT a, 'dow', dow FROM base),
+      |g AS (SELECT cov,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  sum(CASE WHEN a THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a,
+      |  sum(CASE WHEN a THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |  sum(CASE WHEN a THEN 0 ELSE CAST(x AS HUGEINT) END) AS s_b,
+      |  sum(CASE WHEN a THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS q_b
+      |  FROM lf GROUP BY cov),
+      |v AS (SELECT cov, n_a, n_b,
+      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |  (CAST(n_a * q_a - s_a * s_a AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+      |    + CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)))
+      |    / CAST(2 AS DOUBLE) AS pooled
+      |  FROM g)
+      |SELECT cov, n_a, n_b,
+      |  CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+      |  CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+      |  CASE WHEN n_a > 1 AND n_b > 1 AND pooled > CAST(0 AS DOUBLE) THEN
+      |    (mean_a - mean_b) / sqrt(pooled)
+      |  END AS smd
+      |FROM v ORDER BY cov""".stripMargin
+
+  /** Neyman allocation of a 1000-row sample budget across the five event
+    * types ([[graft.ops.Sampling.neymanAllocation]]): exact per-stratum
+    * moments, N·S weights, floor + largest-remainder integer quotas
+    * summing EXACTLY to the budget.
+    */
+  private def neymanAllocQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.neymanAllocation(
+      Tables.events(s, dir), col("event_type"),
+      round(col("value") * 100, 0).cast("long"), budget = 1000)
+
+  private val neymanAllocOracle =
+    """WITH e AS (
+      |  SELECT event_type AS stratum, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop,
+      |  sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM e GROUP BY stratum),
+      |w AS (SELECT stratum, n_pop,
+      |  sqrt(CAST(n_pop * q - s * s AS DOUBLE)
+      |    / (CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE))) AS sd_pop
+      |  FROM g),
+      |w2 AS (SELECT stratum, n_pop, sd_pop,
+      |  CAST(n_pop AS DOUBLE) * sd_pop AS weight FROM w),
+      |c AS (SELECT stratum, n_pop, sd_pop, weight,
+      |  sum(weight) OVER (ORDER BY stratum
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM w2),
+      |tw AS (SELECT max_by(cw, stratum) AS total_w FROM c),
+      |q AS (SELECT stratum, n_pop, sd_pop, weight,
+      |  CASE WHEN total_w > CAST(0 AS DOUBLE) THEN
+      |    CAST(1000 AS DOUBLE) * weight / total_w
+      |  ELSE CAST(0 AS DOUBLE) END AS quota
+      |  FROM c CROSS JOIN tw),
+      |f AS (SELECT stratum, n_pop, sd_pop, weight, quota,
+      |  CAST(floor(quota) AS BIGINT) AS fl,
+      |  quota - CAST(CAST(floor(quota) AS BIGINT) AS DOUBLE) AS rem
+      |  FROM q),
+      |t AS (SELECT CAST(sum(fl) AS BIGINT) AS given FROM f),
+      |rk AS (SELECT stratum, n_pop, sd_pop, weight, fl,
+      |  CAST(row_number() OVER (ORDER BY rem DESC, stratum) AS BIGINT) AS rk
+      |  FROM f)
+      |SELECT stratum, n_pop, sd_pop, weight,
+      |  fl + CASE WHEN rk <= 1000 - given THEN 1 ELSE 0 END AS n_alloc
+      |FROM rk CROSS JOIN t ORDER BY stratum""".stripMargin
+
+  /** Special-token leakage audit with PLANTED markers
+    * ([[graft.text.TextAnalysis.specialTokenAudit]]): docs get
+    * "<|endoftext|>" / "<s>" / "[INST]" injected on fixed id moduli and
+    * the audit must count exactly those per source — the pre-training
+    * sweep for tokenizer-control-string injection.
+    */
+  private def specialTokensQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 4, concat(col("text"), lit(" <|endoftext|>")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 2, concat(lit("<s> "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 23 === 7, concat(col("text"), lit(" [INST]")))
+          .otherwise(col("text")))
+    graft.text.TextAnalysis.specialTokenAudit(docs).orderBy(col("segment"))
+  }
+
+  private val specialTokensOracle =
+    """WITH d AS (
+      |  SELECT source,
+      |    (CASE WHEN doc_id % 23 = 7 THEN
+      |      (CASE WHEN doc_id % 17 = 2 THEN '<s> ' ELSE '' END)
+      |        || text
+      |        || (CASE WHEN doc_id % 11 = 4 THEN ' <|endoftext|>' ELSE '' END)
+      |        || ' [INST]'
+      |    ELSE
+      |      (CASE WHEN doc_id % 17 = 2 THEN '<s> ' ELSE '' END)
+      |        || text
+      |        || (CASE WHEN doc_id % 11 = 4 THEN ' <|endoftext|>' ELSE '' END)
+      |    END) AS text
+      |  FROM documents)
+      |SELECT source AS segment, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN contains(text, '<|endoftext|>') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_endoftext,
+      |  CAST(sum(CASE WHEN contains(text, '<|im_start|>') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_im_start,
+      |  CAST(sum(CASE WHEN contains(text, '<s>') OR contains(text, '</s>')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sentencepiece,
+      |  CAST(sum(CASE WHEN contains(text, '[INST]') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_inst,
+      |  CAST(sum(CASE WHEN contains(text, '<|endoftext|>')
+      |      OR contains(text, '<|im_start|>') OR contains(text, '<s>')
+      |      OR contains(text, '</s>') OR contains(text, '[INST]')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+      |  CASE WHEN count(*) > 0 THEN
+      |    CAST(CAST(sum(CASE WHEN contains(text, '<|endoftext|>')
+      |        OR contains(text, '<|im_start|>') OR contains(text, '<s>')
+      |        OR contains(text, '</s>') OR contains(text, '[INST]')
+      |      THEN 1 ELSE 0 END) * 1000 AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)
+      |  END AS leaked_permille
+      |FROM d GROUP BY source ORDER BY segment""".stripMargin
+
+  /** Fill-in-the-middle transform over the corpus
+    * ([[graft.text.Curation.fimSplit]]): md5-drawn cut points, exact
+    * token-slice reassembly — the whole PSM rearrangement replayed
+    * byte-exactly in the oracle.
+    */
+  private def fimSplitQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.fimSplit(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val fimSplitOracle = {
+    val u1 = graft.queries.OracleSql.md5U32Sql("'fim:a:' || CAST(doc_id AS VARCHAR)")
+    val u2 = graft.queries.OracleSql.md5U32Sql("'fim:b:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS t,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |cut AS (
+       |  SELECT doc_id, text, t, n,
+       |    CASE WHEN n >= 2 THEN 1 + ($u1) % (n - 1) END AS a0
+       |  FROM tok),
+       |cut2 AS (
+       |  SELECT doc_id, text, t, n, a0,
+       |    CASE WHEN n >= 2 THEN a0 + ($u2) % (n - a0) END AS b0
+       |  FROM cut)
+       |SELECT doc_id, n AS n_tokens, a0 AS a, b0 AS b,
+       |  CASE WHEN n >= 2 THEN array_to_string(t[1:a0], ' ')
+       |    ELSE text END AS prefix,
+       |  CASE WHEN n >= 2 THEN COALESCE(array_to_string(t[a0+1:b0], ' '), '')
+       |    ELSE '' END AS middle,
+       |  CASE WHEN n >= 2 THEN COALESCE(array_to_string(t[b0+1:n], ' '), '')
+       |    ELSE '' END AS suffix
+       |FROM cut2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Risk ratio of purchase incidence on weekends vs weekdays
     * ([[graft.analytics.Hypothesis.riskRatio]]) — the incidence-scale
     * companion of q_odds_ratio on the same epoch-day-derived 2×2: RR one
@@ -3760,6 +4022,12 @@ object StatQueries {
     "q_kruskal_wallis" -> (kruskalWallisQ _),
     "q_mann_whitney" -> (mannWhitneyQ _),
     "q_risk_ratio" -> (riskRatioQ _),
+    "q_nelson_aalen" -> (nelsonAalenQ _),
+    "q_logrank" -> (logRankQ _),
+    "q_smd_balance" -> (smdBalanceQ _),
+    "q_neyman_alloc" -> (neymanAllocQ _),
+    "q_special_tokens" -> (specialTokensQ _),
+    "q_fim_split" -> (fimSplitQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
     "q_bh_fdr" -> (bhFdrQ _),
     "q_jackknife" -> (jackknifeQ _),
@@ -3842,6 +4110,12 @@ object StatQueries {
     "q_kruskal_wallis" -> kruskalWallisOracle,
     "q_mann_whitney" -> mannWhitneyOracle,
     "q_risk_ratio" -> riskRatioOracle,
+    "q_nelson_aalen" -> nelsonAalenOracle,
+    "q_logrank" -> logRankOracle,
+    "q_smd_balance" -> smdBalanceOracle,
+    "q_neyman_alloc" -> neymanAllocOracle,
+    "q_special_tokens" -> specialTokensOracle,
+    "q_fim_split" -> fimSplitOracle,
     "q_cochran_armitage" -> cochranArmitageOracle,
     "q_bh_fdr" -> bhFdrOracle,
     "q_jackknife" -> jackknifeOracle,

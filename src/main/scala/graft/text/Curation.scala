@@ -166,6 +166,42 @@ object Curation {
       .withColumn("ord", col("rn") / wt)
   }
 
+  /** Fill-in-the-middle (FIM) transform — the code/infilling pretraining
+    * rearrangement (Bavarian et al. 2022): each document splits at two
+    * deterministic token cut points 1 ≤ a ≤ b < n into
+    * (prefix, middle, suffix), which the training pipeline re-serializes
+    * as PSM/SPM sequences. Cut points are md5-derived uniforms keyed by
+    * (seed, id) — the library-wide reproducible-draw discipline, so the
+    * same doc always splits identically on any cluster and in the
+    * verification engine. Docs under 2 tokens pass through untransformed
+    * (`a`/`b` NULL, full text in `prefix`). Pure stateless projection —
+    * pushes down, zero shuffle, linear at any corpus size.
+    */
+  def fimSplit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", seed: String = "fim"): DataFrame = {
+    val t = split(col(textCol), "\\s+")
+    val n = size(t).cast("long")
+    val u1 = graft.functions.Md5Field.md5U32(
+      concat(lit(s"$seed:a:"), col(idCol).cast("string")))
+    val u2 = graft.functions.Md5Field.md5U32(
+      concat(lit(s"$seed:b:"), col(idCol).cast("string")))
+    val a = lit(1L) + pmod(u1, n - lit(1L))
+    val b = a + pmod(u2, n - a)
+    val splittable = n >= 2
+    docs.select(col(idCol).as("doc_id"),
+      n.as("n_tokens"),
+      when(splittable, a).as("a"),
+      when(splittable, b).as("b"),
+      when(splittable, array_join(slice(t, lit(1), a.cast("int")), " "))
+        .otherwise(col(textCol)).as("prefix"),
+      when(splittable,
+        array_join(slice(t, (a + lit(1L)).cast("int"), (b - a).cast("int")), " "))
+        .otherwise(lit("")).as("middle"),
+      when(splittable,
+        array_join(slice(t, (b + lit(1L)).cast("int"), (n - b).cast("int")), " "))
+        .otherwise(lit("")).as("suffix"))
+  }
+
   /** Deterministic train/val/test split: each doc's md5-derived uniform in
     * [0, 2³²) lands it in train/val/test by fixed thresholds — a pure
     * function of the id, so the split is reproducible on any cluster, stable

@@ -64,6 +64,38 @@ object TextAnalysis {
             col("n_docs").cast("double")))
   }
 
+  /** Special-token leakage audit per corpus segment — scraped text that
+    * already contains tokenizer control strings ("<|endoftext|>", chat
+    * markers) poisons training: the model learns to emit them mid-text,
+    * and injected markers are a prompt-injection vector. Same literal-
+    * containment discipline as [[encodingAudit]] (no regex — byte-exact
+    * in any verification engine), over the standard marker set: GPT-style
+    * `<|endoftext|>`/`<|im_start|>`, sentencepiece `<s>`/`</s>`, and
+    * llama-chat `[INST]`. Per segment: doc counts per marker, the
+    * any-marker union, and its permille rate.
+    */
+  def specialTokenAudit(docs: DataFrame, segCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def has(sig: String): Column = when(t.contains(sig), 1L).otherwise(0L)
+    val anySig = when(t.contains("<|endoftext|>") || t.contains("<|im_start|>") ||
+      t.contains("<s>") || t.contains("</s>") || t.contains("[INST]"),
+      1L).otherwise(0L)
+    docs.select(col(segCol).as("segment"), t)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(has("<|endoftext|>")).as("n_endoftext"),
+        sum(has("<|im_start|>")).as("n_im_start"),
+        sum(when(t.contains("<s>") || t.contains("</s>"), 1L).otherwise(0L))
+          .as("n_sentencepiece"),
+        sum(has("[INST]")).as("n_inst"),
+        sum(anySig).as("n_leaked"))
+      .withColumn("leaked_permille",
+        when(col("n_docs") > 0,
+          (col("n_leaked") * 1000L).cast("double") /
+            col("n_docs").cast("double")))
+  }
+
   /** Quality-scoring feature columns + a composite [0,1] score.
     * Degenerate inputs (empty text) produce 0-ratios, not nulls/NaN.
     */

@@ -381,6 +381,51 @@ class HypothesisSpec extends SparkSpec {
     assert(r2._1 == "0" && r2._2 == 0.0)
   }
 
+  test("smdBalance: planted imbalance detected, balanced covariate ~0") {
+    // cov "x": cohort A = {10, 20}, B = {30, 40} — means 15 vs 35,
+    // s² = 50 each → SMD = -20/sqrt(50) = -2·sqrt(2)
+    // cov "y": identical in both cohorts → SMD exactly 0
+    val df = Seq((true, 10L, 5L), (true, 20L, 7L),
+      (false, 30L, 5L), (false, 40L, 7L)).toDF("a", "x", "y")
+    val rows = Hypothesis.smdBalance(df, col("a"),
+        Seq(("x", col("x")), ("y", col("y"))))
+      .orderBy(col("cov"))
+      .select(col("cov"), col("n_a"), col("smd"))
+      .as[(String, Long, Double)].collect()
+    assert(rows(0)._1 == "x" && rows(0)._2 == 2L)
+    assert(math.abs(rows(0)._3 - (-20.0 / math.sqrt(50.0))) < 1e-12)
+    assert(rows(1)._1 == "y" && rows(1)._3 == 0.0)
+  }
+
+  test("nelsonAalen / logRank: planted two-day life table") {
+    // entities die (last activity) on day 1: {u1, u2}; day 2: {u3, u4}
+    // H(1) = 2/4 = .5; H(2) = .5 + 2/2 = 1.5; Var(1) = 2/16, Var(2) = 2/16 + 2/4
+    val ev = Seq(("u1", 1), ("u2", 1), ("u3", 1), ("u4", 1),
+      ("u3", 2), ("u4", 2)).toDF("u", "day")
+    val na = Survival.nelsonAalen(ev, col("u"), col("day"))
+      .select(col("d"), col("deaths"), col("n_at_risk"),
+        col("cum_hazard"), col("var_hazard"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(na(0) == ((1, 2L, 4L, 0.5, 0.125)))
+    assert(na(1) == ((2, 2L, 2L, 1.5, 0.125 + 0.5)))
+    // identical curves in both cohorts → O1 = E1, z = 0
+    val ev2 = Seq(("a1", 1), ("b1", 1), ("a2", 1), ("b2", 1),
+      ("a2", 2), ("b2", 2)).toDF("u", "day")
+    val lr = Survival.logRank(ev2, col("u"), col("day"),
+        substring(col("u"), 1, 1) === "a")
+      .select(col("o1"), col("e1"), col("z"))
+      .as[(Long, Double, Double)].head()
+    assert(lr._1 == 2L && lr._2 == 2.0 && lr._3 == 0.0)
+    // complete separation: all of A dies day 1, all of B day 2 → z != 0
+    val ev3 = Seq(("a1", 1), ("a2", 1), ("b1", 1), ("b2", 1),
+      ("b1", 2), ("b2", 2)).toDF("u", "day")
+    val lr3 = Survival.logRank(ev3, col("u"), col("day"),
+        substring(col("u"), 1, 1) === "a")
+      .select(col("o1"), col("e1"), col("z"))
+      .as[(Long, Double, Double)].head()
+    assert(lr3._1 == 2L && lr3._2 == 1.0 && lr3._3 > 0.0)
+  }
+
   test("riskRatio: planted 2x2 — RR 3, Katz SE exact") {
     // exposed: 6/10 outcomes; unexposed: 2/10 → RR = 0.6/0.2 = 3
     val rows = (1 to 10).map(i => (true, i <= 6)) ++

@@ -48,9 +48,11 @@ class Round10bPlanSpec extends SparkSpec {
     val out = Hypothesis.cvmTwoSample(df, col("a"), "c")
     out.collect()
     val p = plan(out).split("== Initial Plan ==").head
-    // only the 1-row totals may cross
+    // only 1-row broadcasts may cross: the totals frame plus the
+    // value-domain guard's count (round-11 envelope) — never a cartesian
     val products = "CartesianProduct|BroadcastNestedLoop".r.findAllIn(p).size
-    assert(products <= 1, s"cvm planned $products products:\n$p")
+    assert(products <= 3, s"cvm planned $products products:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
   }
 
   test("maxDrawdown: two window passes over one entity exchange, no shrinking frame") {

@@ -79,4 +79,23 @@ class SamplingAndTopKSpec extends SparkSpec {
     val sql = spark.sql("SELECT normalize_unicode('café', 'NFC') AS n").head.getString(0)
     assert(sql == "café")
   }
+
+  test("neymanAllocation: allocations track N*S, sum EXACTLY to the budget") {
+    // stratum a: constant (sd 0) -- gets nothing despite being large;
+    // b and c split by size x spread
+    val rows = (1 to 100).map(i => ("a", 500L)) ++
+      (1 to 50).map(i => ("b", (i % 10) * 100L)) ++
+      (1 to 25).map(i => ("c", (i % 10) * 100L))
+    val out = graft.ops.Sampling.neymanAllocation(
+        rows.toDF("s", "cents"), $"s", $"cents", budget = 90)
+      .select($"stratum", $"n_alloc").as[(String, Long)].collect().toMap
+    assert(out("a") == 0L, "zero-variance stratum needs no sample")
+    assert(out.values.sum == 90L, "largest-remainder must hit the budget exactly")
+    assert(out("b") > out("c"), "allocation must scale with N at equal sd")
+    // degenerate: every stratum constant -- weights all 0, allocs all 0
+    val zeros = Seq(("x", 5L), ("y", 7L)).toDF("s", "cents")
+    val z = graft.ops.Sampling.neymanAllocation(zeros, $"s", $"cents", 10)
+      .select($"n_alloc").as[Long].collect()
+    assert(z.forall(_ == 0L))
+  }
 }

@@ -214,4 +214,47 @@ class CurationSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_email") + r2.getAs[Long]("n_phone") + r2.getAs[Long]("n_ip") == 0L)
     assert(r2.getAs[String]("redacted") == "no pii here, just 3.5 and v1.2 fragments")
   }
+
+  test("fimSplit: lossless three-way cut, deterministic, short-doc passthrough") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 10).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.fimSplit(docs).collect()
+    out.foreach { r =>
+      val (a, b, n) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_tokens"))
+      assert(n == 10L && a >= 1 && a <= b && b < n, s"cut invariant broke: $r")
+      // reassembly must be byte-lossless (single-space tokenization)
+      val joined = Seq(r.getAs[String]("prefix"), r.getAs[String]("middle"),
+        r.getAs[String]("suffix")).filter(_.nonEmpty).mkString(" ")
+      assert(joined == (1 to 10).map(j => s"w$j").mkString(" "),
+        s"reassembly lost bytes: $r")
+    }
+    // cuts actually vary across docs (not all the same point)
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).distinct.length > 5)
+    // determinism
+    val again = Curation.fimSplit(docs).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // one-token doc: untransformed, NULL cuts
+    val one = Seq((99L, "solo")).toDF("doc_id", "text")
+    val r1 = Curation.fimSplit(one).head()
+    assert(r1.isNullAt(r1.fieldIndex("a")) &&
+      r1.getAs[String]("prefix") == "solo" &&
+      r1.getAs[String]("middle") == "" && r1.getAs[String]("suffix") == "")
+  }
+
+  test("specialTokenAudit: planted control strings counted exactly") {
+    val df = Seq(
+      ("s1", "normal text"),
+      ("s1", "evil <|endoftext|> inject"),
+      ("s1", "<s> bos leak"),
+      ("s2", "chat [INST] marker"),
+      ("s2", "fine")).toDF("source", "text")
+    val rows = graft.text.TextAnalysis.specialTokenAudit(df)
+      .orderBy($"segment")
+      .select($"segment", $"n_docs", $"n_endoftext", $"n_sentencepiece",
+        $"n_inst", $"n_leaked", $"leaked_permille")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows(0) == (("s1", 3L, 1L, 1L, 0L, 2L, 2000.0 / 3)))
+    assert(rows(1) == (("s2", 2L, 0L, 0L, 1L, 1L, 500.0)))
+  }
 }
