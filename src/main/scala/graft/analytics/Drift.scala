@@ -346,8 +346,10 @@ object Drift {
     * broadcast of the one-row totals; the fold frame is nBuckets rows.
     */
   def jensenShannon(df: DataFrame, valueCol: String, cohortA: Column,
-                    bucketWidth: Long, nBuckets: Int): DataFrame = {
+                    bucketWidth: Long, nBuckets: Int,
+                    gridScale: Double = 1e12): DataFrame = {
     require(bucketWidth > 0 && nBuckets > 0, "bucketWidth/nBuckets must be positive")
+    require(gridScale > 0, "gridScale must be positive")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val bucket = least(greatest((col(valueCol).cast("long") / bucketWidth)
       .cast("long"), lit(0L)), lit(nBuckets - 1L)).as("bucket")
@@ -359,21 +361,26 @@ object Drift {
     val p = col("n_a").cast("double") / col("__ta").cast("double")
     val q = col("n_b").cast("double") / col("__tb").cast("double")
     val m = (p + q) / lit(2.0)
-    // n_bucket · ⌊ln(p/m)·10¹²⌋ — exact integers, order-free sum;
-    // kl = Σ / (total · 10¹²) because p = n_bucket/total factors out.
+    // n_bucket · ⌊ln(p/m)·gridScale⌋ — exact integers, order-free sum;
+    // kl = Σ / (total · gridScale) because p = n_bucket/total factors out.
+    // Grid choice: a 1-ulp Java-vs-libm ln divergence flips a floor cell
+    // with probability ≈ ulp/cell ≈ 2e-16·gridScale per argument — 1e12
+    // is safe for ≤ ~20 ln args (money deciles); WIDE bucket sets
+    // (hashed-vocab drift, 256+ buckets) must pass a coarser grid (1e6
+    // → flip risk ~1e-10·args) and accept micro-nat resolution.
     val qA = when(col("n_a") > 0,
-      dec(col("n_a")) * dec(floor(log(p / m) * lit(1e12)).cast("long")))
+      dec(col("n_a")) * dec(floor(log(p / m) * lit(gridScale)).cast("long")))
       .otherwise(dec(lit(0L)))
     val qB = when(col("n_b") > 0,
-      dec(col("n_b")) * dec(floor(log(q / m) * lit(1e12)).cast("long")))
+      dec(col("n_b")) * dec(floor(log(q / m) * lit(gridScale)).cast("long")))
       .otherwise(dec(lit(0L)))
     counts.crossJoin(broadcast(totals))
       .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
         sum(qA).as("__qa"), sum(qB).as("__qb"))
       .withColumn("kl_a", when(col("n_a") > 0, col("__qa").cast("double") /
-        (col("n_a").cast("double") * lit(1e12))))
+        (col("n_a").cast("double") * lit(gridScale))))
       .withColumn("kl_b", when(col("n_b") > 0, col("__qb").cast("double") /
-        (col("n_b").cast("double") * lit(1e12))))
+        (col("n_b").cast("double") * lit(gridScale))))
       .withColumn("jsd_nats",
         when(col("n_a") > 0 && col("n_b") > 0,
           lit(0.5) * col("kl_a") + lit(0.5) * col("kl_b")))

@@ -494,6 +494,83 @@ object Hypothesis {
         when(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0, se))
   }
 
+  /** Poisson overdispersion (index-of-dispersion) test over unit counts —
+    * "is this arrival process Poisson or bursty?", the telemetry check
+    * before trusting any rate-based alert threshold. For counts x_i:
+    * D = s²/x̄ = (n·Σx² − (Σx)²) / ((n−1)·Σx) — an exact-integer ratio,
+    * ONE division — and the chi-square statistic (n−1)·D likewise. One
+    * map-combined aggregate; no window, no join. One row: `n`,
+    * `sum_events`, `dispersion`, `chi2`, `df`.
+    */
+  def overdispersion(df: DataFrame, countCol: Column): DataFrame = {
+    val agg = df.select(countCol.cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("s"),
+        sum(dec(col("x")) * dec(col("x"))).as("q"))
+    val num = dec(col("n")) * col("q") - col("s") * col("s")
+    agg
+      .withColumn("__num", num)
+      .select(col("n"), col("s").cast("string").as("sum_events"),
+        when(col("n") > 1 && col("s") > 0,
+          col("__num").cast("double") /
+            ((col("n") - lit(1L)).cast("double") * col("s").cast("double")))
+          .as("dispersion"),
+        when(col("n") > 1 && col("s") > 0,
+          col("__num").cast("double") / col("s").cast("double")).as("chi2"),
+        (col("n") - lit(1L)).as("df"))
+  }
+
+  /** Sample-ratio-mismatch check of a deterministic 50/50 hash split —
+    * the FIRST gate on any experiment dashboard (an SRM invalidates every
+    * downstream metric): χ² = (n_a − n_b)²/(n_a + n_b) against the
+    * equal-allocation null, exact-integer numerator, one division, and
+    * the conventional 0.05 trip flag (χ² > 3.84). One row: `n_a`, `n_b`,
+    * `chi2`, `srm_detected`.
+    */
+  def srmCheck(df: DataFrame, unitCol: Column, seed: String): DataFrame = {
+    val agg = df.select(unitCol.cast("string").as("u")).distinct()
+      .select(pmod(graft.functions.Md5Field.md5U32(
+        concat(lit(s"srm:$seed:"), col("u"))), lit(2L)).as("__arm"))
+      .agg(sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val diff = col("n_a") - col("n_b")
+    val chi2 = (dec(diff) * dec(diff)).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") + col("n_b") > 0, chi2).as("chi2"),
+      when(col("n_a") + col("n_b") > 0,
+        chi2 > lit(3.841458820694124)).as("srm_detected"))
+  }
+
+  /** Chapman capture–recapture estimate of a hidden population from two
+    * overlapping observation occasions — the coverage audit for anything
+    * sampled twice (how many near-dups exist, given what two independent
+    * dedup passes each caught; how many active users, given two days'
+    * sightings): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with
+    * SE = √((n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))), both
+    * fixed-operand-order expressions over exact DECIMAL products. Inputs
+    * are two id sets; m comes from one distinct equi-join. One row:
+    * `n1`, `n2`, `m_both`, `n_hat`, `se`.
+    */
+  def captureRecapture(first: DataFrame, second: DataFrame,
+                       idCol: String): DataFrame = {
+    val a = first.select(col(idCol).cast("string").as("id")).distinct()
+    val b = second.select(col(idCol).cast("string").as("id")).distinct()
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq("id"), "left_semi").agg(count(lit(1)).as("m_both"))
+    val base = n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+    val nHat = (dec(col("n1") + lit(1L)) * dec(col("n2") + lit(1L)))
+      .cast("double") / (col("m_both") + lit(1L)).cast("double") - lit(1.0)
+    val seNum = dec(col("n1") + lit(1L)) * dec(col("n2") + lit(1L)) *
+      dec(col("n1") - col("m_both")) * dec(col("n2") - col("m_both"))
+    val seDen = dec(col("m_both") + lit(1L)) * dec(col("m_both") + lit(1L)) *
+      dec(col("m_both") + lit(2L))
+    base.select(col("n1"), col("n2"), col("m_both"),
+      nHat.as("n_hat"),
+      when(col("n1") >= col("m_both") && col("n2") >= col("m_both"),
+        sqrt(seNum.cast("double") / seDen.cast("double"))).as("se"))
+  }
+
   /** Standardized-mean-difference covariate balance between two cohorts —
     * the pre-test an experimenter (or a matching pipeline,
     * [[graft.ops.Matching]]) runs to confirm the split didn't skew the

@@ -3674,6 +3674,161 @@ object StatQueries {
        |FROM cut2 ORDER BY doc_id""".stripMargin
   }
 
+  /** Poisson overdispersion of daily per-user event counts
+    * ([[graft.analytics.Hypothesis.overdispersion]]): exact-integer
+    * dispersion ratio — the burstiness gate on rate-alert thresholds.
+    */
+  private def overdispersionQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.overdispersion(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c")),
+      col("c"))
+
+  private val overdispersionOracle =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM c),
+      |f AS (SELECT n, s, CAST(n AS HUGEINT) * q - s * s AS num FROM agg)
+      |SELECT n, CAST(s AS VARCHAR) AS sum_events,
+      |  CASE WHEN n > 1 AND s > 0 THEN
+      |    CAST(CAST(num AS BIGINT) AS DOUBLE)
+      |      / (CAST(n - 1 AS DOUBLE) * CAST(CAST(s AS BIGINT) AS DOUBLE))
+      |  END AS dispersion,
+      |  CASE WHEN n > 1 AND s > 0 THEN
+      |    CAST(CAST(num AS BIGINT) AS DOUBLE) / CAST(CAST(s AS BIGINT) AS DOUBLE)
+      |  END AS chi2,
+      |  n - 1 AS df
+      |FROM f""".stripMargin
+
+  /** Sample-ratio-mismatch gate on the deterministic 50/50 user split
+    * ([[graft.analytics.Hypothesis.srmCheck]]): exact-integer χ² against
+    * equal allocation — the first experiment-validity check.
+    */
+  private def srmCheckQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.srmCheck(
+      Tables.events(s, dir), col("user_id"), seed = "exp1")
+
+  private val srmCheckOracle = {
+    val u32 = graft.queries.OracleSql.md5U32Sql(
+      "'srm:exp1:' || CAST(u AS VARCHAR)")
+    s"""WITH units AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events),
+       |arms AS (SELECT ($u32) % 2 AS arm FROM units),
+       |agg AS (SELECT
+       |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM arms)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a + n_b > 0 THEN
+       |    CAST(CAST((n_a - n_b) AS HUGEINT) * (n_a - n_b) AS DOUBLE)
+       |      / CAST(n_a + n_b AS DOUBLE)
+       |  END AS chi2,
+       |  CASE WHEN n_a + n_b > 0 THEN
+       |    (CAST(CAST((n_a - n_b) AS HUGEINT) * (n_a - n_b) AS DOUBLE)
+       |      / CAST(n_a + n_b AS DOUBLE)) > CAST(3.841458820694124 AS DOUBLE)
+       |  END AS srm_detected
+       |FROM agg""".stripMargin
+  }
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * from two days' sightings
+    * ([[graft.analytics.Hypothesis.captureRecapture]]): exact DECIMAL
+    * products, N̂ and SE single fixed-order expressions.
+    */
+  private def captureRecaptureQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.analytics.Hypothesis.captureRecapture(
+      ev.filter(to_date(col("ts")) === lit("2024-01-22").cast("date")),
+      ev.filter(to_date(col("ts")) === lit("2024-01-23").cast("date")),
+      "user_id")
+  }
+
+  private val captureRecaptureOracle =
+    """WITH a AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id FROM events
+      |  WHERE CAST(ts AS DATE) = DATE '2024-01-22'),
+      |b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id FROM events
+      |  WHERE CAST(ts AS DATE) = DATE '2024-01-23'),
+      |t AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a SEMI JOIN b USING (id))
+      |    AS m_both)
+      |SELECT n1, n2, m_both,
+      |  CAST(CAST((n1 + 1) AS HUGEINT) * (n2 + 1) AS DOUBLE)
+      |    / CAST(m_both + 1 AS DOUBLE) - CAST(1 AS DOUBLE) AS n_hat,
+      |  CASE WHEN n1 >= m_both AND n2 >= m_both THEN
+      |    sqrt(CAST(CAST((n1 + 1) AS HUGEINT) * (n2 + 1) * (n1 - m_both)
+      |        * (n2 - m_both) AS DOUBLE)
+      |      / CAST(CAST((m_both + 1) AS HUGEINT) * (m_both + 1)
+      |        * (m_both + 2) AS DOUBLE))
+      |  END AS se
+      |FROM t""".stripMargin
+
+  /** Hashed-vocabulary distribution drift between corpus halves
+    * ([[graft.analytics.Drift.jensenShannon]] over md5-hashed token
+    * buckets, micro-nat grid — the coarser grid is load-bearing: 512 ln
+    * floors at pico resolution would flip cells on 1-ulp engine
+    * divergence): the token-level domain-shift readout between sources.
+    */
+  private def vocabDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select((col("source") < "src2").as("__a"),
+        pmod(graft.functions.Md5Field.md5U32(concat(lit("vd:"), col("tok"))),
+          lit(256L)).as("bucket"))
+    graft.analytics.Drift.jensenShannon(toks, "bucket", col("__a"),
+      bucketWidth = 1L, nBuckets = 256, gridScale = 1e6)
+  }
+
+  private val vocabDriftOracle = {
+    val u32 = graft.queries.OracleSql.md5U32Sql("'vd:' || tok")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT least(greatest(($u32) % 256, 0), 255) AS bucket,
+       |    source < 'src2' AS a
+       |  FROM toks WHERE tok <> ''),
+       |c AS (SELECT bucket,
+       |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM b GROUP BY bucket),
+       |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+       |  CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+       |d AS (SELECT bucket, n_a, n_b, ta, tb,
+       |  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+       |  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+       |  FROM c CROSS JOIN t),
+       |s AS (SELECT max(ta) AS n_a, max(tb) AS n_b,
+       |  sum(CASE WHEN n_a > 0 THEN CAST(n_a AS HUGEINT) *
+       |      CAST(floor(ln(p / ((p + q) / CAST(2 AS DOUBLE))) * 1e6) AS BIGINT)
+       |    ELSE CAST(0 AS HUGEINT) END) AS qa,
+       |  sum(CASE WHEN n_b > 0 THEN CAST(n_b AS HUGEINT) *
+       |      CAST(floor(ln(q / ((p + q) / CAST(2 AS DOUBLE))) * 1e6) AS BIGINT)
+       |    ELSE CAST(0 AS HUGEINT) END) AS qb
+       |  FROM d),
+       |f AS (SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 THEN
+       |    CAST(CAST(qa AS BIGINT) AS DOUBLE)
+       |      / (CAST(n_a AS DOUBLE) * 1e6) END AS kl_a,
+       |  CASE WHEN n_b > 0 THEN
+       |    CAST(CAST(qb AS BIGINT) AS DOUBLE)
+       |      / (CAST(n_b AS DOUBLE) * 1e6) END AS kl_b
+       |  FROM s)
+       |SELECT n_a, n_b, kl_a, kl_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(0.5 AS DOUBLE) * kl_a + CAST(0.5 AS DOUBLE) * kl_b
+       |  END AS jsd_nats,
+       |  (CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(0.5 AS DOUBLE) * kl_a + CAST(0.5 AS DOUBLE) * kl_b
+       |  END) / ln(CAST(2 AS DOUBLE)) AS jsd_bits
+       |FROM f""".stripMargin
+  }
+
   /** Risk ratio of purchase incidence on weekends vs weekdays
     * ([[graft.analytics.Hypothesis.riskRatio]]) — the incidence-scale
     * companion of q_odds_ratio on the same epoch-day-derived 2×2: RR one
@@ -4028,6 +4183,10 @@ object StatQueries {
     "q_neyman_alloc" -> (neymanAllocQ _),
     "q_special_tokens" -> (specialTokensQ _),
     "q_fim_split" -> (fimSplitQ _),
+    "q_overdispersion" -> (overdispersionQ _),
+    "q_srm_check" -> (srmCheckQ _),
+    "q_capture_recapture" -> (captureRecaptureQ _),
+    "q_vocab_drift" -> (vocabDriftQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
     "q_bh_fdr" -> (bhFdrQ _),
     "q_jackknife" -> (jackknifeQ _),
@@ -4116,6 +4275,10 @@ object StatQueries {
     "q_neyman_alloc" -> neymanAllocOracle,
     "q_special_tokens" -> specialTokensOracle,
     "q_fim_split" -> fimSplitOracle,
+    "q_overdispersion" -> overdispersionOracle,
+    "q_srm_check" -> srmCheckOracle,
+    "q_capture_recapture" -> captureRecaptureOracle,
+    "q_vocab_drift" -> vocabDriftOracle,
     "q_cochran_armitage" -> cochranArmitageOracle,
     "q_bh_fdr" -> bhFdrOracle,
     "q_jackknife" -> jackknifeOracle,

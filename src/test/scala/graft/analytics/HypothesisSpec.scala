@@ -426,6 +426,48 @@ class HypothesisSpec extends SparkSpec {
     assert(lr3._1 == 2L && lr3._2 == 1.0 && lr3._3 > 0.0)
   }
 
+  test("overdispersion: Poisson-like vs planted burst") {
+    // constant counts: variance 0 → dispersion exactly 0
+    val const = Seq(3L, 3L, 3L, 3L).toDF("c")
+    val r0 = Hypothesis.overdispersion(const, col("c"))
+      .select(col("dispersion")).as[Double].head()
+    assert(r0 == 0.0)
+    // {0,0,0,12}: mean 3, s² = (4·144 − 144)/(4·3) = 36 → D = 12
+    val burst = Seq(0L, 0L, 0L, 12L).toDF("c")
+    val r1 = Hypothesis.overdispersion(burst, col("c"))
+      .select(col("n"), col("sum_events"), col("dispersion"), col("chi2"))
+      .as[(Long, String, Double, Double)].head()
+    assert(r1._1 == 4L && r1._2 == "12" && r1._3 == 12.0 && r1._4 == 36.0)
+  }
+
+  test("srmCheck: balanced hash split passes; chi2 exact on the 2-arm counts") {
+    val r = Hypothesis.srmCheck(
+      spark.range(10000).toDF("u"), col("u"), seed = "t")
+      .select(col("n_a"), col("n_b"), col("chi2"), col("srm_detected"))
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(r._1 + r._2 == 10000L)
+    val expect = (r._1 - r._2).toDouble * (r._1 - r._2).toDouble / 10000.0
+    assert(r._3 == expect)
+    assert(!r._4, s"a fair md5 split must not trip SRM: $r")
+  }
+
+  test("captureRecapture: Chapman estimate on planted overlap") {
+    // n1 = 4, n2 = 3, m = 2 → N̂ = 5·4/3 − 1 = 17/3; SE per formula
+    val a = Seq("u1", "u2", "u3", "u4").toDF("id")
+    val b = Seq("u3", "u4", "u5").toDF("id")
+    val r = Hypothesis.captureRecapture(a, b, "id")
+      .select(col("n1"), col("n2"), col("m_both"), col("n_hat"), col("se"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 3L && r._3 == 2L)
+    assert(math.abs(r._4 - (20.0 / 3 - 1.0)) < 1e-12)
+    assert(math.abs(r._5 - math.sqrt(5.0 * 4 * 2 * 1 / (9.0 * 4))) < 1e-12)
+    // identical sets: N̂ = n — the estimator is consistent when coverage
+    // is total
+    val r2 = Hypothesis.captureRecapture(a, a, "id")
+      .select(col("n_hat")).as[Double].head()
+    assert(r2 == 4.0)
+  }
+
   test("riskRatio: planted 2x2 — RR 3, Katz SE exact") {
     // exposed: 6/10 outcomes; unexposed: 2/10 → RR = 0.6/0.2 = 3
     val rows = (1 to 10).map(i => (true, i <= 6)) ++
