@@ -346,7 +346,28 @@ object ScaleProbe {
         graft.analytics.Hypothesis.kruskalWallis(
           d.select((col("doc_id") % 4).cast("string").as("g"),
             col("n_chars").cast("long").as("cents")),
-          "g", "cents")))
+          "g", "cents")),
+      // FIM split: one output row per doc (exactly N×), pure stateless
+      // projection — zero shuffle at any corpus size is the whole claim
+      ("fimSplit", true, "N", d =>
+        graft.text.Curation.fimSplit(d)),
+      // special-token audit: output bounded by the segment count (flat);
+      // one map-combined aggregate — shuffle stays segment-sized
+      ("specialTokenAudit", true, "flat", d =>
+        graft.text.TextAnalysis.specialTokenAudit(d)),
+      // ROUGE-2 over the planted near-dup pairs: 2 rows at any size
+      // (flat); the (pair, n, gram) streams and their co-partitioned
+      // full-outer join must grow linearly with the pair count
+      ("rougeN", false, "flat", { d =>
+        val ref = d.filter(col("doc_id") % 10000000L < 5000000L &&
+            col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("k"), col("text").as("ref"))
+        val cand = d.filter(col("doc_id") % 10000000L >= 5000000L)
+          .select((col("doc_id") - 5000000L).as("k"),
+            col("doc_id").as("pair_id"), col("text").as("cand"))
+        graft.text.BleuScore.rougeN(
+          cand.join(ref, Seq("k")), "pair_id", "cand", "ref")
+      }))
 
     println(f"${"operator"}%-20s ${"corpus"}%-6s ${"docs"}%8s ${"time_s"}%8s " +
       f"${"shufW_MB"}%9s ${"shufR_MB"}%9s ${"rows_out"}%9s")
