@@ -167,4 +167,47 @@ object Privacy {
       .withColumn("est",
         col("est_num").cast("double") / lit((2 * pNum - pDen).toDouble))
   }
+
+  /** Inverse-CDF thresholds of the TRUNCATED discrete Laplace (two-sided
+    * geometric) distribution P(k) ∝ α^|k|, α = e^(−ε), k ∈ [−K, K],
+    * renormalized over the truncation window and scaled onto the
+    * [0, 2³²) uniform: `thresholds(j) = floor(2³²·CDF(−K+j))` for
+    * j = 0..2K−1. Computed ONCE driver-side and interpolated as the SAME
+    * literal array into the Spark plan and any verification SQL (the
+    * ndcgDiscounts discipline) — sampling is then pure exact-integer
+    * comparison, no per-row transcendental anywhere.
+    */
+  def discreteLaplaceThresholds(epsNum: Int, epsDen: Int,
+                                tailCut: Int = 20): Seq[Long] = {
+    require(epsNum > 0 && epsDen > 0 && tailCut >= 1)
+    val alpha = math.exp(-epsNum.toDouble / epsDen)
+    val ks = -tailCut to tailCut
+    val w = ks.map(k => math.pow(alpha, math.abs(k)))
+    val total = w.sum
+    val cdf = w.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    cdf.init.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** ε-DP count release per key under the truncated discrete Laplace
+    * mechanism: exact per-key counts, one deterministic md5 uniform per
+    * KEY (reproducible-draw discipline — a re-run releases the identical
+    * noise, so the privacy budget is spent once, not per execution), and
+    * the noise via exact-integer threshold comparison against
+    * [[discreteLaplaceThresholds]]. Emits `true_count` alongside
+    * `released` FOR THE VERIFICATION HARNESS ONLY — a production release
+    * projects it away. Scale shape: one map-combined count per key, a
+    * pure projection after; the threshold array is a 2K-element literal.
+    */
+  def dpCounts(df: DataFrame, keyCol: Column, epsNum: Int, epsDen: Int,
+               seed: String, tailCut: Int = 20): DataFrame = {
+    val thresholds = discreteLaplaceThresholds(epsNum, epsDen, tailCut)
+    val u = graft.functions.Md5Field.md5U32(
+      concat(lit(s"dp:$seed:"), col("key")))
+    df.select(keyCol.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("true_count"))
+      .withColumn("noise",
+        lit(-tailCut.toLong) +
+          size(filter(typedlit(thresholds), t => t <= u)).cast("long"))
+      .withColumn("released", col("true_count") + col("noise"))
+  }
 }

@@ -3829,6 +3829,72 @@ object StatQueries {
        |FROM f""".stripMargin
   }
 
+  /** Centroid-based silhouette of the labeled embedding clusters
+    * ([[graft.sim.Similarity.centroidSilhouette]]): 8-decimal-pinned
+    * centroids, sequential-fold distances, floor-micro-quantized per-point
+    * scores so the cluster means are exact-integer ratios.
+    */
+  private def silhouetteQ(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.centroidSilhouette(Tables.embeddings(s, dir))
+      .orderBy(col("label"))
+
+  private val silhouetteOracle =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+      |cent AS (
+      |  SELECT label, i AS dim,
+      |    round(CAST(CAST(sum(CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)))
+      |      AS DECIMAL(28,12)) AS DOUBLE) / count(*), 8) AS c
+      |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+      |cv AS (SELECT label AS clabel, list(c ORDER BY dim) AS cvec
+      |  FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT v.vec_id, v.label, cv.clabel,
+      |    sqrt(list_reduce(list_transform(range(1, 65),
+      |      i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i])), (x, y) -> x + y))
+      |      AS dist
+      |  FROM v CROSS JOIN cv),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN clabel = label THEN dist END) AS a,
+      |    min(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM d GROUP BY vec_id, label),
+      |s AS (
+      |  SELECT label,
+      |    CASE WHEN greatest(a, b) > CAST(0 AS DOUBLE) THEN
+      |      CAST(floor((b - a) / greatest(a, b) * 1e6) AS BIGINT)
+      |    ELSE 0 END AS sq
+      |  FROM ab)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(sq) AS BIGINT) AS s_sum_micro,
+      |  CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 1e6) AS mean_silhouette
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
+  /** ε = 1 DP count release per event type
+    * ([[graft.ops.Privacy.dpCounts]]): truncated-discrete-Laplace noise
+    * by exact-integer threshold comparison; the SAME driver-computed
+    * threshold literals are interpolated into both engines.
+    */
+  private def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpCounts(Tables.events(s, dir), col("event_type"),
+      epsNum = 1, epsDen = 1, seed = "rel1").orderBy(col("key"))
+
+  private val dpCountsOracle = {
+    val th = graft.ops.Privacy.discreteLaplaceThresholds(1, 1)
+      .mkString("[", ", ", "]")
+    val u32 = graft.queries.OracleSql.md5U32Sql("'dp:rel1:' || key")
+    s"""WITH c AS (
+       |  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS true_count
+       |  FROM events GROUP BY event_type),
+       |n AS (SELECT key, true_count,
+       |  -20 + CAST(len(list_filter($th, t -> t <= ($u32))) AS BIGINT)
+       |    AS noise
+       |  FROM c)
+       |SELECT key, true_count, noise, true_count + noise AS released
+       |FROM n ORDER BY key""".stripMargin
+  }
+
   /** Risk ratio of purchase incidence on weekends vs weekdays
     * ([[graft.analytics.Hypothesis.riskRatio]]) — the incidence-scale
     * companion of q_odds_ratio on the same epoch-day-derived 2×2: RR one
@@ -4187,6 +4253,8 @@ object StatQueries {
     "q_srm_check" -> (srmCheckQ _),
     "q_capture_recapture" -> (captureRecaptureQ _),
     "q_vocab_drift" -> (vocabDriftQ _),
+    "q_silhouette" -> (silhouetteQ _),
+    "q_dp_counts" -> (dpCountsQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
     "q_bh_fdr" -> (bhFdrQ _),
     "q_jackknife" -> (jackknifeQ _),
@@ -4279,6 +4347,8 @@ object StatQueries {
     "q_srm_check" -> srmCheckOracle,
     "q_capture_recapture" -> captureRecaptureOracle,
     "q_vocab_drift" -> vocabDriftOracle,
+    "q_silhouette" -> silhouetteOracle,
+    "q_dp_counts" -> dpCountsOracle,
     "q_cochran_armitage" -> cochranArmitageOracle,
     "q_bh_fdr" -> bhFdrOracle,
     "q_jackknife" -> jackknifeOracle,

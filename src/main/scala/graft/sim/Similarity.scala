@@ -448,4 +448,49 @@ object Similarity {
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("sum_v"))
       .withColumn("centroid", round(col("sum_v").cast("double") / col("n"), 8))
       .select("label", "dim", "n", "centroid")
+
+  /** Centroid-based (simplified) silhouette per cluster — the standard
+    * large-scale clustering-quality readout (the classic silhouette's
+    * all-pairs a(i) is O(n²); against centroids it is O(n·k), the form
+    * every production clustering eval actually computes): for each point,
+    * a = distance to its OWN label centroid, b = min distance to any
+    * other, s = (b−a)/max(a,b) ∈ [−1, 1]. Centroids are the
+    * [[labelCentroids]] 8-decimal-rounded values (rounding pins them
+    * bit-identical cross-engine); distances fold sequentially over the
+    * 64-dim zip (the [[dotHof]] order contract); and each point's s
+    * quantizes to the floor-micro grid so the per-cluster MEAN is a ratio
+    * of exact integers (a raw data-sized double sum would be
+    * fold-order-divergent; 1-ulp flip risk at the micro grid is
+    * ~2e-10/point). Scale shape: one k×64 centroid broadcast against the
+    * point scan, one map-combined aggregate per label. Per label: `label`,
+    * `n`, `s_sum_micro`, `mean_silhouette`.
+    */
+  def centroidSilhouette(corpus: DataFrame, idCol: String = "vec_id",
+                         labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cvecs = labelCentroids(corpus, labelCol, vecCol)
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x("centroid")).as("cvec"))
+    val dists = corpus
+      .select(col(idCol).as("__id"), col(labelCol).as("label"),
+        asDouble(col(vecCol)).as("vec"))
+      .crossJoin(broadcast(cvecs))
+      .select(col("__id"), col("label"), col("clabel"),
+        sqrt(aggregate(zip_with(col("vec"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+          .as("dist"))
+    val ab = dists.groupBy(col("__id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+    val sq = when(greatest(col("a"), col("b")) > lit(0.0),
+      floor((col("b") - col("a")) / greatest(col("a"), col("b")) * lit(1e6))
+        .cast("long")).otherwise(lit(0L))
+    ab.select(col("label"), sq.as("__sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("__sq")).as("s_sum_micro"))
+      .withColumn("mean_silhouette",
+        col("s_sum_micro").cast("double") /
+          (col("n").cast("double") * lit(1e6)))
+  }
 }

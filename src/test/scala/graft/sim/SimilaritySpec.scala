@@ -235,4 +235,51 @@ class SimilaritySpec extends SparkSpec {
       .select($"mmr_rank", $"mmr_score").as[(Long, Double)].collect().sortBy(_._1)
     assert(full.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("centroidSilhouette: separated clusters score high, merged labels ~0") {
+    // two tight, well-separated 2-point clusters in 64-d (axis 0 vs axis 1)
+    def v(axis: Int, mag: Double) =
+      (0 until 64).map(i => if (i == axis) mag.toFloat else 0.0f).toArray
+    val sep = Seq(
+      (1L, 0, v(0, 10.0)), (2L, 0, v(0, 10.2)),
+      (3L, 1, v(1, 10.0)), (4L, 1, v(1, 10.2))).toDF("vec_id", "label", "embedding")
+    val rows = graft.sim.Similarity.centroidSilhouette(sep)
+      .select($"label", $"n", $"mean_silhouette")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).forall(_ == 2L))
+    assert(rows.forall(_._3 > 0.9),
+      s"separated clusters must score near 1: ${rows.toSeq}")
+    // the same points split across two labels INSIDE one cloud: b ~ a,
+    // silhouette collapses toward (or below) zero
+    val merged = Seq(
+      (1L, 0, v(0, 10.0)), (2L, 1, v(0, 10.1)),
+      (3L, 0, v(0, 10.2)), (4L, 1, v(0, 10.3))).toDF("vec_id", "label", "embedding")
+    val m = graft.sim.Similarity.centroidSilhouette(merged)
+      .agg(avg($"mean_silhouette")).as[Double].head()
+    assert(m < 0.5, s"overlapping labels must not look separated: $m")
+  }
+
+  test("dpCounts: deterministic noise in [-K, K], identical across runs") {
+    val df = (1 to 1000).map(i => s"k${i % 7}").toDF("k")
+    val out = graft.ops.Privacy.dpCounts(df, $"k", 1, 1, seed = "t")
+      .select($"key", $"true_count", $"noise", $"released")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r._3 >= -20L && r._3 <= 20L, s"noise out of truncation window: $r")
+      assert(r._4 == r._2 + r._3)
+    }
+    val again = graft.ops.Privacy.dpCounts(df, $"k", 1, 1, seed = "t")
+      .select($"key", $"noise").as[(String, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3)).toSeq == again.toSeq,
+      "re-released noise must be identical (budget spent once)")
+    // a different seed is a different draw
+    val other = graft.ops.Privacy.dpCounts(df, $"k", 1, 1, seed = "u")
+      .select($"noise").as[Long].collect()
+    assert(other.toSeq != out.map(_._3).toSeq)
+    // thresholds are strictly within [0, 2^32) and nondecreasing
+    val th = graft.ops.Privacy.discreteLaplaceThresholds(1, 1)
+    assert(th.length == 40 && th == th.sorted &&
+      th.head >= 0L && th.last < (1L << 32))
+  }
 }
