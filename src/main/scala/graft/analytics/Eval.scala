@@ -716,4 +716,64 @@ object Eval {
       .select(col("n1"), col("n0"), col("sum1"), col("sum0"),
         canon(col("ss1")).as("ss1"), canon(col("ss0")).as("ss0"), col("d"))
   }
+
+  /** Krippendorff's alpha (nominal) over multi-rater item labels — the
+    * agreement readout that, unlike Fleiss kappa, tolerates VARYING rater
+    * counts per item (the real shape of crowd/LLM-judge labeling runs).
+    * Exactness: the coincidence diagonal o_cc = Sigma_i n_ic(n_ic-1)/(m_i-1)
+    * mixes per-item denominators, so every term is scaled by
+    * `scale` = lcm(1..maxRaters-1) - (m_i-1) divides it, making
+    * n_ic(n_ic-1)*(scale div (m_i-1)) an EXACT integer - and
+    * alpha = 1 - (n-1)*(scale*n - Sigma o_scaled) / (scale*(n^2 - Sigma n_c^2))
+    * is one division of exact DECIMAL products. The per-item rater cap is
+    * ENFORCED in-plan (raise_error); items with one rating drop (nothing
+    * pairable). One row: `n_ratings`, `n_items`, `n_categories`,
+    * `do_num`/`de_num` (canonical strings), `alpha`.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: Column, ratingCol: Column,
+                        maxRaters: Int = 4): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 13,
+      s"maxRaters must be in [2, 13] (lcm fits a long), got $maxRaters")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val scale = (1 until maxRaters).foldLeft(1L) { (acc, k) =>
+      acc / java.math.BigInteger.valueOf(acc).gcd(
+        java.math.BigInteger.valueOf(k)).longValue() * k
+    }
+    val ic = df.select(itemCol.cast("string").as("item"),
+        ratingCol.cast("string").as("c"))
+      .groupBy(col("item"), col("c")).agg(count(lit(1)).as("n_ic"))
+    val withM = ic.join(
+      ic.groupBy(col("item")).agg(sum(col("n_ic")).as("m_i")), Seq("item"))
+      .filter(col("m_i") >= 2)
+      .filter(col("m_i") <= maxRaters ||
+        raise_error(concat(lit("krippendorffAlpha: item "), col("item"),
+          lit(s" has "), col("m_i").cast("string"),
+          lit(s" ratings, over the declared maxRaters = $maxRaters; raise " +
+            "the cap knowingly (scale = lcm(1..maxRaters-1) must stay " +
+            "integral)"))).cast("boolean"))
+    // scale div (m_i-1) is exact BY CONSTRUCTION (lcm divisibility);
+    // `div`, not `/` - Column./ is double division
+    val oScaled = col("n_ic") * (col("n_ic") - lit(1L)) *
+      expr(s"$scale div (m_i - 1)")
+    val agg = withM.agg(
+      sum(col("n_ic")).as("n"),
+      count_distinct(col("item")).as("n_items"),
+      count_distinct(col("c")).as("n_categories"),
+      sum(dec(oScaled)).as("o_diag"))
+    val marg = withM.groupBy(col("c")).agg(sum(col("n_ic")).as("n_c"))
+      .agg(sum(dec(col("n_c")) * dec(col("n_c"))).as("sum_nc2"))
+    val doNum = dec(col("n")) * dec(lit(scale)) - col("o_diag")
+    val deNum = dec(lit(scale)) *
+      (dec(col("n")) * dec(col("n")) - col("sum_nc2"))
+    agg.crossJoin(broadcast(marg))
+      .withColumn("__do", doNum)
+      .withColumn("__de", deNum)
+      .select(col("n").as("n_ratings"), col("n_items"), col("n_categories"),
+        col("__do").cast("string").as("do_num"),
+        col("__de").cast("string").as("de_num"),
+        when(col("__de") > 0,
+          lit(1.0) - ((col("n") - lit(1L)).cast("double") *
+            col("__do").cast("double")) / col("__de").cast("double"))
+          .as("alpha"))
+  }
 }

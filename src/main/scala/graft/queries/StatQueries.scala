@@ -3895,6 +3895,56 @@ object StatQueries {
        |FROM n ORDER BY key""".stripMargin
   }
 
+  /** Krippendorff's alpha (nominal) over each user's first ≤ 4 event
+    * types ([[graft.analytics.Eval.krippendorffAlpha]]) — agreement with
+    * VARYING "raters" per item, exact via lcm-scaled coincidence
+    * integers; the Fleiss-kappa companion for ragged labeling runs.
+    */
+  private def krippendorffQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ratings = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 4)
+    graft.analytics.Eval.krippendorffAlpha(
+      ratings, col("user_id"), col("event_type"), maxRaters = 4)
+  }
+
+  private val krippendorffOracle =
+    """WITH r AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS item, event_type AS c
+      |  FROM (SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |    FROM events) WHERE rn <= 4),
+      |ic AS (SELECT item, c, CAST(count(*) AS BIGINT) AS n_ic
+      |  FROM r GROUP BY item, c),
+      |m AS (SELECT item, CAST(sum(n_ic) AS BIGINT) AS m_i
+      |  FROM ic GROUP BY item),
+      |u AS (SELECT ic.item, ic.c, ic.n_ic, m.m_i
+      |  FROM ic JOIN m USING (item) WHERE m.m_i >= 2),
+      |agg AS (SELECT CAST(sum(n_ic) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+      |  CAST(count(DISTINCT c) AS BIGINT) AS n_categories,
+      |  sum(CAST(n_ic AS HUGEINT) * (n_ic - 1) * (6 // (m_i - 1)))
+      |    AS o_diag
+      |  FROM u),
+      |marg AS (SELECT sum(CAST(n_c AS HUGEINT) * n_c) AS sum_nc2
+      |  FROM (SELECT c, CAST(sum(n_ic) AS BIGINT) AS n_c FROM u GROUP BY c)),
+      |f AS (SELECT n, n_items, n_categories,
+      |  CAST(n AS HUGEINT) * 6 - o_diag AS do_num,
+      |  CAST(6 AS HUGEINT) * (CAST(n AS HUGEINT) * n - sum_nc2) AS de_num
+      |  FROM agg CROSS JOIN marg)
+      |SELECT n AS n_ratings, n_items, n_categories,
+      |  CAST(do_num AS VARCHAR) AS do_num,
+      |  CAST(de_num AS VARCHAR) AS de_num,
+      |  CASE WHEN de_num > 0 THEN
+      |    CAST(1 AS DOUBLE) - (CAST(n - 1 AS DOUBLE)
+      |        * CAST(CAST(do_num AS BIGINT) AS DOUBLE))
+      |      / CAST(CAST(de_num AS BIGINT) AS DOUBLE)
+      |  END AS alpha
+      |FROM f""".stripMargin
+
   /** Risk ratio of purchase incidence on weekends vs weekdays
     * ([[graft.analytics.Hypothesis.riskRatio]]) — the incidence-scale
     * companion of q_odds_ratio on the same epoch-day-derived 2×2: RR one
@@ -4255,6 +4305,7 @@ object StatQueries {
     "q_vocab_drift" -> (vocabDriftQ _),
     "q_silhouette" -> (silhouetteQ _),
     "q_dp_counts" -> (dpCountsQ _),
+    "q_krippendorff" -> (krippendorffQ _),
     "q_cochran_armitage" -> (cochranArmitageQ _),
     "q_bh_fdr" -> (bhFdrQ _),
     "q_jackknife" -> (jackknifeQ _),
@@ -4349,6 +4400,7 @@ object StatQueries {
     "q_vocab_drift" -> vocabDriftOracle,
     "q_silhouette" -> silhouetteOracle,
     "q_dp_counts" -> dpCountsOracle,
+    "q_krippendorff" -> krippendorffOracle,
     "q_cochran_armitage" -> cochranArmitageOracle,
     "q_bh_fdr" -> bhFdrOracle,
     "q_jackknife" -> jackknifeOracle,

@@ -1257,6 +1257,104 @@ object SummaryQueries {
        |ORDER BY idx""".stripMargin
   }
 
+  /** PSI drift monitored as a LIVE stream: the current value-bucket
+    * histogram is maintained by a complete-mode streaming aggregation
+    * (AvailableNow over the event feed) and compared against the static
+    * first-week reference histogram with the exact [[graft.analytics
+    * .Drift.psi]] fold — the production shape of a drift tripwire (the
+    * reference is a broadcast lookup; only the 10-bucket summary crosses
+    * from the stream). The oracle recomputes both histograms in batch.
+    */
+  private def streamPsiQ(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        p.resolve("events.parquet"))
+      p.toString
+    })
+    val schema = s.read.parquet(srcDir).schema
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      least(greatest((c.cast("long") / 5000L).cast("long"), lit(0L)), lit(9L))
+    val raw = s.readStream.schema(schema).parquet(srcDir)
+    val name = "graft_stream_psi_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = raw
+      .select(bucketOf(round(col("value") * 100, 0)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cur = s.table(name)
+    val ref = Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .select(bucketOf(round(col("value") * 100, 0)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+    val counts = ref.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_a"),
+        coalesce(col("n_cur"), lit(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a").cast("double") / col("__ta").cast("double")
+    val qq = col("n_b").cast("double") / col("__tb").cast("double")
+    val term = when(col("n_a") > 0 && col("n_b") > 0,
+      (p - qq) * log(p / qq)).otherwise(lit(0.0))
+    val skipped = when(col("n_a") === 0 || col("n_b") === 0, 1L).otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__c", sum(term).over(w))
+      .agg(max(col("__ta")).as("n_ref"), max(col("__tb")).as("n_cur"),
+        sum(skipped).as("n_skipped_buckets"),
+        max_by(col("__c"), col("bucket")).as("psi"))
+      .withColumn("band",
+        when(col("psi") < lit(0.1), "stable")
+          .when(col("psi") < lit(0.25), "moderate")
+          .otherwise("shifted"))
+  }
+
+  private val streamPsiOracle =
+    """WITH ref AS (
+      |  SELECT least(greatest(CAST(round(value * 100) AS BIGINT) // 5000, 0), 9)
+      |      AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_a
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |  GROUP BY 1),
+      |cur AS (
+      |  SELECT least(greatest(CAST(round(value * 100) AS BIGINT) // 5000, 0), 9)
+      |      AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_b
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |  FROM ref FULL JOIN cur ON ref.bucket = cur.bucket),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+      |  CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+      |d AS (SELECT bucket, n_a, n_b, ta, tb,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+      |      - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+      |    * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |  ELSE CAST(0 AS DOUBLE) END AS term,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN 1 ELSE 0 END AS skipped
+      |  FROM c CROSS JOIN t),
+      |f AS (SELECT max(ta) AS n_ref, max(tb) AS n_cur,
+      |  CAST(sum(skipped) AS BIGINT) AS n_skipped_buckets,
+      |  max_by(sum_term, bucket) AS psi
+      |  FROM (SELECT bucket, ta, tb, skipped,
+      |    sum(term) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_term
+      |    FROM d) s)
+      |SELECT n_ref, n_cur, n_skipped_buckets, psi,
+      |  CASE WHEN psi < CAST(0.1 AS DOUBLE) THEN 'stable'
+      |       WHEN psi < CAST(0.25 AS DOUBLE) THEN 'moderate'
+      |       ELSE 'shifted' END AS band
+      |FROM f""".stripMargin
+
   /** Grouped (stratified) exact quantiles — p500/p900 of order totals per
     * order status via the per-group two-pass refine (cumulative windows
     * partitioned by group, never global); naive per-group row_number
@@ -1484,6 +1582,7 @@ object SummaryQueries {
     "q_generalize_k" -> (generalizeKQ _),
     "q_merkle_digest" -> (merkleDigestQ _),
     "q_stream_hll" -> (streamHllQ _),
+    "q_stream_psi" -> (streamPsiQ _),
     "q_quantiles_grouped" -> (quantilesGroupedQ _),
     "q_count_min_incremental" -> (countMinIncrementalQ _),
     "q_hll_incremental" -> (hllIncrementalQ _),
@@ -1516,6 +1615,7 @@ object SummaryQueries {
     "q_generalize_k" -> generalizeKOracle,
     "q_merkle_digest" -> merkleDigestOracle,
     "q_stream_hll" -> streamHllOracle,
+    "q_stream_psi" -> streamPsiOracle,
     "q_quantiles_grouped" -> quantilesGroupedOracle,
     "q_count_min_incremental" -> countMinIncrementalOracle,
     "q_hll_incremental" -> hllIncrementalOracle,

@@ -311,4 +311,28 @@ class EvalSpec extends SparkSpec {
     assert(overAggregate.nonEmpty,
       "the global window must sit above the bucket histogram aggregate, never the data")
   }
+
+  test("krippendorffAlpha: hand-computed nominal fixture, single-rating drop, cap trip") {
+    // i1 {a,a}, i2 {a,b}, i3 {b,b,b}, i4 {c} (unpairable, drops)
+    // n = 7, o_diag/6 = 5, Do = 2/7, De = 4/7 -> alpha = 0.5 exactly
+    val df = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "b"),
+      ("i3", "b"), ("i3", "b"), ("i3", "b"), ("i4", "c")).toDF("item", "r")
+    val out = Eval.krippendorffAlpha(df, col("item"), col("r"), maxRaters = 4)
+      .select(col("n_ratings"), col("n_items"), col("n_categories"),
+        col("do_num"), col("de_num"), col("alpha"))
+      .as[(Long, Long, Long, String, String, Double)].head()
+    assert(out == ((7L, 3L, 2L, "12", "144", 0.5)))
+    // perfect agreement: alpha exactly 1
+    val perfect = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"))
+      .toDF("item", "r")
+    val a1 = Eval.krippendorffAlpha(perfect, col("item"), col("r"))
+      .select(col("alpha")).as[Double].head()
+    assert(a1 == 1.0)
+    // rater cap is enforced in-plan
+    val over = (1 to 6).map(i => ("x", s"r$i")).toDF("item", "r")
+    val err = intercept[Exception] {
+      Eval.krippendorffAlpha(over, col("item"), col("r"), maxRaters = 4).collect()
+    }
+    assert(err.getMessage.contains("maxRaters"))
+  }
 }
