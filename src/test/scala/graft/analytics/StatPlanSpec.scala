@@ -121,4 +121,50 @@ class StatPlanSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.nonEmpty, "the risk-set cumulative must sit above the per-day aggregate")
   }
+
+  test("round-11 kernels: windows above bounded aggregates, products are 1-row broadcasts only") {
+    val ev = graft.Tables.events(spark, sf())
+    // mannWhitney: the rank window rides the distinct-cents histogram
+    val mw = Hypothesis.mannWhitney(
+      ev.select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c")),
+      col("event_type") === "purchase", "c")
+    val mwWindows = mw.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(mwWindows.nonEmpty)
+    mwWindows.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "MW rank window must sit above the value histogram")
+    }
+    // smdBalance: aggregation only - no join anywhere
+    val smd = Hypothesis.smdBalance(ev, col("user_id") % 2 === 0,
+      Seq(("c", round(col("value") * 100, 0).cast("long"))))
+    val psmd = plan(smd)
+    assert(!psmd.contains("Join"), s"SMD must be join-free:\n$psmd")
+    // logRank: E/V windows ride the per-day aggregate, never the events
+    val lr = graft.analytics.Survival.logRank(ev, col("user_id"),
+      to_date(col("ts")), col("user_id") % 2 === 0)
+    val lrWindows = lr.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(lrWindows.nonEmpty)
+    lrWindows.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "log-rank windows must sit above the day life table")
+    }
+    // neymanAllocation: quota/rank windows above the stratum aggregate;
+    // no product at all
+    val ney = graft.ops.Sampling.neymanAllocation(ev, col("event_type"),
+      round(col("value") * 100, 0).cast("long"), budget = 100)
+    assert(products(plan(ney)) == 0, s"neyman planned a product:\n${plan(ney)}")
+    // centroidSilhouette: the only join is the broadcast of the k x 64
+    // centroid frame - never a shuffle join of the points
+    val emb = graft.Tables.embeddings(spark, sf())
+    val sil = graft.sim.Similarity.centroidSilhouette(emb)
+    val psil = plan(sil)
+    assert(!psil.contains("SortMergeJoin"),
+      s"silhouette must broadcast centroids, not shuffle points:\n$psil")
+  }
 }
