@@ -288,6 +288,50 @@ object Hypothesis {
             (lit(2.0) * sqrt(col("__var")))).as("z"))
   }
 
+  /** Cliff's delta — the ordinal effect size that belongs NEXT TO
+    * [[mannWhitney]]'s p-value (a significant U on big n can be a
+    * trivially small effect): δ = (#(a>b) − #(a<b)) / (n_a·n_b), ties
+    * counting in neither direction. Both concordance counts come EXACTLY
+    * from the same distinct-score histogram — C = Σ_v d_a(v)·cumB(<v),
+    * D = Σ_v d_a(v)·(n_b − cumB(≤v)) — as order-free DECIMAL sums; δ is
+    * one division, and the conventional |δ| bands ride along. Same
+    * enforced `maxDistinctValues` envelope. One row: `n_a`, `n_b`,
+    * `gt_num`/`lt_num` (canonical strings), `delta`, `magnitude`.
+    */
+  def cliffsDelta(df: DataFrame, cohortA: Column, centsCol: String,
+                  maxDistinctValues: Long = 1L << 21): DataFrame = {
+    val vals = requireBoundedDomain(
+      df.select(cohortA.as("__a"), col(centsCol).as("cents"))
+        .groupBy(col("cents"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
+          sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),
+      maxDistinctValues, "cliffsDelta")
+    val wv = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("cb", sum(col("d_b")).over(wv))
+    val agg = cum.agg(
+      sum(col("d_a")).as("n_a"), sum(col("d_b")).as("n_b"),
+      sum(dec(col("d_a")) * dec(col("cb") - col("d_b"))).as("gt_dec"))
+    val lt = (dec(col("n_a")) * dec(col("n_b")) - col("gt_dec") -
+      col("tie_dec")).as("lt_dec")
+    val ties = cum.agg(sum(dec(col("d_a")) * dec(col("d_b"))).as("tie_dec"))
+    val delta = (col("gt_dec") - col("lt_dec")).cast("double") /
+      (dec(col("n_a")) * dec(col("n_b"))).cast("double")
+    agg.crossJoin(broadcast(ties))
+      .withColumn("lt_dec", lt)
+      .withColumn("__delta",
+        when(col("n_a") > 0 && col("n_b") > 0, delta))
+      .select(col("n_a"), col("n_b"),
+        col("gt_dec").cast("string").as("gt_num"),
+        col("lt_dec").cast("string").as("lt_num"),
+        col("__delta").as("delta"),
+        when(col("__delta").isNotNull,
+          when(abs(col("__delta")) < lit(0.147), "negligible")
+            .when(abs(col("__delta")) < lit(0.33), "small")
+            .when(abs(col("__delta")) < lit(0.474), "medium")
+            .otherwise("large")).as("magnitude"))
+  }
+
   /** Cochran–Armitage trend test of a binary outcome across k ORDERED
     * groups (dose-response: does the success rate move monotonically with
     * the ordinal score?) — the 2×k sharpening of the chi-square

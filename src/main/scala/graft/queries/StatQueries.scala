@@ -4035,6 +4035,55 @@ object StatQueries {
       |  END AS z
       |FROM g""".stripMargin
 
+  /** Cliff's delta between purchase and non-purchase event values
+    * ([[graft.analytics.Hypothesis.cliffsDelta]]) — the effect-size
+    * companion of q_mann_whitney on the same histogram: concordance
+    * counts exact DECIMAL, δ one division, conventional bands.
+    */
+  private def cliffsDeltaQ(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Hypothesis.cliffsDelta(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      col("event_type") === "purchase", "cents")
+
+  private val cliffsDeltaOracle =
+    """WITH e AS (
+      |  SELECT (event_type = 'purchase') AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |v AS (SELECT cents,
+      |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+      |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS d_b
+      |  FROM e GROUP BY cents),
+      |c AS (SELECT d_a, d_b,
+      |  CAST(sum(d_b) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      |  FROM v),
+      |agg AS (SELECT CAST(sum(d_a) AS BIGINT) AS n_a,
+      |  CAST(sum(d_b) AS BIGINT) AS n_b,
+      |  sum(CAST(d_a AS HUGEINT) * (cb - d_b)) AS gt_dec,
+      |  sum(CAST(d_a AS HUGEINT) * d_b) AS tie_dec
+      |  FROM c),
+      |f AS (SELECT n_a, n_b, gt_dec,
+      |  CAST(n_a AS HUGEINT) * n_b - gt_dec - tie_dec AS lt_dec
+      |  FROM agg),
+      |g AS (SELECT n_a, n_b, gt_dec, lt_dec,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(CAST(gt_dec - lt_dec AS BIGINT) AS DOUBLE)
+      |      / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS BIGINT) AS DOUBLE)
+      |  END AS delta
+      |  FROM f)
+      |SELECT n_a, n_b, CAST(gt_dec AS VARCHAR) AS gt_num,
+      |  CAST(lt_dec AS VARCHAR) AS lt_num, delta,
+      |  CASE WHEN delta IS NOT NULL THEN
+      |    CASE WHEN abs(delta) < CAST(0.147 AS DOUBLE) THEN 'negligible'
+      |         WHEN abs(delta) < CAST(0.33 AS DOUBLE) THEN 'small'
+      |         WHEN abs(delta) < CAST(0.474 AS DOUBLE) THEN 'medium'
+      |         ELSE 'large' END
+      |  END AS magnitude
+      |FROM g""".stripMargin
+
   /** Cochran–Armitage trend of order-fill rate across the five ordered
     * priority tiers ([[graft.analytics.Hypothesis.cochranArmitage]]):
     * exact DECIMAL t/var numerators as canonical strings, z one
@@ -4292,6 +4341,7 @@ object StatQueries {
     "q_jensen_shannon" -> (jensenShannonQ _),
     "q_kruskal_wallis" -> (kruskalWallisQ _),
     "q_mann_whitney" -> (mannWhitneyQ _),
+    "q_cliffs_delta" -> (cliffsDeltaQ _),
     "q_risk_ratio" -> (riskRatioQ _),
     "q_nelson_aalen" -> (nelsonAalenQ _),
     "q_logrank" -> (logRankQ _),
@@ -4387,6 +4437,7 @@ object StatQueries {
     "q_jensen_shannon" -> jensenShannonOracle,
     "q_kruskal_wallis" -> kruskalWallisOracle,
     "q_mann_whitney" -> mannWhitneyOracle,
+    "q_cliffs_delta" -> cliffsDeltaOracle,
     "q_risk_ratio" -> riskRatioOracle,
     "q_nelson_aalen" -> nelsonAalenOracle,
     "q_logrank" -> logRankOracle,

@@ -362,6 +362,27 @@ class HypothesisSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("cliffsDelta: separation ±1, identical 0, ties counted in neither tail") {
+    // complete separation: every a above every b → delta exactly +1
+    val sep = Seq(("a", 10L), ("a", 11L), ("b", 1L), ("b", 2L)).toDF("g", "c")
+    val r = Hypothesis.cliffsDelta(sep, col("g") === "a", "c")
+      .select(col("gt_num"), col("lt_num"), col("delta"), col("magnitude"))
+      .as[(String, String, Double, String)].head()
+    assert(r == (("4", "0", 1.0, "large")))
+    // identical cohorts: delta exactly 0
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("g", "c")
+    val r2 = Hypothesis.cliffsDelta(same, col("g") === "a", "c")
+      .select(col("gt_num"), col("lt_num"), col("delta"))
+      .as[(String, String, Double)].head()
+    assert(r2 == (("1", "1", 0.0)))
+    // all-tied: gt = lt = 0, delta 0, and C + D + ties == n_a·n_b
+    val tied = Seq(("a", 9L), ("b", 9L), ("b", 9L)).toDF("g", "c")
+    val r3 = Hypothesis.cliffsDelta(tied, col("g") === "a", "c")
+      .select(col("gt_num"), col("lt_num"), col("delta"), col("magnitude"))
+      .as[(String, String, Double, String)].head()
+    assert(r3 == (("0", "0", 0.0, "negligible")))
+  }
+
   test("cochranArmitage: perfect monotone trend detected, flat trend exactly 0") {
     // rates 0/10, 5/10, 10/10 across scores 1..3 — strong positive trend
     val trend = (1 to 3).flatMap(s => (1 to 10).map(i =>
