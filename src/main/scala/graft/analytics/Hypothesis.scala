@@ -620,8 +620,10 @@ object Hypothesis {
     * [[graft.ops.Matching]]) runs to confirm the split didn't skew the
     * covariates: per covariate, SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2);
     * |SMD| ≲ 0.1 is the conventional balance bar. Covariates stack into
-    * long form with one explode of PLAIN column references (the
-    * complex-expression-inside-explode codegen trap doesn't apply), then
+    * long form with one explode whose array elements each appear ONCE
+    * (the explode codegen trap is about expressions RE-INLINED per
+    * downstream reference; single-use covariate expressions evaluate
+    * once per row), then
     * ONE map-combined aggregate per covariate computes the exact
     * conditional (n, Σx, Σx²) of both cohorts; means, variances, and the
     * SMD are fixed-operand-order expressions. One row per covariate:
