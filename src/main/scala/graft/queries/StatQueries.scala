@@ -1069,13 +1069,15 @@ object StatQueries {
       .otherwise("signup")
     val name = "graft_stream_eval_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = raw
-      .groupBy(col("event_type").as("truth"), pred.as("pred"))
-      .agg(count(lit(1)).as("c"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+      raw
+        .groupBy(col("event_type").as("truth"), pred.as("pred"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     graft.analytics.Eval.classificationReportFromConfusion(s.table(name))
       .select(col("cls"), col("tp"), col("fp"), col("fn"),

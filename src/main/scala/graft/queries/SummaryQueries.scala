@@ -758,12 +758,14 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_cm_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.analytics.CountMin
-      .sketch(raw.select(col("user_id")), "user_id", depth = 4, width = 512)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+      graft.analytics.CountMin
+        .sketch(raw.select(col("user_id")), "user_id", depth = 4, width = 512)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(name).orderBy(col("r"), col("cell"))
   }
@@ -1234,12 +1236,14 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_hll_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.analytics.HllGrid
-      .registers(raw.select(col("user_id")), "user_id", m = 256)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+      graft.analytics.HllGrid
+        .registers(raw.select(col("user_id")), "user_id", m = 256)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(name).orderBy(col("idx"))
   }
@@ -1279,13 +1283,15 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_psi_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = raw
-      .select(bucketOf(round(col("value") * 100, 0)).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+      raw
+        .select(bucketOf(round(col("value") * 100, 0)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     val cur = s.table(name)
     val ref = Tables.events(s, dir)
@@ -1470,15 +1476,17 @@ object SummaryQueries {
     val bw = 1000L
     val name = "graft_stream_qh_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = raw
-      .filter(col("value").isNotNull)
-      .select(round(col("value") * 100, 0).cast("long").as("cents"))
-      .withColumn("bucket", expr(s"cents div $bw"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+      raw
+        .filter(col("value").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("bucket", expr(s"cents div $bw"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     val base = Tables.events(s, dir)
       .filter(col("value").isNotNull)
