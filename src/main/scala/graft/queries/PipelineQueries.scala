@@ -407,9 +407,11 @@ object PipelineQueries {
     * node's exact rank value — an iterative graph oracle, not a smoke check.
     */
   private def pageRankQ(s: SparkSession, dir: String): DataFrame =
-    DupClusters.pageRankFixedPoint(s.read.parquet(dupPairsParquet(s, dir)))
-      .select(col("id").as("doc_id"), col("pr"))
-      .orderBy(col("doc_id"))
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      DupClusters.pageRankFixedPoint(s.read.parquet(dupPairsParquet(s, dir)))
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }
 
   private val pageRankOracle =
     s"""WITH $augCte,

@@ -495,7 +495,9 @@ object StatQueries {
     */
   private def hyperballQ(s: SparkSession, dir: String): DataFrame = {
     val edges = Graphs.copurchaseEdges(s, dir)
-    graft.analytics.HyperBall.neighborhoodFunction(edges, maxHops = 2, m = 32)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.analytics.HyperBall.neighborhoodFunction(edges, maxHops = 2, m = 32)
+    }
   }
 
   private val hyperballOracle = {
