@@ -251,8 +251,13 @@ object Hypothesis {
     */
   def mannWhitney(df: DataFrame, cohortA: Column, centsCol: String,
                   maxDistinctValues: Long = 1L << 21): DataFrame = {
+    // NULL scores are dropped BEFORE the histogram (the runsTest
+    // discipline): a NULL would otherwise form its own histogram row and
+    // rank NULLS FIRST in Spark but NULLS LAST in an ORDER BY cents SQL
+    // mirror — silently divergent ranks the moment the column admits NULL.
     val vals = requireBoundedDomain(
       df.select(cohortA.as("__a"), col(centsCol).as("cents"))
+        .filter(col("cents").isNotNull)
         .groupBy(col("cents"))
         .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
           sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),
@@ -300,8 +305,11 @@ object Hypothesis {
     */
   def cliffsDelta(df: DataFrame, cohortA: Column, centsCol: String,
                   maxDistinctValues: Long = 1L << 21): DataFrame = {
+    // NULL scores dropped before the histogram — same rationale as
+    // [[mannWhitney]] (NULL would rank NULLS FIRST here, NULLS LAST in SQL).
     val vals = requireBoundedDomain(
       df.select(cohortA.as("__a"), col(centsCol).as("cents"))
+        .filter(col("cents").isNotNull)
         .groupBy(col("cents"))
         .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
           sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),

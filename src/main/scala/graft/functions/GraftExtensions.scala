@@ -29,6 +29,30 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
+  /** Validated scalar-literal extraction for SQL-registered builders: a
+    * wrong arity or a non-foldable/non-integer argument must surface as a
+    * usable analysis-time error naming the function and its usage, not a
+    * raw ClassCastException/IndexOutOfBoundsException from `es(i).eval()`.
+    */
+  private def foldableInt(fn: String, usage: String, es: Seq[Expression],
+                          arity: Int, i: Int): Int = {
+    if (es.length != arity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> fn,
+          "expectedNum" -> arity.toString, "actualNum" -> es.length.toString,
+          "docroot" -> usage))
+    val e = es(i)
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map("funcName" -> s"`$fn`",
+          "paramName" -> s"`arg$i`", "paramType" -> s""""INT" ($usage)"""))
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("java_hash",
       info("java_hash", "java_hash(str) - bit-exact Java String.hashCode"),
@@ -36,15 +60,18 @@ object GraftExtensions {
     ("java_hash_bucket",
       info("java_hash_bucket", "java_hash_bucket(str, n) - MOD(ABS(java_hash(str)), n)"),
       (es: Seq[Expression]) => JavaHashBucket(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())),
+        foldableInt("java_hash_bucket",
+          "java_hash_bucket(str, n)", es, 2, 1))),
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))),
     ("md5_field",
       info("md5_field", "md5_field(str, startNibble, nNibbles) - unsigned BIGINT value of nNibbles hex digits of md5(str), == conv(substring(md5(str), startNibble+1, nNibbles), 16, 10)"),
       (es: Seq[Expression]) => Md5Field(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())),
+        foldableInt("md5_field",
+          "md5_field(str, startNibble, nNibbles)", es, 3, 1),
+        foldableInt("md5_field",
+          "md5_field(str, startNibble, nNibbles)", es, 3, 2))),
     ("normalize_unicode",
       info("normalize_unicode", "normalize_unicode(str, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
       (es: Seq[Expression]) => NormalizeUnicode(es.head, es(1).eval().toString)))

@@ -184,8 +184,16 @@ object Sampling {
       .withColumn("weight", col("n_pop").cast("double") * col("sd_pop"))
       .withColumn("__cw", sum(col("weight")).over(wg))
       .withColumn("__tw", max_by(col("__cw"), col("stratum")).over(wall))
-    val quota = when(col("__tw") > lit(0.0),
-      lit(budget.toDouble) * col("weight") / col("__tw")).otherwise(lit(0.0))
+      .withColumn("__tn", sum(col("n_pop")).over(wall))
+    // Degenerate case (every stratum has zero variance ⇒ Σweight == 0):
+    // Neyman gives no guidance, so fall back to PROPORTIONAL allocation
+    // (weight := n_pop) rather than allocating nothing — Σ n_alloc ==
+    // budget holds unconditionally, and the oracle mirrors the same CASE.
+    val effW = when(col("__tw") > lit(0.0), col("weight"))
+      .otherwise(col("n_pop").cast("double"))
+    val effT = when(col("__tw") > lit(0.0), col("__tw"))
+      .otherwise(col("__tn").cast("double"))
+    val quota = lit(budget.toDouble) * effW / effT
     val floored = weighted
       .withColumn("__q", quota)
       .withColumn("__fl", floor(col("__q")).cast("long"))
@@ -197,7 +205,7 @@ object Sampling {
           .cast("long"))
     floored
       .withColumn("n_alloc",
-        col("__fl") + when(col("__tw") > lit(0.0) &&
+        col("__fl") + when(
           col("__rk") <= lit(budget.toLong) - col("__give"),
           1L).otherwise(0L))
       .select(col("stratum"), col("n_pop"), col("sd_pop"), col("weight"),

@@ -811,19 +811,30 @@ object AnalyticsQueries {
     * engines) are emitted for DuckDB to re-derive, and `approx_ok` checks the
     * sketch's rank error in-plan (count of values ≤ sketch result vs the
     * target rank) — it flips false if `percentile_approx` breaks.
+    *
+    * The exact side rides the value-grid histogram (l_quantity is the
+    * 1..50 integer grid): value at rank r == smallest value whose
+    * cumulative count reaches r, so a per-(flag, qty) count + a cumulative
+    * over the ≤ 50-row-per-flag frame replaces the full per-flag sort a
+    * row_number window would cost — the [[graft.analytics.Quantiles]]
+    * two-pass discipline, which is also the only shape that survives a
+    * 100 TB fact table (the histogram is metadata-sized; the sort is not).
     */
   private def approxQuantilesQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"), col("l_quantity").cast("double").as("qty"))
-    val ranked = li
-      .withColumn("rn", row_number().over(Window.partitionBy("flag").orderBy("qty")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-    val exact = ranked.groupBy(col("flag")).agg(
+    val hist = li.groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("flag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("flag")))
+    val exact = cum.groupBy(col("flag")).agg(
       max(col("n")).as("n"),
-      max(when(col("rn") === ceil(col("n") * 0.5), col("qty"))).as("p50_exact"),
-      max(when(col("rn") === ceil(col("n") * 0.9), col("qty"))).as("p90_exact"))
+      min(when(col("cum") >= ceil(col("n") * 0.5), col("qty"))).as("p50_exact"),
+      min(when(col("cum") >= ceil(col("n") * 0.9), col("qty"))).as("p90_exact"))
     val approx = li.groupBy(col("flag")).agg(
       percentile_approx(col("qty"), lit(0.5), lit(1000)).as("a50"),
       percentile_approx(col("qty"), lit(0.9), lit(1000)).as("a90"))

@@ -357,14 +357,15 @@ object SelectionQueries {
     * every featured doc errors); hash equality proves in-engine classifier
     * training replays bit-exactly on another engine.
     */
-  private def perceptronQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val feats = graft.text.Perceptron.features(docs, dim = 64)
-    val labels = docs.select(col("doc_id").as("doc"),
-      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-    graft.text.Perceptron.trainAudit(feats, labels, dim = 64, rounds = 2)
-      .orderBy(col("round"))
-  }
+  private def perceptronQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val docs = Tables.documents(s, dir)
+      val feats = graft.text.Perceptron.features(docs, dim = 64)
+      val labels = docs.select(col("doc_id").as("doc"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      graft.text.Perceptron.trainAudit(feats, labels, dim = 64, rounds = 2)
+        .orderBy(col("round"))
+    }
 
   private val perceptronOracle = {
     val u32 = OracleSql.md5U32Sql("w")

@@ -3570,11 +3570,14 @@ object StatQueries {
       |  sum(weight) OVER (ORDER BY stratum
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
       |  FROM w2),
-      |tw AS (SELECT max_by(cw, stratum) AS total_w FROM c),
+      |tw AS (SELECT max_by(cw, stratum) AS total_w,
+      |  CAST(sum(n_pop) AS BIGINT) AS total_n FROM c),
       |q AS (SELECT stratum, n_pop, sd_pop, weight,
-      |  CASE WHEN total_w > CAST(0 AS DOUBLE) THEN
-      |    CAST(1000 AS DOUBLE) * weight / total_w
-      |  ELSE CAST(0 AS DOUBLE) END AS quota
+      |  CAST(1000 AS DOUBLE)
+      |    * (CASE WHEN total_w > CAST(0 AS DOUBLE) THEN weight
+      |       ELSE CAST(n_pop AS DOUBLE) END)
+      |    / (CASE WHEN total_w > CAST(0 AS DOUBLE) THEN total_w
+      |       ELSE CAST(total_n AS DOUBLE) END) AS quota
       |  FROM c CROSS JOIN tw),
       |f AS (SELECT stratum, n_pop, sd_pop, weight, quota,
       |  CAST(floor(quota) AS BIGINT) AS fl,

@@ -483,7 +483,11 @@ object Similarity {
     val ab = dists.groupBy(col("__id"), col("label"))
       .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
         min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
-    val sq = when(greatest(col("a"), col("b")) > lit(0.0),
+    // b is NULL when the corpus has a single label (no "other" cluster).
+    // Spark's greatest() IGNORES NULLs while SQL greatest() propagates
+    // them, so gate on b explicitly: a lone-cluster point contributes 0
+    // (the CASE...ELSE 0 path the oracle already takes) on BOTH engines.
+    val sq = when(col("b").isNotNull && greatest(col("a"), col("b")) > lit(0.0),
       floor((col("b") - col("a")) / greatest(col("a"), col("b")) * lit(1e6))
         .cast("long")).otherwise(lit(0L))
     ab.select(col("label"), sq.as("__sq"))

@@ -13,7 +13,12 @@ object ProfileOne {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B hook for conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,14 +27,17 @@ object ProfileOne {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_THRESHOLD", "128"))
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to iters).foreach { i =>
-      val t0 = System.nanoTime()
-      graft.Bench.fullyEvaluate(SparkEntry.queries(name)(spark, dir))
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      println(f"[profile] iter $i: $dt%.2f s")
+    name.split(',').foreach { q =>
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.Bench.fullyEvaluate(SparkEntry.queries(q)(spark, dir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"[profile] $q iter $i: $dt%.2f s")
+      }
     }
     spark.stop()
   }

@@ -155,8 +155,55 @@ object ScaleProbe {
       // pair set is intra-replica only (disjoint vocab ⇒ cosine 0 across)
       ("tfCosinePairs", true, "N", d =>
         graft.dedup.Dedup.tfCosinePairs(d, k = 5, threshold = 0.5)),
-      ("labelPropagation", false, "N", d =>
+      // deep tier since r12: with q_label_prop the bench's most expensive
+      // operator, the x30 reading is the 100x-claim anchor
+      ("labelPropagation", true, "N", d =>
         graft.dedup.DupClusters.labelPropagation(communityEdges(d), rounds = 2)),
+      // personalized PageRank on the hub-cycle graph (q_ppr's exact shape;
+      // the closing-edge and seed moduli are replica-offset-invariant:
+      // 100 | 10M and the seed test keys on id mod 10M), seeded at block 0
+      // OF EVERY replica so each replica replays replica 0's mass flow —
+      // rows exactly Nx, per-round cost one degree join + one dest-keyed
+      // sum, the message-passing linearity under test
+      ("personalizedPpr", true, "N", { d =>
+        val e = communityEdges(d)
+        val closing = d.filter(col("doc_id") % 10 === 0 &&
+            col("doc_id") % 100 === 90)
+          .select((col("doc_id") - lit(90L)).as("id_a"),
+            col("doc_id").as("id_b"))
+        val seeds = d.filter(col("doc_id") % 10000000L < 100 &&
+            col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("node_id"))
+        graft.dedup.DupClusters.personalizedPageRank(
+          e.unionByName(closing), seeds)
+      }),
+      // the q_minhash_incremental maintenance join: delta docs (an
+      // offset-invariant 1-in-10 slice) sign+band against the incremental
+      // index (base bands ∪ delta bands). Disjoint replica vocab keeps
+      // band collisions replica-local, so probed pair rows are exactly Nx
+      // while the index union itself is the Nx band table — the claim is
+      // that delta maintenance costs O(delta + collisions), not a rebuild
+      ("minhashIncrDelta", true, "N", { d =>
+        import graft.dedup.{Dedup, MinHashLSH}
+        val base = Dedup.withShingles(
+          d.filter(col("doc_id") % 10 =!= 3).select(col("doc_id"), col("text")), 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val delta = Dedup.withShingles(
+          d.filter(col("doc_id") % 10 === 3).select(col("doc_id"), col("text")), 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b1 = MinHashLSH.bandTable(
+          MinHashLSH.signaturesFromShingles(base, 64), 16)
+        val bDelta = MinHashLSH.bandTable(
+          MinHashLSH.signaturesFromShingles(delta, 64), 16)
+        val bInc = b1.unionByName(bDelta)
+        bDelta.as("d").join(bInc.as("all"),
+            col("d.band") === col("all.band") &&
+              col("d.bucket") === col("all.bucket") &&
+              col("d.id") =!= col("all.id"))
+          .select(least(col("d.id"), col("all.id")).as("id_a"),
+            greatest(col("d.id"), col("all.id")).as("id_b"))
+          .distinct()
+      }),
       // random walks: one walk per node (rows out = #nodes exactly); the
       // r9 min_by step aggregate must keep the per-step candidate frame
       // O(Σ degree) with map-side partial collapse — linear time/shuffle

@@ -360,6 +360,20 @@ class HypothesisSpec extends SparkSpec {
     val row = Hypothesis.mannWhitney(tied, col("g") === "a", "cents")
       .select(col("z")).collect()(0)
     assert(row.isNullAt(0))
+    // NULL scores are dropped, not ranked (ADVICE r11: Spark windows put
+    // NULLS FIRST, SQL mirrors NULLS LAST — a NULL row would silently skew
+    // every rank): result must equal the pre-filtered input's exactly
+    val withNulls = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", Some(3L)), ("b", None), ("b", Some(4L))).toDF("g", "cents")
+    val rN = Hypothesis.mannWhitney(withNulls, col("g") === "a", "cents")
+      .select(col("n_a"), col("n_b"), col("u2_num"), col("u_a"), col("z"))
+      .as[(Long, Long, String, Double, Double)].head()
+    assert(rN == r, s"NULL scores must be invisible to the ranks: $rN vs $r")
+    val dN = Hypothesis.cliffsDelta(withNulls, col("g") === "a", "cents")
+      .select(col("n_a"), col("n_b"), col("delta"))
+      .as[(Long, Long, Double)].head()
+    assert(dN._1 == 2L && dN._2 == 2L && dN._3 == -1.0,
+      s"cliffsDelta must drop NULL scores: $dN")
   }
 
   test("cliffsDelta: separation ±1, identical 0, ties counted in neither tail") {

@@ -73,4 +73,28 @@ class Md5FieldSpec extends SparkSpec {
       .select(md5Field(col("s"), 8, 8)).as[Long].head()
     assert(viaSql == viaCol)
   }
+
+  test("md5_field SQL misuse fails with a usable AnalysisException, not a cast crash") {
+    GraftExtensions.register(spark)
+    Seq("boot").toDF("s").createOrReplaceTempView("md5f_args")
+    // wrong arity: 2 args instead of 3
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_field('x', 8)").collect()
+    }
+    assert(arity.getMessage.contains("md5_field") &&
+      arity.getMessage.contains("3"),
+      s"arity error must name the function and expected count: ${arity.getMessage}")
+    // non-foldable start argument (a column, not a literal)
+    val fold = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_field(s, length(s), 8) FROM md5f_args").collect()
+    }
+    assert(fold.getMessage.contains("md5_field") &&
+      fold.getMessage.contains("foldable"),
+      s"non-literal error must explain foldability: ${fold.getMessage}")
+    // same validation guards java_hash_bucket's bucket-count argument
+    val jh = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT java_hash_bucket(s, length(s)) FROM md5f_args").collect()
+    }
+    assert(jh.getMessage.contains("java_hash_bucket"))
+  }
 }

@@ -92,10 +92,18 @@ class SamplingAndTopKSpec extends SparkSpec {
     assert(out("a") == 0L, "zero-variance stratum needs no sample")
     assert(out.values.sum == 90L, "largest-remainder must hit the budget exactly")
     assert(out("b") > out("c"), "allocation must scale with N at equal sd")
-    // degenerate: every stratum constant -- weights all 0, allocs all 0
-    val zeros = Seq(("x", 5L), ("y", 7L)).toDF("s", "cents")
-    val z = graft.ops.Sampling.neymanAllocation(zeros, $"s", $"cents", 10)
-      .select($"n_alloc").as[Long].collect()
-    assert(z.forall(_ == 0L))
+    // degenerate: every stratum constant — Σweight = 0, so Neyman gives no
+    // guidance and the allocation falls back to PROPORTIONAL (weight :=
+    // n_pop), keeping the Σ n_alloc == budget invariant unconditionally
+    // (ADVICE r11: the old Spark guard allocated nothing here while the
+    // SQL mirror still handed out +1s — now both take the same CASE)
+    val zeros = (Seq.fill(3)(("x", 5L)) ++ Seq.fill(1)(("y", 7L)))
+      .toDF("s", "cents")
+    val z = graft.ops.Sampling.neymanAllocation(zeros, $"s", $"cents", 8)
+      .select($"stratum", $"n_alloc").as[(String, Long)].collect().toMap
+    assert(z.values.sum == 8L,
+      "all-zero-variance strata must still exhaust the budget")
+    assert(z("x") == 6L && z("y") == 2L,
+      s"degenerate case allocates proportional to n_pop: $z")
   }
 }

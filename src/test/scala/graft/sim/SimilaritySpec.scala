@@ -257,6 +257,18 @@ class SimilaritySpec extends SparkSpec {
     val m = graft.sim.Similarity.centroidSilhouette(merged)
       .agg(avg($"mean_silhouette")).as[Double].head()
     assert(m < 0.5, s"overlapping labels must not look separated: $m")
+    // single-label corpus: b (min distance to ANY OTHER cluster) does not
+    // exist. Convention (ADVICE r11): the point contributes silhouette 0
+    // and still counts — Spark's NULL-skipping sum used to drop it from
+    // s_sum_micro while n counted it, diverging from the SQL CASE...ELSE 0
+    val lone = Seq(
+      (1L, 0, v(0, 10.0)), (2L, 0, v(0, 10.2)), (3L, 0, v(0, 10.4)))
+      .toDF("vec_id", "label", "embedding")
+    val lr = graft.sim.Similarity.centroidSilhouette(lone)
+      .select($"n", $"s_sum_micro", $"mean_silhouette")
+      .as[(Long, Long, Double)].head()
+    assert(lr == ((3L, 0L, 0.0)),
+      s"k=1 corpus: every point contributes exactly 0: $lr")
   }
 
   test("dpCounts: deterministic noise in [-K, K], identical across runs") {
