@@ -133,14 +133,21 @@ object Bench {
     val breakdown = s""""operator_total":$operTotal,"verification_total":$verifTotal,""" +
       s""""verification_queries":${VerificationQueries.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // normalized-bench convention (BASELINE.md §"Bench-total convention"):
+    // the raw total divides by the query count so a growing registry is
+    // comparable across rounds — the r1 baseline ran 44 queries at
+    // 2.38 s/query, so per_query_sec/2.377 is the normalized ratio the
+    // convention proposes alongside (never instead of) the raw total
+    val perQuery = if (timed.nonEmpty) total / timed.size else 0.0
+    val norm = s""""per_query_sec":${"%.4f".formatLocal(java.util.Locale.ROOT, perQuery)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},""" +
-      s""""cold_total":$coldTotal,"cold_queries":${obj(_._2)},$breakdown,"sf":"$sfDir"}"""
+      s""""cold_total":$coldTotal,"cold_queries":${obj(_._2)},$breakdown,$norm,"sf":"$sfDir"}"""
     // compact totals-only summary: the driver captures a bounded stdout
     // *tail* (~2000 chars), so the single giant per-query line can get
     // clipped from the front (BENCH_r02 lost its headline total that way) —
     // a short line near the end always survives and parses on its own
     val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n":${timed.size},"cold_total":$coldTotal,$breakdown,"sf":"$sfDir"}"""
+      s""""n":${timed.size},"cold_total":$coldTotal,$breakdown,$norm,"sf":"$sfDir"}"""
     // steady per-query times in compact self-contained chunks (ms precision),
     // sorted ascending by time so the *slowest* queries — the ones a
     // regression gate cares about most — sit closest to the end and survive

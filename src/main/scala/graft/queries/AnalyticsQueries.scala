@@ -2923,10 +2923,16 @@ object AnalyticsQueries {
     * neighbor hubs' spokes. The oracle recomputes the exact adjacency
     * self-join — degree and 2-hop counts per node all under the hash.
     */
+  // eager-evaluated inside the kernel pin (the lazy wedge DAG otherwise
+  // re-plans under the session's 32 partitions at fixture scale); rows
+  // and values are partition-count-invariant exact integers
   private def twoHopQ(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.DupClusters
-      .twoHopNeighbors(Graphs.hubCycleEdges(s, dir))
-      .orderBy(col("node_id"))
+    withKernelShufflePartitions(s, 8) {
+      graft.dedup.DupClusters
+        .twoHopNeighbors(Graphs.hubCycleEdges(s, dir))
+        .orderBy(col("node_id"))
+        .localCheckpoint(eager = true)
+    }
 
   private val twoHopOracle =
     """WITH ed AS (

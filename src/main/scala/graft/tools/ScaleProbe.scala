@@ -180,10 +180,13 @@ object ScaleProbe {
       // the q_minhash_incremental maintenance join: delta docs (an
       // offset-invariant 1-in-10 slice) sign+band against the incremental
       // index (base bands ∪ delta bands). Disjoint replica vocab keeps
-      // band collisions replica-local, so probed pair rows are exactly Nx
-      // while the index union itself is the Nx band table — the claim is
-      // that delta maintenance costs O(delta + collisions), not a rebuild
-      ("minhashIncrDelta", true, "N", { d =>
+      // band collisions replica-local, so probed pair rows are ~Nx (each
+      // replica's ~r-suffixed vocab hashes fresh, so BAND-collision
+      // density varies slightly per replica — measured x10.02/x30.10, the
+      // winnowing selection-variance class) while the index union itself
+      // is the Nx band table — the claim is that delta maintenance costs
+      // O(delta + collisions), not a rebuild
+      ("minhashIncrDelta", true, "~N", { d =>
         import graft.dedup.{Dedup, MinHashLSH}
         val base = Dedup.withShingles(
           d.filter(col("doc_id") % 10 =!= 3).select(col("doc_id"), col("text")), 5)
