@@ -340,6 +340,82 @@ object AnalyticsQueries {
       s: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T =
     withStreamShufflePartitions(s, n)(f)
 
+  /** Watermark LATE-DATA accounting proven live, across a restart: run 1
+    * streams the on-time half of `events` into an append-mode 6-hour
+    * window aggregate (file sink + checkpoint) — its trailing no-data
+    * batch advances the watermark to max(ts) − 3 days and emits exactly
+    * the windows that closed. Run 2 RESUMES the same checkpoint with a
+    * second file whose rows sit 3650 days in the past: the restored
+    * watermark must classify every one as late and drop it, appending
+    * NOTHING (a 2014 window in the sink would mean late data leaked
+    * through the restart). Final sink = on-time windows whose end the
+    * watermark passed — the oracle replays the cutoff from the same
+    * max-timestamp arithmetic. Sequential runs impose arrival order by
+    * construction (file-listing order across two loose files proved
+    * nondeterministic), and watermark persistence across checkpoint
+    * restart is exactly what a production resume relies on.
+    */
+  private def streamLateQ(s: SparkSession, dir: String): DataFrame = {
+    // per-SF fixture: the two single-file halves (order is imposed by the
+    // two sequential RUNS below, never by file-listing order — a
+    // modification-time race made listing-order nondeterministic)
+    val base = lateSrcDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_events_late")
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(p.resolve("a").toString)
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("ts", col("ts") - expr("INTERVAL 3650 DAYS"))
+        .coalesce(1).write.mode("overwrite").parquet(p.resolve("b").toString)
+      p.toString
+    })
+    val p = java.nio.file.Paths.get(base)
+    def part(sub: String): java.nio.file.Path =
+      new java.io.File(p.resolve(sub).toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head.getPath).toPath
+    val runDir = java.nio.file.Files.createTempDirectory("graft_stream_late_run")
+    val src = runDir.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val sink = runDir.resolve("sink").toString
+    val ckpt = runDir.resolve("ckpt").toString
+    val schema = s.read.parquet(p.resolve("a").toString).schema
+    def run(): Unit = {
+      val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+        s.readStream.schema(schema).parquet(src.toString)
+          .withWatermark("ts", "3 days")
+          .groupBy(window(col("ts"), "6 hours").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("window_start"), col("n"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    }
+    java.nio.file.Files.copy(part("a"), src.resolve("ontime.parquet"))
+    run()
+    java.nio.file.Files.copy(part("b"), src.resolve("late.parquet"))
+    run()
+    s.read.parquet(sink).orderBy(col("window_start"))
+  }
+
+  private val lateSrcDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private val streamLateOracle =
+    """WITH a AS (SELECT ts FROM events WHERE event_id % 2 = 0),
+      |wm AS (SELECT max(ts) - INTERVAL 3 DAY AS w FROM a),
+      |g AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM a GROUP BY 1)
+      |SELECT window_start, n FROM g, wm
+      |WHERE window_start + INTERVAL 6 HOUR <= wm.w
+      |ORDER BY window_start""".stripMargin
+
   /** Streaming dedup proven end-to-end: the source directory holds the
     * events file TWICE (a replayed feed), the stream applies
     * `dropDuplicatesWithinWatermark(event_id)`, and the appended sink must
@@ -3786,6 +3862,7 @@ object AnalyticsQueries {
     "q_unpivot" -> (unpivotQ _),
     "q_tumbling_window" -> (tumblingQ _),
     "q_stream_tumbling" -> (streamTumblingQ _),
+    "q_stream_late" -> (streamLateQ _),
     "q_stream_dedup" -> (streamDedupQ _),
     "q_stream_join" -> (streamJoinQ _),
     "q_stream_session" -> (streamSessionQ _),
@@ -3899,6 +3976,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotOracle,
     "q_tumbling_window" -> tumblingOracle,
     "q_stream_tumbling" -> tumblingOracle,
+    "q_stream_late" -> streamLateOracle,
     "q_stream_dedup" -> streamDedupOracle,
     "q_stream_join" -> streamJoinOracle,
     "q_stream_session" -> sessionWindowOracle,

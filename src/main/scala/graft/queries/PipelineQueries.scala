@@ -406,6 +406,77 @@ object PipelineQueries {
     * unrollings (Spark message passing, DuckDB CTE chain) must agree on every
     * node's exact rank value — an iterative graph oracle, not a smoke check.
     */
+  /** Dedup-threshold sensitivity curve over the shared near-dup pair
+    * table: for each Jaccard operating point t ∈ {0.5 … 0.9}, the
+    * surviving pair count and distinct documents touched — the audit a
+    * pipeline runs BEFORE committing to a dedup threshold (too low eats
+    * unique data, too high leaves template spam). The sweep predicate is
+    * the EXACT integer form 10·|A∩B| ≥ t₁₀·(|A|+|B|−|A∩B|), so no
+    * non-representable double threshold (0.7, 0.9) can flip an edge pair
+    * cross-engine; the pair table itself is the materialized
+    * [[dupPairsParquet]] artifact (its 0.5 double cut is
+    * integer-equivalent: I/U ≥ 0.5 ⟺ 2I ≥ U, ulp-safe since U ≤ 2·10³ ≪
+    * 1/ulp(0.5)) and the oracle re-derives it from `documents`. Scale
+    * shape: a 5× explode of the PAIR table (pairs ≪ corpus), two
+    * map-combined aggregates keyed by threshold.
+    */
+  private def dedupSweepQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = s.read.parquet(dupPairsParquet(s, dir))
+    val sw = pairs.select(col("id_a"), col("id_b"), col("intersection"),
+        col("size_a"), col("size_b"),
+        explode(sequence(lit(5L), lit(9L))).as("t10"))
+      .filter(col("intersection") * 10 >=
+        col("t10") * (col("size_a") + col("size_b") - col("intersection")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val np = sw.groupBy(col("t10")).agg(count(lit(1)).as("n_pairs"))
+    val nd = sw.select(col("t10"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy(col("t10")).agg(countDistinct(col("d")).as("n_docs"))
+    s.range(5, 10).select(col("id").as("t10"))
+      .join(np, Seq("t10"), "left")
+      .join(nd, Seq("t10"), "left")
+      .select((col("t10") * 100).as("threshold_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold_permille"))
+  }
+
+  private val dedupSweepOracle =
+    s"""WITH $augCte,
+      |tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.5),
+      |ts AS (SELECT unnest(generate_series(5, 9)) AS t10),
+      |sw AS (
+      |  SELECT t10, id_a, id_b FROM pr, ts
+      |  WHERE i * 10 >= t10 * (na + nb - i)),
+      |np AS (SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs FROM sw GROUP BY t10),
+      |nd AS (SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
+      |  SELECT t10, id_a AS d FROM sw UNION ALL SELECT t10, id_b FROM sw)
+      |  GROUP BY t10)
+      |SELECT CAST(t10 * 100 AS BIGINT) AS threshold_permille,
+      |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+      |FROM ts LEFT JOIN np USING (t10) LEFT JOIN nd USING (t10)
+      |ORDER BY threshold_permille""".stripMargin
+
   private def pageRankQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
       DupClusters.pageRankFixedPoint(s.read.parquet(dupPairsParquet(s, dir)))
@@ -3533,7 +3604,68 @@ object PipelineQueries {
       |  nll > th.threshold AS flagged
       |FROM p2 CROSS JOIN th ORDER BY doc""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram scoring of the odd-doc half under the
+    * shared even-doc model ([[graft.text.NgramLm.kneserNeyAudit]]) — the
+    * KenLM-style smoothing next to the add-one baseline (`q_bigram_ppl`),
+    * D = 3/4 so every probability is an exact BIGINT rational replayed by
+    * the oracle; OOV bigrams are counted, not silently dropped.
+    */
+  private def kneserNeyQ(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.kneserNeyAudit(bigramModel(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0))
+
+  private val kneserNeyOracle =
+    """WITH tr AS (
+      |  SELECT string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |te AS (
+      |  SELECT string_split_regex(text, '\s+') AS arr
+      |  FROM documents WHERE doc_id % 2 <> 0),
+      |trb AS (
+      |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM trb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM trb GROUP BY w1),
+      |n1f AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1fw FROM c12 GROUP BY w1),
+      |n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY w2),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12),
+      |teb AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS tc FROM (
+      |    SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |    FROM te, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g)
+      |  GROUP BY w1, w2),
+      |j AS (
+      |  SELECT teb.tc, c1.c1, n1f.n1fw, n1b.n1bw, c12.c12, tt.tt
+      |  FROM teb LEFT JOIN c1 USING (w1) LEFT JOIN n1f USING (w1)
+      |  LEFT JOIN n1b USING (w2) LEFT JOIN c12 USING (w1, w2) CROSS JOIN tt),
+      |sc AS (
+      |  SELECT tc,
+      |    greatest(CAST(0 AS BIGINT), 4 * coalesce(c12, 0) - 3) * tt
+      |      + 3 * coalesce(n1fw, 0) * coalesce(n1bw, 0) AS num,
+      |    CASE WHEN c1 IS NOT NULL THEN 4 * c1 * tt END AS den
+      |  FROM j),
+      |ag AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN den IS NOT NULL AND num > 0 THEN tc ELSE 0 END)
+      |      AS BIGINT) AS n_scored,
+      |    CAST(sum(CASE WHEN den IS NOT NULL AND num > 0 THEN 0 ELSE tc END)
+      |      AS BIGINT) AS n_skipped,
+      |    CAST(sum(CASE WHEN den IS NOT NULL AND num > 0
+      |      THEN CAST(tc AS HUGEINT) *
+      |        CAST(floor(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6)
+      |          AS BIGINT)
+      |      ELSE 0 END) AS HUGEINT) AS s
+      |  FROM sc)
+      |SELECT n_scored, n_skipped, CAST(s AS VARCHAR) AS sum_micro_nats,
+      |  CASE WHEN n_scored > 0 THEN
+      |    exp((0.0 - CAST(CAST(s AS BIGINT) AS DOUBLE) / 1e6)
+      |      / CAST(n_scored AS DOUBLE)) END AS ppl
+      |FROM ag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kneser_ney" -> (kneserNeyQ _),
+    "q_dedup_sweep" -> (dedupSweepQ _),
     "q_ppl_filter" -> (pplFilterQ _),
     "q_chao1" -> (chao1Q _),
     "q_zipf_fit" -> (zipfFitQ _),
@@ -3656,6 +3788,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kneser_ney" -> kneserNeyOracle,
+    "q_dedup_sweep" -> dedupSweepOracle,
     "q_ppl_filter" -> pplFilterOracle,
     "q_chao1" -> chao1Oracle,
     "q_zipf_fit" -> zipfFitOracle,

@@ -134,4 +134,67 @@ object NgramLm {
             lit(1e6).cast("double")) / col("test_bigrams").cast("double")))
           .as("perplexity"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every KenLM-style curation scorer actually ships, where
+    * add-one badly over-smooths) with absolute discount D = 3/4:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+    *
+    * where N1+(w1·)/N1+(·w2) are distinct-continuation counts and T the
+    * distinct bigram-type total. With D = 3/4 the probability is the
+    * EXACT rational
+    *   [max(4·c12 − 3, 0)·T + 3·N1fw·N1bw] / (4·c1·T)
+    * — pure BIGINT count algebra on both engines (num < 4e12 at sf0.1, so
+    * the num/den doubles are exactly representable and the division is
+    * correctly rounded cross-engine); each scored bigram quantizes
+    * ⌊ln(num/den)·10⁶⌋ (the library-wide micro-nat grid) and the corpus
+    * total folds as exact DECIMAL → canonical string. Test bigrams with
+    * an unseen left token (no c1) or zero probability mass (unseen pair
+    * AND unseen-as-continuation w2) are counted in `n_skipped`, the
+    * standard OOV-exclusion contract, disclosed rather than hidden.
+    *
+    * Scale shape: the three continuation frames derive from the c12 model
+    * frame by map-combined counts (model-sized, not corpus-sized); the
+    * test side shuffles once on (w1, w2) then joins term-keyed — same
+    * shapes as [[bigramPerplexity]]. One row: `n_scored`, `n_skipped`,
+    * `sum_micro_nats` (string), `ppl`.
+    */
+  def kneserNeyAudit(model: BigramModel, test: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val n1fw = model.c12.groupBy(col("w1")).agg(count(lit(1)).as("n1fw"))
+    val n1bw = model.c12.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val types = model.c12.agg(count(lit(1)).as("tt"))
+    val teB = bigrams(test, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("tc"))
+    val j = teB
+      .join(model.c1, Seq("w1"), "left_outer")
+      .join(n1fw, Seq("w1"), "left_outer")
+      .join(n1bw, Seq("w2"), "left_outer")
+      .join(model.c12, Seq("w1", "w2"), "left_outer")
+      .crossJoin(broadcast(types))
+    val num = greatest(lit(0L),
+        lit(4L) * coalesce(col("c12"), lit(0L)) - lit(3L)) * col("tt") +
+      lit(3L) * coalesce(col("n1fw"), lit(0L)) * coalesce(col("n1bw"), lit(0L))
+    val scored = j
+      .withColumn("__num", num)
+      .withColumn("__den",
+        when(col("c1").isNotNull, lit(4L) * col("c1") * col("tt")))
+      .withColumn("__ok", col("__den").isNotNull && col("__num") > 0L)
+    scored.agg(
+        sum(when(col("__ok"), col("tc")).otherwise(0L)).as("n_scored"),
+        sum(when(col("__ok"), 0L).otherwise(col("tc"))).as("n_skipped"),
+        sum(when(col("__ok"),
+          col("tc").cast("decimal(38,0)") *
+            floor(log(col("__num").cast("double") / col("__den").cast("double"))
+              * lit(1e6)).cast("long").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("__s"))
+      .select(col("n_scored"), col("n_skipped"),
+        col("__s").cast("string").as("sum_micro_nats"),
+        when(col("n_scored") > 0,
+          exp((lit(0.0) - col("__s").cast("double") / lit(1e6)) /
+            col("n_scored").cast("double"))).as("ppl"))
+  }
 }

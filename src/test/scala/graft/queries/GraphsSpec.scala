@@ -45,4 +45,29 @@ class GraphsSpec extends SparkSpec {
       fresh.exceptAll(materialized).isEmpty,
       "materialized co-purchase edges diverged from the from-scratch build")
   }
+
+  test("starRingEdges / hubCycleEdges ≡ recomputed planted community graphs") {
+    val dir = sf()
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"))
+    val star = docs.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("id_a"),
+        col("doc_id").as("id_b"))
+    val ring = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 < 90)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val fresh = star.unionByName(ring)
+    val mat = Graphs.starRingEdges(spark, dir)
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized star-ring edges diverged from the from-scratch build")
+    val closing = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") % 100 === 90)
+      .select((col("doc_id") - lit(90L)).as("id_a"), col("doc_id").as("id_b"))
+    val freshHub = fresh.unionByName(closing)
+    val matHub = Graphs.hubCycleEdges(spark, dir)
+    assert(matHub.exceptAll(freshHub).isEmpty &&
+      freshHub.exceptAll(matHub).isEmpty,
+      "materialized hub-cycle edges diverged from the from-scratch build")
+    assert(mat.count() > 0L && matHub.count() > mat.count())
+  }
 }

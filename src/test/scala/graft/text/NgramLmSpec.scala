@@ -33,6 +33,24 @@ class NgramLmSpec extends SparkSpec {
       math.floor(math.log(0.25) * 1e6).toLong.toString)
   }
 
+  test("kneserNeyAudit: D=3/4 exact rationals and OOV skip accounting") {
+    // train "a b a b a c": c12 = {(a,b):2, (b,a):2, (a,c):1}, c1 = {a:3, b:2},
+    // T = 3 types, N1+(a·)=2, N1+(b·)=1, N1+(·a)=N1+(·b)=N1+(·c)=1.
+    // test "a b z b a" bigrams: (a,b) p = [max(8-3,0)*3 + 3*2*1]/(4*3*3) = 21/36;
+    // (b,z) num = 0 (pair and continuation unseen) -> skipped;
+    // (z,b) c1(z) miss -> skipped; (b,a) p = [5*3 + 3*1*1]/(4*2*3) = 18/24.
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val test = Seq((1L, "a b z b a")).toDF("doc_id", "text")
+    val r = NgramLm.kneserNeyAudit(NgramLm.train(train), test).head()
+    assert(r.getAs[Long]("n_scored") == 2L)
+    assert(r.getAs[Long]("n_skipped") == 2L)
+    val expected = math.floor(math.log(21.0 / 36.0) * 1e6).toLong +
+      math.floor(math.log(18.0 / 24.0) * 1e6).toLong
+    assert(r.getAs[String]("sum_micro_nats") == expected.toString)
+    assert(math.abs(r.getAs[Double]("ppl") -
+      math.exp(-expected / 2.0e6)) < 1e-12)
+  }
+
   test("chao1: singleton/doubleton fixture — 3 + 2*1/(2*2) = 3.5") {
     val docs = Seq(("s", "a a b c")).toDF("source", "text")
     val r = Vocab.chao1(docs).head()
