@@ -340,6 +340,28 @@ object AnalyticsQueries {
       s: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T =
     withStreamShufflePartitions(s, n)(f)
 
+  private[queries] val versionedFixtureDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Two-snapshot versioned table (v1 = base commit, v2 = base + delta),
+    * built ONCE per (SF dir, tag) and re-read on every later call: the
+    * commits are data-loading fixture setup — the table a CDC pipeline
+    * already has on disk — not the incremental-maintenance work the
+    * `*_incremental` operators time, exactly the
+    * [[PipelineQueries.dupPairsParquet]] discipline. Each proof still
+    * re-runs its snapshot reads, CDC diff, delta maintenance, and
+    * rebuild-equivalence fold per pass; only the fixture commits
+    * amortize. `build` must be deterministic in (session, dir).
+    */
+  private[queries] def versionedFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String)(build: String => Unit): String =
+    versionedFixtureDirs.getOrElseUpdate(dir + "#" + tag, {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_${tag}_").toString
+      build(tmp)
+      tmp
+    })
+
   /** Watermark LATE-DATA accounting proven live, across a restart: run 1
     * streams the on-time half of `events` into an append-mode 6-hour
     * window aggregate (file sink + checkpoint) — its trailing no-data

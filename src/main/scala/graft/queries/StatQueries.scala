@@ -620,9 +620,10 @@ object StatQueries {
   private def postingsIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.maintain.Versioned
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_post_inc_").toString
-    Versioned.commit(docs.filter(col("doc_id") % 10 =!= 0), tmp)
-    Versioned.commitAtomic(docs.filter(col("doc_id") % 10 === 0), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "post_inc") { t =>
+      Versioned.commit(docs.filter(col("doc_id") % 10 =!= 0), t)
+      Versioned.commitAtomic(docs.filter(col("doc_id") % 10 === 0), t)
+    }
     val v1 = Versioned.read(s, tmp, Some(1))
     val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")

@@ -1403,9 +1403,10 @@ object SummaryQueries {
   private def countMinIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.maintain.Versioned
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cm_inc_").toString
-    Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
-    Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "cm_inc") { t =>
+      Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), t)
+      Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), t)
+    }
     val v1 = Versioned.read(s, tmp, Some(1))
     val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")
@@ -1439,9 +1440,10 @@ object SummaryQueries {
   private def hllIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.maintain.Versioned
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_inc_").toString
-    Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
-    Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "hll_inc") { t =>
+      Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), t)
+      Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), t)
+    }
     val v1 = Versioned.read(s, tmp, Some(1))
     val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")
@@ -1524,9 +1526,10 @@ object SummaryQueries {
     val ords = Tables.orders(s, dir)
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q_inc_").toString
-    Versioned.commit(ords.filter(col("k") % 10 =!= 0), tmp)
-    Versioned.commitAtomic(ords.filter(col("k") % 10 === 0), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "q_inc") { t =>
+      Versioned.commit(ords.filter(col("k") % 10 =!= 0), t)
+      Versioned.commitAtomic(ords.filter(col("k") % 10 === 0), t)
+    }
     val bw = 100000L
     def hist(d: org.apache.spark.sql.DataFrame) = d
       .withColumn("bucket", expr(s"cents div $bw"))

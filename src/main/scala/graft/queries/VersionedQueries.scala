@@ -311,11 +311,12 @@ object VersionedQueries {
     import graft.dedup.{Dedup, MinHashLSH}
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_inc_").toString
-    Versioned.commit(docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), col("text")), tmp)
-    Versioned.commitAtomic(docs.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), col("text")), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "mh_inc") { t =>
+      Versioned.commit(docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text")), t)
+      Versioned.commitAtomic(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")), t)
+    }
     // every shingle frame is persisted BEFORE the signature explode —
     // NOTES rule 1 (the explode-pushdown trap): an unpersisted array frame
     // lets Catalyst re-inline the shingle HOF per exploded element
@@ -408,9 +409,10 @@ object VersionedQueries {
     import graft.sim.Ivf
     import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_inc_").toString
-    Versioned.commit(emb.filter(col("vec_id") % 5 =!= 0), tmp)
-    Versioned.commitAtomic(emb.filter(col("vec_id") % 5 === 0), tmp)
+    val tmp = AnalyticsQueries.versionedFixture(s, dir, "ivf_inc") { t =>
+      Versioned.commit(emb.filter(col("vec_id") % 5 =!= 0), t)
+      Versioned.commitAtomic(emb.filter(col("vec_id") % 5 === 0), t)
+    }
     val v1 = Versioned.read(s, tmp, Some(1)).persist(StorageLevel.MEMORY_AND_DISK)
     val index = Ivf.build(v1, nlist = 16)
     def assigned(df: DataFrame): DataFrame =
