@@ -214,6 +214,9 @@ object Eval {
     val perVal = df
       .select(valueCents.cast("long").as("s"),
         inA.cast("long").as("a0"), inB.cast("long").as("b0"))
+      // a NULL score would form its own ECDF row and sort NULLS FIRST in
+      // Spark, NULLS LAST in a SQL mirror — drop it (mannWhitney discipline)
+      .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("a0")).as("a"), sum(col("b0")).as("b"))
       .withColumn("bk", expr(s"s div $bucketWidth"))

@@ -70,7 +70,10 @@ object Hypothesis {
     */
   def kruskalWallis(df: DataFrame, grpCol: String, centsCol: String,
                     maxDistinctValues: Long = 1L << 21): DataFrame = {
+    // NULL scores dropped BEFORE the histogram (the mannWhitney/runsTest
+    // discipline): NULL would rank NULLS FIRST here, NULLS LAST in SQL
     val ev = df.select(col(grpCol).as("grp"), col(centsCol).as("cents"))
+      .filter(col("cents").isNotNull)
     val vals = requireBoundedDomain(
       ev.groupBy(col("cents")).agg(count(lit(1)).as("cnt")),
       maxDistinctValues, "kruskalWallis")
@@ -714,8 +717,10 @@ object Hypothesis {
     */
   def cvmTwoSample(df: DataFrame, cohortA: Column, centsCol: String,
                    maxDistinctValues: Long = 1L << 21): DataFrame = {
+    // NULL scores dropped pre-ECDF — same rationale as [[mannWhitney]]
     val vals = requireBoundedDomain(
       df.select(cohortA.as("__a"), col(centsCol).as("c"))
+        .filter(col("c").isNotNull)
         .groupBy(col("c"))
         .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("d_a"),
           sum(when(col("__a"), 0L).otherwise(1L)).as("d_b")),

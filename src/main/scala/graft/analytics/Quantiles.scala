@@ -36,7 +36,11 @@ object Quantiles {
   def exactQuantilesTwoPass(df: DataFrame, centsCol: String,
                             permille: Seq[Int], bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // NULL scores dropped pre-histogram (the rank-kernel discipline): a
+    // NULL would form its own bucket and sort NULLS FIRST here, NULLS
+    // LAST in a SQL mirror, skewing every rank after it
     val cents = df.select(col(centsCol).as("c"))
+      .filter(col("c").isNotNull)
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     // pass 1: bounded histogram + cumulative counts (metadata-sized frame)
     val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
@@ -55,7 +59,10 @@ object Quantiles {
                           rankFromN: Column => Column,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // NULL scores dropped pre-histogram — same rationale as
+    // [[exactQuantilesTwoPass]]
     val cents = df.select(col(centsCol).as("c"))
+      .filter(col("c").isNotNull)
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val cum = hist
@@ -166,6 +173,7 @@ object Quantiles {
       s"permille points must be in [1,1000], got $permille")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val cents = df.select(col(centsCol).as("c"), col(weightCol).as("wt"))
+      .filter(col("c").isNotNull)
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     val hist = cents.groupBy(col("bucket")).agg(sum(col("wt")).as("bw"))
     val cum = hist

@@ -60,6 +60,12 @@ object Matching {
       .select(col("stratum"), col("id"), col("score"),
         col("__pick.id").as("control_id"),
         col("__pick.score").as("control_score"),
-        least(col("__pd"), col("__nd")).as("match_dist"))
+        // distance to the PICKED side, as an explicit CASE: Spark's
+        // least() IGNORES a NULL side while SQL least() propagates it, so
+        // a stratum-edge treated unit (control on one side only) would
+        // silently diverge from the oracle under a bare least()
+        when(col("__pd").isNotNull &&
+          (col("__nd").isNull || col("__pd") <= col("__nd")), col("__pd"))
+          .otherwise(col("__nd")).as("match_dist"))
   }
 }

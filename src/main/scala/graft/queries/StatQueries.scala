@@ -753,7 +753,8 @@ object StatQueries {
       |    THEN pi ELSE ni END AS control_id,
       |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR score - pv <= nv - score)
       |    THEN pv ELSE nv END AS control_score,
-      |  least(score - pv, nv - score) AS match_dist
+      |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR score - pv <= nv - score)
+      |    THEN score - pv ELSE nv - score END AS match_dist
       |FROM w WHERE t
       |ORDER BY stratum, id""".stripMargin
 

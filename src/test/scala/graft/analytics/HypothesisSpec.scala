@@ -32,6 +32,29 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("h_tie")) < 1e-12)
   }
 
+  test("rank kernels drop NULL scores instead of ranking them") {
+    // NULL would sort NULLS FIRST in Spark but NULLS LAST in a SQL
+    // mirror, silently skewing every rank after it — the mannWhitney
+    // ADVICE class, pinned across the whole ECDF/histogram family
+    val clean = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)),
+      ("b", Some(40L)), ("b", Some(50L)), ("b", Some(60L)))
+    val dirty = clean ++ Seq(("a", Option.empty[Long]), ("b", Option.empty[Long]))
+    val kwC = Hypothesis.kruskalWallis(clean.toDF("grp", "cents"), "grp", "cents").head()
+    val kwD = Hypothesis.kruskalWallis(dirty.toDF("grp", "cents"), "grp", "cents").head()
+    assert(kwD.getAs[Long]("n") == 6L &&
+      kwD.getAs[Double]("h") == kwC.getAs[Double]("h"))
+    val cvC = Hypothesis.cvmTwoSample(clean.toDF("g", "c"), col("g") === "a", "c").head()
+    val cvD = Hypothesis.cvmTwoSample(dirty.toDF("g", "c"), col("g") === "a", "c").head()
+    assert(cvD.getAs[Long]("n_a") == 3L &&
+      cvD.getAs[String]("cvm_num") == cvC.getAs[String]("cvm_num"))
+    val qC = graft.analytics.Quantiles.exactQuantilesTwoPass(
+      clean.toDF("g", "c"), "c", Seq(500), bucketWidth = 25L).head()
+    val qD = graft.analytics.Quantiles.exactQuantilesTwoPass(
+      dirty.toDF("g", "c"), "c", Seq(500), bucketWidth = 25L).head()
+    assert(qD.getAs[Long]("n") == 6L &&
+      qD.getAs[Long]("value_cents") == qC.getAs[Long]("value_cents"))
+  }
+
   test("anovaF: textbook two-group fixture — SSB 1350, SSW 400, F 13.5") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
       ("b", 40L), ("b", 50L), ("b", 60L)).toDF("grp", "cents")

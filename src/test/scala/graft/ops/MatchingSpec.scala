@@ -14,7 +14,12 @@ class MatchingSpec extends SparkSpec {
       // stratum B: treated equidistant between controls at 10 and 30 → prev wins
       ("B", 5L, 10L, false), ("B", 6L, 20L, true), ("B", 7L, 30L, false),
       // stratum C: no controls at all
-      ("C", 8L, 99L, true))
+      ("C", 8L, 99L, true),
+      // stratum D: control on ONE side only (the edge case where a bare
+      // least(pd, nd) diverges between engines — Spark ignores the NULL
+      // side, SQL propagates it; match_dist is now an explicit CASE)
+      ("D", 9L, 10L, true), ("D", 10L, 25L, false),
+      ("D", 11L, 50L, true))
       .toDF("st", "id", "v", "t")
     val r = Matching.nearestControl(df, $"st", $"id", $"v", $"t")
       .select($"id", $"control_id", $"match_dist")
@@ -23,6 +28,8 @@ class MatchingSpec extends SparkSpec {
     assert(r(3L) === ((3L, Some(4L), Some(5L))))
     assert(r(6L) === ((6L, Some(5L), Some(10L))), "tie must break to the prev control")
     assert(r(8L) === ((8L, None, None)))
+    assert(r(9L) === ((9L, Some(10L), Some(15L))), "next-only edge unit matches forward")
+    assert(r(11L) === ((11L, Some(10L), Some(25L))), "prev-only edge unit matches backward")
   }
 
   test("nearestControl: window plan equals the brute-force nearest pair join") {
