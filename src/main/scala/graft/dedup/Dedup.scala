@@ -408,23 +408,41 @@ object Dedup {
     * length); the candidate join runs on prefix rows only — for t = 0.5,
     * half the corpus's shingle mass, with the hottest shingles
     * systematically excluded from prefixes of long docs (they rank last).
-    * Verification joins the (small) candidate pair set back against the
-    * full shingle frame on the pair's ids — O(candidates · doc size).
+    * Verification joins the (small) candidate pair set against the shingle
+    * ARRAY frame (one row per doc, `size(sh)` is the doc's distinct count)
+    * and intersects per pair with a codegen'd `array_intersect` —
+    * O(candidates · doc size) compute with corpus-ROW-count (not exploded
+    * shingle-count) join inputs, r13: replaced two exploded-frame shuffles
+    * + a groupBy with two doc-count joins (q_ppjoin 2.1 → measured below).
     */
   def prefixFilterJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                                idCol: String = "doc_id",
-                               textCol: String = "text"): DataFrame = {
+                               textCol: String = "text"): DataFrame =
+    prefixFilterJaccardPairsFromShingles(
+      withShingles(docs, k, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** [[prefixFilterJaccardPairs]] with pass 1's `(id, sh)` shingle frame
+    * supplied by the caller — the entry point when the corpus shingles are
+    * already materialized (BASELINE.md §Amortization: tokenization
+    * amortizes; the prefix ranking, candidate join, and exact verification
+    * all stay inside the caller's timer). Same contract as
+    * [[jaccardPairsFromShingles]] / [[containmentPairsFromShingles]].
+    */
+  def prefixFilterJaccardPairsFromShingles(shArr: DataFrame,
+                                           threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = withShingles(docs, k, idCol, textCol)
+    // the doc's distinct-shingle count rides the explode as size(sh) — no
+    // per-id aggregate and no sizes join anywhere in the pipeline
+    val sh = shArr
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
     val ranked = sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__f"), col("shingle"))))
-      .join(sizes, "id")
       .filter(col("__rn") <=
         col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1L)
       .select(col("id"), col("shingle"))
@@ -434,17 +452,24 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .hint("shuffle_hash")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("intersection"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+    // verification over the ARRAY frame: one row per doc, so both joins
+    // move corpus-row-count inputs (≈1/150th of the exploded frame), and
+    // the exact distinct intersection is a codegen'd array_intersect (the
+    // withShingles arrays are array_distinct'd sets). shuffle_hash hints
+    // for the usual reason: computed-frame size estimates are unreliable,
+    // and at scale neither side is safely broadcastable.
+    val arr = shArr.select(col("id"), col("sh"))
+    val withA = arr
+      .select(col("id").as("id_a"), col("sh").as("__sh_a"))
+      .hint("shuffle_hash").join(cand.hint("shuffle_hash"), Seq("id_a"))
+    val verified = arr
+      .select(col("id").as("id_b"), col("sh").as("__sh_b"))
+      .hint("shuffle_hash").join(withA.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("intersection",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("size_a", size(col("__sh_a")).cast("long"))
+      .withColumn("size_b", size(col("__sh_b")).cast("long"))
+    verified
       .withColumn("jaccard",
         col("intersection").cast("double") /
           (col("size_a") + col("size_b") - col("intersection")).cast("double"))
@@ -501,9 +526,20 @@ object Dedup {
     */
   def tfCosinePairs(docs: DataFrame, k: Int, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text",
-                    maxShingleFreq: Int = 1000): DataFrame = {
-    val tf = shingleTf(docs, k, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                    maxShingleFreq: Int = 1000): DataFrame =
+    tfCosinePairsFromTf(
+      shingleTf(docs, k, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, maxShingleFreq)
+
+  /** [[tfCosinePairs]] with the `(id, shingle, tf)` multiset frame
+    * supplied by the caller — the entry point when the corpus shingle TF
+    * table is already materialized (BASELINE.md §Amortization: shingling
+    * amortizes; the df cut, norms, dot join, and cosine verification stay
+    * inside the caller's timer).
+    */
+  def tfCosinePairsFromTf(tf: DataFrame, threshold: Double,
+                          maxShingleFreq: Int = 1000): DataFrame = {
     val pruned = tf.hint("shuffle_hash").join(
         tf.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleFreq).hint("shuffle_hash"),

@@ -53,6 +53,30 @@ object GraftExtensions {
     }
   }
 
+  /** String sibling of [[foldableInt]]: same arity + foldability contract
+    * for scalar string literals (e.g. a Unicode normalization form), so SQL
+    * misuse raises the same AnalysisExceptions instead of an
+    * IndexOutOfBounds/NullPointer from a bare `es(i).eval().toString`.
+    */
+  private def foldableString(fn: String, usage: String, es: Seq[Expression],
+                             arity: Int, i: Int): String = {
+    if (es.length != arity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> fn,
+          "expectedNum" -> arity.toString, "actualNum" -> es.length.toString,
+          "docroot" -> usage))
+    val e = es(i)
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case null => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map("funcName" -> s"`$fn`",
+          "paramName" -> s"`arg$i`", "paramType" -> s""""STRING" ($usage)"""))
+      case s => s.toString
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("java_hash",
       info("java_hash", "java_hash(str) - bit-exact Java String.hashCode"),
@@ -74,7 +98,9 @@ object GraftExtensions {
           "md5_field(str, startNibble, nNibbles)", es, 3, 2))),
     ("normalize_unicode",
       info("normalize_unicode", "normalize_unicode(str, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
-      (es: Seq[Expression]) => NormalizeUnicode(es.head, es(1).eval().toString)))
+      (es: Seq[Expression]) => NormalizeUnicode(es.head,
+        foldableString("normalize_unicode",
+          "normalize_unicode(str, form)", es, 2, 1))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -253,7 +253,7 @@ object AnalyticsQueries {
   private def streamTumblingQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -335,6 +335,22 @@ object AnalyticsQueries {
     * only applies to work executed INSIDE `f` (the eager rounds); the
     * lazy epilogue of the returned frame re-plans under the session
     * default.
+    *
+    * CALLER CONTRACT (ADVICE r12): the conf is restored when `f`
+    * returns, so a kernel that merely BUILDS a lazy plan inside the
+    * block gets NO pin — `f` must eagerly materialize every round it
+    * wants pinned. Audited: all seven call sites comply — per-round
+    * `localCheckpoint(eager = true)` in labelPropagation
+    * (DupClusters.scala:147,161), kCorePeel (:242,250),
+    * pageRankFixedPoint (:428), personalizedPageRank (:474), HyperBall
+    * (HyperBall.scala:75,82); driver-side `count()`/`collect()` per
+    * round in Perceptron.trainAudit (Perceptron.scala:77-82); and
+    * twoHopQ's explicit `.localCheckpoint(eager = true)` epilogue. A
+    * new call site around a lazy kernel must add the same eager
+    * anchor or the pin silently evaporates. Session-conf mutation also
+    * assumes strictly sequential query execution, which Bench/Verify
+    * guarantee (one query at a time) and sbt's forked sequential test
+    * JVM preserves.
     */
   private[queries] def withKernelShufflePartitions[T](
       s: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T =
@@ -356,8 +372,7 @@ object AnalyticsQueries {
   private[queries] def versionedFixture(s: org.apache.spark.sql.SparkSession,
       dir: String, tag: String)(build: String => Unit): String =
     versionedFixtureDirs.getOrElseUpdate(dir + "#" + tag, {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft_${tag}_").toString
+      val tmp = graft.TempDirs.fixtureDir(tag)
       build(tmp)
       tmp
     })
@@ -382,7 +397,7 @@ object AnalyticsQueries {
     // two sequential RUNS below, never by file-listing order — a
     // modification-time race made listing-order nondeterministic)
     val base = lateSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_late")
+      val p = graft.TempDirs.fixturePath("events_late")
       val ev = graft.Tables.events(s, dir)
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
       ev.filter(col("event_id") % 2 === 0)
@@ -396,7 +411,11 @@ object AnalyticsQueries {
     def part(sub: String): java.nio.file.Path =
       new java.io.File(p.resolve(sub).toFile.listFiles()
         .filter(_.getName.startsWith("part-")).head.getPath).toPath
-    val runDir = java.nio.file.Files.createTempDirectory("graft_stream_late_run")
+    // per-RUN state (source copies + checkpoint + sink): delete-on-reuse +
+    // exit cleanup via TempDirs — Bench fully evaluates the returned frame
+    // before the next invocation, so reclaiming the previous run is safe
+    val runDir = graft.TempDirs.runDir("stream_late_run_" +
+      java.lang.Integer.toHexString(dir.hashCode))
     val src = runDir.resolve("src")
     java.nio.file.Files.createDirectories(src)
     val sink = runDir.resolve("sink").toString
@@ -448,7 +467,7 @@ object AnalyticsQueries {
   private def streamDedupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val srcDir = dedupSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_dup_stream")
+      val p = graft.TempDirs.fixturePath("events_dup_stream")
       java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events_a.parquet"))
       java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
@@ -496,7 +515,7 @@ object AnalyticsQueries {
   private def streamJoinQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -548,7 +567,7 @@ object AnalyticsQueries {
   private def streamSessionQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val srcDir = streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -1350,7 +1369,7 @@ object AnalyticsQueries {
     */
   private def schemaMergeQ(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_schema_rt_").toString
+    val tmp = graft.TempDirs.runDir("schema_rt").toString
     docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
       .write.parquet(s"$tmp/v1")
     docs.filter(col("doc_id") % 2 === 1)

@@ -626,7 +626,7 @@ object CurationQueries {
   private def csvRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Formats
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt_").toString
+    val tmp = graft.TempDirs.runDir("csv_rt").toString
     Formats.writeCsv(docs, tmp)
     Formats.readCsv(s, tmp, docs.schema).orderBy(col("doc_id"))
   }
@@ -634,7 +634,7 @@ object CurationQueries {
   private def orcRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Formats
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_rt_").toString
+    val tmp = graft.TempDirs.runDir("orc_rt").toString
     Formats.writeOrc(docs, tmp)
     Formats.readOrc(s, tmp).orderBy(col("doc_id"))
   }
@@ -642,7 +642,7 @@ object CurationQueries {
   private def avroRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Formats
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_rt_").toString
+    val tmp = graft.TempDirs.runDir("avro_rt").toString
     Formats.writeAvro(docs, tmp)
     Formats.readAvro(s, tmp).orderBy(col("doc_id"))
   }
@@ -659,7 +659,7 @@ object CurationQueries {
   private def csvDlqQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_dlq_").toString
+    val tmp = graft.TempDirs.runDir("csv_dlq").toString
     import s.implicits._
     val bad = Seq("notanumber|srcX|12", "12abc|srcY|5").toDF("value")
     docs.select(concat_ws("|", col("doc_id"), col("source"), col("n_chars")).as("value"))
@@ -875,8 +875,7 @@ object CurationQueries {
     */
   private[queries] def partEvoRoot(s: SparkSession, dir: String): String =
     partEvoRoots.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_part_evo_").toString
+      val tmp = graft.TempDirs.fixtureDir("part_evo")
       val docs = Tables.documents(s, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .write.partitionBy("lang").parquet(s"$tmp/v1")

@@ -133,8 +133,12 @@ object PipelineQueries {
       |    CAST(count(*) OVER (PARTITION BY md5(text)) AS DOUBLE) AS weight
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  // candidate join + frequency cut + exact verification stay timed; the
+  // shingling reads the shared corpus artifact (BASELINE.md §Amortization;
+  // the oracle below re-derives shingles from `documents`)
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(augmented(Tables.documents(s, dir)), k = 5, threshold = 0.5)
+    Dedup.jaccardPairsFromShingles(
+        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private val ngramOracle =
@@ -167,9 +171,11 @@ object PipelineQueries {
     * so the hash match is a proof that prefix filtering dropped no pair
     * (losslessness), on top of the usual value agreement.
     */
+  // prefix ranking + candidate join + verification stay timed; shingling
+  // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixFilterJaccardPairs(augmented(Tables.documents(s, dir)),
-        k = 5, threshold = 0.5)
+    Dedup.prefixFilterJaccardPairsFromShingles(
+        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private val ppjoinOracle =
@@ -204,8 +210,11 @@ object PipelineQueries {
     * and the single fixed-order cosine expression — the similarity VALUE is
     * under the hash, not just its integer inputs.
     */
+  // df cut + norms + dot join + cosine verification stay timed; shingle-TF
+  // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def tfCosineQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.tfCosinePairs(augmented(Tables.documents(s, dir)), k = 5, threshold = 0.8)
+    Dedup.tfCosinePairsFromTf(
+        s.read.parquet(shingleTfParquet(s, dir)), threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
   private val tfCosineOracle =
@@ -417,8 +426,11 @@ object PipelineQueries {
     * [[dupPairsParquet]] artifact (its 0.5 double cut is
     * integer-equivalent: I/U ≥ 0.5 ⟺ 2I ≥ U, ulp-safe since U ≤ 2·10³ ≪
     * 1/ulp(0.5)) and the oracle re-derives it from `documents`. Scale
-    * shape: a 5× explode of the PAIR table (pairs ≪ corpus), two
-    * map-combined aggregates keyed by threshold.
+    * shape: a 5× explode of the PAIR table (pairs ≪ corpus), then ONE
+    * map-combined aggregate keyed by threshold over the (t10, doc)
+    * explosion — `n_pairs = rows/2` exactly (each surviving pair emits
+    * both endpoints), so no persist and no second scan (the r12
+    * verdict's per-query persist leak, now gone).
     */
   private def dedupSweepQ(s: SparkSession, dir: String): DataFrame = {
     val pairs = s.read.parquet(dupPairsParquet(s, dir))
@@ -427,14 +439,13 @@ object PipelineQueries {
         explode(sequence(lit(5L), lit(9L))).as("t10"))
       .filter(col("intersection") * 10 >=
         col("t10") * (col("size_a") + col("size_b") - col("intersection")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val np = sw.groupBy(col("t10")).agg(count(lit(1)).as("n_pairs"))
-    val nd = sw.select(col("t10"),
+    val agg = sw.select(col("t10"),
         explode(array(col("id_a"), col("id_b"))).as("d"))
-      .groupBy(col("t10")).agg(countDistinct(col("d")).as("n_docs"))
+      .groupBy(col("t10"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
     s.range(5, 10).select(col("id").as("t10"))
-      .join(np, Seq("t10"), "left")
-      .join(nd, Seq("t10"), "left")
+      .join(agg, Seq("t10"), "left")
       .select((col("t10") * 100).as("threshold_permille"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
@@ -1712,7 +1723,7 @@ object PipelineQueries {
     */
   private[graft] def pngMediaParquet(s: SparkSession, dir: String): String =
     pngMediaPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_png_media").toString
+      val p = graft.TempDirs.fixtureDir("png_media")
       Multimodal.pngMedia(s, Tables.documents(s, dir)).write
         .mode("overwrite").parquet(p)
       p
@@ -1799,7 +1810,7 @@ object PipelineQueries {
 
   private[graft] def wavMediaParquet(s: SparkSession, dir: String): String =
     wavMediaPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_wav_media").toString
+      val p = graft.TempDirs.fixtureDir("wav_media")
       Multimodal.wavMedia(s, Tables.documents(s, dir)).write
         .mode("overwrite").parquet(p)
       p
@@ -1810,7 +1821,7 @@ object PipelineQueries {
 
   private[graft] def videoMediaParquet(s: SparkSession, dir: String): String =
     videoMediaPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_video_media").toString
+      val p = graft.TempDirs.fixtureDir("video_media")
       Multimodal.videoMedia(s, Tables.documents(s, dir)).write
         .mode("overwrite").parquet(p)
       p
@@ -1829,13 +1840,32 @@ object PipelineQueries {
     */
   private[graft] def shinglesParquet(s: SparkSession, dir: String): String =
     shinglesPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_shingles").toString
+      val p = graft.TempDirs.fixtureDir("shingles")
       Dedup.withShingles(augmented(Tables.documents(s, dir)), 5)
         .write.mode("overwrite").parquet(p)
       p
     })
 
   private val shinglesPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Multiset `(id, shingle, tf)` k=5 shingle term frequencies of the
+    * augmented corpus, materialized once per process per sf dir — the
+    * companion of [[shinglesParquet]] for multiplicity-weighted consumers
+    * (TF-cosine). BASELINE.md §Amortization: shingling amortizes as a
+    * deterministic on-disk input; the consumer's df cut, norms, and dot
+    * join stay timed, its oracle re-derives TF from `documents`, and
+    * MaterializationSpec proves table ≡ recomputation.
+    */
+  private[graft] def shingleTfParquet(s: SparkSession, dir: String): String =
+    shingleTfPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("shingle_tf")
+      Dedup.shingleTf(augmented(Tables.documents(s, dir)), 5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val shingleTfPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
   /** Banded-LSH near-dup pair table (64 hashes / 16 bands, each pair
@@ -1850,7 +1880,7 @@ object PipelineQueries {
     */
   private[graft] def minhashPairsParquet(s: SparkSession, dir: String): String =
     minhashPairsPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_minhash_pairs").toString
+      val p = graft.TempDirs.fixtureDir("minhash_pairs")
       val sh = s.read.parquet(shinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
@@ -1879,7 +1909,7 @@ object PipelineQueries {
             .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
         case _ => augmented(docs)
       }
-      val p = java.nio.file.Files.createTempDirectory("graft_dup_pairs").toString
+      val p = graft.TempDirs.fixtureDir("dup_pairs")
       Dedup.ngramJaccardPairs(corpus, k = 5, threshold = 0.5)
         .write.mode("overwrite").parquet(p)
       p
@@ -1894,7 +1924,7 @@ object PipelineQueries {
     */
   private[graft] def componentsParquet(s: SparkSession, dir: String): String =
     componentsPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_components").toString
+      val p = graft.TempDirs.fixtureDir("components")
       DupClusters.connectedComponents(s.read.parquet(dupPairsParquet(s, dir)))
         .write.mode("overwrite").parquet(p)
       p
@@ -3346,12 +3376,23 @@ object PipelineQueries {
     // prefixLen 6 (vs the pair query's 4): the operating-point knob the
     // scaladoc prescribes for heavy blocks — 284k candidates instead of
     // 492k on this corpus at a ~0.8% pair-recall cost
+    // two regimes, two partition counts: the blocked Levenshtein join is
+    // CPU-bound and wants every core (session default), materialized
+    // eagerly BEFORE the pin; the star-contraction CC rounds on the
+    // resulting ~10³-edge match graph are task-dispatch-bound like every
+    // other fixture-scale iterative kernel (withKernelShufflePartitions
+    // scaladoc) and run pinned at 8 — CC's per-round localCheckpoints are
+    // eager, so the pin bites
     val pairs = Dedup.editDistancePairs(keys.unionByName(twins), "k0",
       maxDist = 3, prefixLen = 6).select(col("id_a"), col("id_b"))
-    DupClusters.connectedComponents(pairs)
-      .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
-      .orderBy(col("component"))
+      .localCheckpoint(true)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      DupClusters.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
+        .orderBy(col("component"))
+        .localCheckpoint(true)
+    }
   }
 
   private val erEntitiesOracle =
@@ -3536,7 +3577,7 @@ object PipelineQueries {
     val base = bigramModelPaths.getOrElseUpdate(dir, {
       val m = graft.text.NgramLm.train(
         Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
-      val p = java.nio.file.Files.createTempDirectory("graft_bigram_model").toString
+      val p = graft.TempDirs.fixtureDir("bigram_model")
       m.c12.write.mode("overwrite").parquet(p + "/c12")
       m.c1.write.mode("overwrite").parquet(p + "/c1")
       m.vocab.write.mode("overwrite").parquet(p + "/vocab")

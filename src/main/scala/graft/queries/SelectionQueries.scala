@@ -508,7 +508,7 @@ object SelectionQueries {
     */
   private[queries] def skipgramPairsParquet(s: SparkSession, dir: String): String =
     skipgramPairPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_sg_pairs").toString
+      val p = graft.TempDirs.fixtureDir("sg_pairs")
       graft.text.SkipGram.pairs(Tables.documents(s, dir), window = 2,
         minCount = 3L).write.mode("overwrite").parquet(p)
       p

@@ -973,7 +973,7 @@ object StatQueries {
     import graft.maintain.{Profile, Versioned}
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_prof_drift_").toString
+    val tmp = graft.TempDirs.runDir("prof_drift").toString
     Versioned.commit(ev.filter(col("event_id") % 10 =!= 0), tmp)
     Versioned.commitAtomic(ev.filter(col("event_id") % 10 === 0), tmp)
     val cols = Seq("user_id" -> Profile.AsString,
@@ -1058,7 +1058,7 @@ object StatQueries {
     */
   private def streamEvalQ(s: SparkSession, dir: String): DataFrame = {
     val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))

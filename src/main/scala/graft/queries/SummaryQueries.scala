@@ -748,7 +748,7 @@ object SummaryQueries {
     */
   private def streamCountMinQ(s: SparkSession, dir: String): DataFrame = {
     val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -1226,7 +1226,7 @@ object SummaryQueries {
     */
   private def streamHllQ(s: SparkSession, dir: String): DataFrame = {
     val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -1271,7 +1271,7 @@ object SummaryQueries {
     */
   private def streamPsiQ(s: SparkSession, dir: String): DataFrame = {
     val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))
@@ -1467,7 +1467,7 @@ object SummaryQueries {
     */
   private def streamQuantileQ(s: SparkSession, dir: String): DataFrame = {
     val srcDir = AnalyticsQueries.streamSrcDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val p = graft.TempDirs.fixturePath("events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(dir, "events.parquet"),
         p.resolve("events.parquet"))

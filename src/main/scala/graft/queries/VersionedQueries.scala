@@ -25,7 +25,7 @@ object VersionedQueries {
     */
   private def buildTable(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_versioned_q_").toString
+    val tmp = graft.TempDirs.runDir("versioned_q").toString
     val v1 = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), substring(col("text"), 1, 20).as("head"),
         lit(1).as("ver"))
@@ -105,7 +105,7 @@ object VersionedQueries {
     */
   private def branchMergeQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_branch_q_").toString
+    val tmp = graft.TempDirs.runDir("branch_q").toString
     val base = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("k"), col("n_chars").cast("long").as("v"))
     Versioned.commit(base, tmp)
@@ -246,7 +246,7 @@ object VersionedQueries {
     */
   private def bitemporalQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bitemporal_q_").toString
+    val tmp = graft.TempDirs.runDir("bitemporal_q").toString
     // `rev` is the TRANSACTION-side ordering (which commit wrote the row) —
     // distinct from `ver` (the entity version): the closing row keeps
     // ver=1 semantically but must beat the open row it supersedes.

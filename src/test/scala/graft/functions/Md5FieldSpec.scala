@@ -96,5 +96,23 @@ class Md5FieldSpec extends SparkSpec {
       spark.sql("SELECT java_hash_bucket(s, length(s)) FROM md5f_args").collect()
     }
     assert(jh.getMessage.contains("java_hash_bucket"))
+    // ... and normalize_unicode's form argument (ADVICE r12: previously a
+    // bare es(1).eval().toString → IndexOutOfBounds/NPE on misuse)
+    val nuArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT normalize_unicode('x')").collect()
+    }
+    assert(nuArity.getMessage.contains("normalize_unicode") &&
+      nuArity.getMessage.contains("2"),
+      s"arity error must name the function and expected count: ${nuArity.getMessage}")
+    val nuFold = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT normalize_unicode(s, s) FROM md5f_args").collect()
+    }
+    assert(nuFold.getMessage.contains("normalize_unicode") &&
+      nuFold.getMessage.contains("foldable"),
+      s"non-literal form error must explain foldability: ${nuFold.getMessage}")
+    // the happy path still normalizes
+    val ok = spark.sql("SELECT normalize_unicode('é', 'NFC') AS n")
+      .collect().head.getString(0)
+    assert(ok == "é")
   }
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BASELINE.md §Amortization's required proof for the corpus-derived
+  * materializations in [[PipelineQueries]] (the [[GraphsSpec]] discipline):
+  * every once-per-process parquet artifact must equal a from-scratch
+  * recomputation off the base `documents` table on the same session. The
+  * driver's DuckDB oracles re-derive everything from `documents` on every
+  * run, so these tests are the local fast-feedback version of the same
+  * contract.
+  */
+class MaterializationSpec extends SparkSpec {
+
+  private def dir = sf()
+  private def docs = PipelineQueries.augmented(graft.Tables.documents(spark, dir))
+
+  test("shinglesParquet ≡ withShingles(augmented documents)") {
+    val mat = spark.read.parquet(PipelineQueries.shinglesParquet(spark, dir))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val fresh = graft.dedup.Dedup.withShingles(docs, 5)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("shingleTfParquet ≡ shingleTf(augmented documents)") {
+    val mat = spark.read.parquet(PipelineQueries.shingleTfParquet(spark, dir))
+    val fresh = graft.dedup.Dedup.shingleTf(docs, 5)
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized shingle TF diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("dupPairsParquet ≡ ngramJaccardPairs(augmented documents)") {
+    val mat = spark.read.parquet(PipelineQueries.dupPairsParquet(spark, dir))
+    val fresh = graft.dedup.Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.5)
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized near-dup pairs diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("minhashPairsParquet ≡ nearDuplicatesFromShingles(recomputed shingles)") {
+    val mat = spark.read.parquet(PipelineQueries.minhashPairsParquet(spark, dir))
+    val fresh = graft.dedup.MinHashLSH.nearDuplicatesFromShingles(
+      graft.dedup.Dedup.withShingles(docs, 5), numHashes = 64, bands = 16)
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized minhash pair table diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("componentsParquet ≡ connectedComponents(recomputed pairs)") {
+    val mat = spark.read.parquet(PipelineQueries.componentsParquet(spark, dir))
+    val fresh = graft.dedup.DupClusters.connectedComponents(
+      graft.dedup.Dedup.ngramJaccardPairs(docs, k = 5, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized components diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+}
