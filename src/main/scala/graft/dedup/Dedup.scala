@@ -141,13 +141,15 @@ object Dedup {
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-shingle cut counts DISTINCT docs (positional shingles repeat
-    // within a doc); corpus-sized on both sides -> shuffle joins, never
-    // a size-estimate-driven broadcast of exploded shingles
-    val rare = ps.select(col("id"), col("shingle")).distinct()
+    // within a doc), INVERTED to the metadata-sized >maxShingleFreq set so
+    // it broadcasts as an anti-join instead of a corpus-wide rare
+    // join-back shuffle (the jaccardPairsFromShingles r13 shape; result
+    // identical by complement)
+    val hot = ps.select(col("id"), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-      .filter(col("f") <= maxShingleFreq)
+      .filter(col("f") > maxShingleFreq)
       .select(col("shingle"))
-    val m = ps.hint("shuffle_hash").join(rare.hint("shuffle_hash"), Seq("shingle"))
+    val m = ps.join(broadcast(hot), Seq("shingle"), "left_anti")
     val matches = m.as("a").hint("shuffle_hash")
       .join(m.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -164,6 +166,146 @@ object Dedup {
       .filter(col("run_tokens") >= minRunTokens)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
+  }
+
+  /** Token-level BENCHMARK decontamination by verbatim run, the bipartite
+    * generalization of [[sharedTokenRuns]] (r12 verdict Next #6): flag
+    * corpus documents sharing a maximal run of `minRunTokens`+ identical
+    * consecutive TOKENS with any benchmark/eval document. The
+    * contiguous-run criterion is the signal [[graft.text.Curation
+    * .decontaminate]]'s scattered distinct-shingle count cannot express: a
+    * template sharing many isolated 5-grams is NOT a verbatim eval leak,
+    * while a 20-token quoted answer is — the standard "n-gram overlap at
+    * the token level" decontamination contract of LLM data pipelines.
+    *
+    * Mechanism: positional k-shingles on both sides; equal shingles at
+    * (pos_c, pos_b) lie on diagonal `pos_c − pos_b`, and a shared R-token
+    * run is a maximal stretch of R−k+1 consecutive diagonal matches —
+    * the same gaps-and-islands recovery as [[sharedTokenRuns]], with the
+    * corpus-side document-frequency cut as the hot-boilerplate valve
+    * (disclosed: a run through a >maxShingleFreq shingle is split; genuine
+    * verbatim leaks are made of rare shingles too).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    * the positional benchmark shingles broadcast; the corpus never
+    * self-joins — candidates are corpus-side probe hits only, and the
+    * islands window partitions by (corpus doc, bench doc, diag), keys
+    * bounded by document length. Output: one row per contaminated corpus
+    * doc (n_runs, n_bench_docs, max_run_tokens).
+    */
+  def benchmarkTokenRuns(corpus: DataFrame, benchmark: DataFrame, k: Int,
+                         minRunTokens: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxShingleFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val parallelism = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    def positional(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__sh", positionalShingles(col("__toks"), k))
+      .select(col("id"), col("__sh"))
+      // array frame persisted before the explode (object doc rule 1: the
+      // cache is the pushdown boundary for the posexplode's constraints)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+    val cp = positional(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bp = positional(benchmark)
+      .select(col("id").as("bid"), col("pos").as("bpos"), col("shingle"))
+    // the df cut INVERTED: the >maxShingleFreq HOT set is metadata-sized
+    // (boilerplate shingles only), so it broadcasts as an anti-join and the
+    // corpus-wide rare JOIN-BACK shuffle disappears — the bench probe and
+    // the hot filter are then both map-side; the only shuffles left are the
+    // df aggregate and the islands window over match rows
+    val hot = cp.select(col("id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxShingleFreq)
+      .select(col("shingle"))
+    val matches = cp
+      .join(broadcast(bp), Seq("shingle"))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("id"), col("bid"), col("pos").as("pos_c"),
+        (col("pos") - col("bpos")).as("diag"))
+    val w = Window.partitionBy(col("id"), col("bid"), col("diag"))
+      .orderBy(col("pos_c"))
+    matches
+      .withColumn("__island", col("pos_c") - (row_number().over(w) - lit(1)))
+      .groupBy(col("id"), col("bid"), col("diag"), col("__island"))
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("bid")).as("n_bench_docs"),
+        max(col("run_tokens")).as("max_run_tokens"))
+  }
+
+  /** Cross-snapshot incremental NEAR-DUP dedup (r12 verdict Next #6 —
+    * the versioned-family marriage): given the accumulated corpus
+    * snapshot's shingle frame and a CDC-insert delta's, decide per delta
+    * doc whether it near-duplicates (exact Jaccard ≥ threshold) anything
+    * already in the corpus OR an EARLIER delta doc (lower id — the
+    * deterministic arrival order), the production crawl-ingest filter
+    * [[dedupAgainstCorpus]] can't express (that one is exact-hash only).
+    *
+    * Candidates come from the shared-shingle equi-join with the usual
+    * df cut computed over base ∪ delta (stop-shingles make candidates,
+    * not matches); verification is the exact array_intersect Jaccard of
+    * [[prefixFilterJaccardPairsFromShingles]]. Output: one row per delta
+    * doc — (doc_id, n_dups, kept). At 100 TB the corpus is never
+    * re-shingled (its frame is the materialized artifact) and never
+    * self-joined: only delta-side probe collisions generate work.
+    */
+  def dedupDeltaAgainstCorpus(baseSh: DataFrame, deltaSh: DataFrame,
+                              threshold: Double,
+                              maxShingleFreq: Int = 1000): DataFrame = {
+    // sizes ride the explode as size(sh) (the prefix-filter discipline —
+    // no per-id aggregate, no sizes join), and the whole decision is ONE
+    // shingle-keyed shuffle join + one pair aggregate: the intersection is
+    // counted in the candidate join itself, in the df-PRUNED space (hot
+    // shingles contribute candidates, not matches — the
+    // [[ngramJaccardPairs]] contract, mirrored by the consumer's oracle),
+    // against FULL distinct sizes
+    val dArr = deltaSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bArr = baseSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dEx = dArr.select(col("id"), size(col("sh")).cast("long").as("__n_d"),
+        explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bEx = bArr.select(col("id"), explode(col("sh")).as("shingle"))
+    // the df cut INVERTED (the benchmarkTokenRuns discipline): the
+    // >maxShingleFreq HOT set is metadata-sized, so both join sides take a
+    // broadcast anti-join instead of a corpus-wide rare join-back shuffle
+    val hot = bEx.select(col("shingle")).unionAll(dEx.select(col("shingle")))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxShingleFreq).select(col("shingle"))
+    // matches: delta doc d vs corpus doc, or delta doc d vs EARLIER delta
+    // doc (id <) — one equi-join against the union of both sides, counting
+    // shared rare shingles per pair directly (no distinct, no verify join)
+    val rhs = bArr.select(col("id").as("rid"), size(col("sh")).cast("long").as("__n_r"),
+        explode(col("sh")).as("shingle"), lit(true).as("__corpus"))
+      .unionByName(dArr.select(col("id").as("rid"),
+        size(col("sh")).cast("long").as("__n_r"),
+        explode(col("sh")).as("shingle"), lit(false).as("__corpus")))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val inter = dEx
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .hint("shuffle_hash")
+      .join(rhs.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("__corpus") || col("rid") < col("id"))
+      .groupBy(col("id"), col("rid"), col("__n_d"), col("__n_r"))
+      .agg(count(lit(1)).as("__i"))
+    val dups = inter
+      .filter(col("__i").cast("double") >=
+        lit(threshold) * (col("__n_d") + col("__n_r") - col("__i")).cast("double"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    dArr.select(col("id").as("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("kept", col("n_dups") === 0L)
   }
 
   /** (id, sh) with the token array materialized in its own projection and the
@@ -313,28 +455,28 @@ object Dedup {
     */
   def jaccardPairsFromShingles(shArr: DataFrame, threshold: Double,
                                maxShingleFreq: Int = 1000): DataFrame = {
-    // exploded shingles feed three branches (sizes, both join sides): persist.
+    // sizes ride the explode as size(sh) (distinct arrays), so there is no
+    // per-id aggregate and no sizes join; the frequency cut is INVERTED —
+    // the >maxShingleFreq HOT set is metadata-sized (boilerplate only), so
+    // it broadcasts as an anti-join and the corpus-wide rare JOIN-BACK
+    // shuffle disappears (r13; result set identical by complement).
     // Shingles are already 64-bit hashes (see [[shinglesFromTokens]]) — the
-    // join/shuffle key is 8 bytes with cheap equality
+    // self-join key is 8 bytes with cheap equality; both sides are
+    // corpus-sized, so shuffle-hash hints keep file-size-derived estimates
+    // from broadcasting millions of exploded rows
     val sh = shArr
-      .select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id"), size(col("sh")).cast("long").as("__n"),
+        explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    // the shingle-keyed joins are corpus-sized on BOTH sides: hint shuffle
-    // joins so the optimizer's file-size-derived estimates (tiny parquet →
-    // "broadcastable") can't broadcast millions of exploded shingle rows
-    val filtered = sh.hint("shuffle_hash").join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq)
-        .hint("shuffle_hash"),
-      Seq("shingle"))
-    val pairs = filtered.as("a").hint("shuffle_hash")
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxShingleFreq).select(col("shingle"))
+    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    filtered.as("a").hint("shuffle_hash")
       .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__n").as("size_a"), col("b.__n").as("size_b"))
       .agg(count(lit(1)).as("intersection"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("jaccard",
         col("intersection").cast("double") /
           (col("size_a") + col("size_b") - col("intersection")).cast("double"))
@@ -363,25 +505,22 @@ object Dedup {
     */
   def containmentPairsFromShingles(shingled: DataFrame, threshold: Double,
                                    maxShingleFreq: Int = 1000): DataFrame = {
+    // sizes ride the explode; hot-set broadcast anti instead of the rare
+    // join-back (the [[jaccardPairsFromShingles]] r13 shape — result set
+    // identical by complement)
     val sh = shingled
+      .select(col("id"), size(col("sh")).cast("long").as("__n"),
+        explode(col("sh")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val filtered = sh.hint("shuffle_hash").join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("f"))
-        .filter(col("f") <= maxShingleFreq).hint("shuffle_hash"),
-      Seq("shingle"))
-    val pairs = filtered.as("a").hint("shuffle_hash")
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+      .filter(col("f") > maxShingleFreq).select(col("shingle"))
+    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    filtered.as("a").hint("shuffle_hash")
       .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.__n").as("size_a"), col("b.__n").as("size_b"))
       .agg(count(lit(1)).as("intersection"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("containment_a",
         col("intersection").cast("double") / col("size_a").cast("double"))
       .withColumn("containment_b",
@@ -540,10 +679,12 @@ object Dedup {
     */
   def tfCosinePairsFromTf(tf: DataFrame, threshold: Double,
                           maxShingleFreq: Int = 1000): DataFrame = {
-    val pruned = tf.hint("shuffle_hash").join(
-        tf.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleFreq).hint("shuffle_hash"),
-        Seq("shingle"))
+    // df cut INVERTED to the metadata-sized hot set (broadcast anti-join,
+    // no corpus-wide rare join-back; result identical by complement)
+    val pruned = tf.join(
+        broadcast(tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select(col("shingle"))),
+        Seq("shingle"), "left_anti")
       .select(col("id"), col("shingle"), col("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = pruned.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("norm2"))

@@ -78,6 +78,82 @@ object CurationQueries {
       |FROM csh JOIN bsh USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Token-level decontamination by VERBATIM RUN
+    * ([[graft.dedup.Dedup.benchmarkTokenRuns]]), the contiguous-overlap
+    * complement of [[decontaminateQ]]'s scattered distinct-shingle count:
+    * corpus docs sharing a ≥15-token consecutive run with any benchmark
+    * doc. Planted leaks: full copies (`xleak ` prefix, +3M — the run is
+    * the whole benchmark doc) and PARTIAL quotes (the benchmark doc's
+    * first 25 tokens + a fixed tail, +4M — max_run pins to
+    * min(25, doc tokens), which the full-copy signal can't distinguish).
+    * The oracle replays positional shingles, the corpus-df cut, the
+    * bipartite diagonal islands, and both aggregates — all integer/string
+    * work, exact.
+    */
+  private def decontaminateRunsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 3)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("xleak "), col("text")).as("text")))
+      .unionByName(bench.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 25)),
+          lit(" zqta zqtb zqtc zqtd")).as("text")))
+    graft.dedup.Dedup.benchmarkTokenRuns(corpus, bench, k = 5,
+        minRunTokens = 15)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateRunsOracle =
+    """WITH bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'xleak ' || text FROM bdocs
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    array_to_string(string_split_regex(text, '\s+')[1:25], ' ')
+      |      || ' zqta zqtb zqtc zqtd'
+      |  FROM bdocs
+      |),
+      |ctok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corpus),
+      |cps AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(t) - 4)) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      |  FROM ctok WHERE len(t) >= 5
+      |),
+      |btok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM bdocs),
+      |bps AS (
+      |  SELECT doc_id AS bid,
+      |    unnest(range(0, len(t) - 4)) AS bpos,
+      |    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      |  FROM btok WHERE len(t) >= 5
+      |),
+      |rare AS (
+      |  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM cps)
+      |  GROUP BY shingle HAVING count(*) <= 1000
+      |),
+      |m AS (
+      |  SELECT c.doc_id, b.bid, c.pos AS pos_c, c.pos - b.bpos AS diag
+      |  FROM cps c JOIN rare USING (shingle) JOIN bps b USING (shingle)
+      |),
+      |runs AS (
+      |  SELECT doc_id, bid, diag,
+      |    pos_c - (row_number() OVER (PARTITION BY doc_id, bid, diag ORDER BY pos_c) - 1) AS island
+      |  FROM m
+      |),
+      |agg AS (
+      |  SELECT doc_id, bid, diag, island,
+      |    CAST(count(*) + 4 AS BIGINT) AS run_tokens
+      |  FROM runs GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(count(DISTINCT bid) AS BIGINT) AS n_bench_docs,
+      |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+      |FROM agg WHERE run_tokens >= 15
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- repetition features -------------------------------------------------
 
   private val spam = " spam spam spam spam spam spam spam spam"
@@ -892,6 +968,7 @@ object CurationQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (packQ _),
     "q_decontaminate" -> (decontaminateQ _),
+    "q_decontaminate_runs" -> (decontaminateRunsQ _),
     "q_repetition" -> (repetitionQ _),
     "q_pii_redact" -> (piiQ _),
     "q_token_budget" -> (tokenBudgetQ _),
@@ -922,6 +999,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q_pack_sequences" -> packOracle,
     "q_decontaminate" -> decontaminateOracle,
+    "q_decontaminate_runs" -> decontaminateRunsOracle,
     "q_repetition" -> repetitionOracle,
     "q_pii_redact" -> piiOracle,
     "q_token_budget" -> tokenBudgetOracle,

@@ -1868,6 +1868,26 @@ object PipelineQueries {
   private val shingleTfPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Distinct k=5 shingle arrays of the RAW documents table (no
+    * augmentation), materialized once per process per sf dir — the frame
+    * the versioned-fixture consumers start from: shingling is per-doc, so
+    * any doc_id-filter of this table equals `withShingles` of the same
+    * document subset (the v1/v2/delta snapshots of the `mh_inc` fixture
+    * are all doc_id-selections of raw `documents`). BASELINE.md
+    * §Amortization; MaterializationSpec proves table ≡ recomputation;
+    * consumers' oracles re-derive from `documents`.
+    */
+  private[graft] def rawShinglesParquet(s: SparkSession, dir: String): String =
+    rawShinglesPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("raw_shingles")
+      Dedup.withShingles(Tables.documents(s, dir).select(col("doc_id"), col("text")), 5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val rawShinglesPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   /** Banded-LSH near-dup pair table (64 hashes / 16 bands, each pair
     * exact-verified at j ≥ 0.8 in-plan) over the augmented corpus,
     * materialized once per process per sf dir. Generation stays charged

@@ -140,6 +140,28 @@ object ScaleProbe {
         graft.dedup.Dedup.ngramJaccardPairs(d, k = 5, threshold = 0.5)),
       ("sharedTokenRuns", false, "N", d =>
         graft.dedup.Dedup.sharedTokenRuns(d, k = 5, minRunTokens = 10)),
+      // r13 bipartite run decontamination: the per-replica bench split is
+      // replica-invariant (mod 10M first), vocab disjointness kills cross-
+      // replica matches, and the corpus-df cut is within-replica — so
+      // flagged rows must replay exactly Nx while the benchmark side stays
+      // a broadcast at every tier
+      ("benchTokenRuns", false, "N", { d =>
+        val bench = d.filter(col("doc_id") % 10000000L % 97 === 3)
+        val corpus = d.filter(col("doc_id") % 10000000L % 97 =!= 3)
+        graft.dedup.Dedup.benchmarkTokenRuns(corpus, bench,
+          k = 5, minRunTokens = 15)
+      }),
+      // r13 cross-snapshot dedup decision: base/delta split replica-
+      // invariant; the planted +5M near-dups land on deterministic sides
+      // of the split, so keep/drop rows replay exactly Nx and the delta-
+      // side probe join must stay O(delta + collisions)
+      ("dedupCrossSnapshot", false, "N", { d =>
+        val base = d.filter(col("doc_id") % 10000000L % 7 =!= 0)
+        val delta = d.filter(col("doc_id") % 10000000L % 7 === 0)
+        graft.dedup.Dedup.dedupDeltaAgainstCorpus(
+          graft.dedup.Dedup.withShingles(base, 5),
+          graft.dedup.Dedup.withShingles(delta, 5), threshold = 0.5)
+      }),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
       // the sketch path too, band-collision noise notwithstanding

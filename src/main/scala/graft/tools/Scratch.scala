@@ -4,8 +4,9 @@ import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage-by-stage timing scratchpad (current target: the
-  * q_er_entities hot path — blocked Levenshtein join vs CC rounds).
+/** Dev-only stage-by-stage timing scratchpad (current target: what does
+  * re-tokenizing `documents` cost per pass vs reading a materialized
+  * token-array parquet).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -29,30 +30,23 @@ object Scratch {
       spark.sharedState.cacheManager.clearCache()
     }
     val docs = Tables.documents(spark, dir)
-    val keys = docs.select(col("doc_id"), substring(col("text"), 1, 20).as("k0"))
-    val twins = keys.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat(substring(col("k0"), 1, 10), lit("X"),
-          substring(col("k0"), 12, 9)).as("k0"))
+    val p = "/tmp/graft_scratch_toks"
+    docs.select(col("doc_id"), col("source"),
+        split(col("text"), "\\s+").as("toks"))
+      .write.mode("overwrite").parquet(p)
     (1 to 3).foreach { it =>
-      time(s"[$it] keys+twins count") {
-        keys.unionByName(twins).agg(count(lit(1))).collect()
+      time(s"[$it] docs scan only (count rows)") {
+        docs.agg(count(lit(1))).collect()
       }
-      var pairsCkpt: org.apache.spark.sql.DataFrame = null
-      time(s"[$it] editDistancePairs + ckpt") {
-        pairsCkpt = graft.dedup.Dedup.editDistancePairs(
-            keys.unionByName(twins), "k0", maxDist = 3, prefixLen = 6)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+      time(s"[$it] split+explode+term agg FROM TEXT") {
+        docs.select(explode(split(col("text"), "\\s+")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)))
+          .agg(count(lit(1)), sum(col("count(1)"))).collect()
       }
-      time(s"[$it] CC pinned 8") {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try graft.dedup.DupClusters.connectedComponents(pairsCkpt)
-          .groupBy(col("component"))
-          .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
-          .agg(count(lit(1))).collect()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      time(s"[$it] explode+term agg FROM TOKEN PARQUET") {
+        spark.read.parquet(p).select(explode(col("toks")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)))
+          .agg(count(lit(1)), sum(col("count(1)"))).collect()
       }
     }
     spark.stop()

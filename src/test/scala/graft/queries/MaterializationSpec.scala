@@ -51,6 +51,36 @@ class MaterializationSpec extends SparkSpec {
     assert(mat.count() > 0L)
   }
 
+  test("rawShinglesParquet ≡ withShingles(raw documents)") {
+    val mat = spark.read.parquet(PipelineQueries.rawShinglesParquet(spark, dir))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val fresh = graft.dedup.Dedup.withShingles(
+        graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")), 5)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized raw shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("xsnapShinglesParquet ≡ withShingles(xsnap fixture v2 = base + planted delta)") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = docs // base (%7 != 0) ∪ delta (%7 == 0) = all raw docs, plus:
+      .unionByName(docs.filter(col("doc_id") % 21 === 1)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 21 === 2)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("zqxnear "), col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 21 === 7)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+    val fresh = graft.dedup.Dedup.withShingles(v2, 5)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val mat = spark.read.parquet(VersionedQueries.xsnapShinglesParquet(spark, dir))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized xsnap shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
   test("componentsParquet ≡ connectedComponents(recomputed pairs)") {
     val mat = spark.read.parquet(PipelineQueries.componentsParquet(spark, dir))
     val fresh = graft.dedup.DupClusters.connectedComponents(
