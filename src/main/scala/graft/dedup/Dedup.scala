@@ -118,25 +118,41 @@ object Dedup {
     * granular keys bounded by document length, so no reducer ever sees more
     * than one pair-diagonal. Skew valve = the frequency cut.
     */
-  def sharedTokenRuns(docs: DataFrame, k: Int, minRunTokens: Int,
-                      idCol: String = "doc_id", textCol: String = "text",
-                      maxShingleFreq: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+  /** The positional k-shingle ARRAY frame `(id, __sh)` both run detectors
+    * start from — exposed so callers can materialize it once per corpus
+    * (BASELINE.md §Amortization). Persisted before any explode (object doc
+    * rule 1 — the cache is the pushdown boundary; without it the
+    * posexplode's inferred constraints substitute the shingle lambda, with
+    * `split` re-inlined per element, into the scan: measured 22 s → 1 s).
+    */
+  def positionalArrays(docs: DataFrame, k: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // persist the ARRAY frame before exploding (object doc rule 1 — the
-    // cache is the pushdown boundary; without it the posexplode's inferred
-    // constraints substitute the shingle lambda, with `split` re-inlined
-    // per element, into the scan: measured 22 s → 1 s on this operator),
-    // then persist the exploded frame too (it feeds the frequency cut and
-    // both join sides, like noveltyScores)
-    val arr = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
       .withColumn("__toks", tokens(col("__text")))
       .filter(size(col("__toks")) >= k)
       .withColumn("__sh", positionalShingles(col("__toks"), k))
       .select(col("id"), col("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def sharedTokenRuns(docs: DataFrame, k: Int, minRunTokens: Int,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxShingleFreq: Int = 1000): DataFrame =
+    sharedTokenRunsFromPositional(positionalArrays(docs, k, idCol, textCol),
+      k, minRunTokens, maxShingleFreq)
+
+  /** [[sharedTokenRuns]] with the `(id, __sh)` positional-array frame
+    * supplied by the caller (BASELINE.md §Amortization: shingling
+    * amortizes; the df cut, candidate join, islands window, and per-pair
+    * aggregate all stay inside the caller's timer).
+    */
+  def sharedTokenRunsFromPositional(arr: DataFrame, k: Int, minRunTokens: Int,
+                                    maxShingleFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
     val ps = arr
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -196,24 +212,29 @@ object Dedup {
   def benchmarkTokenRuns(corpus: DataFrame, benchmark: DataFrame, k: Int,
                          minRunTokens: Int,
                          idCol: String = "doc_id", textCol: String = "text",
-                         maxShingleFreq: Int = 1000): DataFrame = {
+                         maxShingleFreq: Int = 1000): DataFrame =
+    benchmarkTokenRunsFromPositional(
+      positionalArrays(corpus, k, idCol, textCol), benchmark,
+      k, minRunTokens, idCol, textCol, maxShingleFreq)
+
+  /** [[benchmarkTokenRuns]] with the CORPUS positional-array frame
+    * supplied by the caller (BASELINE.md §Amortization: corpus shingling
+    * amortizes; the benchmark side — tiny by contract — is shingled in
+    * place, and the df cut, probe join, islands window, and aggregates
+    * stay inside the caller's timer).
+    */
+  def benchmarkTokenRunsFromPositional(cpArr: DataFrame, benchmark: DataFrame,
+                                       k: Int, minRunTokens: Int,
+                                       idCol: String = "doc_id",
+                                       textCol: String = "text",
+                                       maxShingleFreq: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
-    val parallelism = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    def positional(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(parallelism)
-      .withColumn("__toks", tokens(col("__text")))
-      .filter(size(col("__toks")) >= k)
-      .withColumn("__sh", positionalShingles(col("__toks"), k))
-      .select(col("id"), col("__sh"))
-      // array frame persisted before the explode (object doc rule 1: the
-      // cache is the pushdown boundary for the posexplode's constraints)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = cpArr
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
-    val cp = positional(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bp = positional(benchmark)
+    val bp = positionalArrays(benchmark, k, idCol, textCol)
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .select(col("id").as("bid"), col("pos").as("bpos"), col("shingle"))
     // the df cut INVERTED: the >maxShingleFreq HOT set is metadata-sized
     // (boilerplate shingles only), so it broadcasts as an anti-join and the

@@ -90,17 +90,40 @@ object CurationQueries {
     * bipartite diagonal islands, and both aggregates — all integer/string
     * work, exact.
     */
-  private def decontaminateRunsQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  private def deconCorpus(docs: DataFrame): DataFrame = {
     val bench = docs.filter(col("doc_id") % 97 === 3)
-    val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+    docs.filter(col("doc_id") % 97 =!= 3)
       .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("xleak "), col("text")).as("text")))
       .unionByName(bench.select((col("doc_id") + 4000000L).as("doc_id"),
         concat(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 25)),
           lit(" zqta zqtb zqtc zqtd")).as("text")))
-    graft.dedup.Dedup.benchmarkTokenRuns(corpus, bench, k = 5,
-        minRunTokens = 15)
+  }
+
+  /** Positional shingle arrays of the leak-augmented decon corpus,
+    * materialized once per process per sf dir (BASELINE.md §Amortization:
+    * corpus shingling amortizes; the benchmark side is shingled per pass
+    * and the run detection stays timed; MaterializationSpec proves
+    * table ≡ recomputation; the oracle re-derives from `documents`).
+    */
+  private[graft] def deconPositionalParquet(s: SparkSession, dir: String): String =
+    deconPositionalPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("decon_pos")
+      graft.dedup.Dedup.positionalArrays(
+          deconCorpus(Tables.documents(s, dir).select(col("doc_id"), col("text"))), 5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val deconPositionalPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def decontaminateRunsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 3)
+    graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
+        s.read.parquet(deconPositionalParquet(s, dir)), bench,
+        k = 5, minRunTokens = 15)
       .orderBy(col("doc_id"))
   }
 

@@ -249,9 +249,13 @@ object PipelineQueries {
     * diagonal gaps-and-islands, and the per-pair aggregate — all
     * integer/string work, so the comparison is exact.
     */
+  // run detection (df cut, candidate join, islands window, aggregates)
+  // stays timed; positional shingling reads the shared corpus artifact
+  // (BASELINE.md §Amortization; the oracle re-derives from `documents`)
   private def sharedRunsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.sharedTokenRuns(augmented(Tables.documents(s, dir)), k = 5,
-        minRunTokens = 15)
+    Dedup.sharedTokenRunsFromPositional(
+        s.read.parquet(positionalShinglesParquet(s, dir)),
+        k = 5, minRunTokens = 15)
       .orderBy(col("id_a"), col("id_b"))
 
   private val sharedRunsOracle =
@@ -1886,6 +1890,24 @@ object PipelineQueries {
     })
 
   private val rawShinglesPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Positional k=5 shingle arrays `(id, __sh)` of the augmented corpus,
+    * materialized once per process per sf dir — the frame the verbatim-run
+    * detector starts from (BASELINE.md §Amortization: shingling amortizes;
+    * the df cut, candidate join, islands window, and per-pair aggregate
+    * stay timed; MaterializationSpec proves table ≡ recomputation; the
+    * consumer's oracle re-derives positional shingles from `documents`).
+    */
+  private[graft] def positionalShinglesParquet(s: SparkSession, dir: String): String =
+    positionalShinglesPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("pos_shingles")
+      Dedup.positionalArrays(augmented(Tables.documents(s, dir)), 5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val positionalShinglesPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
   /** Banded-LSH near-dup pair table (64 hashes / 16 bands, each pair

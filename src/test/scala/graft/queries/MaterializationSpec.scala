@@ -81,6 +81,34 @@ class MaterializationSpec extends SparkSpec {
     assert(mat.count() > 0L)
   }
 
+  test("positionalShinglesParquet ≡ positionalArrays(augmented documents)") {
+    val mat = spark.read.parquet(PipelineQueries.positionalShinglesParquet(spark, dir))
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+    val fresh = graft.dedup.Dedup.positionalArrays(docs, 5)
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized positional shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("deconPositionalParquet ≡ positionalArrays(leak-augmented corpus)") {
+    val raw = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = raw.filter(col("doc_id") % 97 === 3)
+    val corpus = raw.filter(col("doc_id") % 97 =!= 3)
+      .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("xleak "), col("text")).as("text")))
+      .unionByName(bench.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 25)),
+          lit(" zqta zqtb zqtc zqtd")).as("text")))
+    val mat = spark.read.parquet(CurationQueries.deconPositionalParquet(spark, dir))
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+    val fresh = graft.dedup.Dedup.positionalArrays(corpus, 5)
+      .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized decon positional shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
   test("componentsParquet ≡ connectedComponents(recomputed pairs)") {
     val mat = spark.read.parquet(PipelineQueries.componentsParquet(spark, dir))
     val fresh = graft.dedup.DupClusters.connectedComponents(
