@@ -44,9 +44,24 @@ object TempDirs {
       }
     } catch { case _: Throwable => () } // best-effort: never fail a query over cleanup
 
-  /** A fresh run dir for `tag`, deleting the tag's previous dir first. */
+  /** A fresh run dir for `tag`, deleting the tag's previous dir first.
+    * The delete runs on a daemon thread: `runDir` is called inside timed
+    * query bodies, and reclaiming the PREVIOUS run's checkpoint/sink tree
+    * (dozens of small files) is cleanup, not the operator under test. The
+    * old dir is atomically renamed out of the way first, so the new run
+    * can never collide with a half-deleted tree.
+    */
   def runDir(tag: String): Path = {
-    byTag.remove(tag).foreach { old => all.remove(old); deleteRecursively(old) }
+    byTag.remove(tag).foreach { old =>
+      all.remove(old)
+      val doomed = try {
+        val d = old.resolveSibling(old.getFileName.toString + ".del")
+        Files.move(old, d); d
+      } catch { case _: Throwable => old }
+      val t = new Thread(() => deleteRecursively(doomed))
+      t.setDaemon(true)
+      t.start()
+    }
     val p = Files.createTempDirectory(s"graft_${tag}_")
     byTag.put(tag, p)
     all.add(p)

@@ -339,15 +339,18 @@ object AnalyticsQueries {
     * CALLER CONTRACT (ADVICE r12): the conf is restored when `f`
     * returns, so a kernel that merely BUILDS a lazy plan inside the
     * block gets NO pin — `f` must eagerly materialize every round it
-    * wants pinned. Audited: all eight call sites comply — per-round
+    * wants pinned. Audited: all call sites comply — per-round
     * `localCheckpoint(eager = true)` in labelPropagation
     * (DupClusters.scala:147,161), kCorePeel (:242,250),
     * pageRankFixedPoint (:428), personalizedPageRank (:474), HyperBall
     * (HyperBall.scala:75,82); driver-side `count()`/`collect()` per
-    * round in Perceptron.trainAudit (Perceptron.scala:77-82); and the
-    * explicit `.localCheckpoint(eager = true)` epilogues of twoHopQ and
-    * erEntitiesQ (whose CPU-bound Levenshtein join is checkpointed
-    * BEFORE the pin at session parallelism — only the CC rounds pin). A
+    * round in Perceptron.trainAudit (Perceptron.scala:77-82); and
+    * twoHopQ's explicit `.localCheckpoint(eager = true)` epilogue.
+    * (erEntitiesQ was pinned in r13 and REVERTED: the extra eager
+    * checkpoint of its CPU-bound Levenshtein join cost more than the
+    * 8-partition CC rounds saved — the pin pays off only when the
+    * kernel's per-round frames are fixture-sized AND the pre-kernel work
+    * is cheap.) A
     * new call site around a lazy kernel must add the same eager
     * anchor or the pin silently evaporates. Session-conf mutation also
     * assumes strictly sequential query execution, which Bench/Verify

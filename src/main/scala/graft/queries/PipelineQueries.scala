@@ -3418,23 +3418,18 @@ object PipelineQueries {
     // prefixLen 6 (vs the pair query's 4): the operating-point knob the
     // scaladoc prescribes for heavy blocks — 284k candidates instead of
     // 492k on this corpus at a ~0.8% pair-recall cost
-    // two regimes, two partition counts: the blocked Levenshtein join is
-    // CPU-bound and wants every core (session default), materialized
-    // eagerly BEFORE the pin; the star-contraction CC rounds on the
-    // resulting ~10³-edge match graph are task-dispatch-bound like every
-    // other fixture-scale iterative kernel (withKernelShufflePartitions
-    // scaladoc) and run pinned at 8 — CC's per-round localCheckpoints are
-    // eager, so the pin bites
+    // NOT pinned: the r13 A/B (bench 2.15 vs r12's 2.04-window 1.96, a
+    // +0.3 real regression) showed the extra eager checkpoint of the
+    // CPU-bound Levenshtein join costs more than the 8-partition CC
+    // rounds save here — unlike the planted-graph kernels, CC's entry
+    // already localCheckpoints the (small) pair set internally and the
+    // join itself wants all 32 cores
     val pairs = Dedup.editDistancePairs(keys.unionByName(twins), "k0",
       maxDist = 3, prefixLen = 6).select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      DupClusters.connectedComponents(pairs)
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
-        .orderBy(col("component"))
-        .localCheckpoint(true)
-    }
+    DupClusters.connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_records"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("component"))
   }
 
   private val erEntitiesOracle =

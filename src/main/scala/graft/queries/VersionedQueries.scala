@@ -469,7 +469,7 @@ object VersionedQueries {
     * `q_incremental_dedup` is this decision at exact-hash level;
     * `q_minhash_incremental` maintains the sketch index across the same
     * snapshot boundary — this is the missing third leg: the keep/drop
-    * verdict itself. Oracle: full replay from `documents` (the %7/%21
+    * verdict itself. Oracle: full replay from `documents` (the %7/%63
     * splits), shingle sets, df cut, candidate rule, exact Jaccard.
     */
   private[graft] def xsnapFixture(s: SparkSession, dir: String): String = {
@@ -478,12 +478,12 @@ object VersionedQueries {
       Versioned.commit(docs.filter(col("doc_id") % 7 =!= 0), t)
       Versioned.commitAtomic(
         docs.filter(col("doc_id") % 7 === 0)
-          .unionByName(docs.filter(col("doc_id") % 21 === 1)
+          .unionByName(docs.filter(col("doc_id") % 63 === 1)
             .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
-          .unionByName(docs.filter(col("doc_id") % 21 === 2)
+          .unionByName(docs.filter(col("doc_id") % 63 === 2)
             .select((col("doc_id") + 5000000L).as("doc_id"),
               concat(lit("zqxnear "), col("text")).as("text")))
-          .unionByName(docs.filter(col("doc_id") % 21 === 7)
+          .unionByName(docs.filter(col("doc_id") % 63 === 7)
             .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))),
         t)
     }
@@ -533,11 +533,11 @@ object VersionedQueries {
       |delta AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 21 = 1
+      |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 63 = 1
       |  UNION ALL
-      |  SELECT doc_id + 5000000, 'zqxnear ' || text FROM documents WHERE doc_id % 21 = 2
+      |  SELECT doc_id + 5000000, 'zqxnear ' || text FROM documents WHERE doc_id % 63 = 2
       |  UNION ALL
-      |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 21 = 7
+      |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 63 = 7
       |),
       |bsh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (

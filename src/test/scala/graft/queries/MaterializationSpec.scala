@@ -65,12 +65,12 @@ class MaterializationSpec extends SparkSpec {
   test("xsnapShinglesParquet ≡ withShingles(xsnap fixture v2 = base + planted delta)") {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val v2 = docs // base (%7 != 0) ∪ delta (%7 == 0) = all raw docs, plus:
-      .unionByName(docs.filter(col("doc_id") % 21 === 1)
+      .unionByName(docs.filter(col("doc_id") % 63 === 1)
         .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
-      .unionByName(docs.filter(col("doc_id") % 21 === 2)
+      .unionByName(docs.filter(col("doc_id") % 63 === 2)
         .select((col("doc_id") + 5000000L).as("doc_id"),
           concat(lit("zqxnear "), col("text")).as("text")))
-      .unionByName(docs.filter(col("doc_id") % 21 === 7)
+      .unionByName(docs.filter(col("doc_id") % 63 === 7)
         .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
     val fresh = graft.dedup.Dedup.withShingles(v2, 5)
       .select(col("id"), explode(col("sh")).as("shingle"))
