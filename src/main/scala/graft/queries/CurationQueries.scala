@@ -118,13 +118,20 @@ object CurationQueries {
   private val deconPositionalPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  // pinned at 8 with an eager epilogue (the withKernelShufflePartitions
+  // contract): corpus shingling is amortized to the materialized table,
+  // so the remaining stages (df aggregate, broadcast probe, islands
+  // window over the small match set) are fixture-scale shuffles
   private def decontaminateRunsQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val bench = docs.filter(col("doc_id") % 97 === 3)
-    graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
-        s.read.parquet(deconPositionalParquet(s, dir)), bench,
-        k = 5, minRunTokens = 15)
-      .orderBy(col("doc_id"))
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
+          s.read.parquet(deconPositionalParquet(s, dir)), bench,
+          k = 5, minRunTokens = 15)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
   }
 
   private val decontaminateRunsOracle =

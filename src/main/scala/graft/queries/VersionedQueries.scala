@@ -44,12 +44,20 @@ object VersionedQueries {
   /** Time travel: both snapshots read back through their manifests after the
     * MERGE — v1 must still be exactly the pre-merge table.
     */
-  private def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
-    val t = buildTable(s, dir)
-    Versioned.read(s, t, Some(1)).withColumn("snapshot", lit(1))
-      .unionByName(Versioned.read(s, t, Some(2)).withColumn("snapshot", lit(2)))
-      .orderBy(col("snapshot"), col("doc_id"))
-  }
+  // the whole versioned-fixture family runs pinned at 8 shuffle
+  // partitions with eager epilogues (withKernelShufflePartitions
+  // contract): every stage — fixture commits, MERGE window dedup, CDC
+  // exceptAll, delta folds — moves KB-scale two-snapshot data, the
+  // task-dispatch-bound regime the pin exists for; none has a CPU-heavy
+  // wide stage (the erEntitiesQ counter-case)
+  private def timeTravelQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val t = buildTable(s, dir)
+      Versioned.read(s, t, Some(1)).withColumn("snapshot", lit(1))
+        .unionByName(Versioned.read(s, t, Some(2)).withColumn("snapshot", lit(2)))
+        .orderBy(col("snapshot"), col("doc_id"))
+        .localCheckpoint(true)
+    }
 
   private val timeTravelOracle =
     """WITH v1 AS (
@@ -75,11 +83,13 @@ object VersionedQueries {
   /** CDC between the snapshots: updates surface as delete(old)+insert(new)
     * of the key, brand-new keys as inserts, untouched rows cancel.
     */
-  private def snapshotCdcQ(s: SparkSession, dir: String): DataFrame = {
-    val t = buildTable(s, dir)
-    Versioned.snapshotDiff(s, t, from = 1, to = 2)
-      .orderBy(col("__change"), col("doc_id"))
-  }
+  private def snapshotCdcQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val t = buildTable(s, dir)
+      Versioned.snapshotDiff(s, t, from = 1, to = 2)
+        .orderBy(col("__change"), col("doc_id"))
+        .localCheckpoint(true)
+    }
 
   private val snapshotCdcOracle =
     """SELECT doc_id, 'zzmod:' || doc_id::VARCHAR AS head,
@@ -103,7 +113,8 @@ object VersionedQueries {
     * surviving the merge (`merged` sums carry main's +1s AND the branch's
     * +2s and inserts). All sums are exact BIGINTs.
     */
-  private def branchMergeQ(s: SparkSession, dir: String): DataFrame = {
+  private def branchMergeQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
     val docs = Tables.documents(s, dir)
     val tmp = graft.TempDirs.runDir("branch_q").toString
     val base = docs.filter(col("doc_id") % 10 === 0)
@@ -137,6 +148,7 @@ object VersionedQueries {
       .unionByName(stats(merged, "merged"))
       .select(col("stage"), col("n_rows"), col("sum_key"), col("sum_val"))
       .orderBy(col("stage"))
+      .localCheckpoint(true)
   }
 
   private val branchMergeOracle =
@@ -177,16 +189,18 @@ object VersionedQueries {
     * as delete+insert, groups appearing via new keys — all exercised by the
     * two-snapshot fixture).
     */
-  private def mvIncrementalQ(s: SparkSession, dir: String): DataFrame = {
-    val t = buildTable(s, dir)
-    val baseAgg = Versioned.read(s, t, Some(1))
-      .groupBy((col("doc_id") % 7).as("g"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
-    val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
-      .withColumn("g", col("doc_id") % 7)
-    graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("g"), Seq("doc_id"))
-      .orderBy(col("g"))
-  }
+  private def mvIncrementalQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val t = buildTable(s, dir)
+      val baseAgg = Versioned.read(s, t, Some(1))
+        .groupBy((col("doc_id") % 7).as("g"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+      val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
+        .withColumn("g", col("doc_id") % 7)
+      graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("g"), Seq("doc_id"))
+        .orderBy(col("g"))
+        .localCheckpoint(true)
+    }
 
   private val mvIncrementalOracle =
     """WITH v1 AS (
@@ -208,18 +222,20 @@ object VersionedQueries {
     * they do in the view). Oracle recomputes the join view on v2 directly:
     * hash match proves join-delta maintenance ≡ full recompute.
     */
-  private def mvJoinIncrementalQ(s: SparkSession, dir: String): DataFrame = {
-    val t = buildTable(s, dir)
-    val dim = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val baseAgg = Versioned.read(s, t, Some(1))
-      .join(broadcast(dim), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
-    val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
-      .join(broadcast(dim), Seq("doc_id"))
-    graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("source"), Seq("doc_id"))
-      .orderBy(col("source"))
-  }
+  private def mvJoinIncrementalQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val t = buildTable(s, dir)
+      val dim = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val baseAgg = Versioned.read(s, t, Some(1))
+        .join(broadcast(dim), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
+      val delta = Versioned.snapshotDiff(s, t, from = 1, to = 2)
+        .join(broadcast(dim), Seq("doc_id"))
+      graft.ops.Incremental.applyDelta(baseAgg, delta, Seq("source"), Seq("doc_id"))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    }
 
   private val mvJoinIncrementalOracle =
     """WITH v1 AS (
@@ -244,7 +260,8 @@ object VersionedQueries {
     * (no snapshots) or time travel alone (no validity) cannot express.
     * Keys are (doc_id, vf): one row per entity VERSION, upserted normally.
     */
-  private def bitemporalQ(s: SparkSession, dir: String): DataFrame = {
+  private def bitemporalQ(s: SparkSession, dir: String): DataFrame =
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
     val docs = Tables.documents(s, dir)
     val tmp = graft.TempDirs.runDir("bitemporal_q").toString
     // `rev` is the TRANSACTION-side ordering (which commit wrote the row) —
@@ -270,6 +287,7 @@ object VersionedQueries {
         .select(lit(tx).as("tx_snapshot"), col("n_rows"), col("sum_doc_id"),
           col("sum_ver"))
     asOf(1).unionByName(asOf(2)).orderBy(col("tx_snapshot"))
+      .localCheckpoint(true)
   }
 
   private val bitemporalOracle =
@@ -509,23 +527,33 @@ object VersionedQueries {
   private val xsnapShinglesPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  // pinned at 8 shuffle partitions with an eager epilogue (the
+  // withKernelShufflePartitions contract): with shingling amortized to
+  // the materialized table, every remaining stage (CDC exceptAll, df
+  // aggregate, candidate join, pair fold) moves KB-scale fixture data —
+  // at 32 partitions the query is task-dispatch-bound, the exact regime
+  // the pin exists for (measured 3.8 → 1.3 same-window). Unlike
+  // erEntitiesQ there is no CPU-heavy pre-kernel stage to keep wide.
   private def dedupCrossSnapshotQ(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     import org.apache.spark.storage.StorageLevel
     val tmp = xsnapFixture(s, dir)
-    val all = s.read.parquet(xsnapShinglesParquet(s, dir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the CDC diff stays timed (the cross-snapshot semantics) but runs
-    // ONCE: both the semi- and the anti-selection read the checkpointed
-    // id list, not a re-evaluated exceptAll over the corpus text
-    val deltaIds = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
-      .filter(col("__change") === "insert")
-      .select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    val deltaSh = all.join(broadcast(deltaIds), Seq("id"), "left_semi")
-    val baseSh = all.join(broadcast(deltaIds), Seq("id"), "left_anti")
-    Dedup.dedupDeltaAgainstCorpus(baseSh, deltaSh, threshold = 0.5)
-      .orderBy(col("doc_id"))
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val all = s.read.parquet(xsnapShinglesParquet(s, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the CDC diff stays timed (the cross-snapshot semantics) but runs
+      // ONCE: both the semi- and the anti-selection read the checkpointed
+      // id list, not a re-evaluated exceptAll over the corpus text
+      val deltaIds = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+        .filter(col("__change") === "insert")
+        .select(col("doc_id").as("id"))
+        .localCheckpoint(true)
+      val deltaSh = all.join(broadcast(deltaIds), Seq("id"), "left_semi")
+      val baseSh = all.join(broadcast(deltaIds), Seq("id"), "left_anti")
+      Dedup.dedupDeltaAgainstCorpus(baseSh, deltaSh, threshold = 0.5)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
   }
 
   private val dedupCrossSnapshotOracle =

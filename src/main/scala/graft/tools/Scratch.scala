@@ -1,12 +1,10 @@
 package graft.tools
 
-import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage-by-stage timing scratchpad (current target: what does
-  * re-tokenizing `documents` cost per pass vs reading a materialized
-  * token-array parquet).
+/** Dev-only stage-by-stage timing scratchpad (current target:
+  * q_dedup_cross_snapshot volumes and stage split after the r13 rewrite).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -29,24 +27,35 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
     }
-    val docs = Tables.documents(spark, dir)
-    val p = "/tmp/graft_scratch_toks"
-    docs.select(col("doc_id"), col("source"),
-        split(col("text"), "\\s+").as("toks"))
-      .write.mode("overwrite").parquet(p)
+    import graft.queries.VersionedQueries
+    import graft.maintain.Versioned
+    import org.apache.spark.storage.StorageLevel
+    val shP = VersionedQueries.xsnapShinglesParquet(spark, dir)
+    val tmp = VersionedQueries.xsnapFixture(spark, dir)
+    val all0 = spark.read.parquet(shP)
+    println("[scratch] docs in v2 shingle table: " + all0.count())
+    val dIds = Versioned.snapshotDiff(spark, tmp, 1, 2)
+      .filter(col("__change") === "insert").select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    println("[scratch] delta docs: " + dIds.count())
+    val all = all0.persist(StorageLevel.MEMORY_AND_DISK)
+    val dArr = all.join(broadcast(dIds), Seq("id"), "left_semi")
+    val bArr = all.join(broadcast(dIds), Seq("id"), "left_anti")
+    val dEx = dArr.select(col("id"), explode(col("sh")).as("s"))
+    val bEx = bArr.select(col("id"), explode(col("sh")).as("s"))
+    println("[scratch] delta exploded rows: " + dEx.count())
+    println("[scratch] base exploded rows: " + bEx.count())
+    val hot = bEx.select(col("s")).unionAll(dEx.select(col("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") > 1000)
+    println("[scratch] hot shingles: " + hot.count())
+    val rhs = bEx.select(col("id").as("rid"), col("s"))
+      .unionByName(dEx.select(col("id").as("rid"), col("s")))
+    val coll = dEx.hint("shuffle_hash").join(rhs.hint("shuffle_hash"), Seq("s"))
+    println("[scratch] collision rows (no cut, incl self): " + coll.count())
     (1 to 3).foreach { it =>
-      time(s"[$it] docs scan only (count rows)") {
-        docs.agg(count(lit(1))).collect()
-      }
-      time(s"[$it] split+explode+term agg FROM TEXT") {
-        docs.select(explode(split(col("text"), "\\s+")).as("term"))
-          .groupBy(col("term")).agg(count(lit(1)))
-          .agg(count(lit(1)), sum(col("count(1)"))).collect()
-      }
-      time(s"[$it] explode+term agg FROM TOKEN PARQUET") {
-        spark.read.parquet(p).select(explode(col("toks")).as("term"))
-          .groupBy(col("term")).agg(count(lit(1)))
-          .agg(count(lit(1)), sum(col("count(1)"))).collect()
+      time(s"[$it] full query") {
+        graft.Bench.fullyEvaluate(
+          graft.SparkEntry.queries("q_dedup_cross_snapshot")(spark, dir))
       }
     }
     spark.stop()
