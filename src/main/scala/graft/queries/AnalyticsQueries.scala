@@ -373,6 +373,7 @@ object AnalyticsQueries {
     * re-runs its snapshot reads, CDC diff, delta maintenance, and
     * rebuild-equivalence fold per pass; only the fixture commits
     * amortize. `build` must be deterministic in (session, dir).
+    * BASELINE.md §Amortization is the binding convention.
     */
   private[queries] def versionedFixture(s: org.apache.spark.sql.SparkSession,
       dir: String, tag: String)(build: String => Unit): String =

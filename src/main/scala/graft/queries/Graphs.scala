@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * The build cost lands once in whichever consumer runs first; the table
   * is node-bucketed so downstream node-keyed joins can co-locate.
+  * BASELINE.md §Amortization is the binding convention; GraphsSpec holds
+  * the required table ≡ recomputation proofs.
   */
 object Graphs {
 

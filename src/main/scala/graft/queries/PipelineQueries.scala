@@ -1840,7 +1840,8 @@ object PipelineQueries {
     * baseline). Re-tokenizing the corpus per consumer is exactly the
     * repeated work a production pipeline materializes alongside the
     * posting/pair tables; each consumer's oracle still re-shingles from
-    * `documents`, so the artifact is proven equivalent on every run.
+    * `documents`, so the artifact is proven equivalent on every run
+    * (BASELINE.md §Amortization; MaterializationSpec).
     */
   private[graft] def shinglesParquet(s: SparkSession, dir: String): String =
     shinglesPaths.getOrElseUpdate(dir, {
@@ -1918,7 +1919,8 @@ object PipelineQueries {
     * [[dupPairsParquet]] — while the recall harness (`q_minhash_recall`)
     * re-reads the table instead of re-running the identical
     * sign→band→bucket→verify pipeline a second time. Both consumers'
-    * oracles still re-derive everything from `documents`.
+    * oracles still re-derive everything from `documents`
+    * (BASELINE.md §Amortization; MaterializationSpec).
     */
   private[graft] def minhashPairsParquet(s: SparkSession, dir: String): String =
     minhashPairsPaths.getOrElseUpdate(dir, {
@@ -1939,7 +1941,8 @@ object PipelineQueries {
     * components, triangles, PageRank, canonical selection) reads in
     * production instead of re-tokenizing the corpus. Pair GENERATION stays
     * its own timed operator (`q_dedup_ngram_jaccard`), exactly like
-    * `q_ann_ivf_build` vs `q_ann_ivf` and the posting-table materialization.
+    * `q_ann_ivf_build` vs `q_ann_ivf` and the posting-table materialization
+    * (BASELINE.md §Amortization; MaterializationSpec).
     */
   private[graft] def dupPairsParquet(s: SparkSession, dir: String,
                                      variant: String = ""): String =
@@ -1962,7 +1965,8 @@ object PipelineQueries {
 
   /** Component assignment over [[dupPairsParquet]], cached with the same
     * rationale (CC itself is timed by `q_dup_clusters`; the canonical-member
-    * decision consumes the component table).
+    * decision consumes the component table). BASELINE.md §Amortization;
+    * MaterializationSpec.
     */
   private[graft] def componentsParquet(s: SparkSession, dir: String): String =
     componentsPaths.getOrElseUpdate(dir, {

@@ -505,6 +505,8 @@ object SelectionQueries {
     * computed ONCE per SF dir and materialized — `q_skipgram_pairs` and
     * `q_cooc_ppmi` both consume the identical stream (the shared-fixture
     * pattern; each otherwise re-pays the tokenize + subsample + pair join).
+    * BASELINE.md §Amortization; both consumers' oracles re-derive pairs
+    * from `documents`.
     */
   private[queries] def skipgramPairsParquet(s: SparkSession, dir: String): String =
     skipgramPairPaths.getOrElseUpdate(dir, {

@@ -634,7 +634,7 @@ object TextAnalysis {
     * — the SCALE.md §Curation serving layout: searches probe term buckets
     * instead of re-tokenizing the corpus. Built once per `key` per process
     * (the build is an offline indexing job, same amortization rationale as
-    * [[graft.sim.Ivf.cachedBuild]]); returns the table name. Bucketing +
+    * [[graft.sim.Ivf.cachedBuild]]; BASELINE.md §Amortization); returns the table name. Bucketing +
     * within-bucket sort on `term` means a term-filtered probe scans only
     * `SelectedBucketsCount` buckets with zero Exchange on the scan side, and
     * [[buildPostingsChunked]] bounds every row even for hot terms.
