@@ -77,10 +77,27 @@ object GraftExtensions {
     }
   }
 
+  /** Arity-only guard for builders whose arguments are all columns (no
+    * foldable-literal requirement): wrong arity surfaces as the same
+    * WRONG_NUM_ARGS AnalysisException as the literal-taking builders,
+    * never a NoSuchElement/IndexOutOfBounds from bare `es(i)`.
+    */
+  private def requireArity(fn: String, usage: String, es: Seq[Expression],
+                           arity: Int): Seq[Expression] = {
+    if (es.length != arity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> fn,
+          "expectedNum" -> arity.toString, "actualNum" -> es.length.toString,
+          "docroot" -> usage))
+    es
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("java_hash",
       info("java_hash", "java_hash(str) - bit-exact Java String.hashCode"),
-      (es: Seq[Expression]) => JavaHashCode(es.head)),
+      (es: Seq[Expression]) => JavaHashCode(
+        requireArity("java_hash", "java_hash(str)", es, 1).head)),
     ("java_hash_bucket",
       info("java_hash_bucket", "java_hash_bucket(str, n) - MOD(ABS(java_hash(str)), n)"),
       (es: Seq[Expression]) => JavaHashBucket(es.head,
@@ -88,7 +105,11 @@ object GraftExtensions {
           "java_hash_bucket(str, n)", es, 2, 1))),
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+      (es: Seq[Expression]) => {
+        val a = requireArity("dot_product",
+          "dot_product(array<double>, array<double>)", es, 2)
+        DotProduct(a.head, a(1))
+      }),
     ("md5_field",
       info("md5_field", "md5_field(str, startNibble, nNibbles) - unsigned BIGINT value of nNibbles hex digits of md5(str), == conv(substring(md5(str), startNibble+1, nNibbles), 16, 10)"),
       (es: Seq[Expression]) => Md5Field(es.head,

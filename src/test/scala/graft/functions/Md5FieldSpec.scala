@@ -114,5 +114,17 @@ class Md5FieldSpec extends SparkSpec {
     val ok = spark.sql("SELECT normalize_unicode('é', 'NFC') AS n")
       .collect().head.getString(0)
     assert(ok == "é")
+    // column-only builders get the same arity guard (r13: java_hash with
+    // zero args threw NoSuchElementException; dot_product with one arg
+    // threw IndexOutOfBounds)
+    val jh0 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT java_hash()").collect()
+    }
+    assert(jh0.getMessage.contains("java_hash"))
+    val dp1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0D))").collect()
+    }
+    assert(dp1.getMessage.contains("dot_product") &&
+      dp1.getMessage.contains("2"))
   }
 }
