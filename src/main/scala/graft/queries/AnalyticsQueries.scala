@@ -344,8 +344,15 @@ object AnalyticsQueries {
     * (DupClusters.scala:147,161), kCorePeel (:242,250),
     * pageRankFixedPoint (:428), personalizedPageRank (:474), HyperBall
     * (HyperBall.scala:75,82); driver-side `count()`/`collect()` per
-    * round in Perceptron.trainAudit (Perceptron.scala:77-82); and
-    * twoHopQ's explicit `.localCheckpoint(eager = true)` epilogue.
+    * round in Perceptron.trainAudit (Perceptron.scala:77-82); and an
+    * explicit `.localCheckpoint(eager = true)` EPILOGUE in twoHopQ and
+    * the r13 whole-query pins — the six versioned-fixture queries
+    * (timeTravel/snapshotCdc/branchMerge/bitemporal/mvIncremental/
+    * mvJoinIncremental: fixture commits are eager writes, the returned
+    * fold checkpoints inside the block) plus dedupCrossSnapshotQ and
+    * decontaminateRunsQ (shingling amortized to materialized tables, so
+    * every remaining stage is fixture-sized — the dispatch-bound regime;
+    * measured q_dedup_cross_snapshot 2.52 → 0.89 in-bench).
     * (erEntitiesQ was pinned in r13 and REVERTED: the extra eager
     * checkpoint of its CPU-bound Levenshtein join cost more than the
     * 8-partition CC rounds saved — the pin pays off only when the
