@@ -1073,7 +1073,7 @@ object StatQueries {
       .otherwise("signup")
     val name = "graft_stream_eval_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       raw
         .groupBy(col("event_type").as("truth"), pred.as("pred"))
         .agg(count(lit(1)).as("c"))

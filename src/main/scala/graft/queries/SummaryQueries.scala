@@ -758,7 +758,7 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_cm_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       graft.analytics.CountMin
         .sketch(raw.select(col("user_id")), "user_id", depth = 4, width = 512)
         .writeStream.format("memory").queryName(name)
@@ -1236,7 +1236,7 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_hll_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       graft.analytics.HllGrid
         .registers(raw.select(col("user_id")), "user_id", m = 256)
         .writeStream.format("memory").queryName(name)
@@ -1283,7 +1283,7 @@ object SummaryQueries {
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_psi_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       raw
         .select(bucketOf(round(col("value") * 100, 0)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
@@ -1478,7 +1478,7 @@ object SummaryQueries {
     val bw = 1000L
     val name = "graft_stream_qh_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 8) {
+    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       raw
         .filter(col("value").isNotNull)
         .select(round(col("value") * 100, 0).cast("long").as("cents"))
