@@ -273,11 +273,18 @@ object Dedup {
     *
     * Candidates come from the shared-shingle equi-join with the usual
     * df cut computed over base ∪ delta (stop-shingles make candidates,
-    * not matches); verification is the exact array_intersect Jaccard of
-    * [[prefixFilterJaccardPairsFromShingles]]. Output: one row per delta
-    * doc — (doc_id, n_dups, kept). At 100 TB the corpus is never
-    * re-shingled (its frame is the materialized artifact) and never
-    * self-joined: only delta-side probe collisions generate work.
+    * not matches); the match criterion is Jaccard ≥ threshold in the
+    * df-PRUNED shingle space over FULL distinct sizes (the
+    * [[ngramJaccardPairs]] contract). Output: one row per delta doc —
+    * (doc_id, n_dups, kept). At 100 TB the corpus is never re-shingled
+    * (its frame is the materialized artifact) and never self-joined:
+    * only delta-side probe collisions generate work.
+    *
+    * CONTRACT: ids must be UNIQUE ACROSS base ∪ delta (true of any
+    * snapshot store — a key lives in exactly one version's insert set).
+    * The pair aggregate groups on (id, rid) without a side marker, so a
+    * rid occurring on both sides would merge two different documents'
+    * intersection counts.
     */
   def dedupDeltaAgainstCorpus(baseSh: DataFrame, deltaSh: DataFrame,
                               threshold: Double,
