@@ -74,6 +74,35 @@ class Round13OpsSpec extends SparkSpec {
     assert(out(54L) == ((1L, false)), "later twin must be dropped")
   }
 
+  test("dedupDeltaAgainstCorpus: hot shingles make candidates die and counts prune — by hand") {
+    // base docs B1..B3 all contain the shingle (h1..h5) -> with
+    // maxShingleFreq = 2 that shingle is HOT (df = 4 incl. the delta doc).
+    val common = toks(5, "h").mkString(" ")
+    val base = Seq(
+      (10L, common + " " + toks(10, "a").mkString(" ")),
+      (11L, common + " " + toks(10, "b").mkString(" ")),
+      (12L, common + " " + toks(10, "c").mkString(" "))).toDF("doc_id", "text")
+    // delta doc 50 shares ONLY the hot shingle with B3 (c-tokens absent):
+    // every candidate route is hot, so it must be KEPT even though its
+    // full-space Jaccard vs B1 would be tiny anyway; delta doc 51 copies
+    // B1 entirely: rare a-shingles alone carry it over threshold 0.5 in
+    // the PRUNED space (intersection counts only rare shingles).
+    val delta = Seq(
+      (50L, common + " " + toks(10, "z").mkString(" ")),
+      (51L, common + " " + toks(10, "a").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.dedupDeltaAgainstCorpus(
+        Dedup.withShingles(base, 5), Dedup.withShingles(delta, 5),
+        threshold = 0.5, maxShingleFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 50: shares only the hot run with the corpus -> zero candidates
+    assert(out(50L) == ((0L, true)), s"hot-only overlap must not match: ${out(50L)}")
+    // doc 51 vs B1: 15 tokens -> 11 distinct 5-shingles each (full
+    // sizes); only the pure (h1..h5) window is hot (df 5 > 2), the ten
+    // straddling/rare windows are shared, so pruned i = 10 against
+    // union = 11 + 11 - 10 = 12, 10/12 >= 0.5 -> dropped, exactly once
+    assert(out(51L) == ((1L, false)), s"rare mass must still match: ${out(51L)}")
+  }
+
   test("dedupDeltaAgainstCorpus: short docs (<k tokens) are out of contract") {
     val base = Seq((1L, toks(20).mkString(" "))).toDF("doc_id", "text")
     val delta = Seq((2L, "a b c"), (3L, toks(20).mkString(" ")))
