@@ -96,6 +96,40 @@ object Dedup {
         i => xxhash64((0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(typedLit(Array.empty[Long]))
 
+  /** Ceiling on the hot-shingle rows shipped to the driver for the
+    * broadcast-ANTI df cut. ~1M 8-byte shingle hashes is tens of MB of Row
+    * overhead transiently on the driver — comfortably metadata-sized —
+    * while the only a-priori bound on the hot set is
+    * totalShingleRows / maxShingleFreq, which at 100 TB is NOT.
+    */
+  private[graft] val HotBroadcastMaxRows: Int = 1 << 20
+
+  /** The GATED hot-set df cut (ADVICE r13): the >maxShingleFreq HOT set is
+    * usually metadata-sized, so anti-joining against a broadcast of it
+    * beats the old <=maxFreq rare inner JOIN-BACK by two corpus-wide
+    * shuffles — but its cardinality is data-dependent, so the broadcast is
+    * verified, never assumed. The set is collected through a hard
+    * `limit(max + 1)` (driver memory bounded by construction); if it
+    * overflows, the cut falls back to a shuffle anti-join, which degrades
+    * gracefully where an unbounded driver collect would OOM.
+    *
+    * In the broadcast path the collected rows re-enter the plan as a
+    * LocalRelation, so the df aggregate runs exactly once (during the
+    * probe) and needs no persist/unpersist lifecycle; call sites with two
+    * cut inputs probe once and reuse the returned joiner.
+    */
+  private[graft] def hotCutJoiner(hot: DataFrame,
+                                  maxRows: Int = HotBroadcastMaxRows): DataFrame => DataFrame = {
+    val probe = hot.limit(maxRows + 1).collect()
+    if (probe.length <= maxRows) {
+      val local = broadcast(hot.sparkSession.createDataFrame(
+        java.util.Arrays.asList(probe: _*), hot.schema))
+      df => df.join(local, Seq("shingle"), "left_anti")
+    } else {
+      df => df.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
   /** Verbatim shared-token-run detection — the exact-substring dedup signal
     * (the "long common substring" criterion of train-set deduplication, cf.
     * suffix-array dedup): for every document pair sharing at least one
@@ -157,15 +191,14 @@ object Dedup {
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-shingle cut counts DISTINCT docs (positional shingles repeat
-    // within a doc), INVERTED to the metadata-sized >maxShingleFreq set so
-    // it broadcasts as an anti-join instead of a corpus-wide rare
-    // join-back shuffle (the jaccardPairsFromShingles r13 shape; result
-    // identical by complement)
+    // within a doc), INVERTED to the usually-metadata-sized >maxShingleFreq
+    // set — broadcast via the size-gated [[hotCutJoiner]] (shuffle-anti
+    // fallback above the row ceiling), result identical by complement
     val hot = ps.select(col("id"), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
       .filter(col("f") > maxShingleFreq)
       .select(col("shingle"))
-    val m = ps.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val m = hotCutJoiner(hot)(ps)
     val matches = m.as("a").hint("shuffle_hash")
       .join(m.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -230,24 +263,27 @@ object Dedup {
                                        maxShingleFreq: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    // cp is deliberately NOT persisted (ADVICE r13 persist hygiene): with
+    // the hot set probed into a LocalRelation by [[hotCutJoiner]], the main
+    // plan traverses cp exactly once (the bench probe join), and the df
+    // probe's one extra traversal of the posexplode costs less than a
+    // corpus-sized cache entry leaked past the operator's return
     val cp = cpArr
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bp = positionalArrays(benchmark, k, idCol, textCol)
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
       .select(col("id").as("bid"), col("pos").as("bpos"), col("shingle"))
-    // the df cut INVERTED: the >maxShingleFreq HOT set is metadata-sized
-    // (boilerplate shingles only), so it broadcasts as an anti-join and the
-    // corpus-wide rare JOIN-BACK shuffle disappears — the bench probe and
-    // the hot filter are then both map-side; the only shuffles left are the
-    // df aggregate and the islands window over match rows
+    // the df cut INVERTED: the >maxShingleFreq HOT set is usually
+    // metadata-sized (boilerplate shingles only) — broadcast via the
+    // size-gated [[hotCutJoiner]] (shuffle-anti fallback above the
+    // ceiling) — so the bench probe and the hot filter are both map-side;
+    // the only shuffles left are the df aggregate and the islands window
+    // over match rows
     val hot = cp.select(col("id"), col("shingle")).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
       .filter(col("f") > maxShingleFreq)
       .select(col("shingle"))
-    val matches = cp
-      .join(broadcast(bp), Seq("shingle"))
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val matches = hotCutJoiner(hot)(cp.join(broadcast(bp), Seq("shingle")))
       .select(col("id"), col("bid"), col("pos").as("pos_c"),
         (col("pos") - col("bpos")).as("diag"))
     val w = Window.partitionBy(col("id"), col("bid"), col("diag"))
@@ -285,6 +321,15 @@ object Dedup {
     * The pair aggregate groups on (id, rid) without a side marker, so a
     * rid occurring on both sides would merge two different documents'
     * intersection counts.
+    *
+    * PERSISTENCE CONTRACT (ADVICE r13): this operator persists NOTHING —
+    * callers should pass frames that are cheap to re-traverse (persisted,
+    * checkpointed, or parquet-backed, as [[graft.queries.VersionedQueries]]
+    * does with the materialized xsnap shingle table). Each side's explode
+    * is re-derived per consuming branch (base ×2, delta ×3 — map-side
+    * traversals of cached arrays), which measures cheaper than the
+    * previous four MEMORY_AND_DISK entries this operator leaked past its
+    * return for any caller outside the harnesses' clearCache lifecycle.
     */
   def dedupDeltaAgainstCorpus(baseSh: DataFrame, deltaSh: DataFrame,
                               threshold: Double,
@@ -296,29 +341,28 @@ object Dedup {
     // shingles contribute candidates, not matches — the
     // [[ngramJaccardPairs]] contract, mirrored by the consumer's oracle),
     // against FULL distinct sizes
-    val dArr = deltaSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bArr = baseSh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dArr = deltaSh
+    val bArr = baseSh
     val dEx = dArr.select(col("id"), size(col("sh")).cast("long").as("__n_d"),
         explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bEx = bArr.select(col("id"), explode(col("sh")).as("shingle"))
     // the df cut INVERTED (the benchmarkTokenRuns discipline): the
-    // >maxShingleFreq HOT set is metadata-sized, so both join sides take a
-    // broadcast anti-join instead of a corpus-wide rare join-back shuffle
+    // >maxShingleFreq HOT set is usually metadata-sized — broadcast via the
+    // size-gated [[hotCutJoiner]] (shuffle-anti fallback above the
+    // ceiling), probed ONCE for both join sides
     val hot = bEx.select(col("shingle")).unionAll(dEx.select(col("shingle")))
       .groupBy(col("shingle")).agg(count(lit(1)).as("f"))
       .filter(col("f") > maxShingleFreq).select(col("shingle"))
+    val cut = hotCutJoiner(hot)
     // matches: delta doc d vs corpus doc, or delta doc d vs EARLIER delta
     // doc (id <) — one equi-join against the union of both sides, counting
     // shared rare shingles per pair directly (no distinct, no verify join)
-    val rhs = bArr.select(col("id").as("rid"), size(col("sh")).cast("long").as("__n_r"),
+    val rhs = cut(bArr.select(col("id").as("rid"), size(col("sh")).cast("long").as("__n_r"),
         explode(col("sh")).as("shingle"), lit(true).as("__corpus"))
       .unionByName(dArr.select(col("id").as("rid"),
         size(col("sh")).cast("long").as("__n_r"),
-        explode(col("sh")).as("shingle"), lit(false).as("__corpus")))
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
-    val inter = dEx
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+        explode(col("sh")).as("shingle"), lit(false).as("__corpus"))))
+    val inter = cut(dEx)
       .hint("shuffle_hash")
       .join(rhs.hint("shuffle_hash"), Seq("shingle"))
       .filter(col("__corpus") || col("rid") < col("id"))
@@ -498,7 +542,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
       .filter(col("f") > maxShingleFreq).select(col("shingle"))
-    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val filtered = hotCutJoiner(hot)(sh)
     filtered.as("a").hint("shuffle_hash")
       .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -542,7 +586,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
       .filter(col("f") > maxShingleFreq).select(col("shingle"))
-    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val filtered = hotCutJoiner(hot)(sh)
     filtered.as("a").hint("shuffle_hash")
       .join(filtered.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -707,12 +751,12 @@ object Dedup {
     */
   def tfCosinePairsFromTf(tf: DataFrame, threshold: Double,
                           maxShingleFreq: Int = 1000): DataFrame = {
-    // df cut INVERTED to the metadata-sized hot set (broadcast anti-join,
-    // no corpus-wide rare join-back; result identical by complement)
-    val pruned = tf.join(
-        broadcast(tf.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleFreq).select(col("shingle"))),
-        Seq("shingle"), "left_anti")
+    // df cut INVERTED to the usually-metadata-sized hot set via the
+    // size-gated [[hotCutJoiner]] (broadcast anti-join with shuffle-anti
+    // fallback; result identical by complement)
+    val pruned = hotCutJoiner(
+        tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select(col("shingle")))(tf)
       .select(col("id"), col("shingle"), col("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = pruned.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("norm2"))

@@ -67,12 +67,19 @@ object GraftExtensions {
           "expectedNum" -> arity.toString, "actualNum" -> es.length.toString,
           "docroot" -> usage))
     val e = es(i)
-    val v = if (e.foldable) e.eval() else null
-    v match {
-      case null => throw new org.apache.spark.sql.AnalysisException(
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
         errorClass = "NON_FOLDABLE_ARGUMENT",
         messageParameters = Map("funcName" -> s"`$fn`",
           "paramName" -> s"`arg$i`", "paramType" -> s""""STRING" ($usage)"""))
+    e.eval() match {
+      // a foldable NULL literal is not a foldability problem — surface it
+      // as the parameter-value error it is (ADVICE r13: NON_FOLDABLE here
+      // was misleading for `f(x, CAST(NULL AS STRING))`)
+      case null => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.NULL",
+        messageParameters = Map("functionName" -> s"`$fn`",
+          "parameter" -> s"`arg$i` ($usage)"))
       case s => s.toString
     }
   }

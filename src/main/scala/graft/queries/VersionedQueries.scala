@@ -23,9 +23,14 @@ object VersionedQueries {
     * rows +7M for doc_id % 10 == 5 — so the diff has inserts, updates
     * (delete+insert of the key), and untouched rows that must cancel.
     */
-  private def buildTable(s: SparkSession, dir: String): String = {
+  // `tag` must be unique PER CALLING QUERY (ADVICE r13): runDir has
+  // delete-previous-on-reuse semantics, so a shared tag makes one query's
+  // rebuild delete a directory another query's not-yet-evaluated frame
+  // still reads. Every current caller returns an eager localCheckpoint, but
+  // the per-query tag removes the silent dependence on that convention.
+  private def buildTable(s: SparkSession, dir: String, tag: String): String = {
     val docs = Tables.documents(s, dir)
-    val tmp = graft.TempDirs.runDir("versioned_q").toString
+    val tmp = graft.TempDirs.runDir(s"versioned_q_$tag").toString
     val v1 = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), substring(col("text"), 1, 20).as("head"),
         lit(1).as("ver"))
@@ -52,7 +57,7 @@ object VersionedQueries {
   // wide stage (the erEntitiesQ counter-case)
   private def timeTravelQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val t = buildTable(s, dir)
+      val t = buildTable(s, dir, "time_travel")
       Versioned.read(s, t, Some(1)).withColumn("snapshot", lit(1))
         .unionByName(Versioned.read(s, t, Some(2)).withColumn("snapshot", lit(2)))
         .orderBy(col("snapshot"), col("doc_id"))
@@ -85,7 +90,7 @@ object VersionedQueries {
     */
   private def snapshotCdcQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val t = buildTable(s, dir)
+      val t = buildTable(s, dir, "snapshot_cdc")
       Versioned.snapshotDiff(s, t, from = 1, to = 2)
         .orderBy(col("__change"), col("doc_id"))
         .localCheckpoint(true)
@@ -191,7 +196,7 @@ object VersionedQueries {
     */
   private def mvIncrementalQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val t = buildTable(s, dir)
+      val t = buildTable(s, dir, "mv_inc")
       val baseAgg = Versioned.read(s, t, Some(1))
         .groupBy((col("doc_id") % 7).as("g"))
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc_id"))
@@ -224,7 +229,7 @@ object VersionedQueries {
     */
   private def mvJoinIncrementalQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val t = buildTable(s, dir)
+      val t = buildTable(s, dir, "mv_join_inc")
       val dim = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val baseAgg = Versioned.read(s, t, Some(1))
         .join(broadcast(dim), Seq("doc_id"))

@@ -110,6 +110,17 @@ class Md5FieldSpec extends SparkSpec {
     assert(nuFold.getMessage.contains("normalize_unicode") &&
       nuFold.getMessage.contains("foldable"),
       s"non-literal form error must explain foldability: ${nuFold.getMessage}")
+    // a foldable NULL literal is a parameter-VALUE error, not a
+    // foldability error (ADVICE r13: NON_FOLDABLE_ARGUMENT was misleading
+    // for a null literal; before r12 this path was a bare NPE)
+    val nuNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT normalize_unicode(s, CAST(NULL AS STRING)) FROM md5f_args")
+        .collect()
+    }
+    assert(nuNull.getMessage.contains("normalize_unicode") &&
+      nuNull.getMessage.contains("non-NULL") &&
+      !nuNull.getMessage.contains("foldable"),
+      s"null-literal form error must demand a non-null value: ${nuNull.getMessage}")
     // the happy path still normalizes
     val ok = spark.sql("SELECT normalize_unicode('é', 'NFC') AS n")
       .collect().head.getString(0)
