@@ -401,6 +401,96 @@ object Dedup {
       .select(col("id"), col("sh"))
   }
 
+  /** Distinct k-shingles as STRINGS (the k tokens joined by one space) —
+    * the oracle-REPLAYABLE shingle identity for sketches whose hash VALUES
+    * are semantic, not just their equality ([[MinHashLSH.md5Signatures]]:
+    * DuckDB can replay md5 of the shingle string, never xxhash64 of the
+    * token tuple). Hashed shingles ([[withShingles]]) measured 6× cheaper
+    * and stay the identity everywhere only set membership matters. Same
+    * contract as [[withShingles]]: documents shorter than k tokens are
+    * dropped here, emitted `sh` is distinct and non-empty.
+    */
+  def withStringShingles(docs: DataFrame, k: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(parallelism)
+      .withColumn("__toks", tokens(col("__text")))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), size(col("__toks")) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(col("__toks"), i + j)): _*))))
+      .select(col("id"), col("sh"))
+  }
+
+  /** LSH-candidate cross-snapshot dedup — [[dedupDeltaAgainstCorpus]]'s
+    * keep/drop contract with candidates drawn from the MAINTAINED banded
+    * minhash index instead of a corpus-wide shingle equi-join (r13 verdict
+    * Next #1: the production 100 TB shape). `baseBands` is the standing
+    * index artifact ([[MinHashLSH.replayableBandRows]] over
+    * [[MinHashLSH.md5Signatures]] of the corpus snapshot — maintainable
+    * O(delta) per `q_minhash_incremental`); only the DELTA is sketched
+    * in-call, candidates are band-bucket collisions, and exact full
+    * distinct-shingle Jaccard verifies every candidate (the sketch only
+    * prunes; it never asserts). Work is O(delta bands + collisions): the
+    * corpus is touched map-side twice (index scan in the candidate probe,
+    * array fetch for verified rids) and never self-joins or re-shingles.
+    *
+    * SEMANTICS vs the exact kernel: candidates are probabilistic — a pair
+    * at Jaccard s collides with P = 1 − (1 − s^r)^b (r = numHashes/bands;
+    * 0.900 at s = 0.5, 0.99997 at s = 0.8, exactly 1 for identical shingle
+    * sets, whose signatures are equal by construction). Verification is
+    * FULL-space Jaccard (no df cut: the index replaces the df valve, so
+    * hot-shingle candidates never explode the probe). Both differences are
+    * the operator's contract, mirrored by its oracle.
+    *
+    * CONTRACTS shared with [[dedupDeltaAgainstCorpus]]: ids unique across
+    * base ∪ delta; shingle frames distinct/non-empty (`withStringShingles`);
+    * callers own persistence of the inputs. The delta band frame feeds two
+    * plan branches (probe + rhs), so its signature aggregate runs twice —
+    * still ∝ delta. The delta side BROADCASTS (crawl batches are
+    * metadata-sized next to the corpus; for TB-scale deltas the production
+    * path is a bucket-partitioned index and a co-located join, not a
+    * bigger broadcast).
+    */
+  def dedupDeltaAgainstCorpusLsh(baseSh: DataFrame, baseBands: DataFrame,
+                                 deltaSh: DataFrame, threshold: Double,
+                                 numHashes: Int = 16, bands: Int = 8,
+                                 seed: Long = 42L): DataFrame = {
+    val dBands = MinHashLSH.replayableBandRows(
+      MinHashLSH.md5Signatures(deltaSh, numHashes, seed), bands)
+    val rhs = baseBands.select(col("id").as("rid"), col("band"), col("bucket"),
+        lit(true).as("__corpus"))
+      .unionByName(dBands.select(col("id").as("rid"), col("band"), col("bucket"),
+        lit(false).as("__corpus")))
+    val cands = broadcast(dBands).join(rhs, Seq("band", "bucket"))
+      .filter(col("__corpus") || col("rid") < col("id"))
+      .select(col("id"), col("rid"))
+      .distinct()
+    // exact verification over ARRAY frames (the ppjoin discipline:
+    // corpus-ROW-count inputs, one codegen'd array_intersect per candidate)
+    val rhsArr = baseSh.select(col("id").as("rid"), col("sh").as("__sh_r"),
+        size(col("sh")).cast("long").as("__n_r"))
+      .unionByName(deltaSh.select(col("id").as("rid"), col("sh").as("__sh_r"),
+        size(col("sh")).cast("long").as("__n_r")))
+    val verified = broadcast(cands)
+      .join(rhsArr, Seq("rid"))
+      .join(deltaSh.select(col("id"), col("sh").as("__sh_d"),
+        size(col("sh")).cast("long").as("__n_d")), Seq("id"))
+      .withColumn("__i",
+        size(array_intersect(col("__sh_d"), col("__sh_r"))).cast("long"))
+      .filter(col("__i").cast("double") >=
+        lit(threshold) * (col("__n_d") + col("__n_r") - col("__i")).cast("double"))
+    val dups = verified.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    deltaSh.select(col("id").as("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("kept", col("n_dups") === 0L)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs.
     *
     * Candidate generation by shared-shingle equi-join (never all-pairs): docs

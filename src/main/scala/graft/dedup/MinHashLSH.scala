@@ -24,8 +24,11 @@ object MinHashLSH {
   /** Mersenne prime 2^31 - 1: keeps `a*h + b` within 62 bits (ANSI-safe). */
   val P: Long = 2147483647L
 
-  /** Seeded LCG-derived permutation params (a in [1,P), b in [0,P)). */
-  private[dedup] def params(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  /** Seeded LCG-derived permutation params (a in [1,P), b in [0,P)).
+    * `private[graft]` so oracle builders can inline the SAME constants as
+    * SQL literals ([[graft.queries.VersionedQueries]]'s LSH replay).
+    */
+  private[graft] def params(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     var x = seed
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
     (0 until numHashes).map(_ => (next() % (P - 1) + 1, next() % P))
@@ -53,6 +56,42 @@ object MinHashLSH {
   def signatures(docs: DataFrame, k: Int, numHashes: Int, seed: Long = 42L,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     signaturesFromShingles(Dedup.withShingles(docs, k, idCol, textCol), numHashes, seed)
+
+  /** Oracle-REPLAYABLE signatures over STRING shingles
+    * ([[Dedup.withStringShingles]]): the base hash is the md5-u32 uniform
+    * ([[graft.functions.Md5Field.md5U32]] — bit-exact in DuckDB via the
+    * `OracleSql.md5U32Sql` idiom) folded mod P, then the same seeded LCG
+    * permutations as [[signaturesFromShingles]]. Exists so LSH-candidate
+    * DEDUP DECISIONS can be FULL-replayed by the driver's oracle —
+    * xxhash64 signatures are faster but not SQL-recomputable, which caps
+    * their proofs at self-verifying in-plan booleans
+    * (`q_minhash_incremental`). Same aggregate kernel, same shuffle shape.
+    */
+  def md5Signatures(sh: DataFrame, numHashes: Int, seed: Long = 42L): DataFrame = {
+    val ps = params(numHashes, seed)
+    sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg
+        .minhashAgg(pmod(graft.functions.Md5Field.md5U32(col("s")), lit(P)),
+          ps, P).as("sig"))
+  }
+
+  /** Band rows with a REPLAYABLE bucket key: the band's r signature values
+    * joined as a decimal CSV string (`array_join` ≡ DuckDB
+    * `array_to_string`), instead of [[bandTable]]'s murmur3 `hash` of the
+    * slice. A production index would hash the tuple down to 8 bytes; the
+    * decimal key costs bytes-per-row only and keeps the whole candidate
+    * derivation inside the oracle's reach. Same maintenance contract as
+    * [[bandTable]]: pure per-row computation over the signature, O(delta)
+    * to maintain, no row ever changes.
+    */
+  def replayableBandRows(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => array_join(transform(
+          slice(col("sig"), j * size(col("sig")) / bands + 1,
+            size(col("sig")) / bands), v => v.cast("string")), ",")))
+        .as(Seq("band", "bucket")))
 
   /** One-permutation signatures ([[graft.functions.OnePermMinHashAggregate]]):
     * one hash evaluation per shingle instead of `numHashes` — the shape that

@@ -2294,6 +2294,207 @@ object PipelineQueries {
       .orderBy(col("pred_lang"))
   }
 
+  /** The training-data pipeline composed END-TO-END (r13 verdict Next #4):
+    * five real stages over the augmented corpus, each the registry operator
+    * it names, joined on the contracts the stages share —
+    *
+    *   1. EXACT dedup (min doc_id per md5(text) — [[Dedup.dedupExact]]'s
+    *      keep rule);
+    *   2. NEAR dedup among stage-1 survivors
+    *      ([[Dedup.jaccardPairsFromShingles]] at 0.5 over the shared
+    *      shingle table semi-joined to survivors — valid because shingling
+    *      is doc-local, so a doc_id filter of the table ≡ re-shingling the
+    *      survivor set): drop every id_b of a pair (single-pass rule: a doc
+    *      near-duplicating an earlier exact-survivor drops even if that
+    *      earlier doc itself drops later — documented, deterministic,
+    *      non-transitive);
+    *   3. DECONTAMINATION of stage-2 survivors against the %97==3 eval set
+    *      ([[Dedup.benchmarkTokenRunsFromPositional]], ≥15-token verbatim
+    *      runs; the eval docs live inside the crawl, so they flag
+    *      themselves out — the "eval leaked into train" shape);
+    *   4. QUALITY filter ([[TextAnalysis.qualityFeatures]] score ≥ 0.5);
+    *   5. per-language TOKEN BUDGET ([[TextAnalysis.langId]]; quality-desc
+    *      greedy prefix under 20k tokens per language — exact BIGINT
+    *      running sum, no double fold).
+    *
+    * Output: one row per augmented doc with the FIRST stage that dropped
+    * it ('exact_dup'/'near_dup'/'contaminated'/'low_quality'/'over_budget')
+    * or 'selected' — so the driver hash pins every inter-stage joint, not
+    * just the final count. The oracle replays all five stages from
+    * `documents` in one SQL statement. Scale shape: stages 1/4/5 are one
+    * aggregate/window each; stages 2/3 are the individually-probed dedup
+    * kernels over survivor-filtered shared artifacts; unpinned because the
+    * stage-2 candidate join is the CPU-wide kind the kernel pin hurts
+    * (the erEntitiesQ lesson).
+    */
+  private def pipelineE2eQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aug = augmented(Tables.documents(s, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 1: exact dedup
+    val keep1 = aug.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 2: near dedup among survivors (shared shingle table, doc-local)
+    val sh1 = s.read.parquet(shinglesParquet(s, dir))
+      .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val drop2 = Dedup.jaccardPairsFromShingles(sh1, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep2 = keep1.join(drop2, Seq("doc_id"), "left_anti")
+    // stage 3: run-level decontamination of survivors vs the eval set
+    val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 97 === 3)
+    val pos2 = s.read.parquet(positionalShinglesParquet(s, dir))
+      .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val drop3 = Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
+        k = 5, minRunTokens = 15)
+      .select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep3 = keep2.join(drop3, Seq("doc_id"), "left_anti")
+    // stage 4: quality filter
+    val q = TextAnalysis.qualityFeatures(
+        aug.join(keep3, Seq("doc_id"), "left_semi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val low = q.filter(col("quality_score") < 0.5).select("doc_id")
+    // stage 5: per-language greedy token budget (quality desc, id tiebreak)
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = q.filter(col("quality_score") >= 0.5)
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"),
+        when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
+          .as("fate"))
+    aug.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup").as("fate"))
+      .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
+      .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))
+      .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
+      .unionByName(sel)
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineE2eOracle = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val cnt = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS c_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH $augCte,
+      |keep1 AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+      |s1 AS (SELECT a.doc_id, a.text FROM aug a JOIN keep1 USING (doc_id)),
+      |tok1 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM s1),
+      |sh1 AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tok1)
+      |),
+      |rare2 AS (SELECT shingle FROM sh1 GROUP BY shingle HAVING count(*) <= 1000),
+      |sizes2 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+      |inter2 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+      |  FROM sh1 a JOIN rare2 USING (shingle) JOIN sh1 b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      |),
+      |drop2 AS (
+      |  SELECT DISTINCT id_b AS doc_id
+      |  FROM inter2
+      |  JOIN sizes2 sa ON sa.doc_id = id_a
+      |  JOIN sizes2 sb ON sb.doc_id = id_b
+      |  WHERE ic::DOUBLE >= CAST(0.5 AS DOUBLE) * (sa.n + sb.n - ic)::DOUBLE
+      |),
+      |s2 AS (SELECT doc_id, text FROM s1
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+      |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+      |ctok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM s2),
+      |cps AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(t) - 4)) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      |  FROM ctok WHERE len(t) >= 5
+      |),
+      |btok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM bdocs),
+      |bps AS (
+      |  SELECT doc_id AS bid,
+      |    unnest(range(0, len(t) - 4)) AS bpos,
+      |    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      |  FROM btok WHERE len(t) >= 5
+      |),
+      |rare3 AS (
+      |  SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM cps)
+      |  GROUP BY shingle HAVING count(*) <= 1000
+      |),
+      |m3 AS (
+      |  SELECT c.doc_id, b.bid, c.pos AS pos_c, c.pos - b.bpos AS diag
+      |  FROM cps c JOIN rare3 USING (shingle) JOIN bps b USING (shingle)
+      |),
+      |runs3 AS (
+      |  SELECT doc_id, bid, diag,
+      |    pos_c - (row_number() OVER (PARTITION BY doc_id, bid, diag ORDER BY pos_c) - 1) AS island
+      |  FROM m3
+      |),
+      |drop3 AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, bid, diag, island, count(*) + 4 AS run_tokens
+      |    FROM runs3 GROUP BY 1, 2, 3, 4)
+      |  WHERE run_tokens >= 15
+      |),
+      |s3 AS (SELECT doc_id, text FROM s2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |f AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+      |    length(text) AS n_chars,
+      |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+      |    len(list_filter(string_split_regex(text, '\\s+'),
+      |        x -> list_contains($stop, x))) AS n_stop,
+      |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+      |  FROM s3
+      |),
+      |q AS (
+      |  SELECT *,
+      |    round(least(n_tokens::DOUBLE / 50.0, 1.0)
+      |      * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+      |      * CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END)
+      |          BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END, 6) AS quality_score
+      |  FROM f
+      |),
+      |lo AS (SELECT doc_id FROM q WHERE quality_score < 0.5),
+      |lng AS (
+      |  SELECT doc_id, n_tokens, quality_score,
+      |    $cnt
+      |  FROM q WHERE quality_score >= 0.5
+      |),
+      |p AS (
+      |  SELECT doc_id, n_tokens, quality_score,
+      |    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+      |         WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+      |         WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+      |         WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+      |         WHEN c_fr = greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+      |         ELSE 'unknown' END AS pred_lang
+      |  FROM lng
+      |),
+      |sel AS (
+      |  SELECT doc_id,
+      |    CASE WHEN sum(n_tokens) OVER (PARTITION BY pred_lang
+      |        ORDER BY quality_score DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 20000
+      |      THEN 'selected' ELSE 'over_budget' END AS fate
+      |  FROM p
+      |)
+      |SELECT doc_id, 'exact_dup' AS fate FROM aug
+      |WHERE doc_id NOT IN (SELECT doc_id FROM keep1)
+      |UNION ALL SELECT doc_id, 'near_dup' FROM drop2
+      |UNION ALL SELECT doc_id, 'contaminated' FROM drop3
+      |UNION ALL SELECT doc_id, 'low_quality' FROM lo
+      |UNION ALL SELECT doc_id, fate FROM sel
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private val curationOracle = {
     val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     val cnt = TextAnalysis.LangMarkers.map { case (lang, ws) =>
@@ -3776,6 +3977,7 @@ object PipelineQueries {
     "q_incremental_dedup" -> (incrementalDedupQ _),
     "q_novelty" -> (noveltyQ _),
     "q_curation_pipeline" -> (curationQ _),
+    "q_pipeline_e2e" -> (pipelineE2eQ _),
     "q_dedup_ngram_jaccard" -> (ngramJaccardQ _),
     "q_cosine_pairs" -> (tfCosineQ _),
     "q_ppjoin" -> (ppjoinQ _),
@@ -3900,6 +4102,7 @@ object PipelineQueries {
     "q_incremental_dedup" -> incrementalDedupOracle,
     "q_novelty" -> noveltyOracle,
     "q_curation_pipeline" -> curationOracle,
+    "q_pipeline_e2e" -> pipelineE2eOracle,
     "q_dedup_ngram_jaccard" -> ngramOracle,
     "q_cosine_pairs" -> tfCosineOracle,
     "q_ppjoin" -> ppjoinOracle,

@@ -532,6 +532,54 @@ object VersionedQueries {
   private val xsnapShinglesPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Distinct k=5 STRING-shingle arrays of the xsnap fixture's v2 snapshot
+    * ([[graft.dedup.Dedup.withStringShingles]] — the oracle-replayable
+    * shingle identity the md5-minhash sketch needs), materialized once per
+    * process per sf dir. Same BASELINE.md §Amortization footing as
+    * [[xsnapShinglesParquet]]: the shingled corpus is the artifact the
+    * pipeline already holds; MaterializationSpec proves table ≡
+    * recomputation; the oracle re-derives everything from `documents`.
+    */
+  private[graft] def xsnapStrShinglesParquet(s: SparkSession, dir: String): String =
+    xsnapStrShinglesPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("xsnap_str_shingles")
+      graft.dedup.Dedup.withStringShingles(
+          Versioned.read(s, xsnapFixture(s, dir), Some(2)), 5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val xsnapStrShinglesPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The MAINTAINED banded minhash index over the xsnap fixture's v1
+    * (corpus) snapshot — 16 md5-minhash rows in 8 bands of 2
+    * ([[graft.dedup.MinHashLSH.md5Signatures]] →
+    * [[graft.dedup.MinHashLSH.replayableBandRows]]), materialized once per
+    * process per sf dir. This is exactly the standing artifact a
+    * production dedup service keeps between corpus versions
+    * (`q_minhash_incremental` proves it maintains O(delta) across the same
+    * snapshot boundary); per BASELINE.md §Amortization the INDEX is an
+    * input, while the delta sketch, candidate probe, exact verification
+    * and keep/drop — the work `q_dedup_cross_snapshot_lsh`'s name claims —
+    * stay timed. MaterializationSpec proves index ≡ recomputation from v1;
+    * the consumer's oracle full-replays band hashing from `documents`.
+    */
+  private[graft] def xsnapBandIndexParquet(s: SparkSession, dir: String): String =
+    xsnapBandIndexPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("xsnap_band_index")
+      graft.dedup.MinHashLSH.replayableBandRows(
+          graft.dedup.MinHashLSH.md5Signatures(
+            graft.dedup.Dedup.withStringShingles(
+              Versioned.read(s, xsnapFixture(s, dir), Some(1)), 5),
+            numHashes = 16), bands = 8)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val xsnapBandIndexPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   // pinned at 8 shuffle partitions with an eager epilogue (the
   // withKernelShufflePartitions contract): with shingling amortized to
   // the materialized table, every remaining stage (CDC exceptAll, df
@@ -560,6 +608,133 @@ object VersionedQueries {
         .localCheckpoint(true)
     }
   }
+
+  /** LSH-candidate cross-snapshot dedup (r13 verdict Next #1): the same
+    * keep/drop contract as [[dedupCrossSnapshotQ]], with candidates drawn
+    * from the MAINTAINED band index ([[xsnapBandIndexParquet]]) instead of
+    * the corpus-wide rare-shingle equi-join — O(delta bands + collisions),
+    * the shape that holds when the corpus is 100 TB and the crawl batch is
+    * not. Exact full-space Jaccard verifies every candidate; the oracle
+    * FULL-replays the pipeline from `documents` — token split, string
+    * shingles, md5-u32 base hash, the 16 LCG permutations (constants
+    * inlined below from the same seeded generator), 8×2 banding, collision
+    * candidates, exact verification — so the driver hash re-proves the
+    * entire sketch, not just counts. Recall disclosure lives on
+    * [[graft.dedup.Dedup.dedupDeltaAgainstCorpusLsh]]; Round14OpsSpec pins
+    * verdict-equality to the exact kernel on the planted fixture.
+    */
+  private def dedupCrossSnapshotLshQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import org.apache.spark.storage.StorageLevel
+    val tmp = xsnapFixture(s, dir)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val all = s.read.parquet(xsnapStrShinglesParquet(s, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // CDC diff timed, run once — the dedupCrossSnapshotQ discipline
+      val deltaIds = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
+        .filter(col("__change") === "insert")
+        .select(col("doc_id").as("id"))
+        .localCheckpoint(true)
+      val deltaSh = all.join(broadcast(deltaIds), Seq("id"), "left_semi")
+      val baseSh = all.join(broadcast(deltaIds), Seq("id"), "left_anti")
+      val baseBands = s.read.parquet(xsnapBandIndexParquet(s, dir))
+      Dedup.dedupDeltaAgainstCorpusLsh(baseSh, baseBands, deltaSh,
+          threshold = 0.5)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The 16 (a, b) LCG permutation constants, inlined as SQL VALUES rows so
+    * the oracle runs the SAME permutations as the Spark kernel.
+    */
+  private def lshParamRowsSql: String =
+    graft.dedup.MinHashLSH.params(16, 42L).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+
+  private lazy val dedupCrossSnapshotLshOracle =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 63 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, 'zqxnear ' || text FROM documents WHERE doc_id % 63 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 63 = 7
+      |),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM base))
+      |),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |        THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM delta))
+      |),
+      |allsh AS (
+      |  SELECT doc_id, shingle, true AS is_corpus FROM bsh
+      |  UNION ALL
+      |  SELECT doc_id, shingle, false FROM dsh
+      |),
+      |hm AS (
+      |  SELECT doc_id, is_corpus,
+      |    (${OracleSql.md5U32Sql("shingle")}) % 2147483647 AS h
+      |  FROM allsh
+      |),
+      |sig AS (
+      |  SELECT doc_id, is_corpus, p.i, min((p.a * h + p.b) % 2147483647) AS v
+      |  FROM hm CROSS JOIN (VALUES $lshParamRowsSql) p(i, a, b)
+      |  GROUP BY 1, 2, 3
+      |),
+      |sigv AS (
+      |  SELECT doc_id, is_corpus, list(v ORDER BY i) AS sg
+      |  FROM sig GROUP BY 1, 2
+      |),
+      |bnd AS (
+      |  SELECT doc_id, is_corpus, j AS band,
+      |    array_to_string(list_slice(sg, j*2 + 1, j*2 + 2), ',') AS bucket
+      |  FROM sigv CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+      |),
+      |cand AS (
+      |  SELECT DISTINCT d.doc_id AS id, r.doc_id AS rid
+      |  FROM bnd d JOIN bnd r ON d.band = r.band AND d.bucket = r.bucket
+      |  WHERE NOT d.is_corpus AND (r.is_corpus OR r.doc_id < d.doc_id)
+      |),
+      |sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM (
+      |    SELECT doc_id, shingle FROM bsh UNION ALL SELECT doc_id, shingle FROM dsh)
+      |  GROUP BY doc_id
+      |),
+      |inter AS (
+      |  SELECT c.id, c.rid, count(*) AS ic
+      |  FROM cand c
+      |  JOIN dsh a ON a.doc_id = c.id
+      |  JOIN (SELECT doc_id, shingle FROM bsh
+      |        UNION ALL SELECT doc_id, shingle FROM dsh) b
+      |    ON b.doc_id = c.rid AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |),
+      |dups AS (
+      |  SELECT id, count(*) AS n_dups
+      |  FROM inter
+      |  JOIN sizes sd ON sd.doc_id = id
+      |  JOIN sizes sr ON sr.doc_id = rid
+      |  WHERE ic::DOUBLE >= CAST(0.5 AS DOUBLE) * (sd.n + sr.n - ic)::DOUBLE
+      |  GROUP BY id
+      |)
+      |SELECT d.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+      |  coalesce(n_dups, 0) = 0 AS kept
+      |FROM (SELECT doc_id FROM delta
+      |      WHERE len(string_split_regex(text, '\\s+')) >= 5) d
+      |LEFT JOIN dups ON dups.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   private val dedupCrossSnapshotOracle =
     """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
@@ -627,6 +802,7 @@ object VersionedQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cross_snapshot" -> (dedupCrossSnapshotQ _),
+    "q_dedup_cross_snapshot_lsh" -> (dedupCrossSnapshotLshQ _),
     "q_ivf_incremental" -> (ivfIncrementalQ _),
     "q_time_travel" -> (timeTravelQ _),
     "q_snapshot_cdc" -> (snapshotCdcQ _),
@@ -639,6 +815,7 @@ object VersionedQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_cross_snapshot" -> dedupCrossSnapshotOracle,
+    "q_dedup_cross_snapshot_lsh" -> dedupCrossSnapshotLshOracle,
     "q_time_travel" -> timeTravelOracle,
     "q_snapshot_cdc" -> snapshotCdcOracle,
     "q_branch_merge" -> branchMergeOracle,

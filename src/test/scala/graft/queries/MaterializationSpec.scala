@@ -81,6 +81,38 @@ class MaterializationSpec extends SparkSpec {
     assert(mat.count() > 0L)
   }
 
+  test("xsnapStrShinglesParquet ≡ withStringShingles(xsnap fixture v2)") {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = docs
+      .unionByName(docs.filter(col("doc_id") % 63 === 1)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 63 === 2)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("zqxnear "), col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 63 === 7)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+    val fresh = graft.dedup.Dedup.withStringShingles(v2, 5)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val mat = spark.read.parquet(VersionedQueries.xsnapStrShinglesParquet(spark, dir))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized xsnap string shingles diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
+  test("xsnapBandIndexParquet ≡ band rows recomputed from the v1 corpus") {
+    // v1 = the un-planted corpus side (doc_id % 7 != 0)
+    val v1 = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val fresh = graft.dedup.MinHashLSH.replayableBandRows(
+      graft.dedup.MinHashLSH.md5Signatures(
+        graft.dedup.Dedup.withStringShingles(v1, 5), 16), 8)
+    val mat = spark.read.parquet(VersionedQueries.xsnapBandIndexParquet(spark, dir))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized band index diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
   test("positionalShinglesParquet ≡ positionalArrays(augmented documents)") {
     val mat = spark.read.parquet(PipelineQueries.positionalShinglesParquet(spark, dir))
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
