@@ -358,7 +358,11 @@ object AnalyticsQueries {
     * fold checkpoints inside the block) plus dedupCrossSnapshotQ and
     * decontaminateRunsQ (shingling amortized to materialized tables, so
     * every remaining stage is fixture-sized — the dispatch-bound regime;
-    * measured q_dedup_cross_snapshot 2.52 → 0.89 in-bench).
+    * measured q_dedup_cross_snapshot 2.52 → 0.89 in-bench), and r14's
+    * dedupCrossSnapshotLshQ (same shape) and hitsQ (the erEntitiesQ
+    * HYBRID done right: the scan-heavy edge build checkpoints WIDE
+    * before the block, only the ~10 MB distinct + message-passing rounds
+    * pin, eager epilogue inside — 1.74 → 1.32 same-window).
     * (erEntitiesQ was pinned in r13 and REVERTED: the extra eager
     * checkpoint of its CPU-bound Levenshtein join cost more than the
     * 8-partition CC rounds saved — the pin pays off only when the
@@ -2305,12 +2309,22 @@ object AnalyticsQueries {
     * the "most structurally central suppliers" ranking, all exact BIGINTs
     * (normalization deliberately omitted — it only rescales).
     */
+  // r14 (the only monotone untouched mover r11→r13, adjudicated REAL by
+  // solo ProfileOne convergence at 1.7-1.8): the erEntitiesQ hybrid — the
+  // orders⋈lineitem edge build is scan-heavy and stays WIDE (eager
+  // checkpoint at session parallelism), while the distinct + two
+  // message-passing rounds move ~10 MB and run under the 8-partition
+  // kernel pin (measured 1.74 → 1.32 same-window in Scratch)
   private def hitsQ(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.orders(s, dir)
       .join(graft.Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    graft.dedup.DupClusters.hits(e)
-      .orderBy(col("authority2").desc, col("node")).limit(10)
+      .localCheckpoint(true)
+    withKernelShufflePartitions(s, 8) {
+      graft.dedup.DupClusters.hits(e)
+        .orderBy(col("authority2").desc, col("node")).limit(10)
+        .localCheckpoint(true)
+    }
   }
 
   private val hitsOracle =

@@ -173,9 +173,16 @@ object ScaleProbe {
       ("dedupCrossSnapshot", true, "N", { d =>
         val base = d.filter(col("doc_id") % 10000000L % 7 =!= 0)
         val delta = d.filter(col("doc_id") % 10000000L % 7 === 0)
+        // the operator's documented caller-persist contract (r14): its
+        // multi-branch plan re-traverses both inputs, so an UNPERSISTED
+        // withShingles frame re-inlines the shingle HOF per explode
+        // reference (NOTES rule 1 — measured 49 s vs 2 s at x1 here)
         graft.dedup.Dedup.dedupDeltaAgainstCorpus(
-          graft.dedup.Dedup.withShingles(base, 5),
-          graft.dedup.Dedup.withShingles(delta, 5), threshold = 0.5)
+          graft.dedup.Dedup.withShingles(base, 5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          graft.dedup.Dedup.withShingles(delta, 5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          threshold = 0.5)
       }),
       // r14 LSH cross-snapshot dedup: a FIXED delta (replica 0's %7 slice)
       // probed against a GROWING corpus whose string shingles and band

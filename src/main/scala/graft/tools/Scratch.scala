@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage-by-stage timing scratchpad (current target:
-  * q_dedup_cross_snapshot volumes and stage split after the r13 rewrite).
+/** Dev-only stage-by-stage timing scratchpad (current target: q_hits stage
+  * split for the r13→r14 drift adjudication).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,41 +22,45 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).agg(sum(col("id"))).collect()
     def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.sharedState.cacheManager.clearCache()
-    }
-    import graft.queries.VersionedQueries
-    import graft.maintain.Versioned
-    import org.apache.spark.storage.StorageLevel
-    val shP = VersionedQueries.xsnapShinglesParquet(spark, dir)
-    val tmp = VersionedQueries.xsnapFixture(spark, dir)
-    val all0 = spark.read.parquet(shP)
-    println("[scratch] docs in v2 shingle table: " + all0.count())
-    val dIds = Versioned.snapshotDiff(spark, tmp, 1, 2)
-      .filter(col("__change") === "insert").select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    println("[scratch] delta docs: " + dIds.count())
-    val all = all0.persist(StorageLevel.MEMORY_AND_DISK)
-    val dArr = all.join(broadcast(dIds), Seq("id"), "left_semi")
-    val bArr = all.join(broadcast(dIds), Seq("id"), "left_anti")
-    val dEx = dArr.select(col("id"), explode(col("sh")).as("s"))
-    val bEx = bArr.select(col("id"), explode(col("sh")).as("s"))
-    println("[scratch] delta exploded rows: " + dEx.count())
-    println("[scratch] base exploded rows: " + bEx.count())
-    val hot = bEx.select(col("s")).unionAll(dEx.select(col("s")))
-      .groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") > 1000)
-    println("[scratch] hot shingles: " + hot.count())
-    val rhs = bEx.select(col("id").as("rid"), col("s"))
-      .unionByName(dEx.select(col("id").as("rid"), col("s")))
-    val coll = dEx.hint("shuffle_hash").join(rhs.hint("shuffle_hash"), Seq("s"))
-    println("[scratch] collision rows (no cut, incl self): " + coll.count())
-    (1 to 3).foreach { it =>
-      time(s"[$it] full query") {
-        graft.Bench.fullyEvaluate(
-          graft.SparkEntry.queries("q_dedup_cross_snapshot")(spark, dir))
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[scratch] $label #$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.sharedState.cacheManager.clearCache()
       }
+    }
+    import org.apache.spark.storage.StorageLevel
+    val e0 = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    time("join only")(e0.agg(count(lit(1))).collect())
+    time("join+distinct")(e0.distinct().agg(count(lit(1))).collect())
+    time("full hits") {
+      graft.Bench.fullyEvaluate(
+        graft.dedup.DupClusters.hits(e0)
+          .orderBy(col("authority2").desc, col("node")).limit(10))
+    }
+    time("hybrid: wide e build + checkpoint, pinned message passing") {
+      val e = e0.localCheckpoint(true)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = try graft.dedup.DupClusters.hits(e)
+          .orderBy(col("authority2").desc, col("node")).limit(10)
+          .localCheckpoint(true)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.Bench.fullyEvaluate(out)
+    }
+    val eP = e0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    eP.count()
+    time("hits AFTER e cached (3 joins+aggs only)") {
+      val a1 = eP.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+      val h1 = eP.join(a1, Seq("dst")).groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+      val a2 = eP.join(h1, Seq("src")).groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+      val r = a1.join(a2, Seq("dst"), "left_outer")
+        .select(col("dst").as("node"), col("a1").as("authority1"),
+          coalesce(col("a2"), lit(0L)).as("authority2"))
+        .orderBy(col("authority2").desc, col("node")).limit(10)
+      r.collect()
     }
     spark.stop()
   }
