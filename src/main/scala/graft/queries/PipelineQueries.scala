@@ -2327,46 +2327,60 @@ object PipelineQueries {
     * stage-2 candidate join is the CPU-wide kind the kernel pin hurts
     * (the erEntitiesQ lesson).
     */
+  // Per-stage partitioning (measured in Scratch, same window): stage 2's
+  // candidate self-join is the CPU-wide kind the kernel pin hurts (the
+  // erEntitiesQ lesson) and stays at session parallelism; stages 1/3/5
+  // move KB-scale id sets / window frames and run under the 8-partition
+  // pin with eager id-list checkpoints (decon 1.53 → ~0.7, budget window
+  // 1.1 → ~0.6) — each stage's output is a metadata-sized id list, so the
+  // eager anchors are cheap by construction.
   private def pipelineE2eQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val aug = augmented(Tables.documents(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 1: exact dedup
-    val keep1 = aug.groupBy(md5(col("text")).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep1 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      aug.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        .localCheckpoint(true)
+    }
     // stage 2: near dedup among survivors (shared shingle table, doc-local)
     val sh1 = s.read.parquet(shinglesParquet(s, dir))
       .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
     val drop2 = Dedup.jaccardPairsFromShingles(sh1, threshold = 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val keep2 = keep1.join(drop2, Seq("doc_id"), "left_anti")
     // stage 3: run-level decontamination of survivors vs the eval set
     val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 97 === 3)
-    val pos2 = s.read.parquet(positionalShinglesParquet(s, dir))
-      .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    val drop3 = Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
-        k = 5, minRunTokens = 15)
-      .select("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val drop3 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val pos2 = s.read.parquet(positionalShinglesParquet(s, dir))
+        .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
+          k = 5, minRunTokens = 15)
+        .select("doc_id")
+        .localCheckpoint(true)
+    }
     val keep3 = keep2.join(drop3, Seq("doc_id"), "left_anti")
-    // stage 4: quality filter
+    // stage 4: quality filter (map-side scoring over the cached corpus)
     val q = TextAnalysis.qualityFeatures(
         aug.join(keep3, Seq("doc_id"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val low = q.filter(col("quality_score") < 0.5).select("doc_id")
     // stage 5: per-language greedy token budget (quality desc, id tiebreak)
-    val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sel = q.filter(col("quality_score") >= 0.5)
-      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"),
-        when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
-          .as("fate"))
+    val sel = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val w = Window.partitionBy(col("pred_lang"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.filter(col("quality_score") >= 0.5)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"),
+          when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
+            .as("fate"))
+        .localCheckpoint(true)
+    }
     aug.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("exact_dup").as("fate"))
       .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))

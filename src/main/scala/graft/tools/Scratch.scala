@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage-by-stage timing scratchpad (current target: q_hits stage
-  * split for the r13→r14 drift adjudication).
+/** Dev-only stage-by-stage timing scratchpad (current target: q_pipeline_e2e per-stage
+  * split and pin A/Bs; previously the q_hits drift adjudication).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -30,37 +30,62 @@ object Scratch {
       }
     }
     import org.apache.spark.storage.StorageLevel
-    val e0 = graft.Tables.orders(spark, dir)
-      .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    time("join only")(e0.agg(count(lit(1))).collect())
-    time("join+distinct")(e0.distinct().agg(count(lit(1))).collect())
-    time("full hits") {
+    import graft.queries.PipelineQueries
+    import graft.dedup.Dedup
+    import graft.text.TextAnalysis
+    val aug = PipelineQueries.augmented(graft.Tables.documents(spark, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    aug.count()
+    val keep1 = aug.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("s1 exact dedup agg")(keep1.agg(count(lit(1))).collect())
+    keep1.count()
+    val shP = PipelineQueries.shinglesParquet(spark, dir)
+    time("s2 jaccard over survivors") {
+      val sh1 = spark.read.parquet(shP)
+        .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       graft.Bench.fullyEvaluate(
-        graft.dedup.DupClusters.hits(e0)
-          .orderBy(col("authority2").desc, col("node")).limit(10))
+        Dedup.jaccardPairsFromShingles(sh1, threshold = 0.5)
+          .select(col("id_b")).distinct())
     }
-    time("hybrid: wide e build + checkpoint, pinned message passing") {
-      val e = e0.localCheckpoint(true)
+    val posP = PipelineQueries.positionalShinglesParquet(spark, dir)
+    val bench = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 97 === 3)
+    time("s3 decon UNPINNED") {
+      val pos2 = spark.read.parquet(posP)
+        .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      graft.Bench.fullyEvaluate(
+        Dedup.benchmarkTokenRunsFromPositional(pos2, bench, 5, 15).select("doc_id"))
+    }
+    def pin8[T](f: => T): T = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val out = try graft.dedup.DupClusters.hits(e)
-          .orderBy(col("authority2").desc, col("node")).limit(10)
-          .localCheckpoint(true)
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      graft.Bench.fullyEvaluate(out)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    val eP = e0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    eP.count()
-    time("hits AFTER e cached (3 joins+aggs only)") {
-      val a1 = eP.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
-      val h1 = eP.join(a1, Seq("dst")).groupBy(col("src")).agg(sum(col("a1")).as("h1"))
-      val a2 = eP.join(h1, Seq("src")).groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
-      val r = a1.join(a2, Seq("dst"), "left_outer")
-        .select(col("dst").as("node"), col("a1").as("authority1"),
-          coalesce(col("a2"), lit(0L)).as("authority2"))
-        .orderBy(col("authority2").desc, col("node")).limit(10)
-      r.collect()
+    time("s3 decon PINNED8") {
+      pin8 {
+        val pos2 = spark.read.parquet(posP)
+          .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        Dedup.benchmarkTokenRunsFromPositional(pos2, bench, 5, 15)
+          .select("doc_id").localCheckpoint(true)
+      }
+    }
+    time("s4 quality") {
+      graft.Bench.fullyEvaluate(
+        TextAnalysis.qualityFeatures(aug.join(keep1, Seq("doc_id"), "left_semi"))
+          .select(col("doc_id"), col("quality_score"), col("n_tokens")))
+    }
+    time("s5 lang+budget window") {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis.qualityFeatures(aug.join(keep1, Seq("doc_id"), "left_semi"))
+        .filter(col("quality_score") >= 0.5)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      val w = Window.partitionBy(col("pred_lang"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Bench.fullyEvaluate(q.withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), when(col("__cum") <= 20000L, "selected").otherwise("over_budget").as("fate")))
     }
     spark.stop()
   }
