@@ -126,11 +126,18 @@ object CurationQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val bench = docs.filter(col("doc_id") % 97 === 3)
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
-          s.read.parquet(deconPositionalParquet(s, dir)), bench,
-          k = 5, minRunTokens = 15)
+      // caller-owned persist with a DETERMINISTIC unpersist (the r14
+      // operator contract): the operator's df-cut probe and main plan
+      // each traverse the positional table once, and evaluation is EAGER
+      // inside this block (localCheckpoint), so try/finally reclaims the
+      // cache before returning — no leak, no double parquet scan
+      val cp = s.read.parquet(deconPositionalParquet(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
+          cp, bench, k = 5, minRunTokens = 15)
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
+      finally { cp.unpersist(); () }
     }
   }
 

