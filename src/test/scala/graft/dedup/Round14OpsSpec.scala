@@ -61,6 +61,31 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("hotCutJoiner: broadcast path ≡ shuffle-anti fallback, and the gate trips on size") {
+    // ADVICE r13 medium: the >maxFreq hot-set broadcast must be gated.
+    // Build a frame with two hot shingles and three rare ones; cut with a
+    // generous ceiling (broadcast path) and with maxRows = 1 (forced
+    // fallback) — the results must be identical by complement either way.
+    val rows = Seq(
+      (1L, "hot1"), (2L, "hot1"), (3L, "hot1"),
+      (1L, "hot2"), (2L, "hot2"), (3L, "hot2"),
+      (1L, "rare_a"), (2L, "rare_b"), (3L, "rare_c"))
+      .toDF("id", "shingle")
+    val hot = rows.groupBy("shingle").agg(count(lit(1)).as("f"))
+      .filter(col("f") > 2).select("shingle")
+    def collectCut(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "shingle")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBroadcast = collectCut(Dedup.hotCutJoiner(hot)(rows))
+    val viaFallback = collectCut(Dedup.hotCutJoiner(hot, maxRows = 1)(rows))
+    val expected = Set((1L, "rare_a"), (2L, "rare_b"), (3L, "rare_c"))
+    assert(viaBroadcast == expected, s"broadcast path: $viaBroadcast")
+    assert(viaFallback == expected, s"fallback path: $viaFallback")
+    // boundary: a hot set exactly AT the ceiling still broadcasts
+    val atCeiling = collectCut(Dedup.hotCutJoiner(hot, maxRows = 2)(rows))
+    assert(atCeiling == expected)
+  }
+
   test("LSH verdicts ≡ exact-kernel verdicts on the xsnap fixture (sf0.001)") {
     // end-to-end equality of the two registry queries on the planted
     // fixture: every exact-kernel DROP is re-found through the band index
