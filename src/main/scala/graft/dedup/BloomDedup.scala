@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bloom-bitmap membership dedup: the ingest-time exact-duplicate filter a
+  * crawl pipeline runs on every incoming batch against a standing corpus.
+  *
+  * The 100 TB shape this models: the corpus's content fingerprints are folded
+  * ONCE into an m-bit Bloom bitmap (a standing artifact, rebuilt only when
+  * the corpus compacts — Bloom 1970, CACM 13(7)); each delta batch probes the
+  * bitmap MAP-SIDE (the bitmap rides into the probe as an 8 KB literal /
+  * broadcast, the k bit tests are codegen'd array ops), and only the rows the
+  * bloom flags — true duplicates plus the disclosed false-positive rate — pay
+  * the exact-confirm join against the corpus fingerprint store. The
+  * novel-majority path (the common case for a crawl batch) costs ZERO
+  * shuffle: scan, hash, k array lookups, done. Contrast the exact anti-join,
+  * which ships every delta row through a corpus-sized shuffle regardless.
+  *
+  * Replayability contract (what makes this oracle-checkable, not just
+  * plausible): bit position j of fingerprint `fp` is
+  * `md5U32(fp || ':' || j) mod m` — the library's standard deterministic
+  * uniform ([[graft.functions.Md5Field.md5U32]]), so DuckDB re-derives the
+  * EXACT bit set, every probe verdict, and every false positive from the base
+  * tables. No false negatives by construction (a corpus fingerprint sets all
+  * k of its own bits), so `is_dup -> bloom_hit` is an invariant the spec
+  * pins, and the exact-confirm join restores exactness over the false
+  * positives — the operator's RESULT is exact; only its COST rides the
+  * probabilistic contract. Size m to the corpus (m/n ≈ 16, k = 4 gives
+  * ~2e-4 fp); an undersized bitmap degrades cost, never correctness.
+  */
+object BloomDedup {
+
+  /** One-row bitmap buffer (case class so the buffer rides the product
+    * encoder; the array is the m/64 words of the bloom, OR-mergeable).
+    */
+  case class BloomBits(words: Array[Long])
+
+  /** Typed Aggregator folding fingerprints into the m-bit bloom bitmap.
+    * Partial aggregation is map-side (each task ORs into its own 8 KB
+    * buffer; merge is word-wise OR), so building the bitmap over a 100 TB
+    * corpus is one scan with NO data-dependent shuffle — the only thing
+    * that moves is one m/64-word buffer per task.
+    */
+  final class BitmapAggregator(mBits: Int, k: Int)
+      extends Aggregator[String, BloomBits, BloomBits] {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: BloomBits = BloomBits(new Array[Long](mBits / 64))
+
+    override def reduce(b: BloomBits, fp: String): BloomBits = {
+      var j = 0
+      while (j < k) {
+        val pos = (graft.functions.Md5Field.field(
+          org.apache.spark.unsafe.types.UTF8String.fromString(fp + ":" + j),
+          0, 8) % mBits).toInt
+        b.words(pos >>> 6) |= 1L << (pos & 63)
+        j += 1
+      }
+      b
+    }
+
+    override def merge(a: BloomBits, b: BloomBits): BloomBits = {
+      var i = 0
+      while (i < a.words.length) { a.words(i) |= b.words(i); i += 1 }
+      a
+    }
+
+    override def finish(r: BloomBits): BloomBits = r
+    override def bufferEncoder: Encoder[BloomBits] = Encoders.product[BloomBits]
+    override def outputEncoder: Encoder[BloomBits] = Encoders.product[BloomBits]
+  }
+
+  /** Build the corpus bloom: one scan, map-side partial ORs, one 8 KB row to
+    * the driver (1-row memo class — bounded by m, never by corpus size).
+    */
+  def corpusBloom(corpusFp: DataFrame, mBits: Int, k: Int,
+                  fpCol: String = "fp"): Array[Long] =
+    corpusFp.select(col(fpCol)).as[String](Encoders.STRING)
+      .select(new BitmapAggregator(mBits, k).toColumn)
+      .head().words
+
+  /** The k bit positions of `fp` as a Column (array<long>), matching the
+    * aggregator and the oracle: `md5U32(fp || ':' || j) mod m`.
+    */
+  private def positions(fp: Column, mBits: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      pmod(graft.functions.Md5Field.md5U32(
+        concat(fp, lit(":"), j.cast("string"))), lit(mBits.toLong)))
+
+  /** Probe verdicts for a delta batch: one row per delta doc with
+    * `bloom_hit` (all k bits set in the corpus bitmap), `is_dup` (exact —
+    * bloom hit CONFIRMED against the corpus fingerprints), and the keep/drop
+    * `verdict`. `corpusFp`/`deltaFp` carry a fingerprint column `fp`
+    * (delta additionally `idCol`); fingerprints are whatever content hash
+    * the pipeline standardizes on (md5 hex here and in the oracle).
+    *
+    * Plan shape: the bitmap enters as a literal (8 KB at the default m), the
+    * probe is a map-only projection over codegen'd array ops (element_at on
+    * the word array + a 64-entry mask table — no dynamic-shift expression
+    * exists, so the mask lookup keeps it whole-stage), and the exact-confirm
+    * left-semi join runs ONLY over bloom-hit rows.
+    */
+  def bloomDeltaDedup(corpusFp: DataFrame, deltaFp: DataFrame,
+                      mBits: Int = 1 << 16, k: Int = 4,
+                      idCol: String = "doc_id"): DataFrame =
+    bloomProbe(corpusBloom(corpusFp, mBits, k), corpusFp, deltaFp,
+      mBits, k, idCol)
+
+  /** [[bloomDeltaDedup]] with a prebuilt bitmap — the standing-artifact
+    * entry point: the caller holds the corpus bloom (built once, maintained
+    * across batches by OR-ing in each accepted batch's own bitmap) and pays
+    * only the probe + exact confirm per incoming batch.
+    */
+  def bloomProbe(words: Array[Long], corpusFp: DataFrame, deltaFp: DataFrame,
+                 mBits: Int = 1 << 16, k: Int = 4,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(words.length == mBits / 64,
+      s"bitmap has ${words.length} words, expected ${mBits / 64}")
+    val bits = typedLit(words.toSeq)
+    val masks = typedLit((0 until 64).map(1L << _))
+    val hit = forall(positions(col("fp"), mBits, k), p =>
+      element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
+        =!= 0L)
+    val probed = deltaFp.select(col(idCol), col("fp"))
+      .withColumn("bloom_hit", hit)
+    // exact confirm: BROADCAST the bloom-hit set (bounded by true dups +
+    // the disclosed fp rate) and STREAM the corpus fingerprint store past
+    // it — the corpus is never shuffled, never deduped, never built into
+    // a hash table. The distinct collapses multi-match fan-out (a hit fp
+    // may appear in many corpus rows) over hit-sized data only.
+    val confirmed = probed.filter(col("bloom_hit"))
+      .select(col(idCol), col("fp")).hint("broadcast")
+      .join(corpusFp.select(col("fp")), Seq("fp"), "inner")
+      .select(col(idCol)).distinct()
+      .select(col(idCol), lit(true).as("__dup"))
+    probed.join(confirmed, Seq(idCol), "left")
+      .select(col(idCol), col("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"),
+        when(coalesce(col("__dup"), lit(false)), lit("drop"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+}

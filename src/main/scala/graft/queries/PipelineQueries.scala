@@ -54,6 +54,98 @@ object PipelineQueries {
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin
 
+  /** Bloom-bitmap delta dedup ([[graft.dedup.BloomDedup.bloomDeltaDedup]]):
+    * the planted-dup corpus split at the 1M id line — originals are the
+    * standing corpus, the +1M exact copies and +2M near copies are the
+    * incoming batch. Exact copies MUST come back `is_dup` (no false
+    * negatives); near copies are novel and exercise the false-positive
+    * accounting. The oracle re-derives the full bit set (md5U32 positions
+    * mod m), every probe verdict, and the exact confirm from `documents`,
+    * so the driver hash proves the bitmap math, not just the verdict
+    * counts.
+    */
+  private def bloomDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    // the corpus bitmap AND both fingerprint tables are the standing
+    // artifacts the operator probes — an ingest pipeline holds its corpus
+    // fp store and fingerprints each batch at arrival (BASELINE.md
+    // §Amortization: fingerprinting amortizes like the similarity family's
+    // tokenization; the bitmap probe, exact-confirm join, and verdict
+    // assembly stay timed). The oracle re-derives the FULL bit set and
+    // every fingerprint from `documents` each driver run, so a stale or
+    // wrong memo cannot hash-match; MaterializationSpec proves both fp
+    // tables ≡ recomputation. Probe stages move ~1k rows → kernel pin.
+    val corpus = s.read.parquet(bloomCorpusFpParquet(s, dir))
+    val delta = s.read.parquet(bloomDeltaFpParquet(s, dir))
+    val bits = bloomBitsMemo.getOrElseUpdate(dir,
+      graft.dedup.BloomDedup.corpusBloom(corpus, mBits = 1 << 16, k = 4))
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.dedup.BloomDedup.bloomProbe(bits, corpus, delta, mBits = 1 << 16, k = 4)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Corpus fingerprint store `(fp)` — md5 of every document, materialized
+    * once per process per sf dir (the standing fp table a dedup service
+    * keeps next to its bloom).
+    */
+  private[graft] def bloomCorpusFpParquet(s: SparkSession, dir: String): String =
+    bloomFpPaths.getOrElseUpdate("corpus:" + dir, {
+      val p = graft.TempDirs.fixtureDir("bloom_corpus_fp")
+      Tables.documents(s, dir).select(md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Incoming-batch fingerprints `(doc_id, fp)`: aug's >= 1M slice (the +1M
+    * exact copies and +2M near copies), fingerprinted at arrival — built
+    * directly from `documents` (not by filtering augmented(): Spark's Union
+    * constraint rewrite trips on reused self-derived union lineage).
+    */
+  private[graft] def bloomDeltaFpParquet(s: SparkSession, dir: String): String =
+    bloomFpPaths.getOrElseUpdate("delta:" + dir, {
+      val p = graft.TempDirs.fixtureDir("bloom_delta_fp")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("zqxnear "), col("text")).as("text")))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val bloomFpPaths =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private val bloomBitsMemo =
+    new scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+  private val bloomDeltaOracle = {
+    def u32(e: String) = OracleSql.md5U32Sql(e)
+    s"""WITH $augCte,
+      |corpus AS (
+      |  SELECT md5(text) AS fp FROM aug WHERE doc_id < 1000000),
+      |delta AS (
+      |  SELECT doc_id, md5(text) AS fp FROM aug WHERE doc_id >= 1000000),
+      |cbits AS (
+      |  SELECT DISTINCT (${u32("fp || ':' || j")}) % 65536 AS pos
+      |  FROM corpus CROSS JOIN range(0, 4) t(j)),
+      |dpos AS (
+      |  SELECT doc_id, fp, (${u32("fp || ':' || j")}) % 65536 AS pos
+      |  FROM delta CROSS JOIN range(0, 4) t(j)),
+      |probe AS (
+      |  SELECT doc_id, fp,
+      |    bool_and(pos IN (SELECT pos FROM cbits)) AS bloom_hit
+      |  FROM dpos GROUP BY doc_id, fp)
+      |SELECT doc_id, bloom_hit,
+      |  (bloom_hit AND fp IN (SELECT fp FROM corpus)) AS is_dup,
+      |  CASE WHEN bloom_hit AND fp IN (SELECT fp FROM corpus)
+      |    THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM probe ORDER BY doc_id""".stripMargin
+  }
+
   /** RAKE keyphrases ([[TextAnalysis.rakeKeyphrases]]): stopword-delimited
     * candidate islands, floor-scaled integer degree/frequency word scores,
     * corpus top-20 phrases — the whole pipeline (islands → word stats →
@@ -3998,6 +4090,7 @@ object PipelineQueries {
     "q_video_frames" -> (videoFramesQ _),
     "q_scene_cuts" -> (sceneCutsQ _),
     "q_dedup_exact" -> (dedupExactQ _),
+    "q_dedup_bloom_delta" -> (bloomDeltaQ _),
     "q_dup_weights" -> (dupWeightsQ _),
     "q_phrase_search" -> (phraseSearchQ _),
     "q_rake_keyphrases" -> (rakeQ _),
@@ -4123,6 +4216,7 @@ object PipelineQueries {
     "q_video_frames" -> videoFramesOracle,
     "q_scene_cuts" -> sceneCutsOracle,
     "q_dedup_exact" -> dedupExactOracle,
+    "q_dedup_bloom_delta" -> bloomDeltaOracle,
     "q_dup_weights" -> dupWeightsOracle,
     "q_phrase_search" -> phraseSearchOracle,
     "q_rake_keyphrases" -> rakeOracle,

@@ -128,7 +128,30 @@ object ScaleProbe {
             graft.dedup.MinHashLSH.md5Signatures(baseSh, 16), 8)
           .write.mode("overwrite").parquet(s"$lp/bands")
       }
+      // r14 bloom probe: the corpus fingerprint store per tier (standing
+      // artifact; the bitmap itself is memoized per tier at first probe)
+      val bfp = s"$corpusRoot/x${n}_bloomfix"
+      if (!new java.io.File(bfp).exists())
+        spark.read.parquet(p).select(md5(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(bfp)
     }
+    // the FIXED incoming batch for the bloom probe: exact copies (+1M) and
+    // prefixed variants (+2M) of replica-0 slices — identical at every
+    // corpus tier, so verdict rows must stay EXACTLY flat
+    val bloomDeltaPath = s"$corpusRoot/bloom_delta_fp"
+    if (!new java.io.File(bloomDeltaPath).exists()) {
+      val d0 = spark.read.parquet(s"$corpusRoot/x1")
+        .select(col("doc_id"), col("text"))
+      d0.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d0.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("zqx "), col("text")).as("text")))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(bloomDeltaPath)
+    }
+    val bloomWords =
+      new scala.collection.concurrent.TrieMap[String, Array[Long]]()
 
     // star-and-ring community edges derived from doc ids; the formula is
     // invariant under the replica offset (10M ≡ 0 mod 100), so replicas
@@ -199,6 +222,21 @@ object ScaleProbe {
         graft.dedup.Dedup.dedupDeltaAgainstCorpusLsh(
           sh.filter(!isDelta), sp.read.parquet(s"$lp/bands"),
           sh.filter(isDelta), threshold = 0.5)
+      }),
+      // r14 bloom delta dedup: a FIXED batch probed against a GROWING
+      // corpus — the bitmap is constant-size (m sized to the x30 corpus:
+      // 2^22 bits = 512 KB, load 0.17, fp ~6e-4), the probe is map-only,
+      // and the exact confirm broadcasts the hit set and STREAMS the
+      // corpus fp store. Verdict rows must stay EXACTLY flat; shuffle
+      // must stay batch-sized (the corpus contributes scan, not shuffle)
+      ("bloomProbeFixedDelta", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        val corpusFp = sp.read.parquet(s"$corpusRoot/${xdir}_bloomfix")
+        val words = bloomWords.getOrElseUpdate(xdir,
+          graft.dedup.BloomDedup.corpusBloom(corpusFp, 1 << 22, 4))
+        graft.dedup.BloomDedup.bloomProbe(words, corpusFp,
+          sp.read.parquet(bloomDeltaPath), mBits = 1 << 22, k = 4)
       }),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for

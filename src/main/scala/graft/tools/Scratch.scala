@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage-by-stage timing scratchpad (current target: q_pipeline_e2e per-stage
-  * split and pin A/Bs; previously the q_hits drift adjudication).
+/** Dev scratchpad (contents rotate per investigation — currently: stage
+  * decomposition of the bloom delta-dedup query).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -29,64 +29,39 @@ object Scratch {
         spark.sharedState.cacheManager.clearCache()
       }
     }
-    import org.apache.spark.storage.StorageLevel
-    import graft.queries.PipelineQueries
-    import graft.dedup.Dedup
-    import graft.text.TextAnalysis
-    val aug = PipelineQueries.augmented(graft.Tables.documents(spark, dir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    aug.count()
-    val keep1 = aug.groupBy(md5(col("text")).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("s1 exact dedup agg")(keep1.agg(count(lit(1))).collect())
-    keep1.count()
-    val shP = PipelineQueries.shinglesParquet(spark, dir)
-    time("s2 jaccard over survivors") {
-      val sh1 = spark.read.parquet(shP)
-        .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-      graft.Bench.fullyEvaluate(
-        Dedup.jaccardPairsFromShingles(sh1, threshold = 0.5)
-          .select(col("id_b")).distinct())
-    }
-    val posP = PipelineQueries.positionalShinglesParquet(spark, dir)
-    val bench = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).filter(col("doc_id") % 97 === 3)
-    time("s3 decon UNPINNED") {
-      val pos2 = spark.read.parquet(posP)
-        .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-      graft.Bench.fullyEvaluate(
-        Dedup.benchmarkTokenRunsFromPositional(pos2, bench, 5, 15).select("doc_id"))
-    }
     def pin8[T](f: => T): T = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    time("s3 decon PINNED8") {
-      pin8 {
-        val pos2 = spark.read.parquet(posP)
-          .join(keep1.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-        Dedup.benchmarkTokenRunsFromPositional(pos2, bench, 5, 15)
-          .select("doc_id").localCheckpoint(true)
-      }
+    import graft.dedup.BloomDedup
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    time("s1 corpus fp scan only") {
+      docs.select(md5(col("text")).as("fp")).agg(count(lit(1))).collect()
     }
-    time("s4 quality") {
+    time("s2 bitmap aggregator") {
+      BloomDedup.corpusBloom(docs.select(md5(col("text")).as("fp")), 1 << 16, 4)
+    }
+    val deltaRaw = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("zqxnear "), col("text")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    time("s3 delta build + checkpoint") {
+      deltaRaw.localCheckpoint(true).count()
+    }
+    val delta = deltaRaw.localCheckpoint(true)
+    val corpus = docs.select(md5(col("text")).as("fp"))
+    time("s4 full kernel UNPINNED") {
       graft.Bench.fullyEvaluate(
-        TextAnalysis.qualityFeatures(aug.join(keep1, Seq("doc_id"), "left_semi"))
-          .select(col("doc_id"), col("quality_score"), col("n_tokens")))
+        BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).orderBy("doc_id"))
     }
-    time("s5 lang+budget window") {
-      import org.apache.spark.sql.expressions.Window
-      val q = TextAnalysis.qualityFeatures(aug.join(keep1, Seq("doc_id"), "left_semi"))
-        .filter(col("quality_score") >= 0.5)
-        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-      val w = Window.partitionBy(col("pred_lang"))
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      graft.Bench.fullyEvaluate(q.withColumn("__cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), when(col("__cum") <= 20000L, "selected").otherwise("over_budget").as("fate")))
+    time("s5 full kernel PINNED8") {
+      pin8 { graft.Bench.fullyEvaluate(
+        BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).orderBy("doc_id")) }
     }
+    BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).explain("formatted")
     spark.stop()
   }
 }

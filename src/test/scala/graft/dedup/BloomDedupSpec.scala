@@ -1,0 +1,76 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bloom-bitmap delta dedup ([[BloomDedup.bloomDeltaDedup]]): hand verdicts,
+  * the no-false-negative invariant, exactness of `is_dup` regardless of the
+  * bitmap's false-positive rate, and the forced-false-positive path on a
+  * deliberately undersized bitmap.
+  */
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  test("bloomDeltaDedup: exact copy dropped, novel kept — by hand") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha text"), (11L, "gamma text")).toDF("doc_id", "text")
+    val out = BloomDedup.bloomDeltaDedup(
+        fp(corpus).select(col("fp")), fp(delta), mBits = 1 << 10, k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "bloom_hit", "is_dup", "verdict")
+      .as[(Long, Boolean, Boolean, String)].collect().toSeq
+    assert(out.head == ((10L, true, true, "drop")))  // dup: hit AND confirmed
+    assert(out(1)._1 == 11L && !out(1)._3 && out(1)._4 == "keep")
+  }
+
+  test("is_dup is exact and implies bloom_hit even on an undersized bitmap") {
+    // 64-bit bloom over a 40-doc corpus (load kn/m = 2.5): false positives
+    // are guaranteed statistically, false NEGATIVES are impossible, and
+    // is_dup must still equal exact membership for every row.
+    val corpus = (0 until 40).map(i => (i.toLong, s"corpus doc $i")).toDF("doc_id", "text")
+    val delta = ((100 until 140).map(i => (i.toLong, s"novel doc $i")) ++
+      Seq((200L, "corpus doc 7"), (201L, "corpus doc 33"))).toDF("doc_id", "text")
+    val out = BloomDedup.bloomDeltaDedup(
+        fp(corpus).select(col("fp")), fp(delta), mBits = 64, k = 4)
+      .select("doc_id", "bloom_hit", "is_dup").as[(Long, Boolean, Boolean)]
+      .collect().toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.size == 42)
+    // exactness: is_dup == true exactly for the two planted corpus copies
+    assert(out.filter(_._3).map(_._1).sorted == Seq(200L, 201L))
+    // no false negatives: every dup is a bloom hit
+    assert(byId(200L)._2 && byId(201L)._2)
+    // the undersized bitmap DOES fire on novels (cost path exercised) —
+    // deterministic given the md5 position math
+    assert(out.exists(t => t._2 && !t._3),
+      "expected at least one false positive at load 2.5")
+  }
+
+  test("bloomProbe with a prebuilt bitmap ≡ bloomDeltaDedup") {
+    val corpus = (0 until 25).map(i => (i.toLong, s"c$i")).toDF("doc_id", "text")
+    val delta = (0 until 20).map(i => (100L + i, if (i % 4 == 0) s"c$i" else s"x$i"))
+      .toDF("doc_id", "text")
+    val cfp = fp(corpus).select(col("fp"))
+    val full = BloomDedup.bloomDeltaDedup(cfp, fp(delta), mBits = 1 << 10, k = 4)
+    val words = BloomDedup.corpusBloom(cfp, 1 << 10, 4)
+    val probe = BloomDedup.bloomProbe(words, cfp, fp(delta), mBits = 1 << 10, k = 4)
+    assert(full.exceptAll(probe).isEmpty && probe.exceptAll(full).isEmpty)
+  }
+
+  test("probe verdicts are partitioning-invariant") {
+    val corpus = (0 until 30).map(i => (i.toLong, s"c$i")).toDF("doc_id", "text")
+    val delta = (0 until 30).map(i => (100L + i, if (i % 3 == 0) s"c$i" else s"n$i"))
+      .toDF("doc_id", "text")
+    val a = BloomDedup.bloomDeltaDedup(fp(corpus).select(col("fp")),
+        fp(delta), mBits = 1 << 12, k = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = BloomDedup.bloomDeltaDedup(
+        fp(corpus.repartition(7)).select(col("fp")),
+        fp(delta.repartition(5)), mBits = 1 << 12, k = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

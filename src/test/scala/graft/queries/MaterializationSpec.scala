@@ -162,4 +162,20 @@ class MaterializationSpec extends SparkSpec {
       "materialized components diverged from the from-scratch build")
     assert(mat.count() > 0L)
   }
+
+  test("bloom fp tables ≡ md5 fingerprints of documents / the aug delta slice") {
+    val corpusMat = spark.read.parquet(PipelineQueries.bloomCorpusFpParquet(spark, dir))
+    val corpusFresh = graft.Tables.documents(spark, dir)
+      .select(md5(col("text")).as("fp"))
+    assert(corpusMat.exceptAll(corpusFresh).isEmpty &&
+      corpusFresh.exceptAll(corpusMat).isEmpty,
+      "materialized corpus fp table diverged from the from-scratch build")
+    val deltaMat = spark.read.parquet(PipelineQueries.bloomDeltaFpParquet(spark, dir))
+    val deltaFresh = docs.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(deltaMat.exceptAll(deltaFresh).isEmpty &&
+      deltaFresh.exceptAll(deltaMat).isEmpty,
+      "materialized delta fp table diverged from augmented()'s >= 1M slice")
+    assert(corpusMat.count() > 0L && deltaMat.count() > 0L)
+  }
 }
