@@ -83,6 +83,21 @@ object BloomDedup {
       .select(new BitmapAggregator(mBits, k).toColumn)
       .head().words
 
+  /** Merge two blooms over the same (m, k): word-wise OR. This IS the
+    * incremental-maintenance step — `bits(corpus ∪ batch) = bits(corpus) |
+    * bits(batch)` exactly (each fingerprint's k positions depend on nothing
+    * but the fingerprint), so accepting a batch costs one O(batch) scan
+    * plus an 8 KB OR, never a corpus rebuild.
+    */
+  def mergeBlooms(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"bloom word counts differ: ${a.length} vs ${b.length}")
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) | b(i); i += 1 }
+    out
+  }
+
   /** The k bit positions of `fp` as a Column (array<long>), matching the
     * aggregator and the oracle: `md5U32(fp || ':' || j) mod m`.
     */
@@ -117,7 +132,7 @@ object BloomDedup {
     */
   def bloomProbe(words: Array[Long], corpusFp: DataFrame, deltaFp: DataFrame,
                  mBits: Int = 1 << 16, k: Int = 4,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id", keepFp: Boolean = false): DataFrame = {
     require(words.length == mBits / 64,
       s"bitmap has ${words.length} words, expected ${mBits / 64}")
     val bits = typedLit(words.toSeq)
@@ -138,10 +153,11 @@ object BloomDedup {
       .join(corpusFp.select(col("fp")), Seq("fp"), "inner")
       .select(col(idCol)).distinct()
       .select(col(idCol), lit(true).as("__dup"))
-    probed.join(confirmed, Seq(idCol), "left")
-      .select(col(idCol), col("bloom_hit"),
+    val keep =
+      (if (keepFp) Seq(col("fp")) else Nil) ++ Seq(col(idCol), col("bloom_hit"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),
         when(coalesce(col("__dup"), lit(false)), lit("drop"))
           .otherwise(lit("keep")).as("verdict"))
+    probed.join(confirmed, Seq(idCol), "left").select(keep: _*)
   }
 }

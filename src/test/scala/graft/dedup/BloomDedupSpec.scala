@@ -60,6 +60,27 @@ class BloomDedupSpec extends SparkSpec {
     assert(full.exceptAll(probe).isEmpty && probe.exceptAll(full).isEmpty)
   }
 
+  test("mergeBlooms: OR of split bitmaps ≡ bitmap of the union, probes agree") {
+    val docs = (0 until 60).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val v1 = fp(docs.filter(col("doc_id") % 7 =!= 0)).select(col("fp"))
+    val batch = fp(docs.filter(col("doc_id") % 7 === 0)).select(col("fp"))
+    val allFp = fp(docs).select(col("fp"))
+    val merged = BloomDedup.mergeBlooms(
+      BloomDedup.corpusBloom(v1, 1 << 10, 4),
+      BloomDedup.corpusBloom(batch, 1 << 10, 4))
+    val rebuilt = BloomDedup.corpusBloom(allFp, 1 << 10, 4)
+    assert(java.util.Arrays.equals(merged, rebuilt))
+    // probes through the maintained bitmap ≡ through the rebuilt one
+    val probe = fp(Seq((100L, "doc 7"), (101L, "doc 8"), (102L, "zz")).toDF("doc_id", "text"))
+    val a = BloomDedup.bloomProbe(merged, allFp, probe, 1 << 10, 4)
+    val b = BloomDedup.bloomProbe(rebuilt, allFp, probe, 1 << 10, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // 7 is the v1 side (7 % 7 == 0 → batch!), 8 is v1: pin the split math
+    val hit = a.orderBy("doc_id").select("doc_id", "is_dup")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hit == Seq((100L, true), (101L, true), (102L, false)))
+  }
+
   test("probe verdicts are partitioning-invariant") {
     val corpus = (0 until 30).map(i => (i.toLong, s"c$i")).toDF("doc_id", "text")
     val delta = (0 until 30).map(i => (100L + i, if (i % 3 == 0) s"c$i" else s"n$i"))

@@ -166,7 +166,7 @@ class MaterializationSpec extends SparkSpec {
   test("bloom fp tables ≡ md5 fingerprints of documents / the aug delta slice") {
     val corpusMat = spark.read.parquet(PipelineQueries.bloomCorpusFpParquet(spark, dir))
     val corpusFresh = graft.Tables.documents(spark, dir)
-      .select(md5(col("text")).as("fp"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
     assert(corpusMat.exceptAll(corpusFresh).isEmpty &&
       corpusFresh.exceptAll(corpusMat).isEmpty,
       "materialized corpus fp table diverged from the from-scratch build")
