@@ -52,6 +52,9 @@ object BloomDedup {
     override def zero: BloomBits = BloomBits(new Array[Long](mBits / 64))
 
     override def reduce(b: BloomBits, fp: String): BloomBits = {
+      // null fingerprints (md5 of a NULL text) set no bits — matching the
+      // probe's concat null-propagation and the oracle's md5(NULL)=NULL
+      if (fp == null) return b
       var j = 0
       while (j < k) {
         val pos = (graft.functions.Md5Field.field(
@@ -143,21 +146,30 @@ object BloomDedup {
         =!= 0L)
     val probed = deltaFp.select(col(idCol), col("fp"))
       .withColumn("bloom_hit", hit)
-    // exact confirm: BROADCAST the bloom-hit set (bounded by true dups +
-    // the disclosed fp rate) and STREAM the corpus fingerprint store past
-    // it — the corpus is never shuffled, never deduped, never built into
-    // a hash table. The distinct collapses multi-match fan-out (a hit fp
-    // may appear in many corpus rows) over hit-sized data only.
-    val confirmed = probed.filter(col("bloom_hit"))
-      .select(col(idCol), col("fp")).hint("broadcast")
+    // exact confirm: BROADCAST the deduped bloom-hit fingerprint set
+    // (bounded by true dups + the disclosed fp rate) and STREAM the corpus
+    // fingerprint store past it — the corpus is never shuffled, never
+    // deduped, never built into a hash table. Keyed on fp, not id: a
+    // delta id carrying several fingerprints gets each row judged by its
+    // OWN fp (and rows sharing an fp share one verdict, as they must).
+    // `probed` is referenced on both sides, so the k-per-row md5 probe
+    // recomputes once more — delta-sized map work, cheaper at every scale
+    // than materializing the frame (callers wanting one pass checkpoint
+    // the result, as the registry queries do).
+    // inner-join + distinct rather than left-semi: a semi join can only
+    // hash-build its RIGHT side (the corpus); the inner form broadcast-
+    // builds the hit set and the second distinct collapses corpus
+    // multi-match fan-out over hit-sized data only
+    val dupFps = probed.filter(col("bloom_hit"))
+      .select(col("fp")).distinct().hint("broadcast")
       .join(corpusFp.select(col("fp")), Seq("fp"), "inner")
-      .select(col(idCol)).distinct()
-      .select(col(idCol), lit(true).as("__dup"))
+      .distinct()
+      .select(col("fp"), lit(true).as("__dup"))
     val keep =
       (if (keepFp) Seq(col("fp")) else Nil) ++ Seq(col(idCol), col("bloom_hit"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),
         when(coalesce(col("__dup"), lit(false)), lit("drop"))
           .otherwise(lit("keep")).as("verdict"))
-    probed.join(confirmed, Seq(idCol), "left").select(keep: _*)
+    probed.join(dupFps, Seq("fp"), "left").select(keep: _*)
   }
 }

@@ -28,9 +28,15 @@ object PipelineQueries {
 
   /** Corpus with planted exact + near duplicates. */
   def augmented(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    docs.select(col("doc_id"), col("text")).unionByName(augDeltaSlice(docs))
+
+  /** aug's >= 1M slice on its own — the planted exact copies (+1M) and
+    * near copies (+2M). The single definition the bloom fixtures and
+    * Scratch share with [[augmented]]/[[augCte]].
+    */
+  private[graft] def augDeltaSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 10 === 1)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("zqxnear "), col("text")).as("text")))
@@ -117,8 +123,11 @@ object PipelineQueries {
       val merged = BloomDedup.mergeBlooms(bitsV1, bitsBatch)
       val rebuilt = BloomDedup.corpusBloom(all, 1 << 16, 4)
       val incEq = java.util.Arrays.equals(merged, rebuilt)
+      // checkpoint: base is referenced twice below (gen's filter and the
+      // final join's left side); without the cut each branch re-executes
+      // the probe AND the corpus-streaming confirm scan
       val base = BloomDedup.bloomProbe(merged, all, probe,
-        mBits = 1 << 16, k = 4, keepFp = true)
+        mBits = 1 << 16, k = 4, keepFp = true).localCheckpoint(true)
       val gen = base.filter(col("bloom_hit"))
         .select(col("doc_id"), col("fp")).hint("broadcast")
         .join(all.select(col("fp"), (col("doc_id") % 7 =!= 0).as("__v1"),
@@ -183,20 +192,15 @@ object PipelineQueries {
       p
     })
 
-  /** Incoming-batch fingerprints `(doc_id, fp)`: aug's >= 1M slice (the +1M
-    * exact copies and +2M near copies), fingerprinted at arrival — built
-    * directly from `documents` (not by filtering augmented(): Spark's Union
-    * constraint rewrite trips on reused self-derived union lineage).
+  /** Incoming-batch fingerprints `(doc_id, fp)`: aug's >= 1M slice
+    * ([[augDeltaSlice]]), fingerprinted at arrival — built from the slice
+    * helper over plain `documents` (not by filtering augmented(): Spark's
+    * Union constraint rewrite trips on reused self-derived union lineage).
     */
   private[graft] def bloomDeltaFpParquet(s: SparkSession, dir: String): String =
     bloomFpPaths.getOrElseUpdate("delta:" + dir, {
       val p = graft.TempDirs.fixtureDir("bloom_delta_fp")
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(lit("zqxnear "), col("text")).as("text")))
+      augDeltaSlice(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .write.mode("overwrite").parquet(p)
       p

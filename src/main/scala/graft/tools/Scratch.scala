@@ -42,11 +42,7 @@ object Scratch {
     time("s2 bitmap aggregator") {
       BloomDedup.corpusBloom(docs.select(md5(col("text")).as("fp")), 1 << 16, 4)
     }
-    val deltaRaw = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("zqxnear "), col("text")).as("text")))
+    val deltaRaw = graft.queries.PipelineQueries.augDeltaSlice(docs)
       .select(col("doc_id"), md5(col("text")).as("fp"))
     time("s3 delta build + checkpoint") {
       deltaRaw.localCheckpoint(true).count()
