@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: stage
-  * decomposition of the bloom delta-dedup query).
+/** Dev scratchpad (contents rotate per investigation — currently: hitsQ
+  * kernel-shape A/B on the current host, where in-bench q_hits reads
+  * 2.2-2.7 vs 1.3 on the previous night's host at zero code change).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,7 +23,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).agg(sum(col("id"))).collect()
     def time(label: String)(f: => Unit): Unit = {
-      (1 to 3).foreach { i =>
+      (1 to 4).foreach { i =>
         val t0 = System.nanoTime()
         f
         println(f"[scratch] $label #$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -34,30 +35,28 @@ object Scratch {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    import graft.dedup.BloomDedup
-    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    time("s1 corpus fp scan only") {
-      docs.select(md5(col("text")).as("fp")).agg(count(lit(1))).collect()
-    }
-    time("s2 bitmap aggregator") {
-      BloomDedup.corpusBloom(docs.select(md5(col("text")).as("fp")), 1 << 16, 4)
-    }
-    val deltaRaw = graft.queries.PipelineQueries.augDeltaSlice(docs)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    time("s3 delta build + checkpoint") {
-      deltaRaw.localCheckpoint(true).count()
-    }
-    val delta = deltaRaw.localCheckpoint(true)
-    val corpus = docs.select(md5(col("text")).as("fp"))
-    time("s4 full kernel UNPINNED") {
-      graft.Bench.fullyEvaluate(
-        BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).orderBy("doc_id"))
-    }
-    time("s5 full kernel PINNED8") {
+    def edges = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    def fin(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("authority2").desc, col("node")).limit(10)
+
+    time("A current hybrid (ckpt wide + pin8 kernel)") {
+      val e = edges.localCheckpoint(true)
       pin8 { graft.Bench.fullyEvaluate(
-        BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).orderBy("doc_id")) }
+        fin(graft.dedup.DupClusters.hits(e)).localCheckpoint(true)) }
     }
-    BloomDedup.bloomDeltaDedup(corpus, delta, 1 << 16, 4).explain("formatted")
+    time("B all wide, no ckpt") {
+      graft.Bench.fullyEvaluate(fin(graft.dedup.DupClusters.hits(edges)))
+    }
+    time("C all pin8, no ckpt") {
+      pin8 { graft.Bench.fullyEvaluate(
+        fin(graft.dedup.DupClusters.hits(edges)).localCheckpoint(true)) }
+    }
+    time("D ckpt wide + wide kernel") {
+      val e = edges.localCheckpoint(true)
+      graft.Bench.fullyEvaluate(fin(graft.dedup.DupClusters.hits(e)))
+    }
     spark.stop()
   }
 }
