@@ -179,9 +179,11 @@ object PipelineQueries {
   }
 
   /** Corpus fingerprint store `(doc_id, fp)` — md5 of every document,
-    * materialized once per process per sf dir (the standing fp table a
-    * dedup service keeps next to its bloom; `doc_id` carries the snapshot
-    * split for [[bloomIncrementalQ]]).
+    * materialized once per process per sf dir (BASELINE.md §Amortization:
+    * the standing fp table a dedup service keeps next to its bloom;
+    * MaterializationSpec proves table ≡ recomputation and the consumers'
+    * oracles re-derive every fingerprint from `documents`; `doc_id`
+    * carries the snapshot split for [[bloomIncrementalQ]]).
     */
   private[graft] def bloomCorpusFpParquet(s: SparkSession, dir: String): String =
     bloomFpPaths.getOrElseUpdate("corpus:" + dir, {
@@ -196,6 +198,8 @@ object PipelineQueries {
     * ([[augDeltaSlice]]), fingerprinted at arrival — built from the slice
     * helper over plain `documents` (not by filtering augmented(): Spark's
     * Union constraint rewrite trips on reused self-derived union lineage).
+    * BASELINE.md §Amortization: the batch a pipeline hands the operator
+    * arrives fingerprinted; MaterializationSpec proves ≡ recomputation.
     */
   private[graft] def bloomDeltaFpParquet(s: SparkSession, dir: String): String =
     bloomFpPaths.getOrElseUpdate("delta:" + dir, {
