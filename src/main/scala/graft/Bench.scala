@@ -177,7 +177,21 @@ object Bench {
         s"""{"metric":"steady_part","part":${i + 1},"of":${chunks.size},"q":{$qs}}"""
       }
     }
-    val out = (line +: summary +: steadyParts) :+ summary
+    // phase visibility (VERDICT r14 #3): the host runs in documented ±7%
+    // warm/cool phases, so a single capture's raw total depends on which
+    // phase it hits. Each pass sums the SAME queries minutes apart; emitting
+    // the three pass totals (min/median/max) lets any artifact-only consumer
+    // adjudicate the capture against its own in-run spread — a max/min ratio
+    // well above ~1.1 marks a phase-contaminated window (BASELINE.md
+    // §"Phase-spread line").
+    val passTotals = passes.map(_.values.sum).sorted
+    val phaseSpread = {
+      val fmt = (d: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      s"""{"metric":"phase_spread","pass_totals":[${passTotals.map(fmt).mkString(",")}],""" +
+        s""""min":${fmt(passTotals.min)},"median":${fmt(passTotals(passTotals.size / 2))},""" +
+        s""""max":${fmt(passTotals.max)}}"""
+    }
+    val out = (line +: summary +: phaseSpread +: steadyParts) :+ phaseSpread :+ summary
     // full artifact always lands on disk too — default into the working
     // directory so the complete per-query map survives the round even when
     // stdout is clipped (the env var still overrides the location). Non-sf0.1

@@ -165,11 +165,19 @@ object BloomDedup {
       .join(corpusFp.select(col("fp")), Seq("fp"), "inner")
       .distinct()
       .select(col("fp"), lit(true).as("__dup"))
+    // NULL fingerprint (md5 of a NULL text) null-propagates end-to-end:
+    // bloom_hit is already NULL (concat null-propagates through the k
+    // probes), and is_dup is masked to NULL rather than coalesced to false,
+    // matching the oracle's `bloom_hit AND fp IN corpus` three-valued logic
+    // (NULL AND NULL = NULL); the verdict stays 'keep' on both sides
+    // (ADVICE r14: divergence was latent — no fixture has NULL texts — but
+    // the two sides now agree by construction).
+    val isDup = when(col("fp").isNotNull, coalesce(col("__dup"), lit(false)))
     val keep =
       (if (keepFp) Seq(col("fp")) else Nil) ++ Seq(col(idCol), col("bloom_hit"),
-        coalesce(col("__dup"), lit(false)).as("is_dup"),
-        when(coalesce(col("__dup"), lit(false)), lit("drop"))
+        isDup.as("is_dup"),
+        when(coalesce(isDup, lit(false)), lit("drop"))
           .otherwise(lit("keep")).as("verdict"))
-    probed.join(dupFps, Seq("fp"), "left").select(keep: _*)
+    probed.join(broadcast(dupFps), Seq("fp"), "left").select(keep: _*)
   }
 }

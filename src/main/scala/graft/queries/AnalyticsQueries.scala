@@ -259,7 +259,7 @@ object AnalyticsQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val ev =
       (if (schema("ts").dataType == LongType)
@@ -443,7 +443,7 @@ object AnalyticsQueries {
     java.nio.file.Files.createDirectories(src)
     val sink = runDir.resolve("sink").toString
     val ckpt = runDir.resolve("ckpt").toString
-    val schema = s.read.parquet(p.resolve("a").toString).schema
+    val schema = graft.Tables.parquetSchema(s, p.resolve("a").toString)
     def run(): Unit = {
       val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
         s.readStream.schema(schema).parquet(src.toString)
@@ -463,7 +463,7 @@ object AnalyticsQueries {
     run()
     java.nio.file.Files.copy(part("b"), src.resolve("late.parquet"))
     run()
-    s.read.parquet(sink).orderBy(col("window_start"))
+    graft.Tables.cachedParquet(s, sink).orderBy(col("window_start"))
   }
 
   private val lateSrcDirs =
@@ -497,7 +497,7 @@ object AnalyticsQueries {
         p.resolve("events_b.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val ev =
@@ -544,7 +544,7 @@ object AnalyticsQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     def src(): DataFrame = {
       val raw = s.readStream.schema(schema).parquet(srcDir)
       (if (schema("ts").dataType == LongType)
@@ -596,7 +596,7 @@ object AnalyticsQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val ev =
       (if (schema("ts").dataType == LongType)

@@ -131,7 +131,7 @@ object CurationQueries {
       // each traverse the positional table once, and evaluation is EAGER
       // inside this block (localCheckpoint), so try/finally reclaims the
       // cache before returning — no leak, no double parquet scan
-      val cp = s.read.parquet(deconPositionalParquet(s, dir))
+      val cp = graft.Tables.cachedParquet(s, deconPositionalParquet(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try graft.dedup.Dedup.benchmarkTokenRunsFromPositional(
           cp, bench, k = 5, minRunTokens = 15)
@@ -968,8 +968,8 @@ object CurationQueries {
     */
   private def partitionEvolutionQ(s: SparkSession, dir: String): DataFrame = {
     val tmp = partEvoRoot(s, dir)
-    val v1 = s.read.parquet(s"$tmp/v1").filter(col("lang") === "en")
-    val v2 = s.read.parquet(s"$tmp/v2").filter(col("lang") === "en")
+    val v1 = graft.Tables.cachedParquet(s, s"$tmp/v1").filter(col("lang") === "en")
+    val v2 = graft.Tables.cachedParquet(s, s"$tmp/v2").filter(col("lang") === "en")
     v1.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .unionByName(v2.select(col("doc_id"), col("lang"), col("source"),
         col("n_chars")))

@@ -41,6 +41,21 @@ object PipelineQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("zqxnear "), col("text")).as("text")))
 
+  /** The e2e pipeline's corpus: [[augmented]] plus a +3M slice duplicating
+    * the +2M near docs VERBATIM — batch-INTERNAL exact duplicates. The gate
+    * (stage 0) only sees corpus-vs-batch dups, so without this slice
+    * stage 1 would never fire (the base `documents` tables carry zero
+    * internal text dups at every sf); with it, stage 0 drops the +1M
+    * corpus copies and stage 1 drops the +3M batch-internal copies — each
+    * dedup joint exercised by the class it exists for. e2e-only: the
+    * standing pair/positional/fp artifacts stay keyed to [[augmented]].
+    */
+  private[graft] def e2eCorpus(docs: DataFrame): DataFrame = {
+    val aug = augmented(docs)
+    aug.unionByName(aug.filter(col("doc_id") >= 2000000L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
   private[queries] val augCte =
     """aug AS (
       |  SELECT doc_id, text FROM documents
@@ -80,8 +95,8 @@ object PipelineQueries {
     // every fingerprint from `documents` each driver run, so a stale or
     // wrong memo cannot hash-match; MaterializationSpec proves both fp
     // tables ≡ recomputation. Probe stages move ~1k rows → kernel pin.
-    val corpus = s.read.parquet(bloomCorpusFpParquet(s, dir))
-    val delta = s.read.parquet(bloomDeltaFpParquet(s, dir))
+    val corpus = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
+    val delta = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
     val bits = bloomBitsMemo.getOrElseUpdate(dir,
       graft.dedup.BloomDedup.corpusBloom(corpus, mBits = 1 << 16, k = 4))
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
@@ -111,8 +126,8 @@ object PipelineQueries {
     */
   private def bloomIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.BloomDedup
-    val all = s.read.parquet(bloomCorpusFpParquet(s, dir))
-    val probe = s.read.parquet(bloomDeltaFpParquet(s, dir))
+    val all = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
+    val probe = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
     // standing artifact: the v1 bloom (BASELINE.md §Amortization); the
     // batch bitmap, the OR, the rebuild proof, and the probe stay timed
     val bitsV1 = bloomBitsMemo.getOrElseUpdate("v1:" + dir,
@@ -145,23 +160,27 @@ object PipelineQueries {
     }
   }
 
+  /** Same per-row bloom_hit conjunction + NULL-fp corpus guard as
+    * [[bloomDeltaOracle]] (ADVICE r14).
+    */
   private val bloomIncrementalOracle = {
     def u32(e: String) = OracleSql.md5U32Sql(e)
+    def hitExpr = (0 until 4).map(j =>
+      s"((${u32(s"fp || ':$j'")}) % 65536 IN (SELECT pos FROM cbits))")
+      .mkString("\n      |    AND ")
     s"""WITH $augCte,
       |corpus AS (
-      |  SELECT doc_id, md5(text) AS fp FROM aug WHERE doc_id < 1000000),
+      |  SELECT doc_id, md5(text) AS fp FROM aug
+      |  WHERE doc_id < 1000000 AND md5(text) IS NOT NULL),
       |probe AS (
       |  SELECT doc_id, md5(text) AS fp FROM aug WHERE doc_id >= 1000000),
       |cbits AS (
       |  SELECT DISTINCT (${u32("fp || ':' || j")}) % 65536 AS pos
       |  FROM corpus CROSS JOIN range(0, 4) t(j)),
-      |ppos AS (
-      |  SELECT doc_id, fp, (${u32("fp || ':' || j")}) % 65536 AS pos
-      |  FROM probe CROSS JOIN range(0, 4) t(j)),
       |hit AS (
       |  SELECT doc_id, fp,
-      |    bool_and(pos IN (SELECT pos FROM cbits)) AS bloom_hit
-      |  FROM ppos GROUP BY doc_id, fp),
+      |    $hitExpr AS bloom_hit
+      |  FROM probe),
       |gen AS (
       |  SELECT h.doc_id, bool_or(c.doc_id % 7 <> 0) AS in_v1,
       |    bool_or(c.doc_id % 7 = 0) AS in_delta
@@ -216,23 +235,30 @@ object PipelineQueries {
   private val bloomBitsMemo =
     new scala.collection.concurrent.TrieMap[String, Array[Long]]()
 
+  /** The probe CTE computes bloom_hit as a per-row conjunction of the k=4
+    * bit tests (no GROUP BY), matching the engine's one-output-row-per-input
+    * -row semantics even for a delta with repeated (doc_id, fp) rows; the
+    * corpus/cbits CTEs guard `fp IS NOT NULL` so a NULL text null-propagates
+    * identically on both sides (ADVICE r14).
+    */
   private val bloomDeltaOracle = {
     def u32(e: String) = OracleSql.md5U32Sql(e)
+    def hitExpr = (0 until 4).map(j =>
+      s"((${u32(s"fp || ':$j'")}) % 65536 IN (SELECT pos FROM cbits))")
+      .mkString("\n      |    AND ")
     s"""WITH $augCte,
       |corpus AS (
-      |  SELECT md5(text) AS fp FROM aug WHERE doc_id < 1000000),
+      |  SELECT md5(text) AS fp FROM aug
+      |  WHERE doc_id < 1000000 AND md5(text) IS NOT NULL),
       |delta AS (
       |  SELECT doc_id, md5(text) AS fp FROM aug WHERE doc_id >= 1000000),
       |cbits AS (
       |  SELECT DISTINCT (${u32("fp || ':' || j")}) % 65536 AS pos
       |  FROM corpus CROSS JOIN range(0, 4) t(j)),
-      |dpos AS (
-      |  SELECT doc_id, fp, (${u32("fp || ':' || j")}) % 65536 AS pos
-      |  FROM delta CROSS JOIN range(0, 4) t(j)),
       |probe AS (
       |  SELECT doc_id, fp,
-      |    bool_and(pos IN (SELECT pos FROM cbits)) AS bloom_hit
-      |  FROM dpos GROUP BY doc_id, fp)
+      |    $hitExpr AS bloom_hit
+      |  FROM delta)
       |SELECT doc_id, bloom_hit,
       |  (bloom_hit AND fp IN (SELECT fp FROM corpus)) AS is_dup,
       |  CASE WHEN bloom_hit AND fp IN (SELECT fp FROM corpus)
@@ -324,7 +350,7 @@ object PipelineQueries {
   // the oracle below re-derives shingles from `documents`)
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsFromShingles(
-        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.5)
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private val ngramOracle =
@@ -361,7 +387,7 @@ object PipelineQueries {
   // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterJaccardPairsFromShingles(
-        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.5)
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private val ppjoinOracle =
@@ -400,7 +426,7 @@ object PipelineQueries {
   // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def tfCosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.tfCosinePairsFromTf(
-        s.read.parquet(shingleTfParquet(s, dir)), threshold = 0.8)
+        graft.Tables.cachedParquet(s, shingleTfParquet(s, dir)), threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
   private val tfCosineOracle =
@@ -440,7 +466,7 @@ object PipelineQueries {
   // (BASELINE.md §Amortization; the oracle re-derives from `documents`)
   private def sharedRunsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.sharedTokenRunsFromPositional(
-        s.read.parquet(positionalShinglesParquet(s, dir)),
+        graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir)),
         k = 5, minRunTokens = 15)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -487,7 +513,7 @@ object PipelineQueries {
     * orientation-independent, so they must agree exactly.
     */
   private def trianglesQ(s: SparkSession, dir: String): DataFrame =
-    DupClusters.triangleCounts(s.read.parquet(dupPairsParquet(s, dir, "#tri")))
+    DupClusters.triangleCounts(graft.Tables.cachedParquet(s, dupPairsParquet(s, dir, "#tri")))
       .orderBy(col("doc_id"))
 
   private val trianglesOracle =
@@ -534,7 +560,7 @@ object PipelineQueries {
     * closure with the quality formula and the same top-1 rule.
     */
   private def clusterCanonQ(s: SparkSession, dir: String): DataFrame = {
-    val comps = s.read.parquet(componentsParquet(s, dir))
+    val comps = graft.Tables.cachedParquet(s, componentsParquet(s, dir))
     val scores = TextAnalysis.qualityFeatures(augmented(Tables.documents(s, dir)))
       .select(col("doc_id"), col("quality_score"))
     DupClusters.canonicalPerCluster(comps, scores)
@@ -623,7 +649,7 @@ object PipelineQueries {
     * verdict's per-query persist leak, now gone).
     */
   private def dedupSweepQ(s: SparkSession, dir: String): DataFrame = {
-    val pairs = s.read.parquet(dupPairsParquet(s, dir))
+    val pairs = graft.Tables.cachedParquet(s, dupPairsParquet(s, dir))
     val sw = pairs.select(col("id_a"), col("id_b"), col("intersection"),
         col("size_a"), col("size_b"),
         explode(sequence(lit(5L), lit(9L))).as("t10"))
@@ -680,7 +706,7 @@ object PipelineQueries {
 
   private def pageRankQ(s: SparkSession, dir: String): DataFrame =
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      DupClusters.pageRankFixedPoint(s.read.parquet(dupPairsParquet(s, dir)))
+      DupClusters.pageRankFixedPoint(graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)))
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
     }
@@ -760,7 +786,7 @@ object PipelineQueries {
     * min-reachable-id closure over the identical pair set.
     */
   private def dupClustersQ(s: SparkSession, dir: String): DataFrame =
-    DupClusters.connectedComponents(s.read.parquet(dupPairsParquet(s, dir)))
+    DupClusters.connectedComponents(graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
 
@@ -810,7 +836,7 @@ object PipelineQueries {
     */
   private def erEvalQ(s: SparkSession, dir: String): DataFrame = {
     val aug = augmented(Tables.documents(s, dir))
-    val comps = s.read.parquet(componentsParquet(s, dir))
+    val comps = graft.Tables.cachedParquet(s, componentsParquet(s, dir))
       .select(col("id").as("doc_id"), col("component"))
     val assigned = aug.select(col("doc_id"), md5(col("text")).as("h"))
       .join(comps, Seq("doc_id"), "left_outer")
@@ -909,7 +935,7 @@ object PipelineQueries {
     */
   private def clusterSplitQ(s: SparkSession, dir: String): DataFrame = {
     val docs = augmented(Tables.documents(s, dir)).select(col("doc_id"))
-    val comps = s.read.parquet(componentsParquet(s, dir))
+    val comps = graft.Tables.cachedParquet(s, componentsParquet(s, dir))
       .select(col("id").as("doc_id"), col("component"))
     val withComp = docs.join(comps, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1011,7 +1037,7 @@ object PipelineQueries {
     */
   private def clusterSizesQ(s: SparkSession, dir: String): DataFrame =
     DupClusters.clusterSizeAudit(
-        s.read.parquet(componentsParquet(s, dir))
+        graft.Tables.cachedParquet(s, componentsParquet(s, dir))
           .select(col("id").as("doc_id"), col("component")),
         augmented(Tables.documents(s, dir)).select(col("doc_id")))
       .orderBy(col("cluster_size"))
@@ -1930,7 +1956,7 @@ object PipelineQueries {
     * into the hash and mismatches.
     */
   private def imageDHashQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageDHash(s, s.read.parquet(pngMediaParquet(s, dir)))
+    Multimodal.imageDHash(s, graft.Tables.cachedParquet(s, pngMediaParquet(s, dir)))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("hash_hi"), col("hash_lo"), col("decoded"))
@@ -1967,7 +1993,7 @@ object PipelineQueries {
   private def phashPairsQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(
         Multimodal.imageDHash(s,
-          s.read.parquet(pngMediaParquet(s, dir))
+          graft.Tables.cachedParquet(s, pngMediaParquet(s, dir))
             .filter(col("doc_id") % 16 + 1 >= 10 && col("doc_id") % 12 + 1 >= 8))
           .toDF(),
         maxDist = 3)
@@ -2111,7 +2137,7 @@ object PipelineQueries {
   private[graft] def minhashPairsParquet(s: SparkSession, dir: String): String =
     minhashPairsPaths.getOrElseUpdate(dir, {
       val p = graft.TempDirs.fixtureDir("minhash_pairs")
-      val sh = s.read.parquet(shinglesParquet(s, dir))
+      val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       MinHashLSH.nearDuplicatesFromShingles(sh, numHashes = 64, bands = 16)
         .write.mode("overwrite").parquet(p)
@@ -2157,7 +2183,7 @@ object PipelineQueries {
   private[graft] def componentsParquet(s: SparkSession, dir: String): String =
     componentsPaths.getOrElseUpdate(dir, {
       val p = graft.TempDirs.fixtureDir("components")
-      DupClusters.connectedComponents(s.read.parquet(dupPairsParquet(s, dir)))
+      DupClusters.connectedComponents(graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -2175,7 +2201,7 @@ object PipelineQueries {
     * pins that no row fell back to the stub.
     */
   private def audioDecodeQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeAudio(s, s.read.parquet(wavMediaParquet(s, dir)))
+    Multimodal.decodeAudio(s, graft.Tables.cachedParquet(s, wavMediaParquet(s, dir)))
       .toDF()
       .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("peak"),
         col("mean_abs"), col("zero_crossings"), col("decoded"))
@@ -2187,7 +2213,7 @@ object PipelineQueries {
     * closed-form sample formula through the same truncated pair average.
     */
   private def audioResampleQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resampleAudio(s, s.read.parquet(wavMediaParquet(s, dir)))
+    Multimodal.resampleAudio(s, graft.Tables.cachedParquet(s, wavMediaParquet(s, dir)))
       .toDF()
       .orderBy(col("doc_id"))
 
@@ -2245,7 +2271,7 @@ object PipelineQueries {
     * or off-by-one hop shifts a frame's sum and hash-mismatches.
     */
   private def audioFramesQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.frameEnergies(s, s.read.parquet(wavMediaParquet(s, dir)),
+    Multimodal.frameEnergies(s, graft.Tables.cachedParquet(s, wavMediaParquet(s, dir)),
         win = 80, hop = 40)
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -2281,7 +2307,7 @@ object PipelineQueries {
     * pins that no row fell back to the stub.
     */
   private def imageDecodeQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeImage(s, s.read.parquet(pngMediaParquet(s, dir)))
+    Multimodal.decodeImage(s, graft.Tables.cachedParquet(s, pngMediaParquet(s, dir)))
       .toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("luma_mean"), (col("n_frames") === 1).as("decoded"))
@@ -2298,7 +2324,7 @@ object PipelineQueries {
     */
   private def imageResizeQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImage(s,
-        Multimodal.resizeImage(s, s.read.parquet(pngMediaParquet(s, dir)),
+        Multimodal.resizeImage(s, graft.Tables.cachedParquet(s, pngMediaParquet(s, dir)),
           maxDim = 8).toDF())
       .toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
@@ -2437,7 +2463,7 @@ object PipelineQueries {
     val row = try {
       s.conf.set("spark.sql.sources.useV1SourceList", "")
       s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
-      s.read.parquet(s"$dir/lineitem.parquet")
+      graft.Tables.cachedParquet(s, s"$dir/lineitem.parquet")
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
           min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
@@ -2480,10 +2506,16 @@ object PipelineQueries {
       .orderBy(col("pred_lang"))
   }
 
-  /** The training-data pipeline composed END-TO-END (r13 verdict Next #4):
-    * five real stages over the augmented corpus, each the registry operator
-    * it names, joined on the contracts the stages share —
+  /** The training-data pipeline composed END-TO-END (r13 verdict Next #4;
+    * stage 0 added per r14 verdict Next #4): six real stages over the
+    * augmented corpus, each the registry operator it names, joined on the
+    * contracts the stages share —
     *
+    *   0. BLOOM FRONT GATE ([[graft.dedup.BloomDedup.bloomProbe]] — the
+    *      q_dedup_bloom_delta operator): the incoming >= 1M batch probes
+    *      the standing corpus bloom map-only and confirmed corpus-vs-batch
+    *      exact dups drop at ingest ('ingest_dup'), so no downstream stage
+    *      ever scans them;
     *   1. EXACT dedup (min doc_id per md5(text) — [[Dedup.dedupExact]]'s
     *      keep rule);
     *   2. NEAR dedup among stage-1 survivors from the STANDING pair table
@@ -2508,10 +2540,10 @@ object PipelineQueries {
     *      running sum, no double fold).
     *
     * Output: one row per augmented doc with the FIRST stage that dropped
-    * it ('exact_dup'/'near_dup'/'contaminated'/'low_quality'/'over_budget')
-    * or 'selected' — so the driver hash pins every inter-stage joint, not
-    * just the final count. The oracle replays all five stages from
-    * `documents` in one SQL statement. Scale shape: stages 1/4/5 are one
+    * it ('ingest_dup'/'exact_dup'/'near_dup'/'contaminated'/'low_quality'/
+    * 'over_budget') or 'selected' — so the driver hash pins every
+    * inter-stage joint, not just the final count. The oracle replays all
+    * six stages from `documents` in one SQL statement. Scale shape: stages 1/4/5 are one
     * aggregate/window each; stages 2/3 are the individually-probed dedup
     * kernels over survivor-filtered shared artifacts; unpinned because the
     * stage-2 candidate join is the CPU-wide kind the kernel pin hurts
@@ -2526,11 +2558,36 @@ object PipelineQueries {
   // eager anchors are cheap by construction.
   private def pipelineE2eQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val aug = augmented(Tables.documents(s, dir))
+    val aug = e2eCorpus(Tables.documents(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // stage 1: exact dedup
+    // stage 0: bloom front gate — the incoming (>= 1M) batch probes the
+    // STANDING corpus bloom (the exact artifact family q_dedup_bloom_delta
+    // maintains: bitmap memo + corpus/delta fp stores, BASELINE.md
+    // §Amortization) and confirmed exact dups drop at ingest, before the
+    // merged corpus ever reaches stage 1's full-corpus hash agg. At 100 TB
+    // this is the ordering that matters: the map-only probe spends O(batch)
+    // to keep corpus-vs-batch duplicates out of every downstream stage.
+    val drop0 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val corpusFp = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
+      // the incoming batch = the standing delta fp store plus the +3M
+      // batch-internal copies (same fps as the +2M rows, shifted ids —
+      // novel vs the corpus, so they pass the gate and fall at stage 1)
+      val deltaFp0 = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
+      val deltaFp = deltaFp0.unionByName(deltaFp0.filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+      val bits = bloomBitsMemo.getOrElseUpdate(dir,
+        graft.dedup.BloomDedup.corpusBloom(corpusFp, mBits = 1 << 16, k = 4))
+      // checkpointed: referenced by the anti-join below AND the final fate
+      // union, and tiny (confirmed-dup ids only)
+      graft.dedup.BloomDedup.bloomProbe(bits, corpusFp, deltaFp,
+          mBits = 1 << 16, k = 4)
+        .filter(col("verdict") === "drop").select("doc_id")
+        .localCheckpoint(true)
+    }
+    val s0 = aug.join(drop0, Seq("doc_id"), "left_anti")
+    // stage 1: exact dedup within the gated corpus
     val keep1 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      aug.groupBy(md5(col("text")).as("__h"))
+      s0.groupBy(md5(col("text")).as("__h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         .localCheckpoint(true)
     }
@@ -2539,7 +2596,7 @@ object PipelineQueries {
     // the timed work; the pair JOIN itself is q_dedup_ngram_jaccard's
     // per-pass kernel)
     val drop2 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      s.read.parquet(dupPairsParquet(s, dir)).select("id_a", "id_b")
+      graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)).select("id_a", "id_b")
         .join(keep1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
         .join(keep1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
         .select(col("id_b").as("doc_id")).distinct()
@@ -2550,7 +2607,7 @@ object PipelineQueries {
     val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 97 === 3)
     val drop3 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val pos2 = s.read.parquet(positionalShinglesParquet(s, dir))
+      val pos2 = graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir))
         .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
           k = 5, minRunTokens = 15)
@@ -2576,8 +2633,9 @@ object PipelineQueries {
             .as("fate"))
         .localCheckpoint(true)
     }
-    aug.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit("exact_dup").as("fate"))
+    drop0.select(col("doc_id"), lit("ingest_dup").as("fate"))
+      .unionByName(s0.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("exact_dup").as("fate")))
       .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
       .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))
       .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
@@ -2591,9 +2649,37 @@ object PipelineQueries {
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(toks, x -> list_contains($arr, x))) AS c_$lang"
     }.mkString(",\n      |    ")
+    def u32(e: String) = OracleSql.md5U32Sql(e)
+    val hit0 = (0 until 4).map(j =>
+      s"((${u32(s"fp || ':$j'")}) % 65536 IN (SELECT pos FROM cbits0))")
+      .mkString("\n      |    AND ")
     s"""WITH $augCte,
-      |keep1 AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
-      |s1 AS (SELECT a.doc_id, a.text FROM aug a JOIN keep1 USING (doc_id)),
+      |-- the e2e corpus: aug plus the +3M batch-internal verbatim copies
+      |-- of the +2M near docs (e2eCorpus — novel vs the corpus, so they
+      |-- pass the stage-0 gate and fall at stage 1)
+      |aug2 AS (
+      |  SELECT doc_id, text FROM aug
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM aug
+      |  WHERE doc_id >= 2000000),
+      |-- stage 0 replays the bloom front gate: the >= 1M batch probes the
+      |-- corpus bit set (same md5U32 positions as q_dedup_bloom_delta) and
+      |-- confirmed corpus-vs-batch exact dups drop before stage 1's hash agg
+      |corpus0 AS (
+      |  SELECT md5(text) AS fp FROM aug
+      |  WHERE doc_id < 1000000 AND md5(text) IS NOT NULL),
+      |cbits0 AS (
+      |  SELECT DISTINCT (${u32("fp || ':' || j")}) % 65536 AS pos
+      |  FROM corpus0 CROSS JOIN range(0, 4) t(j)),
+      |drop0 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, md5(text) AS fp FROM aug2 WHERE doc_id >= 1000000) d
+      |  WHERE ($hit0)
+      |    AND fp IN (SELECT fp FROM corpus0)),
+      |s0 AS (SELECT doc_id, text FROM aug2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM drop0)),
+      |keep1 AS (SELECT min(doc_id) AS doc_id FROM s0 GROUP BY md5(text)),
+      |s1 AS (SELECT a.doc_id, a.text FROM s0 a JOIN keep1 USING (doc_id)),
       |-- stage-2 pairs replay the STANDING pair table's contract: shingles,
       |-- df cut and jaccard over the FULL augmented corpus (not the
       |-- survivor slice), then both-ends-survivor restriction
@@ -2700,7 +2786,8 @@ object PipelineQueries {
       |      THEN 'selected' ELSE 'over_budget' END AS fate
       |  FROM p
       |)
-      |SELECT doc_id, 'exact_dup' AS fate FROM aug
+      |SELECT doc_id, 'ingest_dup' AS fate FROM drop0
+      |UNION ALL SELECT doc_id, 'exact_dup' FROM s0
       |WHERE doc_id NOT IN (SELECT doc_id FROM keep1)
       |UNION ALL SELECT doc_id, 'near_dup' FROM drop2
       |UNION ALL SELECT doc_id, 'contaminated' FROM drop3
@@ -2769,12 +2856,12 @@ object PipelineQueries {
     * verification harness, not the operator.
     */
   private def minhashLshQ(s: SparkSession, dir: String): DataFrame = {
-    val sh = s.read.parquet(shinglesParquet(s, dir))
+    val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 64 hashes / 16 bands keeps band width r=4 (capture at j=0.8 is
     // 1-(1-0.8^4)^16 ≈ 0.9998 per pair) at half the 128-hash signature cost;
     // first consumer of the shared pair table pays the sketch build
-    val lsh = s.read.parquet(minhashPairsParquet(s, dir))
+    val lsh = graft.Tables.cachedParquet(s, minhashPairsParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // planted exact copies (doc_id%10==0 → +1M): Jaccard 1.0, so banded LSH
     // must capture every one — a hard guarantee, not a probabilistic bound
@@ -2802,9 +2889,9 @@ object PipelineQueries {
     * pair count DuckDB re-derives.
     */
   private def minhashRecallQ(s: SparkSession, dir: String): DataFrame = {
-    val sh = s.read.parquet(shinglesParquet(s, dir))
+    val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lsh = s.read.parquet(minhashPairsParquet(s, dir))
+    val lsh = graft.Tables.cachedParquet(s, minhashPairsParquet(s, dir))
       .select("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // exact baseline from the same shingles, frequency cut disabled so the
@@ -2853,7 +2940,7 @@ object PipelineQueries {
     * need not be duplicated.
     */
   private def minhashOphQ(s: SparkSession, dir: String): DataFrame = {
-    val sh = s.read.parquet(shinglesParquet(s, dir))
+    val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
       .select("id_a", "id_b")
@@ -3528,7 +3615,7 @@ object PipelineQueries {
     * a one-pixel decode error hash-mismatches.
     */
   private def videoFramesQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(s, s.read.parquet(videoMediaParquet(s, dir)), step = 2)
+    Multimodal.sampleFrames(s, graft.Tables.cachedParquet(s, videoMediaParquet(s, dir)), step = 2)
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("width"),
         col("height"), col("luma_mean"), col("decoded"))
@@ -3540,7 +3627,7 @@ object PipelineQueries {
     * cross-multiplied integer mean gate.
     */
   private def sceneCutsQ(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sceneCuts(s, s.read.parquet(videoMediaParquet(s, dir)),
+    Multimodal.sceneCuts(s, graft.Tables.cachedParquet(s, videoMediaParquet(s, dir)),
         meanDiffThreshold = 64)
       .toDF()
       .orderBy(col("doc_id"), col("from_frame"))
@@ -3752,7 +3839,7 @@ object PipelineQueries {
     */
   private def containmentQ(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairsFromShingles(
-        s.read.parquet(shinglesParquet(s, dir)), threshold = 0.6)
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
   private val containmentOracle =
@@ -4040,8 +4127,8 @@ object PipelineQueries {
       p
     })
     graft.text.NgramLm.BigramModel(
-      s.read.parquet(base + "/c12"), s.read.parquet(base + "/c1"),
-      s.read.parquet(base + "/vocab"))
+      graft.Tables.cachedParquet(s, base + "/c12"), graft.Tables.cachedParquet(s, base + "/c1"),
+      graft.Tables.cachedParquet(s, base + "/vocab"))
   }
 
   private val bigramModelPaths =

@@ -318,7 +318,7 @@ object SelectionQueries {
     * data stage, engine-portable.
     */
   private def skipgramQ(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(skipgramPairsParquet(s, dir))
+    graft.Tables.cachedParquet(s, skipgramPairsParquet(s, dir))
       .orderBy(col("center"), col("context"))
 
   private val skipgramOracle = {
@@ -520,7 +520,7 @@ object SelectionQueries {
     new scala.collection.concurrent.TrieMap[String, String]()
 
   private def coocPpmiQ(s: SparkSession, dir: String): DataFrame = {
-    val p = s.read.parquet(skipgramPairsParquet(s, dir))
+    val p = graft.Tables.cachedParquet(s, skipgramPairsParquet(s, dir))
     val fc = p.groupBy(col("center")).agg(sum(col("n_pairs")).as("f_c"))
     val fx = p.groupBy(col("context")).agg(sum(col("n_pairs")).as("f_x"))
     val tt = p.agg(sum(col("n_pairs")).as("t_pairs"))

@@ -1064,7 +1064,7 @@ object StatQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val pred = when(col("value") >= 300, "error")
       .when(col("value") >= 200, "click")

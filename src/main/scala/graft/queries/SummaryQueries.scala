@@ -518,7 +518,7 @@ object SummaryQueries {
     */
   private def pcaPowerQ(s: SparkSession, dir: String): DataFrame =
     graft.sim.PowerIteration.topComponent(
-        s.read.parquet(s"$dir/embeddings.parquet"), d = 64, scale = 1000)
+        graft.Tables.cachedParquet(s, s"$dir/embeddings.parquet"), d = 64, scale = 1000)
       .select(col("dim").cast("int").as("dim"), col("w1"), col("v1"),
         col("w2"), col("v2"))
       .orderBy(col("dim"))
@@ -754,7 +754,7 @@ object SummaryQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_cm_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1232,7 +1232,7 @@ object SummaryQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val name = "graft_stream_hll_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1277,7 +1277,7 @@ object SummaryQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     def bucketOf(c: org.apache.spark.sql.Column) =
       least(greatest((c.cast("long") / 5000L).cast("long"), lit(0L)), lit(9L))
     val raw = s.readStream.schema(schema).parquet(srcDir)
@@ -1473,7 +1473,7 @@ object SummaryQueries {
         p.resolve("events.parquet"))
       p.toString
     })
-    val schema = s.read.parquet(srcDir).schema
+    val schema = graft.Tables.parquetSchema(s, srcDir)
     val raw = s.readStream.schema(schema).parquet(srcDir)
     val bw = 1000L
     val name = "graft_stream_qh_" +

@@ -347,7 +347,7 @@ object VersionedQueries {
     // cross-snapshot work this operator's name claims — and the parquet
     // scan also retires the old explode-pushdown persists (rule 1 applies
     // to in-plan HOF arrays, not scanned ones).
-    val raw = s.read.parquet(PipelineQueries.rawShinglesParquet(s, dir))
+    val raw = graft.Tables.cachedParquet(s, PipelineQueries.rawShinglesParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shBase = raw.filter(col("id") % 7 =!= 0) // ≡ withShingles(read(v1))
     val cdcInserts = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
@@ -362,7 +362,7 @@ object VersionedQueries {
     // fingerprints and the pair decomposition all stay timed; a stale or
     // wrong artifact fails the in-plan inc_equals_rebuild bit, so the
     // equality proof guards the materialization on every run.
-    val b1 = s.read.parquet(mhIncBandIndexParquet(s, dir))
+    val b1 = graft.Tables.cachedParquet(s, mhIncBandIndexParquet(s, dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bDelta = MinHashLSH.bandTable(
       MinHashLSH.signaturesFromShingles(shDelta, 64), 16)
@@ -598,7 +598,7 @@ object VersionedQueries {
     mhIncBandIndexPaths.getOrElseUpdate(dir, {
       val p = graft.TempDirs.fixtureDir("mh_inc_band_index")
       import graft.dedup.MinHashLSH
-      val raw = s.read.parquet(PipelineQueries.rawShinglesParquet(s, dir))
+      val raw = graft.Tables.cachedParquet(s, PipelineQueries.rawShinglesParquet(s, dir))
       MinHashLSH.bandTable(
           MinHashLSH.signaturesFromShingles(raw.filter(col("id") % 7 =!= 0), 64), 16)
         .write.mode("overwrite").parquet(p)
@@ -620,7 +620,7 @@ object VersionedQueries {
     import org.apache.spark.storage.StorageLevel
     val tmp = xsnapFixture(s, dir)
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val all = s.read.parquet(xsnapShinglesParquet(s, dir))
+      val all = graft.Tables.cachedParquet(s, xsnapShinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the CDC diff stays timed (the cross-snapshot semantics) but runs
       // ONCE: both the semi- and the anti-selection read the checkpointed
@@ -656,7 +656,7 @@ object VersionedQueries {
     import org.apache.spark.storage.StorageLevel
     val tmp = xsnapFixture(s, dir)
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
-      val all = s.read.parquet(xsnapStrShinglesParquet(s, dir))
+      val all = graft.Tables.cachedParquet(s, xsnapStrShinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // CDC diff timed, run once — the dedupCrossSnapshotQ discipline
       val deltaIds = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
@@ -665,7 +665,7 @@ object VersionedQueries {
         .localCheckpoint(true)
       val deltaSh = all.join(broadcast(deltaIds), Seq("id"), "left_semi")
       val baseSh = all.join(broadcast(deltaIds), Seq("id"), "left_anti")
-      val baseBands = s.read.parquet(xsnapBandIndexParquet(s, dir))
+      val baseBands = graft.Tables.cachedParquet(s, xsnapBandIndexParquet(s, dir))
       Dedup.dedupDeltaAgainstCorpusLsh(baseSh, baseBands, deltaSh,
           threshold = 0.5)
         .orderBy(col("doc_id"))

@@ -137,16 +137,14 @@ object ScaleProbe {
     }
     // the FIXED incoming batch for the bloom probe: exact copies (+1M) and
     // prefixed variants (+2M) of replica-0 slices — identical at every
-    // corpus tier, so verdict rows must stay EXACTLY flat
+    // corpus tier, so verdict rows must stay EXACTLY flat. The single slice
+    // definition is PipelineQueries.augDeltaSlice (ADVICE r14: this was a
+    // third hand-coded near-copy with a drifted prefix).
     val bloomDeltaPath = s"$corpusRoot/bloom_delta_fp"
     if (!new java.io.File(bloomDeltaPath).exists()) {
       val d0 = spark.read.parquet(s"$corpusRoot/x1")
         .select(col("doc_id"), col("text"))
-      d0.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .unionByName(d0.filter(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(lit("zqx "), col("text")).as("text")))
+      graft.queries.PipelineQueries.augDeltaSlice(d0)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .write.mode("overwrite").parquet(bloomDeltaPath)
     }

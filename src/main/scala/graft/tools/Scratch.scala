@@ -3,9 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: hitsQ
-  * kernel-shape A/B on the current host, where in-bench q_hits reads
-  * 2.2-2.7 vs 1.3 on the previous night's host at zero code change).
+/** Dev scratchpad (contents rotate per investigation — currently: same-window
+  * A/B of AQE small-shuffle coalescing. With the default
+  * `parallelismFirst=true`, AQE coalesces post-shuffle partitions only down
+  * to the session parallelism (32 here), so a KB-scale shuffle still runs 32
+  * tasks — pure scheduling overhead for the ~270 sub-second queries, and the
+  * many-small-task profile is exactly the placement-sensitive variance class
+  * (q_link_prediction 0.48 ↔ 3.19 across hosts at zero code change).
+  * `parallelismFirst=false` + a smaller advisory size lets AQE size
+  * partitions by ACTUAL bytes: KB shuffles → 1 task, the sf0.1 lineitem
+  * shuffles (~100 MB) → advisory/8 MB ≈ 13 tasks. Both confs are runtime SQL
+  * confs, so the A/B runs in ONE session, same window, interleaved.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,40 +30,45 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).agg(sum(col("id"))).collect()
-    def time(label: String)(f: => Unit): Unit = {
-      (1 to 4).foreach { i =>
-        val t0 = System.nanoTime()
-        f
-        println(f"[scratch] $label #$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        spark.sharedState.cacheManager.clearCache()
+
+    val qs = Seq("q1_pricing_summary", "q9_product_profit", "q_er_entities",
+      "q_link_prediction", "q_ppjoin", "q_source_overlap", "q_hits",
+      "q_knn_graph", "q_window_funcs", "q_bh_fdr", "q_page_count",
+      "q_topk_orders")
+
+    def setB(): Unit = {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
+    }
+    def setA(): Unit = {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+    }
+
+    def once(q: String): Double = {
+      val t0 = System.nanoTime()
+      graft.Bench.fullyEvaluate(graft.SparkEntry.queries(q)(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+
+    // pass-major, A/B interleaved per pass so a host phase hits both arms
+    val results = scala.collection.mutable.Map[String, (List[Double], List[Double])]()
+      .withDefaultValue((Nil, Nil))
+    (1 to 4).foreach { p =>
+      System.err.println(s"[scratch] pass $p")
+      qs.foreach { q =>
+        setA(); val a = once(q)
+        setB(); val b = once(q)
+        val (as, bs) = results(q)
+        results(q) = (a :: as, b :: bs)
       }
     }
-    def pin8[T](f: => T): T = {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-    def edges = graft.Tables.orders(spark, dir)
-      .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    def fin(d: org.apache.spark.sql.DataFrame) =
-      d.orderBy(col("authority2").desc, col("node")).limit(10)
-
-    time("A current hybrid (ckpt wide + pin8 kernel)") {
-      val e = edges.localCheckpoint(true)
-      pin8 { graft.Bench.fullyEvaluate(
-        fin(graft.dedup.DupClusters.hits(e)).localCheckpoint(true)) }
-    }
-    time("B all wide, no ckpt") {
-      graft.Bench.fullyEvaluate(fin(graft.dedup.DupClusters.hits(edges)))
-    }
-    time("C all pin8, no ckpt") {
-      pin8 { graft.Bench.fullyEvaluate(
-        fin(graft.dedup.DupClusters.hits(edges)).localCheckpoint(true)) }
-    }
-    time("D ckpt wide + wide kernel") {
-      val e = edges.localCheckpoint(true)
-      graft.Bench.fullyEvaluate(fin(graft.dedup.DupClusters.hits(e)))
+    qs.foreach { q =>
+      val (as, bs) = results(q)
+      println(f"[scratch] $q%-22s A(min/med) ${as.min}%.2f/${as.sorted.apply(as.size / 2)}%.2f" +
+        f"  B(min/med) ${bs.min}%.2f/${bs.sorted.apply(bs.size / 2)}%.2f  B/A ${bs.min / as.min}%.2f")
     }
     spark.stop()
   }

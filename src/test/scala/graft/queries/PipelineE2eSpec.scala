@@ -19,32 +19,67 @@ class PipelineE2eSpec extends SparkSpec {
     graft.SparkEntry.queries("q_pipeline_e2e")(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  private def aug = PipelineQueries.augmented(
+  /** The pipeline's input (augmented + the +3M batch-internal copies). */
+  private def aug = PipelineQueries.e2eCorpus(
     graft.Tables.documents(spark, sf()))
+
+  /** The standing-artifact corpus (pair/positional tables are keyed to it). */
+  private def augBase = PipelineQueries.augmented(
+    graft.Tables.documents(spark, sf()))
+
+  private val AllFates = Set("ingest_dup", "exact_dup", "near_dup",
+    "contaminated", "low_quality", "selected", "over_budget")
 
   test("fates PARTITION the augmented corpus (each doc exactly one fate)") {
     val n = aug.count()
     assert(fates.size.toLong == n, s"${fates.size} fates for $n docs")
     val byFate = fates.values.groupBy(identity).view.mapValues(_.size).toMap
-    assert(Set("exact_dup", "near_dup", "contaminated", "low_quality",
-      "selected", "over_budget").subsetOf(byFate.keySet) ||
-      byFate.keySet.subsetOf(Set("exact_dup", "near_dup", "contaminated",
-        "low_quality", "selected", "over_budget")),
-      s"unexpected fates: ${byFate.keySet}")
-    // the fixture must exercise at least the dedup + selection joints
+    assert(byFate.keySet.subsetOf(AllFates), s"unexpected fates: ${byFate.keySet}")
+    // the fixture must exercise at least the gate + dedup + selection joints
+    assert(byFate.getOrElse("ingest_dup", 0) > 0)
     assert(byFate.getOrElse("exact_dup", 0) > 0)
     assert(byFate.getOrElse("near_dup", 0) > 0)
     assert(byFate.getOrElse("selected", 0) > 0)
   }
 
+  test("stage-0 joint: ingest_dup set ≡ bloom gate recomputed from base tables") {
+    // fresh fingerprints + a fresh bitmap, independent of the memoized
+    // fixtures the query reads — equality proves artifact freshness AND the
+    // gate's exactness (confirm removes every false positive)
+    val corpusFp = graft.Tables.documents(spark, sf())
+      .select(md5(col("text")).as("fp"))
+    val deltaFp = aug.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val drop0 = graft.dedup.BloomDedup
+      .bloomDeltaDedup(corpusFp, deltaFp, mBits = 1 << 16, k = 4)
+      .filter(col("verdict") === "drop")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ingest = fates.filter(_._2 == "ingest_dup").keySet
+    assert(ingest == drop0,
+      s"ingest_dup mismatch: only-in-query=${(ingest -- drop0).take(5)} " +
+        s"only-in-replay=${(drop0 -- ingest).take(5)}")
+    // exactness: gate drops = delta fps that literally occur in the corpus
+    val corpusSet = corpusFp.distinct().collect().map(_.getString(0)).toSet
+    val exact = deltaFp.collect()
+      .filter(r => corpusSet(r.getString(1))).map(_.getLong(0)).toSet
+    assert(drop0 == exact)
+  }
+
+  // stage-0 survivors per the assigned fates (joint style: each test trusts
+  // the PREVIOUS stage's fates and re-derives its own stage independently)
+  private def s0 = {
+    val ingest = fates.filter(_._2 == "ingest_dup").keySet.toSeq
+    aug.filter(!col("doc_id").isin(ingest: _*))
+  }
+
   test("stage-1/2 joint: near_dup set ≡ full-corpus pairs recomputed, survivor-restricted") {
-    val keep1 = aug.groupBy(md5(col("text")).as("h"))
+    val keep1 = s0.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     // fresh pair computation from the base tables — the query read the
     // materialized dupPairsParquet instead; equality proves BOTH the
     // artifact's freshness and the restriction semantics at this joint
     val keep1Ids = keep1.collect().map(_.getLong(0)).toSet
-    val drop2 = Dedup.ngramJaccardPairs(aug, k = 5, threshold = 0.5)
+    val drop2 = Dedup.ngramJaccardPairs(augBase, k = 5, threshold = 0.5)
       .select("id_a", "id_b")
       .collect()
       .filter(r => keep1Ids(r.getLong(0)) && keep1Ids(r.getLong(1)))
@@ -53,15 +88,15 @@ class PipelineE2eSpec extends SparkSpec {
     assert(nearDupFates == drop2,
       s"near_dup mismatch: only-in-query=${(nearDupFates -- drop2).take(5)} " +
         s"only-in-replay=${(drop2 -- nearDupFates).take(5)}")
-    // exact_dup joint: dropped = aug minus keep1
+    // exact_dup joint: dropped = stage-0 survivors minus keep1
     val exactFates = fates.filter(_._2 == "exact_dup").keySet
     val keep1Set = keep1.collect().map(_.getLong(0)).toSet
-    val augSet = aug.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(exactFates == (augSet -- keep1Set))
+    val s0Set = s0.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactFates == (s0Set -- keep1Set))
   }
 
   test("stage-2/3 joint: contaminated set ≡ run detection recomputed over near-dup survivors") {
-    val keep1 = aug.groupBy(md5(col("text")).as("h"))
+    val keep1 = s0.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val s1 = aug.join(keep1, Seq("doc_id"), "left_semi")
     val drop2Ids = fates.filter(_._2 == "near_dup").keySet.toSeq
