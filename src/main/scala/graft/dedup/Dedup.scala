@@ -592,11 +592,18 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, k: Int,
                     sourceCol: String = "source",
                     textCol: String = "text"): DataFrame = {
+    // two EAGER anchors instead of the old lazy double-persist (same-window
+    // A/B in the window that reproduced the driver's 1.85 s reading:
+    // 1.88-2.09 s with lazy persists → 1.02-1.26 s anchored, identical
+    // rows). The ARRAY-frame anchor is load-bearing: anchoring only the
+    // exploded-distinct frame leaves the shingle HOF unmaterialized inside
+    // that job and the explode re-inlines it per element (rule-1 trap,
+    // measured 22 s in the same window).
     val sh = withShingles(docs, k, idCol = sourceCol, textCol = textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
       .select(col("id").as("src"), explode(col("sh")).as("shingle"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
     val shared = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"),
@@ -735,11 +742,19 @@ object Dedup {
                                            threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the doc's distinct-shingle count rides the explode as size(sh) — no
-    // per-id aggregate and no sizes join anywhere in the pipeline
+    // per-id aggregate and no sizes join anywhere in the pipeline.
+    // sh deliberately NOT persisted: shArr is a materialized (scanned)
+    // array frame per the caller contract, so freq and ranked each
+    // re-derive the explode for the cost of a scan — cheaper than a lazy
+    // MEMORY_AND_DISK cache of the exploded frame (same-window A/B in the
+    // window reproducing the driver's 2.1 s reading: 2.48-2.76 s with the
+    // two lazy persists → 1.93-2.25 s with this shape, identical rows).
+    // The prefix table IS anchored (eagerly): it feeds both sides of the
+    // candidate self-join, and the anchor collapses the window+join
+    // lineage that the old persist kept live.
     val sh = shArr
       .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
     val ranked = sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
       .withColumn("__rn", row_number().over(
@@ -747,7 +762,7 @@ object Dedup {
       .filter(col("__rn") <=
         col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1L)
       .select(col("id"), col("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = ranked.as("a").hint("shuffle_hash")
       .join(ranked.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

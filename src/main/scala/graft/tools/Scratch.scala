@@ -3,17 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: same-window
-  * A/B of AQE small-shuffle coalescing. With the default
-  * `parallelismFirst=true`, AQE coalesces post-shuffle partitions only down
-  * to the session parallelism (32 here), so a KB-scale shuffle still runs 32
-  * tasks — pure scheduling overhead for the ~270 sub-second queries, and the
-  * many-small-task profile is exactly the placement-sensitive variance class
-  * (q_link_prediction 0.48 ↔ 3.19 across hosts at zero code change).
-  * `parallelismFirst=false` + a smaller advisory size lets AQE size
-  * partitions by ACTUAL bytes: KB shuffles → 1 task, the sf0.1 lineitem
-  * shuffles (~100 MB) → advisory/8 MB ≈ 13 tasks. Both confs are runtime SQL
-  * confs, so the A/B runs in ONE session, same window, interleaved.
+/** Dev scratchpad (contents rotate per investigation — currently: anchor
+  * shapes for q_source_overlap and q_ppjoin in the warm window that
+  * reproduces the driver's readings (1.85 / 2.10). Hypothesis from the
+  * q_link_prediction win: lazy MEMORY_AND_DISK persists on KB-to-MB-scale
+  * intermediates cost more in cache-block management + lineage re-planning
+  * than one eager localCheckpoint anchor.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -31,44 +26,104 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).agg(sum(col("id"))).collect()
 
-    val qs = Seq("q1_pricing_summary", "q9_product_profit", "q_er_entities",
-      "q_link_prediction", "q_ppjoin", "q_source_overlap", "q_hits",
-      "q_knn_graph", "q_window_funcs", "q_bh_fdr", "q_page_count",
-      "q_topk_orders")
-
-    def setB(): Unit = {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
-    }
-    def setA(): Unit = {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
-    }
-
-    def once(q: String): Double = {
-      val t0 = System.nanoTime()
-      graft.Bench.fullyEvaluate(graft.SparkEntry.queries(q)(spark, dir))
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      dt
-    }
-
-    // pass-major, A/B interleaved per pass so a host phase hits both arms
-    val results = scala.collection.mutable.Map[String, (List[Double], List[Double])]()
-      .withDefaultValue((Nil, Nil))
-    (1 to 4).foreach { p =>
-      System.err.println(s"[scratch] pass $p")
-      qs.foreach { q =>
-        setA(); val a = once(q)
-        setB(); val b = once(q)
-        val (as, bs) = results(q)
-        results(q) = (a :: as, b :: bs)
+    def time(label: String)(f: => Unit): Unit = {
+      (1 to 4).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[scratch] $label #$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.sharedState.cacheManager.clearCache()
       }
     }
-    qs.foreach { q =>
-      val (as, bs) = results(q)
-      println(f"[scratch] $q%-22s A(min/med) ${as.min}%.2f/${as.sorted.apply(as.size / 2)}%.2f" +
-        f"  B(min/med) ${bs.min}%.2f/${bs.sorted.apply(bs.size / 2)}%.2f  B/A ${bs.min / as.min}%.2f")
+
+    val docs = graft.Tables.documents(spark, dir)
+
+    // ---- sourceOverlap shapes ----
+    def soFin(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("src_a"), col("src_b"))
+    def soBody(sh: org.apache.spark.sql.DataFrame) = {
+      val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
+      val shared = sh.as("a").hint("shuffle_hash")
+        .join(sh.as("b").hint("shuffle_hash"),
+          col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("src").as("src_a"), col("n_shingles").as("size_a")), "src_a")
+        .join(sizes.select(col("src").as("src_b"), col("n_shingles").as("size_b")), "src_b")
+        .withColumn("overlap",
+          col("shared").cast("double") / least(col("size_a"), col("size_b")))
+        .select("src_a", "src_b", "shared", "size_a", "size_b", "overlap")
+    }
+    time("SO A current") {
+      graft.Bench.fullyEvaluate(soFin(graft.dedup.Dedup.sourceOverlap(docs, k = 5)))
+    }
+    time("SO B single anchor after distinct") {
+      val sh = graft.dedup.Dedup.withShingles(docs, 5, idCol = "source", textCol = "text")
+        .select(col("id").as("src"), explode(col("sh")).as("shingle"))
+        .distinct()
+        .localCheckpoint(true)
+      graft.Bench.fullyEvaluate(soFin(soBody(sh)))
+    }
+    time("SO C arr anchor + sh anchor") {
+      val arr = graft.dedup.Dedup.withShingles(docs, 5, idCol = "source", textCol = "text")
+        .localCheckpoint(true)
+      val sh = arr.select(col("id").as("src"), explode(col("sh")).as("shingle"))
+        .distinct()
+        .localCheckpoint(true)
+      graft.Bench.fullyEvaluate(soFin(soBody(sh)))
+    }
+
+    // ---- ppjoin shapes ----
+    import org.apache.spark.sql.expressions.Window
+    val shArrPath = graft.queries.PipelineQueries.shinglesParquet(spark, dir)
+    def shArr = graft.Tables.cachedParquet(spark, shArrPath)
+    def ppFin(d: org.apache.spark.sql.DataFrame) = d.orderBy(col("id_a"), col("id_b"))
+    time("PP A current") {
+      graft.Bench.fullyEvaluate(ppFin(
+        graft.dedup.Dedup.prefixFilterJaccardPairsFromShingles(shArr, threshold = 0.5)))
+    }
+    def ppBody(anchorSh: Boolean): org.apache.spark.sql.DataFrame = {
+      val threshold = 0.5
+      val sh0 = shArr
+        .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("shingle"))
+      val sh = if (anchorSh) sh0.localCheckpoint(true) else sh0
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
+      val ranked = sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__f"), col("shingle"))))
+        .filter(col("__rn") <=
+          col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1L)
+        .select(col("id"), col("shingle"))
+        .localCheckpoint(true)
+      val cand = ranked.as("a").hint("shuffle_hash")
+        .join(ranked.as("b").hint("shuffle_hash"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val arr = shArr.select(col("id"), col("sh"))
+      val withA = arr
+        .select(col("id").as("id_a"), col("sh").as("__sh_a"))
+        .hint("shuffle_hash").join(cand.hint("shuffle_hash"), Seq("id_a"))
+      val verified = arr
+        .select(col("id").as("id_b"), col("sh").as("__sh_b"))
+        .hint("shuffle_hash").join(withA.hint("shuffle_hash"), Seq("id_b"))
+        .withColumn("intersection",
+          size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+        .withColumn("size_a", size(col("__sh_a")).cast("long"))
+        .withColumn("size_b", size(col("__sh_b")).cast("long"))
+      verified
+        .withColumn("jaccard",
+          col("intersection").cast("double") /
+            (col("size_a") + col("size_b") - col("intersection")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+    }
+    time("PP B no sh persist, ranked anchored") {
+      graft.Bench.fullyEvaluate(ppFin(ppBody(anchorSh = false)))
+    }
+    time("PP C sh anchored + ranked anchored") {
+      graft.Bench.fullyEvaluate(ppFin(ppBody(anchorSh = true)))
     }
     spark.stop()
   }
