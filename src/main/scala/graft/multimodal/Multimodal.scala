@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -210,10 +210,14 @@ object Multimodal {
     * Requires `maxDist ≤ 3`: at 4+, a pair can disagree in all four bands
     * and the blocking would silently lose it (enforced).
     */
-  def phashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"band blocking is lossless only for maxDist in [0, 3], got $maxDist")
-    val withBands = hashes.filter(col("decoded"))
+  /** The 4×16-bit band rows of a (doc_id, hash_hi, hash_lo) frame — the
+    * SINGLE band definition [[phashPairs]] and the maintained incremental
+    * band index (`q_phash_incremental`) share: band j of a 64-bit hash is
+    * bits [16j, 16j+16) (lo carries bits 0-31, hi bits 32-63). Pigeonhole:
+    * two hashes within Hamming distance 3 agree on ≥1 of the 4 bands.
+    */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame =
+    hashes
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       .withColumn("__b", explode(array(
         struct(lit(0).as("bi"), col("hash_lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
@@ -224,6 +228,68 @@ object Multimodal {
           .bitwiseAND(lit(0xFFFFL)).as("bv")))))
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         col("__b.bi").as("bi"), col("__b.bv").as("bv"))
+
+  /** Incremental pHash near-dup maintenance: accept `delta` into the
+    * STANDING v1 band index (4 band rows per image — O(batch), never a
+    * corpus rehash), prove the maintained index ≡ a from-scratch rebuild
+    * over `all` under the family's (count, xor-hash) signature, and answer
+    * the batch's own near-dup query from the maintained index: banded
+    * candidates over BOTH generations (4×16-bit pigeonhole, lossless at
+    * Hamming ≤ 3), Hamming-verified, split by generation. One row per
+    * delta image: `(doc_id, n_cand, n_matches_v1, n_matches_delta,
+    * min_hamming (−1 when novel), verdict, inc_equals_rebuild)`.
+    * `isV1` must classify partner ids (true = standing corpus).
+    * At 100 TB: per-batch image dedup costs O(delta bands + collisions);
+    * the rebuild proof is the one honest O(corpus) term and contributes
+    * scan only (map-combined signature), never shuffle. EAGER: the delta
+    * band build runs at call time (it anchors the maintenance step).
+    */
+  def phashIncremental(v1Bands: DataFrame, delta: DataFrame, all: DataFrame,
+                       isV1: Column): DataFrame = {
+    val deltaBands = phashBands(delta).localCheckpoint(true)
+    val maintained = v1Bands.unionByName(deltaBands)
+    val rebuilt = phashBands(all)
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)),
+      call_function("bit_xor", xxhash64(col("doc_id"), col("hash_hi"),
+        col("hash_lo"), col("bi"), col("bv")))).head()
+    val incEq = sig(maintained) == sig(rebuilt)
+    val cand = deltaBands.as("a")
+      .join(maintained.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("pid"),
+        col("a.hash_hi").as("ahi"), col("a.hash_lo").as("alo"),
+        col("b.hash_hi").as("bhi"), col("b.hash_lo").as("blo"))
+      .distinct()
+      .withColumn("from_v1", isV1)
+    val m = cand.withColumn("ham",
+      bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
+        bit_count(col("alo").bitwiseXOR(col("blo"))))
+    val agg = m.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("ham") <= 3 && col("from_v1"), 1L).otherwise(0L))
+        .as("n_matches_v1"),
+      sum(when(col("ham") <= 3 && !col("from_v1"), 1L).otherwise(0L))
+        .as("n_matches_delta"),
+      min(when(col("ham") <= 3, col("ham"))).cast("long").as("__mh"))
+    delta.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_matches_v1"), lit(0L)).as("n_matches_v1"),
+        coalesce(col("n_matches_delta"), lit(0L)).as("n_matches_delta"),
+        coalesce(col("__mh"), lit(-1L)).as("min_hamming"),
+        when(coalesce(col("n_matches_v1"), lit(0L)) +
+            coalesce(col("n_matches_delta"), lit(0L)) > 0,
+          lit("near_dup")).otherwise(lit("novel")).as("verdict"),
+        lit(incEq).as("inc_equals_rebuild"))
+  }
+
+  def phashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"band blocking is lossless only for maxDist in [0, 3], got $maxDist")
+    val withBands = phashBands(hashes.filter(col("decoded")))
     val cand = withBands.as("a")
       .join(withBands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&

@@ -134,6 +134,24 @@ object ScaleProbe {
       if (!new java.io.File(bfp).exists())
         spark.read.parquet(p).select(md5(col("text")).as("fp"))
           .write.mode("overwrite").parquet(bfp)
+      // r15 phash probe: the gated dHash table per tier (standing artifact
+      // — image hashing amortizes like text fingerprinting; real PNG
+      // encode + decode per doc) plus the v1 band index the incremental
+      // operator maintains
+      val pfp = s"$corpusRoot/x${n}_phashfix"
+      if (!new java.io.File(pfp).exists()) {
+        val docs = spark.read.parquet(p)
+          .filter(col("doc_id") % 16 + 1 >= 10 && col("doc_id") % 12 + 1 >= 8)
+        graft.multimodal.Multimodal.imageDHash(spark,
+            graft.multimodal.Multimodal.pngMedia(spark, docs).toDF())
+          .toDF().filter(col("decoded"))
+          .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+          .write.mode("overwrite").parquet(s"$pfp/hashes")
+        graft.multimodal.Multimodal.phashBands(
+            spark.read.parquet(s"$pfp/hashes")
+              .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0)))
+          .write.mode("overwrite").parquet(s"$pfp/v1bands")
+      }
     }
     // the FIXED incoming batch for the bloom probe: exact copies (+1M) and
     // prefixed variants (+2M) of replica-0 slices — identical at every
@@ -235,6 +253,23 @@ object ScaleProbe {
           graft.dedup.BloomDedup.corpusBloom(corpusFp, 1 << 22, 4))
         graft.dedup.BloomDedup.bloomProbe(words, corpusFp,
           sp.read.parquet(bloomDeltaPath), mBits = 1 << 22, k = 4)
+      }),
+      // r15 incremental phash: a FIXED image batch (replica 0's %7 slice)
+      // accepted into a GROWING maintained band index. Unlike the
+      // disjoint-vocab text probes, the 64-bit perceptual hash space is
+      // DENSE, so a bigger corpus legitimately yields more matches per
+      // delta image — the flat invariant is the OUTPUT ROW COUNT (one per
+      // delta image); time carries the honest O(corpus) rebuild-proof
+      // scan (map-combined signature — no corpus shuffle)
+      ("phashIncrementalFixedDelta", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        val hashes = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/hashes")
+        val v1b = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/v1bands")
+        val isDelta = col("doc_id") < 10000000L && col("doc_id") % 7 === 0
+        graft.multimodal.Multimodal.phashIncremental(
+          v1b, hashes.filter(isDelta), hashes,
+          isV1 = !(col("pid") < 10000000L && col("pid") % 7 === 0))
       }),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
