@@ -254,7 +254,13 @@ object Multimodal {
       call_function("bit_xor", xxhash64(col("doc_id"), col("hash_hi"),
         col("hash_lo"), col("bi"), col("bv")))).head()
     val incEq = sig(maintained) == sig(rebuilt)
-    val cand = deltaBands.as("a")
+    // BROADCAST the delta band side: the maintained index then STREAMS
+    // past it — no corpus-sized shuffle (first probe draft joined wide and
+    // shuffled the full index by (bi, bv): shufW ×29 at a ×30 corpus;
+    // broadcast-delta re-probed flat). Right for crawl batches (bands =
+    // 4·|batch| rows); a TB-scale delta would take the bucket-partitioned
+    // co-located join instead — same disclosure as the LSH delta side.
+    val cand = broadcast(deltaBands.as("a"))
       .join(maintained.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") =!= col("b.doc_id"))
