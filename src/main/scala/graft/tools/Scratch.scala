@@ -3,12 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: anchor
-  * shapes for q_source_overlap and q_ppjoin in the warm window that
-  * reproduces the driver's readings (1.85 / 2.10). Hypothesis from the
-  * q_link_prediction win: lazy MEMORY_AND_DISK persists on KB-to-MB-scale
-  * intermediates cost more in cache-block management + lineage re-planning
-  * than one eager localCheckpoint anchor.
+/** Dev scratchpad (contents rotate per investigation — currently: extend the
+  * eager-anchor playbook A/B to q_frequent_triples (two lazy persists) and
+  * q_knn_graph (one lazy persist on the spread vector frame), in the same
+  * warm window that priced them 2.04 / 1.72 in the clean r15 bench.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -27,103 +25,77 @@ object Scratch {
     spark.range(1L << 20).agg(sum(col("id"))).collect()
 
     def time(label: String)(f: => Unit): Unit = {
-      (1 to 4).foreach { i =>
+      val ts = (1 to 4).map { _ =>
         val t0 = System.nanoTime()
         f
-        println(f"[scratch] $label #$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
+        dt
       }
+      println(f"[scratch] $label%-34s min ${ts.min}%.2f  med ${ts.sorted.apply(ts.size / 2)}%.2f")
     }
 
-    val docs = graft.Tables.documents(spark, dir)
+    // ---- frequentTriples: current vs anchored ----
+    def triplesAnchored(): org.apache.spark.sql.DataFrame = {
+      val items = graft.queries.Graphs.baskets(spark, dir)
+      val minSupport = 2L
+      val baskets = items.select(col("basket"), col("item")).distinct()
+      val nBaskets = baskets.select(col("basket")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val itemSupport = baskets.groupBy(col("item"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+      val frequent = baskets.join(itemSupport.select(col("item")), "item")
+        .select(col("basket"), col("item"))
+        .localCheckpoint(true)
+      val fp = frequent.as("a").join(frequent.as("b"),
+          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= minSupport)
+        .select(col("x"), col("y"))
+        .localCheckpoint(true)
+      val ab = frequent.as("a").join(frequent.as("b"),
+          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+        .select(col("a.basket").as("basket"), col("a.item").as("ia"),
+          col("b.item").as("ib"))
+        .join(fp.select(col("x").as("ia"), col("y").as("ib")), Seq("ia", "ib"))
+      val abc = ab
+        .join(frequent.select(col("basket"), col("item").as("ic")), Seq("basket"))
+        .filter(col("ib") < col("ic"))
+        .join(fp.select(col("x").as("ia"), col("y").as("ic")), Seq("ia", "ic"))
+        .join(fp.select(col("x").as("ib"), col("y").as("ic")), Seq("ib", "ic"))
+      val tri = abc
+        .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
+          col("ic").as("item_c"))
+        .agg(count(lit(1)).as("support_abc"))
+        .filter(col("support_abc") >= minSupport)
+        .join(itemSupport.select(col("item").as("item_a"),
+          col("support").as("support_a")), "item_a")
+        .join(itemSupport.select(col("item").as("item_b"),
+          col("support").as("support_b")), "item_b")
+        .join(itemSupport.select(col("item").as("item_c"),
+          col("support").as("support_c")), "item_c")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      tri.crossJoin(broadcast(nBaskets))
+        .select(col("item_a"), col("item_b"), col("item_c"), col("support_abc"),
+          col("support_a"), col("support_b"), col("support_c"),
+          ((dec(col("support_abc")) * col("n_baskets") * col("n_baskets"))
+            .cast("double") /
+            (dec(col("support_a")) * col("support_b") * col("support_c"))
+              .cast("double")).as("lift"))
+        .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
+    }
+    time("TRI A current") {
+      graft.Bench.fullyEvaluate(graft.SparkEntry.queries("q_frequent_triples")(spark, dir))
+    }
+    time("TRI B anchored") {
+      graft.Bench.fullyEvaluate(triplesAnchored())
+    }
 
-    // ---- sourceOverlap shapes ----
-    def soFin(d: org.apache.spark.sql.DataFrame) =
-      d.orderBy(col("src_a"), col("src_b"))
-    def soBody(sh: org.apache.spark.sql.DataFrame) = {
-      val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
-      val shared = sh.as("a").hint("shuffle_hash")
-        .join(sh.as("b").hint("shuffle_hash"),
-          col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
-        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.select(col("src").as("src_a"), col("n_shingles").as("size_a")), "src_a")
-        .join(sizes.select(col("src").as("src_b"), col("n_shingles").as("size_b")), "src_b")
-        .withColumn("overlap",
-          col("shared").cast("double") / least(col("size_a"), col("size_b")))
-        .select("src_a", "src_b", "shared", "size_a", "size_b", "overlap")
-    }
-    time("SO A current") {
-      graft.Bench.fullyEvaluate(soFin(graft.dedup.Dedup.sourceOverlap(docs, k = 5)))
-    }
-    time("SO B single anchor after distinct") {
-      val sh = graft.dedup.Dedup.withShingles(docs, 5, idCol = "source", textCol = "text")
-        .select(col("id").as("src"), explode(col("sh")).as("shingle"))
-        .distinct()
-        .localCheckpoint(true)
-      graft.Bench.fullyEvaluate(soFin(soBody(sh)))
-    }
-    time("SO C arr anchor + sh anchor") {
-      val arr = graft.dedup.Dedup.withShingles(docs, 5, idCol = "source", textCol = "text")
-        .localCheckpoint(true)
-      val sh = arr.select(col("id").as("src"), explode(col("sh")).as("shingle"))
-        .distinct()
-        .localCheckpoint(true)
-      graft.Bench.fullyEvaluate(soFin(soBody(sh)))
-    }
-
-    // ---- ppjoin shapes ----
-    import org.apache.spark.sql.expressions.Window
-    val shArrPath = graft.queries.PipelineQueries.shinglesParquet(spark, dir)
-    def shArr = graft.Tables.cachedParquet(spark, shArrPath)
-    def ppFin(d: org.apache.spark.sql.DataFrame) = d.orderBy(col("id_a"), col("id_b"))
-    time("PP A current") {
-      graft.Bench.fullyEvaluate(ppFin(
-        graft.dedup.Dedup.prefixFilterJaccardPairsFromShingles(shArr, threshold = 0.5)))
-    }
-    def ppBody(anchorSh: Boolean): org.apache.spark.sql.DataFrame = {
-      val threshold = 0.5
-      val sh0 = shArr
-        .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
-          explode(col("sh")).as("shingle"))
-      val sh = if (anchorSh) sh0.localCheckpoint(true) else sh0
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
-      val ranked = sh.hint("shuffle_hash").join(freq.hint("shuffle_hash"), Seq("shingle"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("__f"), col("shingle"))))
-        .filter(col("__rn") <=
-          col("n_shingles") - ceil(lit(threshold) * col("n_shingles")).cast("long") + 1L)
-        .select(col("id"), col("shingle"))
-        .localCheckpoint(true)
-      val cand = ranked.as("a").hint("shuffle_hash")
-        .join(ranked.as("b").hint("shuffle_hash"),
-          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-      val arr = shArr.select(col("id"), col("sh"))
-      val withA = arr
-        .select(col("id").as("id_a"), col("sh").as("__sh_a"))
-        .hint("shuffle_hash").join(cand.hint("shuffle_hash"), Seq("id_a"))
-      val verified = arr
-        .select(col("id").as("id_b"), col("sh").as("__sh_b"))
-        .hint("shuffle_hash").join(withA.hint("shuffle_hash"), Seq("id_b"))
-        .withColumn("intersection",
-          size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
-        .withColumn("size_a", size(col("__sh_a")).cast("long"))
-        .withColumn("size_b", size(col("__sh_b")).cast("long"))
-      verified
-        .withColumn("jaccard",
-          col("intersection").cast("double") /
-            (col("size_a") + col("size_b") - col("intersection")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
-    }
-    time("PP B no sh persist, ranked anchored") {
-      graft.Bench.fullyEvaluate(ppFin(ppBody(anchorSh = false)))
-    }
-    time("PP C sh anchored + ranked anchored") {
-      graft.Bench.fullyEvaluate(ppFin(ppBody(anchorSh = true)))
+    // ---- knnGraph: current vs v-anchored ----
+    time("KNN A current") {
+      graft.Bench.fullyEvaluate(graft.SparkEntry.queries("q_knn_graph")(spark, dir))
     }
     spark.stop()
   }
