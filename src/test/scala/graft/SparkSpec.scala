@@ -16,6 +16,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // Kryo for shuffle/checkpoint blocks (the standard cluster default;
+      // ABA-measured ~8-12% on the anchor/shuffle-heavy class, r15 NOTES)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
