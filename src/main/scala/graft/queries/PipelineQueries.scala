@@ -97,8 +97,7 @@ object PipelineQueries {
     // tables ≡ recomputation. Probe stages move ~1k rows → kernel pin.
     val corpus = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
     val delta = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
-    val bits = bloomBitsMemo.getOrElseUpdate(dir,
-      graft.dedup.BloomDedup.corpusBloom(corpus, mBits = 1 << 16, k = 4))
+    val bits = bloomBitsMemoGet(s, dir)
     AnalyticsQueries.withKernelShufflePartitions(s, 8) {
       graft.dedup.BloomDedup.bloomProbe(bits, corpus, delta, mBits = 1 << 16, k = 4)
         .orderBy(col("doc_id"))
@@ -234,6 +233,15 @@ object PipelineQueries {
 
   private val bloomBitsMemo =
     new scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+  /** The standing corpus bloom bitmap, built once per (process, sf dir) —
+    * the single accessor bloomDeltaQ / pipelineE2eQ / dev tools share.
+    */
+  private[graft] def bloomBitsMemoGet(s: SparkSession, dir: String): Array[Long] =
+    bloomBitsMemo.getOrElseUpdate(dir,
+      graft.dedup.BloomDedup.corpusBloom(
+        graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir)),
+        mBits = 1 << 16, k = 4))
 
   /** The probe CTE computes bloom_hit as a per-row conjunction of the k=4
     * bit tests (no GROUP BY), matching the engine's one-output-row-per-input
@@ -2718,8 +2726,7 @@ object PipelineQueries {
       val deltaFp0 = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
       val deltaFp = deltaFp0.unionByName(deltaFp0.filter(col("doc_id") >= 2000000L)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
-      val bits = bloomBitsMemo.getOrElseUpdate(dir,
-        graft.dedup.BloomDedup.corpusBloom(corpusFp, mBits = 1 << 16, k = 4))
+      val bits = bloomBitsMemoGet(s, dir)
       // checkpointed: referenced by the anti-join below AND the final fate
       // union, and tiny (confirmed-dup ids only)
       graft.dedup.BloomDedup.bloomProbe(bits, corpusFp, deltaFp,
@@ -2727,7 +2734,12 @@ object PipelineQueries {
         .filter(col("verdict") === "drop").select("doc_id")
         .localCheckpoint(true)
     }
-    val s0 = aug.join(drop0, Seq("doc_id"), "left_anti")
+    // every id-list join side below is an explicit broadcast: the lists are
+    // KB-scale checkpointed frames (no reliable stats), and the shuffle the
+    // planner would otherwise pick moves the CORPUS-sized side — measured
+    // ABAB 2.81/2.29 vs 2.40/2.11 same window, and at 100 TB the broadcast
+    // is the only plan that does not reshuffle the corpus per stage
+    val s0 = aug.join(broadcast(drop0), Seq("doc_id"), "left_anti")
     // stage 1: exact dedup within the gated corpus
     val keep1 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
       s0.groupBy(md5(col("text")).as("__h"))
@@ -2740,27 +2752,27 @@ object PipelineQueries {
     // per-pass kernel)
     val drop2 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
       graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)).select("id_a", "id_b")
-        .join(keep1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .join(broadcast(keep1.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
+        .join(broadcast(keep1.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
         .select(col("id_b").as("doc_id")).distinct()
         .localCheckpoint(true)
     }
-    val keep2 = keep1.join(drop2, Seq("doc_id"), "left_anti")
+    val keep2 = keep1.join(broadcast(drop2), Seq("doc_id"), "left_anti")
     // stage 3: run-level decontamination of survivors vs the eval set
     val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 97 === 3)
     val drop3 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
       val pos2 = graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir))
-        .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .join(broadcast(keep2.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
       Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
           k = 5, minRunTokens = 15)
         .select("doc_id")
         .localCheckpoint(true)
     }
-    val keep3 = keep2.join(drop3, Seq("doc_id"), "left_anti")
+    val keep3 = keep2.join(broadcast(drop3), Seq("doc_id"), "left_anti")
     // stage 4: quality filter (map-side scoring over the cached corpus)
     val q = TextAnalysis.qualityFeatures(
-        aug.join(keep3, Seq("doc_id"), "left_semi"))
+        aug.join(broadcast(keep3), Seq("doc_id"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val low = q.filter(col("quality_score") < 0.5).select("doc_id")
     // stage 5: per-language greedy token budget (quality desc, id tiebreak)
@@ -2777,7 +2789,7 @@ object PipelineQueries {
         .localCheckpoint(true)
     }
     drop0.select(col("doc_id"), lit("ingest_dup").as("fate"))
-      .unionByName(s0.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
+      .unionByName(s0.select("doc_id").join(broadcast(keep1), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit("exact_dup").as("fate")))
       .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
       .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))

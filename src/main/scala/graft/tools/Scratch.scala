@@ -1,12 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: extend the
-  * eager-anchor playbook A/B to q_frequent_triples (two lazy persists) and
-  * q_knn_graph (one lazy persist on the spread vector frame), in the same
-  * warm window that priced them 2.04 / 1.72 in the clean r15 bench.
+/** Dev scratchpad (contents rotate per investigation — currently: per-stage
+  * cost decomposition of q_pipeline_e2e (2.24 in-bench, 4.5 solo) — time
+  * cumulative stage prefixes to find the dominant stage.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,8 +14,6 @@ object Scratch {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Kryo for shuffle/checkpoint blocks (the standard cluster default;
-      // ABA-measured ~8-12% on the anchor/shuffle-heavy class, r15 NOTES)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,79 +23,179 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).agg(sum(col("id"))).collect()
+    import graft.queries.PipelineQueries
+    def pin8[T](f: => T): T = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    import graft.text.TextAnalysis
+    import graft.dedup.Dedup
+    val s = spark
 
-    def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 4).map { _ =>
+    def stages(upTo: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val aug = graft.Tables.cachedParquet(s, PipelineQueries.e2eCorpusParquet(s, dir))
+      val drop0 = pin8 {
+        val corpusFp = graft.Tables.cachedParquet(s, PipelineQueries.bloomCorpusFpParquet(s, dir))
+        val deltaFp0 = graft.Tables.cachedParquet(s, PipelineQueries.bloomDeltaFpParquet(s, dir))
+        val deltaFp = deltaFp0.unionByName(deltaFp0.filter(col("doc_id") >= 2000000L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+        val bits = PipelineQueries.bloomBitsMemoGet(s, dir)
+        graft.dedup.BloomDedup.bloomProbe(bits, corpusFp, deltaFp,
+            mBits = 1 << 16, k = 4)
+          .filter(col("verdict") === "drop").select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 0) return drop0
+      val s0 = aug.join(drop0, Seq("doc_id"), "left_anti")
+      val keep1 = pin8 {
+        s0.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 1) return keep1
+      val drop2 = pin8 {
+        graft.Tables.cachedParquet(s, PipelineQueries.dupPairsParquet(s, dir)).select("id_a", "id_b")
+          .join(keep1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(keep1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+          .select(col("id_b").as("doc_id")).distinct()
+          .localCheckpoint(true)
+      }
+      if (upTo == 2) return drop2
+      val keep2 = keep1.join(drop2, Seq("doc_id"), "left_anti")
+      val bench = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 97 === 3)
+      val drop3 = pin8 {
+        val pos2 = graft.Tables.cachedParquet(s, PipelineQueries.positionalShinglesParquet(s, dir))
+          .join(keep2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
+            k = 5, minRunTokens = 15)
+          .select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 3) return drop3
+      val keep3 = keep2.join(drop3, Seq("doc_id"), "left_anti")
+      val q = TextAnalysis.qualityFeatures(
+          aug.join(keep3, Seq("doc_id"), "left_semi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val low = q.filter(col("quality_score") < 0.5).select("doc_id")
+      if (upTo == 4) return low
+      val sel = pin8 {
+        val w = Window.partitionBy(col("pred_lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        q.filter(col("quality_score") >= 0.5)
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"),
+            when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
+              .as("fate"))
+          .localCheckpoint(true)
+      }
+      if (upTo == 5) return sel
+      drop0.select(col("doc_id"), lit("ingest_dup").as("fate"))
+        .unionByName(s0.select("doc_id").join(keep1, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("exact_dup").as("fate")))
+        .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
+        .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))
+        .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
+        .unionByName(sel)
+        .orderBy(col("doc_id"))
+    }
+
+    def stagesB(upTo: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val aug = graft.Tables.cachedParquet(s, PipelineQueries.e2eCorpusParquet(s, dir))
+      val drop0 = pin8 {
+        val corpusFp = graft.Tables.cachedParquet(s, PipelineQueries.bloomCorpusFpParquet(s, dir))
+        val deltaFp0 = graft.Tables.cachedParquet(s, PipelineQueries.bloomDeltaFpParquet(s, dir))
+        val deltaFp = deltaFp0.unionByName(deltaFp0.filter(col("doc_id") >= 2000000L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+        val bits = PipelineQueries.bloomBitsMemoGet(s, dir)
+        graft.dedup.BloomDedup.bloomProbe(bits, corpusFp, deltaFp,
+            mBits = 1 << 16, k = 4)
+          .filter(col("verdict") === "drop").select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 0) return drop0
+      val s0 = aug.join(broadcast(drop0), Seq("doc_id"), "left_anti")
+      val keep1 = pin8 {
+        s0.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 1) return keep1
+      val drop2 = pin8 {
+        graft.Tables.cachedParquet(s, PipelineQueries.dupPairsParquet(s, dir)).select("id_a", "id_b")
+          .join(broadcast(keep1.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
+          .join(broadcast(keep1.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
+          .select(col("id_b").as("doc_id")).distinct()
+          .localCheckpoint(true)
+      }
+      if (upTo == 2) return drop2
+      val keep2 = keep1.join(broadcast(drop2), Seq("doc_id"), "left_anti")
+      val bench = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 97 === 3)
+      val drop3 = pin8 {
+        val pos2 = graft.Tables.cachedParquet(s, PipelineQueries.positionalShinglesParquet(s, dir))
+          .join(broadcast(keep2.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
+        Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
+            k = 5, minRunTokens = 15)
+          .select("doc_id")
+          .localCheckpoint(true)
+      }
+      if (upTo == 3) return drop3
+      val keep3 = keep2.join(broadcast(drop3), Seq("doc_id"), "left_anti")
+      val q = TextAnalysis.qualityFeatures(
+          aug.join(broadcast(keep3), Seq("doc_id"), "left_semi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val low = q.filter(col("quality_score") < 0.5).select("doc_id")
+      if (upTo == 4) return low
+      val sel = pin8 {
+        val w = Window.partitionBy(col("pred_lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        q.filter(col("quality_score") >= 0.5)
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"),
+            when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
+              .as("fate"))
+          .localCheckpoint(true)
+      }
+      if (upTo == 5) return sel
+      drop0.select(col("doc_id"), lit("ingest_dup").as("fate"))
+        .unionByName(s0.select("doc_id").join(broadcast(keep1), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("exact_dup").as("fate")))
+        .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
+        .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))
+        .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
+        .unionByName(sel)
+        .orderBy(col("doc_id"))
+    }
+
+    Seq(("A plain", () => stages(6)), ("B broadcast", () => stagesB(6)),
+      ("A plain2", () => stages(6)), ("B broadcast2", () => stagesB(6))).foreach { case (lbl, f) =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        f
+        graft.Bench.fullyEvaluate(f())
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         dt
       }
-      println(f"[scratch] $label%-34s min ${ts.min}%.2f  med ${ts.sorted.apply(ts.size / 2)}%.2f")
+      println(f"[scratch] e2e $lbl: min ${ts.min}%.2f  all ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-
-    // ---- frequentTriples: current vs anchored ----
-    def triplesAnchored(): org.apache.spark.sql.DataFrame = {
-      val items = graft.queries.Graphs.baskets(spark, dir)
-      val minSupport = 2L
-      val baskets = items.select(col("basket"), col("item")).distinct()
-      val nBaskets = baskets.select(col("basket")).distinct()
-        .agg(count(lit(1)).as("n_baskets"))
-      val itemSupport = baskets.groupBy(col("item"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-      val frequent = baskets.join(itemSupport.select(col("item")), "item")
-        .select(col("basket"), col("item"))
-        .localCheckpoint(true)
-      val fp = frequent.as("a").join(frequent.as("b"),
-          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
-        .agg(count(lit(1)).as("s"))
-        .filter(col("s") >= minSupport)
-        .select(col("x"), col("y"))
-        .localCheckpoint(true)
-      val ab = frequent.as("a").join(frequent.as("b"),
-          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-        .select(col("a.basket").as("basket"), col("a.item").as("ia"),
-          col("b.item").as("ib"))
-        .join(fp.select(col("x").as("ia"), col("y").as("ib")), Seq("ia", "ib"))
-      val abc = ab
-        .join(frequent.select(col("basket"), col("item").as("ic")), Seq("basket"))
-        .filter(col("ib") < col("ic"))
-        .join(fp.select(col("x").as("ia"), col("y").as("ic")), Seq("ia", "ic"))
-        .join(fp.select(col("x").as("ib"), col("y").as("ic")), Seq("ib", "ic"))
-      val tri = abc
-        .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
-          col("ic").as("item_c"))
-        .agg(count(lit(1)).as("support_abc"))
-        .filter(col("support_abc") >= minSupport)
-        .join(itemSupport.select(col("item").as("item_a"),
-          col("support").as("support_a")), "item_a")
-        .join(itemSupport.select(col("item").as("item_b"),
-          col("support").as("support_b")), "item_b")
-        .join(itemSupport.select(col("item").as("item_c"),
-          col("support").as("support_c")), "item_c")
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      tri.crossJoin(broadcast(nBaskets))
-        .select(col("item_a"), col("item_b"), col("item_c"), col("support_abc"),
-          col("support_a"), col("support_b"), col("support_c"),
-          ((dec(col("support_abc")) * col("n_baskets") * col("n_baskets"))
-            .cast("double") /
-            (dec(col("support_a")) * col("support_b") * col("support_c"))
-              .cast("double")).as("lift"))
-        .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
-    }
-    time("TRI A current") {
-      graft.Bench.fullyEvaluate(graft.SparkEntry.queries("q_frequent_triples")(spark, dir))
-    }
-    time("TRI B anchored") {
-      graft.Bench.fullyEvaluate(triplesAnchored())
-    }
-
-    // ---- knnGraph: current vs v-anchored ----
-    time("KNN A current") {
-      graft.Bench.fullyEvaluate(graft.SparkEntry.queries("q_knn_graph")(spark, dir))
+    if (false)
+    (0 to 6).foreach { u =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.Bench.fullyEvaluate(stages(u))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      println(f"[scratch] e2e upTo=$u: min ${ts.min}%.2f  all ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
