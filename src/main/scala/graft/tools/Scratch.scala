@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (contents rotate per investigation — currently: per-stage
-  * cost decomposition of q_pipeline_e2e (2.24 in-bench, 4.5 solo) — time
-  * cumulative stage prefixes to find the dominant stage.
+/** Dev scratchpad (contents rotate per investigation — currently: the
+  * q_pipeline_e2e stage decomposition + plain-vs-broadcast id-list-join
+  * ABAB that landed the broadcast shape (gate 0.78 / decon +0.96 /
+  * budget +0.2; ABAB 2.81/2.29 plain vs 2.40/2.11 broadcast).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -185,17 +186,6 @@ object Scratch {
         dt
       }
       println(f"[scratch] e2e $lbl: min ${ts.min}%.2f  all ${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
-    if (false)
-    (0 to 6).foreach { u =>
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        graft.Bench.fullyEvaluate(stages(u))
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        dt
-      }
-      println(f"[scratch] e2e upTo=$u: min ${ts.min}%.2f  all ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
