@@ -190,9 +190,17 @@ object Bench {
     val passTotals = passes.map(_.values.sum).sorted
     val phaseSpread = {
       val fmt = (d: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      // true median (even pass counts average the two middles; empty guard)
+      // rather than the upper-middle element — ADVICE r15.
+      val median =
+        if (passTotals.isEmpty) 0.0
+        else if (passTotals.size % 2 == 1) passTotals(passTotals.size / 2)
+        else (passTotals(passTotals.size / 2 - 1) + passTotals(passTotals.size / 2)) / 2.0
+      val mn = if (passTotals.isEmpty) 0.0 else passTotals.min
+      val mx = if (passTotals.isEmpty) 0.0 else passTotals.max
       s"""{"metric":"phase_spread","pass_totals":[${passTotals.map(fmt).mkString(",")}],""" +
-        s""""min":${fmt(passTotals.min)},"median":${fmt(passTotals(passTotals.size / 2))},""" +
-        s""""max":${fmt(passTotals.max)}}"""
+        s""""min":${fmt(mn)},"median":${fmt(median)},""" +
+        s""""max":${fmt(mx)}}"""
     }
     val out = (line +: summary +: phaseSpread +: steadyParts) :+ phaseSpread :+ summary
     // full artifact always lands on disk too — default into the working

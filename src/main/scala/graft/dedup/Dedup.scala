@@ -588,6 +588,14 @@ object Dedup {
     * Scale shape: distinct (source, shingle) is one shuffle; the self-join
     * keys on the 8-byte shingle hash and its fan-out per shingle is bounded
     * by #sources² (not docs²) — the output is #sources² rows, metadata-sized.
+    *
+    * Availability caveat (ADVICE r15): the eager anchors below are
+    * `localCheckpoint` blocks — non-replicated and unrecoverable, so on a
+    * cluster with executor loss or dynamic allocation the JOB fails (and is
+    * re-run by the scheduler) instead of recomputing the lineage; results
+    * are never wrong, only the retry unit changes. Deployments that prefer
+    * lineage recovery over anchor speed should swap these for reliable
+    * `checkpoint` onto cluster storage.
     */
   def sourceOverlap(docs: DataFrame, k: Int,
                     sourceCol: String = "source",
@@ -737,6 +745,12 @@ object Dedup {
     * amortizes; the prefix ranking, candidate join, and exact verification
     * all stay inside the caller's timer). Same contract as
     * [[jaccardPairsFromShingles]] / [[containmentPairsFromShingles]].
+    *
+    * Availability caveat (ADVICE r15): the prefix-rank anchor inside is a
+    * non-replicated `localCheckpoint` block — under executor loss / dynamic
+    * allocation the job fails-and-retries rather than recomputing lineage
+    * (results unchanged; swap for reliable `checkpoint` if lineage recovery
+    * is required). See [[sourceOverlap]] for the full caveat.
     */
   def prefixFilterJaccardPairsFromShingles(shArr: DataFrame,
                                            threshold: Double): DataFrame = {

@@ -307,6 +307,12 @@ object DupClusters {
     * only shared neighbors are celebrity hubs go unscored — for link
     * prediction the signal you usually want to ignore anyway. Endpoint
     * degrees (and so `n_union`) stay exact.
+    *
+    * Availability caveat (ADVICE r15): the edge anchor below is a
+    * non-replicated `localCheckpoint` block — under executor loss / dynamic
+    * allocation the job fails-and-retries rather than recomputing lineage
+    * (results unchanged; swap for reliable `checkpoint` onto cluster
+    * storage if lineage recovery is required).
     */
   def linkPrediction(pairs: DataFrame, maxMiddleDegree: Int = Int.MaxValue,
                      idA: String = "id_a", idB: String = "id_b"): DataFrame = {

@@ -231,8 +231,13 @@ object Multimodal {
 
   /** Incremental pHash near-dup maintenance: accept `delta` into the
     * STANDING v1 band index (4 band rows per image — O(batch), never a
-    * corpus rehash), prove the maintained index ≡ a from-scratch rebuild
-    * over `all` under the family's (count, xor-hash) signature, and answer
+    * corpus rehash), check the maintained index against a from-scratch
+    * rebuild over `all` under a PROBABILISTIC multiset signature — (count,
+    * xor of row hashes, exact sum of row hashes): xor alone cancels paired
+    * differences, so the sum term is load-bearing (two differing multisets
+    * must collide on count AND xor AND exact sum to fool it); the
+    * word-for-word `exceptAll` equality lives in Round15OpsSpec, the
+    * runtime check is this signature (ADVICE r15) — and answer
     * the batch's own near-dup query from the maintained index: banded
     * candidates over BOTH generations (4×16-bit pigeonhole, lossless at
     * Hamming ≤ 3), Hamming-verified, split by generation. One row per
@@ -249,10 +254,14 @@ object Multimodal {
     val deltaBands = phashBands(delta).localCheckpoint(true)
     val maintained = v1Bands.unionByName(deltaBands)
     val rebuilt = phashBands(all)
-    def sig(df: DataFrame) = df.agg(
-      count(lit(1)),
-      call_function("bit_xor", xxhash64(col("doc_id"), col("hash_hi"),
-        col("hash_lo"), col("bi"), col("bv")))).head()
+    def sig(df: DataFrame) = {
+      val h = xxhash64(col("doc_id"), col("hash_hi"),
+        col("hash_lo"), col("bi"), col("bv"))
+      // sum in DECIMAL(38,0): exact (no ANSI long-overflow throw) and
+      // order-free; breaks the xor paired-cancellation class (ADVICE r15).
+      df.agg(count(lit(1)), call_function("bit_xor", h),
+        sum(h.cast("decimal(38,0)"))).head()
+    }
     val incEq = sig(maintained) == sig(rebuilt)
     // BROADCAST the delta band side: the maintained index then STREAMS
     // past it — no corpus-sized shuffle (first probe draft joined wide and

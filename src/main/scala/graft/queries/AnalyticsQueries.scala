@@ -463,7 +463,11 @@ object AnalyticsQueries {
     run()
     java.nio.file.Files.copy(part("b"), src.resolve("late.parquet"))
     run()
-    graft.Tables.cachedParquet(s, sink).orderBy(col("window_start"))
+    // plain read, NOT Tables.cachedParquet: the sink path is deleted and
+    // rewritten per invocation, outside the schema memo's write-once
+    // contract (ADVICE r15) — and a sink read is once-per-query, so the
+    // memo's ~70 ms footer saving doesn't apply anyway.
+    s.read.parquet(sink).orderBy(col("window_start"))
   }
 
   private val lateSrcDirs =

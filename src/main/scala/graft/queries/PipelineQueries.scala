@@ -2076,9 +2076,11 @@ object PipelineQueries {
     * LLM-pipeline asymmetry: image near-dup was batch-only. Accepting the
     * `% 7 == 0` batch = 4 band rows per image (O(batch)) appended to the
     * STANDING v1 band index — never a corpus rehash; the maintained index
-    * is then proven ≡ a from-scratch rebuild word for word EVERY run (the
-    * mh_inc discipline — the constant-TRUE `inc_equals_rebuild` the oracle
-    * encodes), and immediately answers the batch's own near-dup query:
+    * is then checked ≡ a from-scratch rebuild EVERY run under a
+    * probabilistic (count, xor, exact-sum) row-hash signature (the
+    * word-for-word `exceptAll` equality is Round15OpsSpec's job; ADVICE
+    * r15) — the constant-TRUE `inc_equals_rebuild` the oracle encodes —
+    * and immediately answers the batch's own near-dup query:
     * banded candidates (4×16-bit pigeonhole, lossless ≤ 3 bits) against
     * BOTH generations, Hamming-verified, split `n_matches_v1` /
     * `n_matches_delta`. At 100 TB the index is the artifact that makes
@@ -2103,7 +2105,7 @@ object PipelineQueries {
     * slices, candidates from band equality over both generations, and the
     * Hamming verification — the whole maintained-index path from
     * `documents` alone; `inc_equals_rebuild` is the constant TRUE the
-    * engine must reproduce via its word-for-word rebuild comparison.
+    * engine must reproduce via its (count, xor, sum) rebuild signature.
     */
   private val phashIncrementalOracle =
     """WITH d AS (
