@@ -322,6 +322,29 @@ object AnalyticsQueries {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Start a one-shot (`AvailableNow`) streaming lifecycle with the
+    * trailing NO-DATA micro-batch disabled, for queries where that batch
+    * is provably zero-effect: an r16 Scratch decomposition measured it at
+    * ~0.9 s of q_stream_join's ~3.2 s lifecycle while (a) emitting zero
+    * rows (inner-join / append-dedup eviction produces no output) and
+    * (b) evicting zero state rows (stateRows 40025 → 40025 — the fixture's
+    * event span ≈ the watermark delay, so nothing is expirable), after
+    * which the query stops and drops the state anyway. This is the
+    * documented production knob (`spark.sql.streaming.noDataMicroBatches
+    * .enabled`) for exactly this one-shot shape — dead final-eviction work
+    * — NOT timer narrowing: the data micro-batch, state stores, offset and
+    * commit logs all stay inside the lifecycle. Queries whose RESULT rides
+    * watermark advance after the last file (q_stream_late's window-close
+    * emission) must NOT use this wrapper.
+    */
+  private def withNoDataBatchesDisabled[T](
+      s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    try { s.conf.set(key, "false"); f }
+    finally s.conf.set(key, prev)
+  }
+
   /** Run an EAGER iterative graph kernel (per-round `localCheckpoint`
     * inside `f` — label propagation, PPR, k-core peel, fixed-point
     * PageRank, HyperBall) with shuffle partitions pinned at `n`,
@@ -510,7 +533,11 @@ object AnalyticsQueries {
       else raw).withColumn("ts", col("ts").cast("timestamp"))
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
+    // no-data batch zero-effect here: append-mode dedup emits rows only on
+    // ARRIVAL; the 3650-day watermark expires nothing within the fixture's
+    // span, so the trailing batch neither emits nor evicts (see
+    // withNoDataBatchesDisabled).
+    val q = withNoDataBatchesDisabled(s) { AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       ev.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -518,7 +545,7 @@ object AnalyticsQueries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
+    } }
     q.awaitTermination()
     s.table(name).orderBy(col("event_id"))
   }
@@ -568,7 +595,11 @@ object AnalyticsQueries {
       .withWatermark("pt", "30 days")
     val name = "graft_stream_join_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = AnalyticsQueries.withStreamShufflePartitions(s, 4) {
+    // no-data batch zero-effect here: INNER-join eviction emits nothing,
+    // and the fixture's 30-day event span ≈ the 30-day watermark delay so
+    // the final eviction pass frees ~nothing before the query stops
+    // (Scratch r16: 0 rows emitted, stateRows 40025 → 40025, ~0.9 s).
+    val q = withNoDataBatchesDisabled(s) { AnalyticsQueries.withStreamShufflePartitions(s, 4) {
       v.join(p, col("v_user") === col("p_user") &&
           col("pt") >= col("vt") &&
           col("pt") < col("vt") + expr("INTERVAL 2 HOURS"))
@@ -578,7 +609,7 @@ object AnalyticsQueries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-    }
+    } }
     q.awaitTermination()
     s.table(name).orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
@@ -1890,9 +1921,15 @@ object AnalyticsQueries {
     * are all under the hash.
     */
   private def frequentTriplesQ(s: SparkSession, dir: String): DataFrame =
-    graft.analytics.Itemsets.frequentTriples(
-        Graphs.baskets(s, dir), "basket", "item", minSupport = 2L)
-      .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
+    // kernel pin (r16 A/B x3: base 1.2-2.7 s vs pin8 0.9-1.1, exact-equal —
+    // the r13 "eager anchors lose here" adjudication was about ANCHORS,
+    // not the pin; the planted baskets table is KB-scale)
+    withKernelShufflePartitions(s, 8) {
+      graft.analytics.Itemsets.frequentTriples(
+          Graphs.baskets(s, dir), "basket", "item", minSupport = 2L)
+        .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
+        .localCheckpoint(true)
+    }
 
   private val frequentTriplesOracle =
     """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
@@ -2353,7 +2390,11 @@ object AnalyticsQueries {
     * r one fixed-order expression through DECIMAL(38) products.
     */
   private def assortativityQ(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.DupClusters.degreeAssortativity(Graphs.starRingEdges(s, dir))
+    // kernel pin (r16 A/B x3: base 1.8-3.0 s vs pin8 1.2-1.5, exact-equal)
+    withKernelShufflePartitions(s, 8) {
+      graft.dedup.DupClusters.degreeAssortativity(Graphs.starRingEdges(s, dir))
+        .localCheckpoint(true)
+    }
 
   private val assortativityOracle =
     """WITH ids AS (SELECT doc_id AS id FROM documents),

@@ -280,7 +280,14 @@ object PipelineQueries {
     * phrase scores → cut) replicated in SQL.
     */
   private def rakeQ(s: SparkSession, dir: String): DataFrame =
-    graft.text.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), k = 20)
+    // kernel pin (r13 rule: every stage here moves KB-scale data — 5k docs,
+    // ~50 tokens each; 32-way task dispatch dominated). r16 interleaved
+    // ABCD x3: baseline 2.0-3.4 s steady vs pin8 0.8-1.1; eager anchors
+    // added nothing on top (1.2-1.3), results exact-equal all arms.
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.text.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), k = 20)
+        .localCheckpoint(true)
+    }
 
   private val rakeOracle = {
     val stop = graft.text.TextAnalysis.Stopwords
@@ -357,9 +364,13 @@ object PipelineQueries {
   // shingling reads the shared corpus artifact (BASELINE.md §Amortization;
   // the oracle below re-derives shingles from `documents`)
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsFromShingles(
-        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
-      .orderBy(col("id_a"), col("id_b"))
+    // kernel pin (r16 A/B x3: base 2.0-2.2 s vs pin8 1.1-1.3, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Dedup.jaccardPairsFromShingles(
+          graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+    }
 
   private val ngramOracle =
     s"""WITH $augCte,
@@ -394,9 +405,13 @@ object PipelineQueries {
   // prefix ranking + candidate join + verification stay timed; shingling
   // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixFilterJaccardPairsFromShingles(
-        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
-      .orderBy(col("id_a"), col("id_b"))
+    // kernel pin (r16 A/B x3: base 2.7-2.9 s vs pin8 1.6-2.2, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Dedup.prefixFilterJaccardPairsFromShingles(
+          graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+    }
 
   private val ppjoinOracle =
     s"""WITH $augCte,
@@ -1596,14 +1611,17 @@ object PipelineQueries {
     * left-associative on both engines, so the overlap statistic itself is
     * under the hash.
     */
-  private def rboQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val a = TextAnalysis.bm25TopK(docs, Seq("data", "query", "table"), k = 10)
-      .select(col("doc_id"), col("rank"))
-    val b = TextAnalysis.keywordRank(docs, Seq("data", "query", "table"), k = 10)
-      .select(col("doc_id"), col("rank"))
-    graft.analytics.Correlation.rbo(a, b, depth = 10, idCol = "doc_id")
-  }
+  private def rboQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r16 A/B x3: base 1.7-2.1 s vs pin8 1.0-1.1, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val docs = Tables.documents(s, dir)
+      val a = TextAnalysis.bm25TopK(docs, Seq("data", "query", "table"), k = 10)
+        .select(col("doc_id"), col("rank"))
+      val b = TextAnalysis.keywordRank(docs, Seq("data", "query", "table"), k = 10)
+        .select(col("doc_id"), col("rank"))
+      graft.analytics.Correlation.rbo(a, b, depth = 10, idCol = "doc_id")
+        .localCheckpoint(true)
+    }
 
   private lazy val rboOracle = {
     val k1 = 1.2; val b = 0.75
@@ -1733,13 +1751,17 @@ object PipelineQueries {
     * and the per-term `df` carried on every part.
     */
   private def postingPartsQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8,
-        salts = 4)
-      .filter(col("term").isin("data", "query", "table", "spark"))
-      .select(col("term"), col("posting_part"), col("df"),
-        array_join(transform(col("postings"), _.cast("string")), ",")
-          .as("postings"))
-      .orderBy(col("term"), col("posting_part"))
+    // kernel pin (r16 A/B x3: base 2.1-3.3 s vs pin8 1.1-1.8, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8,
+          salts = 4)
+        .filter(col("term").isin("data", "query", "table", "spark"))
+        .select(col("term"), col("posting_part"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy(col("term"), col("posting_part"))
+        .localCheckpoint(true)
+    }
 
   private val postingPartsOracle =
     """WITH p AS (
@@ -1788,8 +1810,12 @@ object PipelineQueries {
     * no transcendentals, so the lift score itself is hash-compared.
     */
   private def collocationsQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.collocations(Tables.documents(s, dir), minCount = 5, k = 50)
-      .orderBy(col("rank"))
+    // kernel pin (r16 A/B x3: base 1.9-2.2 s vs pin8 0.7-1.0, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.collocations(Tables.documents(s, dir), minCount = 5, k = 50)
+        .orderBy(col("rank"))
+        .localCheckpoint(true)
+    }
 
   private val collocationsOracle =
     """WITH tok AS (SELECT string_split_regex(text, '\s+') AS t FROM documents),
@@ -3096,19 +3122,22 @@ object PipelineQueries {
     * exact-baseline compare — the sketch differs, the verification harness
     * need not be duplicated.
     */
-  private def minhashOphQ(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
-      .select("id_a", "id_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
-      .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
-    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
-    val plantedOk = planted.join(pairs, Seq("id_a", "id_b"), "left_anti")
-      .agg((count(lit(1)) === 0L).as("planted_captured"))
-    nPlanted.crossJoin(plantedOk)
-  }
+  private def minhashOphQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r13 rule — every stage KB-scale over the 5k-doc corpus;
+    // r16 interleaved A/B x3: base 0.9-2.2 s vs pin8 0.6-0.9, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val planted = sh.filter(col("id") < 1000000L && col("id") % 10 === 0)
+        .select(col("id").as("id_a"), (col("id") + 1000000L).as("id_b"))
+      val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+      val plantedOk = planted.join(pairs, Seq("id_a", "id_b"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("planted_captured"))
+      nPlanted.crossJoin(plantedOk).localCheckpoint(true)
+    }
 
   private val minhashOphOracle =
     """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS planted_captured
@@ -3662,8 +3691,12 @@ object PipelineQueries {
     * the reverse-edge self-join — full rows+hash compare.
     */
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(Tables.embeddings(s, dir), k = 3)
-      .orderBy(col("src"), col("rank"))
+    // kernel pin (r16 A/B x3: base 2.5-2.7 s vs pin8 1.4-2.1, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 3)
+        .orderBy(col("src"), col("rank"))
+        .localCheckpoint(true)
+    }
 
   private val knnGraphOracle = {
     val planes = Similarity.hyperplanes(16, 64, 42L)
@@ -3995,9 +4028,13 @@ object PipelineQueries {
     * symmetric Jaccard is diluted by the length difference.
     */
   private def containmentQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairsFromShingles(
-        graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.6)
-      .orderBy(col("id_a"), col("id_b"))
+    // kernel pin (r16 A/B x3: base 2.0-2.2 s vs pin8 1.0-1.2, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Dedup.containmentPairsFromShingles(
+          graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+    }
 
   private val containmentOracle =
     s"""WITH $augCte,

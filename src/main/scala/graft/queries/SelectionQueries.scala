@@ -287,8 +287,13 @@ object SelectionQueries {
     * occurrences — the corpus-saturation audit.
     */
   private def heapsQ(s: SparkSession, dir: String): DataFrame =
-    graft.text.Vocab.heapsCurve(Tables.documents(s, dir), points = 10)
-      .orderBy(col("checkpoint"))
+    // kernel pin (r16 A/B x3: base 2.9-3.9 s vs pin8 2.7-2.9 in a hostile
+    // window — every pin8 reading below every base reading; exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.text.Vocab.heapsCurve(Tables.documents(s, dir), points = 10)
+        .orderBy(col("checkpoint"))
+        .localCheckpoint(true)
+    }
 
   private val heapsOracle =
     """WITH occ AS (

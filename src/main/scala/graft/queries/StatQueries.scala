@@ -627,13 +627,17 @@ object StatQueries {
     val v1 = Versioned.read(s, tmp, Some(1))
     val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")
-    graft.text.TextAnalysis.buildPostings(v1)
-      .unionByName(graft.text.TextAnalysis.buildPostings(delta))
-      .groupBy(col("term"))
-      .agg(sum(col("df")).as("df"),
-        sort_array(flatten(collect_list(col("postings")))).as("postings"))
-      .select(col("term"), col("df"), explode(col("postings")).as("doc_id"))
-      .orderBy(col("term"), col("doc_id"))
+    // kernel pin (r16 A/B x3: base 2.3-2.5 s vs pin8 1.3-1.5, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.text.TextAnalysis.buildPostings(v1)
+        .unionByName(graft.text.TextAnalysis.buildPostings(delta))
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"),
+          sort_array(flatten(collect_list(col("postings")))).as("postings"))
+        .select(col("term"), col("df"), explode(col("postings")).as("doc_id"))
+        .orderBy(col("term"), col("doc_id"))
+        .localCheckpoint(true)
+    }
   }
 
   private val postingsIncrementalOracle =
@@ -1355,12 +1359,15 @@ object StatQueries {
     * triangle-support histogram — support-0 edges are the bridges. The
     * oracle recounts support naively per edge via common neighbors.
     */
-  private def weakTiesQ(s: SparkSession, dir: String): DataFrame = {
-    val edges = Graphs.copurchaseEdges(s, dir)
-    graft.dedup.DupClusters.edgeTriangleSupport(edges)
-      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
-      .orderBy(col("support"))
-  }
+  private def weakTiesQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r16 A/B x3: base 0.9-2.0 s vs pin8 0.6-1.0, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val edges = Graphs.copurchaseEdges(s, dir)
+      graft.dedup.DupClusters.edgeTriangleSupport(edges)
+        .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("support"))
+        .localCheckpoint(true)
+    }
 
   private val weakTiesOracle =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

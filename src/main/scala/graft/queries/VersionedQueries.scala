@@ -330,7 +330,10 @@ object VersionedQueries {
     * the index update touches |delta|·bands rows and the new-pair join
     * probes only delta buckets.
     */
-  private def minhashIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+  private def minhashIncrementalQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r16 A/B x3: base 2.4-2.8 s steady vs pin8 1.4-1.9,
+    // exact-equal) — every stage rides materialized KB-scale band tables
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
     import graft.dedup.{Dedup, MinHashLSH}
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, dir)
@@ -404,6 +407,7 @@ object VersionedQueries {
     val counts = shBase.agg(count(lit(1)).as("n_base"))
       .crossJoin(broadcast(shDelta.agg(count(lit(1)).as("n_delta"))))
     counts.crossJoin(broadcast(idxEq)).crossJoin(broadcast(pairEq))
+      .localCheckpoint(true)
   }
 
   /** n_base/n_delta are the ≥5-token documents on each side of the %7
