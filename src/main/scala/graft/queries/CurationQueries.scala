@@ -407,8 +407,12 @@ object CurationQueries {
 
   private def tfidfQ(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis
-    TextAnalysis.topTermsByTfIdf(Tables.documents(s, dir), k = 3)
-      .orderBy(col("doc_id"), col("score").desc, col("term"))
+    // kernel pin (r16 A/B x3: base 1.7-2.1 s vs pin8 1.0-1.6, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.topTermsByTfIdf(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+        .localCheckpoint(true)
+    }
   }
 
   private val tfidfOracle =

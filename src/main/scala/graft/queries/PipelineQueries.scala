@@ -488,10 +488,14 @@ object PipelineQueries {
   // stays timed; positional shingling reads the shared corpus artifact
   // (BASELINE.md §Amortization; the oracle re-derives from `documents`)
   private def sharedRunsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.sharedTokenRunsFromPositional(
-        graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir)),
-        k = 5, minRunTokens = 15)
-      .orderBy(col("id_a"), col("id_b"))
+    // kernel pin (r16 A/B x3: base 2.0-2.4 s vs pin8 1.1-1.5, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Dedup.sharedTokenRunsFromPositional(
+          graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir)),
+          k = 5, minRunTokens = 15)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+    }
 
   private val sharedRunsOracle =
     s"""WITH $augCte,
@@ -1563,9 +1567,13 @@ object PipelineQueries {
     * parse bit-identical values.
     */
   private def bm25Q(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bm25TopK(Tables.documents(s, dir),
-        Seq("data", "query", "table"), k = 20)
-      .orderBy(col("rank"))
+    // kernel pin (r16 A/B x3: base 1.2-1.5 s vs pin8 0.6-0.8, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          Seq("data", "query", "table"), k = 20)
+        .orderBy(col("rank"))
+        .localCheckpoint(true)
+    }
 
   private val bm25Oracle = {
     val k1 = 1.2; val b = 0.75
@@ -3149,7 +3157,10 @@ object PipelineQueries {
     * the Manku block join captures the pair — so `exact_dups_captured` is a
     * theorem the run re-proves; `n_exact_dup_pairs` is the DuckDB cross-check.
     */
-  private def simhashQ(s: SparkSession, dir: String): DataFrame = {
+  private def simhashQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r16 A/B x3: base ~1.4 s steady vs pin8 0.75-0.85,
+    // exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
     val aug = augmented(Tables.documents(s, dir))
     // both pair sets feed two summary branches each; persist the (tiny) pair
     // lists so the fingerprint/block pipeline runs once, not per branch
@@ -3166,7 +3177,7 @@ object PipelineQueries {
       .agg((count(lit(1)) === 0L).as("exact_dups_captured"))
     val bound = pairs.agg(
       (coalesce(max(col("hamming")), lit(0)) <= 3).as("hamming_bound_ok"))
-    nDup.crossJoin(captured).crossJoin(bound)
+    nDup.crossJoin(captured).crossJoin(bound).localCheckpoint(true)
   }
 
   private val simhashOracle =
@@ -3293,9 +3304,13 @@ object PipelineQueries {
     * decision, not just the pair set.
     */
   private def semDedupQ(s: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupSurvivors(Tables.embeddings(s, dir), 0.4)
-      .select(col("vec_id"), col("label"))
-      .orderBy(col("vec_id"))
+    // kernel pin (r16 A/B x3: base 1.2-1.3 s vs pin8 0.8-1.0, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Similarity.semDedupSurvivors(Tables.embeddings(s, dir), 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true)
+    }
 
   private lazy val semDedupOracle = {
     val planes = Similarity.hyperplanes(16, 64, 42L)

@@ -767,14 +767,17 @@ object StatQueries {
     * Σ(4·m·L_c − D_c²) over 4m², one division. The partition covers
     * every node (pk div 400 blocks), per the operator's contract.
     */
-  private def modularityQ(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = Graphs.copurchaseEdges(s, dir)
-    val communities = li.select(col("pk").as("node_id")).distinct()
-      .withColumn("community", expr("node_id div 400"))
-    graft.dedup.DupClusters.modularity(edges, communities)
-  }
+  private def modularityQ(s: SparkSession, dir: String): DataFrame =
+    // kernel pin (r16 A/B x3: base 1.0-1.3 s vs pin8 0.6-0.7, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = Graphs.copurchaseEdges(s, dir)
+      val communities = li.select(col("pk").as("node_id")).distinct()
+        .withColumn("community", expr("node_id div 400"))
+      graft.dedup.DupClusters.modularity(edges, communities)
+        .localCheckpoint(true)
+    }
 
   private val modularityOracle =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
