@@ -46,8 +46,12 @@ object CurationQueries {
     val corpus = docs.filter(col("doc_id") % 97 =!= 3)
       .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("xleak "), col("text")).as("text")))
-    Curation.decontaminate(corpus, bench, k = 5, minOverlap = 3)
-      .orderBy(col("doc_id"))
+    // kernel pin (r16 A/B x3: base 1.0-1.2 s vs pin8 0.77-0.94, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Curation.decontaminate(corpus, bench, k = 5, minOverlap = 3)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
   }
 
   private val decontaminateOracle =
@@ -202,7 +206,11 @@ object CurationQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       when(col("doc_id") % 11 === 0, concat(col("text"), lit(spam)))
         .otherwise(col("text")).as("text"))
-    Curation.repetitionFeatures(docs).orderBy(col("doc_id"))
+    // kernel pin (r16 A/B x3: base ~1.0 s vs pin8 0.63-0.71, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Curation.repetitionFeatures(docs).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
   }
 
   private val repetitionOracle =

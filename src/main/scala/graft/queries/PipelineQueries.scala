@@ -1265,8 +1265,12 @@ object PipelineQueries {
     * share every shingle, so both score 0; untouched docs score near 1.
     */
   private def noveltyQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.noveltyScores(augmented(Tables.documents(s, dir)))
-      .orderBy(col("doc_id"))
+    // kernel pin (r16 A/B x3: base 2.3-2.8 s vs pin8 1.5-2.4, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      Dedup.noveltyScores(augmented(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
 
   private val noveltyOracle =
     s"""WITH $augCte,
@@ -1474,8 +1478,12 @@ object PipelineQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   private def corpusFreqQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.corpusFreqScores(Tables.documents(s, dir))
-      .orderBy(col("doc_id"))
+    // kernel pin (r16 A/B x3: base 1.0-1.6 s vs pin8 0.8-1.0, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.corpusFreqScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
 
   private val corpusFreqOracle =
     """WITH tok AS (
@@ -1493,8 +1501,12 @@ object PipelineQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.vocabStats(Tables.documents(s, dir))
-      .orderBy(col("source"))
+    // kernel pin (r16 A/B x3: base 0.93-1.1 s vs pin8 0.51-0.58, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.vocabStats(Tables.documents(s, dir))
+        .orderBy(col("source"))
+        .localCheckpoint(true)
+    }
 
   private val vocabStatsOracle =
     """WITH tok AS (
@@ -1543,12 +1555,16 @@ object PipelineQueries {
   // pandas, which cannot order raw array columns. The join is injective for
   // bigint ids, so element order and content stay fully under test.
   private def postingListsQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.buildPostings(Tables.documents(s, dir))
-      .filter(col("term").isin("data", "query", "table", "spark"))
-      .select(col("term"), col("df"),
-        array_join(transform(col("postings"), _.cast("string")), ",")
-          .as("postings"))
-      .orderBy(col("term"))
+    // kernel pin (r16 A/B x3: base 0.88-1.1 s vs pin8 0.47-0.60, exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      TextAnalysis.buildPostings(Tables.documents(s, dir))
+        .filter(col("term").isin("data", "query", "table", "spark"))
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy(col("term"))
+        .localCheckpoint(true)
+    }
 
   private val postingListsOracle =
     """SELECT term, CAST(count(*) AS BIGINT) AS df,
