@@ -22,8 +22,13 @@ object SelectionQueries {
     * quantized log-ratio weights, exact BIGINT per-doc scores.
     */
   private def dsirQ(s: SparkSession, dir: String): DataFrame =
-    graft.text.Dsir.docScores(Tables.documents(s, dir), "src0")
-      .orderBy(col("doc_id"))
+    // kernel pin (r16 A/B x3: base 0.87-0.99 s steady vs pin8 0.44-0.55,
+    // exact-equal)
+    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+      graft.text.Dsir.docScores(Tables.documents(s, dir), "src0")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    }
 
   private val dsirOracle = {
     val u32 = OracleSql.md5U32Sql("bigram")
