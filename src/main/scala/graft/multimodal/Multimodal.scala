@@ -149,6 +149,56 @@ object Multimodal {
   case class ImageHash(doc_id: Long, width: Int, height: Int,
                        hash_hi: Long, hash_lo: Long, decoded: Boolean)
 
+  case class ImageHashLuma(doc_id: Long, width: Int, height: Int,
+                           hash_hi: Long, hash_lo: Long, luma_mean: Double,
+                           decoded: Boolean)
+
+  /** [[imageDHash]] and [[decodeImage]]'s luma in ONE decode pass — the
+    * media e2e pipeline needs both per batch image, and the decode is the
+    * dominant per-image cost, so decoding once halves the batch's codec
+    * bill. Same luma arithmetic as decodeImage (exact integer RGB sum,
+    * single IEEE division) and same hash bits as imageDHash.
+    */
+  def imageHashLuma(spark: SparkSession, media: DataFrame): Dataset[ImageHashLuma] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.media == null) Array.empty[Byte] else r.media
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) ImageHashLuma(r.doc_id, 0, 0, 0L, 0L, 0.0, decoded = false)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          def gray(gx: Int, gy: Int): Int =
+            img.getRGB(gx * w / 9, gy * h / 8) & 0xff
+          var hi = 0L; var lo = 0L
+          var k = 0
+          while (k < 64) {
+            val (gx, gy) = (k % 8, k / 8)
+            if (gray(gx + 1, gy) > gray(gx, gy)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          ImageHashLuma(r.doc_id, w, h, hi, lo,
+            sum.toDouble / (3.0 * w * h), decoded = true)
+        }
+      }
+    }
+  }
+
   /** dHash perceptual fingerprint over REAL decoded pixels: decode with
     * `ImageIO`, nearest-neighbor resample onto the canonical 9×8 dHash grid
     * (integer source index `(x·w) div 9` / `(y·h) div 8` — no

@@ -155,6 +155,46 @@ object ScaleProbe {
               .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0)))
           .write.mode("overwrite").parquet(s"$pfp/v1bands")
       }
+      // r16 e2e composition probe fixtures: the FIXED incoming batch (built
+      // from replica 0 only, so identical at every tier — ids parked at
+      // +900M, clear of every replica band and the +5M planted offset):
+      // verbatim copies of a %13 slice (ingest dups, die at stage 0),
+      // token-suffixed novels of another slice (vocab-disjoint from the
+      // corpus — pass the gate, flow to quality/budget), and exact copies
+      // of the novels (batch-internal dups, die at stage 1). Then the
+      // per-tier standing artifacts the composed pipeline holds before the
+      // batch arrives (BASELINE.md §Amortization): the merged corpus∪batch
+      // parquet, its near-dup pair table, its positional shingles, and the
+      // batch fp store.
+      val e2eBatchPath = s"$corpusRoot/e2e_batch"
+      if (!new java.io.File(e2eBatchPath).exists()) {
+        val d0 = spark.read.parquet(s"$corpusRoot/x1")
+          .select(col("doc_id"), col("text"))
+        val ing = d0.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        val nov = d0.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1~b").as("text"))
+        val novDup = nov.select((col("doc_id") + 10000000L).as("doc_id"),
+          col("text"))
+        ing.unionByName(nov).unionByName(novDup)
+          .write.mode("overwrite").parquet(e2eBatchPath)
+        spark.read.parquet(e2eBatchPath)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(s"$corpusRoot/e2e_batch_fp")
+      }
+      val efp = s"$corpusRoot/x${n}_e2efix"
+      if (!new java.io.File(efp).exists()) {
+        val corpusAll = spark.read.parquet(p).select(col("doc_id"), col("text"))
+          .unionByName(spark.read.parquet(e2eBatchPath))
+        corpusAll.write.mode("overwrite").parquet(s"$efp/corpus")
+        val onDisk = spark.read.parquet(s"$efp/corpus")
+        graft.dedup.Dedup.ngramJaccardPairs(onDisk, k = 5, threshold = 0.5)
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(s"$efp/pairs")
+        graft.dedup.Dedup.positionalArrays(onDisk, 5)
+          .write.mode("overwrite").parquet(s"$efp/pos")
+      }
     }
     // the FIXED incoming batch for the bloom probe: exact copies (+1M) and
     // prefixed variants (+2M) of replica-0 slices — identical at every
@@ -273,6 +313,98 @@ object ScaleProbe {
         graft.multimodal.Multimodal.phashIncremental(
           v1b, hashes.filter(isDelta), hashes,
           isV1 = !(col("pid") < 10000000L && col("pid") % 7 === 0))
+      }),
+      // r16 e2e COMPOSITION probe (the six-stage pipeline as one unit —
+      // the individually-probed kernels plus the inter-stage broadcasts
+      // and eager id-list anchors pipelineE2eQ composes them with): a
+      // FIXED batch (ingest dups + vocab-disjoint novels + batch-internal
+      // copies, ids at +900M) arrives against a GROWING corpus whose
+      // standing artifacts (merged corpus, pair table, positional
+      // shingles, corpus bloom + fp store) are prebuilt per tier. Output =
+      // the BATCH's fate rows — exactly flat at |batch| (every batch doc
+      // gets exactly one fate by the union's stage disjointness). The
+      // claim under test: total shuffle scales with the CORPUS ONCE
+      // (stage 1's hash agg + the kernel stages), not once PER STAGE —
+      // the id-list joins are broadcast, so stages 2-5 add no
+      // corpus-sized reshuffle.
+      ("pipelineE2eComposed", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        def pin[T](n: Int)(f: => T): T = {
+          val prev = sp.conf.get("spark.sql.shuffle.partitions")
+          sp.conf.set("spark.sql.shuffle.partitions", n.toString)
+          try f finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        import org.apache.spark.sql.expressions.Window
+        val efp = s"$corpusRoot/x${xdir.stripPrefix("x")}_e2efix"
+        val all = sp.read.parquet(s"$efp/corpus")
+        val corpusFp = sp.read.parquet(s"$corpusRoot/${xdir}_bloomfix")
+        val batchFp = sp.read.parquet(s"$corpusRoot/e2e_batch_fp")
+        val bits = bloomWords.getOrElseUpdate(xdir,
+          graft.dedup.BloomDedup.corpusBloom(corpusFp, 1 << 22, 4))
+        // stage 0: bloom front gate, map-only probe + broadcast confirm
+        val drop0 = pin(8) {
+          graft.dedup.BloomDedup.bloomProbe(bits, corpusFp, batchFp,
+              mBits = 1 << 22, k = 4)
+            .filter(col("verdict") === "drop").select("doc_id")
+            .localCheckpoint(true)
+        }
+        val s0 = all.join(broadcast(drop0), Seq("doc_id"), "left_anti")
+        // stage 1: exact dedup — the one corpus-sized aggregate
+        val keep1 = s0.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          .localCheckpoint(true)
+        // stage 2: standing pair table restricted to surviving ends
+        val drop2 = pin(8) {
+          sp.read.parquet(s"$efp/pairs")
+            .join(broadcast(keep1.select(col("doc_id").as("id_a"))),
+              Seq("id_a"), "left_semi")
+            .join(broadcast(keep1.select(col("doc_id").as("id_b"))),
+              Seq("id_b"), "left_semi")
+            .select(col("id_b").as("doc_id")).distinct()
+            .localCheckpoint(true)
+        }
+        val keep2 = keep1.join(broadcast(drop2), Seq("doc_id"), "left_anti")
+        // stage 3: decontamination vs the (replica-invariant) eval slice
+        val bench = all.filter(col("doc_id") < 900000000L &&
+          col("doc_id") % 10000000L % 97 === 3)
+        val drop3 = pin(8) {
+          val pos2 = sp.read.parquet(s"$efp/pos")
+            .join(broadcast(keep2.select(col("doc_id").as("id"))),
+              Seq("id"), "left_semi")
+          graft.dedup.Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
+              k = 5, minRunTokens = 15)
+            .select("doc_id")
+            .localCheckpoint(true)
+        }
+        val keep3 = keep2.join(broadcast(drop3), Seq("doc_id"), "left_anti")
+        // stage 4: quality filter
+        val q = graft.text.TextAnalysis.qualityFeatures(
+            all.join(broadcast(keep3), Seq("doc_id"), "left_semi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val low = q.filter(col("quality_score") < 0.5).select("doc_id")
+        // stage 5: per-language greedy token budget
+        val sel = pin(8) {
+          val w = Window.partitionBy(col("pred_lang"))
+            .orderBy(col("quality_score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          q.filter(col("quality_score") >= 0.5)
+            .withColumn("pred_lang", graft.text.TextAnalysis.langId(col("text")))
+            .withColumn("__cum", sum(col("n_tokens")).over(w))
+            .select(col("doc_id"),
+              when(col("__cum") <= 20000L, "selected").otherwise("over_budget")
+                .as("fate"))
+            .localCheckpoint(true)
+        }
+        val fates = drop0.select(col("doc_id"), lit("ingest_dup").as("fate"))
+          .unionByName(s0.select("doc_id")
+            .join(broadcast(keep1), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit("exact_dup").as("fate")))
+          .unionByName(drop2.select(col("doc_id"), lit("near_dup").as("fate")))
+          .unionByName(drop3.select(col("doc_id"), lit("contaminated").as("fate")))
+          .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
+          .unionByName(sel)
+        fates.filter(col("doc_id") >= 900000000L)
       }),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
