@@ -4,10 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (contents rotate per investigation — currently: the
-  * r16 generic kernel-pin A/B: each tail-tier registry query run as-is vs
-  * wrapped in the 8-partition kernel pin (+ eager localCheckpoint so the
-  * pinned plan evaluates inside the pin), interleaved same-window,
-  * results compared for exact equality.
+  * r16 fixed-cost decomposition: per bench invocation, how much is plan
+  * construction + analysis/optimization/physical-planning vs execution?
+  * Measured by forcing `queryExecution.executedPlan` before evaluating.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -28,32 +27,27 @@ object Scratch {
     spark.range(1L << 20).agg(sum(col("id"))).collect()
     val s = spark
 
-    def pin[T](n: Int)(f: => T): T = {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      // warm the fixture memos outside the arms
-      fn(s, dir).collect()
+      fn(s, dir).collect() // warm fixtures + JIT
+      s.sharedState.cacheManager.clearCache()
       var ref: Array[org.apache.spark.sql.Row] = null
-      val (bt, pt) = (Array.fill(3)(0.0), Array.fill(3)(0.0))
-      (0 until 3).foreach { r =>
+      Seq(true, false, true, false).zipWithIndex.foreach { case (cp, it) =>
+        s.conf.set("spark.sql.constraintPropagation.enabled", cp.toString)
         val t0 = System.nanoTime()
-        val a = fn(s, dir).collect()
-        bt(r) = (System.nanoTime() - t0) / 1e6
+        val df = fn(s, dir)                       // construction (+ any eager anchors)
         val t1 = System.nanoTime()
-        val b = pin(8)(fn(s, dir).localCheckpoint(true)).collect()
-        pt(r) = (System.nanoTime() - t1) / 1e6
-        if (ref == null) ref = a
-        require(a.sameElements(ref), s"$name base mismatch r$r")
-        require(b.sameElements(ref), s"$name pin8 mismatch r$r")
-        s.catalog.clearCache()
+        df.queryExecution.executedPlan            // analysis + optimize + plan
+        val t2 = System.nanoTime()
+        val r = df.collect()                      // execution
+        val t3 = System.nanoTime()
+        if (ref == null) ref = r
+        require(r.sameElements(ref), s"$name MISMATCH cp=$cp")
+        s.sharedState.cacheManager.clearCache()
+        def ms(a: Long, b: Long) = (b - a) / 1e6
+        println(f"[scr] $name%-24s cp=$cp%-5s construct ${ms(t0, t1)}%7.0f ms  plan ${ms(t1, t2)}%6.0f ms  exec ${ms(t2, t3)}%7.0f ms  total ${ms(t0, t3)}%7.0f ms")
       }
-      def f(a: Array[Double]) = a.map(x => f"$x%.0f").mkString("/")
-      println(s"[scr] $name base ${f(bt)} ms  pin8 ${f(pt)} ms  (exact-equal)")
+      s.conf.set("spark.sql.constraintPropagation.enabled", "true")
     }
     spark.stop()
   }
