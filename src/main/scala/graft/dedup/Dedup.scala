@@ -451,9 +451,9 @@ object Dedup {
     * callers own persistence of the inputs. The delta band frame feeds two
     * plan branches (probe + rhs), so its signature aggregate runs twice —
     * still ∝ delta. The delta side BROADCASTS (crawl batches are
-    * metadata-sized next to the corpus; for TB-scale deltas the production
-    * path is a bucket-partitioned index and a co-located join, not a
-    * bigger broadcast).
+    * metadata-sized next to the corpus); for TB-scale deltas use
+    * [[dedupDeltaAgainstCorpusLshBucketed]] — the bucket-partitioned
+    * co-located join over catalog-table standing artifacts (r16).
     */
   def dedupDeltaAgainstCorpusLsh(baseSh: DataFrame, baseBands: DataFrame,
                                  deltaSh: DataFrame, threshold: Double,
@@ -483,6 +483,72 @@ object Dedup {
         size(array_intersect(col("__sh_d"), col("__sh_r"))).cast("long"))
       .filter(col("__i").cast("double") >=
         lit(threshold) * (col("__n_d") + col("__n_r") - col("__i")).cast("double"))
+    val dups = verified.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    deltaSh.select(col("id").as("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("kept", col("n_dups") === 0L)
+  }
+
+  /** [[dedupDeltaAgainstCorpusLsh]]'s TB-DELTA variant — the
+    * bucket-partitioned co-located join every broadcast-delta site
+    * discloses as the production path when the delta itself is too large
+    * to broadcast. The standing artifacts live as CATALOG TABLES:
+    * `indexTable` = the band index `(id, band, bucket)` bucketed on
+    * `(band, bucket)`, and `baseArrTable` = the corpus shingle arrays
+    * `(id, sh)` bucketed on `id` (both written once per snapshot —
+    * [[graft.maintain.Layout]]'s bucketed-write shape). Per incoming
+    * delta: the candidate probe joins the delta bands INTO the index's
+    * bucketing (zero Exchange on the index side — the table's layout IS
+    * the shuffle, paid once at snapshot write, amortized over every
+    * delta), and exact verification joins the candidate list into the
+    * id-bucketed array table the same way — the corpus is never
+    * reshuffled and never broadcast-probed; every per-query shuffle is
+    * O(delta + collisions). Corpus-candidate and delta-internal-candidate
+    * branches verify separately (a union would erase the bucketed
+    * partitioning) and the keep/drop contract, thresholds, and
+    * full-space Jaccard verification are identical to the broadcast
+    * variant — Round16OpsSpec proves result equality and pins the
+    * zero-Exchange plan shape.
+    */
+  def dedupDeltaAgainstCorpusLshBucketed(baseArrTable: String,
+                                         indexTable: String,
+                                         deltaSh: DataFrame,
+                                         threshold: Double,
+                                         numHashes: Int = 16, bands: Int = 8,
+                                         seed: Long = 42L): DataFrame = {
+    val s = deltaSh.sparkSession
+    val dBands = MinHashLSH.replayableBandRows(
+      MinHashLSH.md5Signatures(deltaSh, numHashes, seed), bands)
+    val corpusIdx = s.table(indexTable)
+      .select(col("id").as("rid"), col("band"), col("bucket"))
+    // candidate probe: delta bands shuffle O(delta) into the index's
+    // bucketing; the index side reads co-located, zero Exchange
+    val candCorpus = dBands.join(corpusIdx, Seq("band", "bucket"))
+      .select(col("id"), col("rid")).distinct()
+    val dRhs = dBands.select(col("id").as("rid"), col("band"), col("bucket"))
+    val candDelta = dBands.join(dRhs, Seq("band", "bucket"))
+      .filter(col("rid") < col("id"))
+      .select(col("id"), col("rid")).distinct()
+    def verify(cands: DataFrame, rhsArr: DataFrame) = cands
+      .join(rhsArr, Seq("rid"))
+      .join(deltaSh.select(col("id"), col("sh").as("__sh_d"),
+        size(col("sh")).cast("long").as("__n_d")), Seq("id"))
+      .withColumn("__i",
+        size(array_intersect(col("__sh_d"), col("__sh_r"))).cast("long"))
+      .filter(col("__i").cast("double") >=
+        lit(threshold) * (col("__n_d") + col("__n_r") - col("__i")).cast("double"))
+      .select(col("id"))
+    // verification: candidate list shuffles into the array table's id
+    // bucketing — the corpus arrays are read in place, never moved
+    val corpusArr = s.table(baseArrTable)
+      .select(col("id").as("rid"), col("sh").as("__sh_r"),
+        size(col("sh")).cast("long").as("__n_r"))
+    val deltaArr = deltaSh.select(col("id").as("rid"), col("sh").as("__sh_r"),
+      size(col("sh")).cast("long").as("__n_r"))
+    val verified = verify(candCorpus, corpusArr)
+      .unionByName(verify(candDelta, deltaArr))
     val dups = verified.groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_dups"))
     deltaSh.select(col("id").as("doc_id"))

@@ -317,8 +317,9 @@ object Multimodal {
     // past it — no corpus-sized shuffle (first probe draft joined wide and
     // shuffled the full index by (bi, bv): shufW ×29 at a ×30 corpus;
     // broadcast-delta re-probed flat). Right for crawl batches (bands =
-    // 4·|batch| rows); a TB-scale delta would take the bucket-partitioned
-    // co-located join instead — same disclosure as the LSH delta side.
+    // 4·|batch| rows); a TB-scale delta takes the bucket-partitioned
+    // co-located join instead — implemented for the LSH family as
+    // Dedup.dedupDeltaAgainstCorpusLshBucketed (r16), same shape here.
     val cand = broadcast(deltaBands.as("a"))
       .join(maintained.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&

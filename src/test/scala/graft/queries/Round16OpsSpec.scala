@@ -87,6 +87,53 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed TB-delta LSH dedup ≡ broadcast variant; standing tables join without Exchange") {
+    import graft.dedup.{Dedup, MinHashLSH}
+    val docs = graft.Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val sh = Dedup.withStringShingles(docs, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseSh = sh.filter(col("id") % 7 =!= 0)
+    val deltaSh = sh.filter(col("id") % 7 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseBands = MinHashLSH.replayableBandRows(
+      MinHashLSH.md5Signatures(baseSh, 16), 8)
+    Seq("r16_idx", "r16_arr", "r16_idx_plain", "r16_arr_plain").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    baseBands.write.bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable("r16_idx")
+    baseSh.write.bucketBy(8, "id").sortBy("id").saveAsTable("r16_arr")
+    baseBands.write.saveAsTable("r16_idx_plain")
+    baseSh.write.saveAsTable("r16_arr_plain")
+    try {
+      val expected = Dedup.dedupDeltaAgainstCorpusLsh(
+        baseSh, baseBands, deltaSh, threshold = 0.5).collect().sortBy(_.getLong(0))
+      val got = Dedup.dedupDeltaAgainstCorpusLshBucketed(
+        "r16_arr", "r16_idx", deltaSh, threshold = 0.5).collect().sortBy(_.getLong(0))
+      assert(got.sameElements(expected),
+        s"bucketed variant diverges: got ${got.take(3).mkString(",")}")
+      assert(got.exists(!_.getBoolean(2)), "fixture plants no drops")
+      // plan shape: with broadcasts disabled, the bucketed standing tables
+      // must save ≥ 2 Exchanges (index probe + array verification) vs the
+      // same function over identical non-bucketed tables
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def exchanges(t1: String, t2: String) =
+          Dedup.dedupDeltaAgainstCorpusLshBucketed(t1, t2, deltaSh, 0.5)
+            .queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange hashpartitioning"))
+        val nBucketed = exchanges("r16_arr", "r16_idx")
+        val nPlain = exchanges("r16_arr_plain", "r16_idx_plain")
+        assert(nBucketed <= nPlain - 2,
+          s"bucketing saved too few Exchanges: bucketed=$nBucketed plain=$nPlain")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      Seq("r16_idx", "r16_arr", "r16_idx_plain", "r16_arr_plain").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      sh.unpersist(); deltaSh.unpersist()
+    }
+  }
+
   test("accepted-only maintained index ≡ from-scratch rebuild, word for word") {
     import graft.multimodal.Multimodal
     val acceptedIds = out.collect {
