@@ -180,4 +180,63 @@ object BloomDedup {
           .otherwise(lit("keep")).as("verdict"))
     probed.join(broadcast(dupFps), Seq("fp"), "left").select(keep: _*)
   }
+
+  /** [[bloomProbe]]'s TB-DELTA variant — the bucket-partitioned co-located
+    * exact confirm the broadcast path discloses as the production shape
+    * when the bloom-hit set itself is too large to broadcast (the
+    * [[graft.dedup.Dedup.dedupDeltaAgainstCorpusLshBucketed]] template,
+    * r16, applied to the bloom family). The corpus fingerprint store lives
+    * as a CATALOG TABLE `(fp)` bucketed on `fp`
+    * ([[graft.maintain.Layout]]'s bucketed-write shape, written once per
+    * corpus snapshot): the bitmap probe is unchanged (map-only, the 8 KB
+    * literal rides into codegen), and the exact confirm shuffles the
+    * DEDUPED hit-fp set — bounded by true dups + the disclosed fp rate,
+    * never corpus-sized — INTO the table's bucketing as a LEFT-SEMI join
+    * (no broadcast build, no corpus-side Exchange: the table's layout IS
+    * the shuffle, paid once at snapshot write). The semi join replaces the
+    * broadcast path's inner-join + distinct (that shape existed only
+    * because a semi join can't broadcast-build its LEFT side; with the
+    * bucketed SMJ the semi form is the natural one and never fans out).
+    * Verdict columns, NULL-fingerprint three-valued logic, and the
+    * keep/drop contract are identical to [[bloomProbe]] — Round17OpsSpec
+    * proves result equality and pins the Exchange saving.
+    *
+    * At 100 TB: per-batch shuffle is O(delta + hits) (the probe output
+    * joins its own hit verdicts on fp, hint-free — at TB batch sizes the
+    * planner's SMJ is the right call, and nothing delta- or corpus-sized
+    * is ever broadcast); the corpus store contributes co-located SCAN
+    * only. `probed` is referenced on both sides of the confirm, so the
+    * k-per-row md5 probe recomputes once more — delta-sized map work,
+    * same disclosure as [[bloomProbe]].
+    */
+  def bloomProbeBucketed(words: Array[Long], corpusFpTable: String,
+                         deltaFp: DataFrame, mBits: Int = 1 << 16, k: Int = 4,
+                         idCol: String = "doc_id",
+                         keepFp: Boolean = false): DataFrame = {
+    require(words.length == mBits / 64,
+      s"bitmap has ${words.length} words, expected ${mBits / 64}")
+    val s = deltaFp.sparkSession
+    val corpusFp = s.table(corpusFpTable)
+    val bits = typedLit(words.toSeq)
+    val masks = typedLit((0 until 64).map(1L << _))
+    val hit = forall(positions(col("fp"), mBits, k), p =>
+      element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
+        =!= 0L)
+    val probed = deltaFp.select(col(idCol), col("fp"))
+      .withColumn("bloom_hit", hit)
+    // exact confirm: the deduped hit-fp set shuffles into the fp store's
+    // bucketing — corpus side co-located, zero Exchange, nothing broadcast
+    val dupFps = probed.filter(col("bloom_hit"))
+      .select(col("fp")).distinct()
+      .join(corpusFp.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("fp"), lit(true).as("__dup"))
+    val isDup = when(col("fp").isNotNull, coalesce(col("__dup"), lit(false)))
+    val keep =
+      (if (keepFp) Seq(col("fp")) else Nil) ++ Seq(col(idCol), col("bloom_hit"),
+        isDup.as("is_dup"),
+        when(coalesce(isDup, lit(false)), lit("drop"))
+          .otherwise(lit("keep")).as("verdict"))
+    probed.join(dupFps, Seq("fp"), "left").select(keep: _*)
+  }
 }

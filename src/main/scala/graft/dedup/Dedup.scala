@@ -519,8 +519,15 @@ object Dedup {
                                          numHashes: Int = 16, bands: Int = 8,
                                          seed: Long = 42L): DataFrame = {
     val s = deltaSh.sparkSession
+    // EAGER anchor (ADVICE r16): the delta band frame feeds THREE plan
+    // branches (corpus probe, delta-internal rhs, delta-internal probe) —
+    // unanchored, the md5-signature aggregate re-runs per branch. Still
+    // O(delta); the `localCheckpoint` availability caveat of
+    // [[sourceOverlap]] applies. `deltaSh` persistence stays caller-owned
+    // (the shared contract above).
     val dBands = MinHashLSH.replayableBandRows(
       MinHashLSH.md5Signatures(deltaSh, numHashes, seed), bands)
+      .localCheckpoint(true)
     val corpusIdx = s.table(indexTable)
       .select(col("id").as("rid"), col("band"), col("bucket"))
     // candidate probe: delta bands shuffle O(delta) into the index's

@@ -352,6 +352,91 @@ object Multimodal {
         lit(incEq).as("inc_equals_rebuild"))
   }
 
+  /** [[phashIncremental]]'s TB-DELTA variant — the bucket-partitioned
+    * co-located probe the broadcast path discloses as the production shape
+    * when the image batch itself is too large to broadcast (the
+    * [[graft.dedup.Dedup.dedupDeltaAgainstCorpusLshBucketed]] template,
+    * r16, applied to the image family). The standing v1 band index lives
+    * as a CATALOG TABLE `(doc_id, hash_hi, hash_lo, bi, bv)` bucketed on
+    * `(bi, bv)` ([[graft.maintain.Layout]]'s bucketed-write shape, written
+    * once per index snapshot): the delta band probe shuffles O(4·|delta|)
+    * rows INTO the table's bucketing — zero Exchange on the index side,
+    * its layout IS the shuffle, paid once at snapshot write and amortized
+    * over every batch — and the batch-internal candidate branch self-joins
+    * the delta bands separately (a union with the table would erase the
+    * bucketed partitioning — the r16 lesson). Candidate semantics,
+    * Hamming verification, fate thresholds, the per-delta output row, and
+    * the (count, xor, exact-sum) rebuild signature are identical to the
+    * broadcast variant — Round17OpsSpec proves result equality and pins
+    * the Exchange saving; the generation split means `isV1` is only
+    * applied to corpus-branch partners (constant-true there by the
+    * ids-unique-across-generations contract, same contract the broadcast
+    * variant already assumes).
+    *
+    * At 100 TB: per-batch cost is O(delta bands + collisions) shuffle; the
+    * corpus index contributes co-located SCAN only (columnar, never moved,
+    * never broadcast-probed); the rebuild proof stays the one honest
+    * O(corpus) scan term (map-combined signature, no shuffle). EAGER: the
+    * delta band build anchors at call time (`localCheckpoint` — the
+    * availability caveat of [[graft.dedup.Dedup.sourceOverlap]] applies).
+    */
+  def phashIncrementalBucketed(v1BandsTable: String, delta: DataFrame,
+                               all: DataFrame, isV1: Column): DataFrame = {
+    val s = delta.sparkSession
+    val deltaBands = phashBands(delta).localCheckpoint(true)
+    val v1Bands = s.table(v1BandsTable)
+    val rebuilt = phashBands(all)
+    def sig(df: DataFrame) = {
+      val h = xxhash64(col("doc_id"), col("hash_hi"),
+        col("hash_lo"), col("bi"), col("bv"))
+      df.agg(count(lit(1)), call_function("bit_xor", h),
+        sum(h.cast("decimal(38,0)"))).head()
+    }
+    val incEq = sig(v1Bands.unionByName(deltaBands)) == sig(rebuilt)
+    def pairCols(a: String, b: String) = Seq(
+      col(s"$a.doc_id").as("doc_id"), col(s"$b.doc_id").as("pid"),
+      col(s"$a.hash_hi").as("ahi"), col(s"$a.hash_lo").as("alo"),
+      col(s"$b.hash_hi").as("bhi"), col(s"$b.hash_lo").as("blo"))
+    // corpus branch: delta bands shuffle into the index table's (bi, bv)
+    // bucketing; the standing side reads co-located, zero Exchange
+    val candV1 = deltaBands.as("a")
+      .join(v1Bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(pairCols("a", "b"): _*)
+      .distinct()
+      .withColumn("from_v1", isV1)
+    // batch-internal branch: delta-sized self-join, O(delta + collisions)
+    val candDelta = deltaBands.as("a")
+      .join(deltaBands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(pairCols("a", "b"): _*)
+      .distinct()
+      .withColumn("from_v1", lit(false))
+    val m = candV1.unionByName(candDelta).withColumn("ham",
+      bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
+        bit_count(col("alo").bitwiseXOR(col("blo"))))
+    val agg = m.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("ham") <= 3 && col("from_v1"), 1L).otherwise(0L))
+        .as("n_matches_v1"),
+      sum(when(col("ham") <= 3 && !col("from_v1"), 1L).otherwise(0L))
+        .as("n_matches_delta"),
+      min(when(col("ham") <= 3, col("ham"))).cast("long").as("__mh"))
+    delta.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_matches_v1"), lit(0L)).as("n_matches_v1"),
+        coalesce(col("n_matches_delta"), lit(0L)).as("n_matches_delta"),
+        coalesce(col("__mh"), lit(-1L)).as("min_hamming"),
+        when(coalesce(col("n_matches_v1"), lit(0L)) +
+            coalesce(col("n_matches_delta"), lit(0L)) > 0,
+          lit("near_dup")).otherwise(lit("novel")).as("verdict"),
+        lit(incEq).as("inc_equals_rebuild"))
+  }
+
   def phashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"band blocking is lossless only for maxDist in [0, 3], got $maxDist")

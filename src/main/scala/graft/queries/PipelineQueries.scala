@@ -2148,7 +2148,10 @@ object PipelineQueries {
     *      luma via [[Multimodal.decodeImage]], dHash via
     *      [[Multimodal.imageDHash]] — the survivor set equals the standing
     *      index's own eligibility rule, so corpus and batch are gated
-    *      identically;
+    *      identically; payloads ImageIO rejects get fate 'undecodable'
+    *      (structurally impossible for the lossless PNG fixtures, and the
+    *      oracle replays none — so a decode regression diverges loudly
+    *      at the driver hash instead of silently shrinking the output);
     *   2+3. banded near-dup vs the STANDING v1 band index (broadcast the
     *      batch bands, STREAM the index — the q_phash_incremental shape):
     *      min Hamming 0 → 'dup_v1_exact', 1..3 → 'dup_v1_near';
@@ -2197,9 +2200,15 @@ object PipelineQueries {
         .select("doc_id").localCheckpoint(true)
       val surv0 = batch.join(broadcast(lowRes), Seq("doc_id"), "left_anti")
       // stage 1: ONE real decode pass of the gate survivors (luma + dHash
-      // — [[Multimodal.imageHashLuma]]; decode dominates the batch cost)
-      val decoded = Multimodal.imageHashLuma(s, surv0).toDF()
-        .filter(col("decoded")).localCheckpoint(true)
+      // — [[Multimodal.imageHashLuma]]; decode dominates the batch cost).
+      // Decode FAILURES surface as fate 'undecodable' (ADVICE r16: never
+      // silently shrink the output) — constant-zero for the lossless PNG
+      // fixtures, and the oracle replays zero such rows, so a fixture
+      // regression fails the driver hash loudly instead of dropping rows.
+      val hashed = Multimodal.imageHashLuma(s, surv0).toDF()
+        .localCheckpoint(true)
+      val decoded = hashed.filter(col("decoded"))
+      val undecodable = hashed.filter(!col("decoded")).select("doc_id")
       val feats = decoded.select(col("doc_id"), col("luma_mean"))
       val bHash = decoded.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       // stages 2+3: banded Hamming vs the standing (sparse) v1 index —
@@ -2252,6 +2261,8 @@ object PipelineQueries {
         .unionByName(hamV1.select(col("doc_id"),
           when(col("min_ham") === 0, "dup_v1_exact").otherwise("dup_v1_near")
             .as("fate")))
+        .unionByName(undecodable.select(col("doc_id"),
+          lit("undecodable").as("fate")))
         .unionByName(dupBatch.select(col("doc_id"), lit("dup_batch").as("fate")))
         .unionByName(dark.select(col("doc_id"), lit("dark").as("fate")))
         .unionByName(accepted.select(col("doc_id"), lit("accepted").as("fate")))

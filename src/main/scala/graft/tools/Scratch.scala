@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Scratch <q1,q2,...> [sfDir]")
+      return
+    }
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val names = args(0).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
