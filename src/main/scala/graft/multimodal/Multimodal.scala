@@ -279,6 +279,16 @@ object Multimodal {
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         col("__b.bi").as("bi"), col("__b.bv").as("bv"))
 
+  /** [[phashBands]] plus the skew salt column the SALTED standing band
+    * table carries (`salt = pmod(xxhash64(doc_id), numSalts)` as INT) —
+    * the single salt definition [[phashIncrementalBucketed]]'s probe
+    * explode must agree with. Write the result bucketed on
+    * `(bi, bv, salt)`.
+    */
+  def phashBandsSalted(hashes: DataFrame, numSalts: Int): DataFrame =
+    phashBands(hashes).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(numSalts.toLong)).cast("int"))
+
   /** Incremental pHash near-dup maintenance: accept `delta` into the
     * STANDING v1 band index (4 band rows per image — O(batch), never a
     * corpus rehash), check the maintained index against a from-scratch
@@ -379,12 +389,34 @@ object Multimodal {
     * O(corpus) scan term (map-combined signature, no shuffle). EAGER: the
     * delta band build anchors at call time (`localCheckpoint` — the
     * availability caveat of [[graft.dedup.Dedup.sourceOverlap]] applies).
+    *
+    * SKEW (measured, r17 Scratch at a ×30 corpus): unlike the md5-uniform
+    * LSH bands, perceptual band values are NOT uniform — degenerate bands
+    * (flat/monotone image regions → all-zeros/all-ones 16-bit slices)
+    * concentrate key mass, and a bucketed scan's key-based partitioning
+    * CANNOT be AQE-skew-split the way a shuffle join can (there is no
+    * exchange to re-divide), so hot buckets serialize the collision work
+    * the broadcast path spreads across scan splits (2.0 s vs 0.9 s at the
+    * saturated probe fixture). `numSalts > 1` is the co-location-safe
+    * escape hatch: the standing table is bucketed on `(bi, bv, salt)`
+    * with `salt = pmod(xxhash64(doc_id), numSalts)` (build its content
+    * with [[phashBandsSalted]]), and the probe explodes each delta band
+    * row across all salts — delta-sized fan-out, hot keys spread over
+    * `numSalts` sub-buckets, results identical (every corpus partner
+    * carries exactly one salt, so each pair is found exactly once).
+    * Bucket count is the co-located join's PARALLELISM, not a constant:
+    * size it like shuffle partitions (≈ index bytes / 128 MiB, floored at
+    * the cluster width), never copied from a smaller family.
     */
   def phashIncrementalBucketed(v1BandsTable: String, delta: DataFrame,
-                               all: DataFrame, isV1: Column): DataFrame = {
+                               all: DataFrame, isV1: Column,
+                               numSalts: Int = 1): DataFrame = {
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     val s = delta.sparkSession
     val deltaBands = phashBands(delta).localCheckpoint(true)
-    val v1Bands = s.table(v1BandsTable)
+    val bandCols = Seq("doc_id", "hash_hi", "hash_lo", "bi", "bv").map(col)
+    val v1Full = s.table(v1BandsTable)
+    val v1Bands = v1Full.select(bandCols: _*)
     val rebuilt = phashBands(all)
     def sig(df: DataFrame) = {
       val h = xxhash64(col("doc_id"), col("hash_hi"),
@@ -397,12 +429,21 @@ object Multimodal {
       col(s"$a.doc_id").as("doc_id"), col(s"$b.doc_id").as("pid"),
       col(s"$a.hash_hi").as("ahi"), col(s"$a.hash_lo").as("alo"),
       col(s"$b.hash_hi").as("bhi"), col(s"$b.hash_lo").as("blo"))
-    // corpus branch: delta bands shuffle into the index table's (bi, bv)
-    // bucketing; the standing side reads co-located, zero Exchange
-    val candV1 = deltaBands.as("a")
-      .join(v1Bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+    // corpus branch: delta bands shuffle into the index table's (bi, bv[,
+    // salt]) bucketing; the standing side reads co-located, zero Exchange
+    val (probeSide, rhsSide, joinCond) =
+      if (numSalts <= 1)
+        (deltaBands, v1Bands,
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+      else
+        (deltaBands.withColumn("salt",
+            explode(sequence(lit(0), lit(numSalts - 1)))), v1Full,
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.salt") === col("b.salt") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+    val candV1 = probeSide.as("a")
+      .join(rhsSide.as("b"), joinCond)
       .select(pairCols("a", "b"): _*)
       .distinct()
       .withColumn("from_v1", isV1)

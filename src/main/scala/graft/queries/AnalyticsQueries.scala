@@ -401,6 +401,50 @@ object AnalyticsQueries {
       s: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T =
     withStreamShufflePartitions(s, n)(f)
 
+  /** DERIVED kernel pin (r17, verdict #2): the sizing rule documented on
+    * [[withKernelShufflePartitions]] — `partitions ≈ ceil(frontier bytes /
+    * 128 MiB)`, floored at 8 — computed from Catalyst's size estimate of
+    * the kernel's input frame(s) instead of a literal 8 baked into every
+    * call site. At fixture scale every frontier is KB–MB, so the floor
+    * binds and the pin stays the measured 8; if the driver raises the
+    * bench SF the pin grows with the data instead of silently becoming
+    * the bottleneck. Callers pass the MATERIALIZED base frame(s) the
+    * kernel iterates over (a parquet scan, cache, or checkpoint — frames
+    * whose `stats.sizeInBytes` is a real size), never a join/explode
+    * plan whose estimate is a product. When no caller frame has a usable
+    * estimate (Catalyst's unknown-size default is ~`Long.MaxValue`), the
+    * pin degrades to the session's current shuffle width — a no-op
+    * rather than a guess.
+    */
+  private[queries] def kernelPartitions(
+      s: org.apache.spark.sql.SparkSession,
+      frontier: org.apache.spark.sql.DataFrame*): Int = {
+    val target = BigInt(128L << 20)
+    // anything at or above 1 PiB is Catalyst's "don't know" class, not a
+    // measurement (defaultSizeInBytes, join-product estimates)
+    val unknown = BigInt(1L) << 50
+    val sizes = frontier.map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val n =
+      if (sizes.isEmpty || sizes.exists(_ >= unknown) || sizes.sum >= unknown)
+        s.conf.get("spark.sql.shuffle.partitions").toInt
+      else ((sizes.sum + target - 1) / target).toInt.max(8)
+    // audit hook: SPARK_GRAFT_PIN_DEBUG=1 prints every derived pin, so a
+    // bench run can prove the whole registry still derives the measured 8
+    // at fixture scale (and see exactly which site drifts if one does)
+    if (sys.env.contains("SPARK_GRAFT_PIN_DEBUG"))
+      System.err.println(s"[pin] derived n=$n from bytes=${sizes.mkString("+")}")
+    n
+  }
+
+  /** [[withKernelShufflePartitions]] with the pin DERIVED from the
+    * kernel's input frames via [[kernelPartitions]]. Same caller contract
+    * (eager materialization inside `f`); same restore-on-exit semantics.
+    */
+  private[queries] def withKernelShufflePartitionsFor[T](
+      s: org.apache.spark.sql.SparkSession,
+      frontier: org.apache.spark.sql.DataFrame*)(f: => T): T =
+    withKernelShufflePartitions(s, kernelPartitions(s, frontier: _*))(f)
+
   private[queries] val versionedFixtureDirs =
     new scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1924,7 +1968,7 @@ object AnalyticsQueries {
     // kernel pin (r16 A/B x3: base 1.2-2.7 s vs pin8 0.9-1.1, exact-equal —
     // the r13 "eager anchors lose here" adjudication was about ANCHORS,
     // not the pin; the planted baskets table is KB-scale)
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.baskets(s, dir)) {
       graft.analytics.Itemsets.frequentTriples(
           Graphs.baskets(s, dir), "basket", "item", minSupport = 2L)
         .orderBy(desc("support_abc"), col("item_a"), col("item_b"), col("item_c"))
@@ -2361,7 +2405,12 @@ object AnalyticsQueries {
       .join(graft.Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .localCheckpoint(true)
-    withKernelShufflePartitions(s, 8) {
+    // frontier = the base scans, NOT `e`: a localCheckpoint's origin
+    // stats carry the upstream JOIN-product estimate (~1 TiB here —
+    // measured pin 8177, q_hits 67 s in the r17 audit), exactly the
+    // non-leaf-frame class the helper contract excludes
+    withKernelShufflePartitionsFor(s,
+      graft.Tables.orders(s, dir), graft.Tables.lineitem(s, dir)) {
       graft.dedup.DupClusters.hits(e)
         .orderBy(col("authority2").desc, col("node")).limit(10)
         .localCheckpoint(true)
@@ -2391,7 +2440,7 @@ object AnalyticsQueries {
     */
   private def assortativityQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.8-3.0 s vs pin8 1.2-1.5, exact-equal)
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.starRingEdges(s, dir)) {
       graft.dedup.DupClusters.degreeAssortativity(Graphs.starRingEdges(s, dir))
         .localCheckpoint(true)
     }
@@ -3034,7 +3083,7 @@ object AnalyticsQueries {
     * majority vote is replicated, not just the final communities.
     */
   private def labelPropQ(s: SparkSession, dir: String): DataFrame =
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.starRingEdges(s, dir)) {
       graft.dedup.DupClusters
         .labelPropagation(Graphs.starRingEdges(s, dir), rounds = 2)
         .select(col("n").as("node_id"), col("lbl").as("label"))
@@ -3076,7 +3125,7 @@ object AnalyticsQueries {
     * asserts, so the fixed-rounds oracle is checking the converged core.
     */
   private def kCoreQ(s: SparkSession, dir: String): DataFrame =
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.hubCycleEdges(s, dir)) {
       graft.dedup.DupClusters
         .kCorePeel(Graphs.hubCycleEdges(s, dir), k = 2, rounds = 2)
         .orderBy(col("node_id"))
@@ -3122,7 +3171,7 @@ object AnalyticsQueries {
   // re-plans under the session's 32 partitions at fixture scale); rows
   // and values are partition-count-invariant exact integers
   private def twoHopQ(s: SparkSession, dir: String): DataFrame =
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.hubCycleEdges(s, dir)) {
       graft.dedup.DupClusters
         .twoHopNeighbors(Graphs.hubCycleEdges(s, dir))
         .orderBy(col("node_id"))
@@ -3165,7 +3214,7 @@ object AnalyticsQueries {
     * rounds under the hash.
     */
   private def pprQ(s: SparkSession, dir: String): DataFrame =
-    withKernelShufflePartitions(s, 8) {
+    withKernelShufflePartitionsFor(s, Graphs.hubCycleEdges(s, dir)) {
       val seeds = graft.Tables.documents(s, dir)
         .filter(col("doc_id") < 100 && col("doc_id") % 10 === 0)
         .select(col("doc_id").as("node_id"))

@@ -47,7 +47,7 @@ object CurationQueries {
       .unionByName(bench.select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("xleak "), col("text")).as("text")))
     // kernel pin (r16 A/B x3: base 1.0-1.2 s vs pin8 0.77-0.94, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, docs) {
       Curation.decontaminate(corpus, bench, k = 5, minOverlap = 3)
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
@@ -129,7 +129,8 @@ object CurationQueries {
   private def decontaminateRunsQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val bench = docs.filter(col("doc_id") % 97 === 3)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+      graft.Tables.cachedParquet(s, deconPositionalParquet(s, dir))) {
       // caller-owned persist with a DETERMINISTIC unpersist (the r14
       // operator contract): the operator's df-cut probe and main plan
       // each traverse the positional table once, and evaluation is EAGER
@@ -207,7 +208,7 @@ object CurationQueries {
       when(col("doc_id") % 11 === 0, concat(col("text"), lit(spam)))
         .otherwise(col("text")).as("text"))
     // kernel pin (r16 A/B x3: base ~1.0 s vs pin8 0.63-0.71, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, docs) {
       Curation.repetitionFeatures(docs).orderBy(col("doc_id"))
         .localCheckpoint(true)
     }
@@ -416,7 +417,7 @@ object CurationQueries {
   private def tfidfQ(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis
     // kernel pin (r16 A/B x3: base 1.7-2.1 s vs pin8 1.0-1.6, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.topTermsByTfIdf(Tables.documents(s, dir), k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))
         .localCheckpoint(true)

@@ -98,7 +98,7 @@ object PipelineQueries {
     val corpus = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
     val delta = graft.Tables.cachedParquet(s, bloomDeltaFpParquet(s, dir))
     val bits = bloomBitsMemoGet(s, dir)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, corpus, delta) {
       graft.dedup.BloomDedup.bloomProbe(bits, corpus, delta, mBits = 1 << 16, k = 4)
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
@@ -131,7 +131,7 @@ object PipelineQueries {
     // batch bitmap, the OR, the rebuild proof, and the probe stay timed
     val bitsV1 = bloomBitsMemo.getOrElseUpdate("v1:" + dir,
       BloomDedup.corpusBloom(all.filter(col("doc_id") % 7 =!= 0), 1 << 16, 4))
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, all, probe) {
       val bitsBatch =
         BloomDedup.corpusBloom(all.filter(col("doc_id") % 7 === 0), 1 << 16, 4)
       val merged = BloomDedup.mergeBlooms(bitsV1, bitsBatch)
@@ -284,7 +284,7 @@ object PipelineQueries {
     // ~50 tokens each; 32-way task dispatch dominated). r16 interleaved
     // ABCD x3: baseline 2.0-3.4 s steady vs pin8 0.8-1.1; eager anchors
     // added nothing on top (1.2-1.3), results exact-equal all arms.
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       graft.text.TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), k = 20)
         .localCheckpoint(true)
     }
@@ -365,7 +365,8 @@ object PipelineQueries {
   // the oracle below re-derives shingles from `documents`)
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.0-2.2 s vs pin8 1.1-1.3, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir))) {
       Dedup.jaccardPairsFromShingles(
           graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -406,7 +407,8 @@ object PipelineQueries {
   // reads the shared corpus artifact (BASELINE.md §Amortization)
   private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.7-2.9 s vs pin8 1.6-2.2, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir))) {
       Dedup.prefixFilterJaccardPairsFromShingles(
           graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -489,7 +491,8 @@ object PipelineQueries {
   // (BASELINE.md §Amortization; the oracle re-derives from `documents`)
   private def sharedRunsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.0-2.4 s vs pin8 1.1-1.5, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir))) {
       Dedup.sharedTokenRunsFromPositional(
           graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir)),
           k = 5, minRunTokens = 15)
@@ -732,7 +735,8 @@ object PipelineQueries {
       |ORDER BY threshold_permille""".stripMargin
 
   private def pageRankQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, dupPairsParquet(s, dir))) {
       DupClusters.pageRankFixedPoint(graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)))
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
@@ -1266,7 +1270,7 @@ object PipelineQueries {
     */
   private def noveltyQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.3-2.8 s vs pin8 1.5-2.4, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       Dedup.noveltyScores(augmented(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
@@ -1479,7 +1483,7 @@ object PipelineQueries {
 
   private def corpusFreqQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.0-1.6 s vs pin8 0.8-1.0, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.corpusFreqScores(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
@@ -1502,7 +1506,7 @@ object PipelineQueries {
 
   private def vocabStatsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 0.93-1.1 s vs pin8 0.51-0.58, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.vocabStats(Tables.documents(s, dir))
         .orderBy(col("source"))
         .localCheckpoint(true)
@@ -1556,7 +1560,7 @@ object PipelineQueries {
   // bigint ids, so element order and content stay fully under test.
   private def postingListsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 0.88-1.1 s vs pin8 0.47-0.60, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.buildPostings(Tables.documents(s, dir))
         .filter(col("term").isin("data", "query", "table", "spark"))
         .select(col("term"), col("df"),
@@ -1584,7 +1588,7 @@ object PipelineQueries {
     */
   private def bm25Q(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.2-1.5 s vs pin8 0.6-0.8, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.bm25TopK(Tables.documents(s, dir),
           Seq("data", "query", "table"), k = 20)
         .orderBy(col("rank"))
@@ -1637,7 +1641,7 @@ object PipelineQueries {
     */
   private def rboQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.7-2.1 s vs pin8 1.0-1.1, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val docs = Tables.documents(s, dir)
       val a = TextAnalysis.bm25TopK(docs, Seq("data", "query", "table"), k = 10)
         .select(col("doc_id"), col("rank"))
@@ -1776,7 +1780,7 @@ object PipelineQueries {
     */
   private def postingPartsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.1-3.3 s vs pin8 1.1-1.8, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.buildPostingsChunked(Tables.documents(s, dir), chunkSize = 8,
           salts = 4)
         .filter(col("term").isin("data", "query", "table", "spark"))
@@ -1835,7 +1839,7 @@ object PipelineQueries {
     */
   private def collocationsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.9-2.2 s vs pin8 0.7-1.0, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       TextAnalysis.collocations(Tables.documents(s, dir), minCount = 5, k = 50)
         .orderBy(col("rank"))
         .localCheckpoint(true)
@@ -2184,7 +2188,8 @@ object PipelineQueries {
     * `documents` in one SQL statement.
     */
   private def pipelineMediaE2eQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, pngMediaParquet(s, dir))) {
       val media = graft.Tables.cachedParquet(s, pngMediaParquet(s, dir))
       val batch0 = media.filter(col("doc_id") % 7 === 0)
       // pixel-identical clones of the % 91 slice (+6M ids — batch-internal
@@ -2382,7 +2387,7 @@ object PipelineQueries {
   private def phashIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     val hashes = graft.Tables.cachedParquet(s, phashHashesParquet(s, dir))
     val v1Bands = graft.Tables.cachedParquet(s, phashV1BandsParquet(s, dir))
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, hashes, v1Bands) {
       Multimodal.phashIncremental(v1Bands,
           hashes.filter(col("doc_id") % 7 === 0), hashes,
           isV1 = col("pid") % 7 =!= 0)
@@ -3010,7 +3015,8 @@ object PipelineQueries {
     // merged corpus ever reaches stage 1's full-corpus hash agg. At 100 TB
     // this is the ordering that matters: the map-only probe spends O(batch)
     // to keep corpus-vs-batch duplicates out of every downstream stage.
-    val drop0 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    val drop0 = AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))) {
       val corpusFp = graft.Tables.cachedParquet(s, bloomCorpusFpParquet(s, dir))
       // the incoming batch = the standing delta fp store plus the +3M
       // batch-internal copies (same fps as the +2M rows, shifted ids —
@@ -3033,7 +3039,7 @@ object PipelineQueries {
     // is the only plan that does not reshuffle the corpus per stage
     val s0 = aug.join(broadcast(drop0), Seq("doc_id"), "left_anti")
     // stage 1: exact dedup within the gated corpus
-    val keep1 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    val keep1 = AnalyticsQueries.withKernelShufflePartitionsFor(s, aug) {
       s0.groupBy(md5(col("text")).as("__h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         .localCheckpoint(true)
@@ -3042,7 +3048,8 @@ object PipelineQueries {
     // restricted to surviving ends (the restriction + drop derivation is
     // the timed work; the pair JOIN itself is q_dedup_ngram_jaccard's
     // per-pass kernel)
-    val drop2 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    val drop2 = AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, dupPairsParquet(s, dir))) {
       graft.Tables.cachedParquet(s, dupPairsParquet(s, dir)).select("id_a", "id_b")
         .join(broadcast(keep1.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_semi")
         .join(broadcast(keep1.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_semi")
@@ -3053,7 +3060,8 @@ object PipelineQueries {
     // stage 3: run-level decontamination of survivors vs the eval set
     val bench = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 97 === 3)
-    val drop3 = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    val drop3 = AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir))) {
       val pos2 = graft.Tables.cachedParquet(s, positionalShinglesParquet(s, dir))
         .join(broadcast(keep2.select(col("doc_id").as("id"))), Seq("id"), "left_semi")
       Dedup.benchmarkTokenRunsFromPositional(pos2, bench,
@@ -3068,7 +3076,7 @@ object PipelineQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val low = q.filter(col("quality_score") < 0.5).select("doc_id")
     // stage 5: per-language greedy token budget (quality desc, id tiebreak)
-    val sel = AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    val sel = AnalyticsQueries.withKernelShufflePartitionsFor(s, aug) {
       val w = Window.partitionBy(col("pred_lang"))
         .orderBy(col("quality_score").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3389,7 +3397,8 @@ object PipelineQueries {
   private def minhashOphQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r13 rule — every stage KB-scale over the 5k-doc corpus;
     // r16 interleaved A/B x3: base 0.9-2.2 s vs pin8 0.6-0.9, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir))) {
       val sh = graft.Tables.cachedParquet(s, shinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val pairs = MinHashLSH.nearDuplicatesOPH(sh, buckets = 64, bands = 16)
@@ -3416,7 +3425,7 @@ object PipelineQueries {
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base ~1.4 s steady vs pin8 0.75-0.85,
     // exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
     val aug = augmented(Tables.documents(s, dir))
     // both pair sets feed two summary branches each; persist the (tiny) pair
     // lists so the fingerprint/block pipeline runs once, not per branch
@@ -3561,7 +3570,7 @@ object PipelineQueries {
     */
   private def semDedupQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.2-1.3 s vs pin8 0.8-1.0, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.embeddings(s, dir)) {
       Similarity.semDedupSurvivors(Tables.embeddings(s, dir), 0.4)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
@@ -3963,7 +3972,7 @@ object PipelineQueries {
     */
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.5-2.7 s vs pin8 1.4-2.1, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.embeddings(s, dir)) {
       Similarity.knnGraph(Tables.embeddings(s, dir), k = 3)
         .orderBy(col("src"), col("rank"))
         .localCheckpoint(true)
@@ -4300,7 +4309,8 @@ object PipelineQueries {
     */
   private def containmentQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.0-2.2 s vs pin8 1.0-1.2, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+        graft.Tables.cachedParquet(s, shinglesParquet(s, dir))) {
       Dedup.containmentPairsFromShingles(
           graft.Tables.cachedParquet(s, shinglesParquet(s, dir)), threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))

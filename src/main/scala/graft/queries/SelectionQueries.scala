@@ -24,7 +24,7 @@ object SelectionQueries {
   private def dsirQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 0.87-0.99 s steady vs pin8 0.44-0.55,
     // exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       graft.text.Dsir.docScores(Tables.documents(s, dir), "src0")
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
@@ -294,7 +294,7 @@ object SelectionQueries {
   private def heapsQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.9-3.9 s vs pin8 2.7-2.9 in a hostile
     // window — every pin8 reading below every base reading; exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       graft.text.Vocab.heapsCurve(Tables.documents(s, dir), points = 10)
         .orderBy(col("checkpoint"))
         .localCheckpoint(true)
@@ -368,7 +368,7 @@ object SelectionQueries {
     * training replays bit-exactly on another engine.
     */
   private def perceptronQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val docs = Tables.documents(s, dir)
       val feats = graft.text.Perceptron.features(docs, dim = 64)
       val labels = docs.select(col("doc_id").as("doc"),

@@ -495,7 +495,7 @@ object StatQueries {
     */
   private def hyperballQ(s: SparkSession, dir: String): DataFrame = {
     val edges = Graphs.copurchaseEdges(s, dir)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, edges) {
       graft.analytics.HyperBall.neighborhoodFunction(edges, maxHops = 2, m = 32)
     }
   }
@@ -628,7 +628,7 @@ object StatQueries {
     val delta = Versioned.snapshotDiff(s, tmp, from = 1, to = 2)
       .filter(col("__change") === "insert").drop("__change")
     // kernel pin (r16 A/B x3: base 2.3-2.5 s vs pin8 1.3-1.5, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, docs) {
       graft.text.TextAnalysis.buildPostings(v1)
         .unionByName(graft.text.TextAnalysis.buildPostings(delta))
         .groupBy(col("term"))
@@ -769,7 +769,8 @@ object StatQueries {
     */
   private def modularityQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 1.0-1.3 s vs pin8 0.6-0.7, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s,
+      Graphs.copurchaseEdges(s, dir), Tables.lineitem(s, dir)) {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       val edges = Graphs.copurchaseEdges(s, dir)
@@ -1364,7 +1365,7 @@ object StatQueries {
     */
   private def weakTiesQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 0.9-2.0 s vs pin8 0.6-1.0, exact-equal)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Graphs.copurchaseEdges(s, dir)) {
       val edges = Graphs.copurchaseEdges(s, dir)
       graft.dedup.DupClusters.edgeTriangleSupport(edges)
         .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))

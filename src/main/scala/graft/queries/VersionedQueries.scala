@@ -49,14 +49,16 @@ object VersionedQueries {
   /** Time travel: both snapshots read back through their manifests after the
     * MERGE — v1 must still be exactly the pre-merge table.
     */
-  // the whole versioned-fixture family runs pinned at 8 shuffle
-  // partitions with eager epilogues (withKernelShufflePartitions
+  // the whole versioned-fixture family runs under the DERIVED kernel pin
+  // (withKernelShufflePartitionsFor over the documents table the fixtures
+  // slice — the floor 8 at fixture scale, growing with the data if the
+  // driver raises SF) with eager epilogues (withKernelShufflePartitions
   // contract): every stage — fixture commits, MERGE window dedup, CDC
   // exceptAll, delta folds — moves KB-scale two-snapshot data, the
   // task-dispatch-bound regime the pin exists for; none has a CPU-heavy
   // wide stage (the erEntitiesQ counter-case)
   private def timeTravelQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val t = buildTable(s, dir, "time_travel")
       Versioned.read(s, t, Some(1)).withColumn("snapshot", lit(1))
         .unionByName(Versioned.read(s, t, Some(2)).withColumn("snapshot", lit(2)))
@@ -89,7 +91,7 @@ object VersionedQueries {
     * of the key, brand-new keys as inserts, untouched rows cancel.
     */
   private def snapshotCdcQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val t = buildTable(s, dir, "snapshot_cdc")
       Versioned.snapshotDiff(s, t, from = 1, to = 2)
         .orderBy(col("__change"), col("doc_id"))
@@ -119,7 +121,7 @@ object VersionedQueries {
     * +2s and inserts). All sums are exact BIGINTs.
     */
   private def branchMergeQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
     val docs = Tables.documents(s, dir)
     val tmp = graft.TempDirs.runDir("branch_q").toString
     val base = docs.filter(col("doc_id") % 10 === 0)
@@ -195,7 +197,7 @@ object VersionedQueries {
     * two-snapshot fixture).
     */
   private def mvIncrementalQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val t = buildTable(s, dir, "mv_inc")
       val baseAgg = Versioned.read(s, t, Some(1))
         .groupBy((col("doc_id") % 7).as("g"))
@@ -228,7 +230,7 @@ object VersionedQueries {
     * hash match proves join-delta maintenance ≡ full recompute.
     */
   private def mvJoinIncrementalQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val t = buildTable(s, dir, "mv_join_inc")
       val dim = graft.Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val baseAgg = Versioned.read(s, t, Some(1))
@@ -266,7 +268,7 @@ object VersionedQueries {
     * Keys are (doc_id, vf): one row per entity VERSION, upserted normally.
     */
   private def bitemporalQ(s: SparkSession, dir: String): DataFrame =
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
     val docs = Tables.documents(s, dir)
     val tmp = graft.TempDirs.runDir("bitemporal_q").toString
     // `rev` is the TRANSACTION-side ordering (which commit wrote the row) —
@@ -333,7 +335,7 @@ object VersionedQueries {
   private def minhashIncrementalQ(s: SparkSession, dir: String): DataFrame =
     // kernel pin (r16 A/B x3: base 2.4-2.8 s steady vs pin8 1.4-1.9,
     // exact-equal) — every stage rides materialized KB-scale band tables
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
     import graft.dedup.{Dedup, MinHashLSH}
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, dir)
@@ -623,7 +625,7 @@ object VersionedQueries {
     import graft.dedup.Dedup
     import org.apache.spark.storage.StorageLevel
     val tmp = xsnapFixture(s, dir)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val all = graft.Tables.cachedParquet(s, xsnapShinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the CDC diff stays timed (the cross-snapshot semantics) but runs
@@ -659,7 +661,7 @@ object VersionedQueries {
     import graft.dedup.Dedup
     import org.apache.spark.storage.StorageLevel
     val tmp = xsnapFixture(s, dir)
-    AnalyticsQueries.withKernelShufflePartitions(s, 8) {
+    AnalyticsQueries.withKernelShufflePartitionsFor(s, Tables.documents(s, dir)) {
       val all = graft.Tables.cachedParquet(s, xsnapStrShinglesParquet(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // CDC diff timed, run once — the dedupCrossSnapshotQ discipline

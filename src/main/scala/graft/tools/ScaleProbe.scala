@@ -188,17 +188,57 @@ object ScaleProbe {
       }
       // r16 bucketed TB-delta standing tables: the lshfix band index and
       // corpus shingle arrays as CATALOG TABLES bucketed on (band, bucket)
-      // / id — rebuilt per run (the in-memory catalog does not persist),
-      // overwriting the prior run's warehouse files
+      // / id — rebuilt per run (the in-memory catalog does not persist, so
+      // a PRIOR run's warehouse location must be cleared by hand first:
+      // mode("overwrite") can't drop a location the fresh catalog has no
+      // table for — LOCATION_ALREADY_EXISTS otherwise)
+      def clearTableLocation(table: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val loc = new java.io.File(s"$workDir/warehouse/$table")
+        if (loc.exists()) rm(loc)
+      }
       locally {
         val lp2 = s"$corpusRoot/x${n}_lshfix"
         val isDeltaId = col("id") < 10000000L && col("id") % 7 === 0
+        clearTableLocation(s"r16b_idx_x$n")
         spark.read.parquet(s"$lp2/bands")
-          .write.mode("overwrite").bucketBy(8, "band", "bucket")
+          .write.bucketBy(8, "band", "bucket")
           .sortBy("band", "bucket").saveAsTable(s"r16b_idx_x$n")
+        clearTableLocation(s"r16b_arr_x$n")
         spark.read.parquet(s"$lp2/shingles").filter(!isDeltaId)
-          .write.mode("overwrite").bucketBy(8, "id")
+          .write.bucketBy(8, "id")
           .sortBy("id").saveAsTable(s"r16b_arr_x$n")
+      }
+      // r17 bucketed TB-delta standing tables: the phashfix v1 band index
+      // bucketed on (bi, bv) — 32 buckets, NOT the LSH family's 8: bucket
+      // count is the co-located join's parallelism and the saturated band
+      // space concentrates collision work (see the operator's SKEW note);
+      // repartition-aligned write keeps one file per bucket — plus the
+      // SALTED layout (bi, bv, salt) that spreads the hot degenerate band
+      // values, and the bloomfix corpus fp store bucketed on fp. Rebuilt
+      // per run like the r16b tables (in-memory catalog).
+      locally {
+        val v1b = spark.read.parquet(s"$pfp/v1bands")
+        clearTableLocation(s"r17b_ph_x$n")
+        v1b.repartition(32, col("bi"), col("bv"))
+          .write.bucketBy(32, "bi", "bv")
+          .sortBy("bi", "bv").saveAsTable(s"r17b_ph_x$n")
+        clearTableLocation(s"r17b_phs_x$n")
+        graft.multimodal.Multimodal.phashBandsSalted(
+            spark.read.parquet(s"$pfp/hashes")
+              .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0)),
+            numSalts = 16)
+          .repartition(32, col("bi"), col("bv"), col("salt"))
+          .write.bucketBy(32, "bi", "bv", "salt")
+          .sortBy("bi", "bv", "salt").saveAsTable(s"r17b_phs_x$n")
+        clearTableLocation(s"r17b_fp_x$n")
+        spark.read.parquet(bfp)
+          .write.bucketBy(8, "fp")
+          .sortBy("fp").saveAsTable(s"r17b_fp_x$n")
       }
       val efp = s"$corpusRoot/x${n}_e2efix"
       if (!new java.io.File(efp).exists()) {
@@ -333,6 +373,24 @@ object ScaleProbe {
         graft.dedup.BloomDedup.bloomProbe(words, corpusFp,
           sp.read.parquet(bloomDeltaPath), mBits = 1 << 22, k = 4)
       }),
+      // r17 bucketed TB-delta bloom confirm: the SAME fixed batch and
+      // standing bitmap as bloomProbeFixedDelta, but the exact confirm
+      // shuffles the deduped hit-fp set INTO the fp store's bucketed
+      // catalog table as a left-semi SMJ (nothing broadcast, zero
+      // corpus-side Exchange — BloomDedup.bloomProbeBucketed). Claim under
+      // test: verdict rows exactly flat at |batch|, shuffle batch-sized
+      // and corpus-growth-FLAT (the store's bucketing absorbs the corpus
+      // side; it contributes co-located scan only). Directly comparable,
+      // tier for tier, with bloomProbeFixedDelta above.
+      ("bloomProbeDeltaBkt", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        val corpusFp = sp.read.parquet(s"$corpusRoot/${xdir}_bloomfix")
+        val words = bloomWords.getOrElseUpdate(xdir,
+          graft.dedup.BloomDedup.corpusBloom(corpusFp, 1 << 22, 4))
+        graft.dedup.BloomDedup.bloomProbeBucketed(words, s"r17b_fp_$xdir",
+          sp.read.parquet(bloomDeltaPath), mBits = 1 << 22, k = 4)
+      }),
       // r15 incremental phash: a FIXED image batch (replica 0's %7 slice)
       // accepted into a GROWING maintained band index. Unlike the
       // disjoint-vocab text probes, the 64-bit perceptual hash space is
@@ -349,6 +407,38 @@ object ScaleProbe {
         graft.multimodal.Multimodal.phashIncremental(
           v1b, hashes.filter(isDelta), hashes,
           isV1 = !(col("pid") < 10000000L && col("pid") % 7 === 0))
+      }),
+      // r17 bucketed TB-delta phash: the SAME fixed batch and standing v1
+      // band index as phashIncrementalFixedDelta, but the corpus-branch
+      // candidate probe shuffles the delta bands INTO the index's (bi, bv)
+      // bucketed catalog table (no broadcast, zero index-side Exchange —
+      // Multimodal.phashIncrementalBucketed). Output rows exactly flat
+      // (one per delta image); per-query shuffle must stay delta-sized and
+      // corpus-growth-flat; time still carries the honest O(corpus)
+      // rebuild-proof SCAN (map-combined signature). Directly comparable,
+      // tier for tier, with phashIncrementalFixedDelta above.
+      ("phashIncDeltaBkt", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        val hashes = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/hashes")
+        val isDelta = col("doc_id") < 10000000L && col("doc_id") % 7 === 0
+        graft.multimodal.Multimodal.phashIncrementalBucketed(
+          s"r17b_ph_$xdir", hashes.filter(isDelta), hashes,
+          isV1 = !(col("pid") < 10000000L && col("pid") % 7 === 0))
+      }),
+      // the SALTED layout under the same probe: the fixture's closed
+      // formula saturates four degenerate band values with ~65% of the
+      // index mass, the adversarial case for key-partitioned co-location
+      // (a bucketed scan cannot be AQE-skew-split) — 16 salts spread it
+      ("phashIncDeltaBktSalt", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        val hashes = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/hashes")
+        val isDelta = col("doc_id") < 10000000L && col("doc_id") % 7 === 0
+        graft.multimodal.Multimodal.phashIncrementalBucketed(
+          s"r17b_phs_$xdir", hashes.filter(isDelta), hashes,
+          isV1 = !(col("pid") < 10000000L && col("pid") % 7 === 0),
+          numSalts = 16)
       }),
       // r16 e2e COMPOSITION probe (the six-stage pipeline as one unit —
       // the individually-probed kernels plus the inter-stage broadcasts

@@ -33,10 +33,13 @@ class Round17OpsSpec extends SparkSpec {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v1Bands = Multimodal.phashBands(v1Hashes)
     val isV1 = !isDeltaId(col("pid"))
-    dropTables("r17_phb_idx", "r17_phb_idx_plain")
+    dropTables("r17_phb_idx", "r17_phb_idx_plain", "r17_phb_idx_salt")
     v1Bands.write.bucketBy(8, "bi", "bv").sortBy("bi", "bv")
       .saveAsTable("r17_phb_idx")
     v1Bands.write.saveAsTable("r17_phb_idx_plain")
+    Multimodal.phashBandsSalted(v1Hashes, numSalts = 4)
+      .write.bucketBy(8, "bi", "bv", "salt").sortBy("bi", "bv", "salt")
+      .saveAsTable("r17_phb_idx_salt")
     try {
       val expected = Multimodal.phashIncremental(v1Bands, delta, hashes, isV1)
         .collect().sortBy(_.getLong(0))
@@ -46,6 +49,14 @@ class Round17OpsSpec extends SparkSpec {
         s"row counts diverge: ${got.length} vs ${expected.length}")
       got.zip(expected).foreach { case (g, e) =>
         assert(g == e, s"bucketed variant diverges: got $g want $e")
+      }
+      // the SALTED skew layout (table bucketed on (bi, bv, salt), probe
+      // exploded across salts) must be pair-for-pair identical too —
+      // every corpus partner carries exactly one salt
+      val gotSalt = Multimodal.phashIncrementalBucketed("r17_phb_idx_salt",
+        delta, hashes, isV1, numSalts = 4).collect().sortBy(_.getLong(0))
+      gotSalt.zip(expected).foreach { case (g, e) =>
+        assert(g == e, s"salted variant diverges: got $g want $e")
       }
       // the fixture must exercise BOTH verdicts and both match generations
       // (the dense mod-768 hash space plants v1 twins; the %7 slice of a
@@ -71,7 +82,7 @@ class Round17OpsSpec extends SparkSpec {
           s"bucketing saved no Exchange: bucketed=$nBucketed plain=$nPlain")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally {
-      dropTables("r17_phb_idx", "r17_phb_idx_plain")
+      dropTables("r17_phb_idx", "r17_phb_idx_plain", "r17_phb_idx_salt")
       hashes.unpersist(); delta.unpersist()
     }
   }
