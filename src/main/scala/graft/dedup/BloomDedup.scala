@@ -131,7 +131,10 @@ object BloomDedup {
   /** [[bloomDeltaDedup]] with a prebuilt bitmap — the standing-artifact
     * entry point: the caller holds the corpus bloom (built once, maintained
     * across batches by OR-ing in each accepted batch's own bitmap) and pays
-    * only the probe + exact confirm per incoming batch.
+    * only the probe + exact confirm per incoming batch. The confirm
+    * broadcasts the hit set; when the batch (hence the hit set) is itself
+    * TB-scale, use [[bloomProbeBucketed]] — the bucket-partitioned
+    * co-located confirm over the fp store as a catalog table (r17).
     */
   def bloomProbe(words: Array[Long], corpusFp: DataFrame, deltaFp: DataFrame,
                  mBits: Int = 1 << 16, k: Int = 4,

@@ -328,8 +328,8 @@ object Multimodal {
     // shuffled the full index by (bi, bv): shufW ×29 at a ×30 corpus;
     // broadcast-delta re-probed flat). Right for crawl batches (bands =
     // 4·|batch| rows); a TB-scale delta takes the bucket-partitioned
-    // co-located join instead — implemented for the LSH family as
-    // Dedup.dedupDeltaAgainstCorpusLshBucketed (r16), same shape here.
+    // co-located join instead — [[phashIncrementalBucketed]] (r17), with
+    // the SALTED layout as the image-family default (see its SKEW note).
     val cand = broadcast(deltaBands.as("a"))
       .join(maintained.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
