@@ -158,6 +158,20 @@ object ScaleProbe {
               .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0)))
           .write.mode("overwrite").parquet(s"$pfp/v1bands")
       }
+      // r17 media-composed probe fixture: the per-tier SPARSE standing
+      // index slice (%53 == 1 of the gated non-batch hashes — the bench
+      // query's fixture discipline: the closed-formula hash space
+      // saturates, so the FULL index would kill every batch image at the
+      // v1 stage and idle stages 4-6)
+      locally {
+        val pv1s = s"$pfp/v1sparse"
+        if (!new java.io.File(pv1s).exists())
+          graft.multimodal.Multimodal.phashBands(
+              spark.read.parquet(s"$pfp/hashes")
+                .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0) &&
+                  col("doc_id") % 53 === 1))
+            .write.mode("overwrite").parquet(pv1s)
+      }
       // r16 e2e composition probe fixtures: the FIXED incoming batch (built
       // from replica 0 only, so identical at every tier — ids parked at
       // +900M, clear of every replica band and the +5M planted offset):
@@ -268,6 +282,22 @@ object ScaleProbe {
     }
     val bloomWords =
       new scala.collection.concurrent.TrieMap[String, Array[Long]]()
+
+    // the FIXED incoming image batch for the media-composed probe:
+    // replica 0's %7 docs — ALL dims, so the metadata gate stays live —
+    // through the REAL PNG encoder, plus pixel-identical +900M clones of
+    // the %91 slice (batch-internal dups; clones COPY the blob, so their
+    // hash equals the original's). Identical at every corpus tier.
+    val mediaBatchPath = s"$corpusRoot/e2e_media_batch"
+    if (!new java.io.File(mediaBatchPath).exists()) {
+      val d0 = spark.read.parquet(s"$corpusRoot/x1")
+        .filter(col("doc_id") % 7 === 0).select("doc_id")
+      val m0 = graft.multimodal.Multimodal.pngMedia(spark, d0).toDF()
+      m0.unionByName(m0.filter(col("doc_id") % 91 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("media"),
+            col("format"), col("width"), col("height")))
+        .write.mode("overwrite").parquet(mediaBatchPath)
+    }
 
     // star-and-ring community edges derived from doc ids; the formula is
     // invariant under the replica offset (10M ≡ 0 mod 100), so replicas
@@ -531,6 +561,98 @@ object ScaleProbe {
           .unionByName(low.select(col("doc_id"), lit("low_quality").as("fate")))
           .unionByName(sel)
         fates.filter(col("doc_id") >= 900000000L)
+      }),
+      // r17 media e2e COMPOSITION probe (the six-stage IMAGE pipeline as
+      // one unit — the media twin of pipelineE2eComposed): a FIXED image
+      // batch (replica 0's %7 docs + pixel-identical clones, real PNGs)
+      // arrives against a GROWING sparse standing band index. Output =
+      // the batch's fate rows, exactly flat at |batch| (one fate per
+      // image by stage disjointness). Claims under test: stage 0 gates on
+      // METADATA only (the blob column is never read for rejects), ONE
+      // real ImageIO decode pass of survivors (O(batch),
+      // corpus-independent), the standing index STREAMS past broadcast
+      // batch bands ONCE, and the rebuild-proof signature is the only
+      // O(index) term (map-combined — no index shuffle). The fate MIX
+      // legitimately shifts toward dup_v1 as the index grows (the dense
+      // mod-768 hash space — the phashIncrementalFixedDelta adjudication);
+      // the flat invariant is the row count.
+      ("pipelineMediaE2eComposed", true, "flat", { d =>
+        val xdir = new java.io.File(d.inputFiles.head).getParentFile.getName
+        val sp = d.sparkSession
+        def pin[T](n: Int)(f: => T): T = {
+          val prev = sp.conf.get("spark.sql.shuffle.partitions")
+          sp.conf.set("spark.sql.shuffle.partitions", n.toString)
+          try f finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        import graft.multimodal.Multimodal
+        val batch = sp.read.parquet(mediaBatchPath)
+        val v1b = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/v1sparse")
+        val v1h = sp.read.parquet(s"$corpusRoot/${xdir}_phashfix/hashes")
+          .filter(!(col("doc_id") < 10000000L && col("doc_id") % 7 === 0) &&
+            col("doc_id") % 53 === 1)
+        pin(8) {
+          def ham(p: String, q: String) =
+            bit_count(col(s"$p.hash_hi").bitwiseXOR(col(s"$q.hash_hi"))) +
+              bit_count(col(s"$p.hash_lo").bitwiseXOR(col(s"$q.hash_lo")))
+          val lowRes = batch.select(col("doc_id"), col("width"), col("height"))
+            .filter(col("width") < 10 || col("height") < 8)
+            .select("doc_id").localCheckpoint(true)
+          val surv0 = batch.join(broadcast(lowRes), Seq("doc_id"), "left_anti")
+          val hashed = Multimodal.imageHashLuma(sp, surv0).toDF()
+            .localCheckpoint(true)
+          val decoded = hashed.filter(col("decoded"))
+          val undec = hashed.filter(!col("decoded")).select("doc_id")
+          val feats = decoded.select(col("doc_id"), col("luma_mean"))
+          val bHash = decoded.select(col("doc_id"), col("hash_hi"),
+            col("hash_lo"))
+          val bBands = Multimodal.phashBands(bHash)
+          val hamV1 = broadcast(bBands.as("a"))
+            .join(v1b.as("b"),
+              col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv"))
+            .select(col("a.doc_id").as("doc_id"), ham("a", "b").as("ham"))
+            .groupBy(col("doc_id")).agg(min(col("ham")).as("min_ham"))
+            .filter(col("min_ham") <= 3)
+            .localCheckpoint(true)
+          val bRemain = bHash.join(broadcast(hamV1.select("doc_id")),
+            Seq("doc_id"), "left_anti").localCheckpoint(true)
+          val bandsRem = Multimodal.phashBands(bRemain)
+          val dupBatch = bandsRem.as("a").join(bandsRem.as("b"),
+              col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+                col("b.doc_id") < col("a.doc_id"))
+            .select(col("a.doc_id").as("doc_id"), ham("a", "b").as("ham"))
+            .filter(col("ham") <= 3)
+            .select("doc_id").distinct().localCheckpoint(true)
+          val remain2 = bRemain.select("doc_id")
+            .join(broadcast(dupBatch), Seq("doc_id"), "left_anti")
+          val dark = remain2.join(feats, Seq("doc_id"))
+            .filter(col("luma_mean") < 96.0)
+            .select("doc_id").localCheckpoint(true)
+          val accepted = remain2.join(broadcast(dark), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val accHashes = bHash.join(broadcast(accepted), Seq("doc_id"),
+            "left_semi")
+          val maintained = v1b.unionByName(Multimodal.phashBands(accHashes))
+          val rebuilt = Multimodal.phashBands(v1h.unionByName(accHashes))
+          def sig(df: org.apache.spark.sql.DataFrame) = {
+            val h = xxhash64(col("doc_id"), col("hash_hi"),
+              col("hash_lo"), col("bi"), col("bv"))
+            df.agg(count(lit(1)), call_function("bit_xor", h),
+              sum(h.cast("decimal(38,0)"))).head()
+          }
+          val incEq = sig(maintained) == sig(rebuilt)
+          lowRes.select(col("doc_id"), lit("low_res").as("fate"))
+            .unionByName(hamV1.select(col("doc_id"),
+              when(col("min_ham") === 0, "dup_v1_exact")
+                .otherwise("dup_v1_near").as("fate")))
+            .unionByName(undec.select(col("doc_id"),
+              lit("undecodable").as("fate")))
+            .unionByName(dupBatch.select(col("doc_id"),
+              lit("dup_batch").as("fate")))
+            .unionByName(dark.select(col("doc_id"), lit("dark").as("fate")))
+            .unionByName(accepted.select(col("doc_id"),
+              lit("accepted").as("fate")))
+            .withColumn("inc_equals_rebuild", lit(incEq))
+        }
       }),
       // verified pairs need Jaccard >= threshold, and cross-replica Jaccard
       // is identically 0 (disjoint vocab) -- so the Nx invariant holds for
