@@ -143,10 +143,19 @@ object BloomDedup {
       s"bitmap has ${words.length} words, expected ${mBits / 64}")
     val bits = typedLit(words.toSeq)
     val masks = typedLit((0 until 64).map(1L << _))
-    val hit = forall(positions(col("fp"), mBits, k), p =>
-      element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
-        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
-        =!= 0L)
+    // the isNotNull gate is LOAD-BEARING, not belt-and-braces: on a NULL
+    // fp the probe's positions are NULL indexes, and Spark 4.1's
+    // element_at(literal-array, NULL) LEAKS the last array element
+    // instead of returning NULL (the repo's documented r9 gotcha), which
+    // collapses forall's three-valued result to a concrete boolean —
+    // measured bloom_hit = false where the contract (and the DuckDB
+    // oracle's replay) says NULL. Round17OpsSpec pins the NULL row on
+    // both confirm variants.
+    val hit = when(col("fp").isNotNull,
+      forall(positions(col("fp"), mBits, k), p =>
+        element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
+          .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
+          =!= 0L))
     val probed = deltaFp.select(col(idCol), col("fp"))
       .withColumn("bloom_hit", hit)
     // exact confirm: BROADCAST the deduped bloom-hit fingerprint set
@@ -169,12 +178,14 @@ object BloomDedup {
       .distinct()
       .select(col("fp"), lit(true).as("__dup"))
     // NULL fingerprint (md5 of a NULL text) null-propagates end-to-end:
-    // bloom_hit is already NULL (concat null-propagates through the k
-    // probes), and is_dup is masked to NULL rather than coalesced to false,
-    // matching the oracle's `bloom_hit AND fp IN corpus` three-valued logic
+    // bloom_hit is NULL via the explicit isNotNull gate above (concat's
+    // null-propagation alone is NOT enough — the element_at NULL-index
+    // leak turned it into a concrete false until r17), and is_dup is
+    // masked to NULL rather than coalesced to false, matching the
+    // oracle's `bloom_hit AND fp IN corpus` three-valued logic
     // (NULL AND NULL = NULL); the verdict stays 'keep' on both sides
-    // (ADVICE r14: divergence was latent — no fixture has NULL texts — but
-    // the two sides now agree by construction).
+    // (ADVICE r14: divergence was latent — no fixture has NULL texts —
+    // Round17OpsSpec now exercises the NULL row explicitly).
     val isDup = when(col("fp").isNotNull, coalesce(col("__dup"), lit(false)))
     val keep =
       (if (keepFp) Seq(col("fp")) else Nil) ++ Seq(col(idCol), col("bloom_hit"),
@@ -222,10 +233,13 @@ object BloomDedup {
     val corpusFp = s.table(corpusFpTable)
     val bits = typedLit(words.toSeq)
     val masks = typedLit((0 until 64).map(1L << _))
-    val hit = forall(positions(col("fp"), mBits, k), p =>
-      element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
-        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
-        =!= 0L)
+    // isNotNull gate load-bearing (the element_at NULL-index leak) — see
+    // [[bloomProbe]]'s probe comment
+    val hit = when(col("fp").isNotNull,
+      forall(positions(col("fp"), mBits, k), p =>
+        element_at(bits, shiftrightunsigned(p, 6).cast("int") + 1)
+          .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1))
+          =!= 0L))
     val probed = deltaFp.select(col(idCol), col("fp"))
       .withColumn("bloom_hit", hit)
     // exact confirm: the deduped hit-fp set shuffles into the fp store's

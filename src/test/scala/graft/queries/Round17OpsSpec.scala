@@ -149,4 +149,33 @@ class Round17OpsSpec extends SparkSpec {
       corpusFp.unpersist(); deltaFp.unpersist()
     }
   }
+
+  test("NULL fingerprint rides three-valued logic identically on broadcast and bucketed confirm") {
+    import graft.dedup.BloomDedup
+    import spark.implicits._
+    // the ADVICE-r14 latent class made explicit: md5(NULL text) = NULL fp
+    // must surface bloom_hit = NULL, is_dup = NULL, verdict = 'keep' —
+    // never a false drop — on BOTH confirm shapes
+    val corpusFp = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "fp")
+    val deltaFp = Seq((10L, "aa"), (11L, "zz"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "fp")
+    val words = BloomDedup.corpusBloom(corpusFp, 1 << 10, 4)
+    dropTables("r17_fp_null")
+    corpusFp.select("fp").write.bucketBy(4, "fp").saveAsTable("r17_fp_null")
+    try {
+      val a = BloomDedup.bloomProbe(words, corpusFp, deltaFp,
+        mBits = 1 << 10, k = 4).collect().sortBy(_.getLong(0))
+      val b = BloomDedup.bloomProbeBucketed(words, "r17_fp_null", deltaFp,
+        mBits = 1 << 10, k = 4).collect().sortBy(_.getLong(0))
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"variants diverge on $x vs $y")
+      }
+      val nullRow = b.find(_.getLong(0) == 12L).get
+      assert(nullRow.isNullAt(1), "bloom_hit must be NULL for a NULL fp")
+      assert(nullRow.isNullAt(2), "is_dup must be NULL for a NULL fp")
+      assert(nullRow.getString(3) == "keep", "NULL fp must keep, never drop")
+      assert(b.find(_.getLong(0) == 10L).get.getString(3) == "drop")
+      assert(b.find(_.getLong(0) == 11L).get.getString(3) == "keep")
+    } finally dropTables("r17_fp_null")
+  }
 }
