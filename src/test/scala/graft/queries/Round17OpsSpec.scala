@@ -19,6 +19,29 @@ class Round17OpsSpec extends SparkSpec {
   private def countExchanges(plan: String): Int =
     plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
 
+  /** TRUE iff a shuffle Exchange sits BETWEEN `table`'s file scan and the
+    * join that consumes it — i.e. the standing side MOVES to reach its
+    * join. Exchanges ABOVE the join (the distinct/groupBy of the
+    * collision-sized join output) are the probe's own O(collisions) work
+    * and not the standing side moving, so an exchange only counts when
+    * its subtree contains the scan and no join. The semantically precise
+    * form of the Exchange-savings pin: independent of partition-count
+    * coincidences on the probe side.
+    */
+  private def standingSideMoves(df: org.apache.spark.sql.DataFrame,
+                                table: String): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    plan.collect { case e: ShuffleExchangeExec => e }.exists { e =>
+      e.collectLeaves().exists(_.toString.contains(table)) &&
+        e.find(_.nodeName.contains("Join")).isEmpty
+    }
+  }
+
   private def dropTables(ts: String*): Unit =
     ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
@@ -80,6 +103,13 @@ class Round17OpsSpec extends SparkSpec {
         val nPlain = exchanges("r17_phb_idx_plain")
         assert(nBucketed <= nPlain - 1,
           s"bucketing saved no Exchange: bucketed=$nBucketed plain=$nPlain")
+        // the precise claim: the standing index never moves when bucketed
+        assert(!standingSideMoves(Multimodal.phashIncrementalBucketed(
+          "r17_phb_idx", delta, hashes, isV1), "r17_phb_idx"),
+          "bucketed standing index was shuffled")
+        assert(standingSideMoves(Multimodal.phashIncrementalBucketed(
+          "r17_phb_idx_plain", delta, hashes, isV1), "r17_phb_idx_plain"),
+          "plain-table control should shuffle (pin would prove nothing)")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally {
       dropTables("r17_phb_idx", "r17_phb_idx_plain", "r17_phb_idx_salt")
@@ -140,6 +170,14 @@ class Round17OpsSpec extends SparkSpec {
         val nPlain = exchanges("r17_fp_plain")
         assert(nBucketed <= nPlain - 1,
           s"bucketing saved no Exchange: bucketed=$nBucketed plain=$nPlain")
+        // the precise claim: the standing fp store never moves when
+        // bucketed (independent of the shuffle-width pin above)
+        assert(!standingSideMoves(BloomDedup.bloomProbeBucketed(words,
+          "r17_fp", deltaFp, mBits = 1 << 16, k = 4), "r17_fp"),
+          "bucketed standing fp store was shuffled")
+        assert(standingSideMoves(BloomDedup.bloomProbeBucketed(words,
+          "r17_fp_plain", deltaFp, mBits = 1 << 16, k = 4), "r17_fp_plain"),
+          "plain-table control should shuffle (pin would prove nothing)")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
