@@ -33,11 +33,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
-  /** Exact dedup, keep-first: survivors of hash-dedup (min id per hash). */
+  /** Exact dedup, keep-first: survivors of hash-dedup (min id per hash).
+    * Content identity is `md5(coalesce(text, ''))` — null text deduplicates
+    * with empty text (the library-wide null ≡ empty contract; see
+    * [[tokens]]), and the same coalesce in [[dedupAgainstCorpus]] keeps the
+    * window-based and join-based paths agreeing (window partitioning groups
+    * NULL keys, equi-joins never match them — without the coalesce the two
+    * paths would disagree on null-text docs).
+    */
   def dedupExact(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(md5(coalesce(col(textCol), lit(""))))
+      .orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -51,13 +59,29 @@ object Dedup {
     */
   def duplicateWeights(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol)))
+    val w = Window.partitionBy(md5(coalesce(col(textCol), lit(""))))
     docs.withColumn("dup_count", count(lit(1)).over(w))
       .withColumn("weight", lit(1.0) / col("dup_count").cast("double"))
   }
 
-  /** Whitespace tokens of a document. */
-  def tokens(textCol: Column): Column = split(textCol, "\\s+")
+  /** Whitespace tokens of a document — the canonical tokenizer for every
+    * text operator in the library.
+    *
+    * Null contract (the r17 null-sweep finding): a 100 TB crawl WILL carry
+    * null and blank text fields, so the tokenizer pins `null ≡ "" ≡ blank →
+    * zero tokens`. Raw `split` breaks this two ways: `split(NULL)` is a NULL
+    * array (explode then silently DROPS the document; `size` goes NULL and
+    * poisons downstream `least`/`when` arithmetic — a NULL token count made
+    * [[graft.text.TextAnalysis.qualityFeatures]] score null docs 0.5 via
+    * null-skipping `least`), and `split("")` is `[""]` (a phantom token that
+    * counted blank docs as 1-token docs and surfaced `""` as a RAKE
+    * keyphrase). `coalesce` closes the first; `array_remove(_, "")` closes
+    * the second. On well-formed text (no leading/trailing whitespace) the
+    * cleanup is a no-op, and both extra steps are codegen'd array ops —
+    * negligible next to the split itself.
+    */
+  def tokens(textCol: Column): Column =
+    array_remove(split(coalesce(textCol, lit("")), "\\s+"), "")
 
   /** Distinct k-shingles from an already-materialized token *array* column
     * (see object doc, rule 1); documents shorter than k tokens yield empty.
@@ -593,8 +617,12 @@ object Dedup {
     */
   def dedupAgainstCorpus(newDocs: DataFrame, existing: DataFrame,
                          textCol: String = "text"): DataFrame = {
-    val seen = existing.select(md5(col(textCol)).as("__seen_hash")).distinct()
-    newDocs.withColumn("__h", md5(col(textCol)))
+    // coalesce on BOTH sides: an equi-join never matches NULL = NULL, so
+    // without it a null-text batch doc could never be recognized as a dup
+    // of anything — null ≡ empty, per the dedupExact identity
+    val seen = existing.select(
+      md5(coalesce(col(textCol), lit(""))).as("__seen_hash")).distinct()
+    newDocs.withColumn("__h", md5(coalesce(col(textCol), lit(""))))
       .join(seen, col("__h") === col("__seen_hash"), "left_anti")
       .drop("__h")
   }
@@ -613,8 +641,12 @@ object Dedup {
   def lineDedup(docs: DataFrame, sep: String = "\\. ", joinSep: String = ". ",
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // coalesce: split(NULL) is a NULL array and posexplode would silently
+    // drop the document; a null-text doc line-dedups as an empty-text doc
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), sep))
+          .as(Seq("pos", "line")))
     val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
     val kept = lines.withColumn("__rn", row_number().over(w))

@@ -33,12 +33,19 @@ object SimHash {
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // explode_outer + null-guarded hash: a null/blank document (zero tokens
+    // under the shared tokenizer) must still get a fingerprint row — plain
+    // explode would silently drop it from the output. The guard matters
+    // because Spark's xxhash64(NULL) returns the SEED (42), not NULL; the
+    // when() passes a true NULL through, which SimHashAggregate skips, so a
+    // token-less doc evals the empty vote buffer to the well-defined fp 0.
     docs
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(parallelism)
-      .select(col("id"), explode(Dedup.tokens(col("__text"))).as("tok"))
+      .select(col("id"), explode_outer(Dedup.tokens(col("__text"))).as("tok"))
       .groupBy(col("id"))
-      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("fp"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(
+        when(col("tok").isNotNull, xxhash64(col("tok")))).as("fp"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming via block-join. */

@@ -95,7 +95,7 @@ object Encoding {
     require(k >= 2, s"k must be >= 2, got $k")
     val u32 = graft.functions.Md5Field.md5U32(concat(lit("fh:"), col("tok")))
     docs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(col(idCol).as("doc"), explode(graft.dedup.Dedup.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc"), pmod(u32, lit(k.toLong)).as("idx"),
         when(pmod((u32 / k).cast("long"), lit(2L)) === 0, lit(1L))

@@ -37,7 +37,38 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, guarded for degenerate vectors: a zero or empty
+    * embedding (a failed encoder emits these at crawl scale) has norm 0 and
+    * the raw division would throw DIVIDE_BY_ZERO under ANSI. Undefined
+    * similarity is NULL — which sorts LAST under the `cosine desc` rank
+    * every top-k in this file uses, so degenerate vectors can never win a
+    * neighbor slot. Null embeddings were already NULL end-to-end
+    * ([[graft.functions.DotProduct]] is null-safe).
+    *
+    * `try_divide`, NOT `when(denom > 0, dot/denom)`: subexpression
+    * elimination does not collapse a subtree duplicated across a CaseWhen
+    * condition and its value branch, so the when-form re-evaluates both
+    * norms (5 dot-product loops per pair instead of 3 — measured 1.5× on a
+    * cosine-dominated brute-force scan, interleaved A/B at sf0.1).
+    * `try_divide` evaluates each operand once and returns NULL on a zero or
+    * NULL divisor under ANSI; on every non-degenerate pair it is
+    * bit-identical to the raw division, so oracles replaying `dot/(na*nb)`
+    * in plain SQL are unaffected.
+    *
+    * The outer `nanvl(_, NULL)` closes the nastier corruption path: a
+    * single NaN ELEMENT in one stored vector makes its cosine NaN, and
+    * Spark orders NaN GREATER than every double — so one corrupted
+    * embedding would win rank 1 in EVERY query's neighbor list (probed:
+    * a planted NaN vector took rank 1 at cosine=NaN over a 0.99 true
+    * neighbor). NaN → NULL puts corrupted vectors with the other
+    * degenerates: last, never winning a slot. [[vectorHygiene]] FLAGS such
+    * vectors for quarantine; this makes the scorer itself safe when they
+    * haven't been quarantined yet. One scalar branch per pair — no
+    * measurable cost; a no-op on every finite cosine.
+    */
+  def cosine(a: Column, b: Column): Column =
+    nanvl(try_divide(dot(a, b), norm(a) * norm(b)),
+      lit(null).cast("double"))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

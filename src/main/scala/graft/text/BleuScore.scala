@@ -35,8 +35,8 @@ object BleuScore {
                      refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val tok = pairs.select(col(pairIdCol).as("pair_id"),
-      split(col(candCol), "\\s+").as("ct"),
-      split(col(refCol), "\\s+").as("rt"))
+      graft.dedup.Dedup.tokens(col(candCol)).as("ct"),
+      graft.dedup.Dedup.tokens(col(refCol)).as("rt"))
 
     def grams(t: Column, n: Int): Column =
       when(size(t) >= n,
@@ -80,8 +80,8 @@ object BleuScore {
              refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val tok = pairs.select(col(pairIdCol).as("pair_id"),
-      split(col(candCol), "\\s+").as("ct"),
-      split(col(refCol), "\\s+").as("rt"))
+      graft.dedup.Dedup.tokens(col(candCol)).as("ct"),
+      graft.dedup.Dedup.tokens(col(refCol)).as("rt"))
 
     def grams(t: Column, n: Int): Column =
       when(size(t) >= n,

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFilters {
 
-  private def toks(c: Column): Column = split(c, "\\s+")
+  private def toks(c: Column): Column = graft.dedup.Dedup.tokens(c)
 
   // ---- C4-style cleanliness rules -----------------------------------------
 
@@ -31,7 +31,12 @@ object CorpusFilters {
   def c4Flags(docs: DataFrame, textCol: String = "text", minWords: Int = 20,
               maxWordLen: Int = 30,
               badWords: Seq[String] = Seq("zqxbadword")): DataFrame = {
-    val t = col(textCol)
+    // Coalesce so a null document gets definite flags (keep=false via
+    // r_min_words) rather than NULL flags — NULL `keep` passes a
+    // `filter(!keep)` reject-side audit, the same three-valued trap as the
+    // bloom NULL-fingerprint verdict. Token-less docs pass r_word_len_ok
+    // vacuously (array_max of an empty array is NULL, not a verdict).
+    val t = coalesce(col(textCol), lit(""))
     val w = toks(t)
     val badHit = badWords.map(b => t.contains(b)).reduce(_ || _)
     docs
@@ -40,7 +45,8 @@ object CorpusFilters {
       .withColumn("r_no_lorem", !t.contains("lorem ipsum"))
       .withColumn("r_no_badword", !badHit)
       .withColumn("r_word_len_ok",
-        array_max(transform(w, x => length(x))) <= maxWordLen)
+        coalesce(array_max(transform(w, x => length(x))) <= maxWordLen,
+          lit(true)))
       .withColumn("r_min_words", size(w) >= minWords)
       .withColumn("keep",
         col("r_terminal_punct") && col("r_no_brace") && col("r_no_lorem") &&
@@ -83,7 +89,11 @@ object CorpusFilters {
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.05, minAlphaFrac: Double = 0.8,
                   minStopwords: Int = 2): DataFrame = {
-    val t = col(textCol)
+    // Coalesce + ratio guards: under the null-safe tokenizer a null/blank
+    // document has n_words = 0, and ANSI division would otherwise throw at
+    // the first degenerate crawl row. Ratios are 0.0 for token-less docs
+    // (keep already rejects them via g_words).
+    val t = coalesce(col(textCol), lit(""))
     val nWords = size(toks(t)).cast("long")
     val nonSpace = length(regexp_replace(t, "\\s", "")).cast("long")
     val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
@@ -91,12 +101,14 @@ object CorpusFilters {
       ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
     val nAlpha = size(filter(toks(t), x => x.rlike("[a-z]"))).cast("long")
     val nStop = TextAnalysis.markerCount(t, TextAnalysis.Stopwords).cast("long")
+    def ratio(num: Column): Column =
+      when(col("n_words") > 0, num.cast("double") / col("n_words"))
+        .otherwise(0.0)
     docs
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", nonSpace.cast("double") / col("n_words"))
-      .withColumn("symbol_ratio",
-        (hashes + ellipses).cast("double") / col("n_words"))
-      .withColumn("alpha_frac", nAlpha.cast("double") / col("n_words"))
+      .withColumn("mean_word_len", ratio(nonSpace))
+      .withColumn("symbol_ratio", ratio(hashes + ellipses))
+      .withColumn("alpha_frac", ratio(nAlpha))
       .withColumn("n_stopwords", nStop)
       .withColumn("g_words", col("n_words").between(minWords, maxWords))
       .withColumn("g_mean_len",

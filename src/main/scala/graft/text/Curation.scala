@@ -76,6 +76,13 @@ object Curation {
     * fraction, duplicate-bigram fraction, and a `repetitive` flag. Distinct
     * counts run as narrow array ops; only the top-token frequency needs an
     * explode + two aggs (both shuffles keyed on doc id).
+    *
+    * Null/blank documents (zero tokens under the shared tokenizer) are
+    * KEPT: the explode side yields no rows for them, so the top-frequency
+    * join is a left join with `top_freq` coalesced to 0, and every fraction
+    * is `when`-guarded to 0.0 (ANSI division would throw on n_tokens = 0) —
+    * a per-document feature operator must emit a row per document, not
+    * silently drop the degenerate ones.
     */
   def repetitionFeatures(docs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -91,11 +98,17 @@ object Curation {
     val top = base.select(col("id"), explode(col("__toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("top_freq"))
-    narrow.join(top, "id")
+    narrow.join(top, Seq("id"), "left")
+      .withColumn("top_freq", coalesce(col("top_freq"), lit(0L)))
       .select(col("id").as("doc_id"), col("n_tokens"),
-        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .otherwise(0.0)
           .as("dup_token_frac"),
-        (col("top_freq").cast("double") / col("n_tokens")).as("top_token_frac"),
+        when(col("n_tokens") > 0,
+          col("top_freq").cast("double") / col("n_tokens"))
+          .otherwise(0.0)
+          .as("top_token_frac"),
         when(col("n_tokens") > 1,
           (col("n_tokens") - 1 - col("n_distinct_bigrams")).cast("double")
             / (col("n_tokens") - 1).cast("double"))
@@ -179,7 +192,7 @@ object Curation {
     */
   def fimSplit(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", seed: String = "fim"): DataFrame = {
-    val t = split(col(textCol), "\\s+")
+    val t = graft.dedup.Dedup.tokens(col(textCol))
     val n = size(t).cast("long")
     val u1 = graft.functions.Md5Field.md5U32(
       concat(lit(s"$seed:a:"), col(idCol).cast("string")))
@@ -252,7 +265,7 @@ object Curation {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(batchSize > 0)
-    val len = size(split(col(textCol), "\\s+")).cast("long")
+    val len = size(graft.dedup.Dedup.tokens(col(textCol))).cast("long")
     val nt = col("n_tokens")
     val bucket = when(nt <= 16, 16L).when(nt <= 32, 32L)
       .when(nt <= 64, 64L).when(nt <= 128, 128L).when(nt <= 256, 256L)
@@ -316,14 +329,16 @@ object Curation {
     val u32 = graft.functions.Md5Field.md5U32(col(idCol).cast("string"))
     val perShard = docs
       .select((u32 % shards).as("shard"),
-        size(split(col(textCol), "\\s+")).cast("long").as("__nt"))
+        size(graft.dedup.Dedup.tokens(col(textCol))).cast("long").as("__nt"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
     val tot = perShard.agg(sum(col("n_tokens")).as("__tt"))
     perShard.crossJoin(broadcast(tot))
       .withColumn("token_skew",
-        (col("n_tokens") * lit(shards.toLong)).cast("double") /
-          col("__tt").cast("double"))
+        // guarded: an all-blank corpus has Σtokens = 0 and ANSI would throw
+        when(col("__tt") > 0,
+          (col("n_tokens") * lit(shards.toLong)).cast("double") /
+            col("__tt").cast("double")))
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("token_skew"))
   }
 

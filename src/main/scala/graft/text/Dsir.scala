@@ -50,7 +50,7 @@ object Dsir {
   /** doc_id, source, bucket rows — one per hashed bigram occurrence. */
   private def bigramBuckets(docs: DataFrame, buckets: Int): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"), col("source"), graft.dedup.Dedup.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
         zip_with(

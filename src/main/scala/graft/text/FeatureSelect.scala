@@ -25,7 +25,7 @@ object FeatureSelect {
   def giniStumps(docs: DataFrame, labelCol: Column, topTokens: Int = 30,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("doc"), labelCol.cast("long").as("y"),
-        split(col(textCol), "\\s+").as("t"))
+        graft.dedup.Dedup.tokens(col(textCol)).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val presence = base
       .select(col("doc"), col("y"), explode(col("t")).as("token"))

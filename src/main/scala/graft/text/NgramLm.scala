@@ -43,13 +43,13 @@ object NgramLm {
     BigramModel(
       trB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
       trB.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
-      trainDocs.select(explode(split(col(textCol), "\\s+")).as("t"))
+      trainDocs.select(explode(graft.dedup.Dedup.tokens(col(textCol))).as("t"))
         .agg(countDistinct(col("t")).as("v")))
   }
 
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
-        split(col(textCol), "\\s+").as("arr"))
+        graft.dedup.Dedup.tokens(col(textCol)).as("arr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     tok.select(col("doc"), posexplode(col("arr")).as(Seq("pos", "w1")))

@@ -38,7 +38,7 @@ object Perceptron {
     */
   def features(docs: DataFrame, dim: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"), split(col(textCol), "\\s+").as("t"))
+    val tok = docs.select(col(idCol).as("doc"), graft.dedup.Dedup.tokens(col(textCol)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     tok.select(col("doc"), explode(col("t")).as("w"))
       .filter(col("w") =!= "")

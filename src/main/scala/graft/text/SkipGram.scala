@@ -46,7 +46,7 @@ object SkipGram {
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && window <= 16, s"window must be in [1,16], got $window")
     val tok = docs
-      .select(col(idCol).as("doc"), split(col(textCol), "\\s+").as("t"))
+      .select(col(idCol).as("doc"), graft.dedup.Dedup.tokens(col(textCol)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK) // NOTES rule 1: array before explode
     val occ = tok.select(col("doc"), posexplode(col("t")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")

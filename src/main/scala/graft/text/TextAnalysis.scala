@@ -26,7 +26,11 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "ist", "nicht", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "des", "une"))
 
-  private def toks(c: Column): Column = split(c, "\\s+")
+  /** Canonical null-safe whitespace tokenizer (see
+    * [[graft.dedup.Dedup.tokens]] for the null ≡ blank ≡ zero-tokens
+    * contract).
+    */
+  private def toks(c: Column): Column = graft.dedup.Dedup.tokens(c)
 
   /** Occurrences of any word from `words` among the tokens of `c`. */
   def markerCount(c: Column, words: Seq[String]): Column =
@@ -97,10 +101,15 @@ object TextAnalysis {
   }
 
   /** Quality-scoring feature columns + a composite [0,1] score.
-    * Degenerate inputs (empty text) produce 0-ratios, not nulls/NaN.
+    * Degenerate inputs (null/empty/blank text) produce 0-ratios and a 0.0
+    * score, not nulls/NaN — null text is coalesced to "" up front. Before
+    * that guard a NULL token count slid through `least(NULL/50, 1.0)`
+    * (Spark's `least` SKIPS nulls) as a full 1.0 length factor, scoring a
+    * null document 0.5 — above every real short document. A quality gate at
+    * the conventional 0.5 would have selected exactly the null docs.
     */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit(""))
     val nTokens = size(toks(t))
     val nChars = length(t)
     val nonSpaceChars = length(regexp_replace(t, "\\s", ""))
@@ -201,7 +210,9 @@ object TextAnalysis {
     * (markup-heavy pages score high and get dropped before tokenization).
     */
   def markupStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    // coalesce: null text gets definite stats (stripped "", 0 tags, ratio
+    // 0.0) instead of NULL feature columns
+    val t = coalesce(col(textCol), lit(""))
     df.withColumn("stripped", stripMarkup(t))
       .withColumn("n_tags", regexp_count(t, lit("<[^>]*>")).cast("long"))
       .withColumn("markup_ratio",
@@ -212,12 +223,15 @@ object TextAnalysis {
 
   /** Whitespace token count and a BPE-ish subword-regex token count
     * (word-chars runs | single non-space non-word chars), the standard cheap
-    * token estimator.
+    * token estimator. Null/blank text counts 0 under both estimators (the
+    * shared tokenizer contract; `regexp_count` gets the same coalesce so the
+    * two columns agree on degenerate input).
     */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("ws_tokens", size(toks(col(textCol))).cast("long"))
       .withColumn("re_tokens",
-        regexp_count(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+        regexp_count(coalesce(col(textCol), lit("")),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
 
   /** Top-k salient terms per document by tf·idf — with the idf kept as the
     * exact rational `tf/df` (same ordering as `tf·ln(N/df)` per document,
@@ -367,7 +381,7 @@ object TextAnalysis {
                     textCol: String = "text"): DataFrame =
     docs
       .withColumn("__sents",
-        filter(split(col(textCol), "[.!?]+\\s*"), s => s =!= ""))
+        filter(split(coalesce(col(textCol), lit("")), "[.!?]+\\s*"), s => s =!= ""))
       .select(col(idCol), col("__sents"))
       .withColumn("__lens", transform(col("__sents"), s => size(toks(s))))
       .select(
@@ -390,7 +404,10 @@ object TextAnalysis {
     */
   def readability(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    // coalesce + n_words guard: a null/blank doc has zero words under the
+    // shared tokenizer and the syllables/word term would throw under ANSI;
+    // a word-less doc has no defined readability → flesch NULL, counts 0
+    val t = coalesce(col(textCol), lit(""))
     val nWords = size(toks(t)).cast("long")
     val nSents = greatest(
       size(filter(split(t, "[.!?]+\\s*"), s => s =!= "")).cast("long"), lit(1L))
@@ -398,9 +415,10 @@ object TextAnalysis {
     docs.select(col(idCol), nWords.as("n_words"), nSents.as("n_sentences"),
         nSyll.as("n_syllables"))
       .withColumn("flesch",
-        lit(206.835) -
-          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
-          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+        when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
   }
 
   /** One BPE-training round: corpus-wide counts of adjacent character pairs
@@ -804,7 +822,7 @@ object TextAnalysis {
     */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val arr = docs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+    val arr = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = arr.select(col("doc_id"),
       posexplode(col("t")).as(Seq("pos", "term")))
@@ -833,7 +851,7 @@ object TextAnalysis {
   def rakeKeyphrases(docs: DataFrame, k: Int = 20,
                      scale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val arr = docs.select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+    val arr = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = arr.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
 object Vocab {
 
   private def tokens(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("source"), split(col("text"), "\\s+").as("t"))
+    val tok = docs.select(col("source"), graft.dedup.Dedup.tokens(col("text")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     tok.select(col("source"), explode(col("t")).as("term"))
   }
@@ -58,7 +58,7 @@ object Vocab {
   def heapsCurve(docs: DataFrame, points: Int = 10,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(points >= 2 && points <= 64, s"points must be in [2,64], got $points")
-    val tok = docs.select(col(idCol).as("__id"), split(col(textCol), "\\s+").as("t"))
+    val tok = docs.select(col(idCol).as("__id"), graft.dedup.Dedup.tokens(col(textCol)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val occ = tok.select(col("__id"), explode(col("t")).as("term"))
       .filter(col("term") =!= "")

@@ -17,6 +17,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("cosine: degenerate vectors are NULL, never throw, never win top-k") {
+    // zero / empty / null embeddings (failed encoders at crawl scale):
+    // undefined similarity is NULL — no ANSI DIVIDE_BY_ZERO — and NULL
+    // sorts last under `cosine desc`, so degenerates can't take a slot
+    val df = Seq(
+      (Seq(0.0, 0.0), "zero"), (Seq.empty[Double], "empty"),
+      (null.asInstanceOf[Seq[Double]], "null"), (Seq(3.0, 4.0), "real"))
+      .toDF("v", "kind")
+    val c = df.select(col("kind"),
+        Similarity.cosine(col("v"), typedLit(Seq(1.0, 0.0))).as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(c("zero").isEmpty && c("empty").isEmpty && c("null").isEmpty)
+    assert(math.abs(c("real").get.asInstanceOf[Double] - 0.6) < 1e-12)
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 0.0)), (3L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select("nn_id").as[Long].collect().toSet
+    assert(!top.contains(2L), "zero vector must not win a neighbor slot")
+  }
+
+  test("cosine: a NaN-poisoned vector is NULL-scored, never ranks first") {
+    // Spark orders NaN GREATER than every double — unguarded, one vector
+    // with a single NaN element took rank 1 in EVERY query's top-k
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(Double.NaN, 1.0)), (3L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select("nn_id", "cosine").collect()
+    assert(!out.map(_.getLong(0)).contains(2L),
+      "NaN-poisoned vector must not win a neighbor slot")
+    assert(out.forall(r => !r.getDouble(1).isNaN))
+    val c = vecs.select(Similarity.cosine(col("embedding"),
+      typedLit(Seq(1.0, 0.0))).as("c")).collect()
+    assert(c.count(_.isNullAt(0)) === 1) // exactly the poisoned one
+  }
+
   test("brute-force top-k: k rows per query, self excluded, ranks ordered") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 3)
       .as[(Long, Long, Int, Double)].collect()
