@@ -42,8 +42,13 @@ object Ivf {
     */
   def build(corpus: DataFrame, nlist: Int, seed: Long = 42L,
             vecCol: String = "embedding", sampleFraction: Double = 1.0): Index = {
+    // finite-vector guard BEFORE sampling (see Similarity.finiteVectors:
+    // array_to_vector throws on NaN/Inf — one corrupt embedding would
+    // abort the whole offline build); on a clean corpus it is a no-op and
+    // the sample draw is unchanged
+    val clean = Similarity.finiteVectors(corpus, vecCol)
     val base = if (sampleFraction < 1.0)
-      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+      clean.sample(withReplacement = false, sampleFraction, seed) else clean
     val feats = base.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)

@@ -47,8 +47,10 @@ object Pq {
             vecCol: String = "embedding", sampleFraction: Double = 1.0): Index = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
+    // finite-vector guard before sampling — same rationale as Ivf.build
+    val clean = Similarity.finiteVectors(corpus, vecCol)
     val base = if (sampleFraction < 1.0)
-      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+      clean.sample(withReplacement = false, sampleFraction, seed) else clean
     val v = base.select(col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -72,6 +72,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Rows whose vector is present and fully finite — the fit-side guard for
+    * index builds. `array_to_vector` (the MLlib bridge both [[Ivf.build]]
+    * and [[Pq.build]] feed KMeans through) THROWS on any NaN/Infinity
+    * element, so one corrupt embedding in a crawl-scale corpus would abort
+    * an hours-long offline build; and even if it didn't, a non-finite
+    * vector averaged into a centroid poisons the whole cell. Degenerate
+    * vectors carry no indexable direction (their query-time [[cosine]] is
+    * NULL) — excluding them from the CENTROID FIT loses nothing. Zero
+    * vectors are kept: they are legitimate L2 geometry for k-means even
+    * though cosine against them is undefined. Null arrays drop (forall over
+    * NULL is NULL).
+    */
+  def finiteVectors(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.filter(forall(asDouble(col(vecCol)),
+      x => !isnan(x) && abs(x) <= lit(Double.MaxValue)))
+
   /** Repartition a vector table for CPU-bound scoring: embedding tables are
     * tiny on disk vs their compute cost, so file-split parallelism
     * under-parallelizes (same rule as [[graft.dedup.Dedup]]).

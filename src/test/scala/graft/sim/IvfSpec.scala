@@ -18,6 +18,29 @@ class IvfSpec extends SparkSpec {
     assert(cells.distinct.length > 4, "clustering collapsed to too few cells")
   }
 
+  test("build survives corrupt vectors; fit equals the clean-corpus fit") {
+    // array_to_vector THROWS on NaN/Inf — unguarded, one corrupt embedding
+    // aborts the whole offline build. The finite-vector guard excludes
+    // exactly the unindexable rows, so the planted build IS the clean build.
+    val bad = Seq(
+      (9001L, Seq(Double.NaN, 1.0, 0.0, 0.0) ++ Seq.fill(60)(0.0)),
+      (9002L, Seq(Double.PositiveInfinity) ++ Seq.fill(63)(0.0)),
+      (9003L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(bad)
+    val idx = Ivf.build(planted, nlist = 16)
+    assert(idx.centroids == index.centroids,
+      "corrupt rows must not shift the centroid fit")
+    assert(idx.centroids.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    // assignment of a NaN vector is deterministic (Java < never true on
+    // NaN distances -> cell 0), and never crashes the kernel
+    val cells = bad.filter(col("embedding").isNotNull)
+      .select(Ivf.cellId(col("embedding").cast("array<double>"), idx))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 16))
+  }
+
   test("sampled build still yields a usable index") {
     val sampled = Ivf.build(emb, nlist = 16, sampleFraction = 0.5)
     assert(sampled.centroids.length == 16)

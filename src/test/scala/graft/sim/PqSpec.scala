@@ -21,6 +21,20 @@ class PqSpec extends SparkSpec {
     assert(codeStats._3 > 1, "all vectors collapsed to one code word")
   }
 
+  test("build survives corrupt vectors; codebooks equal the clean fit") {
+    // same guard as Ivf.build: array_to_vector throws on NaN/Inf, so an
+    // unguarded build dies on one corrupt embedding; guarded, the corrupt
+    // rows are excluded from the fit and the codebooks are unchanged
+    val bad = Seq(
+      (9001L, Seq(Double.NaN) ++ Seq.fill(63)(0.0)),
+      (9002L, Seq(Double.NegativeInfinity) ++ Seq.fill(63)(1.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(bad)
+    val idx = Pq.build(planted, dim = 64, m = 8, k = 16)
+    assert(idx.codebooks == index.codebooks)
+  }
+
   test("codes are partitioning-invariant") {
     def run(parts: Int) = emb.repartition(parts)
       .select($"vec_id", Pq.codes(col("embedding").cast("array<double>"), index).as("c"))
