@@ -17,11 +17,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Summation order is the same sequential left-fold as the composable form
   * and the DuckDB oracle (`list_reduce`), so results are bit-identical.
-  * Mismatched lengths use the shorter prefix; null elements are treated as 0.
+  * Mismatched lengths are NULL (matching `dotHof`'s zip_with padding, which
+  * nulls the whole fold — see nullSafeEval); null elements are treated as 0.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even over non-nullable inputs: the length-mismatch guard
+  // produces NULL, and a false `nullable` would make codegen consumers
+  // ignore the isNull bit entirely
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   // require array<double> at analysis time: without this, a float-array
@@ -38,10 +43,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     }
   }
 
+  // Mismatched lengths are NULL, not a min-length prefix dot: a 384-dim
+  // vector mixed into a 768-dim table (a model-version pipeline bug at
+  // crawl scale) must not get a plausible-looking prefix similarity — and
+  // the HOF reference form already agrees (zip_with pads the shorter side
+  // with NULL, which nulls the whole fold), so the prefix loop was the ONE
+  // input class where "bit-identical to dotHof" did not hold.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,14 +69,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

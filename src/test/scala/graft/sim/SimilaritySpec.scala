@@ -167,6 +167,31 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("dot: mismatched lengths are NULL in BOTH forms, never a prefix dot") {
+    // a 384-dim vector mixed into a 768-dim table (model-version pipeline
+    // bug) must not get a plausible prefix similarity; zip_with already
+    // nulls the HOF fold, and the native expression must agree
+    val rows = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0)),          // mismatch
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)))                // match: 11.0
+      .toDF("a", "b")
+    val out = rows.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getDouble(0) === 11.0 && out(1).getDouble(1) === 11.0)
+    // and through cosine, under both codegen modes
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      for (ws <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        val c = rows.select(Similarity.cosine(col("a"), col("b"))).collect()
+        assert(c(0).isNullAt(0), s"wholeStage=$ws")
+        assert(!c(1).isNullAt(0), s"wholeStage=$ws")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("native SrpBucket is bit-identical to the HOF when-chain") {
     val planes = Similarity.hyperplanes(8, 64, 42L)
     val vecs = emb.limit(300).select(col("embedding").cast("array<double>").as("v"))
