@@ -49,10 +49,23 @@ object Normalize {
     StructField("correlation_id", StringType)
   ))
 
-  private def epochStringToTs(c: Column): Column = timestamp_seconds(c.cast(LongType))
+  private def epochStringToTs(c: Column): Column =
+    timestamp_seconds(c.try_cast(LongType))
 
   /** The cast/bucket/filter pipeline of `sink_telematics_real_time.sql:17-43`:
     * takes the Kafka-edge (all-strings) shape, emits the fact-table shape.
+    *
+    * Every lossy string→typed cast is `try_cast`, NOT `cast`: under ANSI a
+    * raw cast of one malformed field value THROWS `CAST_INVALID_INPUT` —
+    * and the payload-level DLQ cannot help, because `{"gps_epoch": "abc"}`
+    * is perfectly valid JSON. In the streaming wrapper that single field
+    * would kill the whole query; in a backfill it aborts the batch. Field
+    * corruption instead nulls the field (the same tolerance contract as
+    * the backfill coordinate parse, `Backfill.scala` F14) and the row
+    * survives with its intact fields; rows whose EVENT TIME nulled out are
+    * in turn gated at the watermark boundary (see
+    * [[graft.stream.StreamingIngest]]) rather than silently swallowed by
+    * the state store.
     */
   def normalizeTelemetry(edge: DataFrame, buckets: Int = 32): DataFrame =
     edge.select(
@@ -60,17 +73,19 @@ object Normalize {
       col("tenant"), col("provider"), col("model"), col("firmware"),
       col("device_id"),
       col("alert_type"),
-      col("latitude").cast(DoubleType).as("latitude"),
-      col("longitude").cast(DoubleType).as("longitude"),
-      col("gps_fixed").cast(BooleanType).as("gps_fixed"),
+      col("latitude").try_cast(DoubleType).as("latitude"),
+      col("longitude").try_cast(DoubleType).as("longitude"),
+      col("gps_fixed").try_cast(BooleanType).as("gps_fixed"),
       epochStringToTs(col("gps_epoch")).as("gps_epoch"),
-      col("satellites").cast(LongType).as("satellites"),
-      col("speed_kmh").cast(DoubleType).as("speed_kmh"),
+      col("satellites").try_cast(LongType).as("satellites"),
+      col("speed_kmh").try_cast(DoubleType).as("speed_kmh"),
       col("heading"),
-      col("odometer_meters").cast(LongType).as("odometer_meters"),
-      col("engine_on").cast(BooleanType).as("engine_on"),
-      col("vehicle_battery_voltage").cast(DoubleType).as("vehicle_battery_voltage"),
-      col("backup_battery_voltage").cast(DoubleType).as("backup_battery_voltage"),
+      col("odometer_meters").try_cast(LongType).as("odometer_meters"),
+      col("engine_on").try_cast(BooleanType).as("engine_on"),
+      col("vehicle_battery_voltage").try_cast(DoubleType)
+        .as("vehicle_battery_voltage"),
+      col("backup_battery_voltage").try_cast(DoubleType)
+        .as("backup_battery_voltage"),
       epochStringToTs(col("received_epoch")).as("received_epoch"),
       epochStringToTs(col("decoded_epoch")).as("decoded_epoch"),
       col("correlation_id"),

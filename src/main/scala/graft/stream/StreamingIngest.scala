@@ -186,8 +186,28 @@ object StreamingIngest {
                   eventTimeCol: String = "gps_epoch",
                   watermark: String = "10 minutes"): DataFrame =
     normalized
+      .transform(withEventTime(_, eventTimeCol))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** The watermark-boundary gate: only rows whose event time survived
+    * normalization may enter watermarked state.
+    *
+    * A corrupt timestamp nulls out at [[graft.ingest.Normalize]]'s
+    * `try_cast` (the row itself survives ingest), but Spark's stateful
+    * operators handle a NULL event time in two different bad ways
+    * (probed on 4.1): windowed/session aggregations drop the row
+    * SILENTLY (`window(NULL)` groups away), while
+    * `dropDuplicatesWithinWatermark` RETAINS it — and a state row keyed
+    * under a NULL event time has no watermark to expire against, which
+    * is unbounded state at crawl scale. This gate replaces both
+    * behaviors with one explicit, documented disposition: corrupt-time
+    * rows are excluded from event-time state; callers that must not
+    * lose them route `filter(col(eventTimeCol).isNull)` to the DLQ
+    * sink, the same keep-the-failures discipline as the payload DLQ.
+    */
+  def withEventTime(df: DataFrame, eventTimeCol: String = "gps_epoch"): DataFrame =
+    df.filter(col(eventTimeCol).isNotNull)
 
   /** Arbitrary-state streaming (`mapGroupsWithState`): running per-device
     * totals that survive across micro-batches — the `GroupState` surface for
@@ -284,6 +304,7 @@ object StreamingIngest {
   def windowedDeviceCounts(normalized: DataFrame, window_ : String = "5 minutes",
                            watermark: String = "10 minutes"): DataFrame =
     normalized
+      .transform(withEventTime(_, "gps_epoch"))
       .withWatermark("gps_epoch", watermark)
       .groupBy(window(col("gps_epoch"), window_), col("device_id"))
       .agg(count(lit(1)).as("n"), max(col("speed_kmh")).as("max_speed"))
@@ -296,6 +317,7 @@ object StreamingIngest {
   def sessionizedDeviceCounts(normalized: DataFrame, gap: String = "30 minutes",
                               watermark: String = "10 minutes"): DataFrame =
     normalized
+      .transform(withEventTime(_, "gps_epoch"))
       .withWatermark("gps_epoch", watermark)
       .groupBy(session_window(col("gps_epoch"), gap).as("w"), col("device_id"))
       .agg(count(lit(1)).as("n_events"), max(col("speed_kmh")).as("max_speed"))
@@ -322,8 +344,10 @@ object StreamingIngest {
   def alertEnrichmentJoin(alerts: DataFrame, statuses: DataFrame,
                           lookback: String = "5 minutes",
                           watermark: String = "10 minutes"): DataFrame = {
-    val a = alerts.withWatermark("gps_epoch", watermark).alias("a")
-    val st = statuses.withWatermark("gps_epoch", watermark).alias("s")
+    val a = withEventTime(alerts, "gps_epoch")
+      .withWatermark("gps_epoch", watermark).alias("a")
+    val st = withEventTime(statuses, "gps_epoch")
+      .withWatermark("gps_epoch", watermark).alias("s")
     a.join(st,
         col("a.device_id") === col("s.device_id") &&
           col("s.gps_epoch") >= col("a.gps_epoch") - expr(s"INTERVAL $lookback") &&

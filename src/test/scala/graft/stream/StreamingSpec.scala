@@ -44,6 +44,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corrupt field values null out, never kill the stream or the state") {
+    implicit val sql = spark.sqlContext
+    // a VALID JSON payload with a garbage field is invisible to the
+    // payload-level DLQ; a raw ANSI cast on it would throw
+    // CAST_INVALID_INPUT and kill the whole streaming query
+    val corrupt = Edge.mk("7", 1704067200L)
+      .copy(gps_epoch = "not-an-epoch", speed_kmh = "NaNsense")
+    val mem = MemoryStream[Edge]
+    val q = StreamingIngest.ingest(mem.toDF())
+      .writeStream.format("memory").queryName("corrupt_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Edge.mk("7", 1704067200L), corrupt, Edge.mk("8", 1704067260L))
+      q.processAllAvailable() // would rethrow a cast failure
+      val out = spark.table("corrupt_out")
+        .select(col("device_id"), col("gps_epoch").isNull.as("no_ts"),
+          col("speed_kmh").isNull.as("no_speed"))
+        .as[(String, Boolean, Boolean)].collect().sortBy(_.toString)
+      assert(out.length == 3, "the corrupt-field row must survive ingest")
+      assert(out.count(r => r._2 && r._3) == 1, "corrupt fields null out")
+    } finally q.stop()
+    // ...and the watermark-boundary gate keeps the corrupt-time row out of
+    // event-time state (windowed agg would silently drop it; the
+    // watermark dedup would hold its state forever)
+    val mem2 = MemoryStream[Edge]
+    val q2 = StreamingIngest.dedupStream(
+        Normalize.normalizeTelemetry(mem2.toDF()))
+      .writeStream.format("memory").queryName("corrupt_dedup")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Edge.mk("7", 1704067200L), corrupt, Edge.mk("8", 1704067260L))
+      q2.processAllAvailable()
+      val ids = spark.table("corrupt_dedup")
+        .select("correlation_id").as[String].collect().sorted.toSeq
+      assert(ids == Seq("7-1704067200", "8-1704067260"),
+        "corrupt-time rows are gated at the watermark boundary")
+    } finally q2.stop()
+  }
+
   test("streaming upsert sink is idempotent across micro-batches") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
