@@ -11,9 +11,19 @@ object Maintenance {
 
   /** Retention predicate (K5/P6): rows *surviving* `DELETE WHERE dayCol <
     * asOf - days` (`cleanup.sql:5-10`; 5d maxtrack raw, 90d others).
+    *
+    * NULL days survive: SQL DELETE removes rows whose predicate is TRUE,
+    * and `NULL < cutoff` is NULL — so a row with no day is NOT deleted.
+    * The naive survivor filter `dayCol >= cutoff` would silently drop it
+    * (the three-valued inversion trap), and would also disagree with
+    * [[retentionDelete]], whose partition-directory sweep never matches
+    * the null (`__HIVE_DEFAULT_PARTITION__`) directory against a date
+    * cutoff. An un-dated row is a data-quality finding for the DLQ
+    * discipline, not something a retention pass may silently destroy.
     */
   def retain(df: DataFrame, dayCol: String, days: Int, asOf: java.time.LocalDate): DataFrame =
-    df.filter(col(dayCol) >= lit(java.sql.Date.valueOf(asOf.minusDays(days.toLong))))
+    df.filter(col(dayCol).isNull ||
+      col(dayCol) >= lit(java.sql.Date.valueOf(asOf.minusDays(days.toLong))))
 
   /** Apply retention in place on a `dayCol`-partitioned parquet path: deletes
     * whole expired partitions (metadata-only file deletes, no rewrite) — at

@@ -220,6 +220,20 @@ object Versioned {
   def upsert(incoming: DataFrame, tableDir: String, keys: Seq[String],
              precedence: org.apache.spark.sql.Column): Int = {
     val spark = incoming.sparkSession
+    // PK NOT NULL, enforced loudly at the table boundary: the plain
+    // Upsert operator follows SQL MERGE (null-key rows insert,
+    // un-deduplicated), but a VERSIONED table's branch machinery is
+    // key-join-based — mergeBranch's semi/anti joins never match NULL
+    // keys, so identity-less rows admitted here would silently vanish at
+    // the first branch merge. Reject them at write time instead, like any
+    // primary-key constraint; the check scans only the incoming batch and
+    // stops at the first offender.
+    val nullKey = keys.map(org.apache.spark.sql.functions.col(_).isNull)
+      .reduce(_ || _)
+    require(incoming.filter(nullKey).limit(1).isEmpty,
+      s"versioned upsert into $tableDir: key columns ${keys.mkString(",")} " +
+        "must be non-null (PK constraint); route identity-less rows to a " +
+        "DLQ before the keyed table")
     val existing =
       if (versions(spark, tableDir).isEmpty) incoming.limit(0)
       else read(spark, tableDir)

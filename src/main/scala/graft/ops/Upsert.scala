@@ -22,14 +22,26 @@ object Upsert {
 
   /** Keep one row per key: highest `precedence` wins; `tieBreak` resolves
     * exact ties deterministically. Incoming must carry the same schema.
+    *
+    * NULL-key rows follow SQL MERGE semantics: a NULL key never matches an
+    * ON condition, so every null-key row — existing or incoming — passes
+    * through un-deduplicated. Window partitioning alone would do the
+    * OPPOSITE (it groups NULL keys into one partition and would silently
+    * collapse all identity-less rows to a single survivor), and would also
+    * disagree with [[upsertAntiJoin]], whose equi-join already never
+    * matches NULLs — the same window-vs-join NULL asymmetry as
+    * exact-dedup's two paths. The null-key rows still ride the window
+    * shuffle as one partition; if a corpus carries null keys at volume,
+    * split them off before the upsert (they need no dedup work at all).
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              precedence: Column, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(precedence.desc, tieBreak.desc)
+    val hasKey = keys.map(col(_).isNotNull).reduce(_ && _)
     existing.unionByName(incoming)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") === 1 || !hasKey)
       .drop("__rn")
   }
 

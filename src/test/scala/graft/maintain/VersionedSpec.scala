@@ -65,6 +65,21 @@ class VersionedSpec extends SparkSpec {
     assert(before == Set(("d1", 5L, 1), ("d2", 7L, 1)))
   }
 
+  test("versioned upsert rejects null-key rows loudly (PK constraint)") {
+    // the branch machinery is key-join-based: identity-less rows admitted
+    // here would silently vanish at the first mergeBranch — reject at
+    // write time instead
+    import org.apache.spark.sql.functions.col
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Versioned.upsert(
+        Seq(("d1", 5L, 1), (null.asInstanceOf[String], 6L, 1))
+          .toDF("k", "total", "ver"), dir, Seq("k"), col("ver"))
+    }
+    assert(e.getMessage.contains("non-null"))
+    assert(Versioned.versions(spark, dir).isEmpty, "no partial commit")
+  }
+
   test("snapshotDiff: upserts surface as delete+insert of the changed key") {
     import org.apache.spark.sql.functions.col
     val dir = freshTable()

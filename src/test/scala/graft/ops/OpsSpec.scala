@@ -32,6 +32,33 @@ class OpsSpec extends SparkSpec {
     assert(out.as[(String, Long)].collect().toSet == Set(("d1", 9L), ("d2", 7L), ("d3", 1L)))
   }
 
+  test("null-key rows follow MERGE semantics in BOTH upsert formulations") {
+    // a NULL key never matches an ON condition: null-key rows pass through
+    // un-deduplicated on both paths — window partitioning alone would
+    // collapse them all to one survivor (silent loss of identity-less rows)
+    val existing = Seq((null.asInstanceOf[String], 1L), ("d1", 5L)).toDF("k", "v")
+    val incoming = Seq((null.asInstanceOf[String], 2L),
+      (null.asInstanceOf[String], 3L), ("d1", 9L)).toDF("k", "v")
+    val win = Upsert.upsert(existing, incoming, Seq("k"), col("v"), col("v"))
+      .as[(String, Long)].collect().toSet
+    val anti = Upsert.upsertAntiJoin(existing, incoming, Seq("k"))
+      .as[(String, Long)].collect().toSet
+    val expect = Set((null, 1L), (null, 2L), (null, 3L), ("d1", 9L))
+    assert(win == expect, s"window path: $win")
+    assert(anti == expect, s"anti-join path: $anti")
+  }
+
+  test("retain keeps NULL-day rows, matching DELETE and the partition sweep") {
+    // DELETE WHERE day < cutoff does not delete NULL days (predicate NULL);
+    // the naive survivor filter day >= cutoff would silently drop them
+    val df = Seq(("2024-01-01", 1L), ("2024-03-01", 2L),
+      (null.asInstanceOf[String], 3L)).toDF("d", "v")
+      .select(col("d").cast("date").as("d"), col("v"))
+    val out = Maintenance.retain(df, "d", 30, java.time.LocalDate.parse("2024-03-15"))
+      .select("v").as[Long].collect().toSet
+    assert(out == Set(2L, 3L), s"got $out")
+  }
+
   test("pagination partitions the ordered result (FIXTURES.md §3)") {
     val df = (1 to 95).map(i => (i.toLong, s"r$i")).toDF("id", "s")
     val order = Seq(col("id").asc)
