@@ -77,8 +77,10 @@ object Correlation {
         Seq(sum(xs(i)).as(s"s_$i"), sum(xs(i) * xs(i)).as(s"s_${i}_$i")) } ++
       (for { i <- cols.indices; j <- cols.indices if i < j }
         yield sum(xs(i) * xs(j)).as(s"s_${i}_$j"))
+    // eager anchor, not a lazy persist (r17): a 1-row moment frame with
+    // k(k−1)/2 select consumers is the r15 anchor-playbook case
     val one = df.agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def dec(c: Column) = c.cast("decimal(38,0)")
     val rows = for { i <- cols.indices; j <- cols.indices if i < j } yield {
       val num = (dec(col("n")) * col(s"s_${i}_$j") -

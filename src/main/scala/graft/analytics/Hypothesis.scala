@@ -43,8 +43,14 @@ object Hypothesis {
     */
   private def requireBoundedDomain(vals: DataFrame, bound: Long,
                                    op: String): DataFrame = {
-    val nv = vals.agg(count(lit(1)).as("__nvals"))
-    vals.crossJoin(broadcast(nv))
+    // single derivation of `vals`: the count rides a global window over the
+    // (by-contract metadata-sized) frame instead of a separate aggregate
+    // whose plan embeds the whole `vals` subtree a second time (r17 — the
+    // count-agg + crossJoin form derived the histogram twice per guard).
+    // On a violating input both forms fully compute `vals` before
+    // raise_error fires; the error condition and output rows are identical.
+    vals.withColumn("__nvals",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("__nvals") <= bound ||
         raise_error(concat(
           lit(s"$op: "), col("__nvals").cast("string"),
@@ -79,15 +85,21 @@ object Hypothesis {
       maxDistinctValues, "kruskalWallis")
     val wv = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // anchors (r17): `ranked` is the ≤ maxDistinctValues histogram (bounded
+    // by the guard) consumed by BOTH the tie aggregate and the rank join —
+    // unanchored, the vals subtree (a full scan + shuffle agg) ran once per
+    // consumer; `g` is k group rows consumed by the total and the final fold
     val ranked = vals
       .withColumn("cum", sum(col("cnt")).over(wv))
       .withColumn("trank", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .localCheckpoint(true)
     val ties = ranked.agg(
       sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) - dec(col("cnt")))
         .as("tie_dec"))
     val g = ev.join(broadcast(ranked.select(col("cents"), col("trank"))), Seq("cents"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_i"), sum(dec(col("trank"))).as("sr2"))
+      .localCheckpoint(true)
     val tot = g.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"))
     val wg = Window.orderBy(col("grp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -117,9 +129,12 @@ object Hypothesis {
     */
   def anovaF(df: DataFrame, grpCol: String, centsCol: String): DataFrame = {
     val ev = df.select(col(grpCol).as("grp"), col(centsCol).as("cents"))
+    // anchor (r17): k group-moment rows consumed by the total AND the final
+    // fold — unanchored, the full scan + moment aggregate ran per consumer
     val g = ev.groupBy(col("grp")).agg(count(lit(1)).as("n_i"),
       sum(dec(col("cents"))).as("s_i"),
       sum(dec(col("cents")) * dec(col("cents"))).as("q_i"))
+      .localCheckpoint(true)
     val tot = g.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"),
       sum(col("s_i")).as("s_all"), sum(col("q_i")).as("q_all"))
     val wg = Window.orderBy(col("grp"))
@@ -160,9 +175,13 @@ object Hypothesis {
     * arguments. One row: `n`, `mi_nats`, `h_a`, `h_b`, `nmi`.
     */
   def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // eager anchor, not a lazy persist (r17): the contingency matrix is
+    // metadata-sized (|A|×|B| category cells) with FOUR consumers — the
+    // r15 anchor-playbook case (lazy cache-block management + live lineage
+    // replanning cost more than one eager materialization)
     val cm = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val rT = cm.groupBy(col("a")).agg(sum(col("o")).as("r"))
     val cT = cm.groupBy(col("b")).agg(sum(col("o")).as("c"))
     val tot = cm.agg(sum(col("o")).as("n"))

@@ -69,7 +69,12 @@ object Itemsets {
     */
   def associationRules(items: DataFrame, basketCol: String, itemCol: String,
                        minSupport: Long, minConfPct: Int): DataFrame = {
+    // eager anchor (r17): both rule orientations consume the frequent-pair
+    // set — unanchored, the whole apriori-pruned pair join ran twice (the
+    // pair set is bounded by the support cut, metadata-scale next to the
+    // basket table)
     val p = frequentPairs(items, basketCol, itemCol, minSupport)
+      .localCheckpoint(true)
     val fwd = p.select(col("item_a").as("antecedent"),
       col("item_b").as("consequent"), col("support_ab"),
       col("support_a").as("support_ant"), col("lift"))

@@ -65,12 +65,19 @@ object Quantiles {
       .filter(col("c").isNotNull)
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     val hist = cents.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // eager anchor on the metadata-sized cumulative frame: without it the
+    // histogram subtree (a full pass-1 scan + shuffle agg) runs TWICE —
+    // once under the cumulative window and once under the n-aggregate —
+    // making the documented "two scans" three (r17 measurement). n is the
+    // last cumulative count (summands are counts ≥ 1, monotone), read via
+    // max_by per the fold-anchor rule.
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_prev", col("cum") - col("cnt"))
-    val targets = hist.agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(true)
+    val targets = cum.agg(max_by(col("cum"), col("bucket")).as("n"))
       .select(col("n"), rankFromN(col("n")).as("k"))
       .join(cum, col("k") > col("cum_prev") && col("k") <= col("cum"))
       .select(col("n"), col("k"), col("bucket"), col("cum_prev").as("below"))
@@ -99,12 +106,16 @@ object Quantiles {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val cents = df.select(col(centsCol).as("c"))
       .withColumn("bucket", expr(s"c div $bucketWidth"))
+    // eager anchor + last-cumulative n: one derivation of `hist` instead of
+    // two (see exactOrderStatistic — same rationale; for caller-maintained
+    // histograms the anchor is a cheap metadata materialization)
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_prev", col("cum") - col("cnt"))
-    val n = hist.agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(true)
+    val n = cum.agg(max_by(col("cum"), col("bucket")).as("n"))
     // one row per quantile: its rank and straddling bucket
     val targets = n
       .select(col("n"), explode(array(permille.map(p => lit(p)): _*)).as("p"))
@@ -136,12 +147,15 @@ object Quantiles {
     val cents = df.select(col(groupCol).as("grp"), col(centsCol).as("c"))
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     val hist = cents.groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // eager anchor + per-group last-cumulative n: one derivation of `hist`
+    // instead of two (see exactOrderStatistic — same rationale)
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("grp")).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_prev", col("cum") - col("cnt"))
-    val n = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(true)
+    val n = cum.groupBy(col("grp")).agg(max_by(col("cum"), col("bucket")).as("n"))
     val targets = n
       .select(col("grp"), col("n"),
         explode(array(permille.map(p => lit(p)): _*)).as("p"))
@@ -176,6 +190,11 @@ object Quantiles {
       .filter(col("c").isNotNull)
       .withColumn("bucket", expr(s"c div $bucketWidth"))
     val hist = cents.groupBy(col("bucket")).agg(sum(col("wt")).as("bw"))
+    // NOT anchored (r17 A/B x3: anchor arm consistently +0.1-0.15 s on
+    // q_weighted_quantiles): the two `hist` consumers below sit over the
+    // IDENTICAL exchange, which ReuseExchange already dedupes — the eager
+    // checkpoint only added its own job. Contrast exactOrderStatistic /
+    // FromHistogram, where the anchor composes with multi-consumer callers.
     val cum = hist
       .withColumn("cum", sum(col("bw")).over(
         Window.orderBy(col("bucket"))

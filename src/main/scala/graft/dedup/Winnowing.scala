@@ -84,10 +84,21 @@ object Winnowing {
                        minShared: Int = 2, maxDocFreq: Int = 50,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fps = fingerprints(docs, k, w, idCol, textCol)
+    // eager anchor before the self-join: both join branches consume `rare`,
+    // and without the cut each re-runs the whole tokenize → k-gram window →
+    // winnow-min → distinct pipeline (r17 A/B x3 interleaved, exact-equal:
+    // base 1.90-2.40 s vs anchored 1.55-1.88 at sf0.1). At corpus scale the
+    // anchored frame is the selected-fingerprint table (~2/(w+1) of token
+    // positions, two longs per row) — materializing it once is strictly
+    // cheaper than recomputing the fingerprint pipeline per branch; a
+    // production deployment would persist it as the standing fingerprint
+    // artifact. localCheckpoint availability caveat as in Dedup (executor
+    // loss invalidates blocks; acceptable for derived, replayable frames).
     val rare = fps
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("__df") <= maxDocFreq)
       .select(col("doc"), col("fp"))
+      .localCheckpoint(true)
     rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -908,11 +908,17 @@ object StatQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         round(col("value") * 100, 0).cast("long").as("cents"))
     val nowRow = broadcast(ev.agg(max(col("us")).as("__now")))
+    // eager anchor (r17): the per-user RFM table is consumed SEVEN times —
+    // the main projection plus two passes inside each of three exact-quantile
+    // threshold calls — and unanchored each consumer re-ran the events scan
+    // + groupBy. Per-entity aggregates are the frame a production pipeline
+    // materializes once (bounded by |users|, not |events|).
     val perUser = ev.crossJoin(nowRow)
       .groupBy(col("user_id"))
       .agg(min(col("__now") - col("us")).as("recency_us"),
         count(lit(1)).as("frequency"),
         sum(col("cents")).as("monetary"))
+      .localCheckpoint(true)
     def thresholds(c: String, width: Long, name: String) = broadcast(
       graft.analytics.Quantiles.exactQuantilesTwoPass(
           perUser.select(col(c)), c, Seq(200, 400, 600, 800), width)
@@ -3382,15 +3388,21 @@ object StatQueries {
   private def trimmedMeanQ(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.events(s, dir)
       .select(round(col("value") * 100, 0).cast("long").as("cents"))
-    def cut(permille: Int, name: String) =
-      graft.analytics.Quantiles.exactOrderStatistic(
-          scored, "cents", n => expr(s"(n * $permille + 999) div 1000"),
-          bucketWidth = 1000L)
-        .select(col("n"), col("k").as(s"k_$name"),
-          col("value_cents").as(s"v_$name"))
-    val lo = cut(100, "lo")
-    val hi = cut(900, "hi").drop("n")
-    scored.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // ONE shared two-pass quantile call for both cut points (r17): the
+    // previous per-cut exactOrderStatistic calls each re-histogrammed the
+    // whole column; exactQuantilesTwoPass computes any number of permille
+    // points from a single histogram + a single straddling-bucket pass, and
+    // its rank rule k = ceil(n·p/1000) is the identical integer
+    // cross-multiplication the per-cut rank lambda used.
+    val cuts = broadcast(
+      graft.analytics.Quantiles.exactQuantilesTwoPass(
+          scored, "cents", Seq(100, 900), bucketWidth = 1000L)
+        .agg(max(col("n")).as("n"),
+          max(when(col("p") === 100, col("k"))).as("k_lo"),
+          max(when(col("p") === 100, col("value_cents"))).as("v_lo"),
+          max(when(col("p") === 900, col("k"))).as("k_hi"),
+          max(when(col("p") === 900, col("value_cents"))).as("v_hi")))
+    scored.crossJoin(cuts)
       .agg(max(col("n")).as("n"), max(col("k_lo")).as("k_lo"),
         max(col("k_hi")).as("k_hi"),
         max(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"),

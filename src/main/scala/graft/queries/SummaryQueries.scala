@@ -227,9 +227,13 @@ object SummaryQueries {
     * content cut). All counts exact BIGINTs under the hash.
     */
   private def cdcChunksQ(s: SparkSession, dir: String): DataFrame = {
+    // eager anchor, not a lazy persist: the chunk table is KB-MB (one row
+    // per content-defined chunk) and has FOUR consumers (totals, orig, two
+    // familyStats) — the r15 anchor playbook case (r17 A/B x3 interleaved,
+    // exact-equal: persist 1.38-1.73 s vs anchor 1.23-1.35 at sf0.1)
     val ch = graft.dedup.ContentChunking.chunks(
         PipelineQueries.augmented(Tables.documents(s, dir)), divisor = 16)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = ch.agg(
       countDistinct(col("doc")).as("n_docs"),
       count(lit(1)).as("n_chunks"),

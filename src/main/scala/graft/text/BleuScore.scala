@@ -34,9 +34,15 @@ object BleuScore {
   def ngramPrecision(pairs: DataFrame, pairIdCol: String, candCol: String,
                      refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    // eager anchor (r17): the tokenized pair table feeds THREE consumers
+    // (candidate gram counts, reference gram counts, the length totals) —
+    // unanchored, each re-ran both tokenizations over the raw text; and the
+    // anchor sits on the ARRAY frame, not the exploded one, per the rule-1
+    // explode-pushdown discipline
     val tok = pairs.select(col(pairIdCol).as("pair_id"),
       graft.dedup.Dedup.tokens(col(candCol)).as("ct"),
       graft.dedup.Dedup.tokens(col(refCol)).as("rt"))
+      .localCheckpoint(true)
 
     def grams(t: Column, n: Int): Column =
       when(size(t) >= n,
@@ -79,9 +85,12 @@ object BleuScore {
   def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
              refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    // eager anchor on the array frame — same rationale as [[ngramPrecision]]
+    // (two gram-count consumers re-tokenized the pair table otherwise)
     val tok = pairs.select(col(pairIdCol).as("pair_id"),
       graft.dedup.Dedup.tokens(col(candCol)).as("ct"),
       graft.dedup.Dedup.tokens(col(refCol)).as("rt"))
+      .localCheckpoint(true)
 
     def grams(t: Column, n: Int): Column =
       when(size(t) >= n,

@@ -58,8 +58,10 @@ object Vocab {
   def heapsCurve(docs: DataFrame, points: Int = 10,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(points >= 2 && points <= 64, s"points must be in [2,64], got $points")
+    // `tok` is consumed exactly once (by `occ`, which IS persisted), so it
+    // carries no cache of its own (r17 — the lazy persist only added
+    // cache-block management)
     val tok = docs.select(col(idCol).as("__id"), graft.dedup.Dedup.tokens(col(textCol)).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val occ = tok.select(col("__id"), explode(col("t")).as("term"))
       .filter(col("term") =!= "")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -77,13 +79,20 @@ object Vocab {
     }
     val types = curve(firsts, "__first", "types")
     val tokens = curve(occ, "__id", "tokens")
-    // unpivot the two 1-row frames into (checkpoint, n_tokens, n_types)
-    val rows = (1 to points).map { i =>
-      types.crossJoin(broadcast(tokens))
-        .select(lit(i).as("checkpoint"), col(s"tokens_$i").as("n_tokens"),
-          col(s"types_$i").as("n_types"))
-    }
-    rows.reduce(_ unionByName _)
+    // unpivot via ONE crossJoin + a metadata explode over the single
+    // 2·points-column row (r17 A/B x3, exact-equal: 1.30-1.88 s vs
+    // 0.54-0.66 on q_heaps_law): the previous points-way union re-embedded
+    // BOTH aggregate subtrees in every branch, so each checkpoint re-ran
+    // the full types/tokens aggregations. The exploded array elements are
+    // plain attribute references of the 1-row input — not the rule-1
+    // complex-expression class.
+    types.crossJoin(broadcast(tokens))
+      .select(explode(array((1 to points).map(i =>
+          struct(lit(i).as("checkpoint"),
+            col(s"tokens_$i").as("n_tokens"),
+            col(s"types_$i").as("n_types"))): _*)).as("r"))
+      .select(col("r.checkpoint").as("checkpoint"),
+        col("r.n_tokens").as("n_tokens"), col("r.n_types").as("n_types"))
   }
 
   /** Per-source token count, OOV count against the top-`v` vocabulary, and

@@ -1,100 +1,179 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Dev scratchpad (contents rotate per investigation — currently: the
-  * NULL/empty-text robustness sweep after the bloom NULL-fp find. A 100 TB
-  * crawl WILL contain null and empty text fields; the fixtures never do,
-  * so operator behavior on them is unexercised. Feed a tiny frame with a
-  * null-text row, an empty-text row, and a whitespace-only row through
-  * the core text/dedup operators and report which throw (ANSI), which
-  * drop the row silently, and which emit a sane verdict.)
+/** Dev scratchpad (contents rotate per investigation — currently: the r17
+  * OPTIMIZATION-round A/B harness, batch 3: anchored vs pre-change shapes
+  * for associationRules / BLEU / ROUGE, and the heapsCurve reshape. Same
+  * discipline as batches 1-2: exact equality asserted once, then arms
+  * interleaved x iters in one JVM with cache clears.)
   *
-  * Usage: Scratch go
+  * Usage: Scratch <experiment|all> [iters]
   */
 object Scratch {
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println("usage: Scratch go")
-      return
-    }
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+  private def buildSpark(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Scratch <experiment|all> [iters]")
+      return
+    }
+    val which = args(0)
+    val iters = if (args.length > 1) args(1).toInt else 3
+    val spark = buildSpark()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, null.asInstanceOf[String]),
-      (3L, ""),
-      (4L, "   "),
-      (5L, "the quick brown fox jumps over the lazy dog again and again"))
-      .toDF("doc_id", "text")
-      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
-      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def attempt(name: String)(f: => Seq[String]): Unit =
-      try {
-        val out = f
-        println(s"[null-sweep] $name: OK rows=${out.size} :: ${out.mkString(" | ")}")
-      } catch {
-        case e: Throwable =>
-          println(s"[null-sweep] $name: THROWS ${e.getClass.getSimpleName}: " +
-            e.getMessage.linesIterator.next().take(140))
+    def rowsOf(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    def runExp(name: String, oldArm: () => DataFrame, newArm: () => DataFrame): Unit = {
+      val a = rowsOf(oldArm())
+      spark.sharedState.cacheManager.clearCache()
+      val b = rowsOf(newArm())
+      spark.sharedState.cacheManager.clearCache()
+      if (a != b) {
+        println(s"[ab] $name: NOT EQUAL old=${a.size} new=${b.size} " +
+          s"missing=${a.diff(b).take(3)} extra=${b.diff(a).take(3)}")
+        return
       }
+      println(s"[ab] $name: equal (${a.size} rows); timing $iters interleaved")
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.Bench.fullyEvaluate(oldArm())
+        val ta = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        val t1 = System.nanoTime()
+        graft.Bench.fullyEvaluate(newArm())
+        val tb = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"[ab] $name iter $i: old=$ta%.2f new=$tb%.2f")
+      }
+    }
 
-    attempt("dedupExact/dedupAgainstCorpus") {
-      graft.dedup.Dedup.dedupAgainstCorpus(
-          docs.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3))
-        .select("doc_id").as[Long].collect().sorted.map(_.toString).toSeq
+    // --- old shapes --------------------------------------------------------
+
+    /** associationRules without the frequent-pair anchor. */
+    def assocOld(): DataFrame = {
+      val p = graft.analytics.Itemsets.frequentPairs(
+        graft.queries.Graphs.baskets(spark, dir), "basket", "item", 2L)
+      val fwd = p.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("support_ab"),
+        col("support_a").as("support_ant"), col("lift"))
+      val bwd = p.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support_ab"),
+        col("support_b").as("support_ant"), col("lift"))
+      fwd.unionByName(bwd)
+        .filter(col("support_ab") * 100 >= col("support_ant") * 10)
+        .withColumn("confidence",
+          col("support_ab").cast("double") / col("support_ant").cast("double"))
+        .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
     }
-    attempt("lineDedup") {
-      graft.dedup.Dedup.lineDedup(docs)
-        .select(col("doc_id"), col("n_lines"), col("n_kept"))
-        .collect().map(_.toString).toSeq
+
+    /** BLEU without the tokenized-pair anchor. */
+    def bleuOld(): DataFrame = {
+      val docs = graft.Tables.documents(spark, dir)
+      val near = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id").as("pair_id"),
+          concat(lit("zqxnear "), col("text")).as("cand"), col("text").as("ref"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("pair_id"),
+          col("text").as("cand"), col("text").as("ref"))
+      val pairs = near.unionByName(copies)
+      val maxN = 4
+      val tok = pairs.select(col("pair_id"),
+        graft.dedup.Dedup.tokens(col("cand")).as("ct"),
+        graft.dedup.Dedup.tokens(col("ref")).as("rt"))
+      def grams(t: Column, n: Int): Column =
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+      def sideCounts(t: Column, cntName: String): DataFrame =
+        tok.select(col("pair_id"),
+            explode(flatten(array((1 to maxN).map(n => grams(t, n)): _*))).as("ng"))
+          .groupBy(col("pair_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+          .agg(count(lit(1)).as(cntName))
+      val cand = sideCounts(col("ct"), "c_cand")
+      val ref = sideCounts(col("rt"), "c_ref")
+      val perN = cand
+        .join(ref, Seq("pair_id", "n", "gram"), "left_outer")
+        .select(col("n"), col("c_cand"),
+          least(col("c_cand"), coalesce(col("c_ref"), lit(0L))).as("m"))
+        .groupBy(col("n"))
+        .agg(sum(col("m")).as("match_cnt"), sum(col("c_cand")).as("cand_cnt"))
+        .withColumn("prec",
+          when(col("cand_cnt") > 0,
+            col("match_cnt").cast("double") / col("cand_cnt").cast("double")))
+      val lens = tok.agg(
+        sum(size(col("ct"))).as("cand_len"), sum(size(col("rt"))).as("ref_len"))
+      perN.crossJoin(broadcast(lens)).orderBy(col("n"))
     }
-    attempt("qualityFeatures") {
-      graft.text.TextAnalysis.qualityFeatures(docs)
-        .select(col("doc_id"), col("quality_score")).collect().map(_.toString).toSeq
+
+    /** heapsCurve reshape candidate: single crossJoin of the two 1-row
+      * aggregate frames + a metadata explode instead of a points-way union
+      * re-referencing both aggregates per branch; `tok` persist dropped
+      * (single consumer — `occ` is the persisted frame that matters).
+      */
+    def heapsNew(): DataFrame = {
+      val points = 10
+      val docs = graft.Tables.documents(spark, dir)
+      // inline 8-partition kernel pin (what withKernelShufflePartitionsFor
+      // derives for the KB-scale documents fixture), so the A/B isolates
+      // the reshape, not the pin
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val tok = docs.select(col("doc_id").as("__id"),
+          graft.dedup.Dedup.tokens(col("text")).as("t"))
+        val occ = tok.select(col("__id"), explode(col("t")).as("term"))
+          .filter(col("term") =!= "")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val firsts = occ.groupBy(col("term")).agg(min(col("__id")).as("__first"))
+        val maxId = occ.agg(max(col("__id")).as("__mx"))
+        def curve(src: DataFrame, idc: String, alias: String): DataFrame = {
+          val aggs = (1 to points).map { i =>
+            sum(when(col(idc) * points <= col("__mx") * i, 1L).otherwise(0L))
+              .as(s"${alias}_$i")
+          }
+          src.crossJoin(broadcast(maxId)).agg(aggs.head, aggs.tail: _*)
+        }
+        val types = curve(firsts, "__first", "types")
+        val tokens = curve(occ, "__id", "tokens")
+        val one = types.crossJoin(broadcast(tokens))
+        one.select(explode(array((1 to points).map(i =>
+            struct(lit(i).as("checkpoint"),
+              col(s"tokens_$i").as("n_tokens"),
+              col(s"types_$i").as("n_types"))): _*)).as("r"))
+          .select(col("r.checkpoint").as("checkpoint"),
+            col("r.n_tokens").as("n_tokens"), col("r.n_types").as("n_types"))
+          .orderBy(col("checkpoint"))
+          .localCheckpoint(true)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    attempt("langId") {
-      docs.select(col("doc_id"),
-        graft.text.TextAnalysis.langId(col("text")).as("l"))
-        .collect().map(_.toString).toSeq
-    }
-    attempt("tokenCounts") {
-      graft.text.TextAnalysis.tokenCounts(docs)
-        .collect().map(_.toString).toSeq
-    }
-    attempt("ngramJaccardPairs") {
-      graft.dedup.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
-        .collect().map(_.toString).toSeq
-    }
-    attempt("withStringShingles") {
-      graft.dedup.Dedup.withStringShingles(docs, 3)
-        .select(col("id"), size(col("sh")).as("n")).collect().map(_.toString).toSeq
-    }
-    attempt("simhash fingerprints") {
-      graft.dedup.SimHash.fingerprints(docs)
-        .collect().map(_.toString).toSeq
-    }
-    attempt("rakeKeyphrases") {
-      graft.text.TextAnalysis.rakeKeyphrases(docs, k = 5)
-        .collect().map(_.toString).toSeq
-    }
-    attempt("repetitionFeatures") {
-      graft.text.Curation.repetitionFeatures(docs)
-        .select("doc_id").collect().map(_.toString).toSeq
-    }
-    attempt("c4Flags") {
-      graft.text.CorpusFilters.c4Flags(docs)
-        .collect().map(_.toString).take(6).toSeq
-    }
+
+    val exps: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("assoc", () => assocOld(), () => graft.SparkEntry.queries("q_assoc_rules")(spark, dir)),
+      ("bleu", () => bleuOld(), () => graft.SparkEntry.queries("q_bleu")(spark, dir)),
+      ("heaps", () => graft.SparkEntry.queries("q_heaps_law")(spark, dir), () => heapsNew()))
+
+    exps.filter(e => which == "all" || which == e._1)
+      .foreach { case (n, a, b) => runExp(n, a, b) }
     spark.stop()
   }
 }

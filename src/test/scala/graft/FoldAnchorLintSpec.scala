@@ -54,7 +54,9 @@ class FoldAnchorLintSpec extends AnyFunSuite {
     "AnalyticsQueries.scala" -> Map("n" -> 1), // constant (count over the full partition)
     "StatQueries.scala" -> Map(
       "__cum" -> 1, // monotone: chi^2 num^2/den >= 0
-      "n" -> 4), // constant (broadcast order-statistic totals; pivot idiom)
+      "n" -> 5), // constant (broadcast order-statistic totals; pivot idiom —
+                 // incl. trimmedMeanQ's max(n) over the two-pass quantile
+                 // rows, where n is the identical total on every row)
     "SummaryQueries.scala" -> Map("median_value" -> 1) // constant per (event_type, dow) after the broadcast join
   )
 
