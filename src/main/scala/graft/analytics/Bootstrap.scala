@@ -66,27 +66,29 @@ object Bootstrap {
     val msg = concat(lit(s"boot:$seed:"), col("__id"), lit(":"),
       col("rg").cast("string"))
     // w = #{hex digits of the field in {'0','1'}} ⇔ #{nibbles whose
-    // upper 3 bits are 0}. The field comes from the native
-    // [[graft.functions.Md5Field]] (thread-local digest, no hex-string /
-    // conv materialization — the built-in Md5+conv+substring chain
-    // measured 2.5× slower here, dominated by per-call
-    // MessageDigest.getInstance and per-weight string scans).
-    def weightOf(s: Int): Column = {
-      val u = graft.functions.Md5Field.md5Field(msg, 8 * s, 8)
-      (0 to 7).map(j =>
-        when(shiftright(u, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
-          .otherwise(0L)).reduce(_ + _)
-    }
-    // Weights are hoisted into the projection BELOW the aggregate so each
-    // digest runs exactly once per (row, replicate-group, field): as
-    // aggregate-input expressions the 8 sums would each re-inline it
+    // upper 3 bits are 0}. All four weights come from ONE native
+    // [[graft.functions.Md5Field.md5BinWeights4]] digest per
+    // (row, replicate-group) — as four separate md5_field expressions each
+    // weight re-digested the same message (CSE cannot reach inside an
+    // expression's eval), quadrupling the md5 work of the draw pass, the
+    // dominant cost here (r17; the digit-count fold also moves from 32
+    // codegen conditionals per group into the digest loop). The native
+    // path itself replaced the built-in Md5+conv+substring chain earlier
+    // (2.5× — per-call MessageDigest.getInstance, per-weight string scans).
+    // Weights are hoisted into the projection BELOW the aggregate so the
+    // digest runs exactly once per (row, replicate-group): as an
+    // aggregate-input expression the 8 sums would each re-inline it
     // (subexpression elimination does not span aggregate functions).
+    def weightAt(wq: Column, s: Int): Column =
+      shiftright(wq, 8 * (3 - s)).bitwiseAND(lit(0xFFL))
     val perRg = base
       .select(col("__id"), col("x"),
         explode(sequence(lit(0), lit(replicates / 4 - 1))).as("rg"))
       .select(col("rg"), col("x"),
-        weightOf(0).as("w0"), weightOf(1).as("w1"),
-        weightOf(2).as("w2"), weightOf(3).as("w3"))
+        graft.functions.Md5Field.md5BinWeights4(msg).as("__wq"))
+      .select(col("rg"), col("x"),
+        weightAt(col("__wq"), 0).as("w0"), weightAt(col("__wq"), 1).as("w1"),
+        weightAt(col("__wq"), 2).as("w2"), weightAt(col("__wq"), 3).as("w3"))
       .groupBy(col("rg"))
       .agg(sum(col("w0") * col("x")).as("swx0"), sum(col("w0")).as("sw0"),
         sum(col("w1") * col("x")).as("swx1"), sum(col("w1")).as("sw1"),

@@ -83,22 +83,33 @@ object Winnowing {
   def fingerprintPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                        minShared: Int = 2, maxDocFreq: Int = 50,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = fingerprints(docs, k, w, idCol, textCol)
-    // eager anchor before the self-join: both join branches consume `rare`,
-    // and without the cut each re-runs the whole tokenize → k-gram window →
-    // winnow-min → distinct pipeline (r17 A/B x3 interleaved, exact-equal:
-    // base 1.90-2.40 s vs anchored 1.55-1.88 at sf0.1). At corpus scale the
+    // eager anchor before the self-join: both join branches (and both df-cut
+    // consumers below) ultimately consume the fingerprint table, and without
+    // the cut each re-runs the whole tokenize → k-gram window → winnow-min →
+    // distinct pipeline (r17 A/B x3 interleaved, exact-equal: base
+    // 1.90-2.40 s vs anchored 1.55-1.88 at sf0.1). At corpus scale the
     // anchored frame is the selected-fingerprint table (~2/(w+1) of token
     // positions, two longs per row) — materializing it once is strictly
     // cheaper than recomputing the fingerprint pipeline per branch; a
     // production deployment would persist it as the standing fingerprint
     // artifact. localCheckpoint availability caveat as in Dedup (executor
     // loss invalidates blocks; acceptable for derived, replayable frames).
-    val rare = fps
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDocFreq)
-      .select(col("doc"), col("fp"))
+    val fps = fingerprints(docs, k, w, idCol, textCol)
       .localCheckpoint(true)
+    // df cut as a broadcast LEFT ANTI of the metadata-sized HOT set (the r13
+    // inversion, r17 here: A/B x4 interleaved, exact-equal, 1.32-1.69 s →
+    // 1.15-1.51 at sf0.1): the per-fp window count shuffled and sorted ALL
+    // (doc, fp) rows by fp just to read each group's size, where the
+    // groupBy aggregates map-side to one row per fingerprint and only the
+    // > maxDocFreq survivors — boilerplate fingerprints, a vanishing
+    // fraction by the winnowing guarantee — are broadcast. fps rows are
+    // distinct (doc, fp), so count-per-fp IS the document frequency on both
+    // shapes.
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("fp"))
+    val rare = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .select(col("doc"), col("fp"))
     rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

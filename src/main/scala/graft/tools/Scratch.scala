@@ -68,6 +68,66 @@ object Scratch {
 
     // --- old shapes --------------------------------------------------------
 
+    /** Bootstrap.meanCI with the pre-r17 four-digest weight draw (four
+      * md5_field expressions per (row, replicate-group) — each re-digests
+      * the message — and the 8-conditional per-field digit<2 fold), for the
+      * md5BinWeights4 A/B. Everything after the weights is identical.
+      */
+    def bootOld(): DataFrame = {
+      val df = graft.Tables.events(spark, dir)
+      val idCol = col("event_id")
+      val valueCents = round(col("value") * 100, 0).cast("long")
+      val seed = "s1"
+      val replicates = 64
+      val loPermille = 25
+      val hiPermille = 975
+      val base = df.select(idCol.cast("string").as("__id"),
+        valueCents.cast("long").as("x"))
+      val full = base
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
+        .withColumn("mean",
+          when(col("n") > 0,
+            col("sum_cents").cast("double") / col("n").cast("double")))
+      val msg = concat(lit(s"boot:$seed:"), col("__id"), lit(":"),
+        col("rg").cast("string"))
+      def weightOf(s: Int): Column = {
+        val u = graft.functions.Md5Field.md5Field(msg, 8 * s, 8)
+        (0 to 7).map(j =>
+          when(shiftright(u, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
+            .otherwise(0L)).reduce(_ + _)
+      }
+      val perRg = base
+        .select(col("__id"), col("x"),
+          explode(sequence(lit(0), lit(replicates / 4 - 1))).as("rg"))
+        .select(col("rg"), col("x"),
+          weightOf(0).as("w0"), weightOf(1).as("w1"),
+          weightOf(2).as("w2"), weightOf(3).as("w3"))
+        .groupBy(col("rg"))
+        .agg(sum(col("w0") * col("x")).as("swx0"), sum(col("w0")).as("sw0"),
+          sum(col("w1") * col("x")).as("swx1"), sum(col("w1")).as("sw1"),
+          sum(col("w2") * col("x")).as("swx2"), sum(col("w2")).as("sw2"),
+          sum(col("w3") * col("x")).as("swx3"), sum(col("w3")).as("sw3"))
+      val repMeans = perRg
+        .select(explode(array((0 to 3).map(s =>
+            struct((col("rg") * 4 + s).as("rep"),
+              col(s"swx$s").as("swx"), col(s"sw$s").as("sw"))): _*)).as("r"))
+        .select(col("r.rep").as("rep"), col("r.swx").as("swx"), col("r.sw").as("sw"))
+        .withColumn("m",
+          when(col("sw") > 0,
+            col("swx").cast("double") / col("sw").cast("double")))
+        .filter(col("m").isNotNull)
+      val ranked = repMeans
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("rep"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      val stats = ranked.agg(
+        min(when(col("rn") * 1000 >= col("cnt") * loPermille, col("m"))).as("ci_lo"),
+        min(when(col("rn") * 1000 >= col("cnt") * hiPermille, col("m"))).as("ci_hi"),
+        max(col("cnt")).as("b_used"))
+      full.crossJoin(broadcast(stats))
+        .select(col("n"), col("sum_cents"), col("mean"), col("b_used"),
+          col("ci_lo"), col("ci_hi"))
+    }
+
     /** associationRules without the frequent-pair anchor. */
     def assocOld(): DataFrame = {
       val p = graft.analytics.Itemsets.frequentPairs(
@@ -167,10 +227,73 @@ object Scratch {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+    /** fingerprintPairs with the pre-r17 df cut: a per-fp window count over
+      * all (doc, fp) rows + filter, anchored after the cut — vs the landed
+      * broadcast-LEFT-ANTI hot-set inversion (the registry arm).
+      */
+    def winnowOld(): DataFrame = {
+      val docs = graft.queries.PipelineQueries.augmented(
+        graft.Tables.documents(spark, dir))
+      val maxDocFreq = 50
+      val fps = graft.dedup.Winnowing.fingerprints(docs, k = 3, w = 4)
+      val rare = fps
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("__df") <= maxDocFreq)
+        .select(col("doc"), col("fp"))
+        .localCheckpoint(true)
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+
+    /** negativeSample with ONE anchored distinct-pairs frame: the current
+      * shape derives `positives` (an orders⋈lineitem join) twice — once
+      * under distinct-users for candidate generation, once under
+      * distinct-pairs for the anti-join; here users derive from the
+      * anchored pair set.
+      */
+    def negNew(): DataFrame = {
+      val positives = graft.Tables.orders(spark, dir)
+        .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+      val catalog = graft.Tables.part(spark, dir).select(col("p_partkey"))
+      val k = 3; val probes = 12; val seed = "neg"
+      val pos = positives.distinct().localCheckpoint(true)
+      val stats = catalog.agg(
+        count(lit(1)).as("__n_items"), min(col("p_partkey")).as("__min_item"))
+      val cand = pos.select(col("user_id")).distinct()
+        .crossJoin(broadcast(stats))
+        .withColumn("probe_idx", explode(sequence(lit(0), lit(probes - 1))))
+        .withColumn("__u32",
+          graft.functions.Md5Field.md5U32(concat(lit(seed), lit(":"),
+            col("user_id").cast("string"), lit(":"),
+            col("probe_idx").cast("string"))))
+        .withColumn("neg_item",
+          col("__min_item") + pmod(col("__u32"), col("__n_items")))
+      val firstProbe = Window.partitionBy(col("user_id"), col("neg_item"))
+        .orderBy(col("probe_idx"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("probe_idx"))
+      cand
+        .withColumn("__dup", row_number().over(firstProbe))
+        .filter(col("__dup") === 1)
+        .join(pos.select(col("user_id"), col("item").as("neg_item")),
+          Seq("user_id", "neg_item"), "left_anti")
+        .withColumn("__rk", row_number().over(byUser))
+        .filter(col("__rk") <= k)
+        .select(col("user_id"), col("neg_item"), col("probe_idx"))
+        .orderBy(col("user_id"), col("probe_idx"))
+    }
+
     val exps: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("assoc", () => assocOld(), () => graft.SparkEntry.queries("q_assoc_rules")(spark, dir)),
       ("bleu", () => bleuOld(), () => graft.SparkEntry.queries("q_bleu")(spark, dir)),
-      ("heaps", () => graft.SparkEntry.queries("q_heaps_law")(spark, dir), () => heapsNew()))
+      ("heaps", () => graft.SparkEntry.queries("q_heaps_law")(spark, dir), () => heapsNew()),
+      ("boot", () => bootOld(), () => graft.SparkEntry.queries("q_bootstrap_ci")(spark, dir)),
+      ("winnow", () => winnowOld(), () => graft.SparkEntry.queries("q_winnowing")(spark, dir)),
+      ("neg", () => graft.SparkEntry.queries("q_negative_sample")(spark, dir), () => negNew()))
 
     exps.filter(e => which == "all" || which == e._1)
       .foreach { case (n, a, b) => runExp(n, a, b) }

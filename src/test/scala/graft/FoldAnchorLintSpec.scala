@@ -57,7 +57,8 @@ class FoldAnchorLintSpec extends AnyFunSuite {
       "n" -> 5), // constant (broadcast order-statistic totals; pivot idiom —
                  // incl. trimmedMeanQ's max(n) over the two-pass quantile
                  // rows, where n is the identical total on every row)
-    "SummaryQueries.scala" -> Map("median_value" -> 1) // constant per (event_type, dow) after the broadcast join
+    "SummaryQueries.scala" -> Map("median_value" -> 1), // constant per (event_type, dow) after the broadcast join
+    "Scratch.scala" -> Map("cnt" -> 1) // constant (global window count) — the bootOld A/B replica of Bootstrap.meanCI's pre-r17 shape
   )
 
   test("max/min over window-cumulative columns are anchored or whitelisted") {

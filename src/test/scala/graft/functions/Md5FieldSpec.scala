@@ -40,6 +40,43 @@ class Md5FieldSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("md5BinWeights4 packs the four per-field digit<2 folds bit-exactly") {
+    // the composed idiom md5BinWeights4 replaces in Bootstrap.meanCI: four
+    // independent md5_field draws, each folded by the per-nibble digit<2
+    // count — the replacement must agree weight for weight
+    def weightIdiom(s: Int) = {
+      val u = md5Field(col("s"), 8 * s, 8)
+      (0 to 7).map(j =>
+        when(shiftright(u, 4 * j + 1).bitwiseAND(lit(7L)) === 0, 1L)
+          .otherwise(0L)).reduce(_ + _)
+    }
+    val values = Seq("", "boot:s1:42:7", "ÿüñ ✓", "a\nb\tc") ++
+      samples(Gen.asciiPrintableStr, 200).distinct ++
+      (0 until 64).map(i => s"boot:s1:$i:${i % 16}")
+    val rows = values.toDF("s")
+      .select(md5BinWeights4(col("s")).as("packed"),
+        weightIdiom(0).as("e0"), weightIdiom(1).as("e1"),
+        weightIdiom(2).as("e2"), weightIdiom(3).as("e3"))
+      .collect()
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      val got = (0 to 3).map(s => (p >>> (8 * (3 - s))) & 0xFFL)
+      val want = (1 to 4).map(i => r.getLong(i))
+      assert(got == want, s"packed=$p got=$got want=$want")
+    }
+    // null input yields null; interpreted eval agrees with codegen
+    val out = Seq[String]("x", null).toDF("s")
+      .select(md5BinWeights4(col("s")).as("w")).collect()
+    assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = Seq("x").toDF("s")
+        .select(md5BinWeights4(col("s"))).as[Long].head()
+      assert(interp == out(0).getLong(0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("15-nibble field stays non-negative (no BIGINT sign wrap)") {
     val values = samples(Gen.asciiPrintableStr, 200).distinct
     val mins = values.toDF("s")
