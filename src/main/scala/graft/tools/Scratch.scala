@@ -287,13 +287,57 @@ object Scratch {
         .orderBy(col("user_id"), col("probe_idx"))
     }
 
+    /** fingerprintPairs with the fingerprint pipeline fused into array HOFs
+      * (no (doc, pos) explode, no window shuffle, no global distinct —
+      * array_distinct per doc): grams materialized on the ARRAY frame
+      * (rule-1: persist the array frame so the winnow-min lambda does not
+      * re-inline the md5 HOF per element), winnow-min as a second transform
+      * over slices. Same df cut + self-join as the landed shape.
+      */
+    def winnowHof(): DataFrame = {
+      val k = 3; val w = 4; val maxDocFreq = 50
+      val docs = graft.queries.PipelineQueries.augmented(
+        graft.Tables.documents(spark, dir))
+      val toks = docs
+        .select(col("doc_id").as("doc"), graft.dedup.Dedup.tokens(col("text")).as("__t"))
+        .select(col("doc"), expr("filter(__t, x -> x <> '')").as("__t"))
+      def md5U60(c: Column): Column = graft.functions.Md5Field.md5Field(c, 0, 15)
+      val t = col("__t")
+      val gramsCol = when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => md5U60(concat_ws(" ", slice(t, i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))
+      val gramsDf = toks.select(col("doc"), gramsCol.as("__g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val g = col("__g")
+      val winsCol = when(size(g) >= w,
+        array_distinct(transform(sequence(lit(0), size(g) - w),
+          j => array_min(slice(g, j + 1, lit(w))))))
+        .otherwise(array().cast("array<bigint>"))
+      val fps = gramsDf.select(col("doc"), explode(winsCol).as("fp"))
+        .localCheckpoint(true)
+      gramsDf.unpersist()
+      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq)
+        .select(col("fp"))
+      val rare = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+        .select(col("doc"), col("fp"))
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+
     val exps: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("assoc", () => assocOld(), () => graft.SparkEntry.queries("q_assoc_rules")(spark, dir)),
       ("bleu", () => bleuOld(), () => graft.SparkEntry.queries("q_bleu")(spark, dir)),
       ("heaps", () => graft.SparkEntry.queries("q_heaps_law")(spark, dir), () => heapsNew()),
       ("boot", () => bootOld(), () => graft.SparkEntry.queries("q_bootstrap_ci")(spark, dir)),
       ("winnow", () => winnowOld(), () => graft.SparkEntry.queries("q_winnowing")(spark, dir)),
-      ("neg", () => graft.SparkEntry.queries("q_negative_sample")(spark, dir), () => negNew()))
+      ("neg", () => graft.SparkEntry.queries("q_negative_sample")(spark, dir), () => negNew()),
+      ("winnowhof", () => graft.SparkEntry.queries("q_winnowing")(spark, dir), () => winnowHof()))
 
     exps.filter(e => which == "all" || which == e._1)
       .foreach { case (n, a, b) => runExp(n, a, b) }
