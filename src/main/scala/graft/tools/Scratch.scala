@@ -330,6 +330,37 @@ object Scratch {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
+    /** hitsQ with the pre-r17 LAZY MEMORY_AND_DISK persist on the distinct
+      * edge table (vs the landed eager localCheckpoint anchor — three
+      * consumers: a1, the h1 join, the a2 join). Same hybrid wide-build +
+      * kernel-pin shape as the registry query.
+      */
+    def hitsOld(): DataFrame = {
+      val e = graft.Tables.orders(spark, dir)
+        .join(graft.Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .localCheckpoint(true)
+      // inline 8-partition kernel pin (what withKernelShufflePartitionsFor
+      // derives for the sf0.1 orders+lineitem frontier), so the A/B
+      // isolates the persist-vs-anchor swap, not the pin
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val ed = e.select(col("src"), col("dst")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val a1 = ed.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+        val h1 = ed.join(a1, Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+        val a2 = ed.join(h1, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+        a1.join(a2, Seq("dst"), "left_outer")
+          .select(col("dst").as("node"), col("a1").as("authority1"),
+            coalesce(col("a2"), lit(0L)).as("authority2"))
+          .orderBy(col("authority2").desc, col("node")).limit(10)
+          .localCheckpoint(true)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
     val exps: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("assoc", () => assocOld(), () => graft.SparkEntry.queries("q_assoc_rules")(spark, dir)),
       ("bleu", () => bleuOld(), () => graft.SparkEntry.queries("q_bleu")(spark, dir)),
@@ -337,7 +368,8 @@ object Scratch {
       ("boot", () => bootOld(), () => graft.SparkEntry.queries("q_bootstrap_ci")(spark, dir)),
       ("winnow", () => winnowOld(), () => graft.SparkEntry.queries("q_winnowing")(spark, dir)),
       ("neg", () => graft.SparkEntry.queries("q_negative_sample")(spark, dir), () => negNew()),
-      ("winnowhof", () => graft.SparkEntry.queries("q_winnowing")(spark, dir), () => winnowHof()))
+      ("winnowhof", () => graft.SparkEntry.queries("q_winnowing")(spark, dir), () => winnowHof()),
+      ("hits", () => hitsOld(), () => graft.SparkEntry.queries("q_hits")(spark, dir)))
 
     exps.filter(e => which == "all" || which == e._1)
       .foreach { case (n, a, b) => runExp(n, a, b) }
